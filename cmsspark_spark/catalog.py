@@ -1,0 +1,60 @@
+"""Test-table catalog for the synthetic TPC-H-ish star schema.
+
+The reference registers every source as a named temp table before
+querying (spark_utils.py:229, 253, 291-361 — ``registerTempTable`` on
+each load). This module does the same for the driver-generated parquet
+tables under ``/root/testdata/sf*``, with one engine-level fix-up: the
+generator wrote ``INT64 TIMESTAMP(NANOS)`` parquet timestamps, which
+Spark reads only as LongType (``spark.sql.legacy.parquet.nanosAsLong``);
+we convert those columns to proper ``TimestampType`` (microsecond
+truncation, matching DuckDB's ns→us truncation) right at the scan so all
+downstream operators see real timestamps.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cmsspark_spark.session import tune
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Columns stored as parquet TIMESTAMP(NANOS) → read as Long ns → convert.
+NS_TIMESTAMP_COLS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table, normalizing ns-timestamp columns."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NS_TIMESTAMP_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # ns → µs floor-div matches DuckDB's truncation of TIMESTAMP_NS.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """createOrReplaceTempView for each table (reference: registerTempTable)."""
+    for t in names or TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

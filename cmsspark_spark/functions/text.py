@@ -1,0 +1,118 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+Beyond-reference operators (SURVEY §7.2 M8): tokenization, token
+counting, quality features, stopword ratios, language-ID heuristic, and
+document fingerprinting — all pure Catalyst expressions (no Python UDFs)
+so they run JVM-side at 100 TB scale. Every expression here has a
+line-for-line ANSI-SQL equivalent used by the DuckDB oracle tests.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Small, deterministic marker-word lists for the language-ID heuristic.
+# Real pipelines plug in fastText etc.; the heuristic's value here is the
+# distributed shape: per-token scoring without leaving the JVM.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "in", "to", "it")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization after lowercasing; drops empty tokens."""
+    return F.filter(F.split(F.lower(_c(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (quality-scoring feature)."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Bundle of cheap quality-scoring features (length/stopword/shape)."""
+    t = _c(text)
+    return {
+        "n_chars": F.length(t),
+        "n_tokens": token_count(t),
+        "mean_token_len": mean_token_length(t),
+        "stopword_ratio": stopword_ratio(t),
+    }
+
+
+def lang_marker_hits(text: Column | str, lang: str) -> Column:
+    """Count of tokens matching `lang`'s marker words."""
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts.
+
+    Ties (incl. all-zero) resolve to the lexicographically first language
+    code, making the expression fully deterministic and therefore
+    oracle-testable.
+    """
+    t = _c(text)
+    scored = F.array(
+        *[
+            F.struct(
+                lang_marker_hits(t, lang).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # array_max on struct uses field-order comparison: hits desc wins; on
+    # equal hits the *larger* lang string wins, so invert by sorting desc
+    # on (hits, negated-rank). Simpler: reduce with an explicit comparator.
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("hits"), F.lit("").alias("lang")),
+        lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical-form document fingerprint: md5 of the normalized token
+    stream. Identical token sequences (ignoring case/whitespace) collide —
+    the classic dedup fingerprint."""
+    return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), the MinHash/Jaccard unit.
+
+    Documents shorter than ``n`` tokens produce their full token join as
+    a single shingle, so no document is silently dropped.
+    """
+    toks = tokens(text)
+    k = F.size(toks)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(ngrams)

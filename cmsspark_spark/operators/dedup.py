@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7.2 M8).
+
+Beyond-reference: the reference only has exact key-dedup
+(``drop_duplicates`` — P9, degraded/condor_cpu_efficiency.py:378). A
+100 TB document pipeline needs the near-dup family too:
+
+- exact dedup        — hash groupBy, deterministic survivor choice
+- MinHash + LSH      — shingle → k minhashes → bands → bucket join
+- SimHash            — token-hash bit voting → Hamming buckets
+- n-gram Jaccard     — exact pairwise similarity on candidate pairs
+
+Portability note: all hashing uses ``md5`` (identical in Spark and
+DuckDB) rather than Spark's murmur3 ``hash()``, so every operator here
+is oracle-testable in pure SQL. md5 costs a bit more than murmur3; at
+scale swap ``_HASH`` for ``F.xxhash64`` (the structure is unchanged —
+only oracle parity is lost).
+
+Scale design: all operators are shuffle-on-key joins/aggregations.
+MinHash-LSH is the scale path — candidate generation is a self-join on
+(band, signature) buckets, linear-ish in corpus size, never all-pairs.
+The exact-Jaccard verifier only runs on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from cmsspark_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: Sequence[str], tie_breaker: str
+) -> DataFrame:
+    """Keep exactly one row per key: the one with the minimum
+    ``tie_breaker`` — deterministic, unlike raw ``dropDuplicates`` which
+    keeps an arbitrary row (P9). One shuffle on the dedup key.
+    """
+    keep = df.groupBy(*key_cols).agg(F.min(tie_breaker).alias(tie_breaker))
+    return df.join(keep, on=[*key_cols, tie_breaker], how="left_semi")
+
+
+def dedup_by_fingerprint(
+    df: DataFrame, id_col: str, fingerprint_col: Column, keep: str = "min"
+) -> DataFrame:
+    """Group docs by content fingerprint; keep min/max id as survivor.
+
+    Returns (fingerprint, survivor_id, n_dups) — the exact-dedup report.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(fingerprint_col.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(agg.alias("survivor_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature: for hash function i, the min over
+    shingles of md5(i || shingle). Output: (_id, hash_idx, minhash).
+
+    One explode + one groupBy(_id, hash_idx) — map-side combine makes
+    the min cheap; the shuffle is on document id, never on shingle text.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
+    hashed = sh.select("_id", idx, "shingle").withColumn(
+        "h", F.md5(F.concat_ws("|", F.col("hash_idx"), F.col("shingle")))
+    )
+    return hashed.groupBy("_id", "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Bands group ``rows_per_band`` consecutive minhashes; two documents
+    are candidates if any band signature matches. Returns distinct
+    (id_a, id_b) with id_a < id_b.
+
+    Scale: the join is on (band, signature) — bucket sizes are the skew
+    risk; AQE skew-join handles hot buckets (e.g. empty-doc signatures).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("hash_idx") / rows_per_band))
+        .groupBy("_id", "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_sig"))
+    )
+    a = bands.select(F.col("_id").alias("id_a"), "band", "band_sig")
+    b = bands.select(F.col("_id").alias("id_b"), "band", "band_sig")
+    pairs = a.join(b, on=["band", "band_sig"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity between documents.
+
+    Without ``candidates`` this computes all pairs sharing ≥1 shingle
+    (exact but O(pairs-with-overlap)); with ``candidates`` (e.g. from
+    ``minhash_lsh_pairs``) it verifies only those — the 100 TB path.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n).distinct()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sz_a, on="id_a")
+        .join(sz_b, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash over tokens (bit-vote fingerprint).
+
+    Each token hashes (md5 → first bits of the digest); each bit votes
+    +1/-1; the sign vector is the fingerprint. Near-dups differ in few
+    bits. Output: (_id, simhash) as a bigint.
+
+    Implemented entirely with higher-order array functions — one explode,
+    one groupBy(_id); JVM-side throughout.
+    """
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
+    # First 16 hex chars of md5 → low `bits` bits of a long.
+    tok = tok.withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    voted = tok.groupBy("_id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return voted.select("_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation by block-splitting (pigeonhole: distance ≤ d ⇒
+    some block of d+1 equal) — a self-join per block on the block value,
+    never all-pairs. Returns (id_a, id_b, hamming).
+    """
+    s = simhash(df, id_col, text_col, bits)
+    nblocks = max_hamming + 1
+    block_bits = bits // nblocks
+    blocks = []
+    for bi in range(nblocks):
+        width = block_bits if bi < nblocks - 1 else bits - block_bits * (nblocks - 1)
+        val = F.shiftright(F.col("simhash"), bi * block_bits).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        blocks.append(
+            s.select("_id", "simhash", F.lit(bi).alias("block"), val.alias("bval"))
+        )
+    stacked = blocks[0]
+    for other in blocks[1:]:
+        stacked = stacked.unionByName(other)
+    a = stacked.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "bval"
+    )
+    b = stacked.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "bval"
+    )
+    cand = (
+        a.join(b, on=["block", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,120 @@
+"""Join repertoire (SURVEY §2.4).
+
+The reference's joins are all equi-joins expressed either as SQL strings
+(data_collection.py:162-164) or DataFrame ``.join`` chains
+(rucio_datasets_stats.py:198-614). Scale notes per operator:
+
+- Small dimensions are *broadcast* (J7; rucio_datasets_monitoring.py:191)
+  — at 100 TB the fact side never shuffles for dim enrichment.
+- Anti-joins use ``left_anti`` instead of the reference's
+  ``subtract``+re-join (J8; reports/aggregate_leftovers.py:127-140),
+  saving one shuffle and one join.
+- Day-template zero-fill (J10; hpc_running_cores_and_corehr.py:155-185)
+  builds the template with ``sequence``+``explode`` *on the cluster* —
+  no driver-side row materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact⋈dim enrichment join; broadcasts the dimension by default.
+
+    Reference pattern J3/J7: left-outer enrichment keeping all fact rows
+    (rucio_ds_summary.py:142-246) with an explicit broadcast for small
+    dims (rucio_datasets_monitoring.py:191).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of ``left`` with no key match in ``right`` (leftovers).
+
+    Replaces the reference's ``subtract`` + re-join two-pass
+    (reports/aggregate_leftovers.py:127-140) with one ``left_anti`` —
+    a single shuffle (or none, if ``right`` is broadcastable).
+    """
+    return left.join(right, on=list(on), how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    return left.join(right, on=list(on), how="left_semi")
+
+
+def two_hop(
+    edge1: DataFrame, edge2: DataFrame, hop_key: Sequence[str], final: DataFrame | None = None,
+    final_key: Sequence[str] | None = None,
+) -> DataFrame:
+    """Chained map joins (file→block→dataset shape, J9;
+    rucio_datasets_stats.py:196-204)."""
+    out = edge1.join(edge2, on=list(hop_key))
+    if final is not None:
+        out = out.join(final, on=list(final_key or hop_key))
+    return out
+
+
+def day_template_fill(
+    df: DataFrame,
+    date_col: str,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    start: str | None = None,
+    end: str | None = None,
+    fill: float = 0,
+) -> DataFrame:
+    """Left-join aggregated data onto a full (day × keys) template so
+    missing days appear as zeros (J10/F11).
+
+    The reference builds the template rows in the driver
+    (hpc_running_cores_and_corehr.py:155-167); here ``sequence()`` +
+    ``explode()`` generates it cluster-side, and the tiny template is
+    broadcast so the data side never shuffles.
+
+    ``df`` must already be aggregated to (date_col, *key_cols) grain.
+    """
+    if start is not None and end is not None:
+        bounds = df.sparkSession.range(1).select(
+            F.lit(start).cast("date").alias("min_d"), F.lit(end).cast("date").alias("max_d")
+        )
+    else:
+        bounds = df.select(
+            F.min(F.col(date_col)).cast("date").alias("min_d"),
+            F.max(F.col(date_col)).cast("date").alias("max_d"),
+        )
+    days = bounds.select(
+        F.explode(F.sequence("min_d", "max_d", F.expr("interval 1 day"))).alias(date_col)
+    )
+    keys = df.select(*key_cols).distinct()
+    template = days.crossJoin(keys)
+    out = F.broadcast(template).join(df, on=[date_col, *key_cols], how="left")
+    return out.fillna(fill, subset=list(value_cols))
+
+
+def full_outer_coverage(
+    left: DataFrame, right: DataFrame, on: Sequence[str], indicator: str = "presence"
+) -> DataFrame:
+    """Full-outer join of two key spaces with a both/left_only/right_only
+    indicator (J4 shape; rucio_datasets_stats.py:408-427 classifies file
+    coverage between Rucio and DBS this way)."""
+    lk = left.select(*on).distinct().withColumn("_l", F.lit(1))
+    rk = right.select(*on).distinct().withColumn("_r", F.lit(1))
+    joined = lk.join(rk, on=list(on), how="full")
+    return joined.select(
+        *on,
+        F.when(F.col("_l").isNotNull() & F.col("_r").isNotNull(), "both")
+        .when(F.col("_l").isNotNull(), "left_only")
+        .otherwise("right_only")
+        .alias(indicator),
+    )

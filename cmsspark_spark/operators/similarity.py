@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (SURVEY §7.2 M8).
+
+Beyond-reference operators for ANN over ``array<float>``:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus; per-partition scoring, TakeOrderedAndProject
+  per query via window top-k. The *baseline* and the verifier.
+- ``lsh_topk`` — random-hyperplane (sign) LSH: corpus and queries hash
+  to sign-pattern buckets; candidates = same bucket (any of ``tables``
+  independent tables); exact re-score on candidates only. The scale
+  path: at 100 TB the bucket join replaces the full cross product.
+
+Hyperplanes are generated from a seeded RNG in the driver and shipped as
+*literal arrays* into the plan — deterministic, no UDF, no side files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from cmsspark_spark.functions.vectors import cosine_similarity, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    ``queries`` must be small (it is broadcast). Self-matches (same id)
+    are excluded. Ties break on candidate id ascending, making the
+    result fully deterministic.
+    Returns (query_id, vec_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _sign_bucket(vec_col: str, planes: np.ndarray) -> "F.Column":
+    """Bucket id = bit pattern of sign(plane · vec) over all planes.
+
+    Planes enter the plan as literal double arrays; the dot product is a
+    zip_with/aggregate chain — all JVM-side.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(F.col(vec_col), lit_plane)
+        bucket = bucket + F.when(d >= 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 6,
+    tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via sign-LSH bucketing + exact re-score.
+
+    Candidates are corpus vectors sharing a bucket with the query in any
+    of ``tables`` independent hash tables; only candidates get the exact
+    cosine. Recall grows with ``tables`` and shrinks with ``num_planes``.
+    Returns (query_id, vec_id, cosine, rank) like ``brute_force_topk``.
+    """
+    rng = np.random.default_rng(seed)
+    corpus_b, query_b = [], []
+    for t in range(tables):
+        planes = rng.standard_normal((num_planes, dim))
+        cb = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            F.lit(t).alias("_table"), _sign_bucket(vec_col, planes).alias("_bucket"),
+        )
+        qb = queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"),
+            F.lit(t).alias("_table"), _sign_bucket(vec_col, planes).alias("_bucket"),
+        )
+        corpus_b.append(cb)
+        query_b.append(qb)
+    corpus_all = corpus_b[0]
+    for other in corpus_b[1:]:
+        corpus_all = corpus_all.unionByName(other)
+    query_all = query_b[0]
+    for other in query_b[1:]:
+        query_all = query_all.unionByName(other)
+
+    cand = (
+        corpus_all.join(F.broadcast(query_all), on=["_table", "_bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

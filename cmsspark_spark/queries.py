@@ -1,0 +1,1095 @@
+"""Query registry: every implemented operator as a (Spark, oracle-SQL) pair.
+
+Each entry demonstrates one or more rows of SURVEY §2's operator
+inventory on the synthetic test tables. The Spark side is built from
+``cmsspark_spark`` operators/functions; the oracle side is ANSI SQL that
+DuckDB runs on the same parquet — the driver compares row counts,
+schemas and value hashes at sf0.01 (CORRECTNESS_r{N}.json).
+
+Conventions (driver compare is column-name + value-hash based):
+- every computed column is aliased identically in Spark and SQL;
+- doubles are rounded (2 for currency-scale sums, 4 for ratios/avgs,
+  6 for cosines) on BOTH sides;
+- timestamps/dates in outputs are rendered as strings on BOTH sides;
+- integer-sum results are cast to BIGINT in DuckDB (its default is
+  HUGEINT) so schemas line up.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cmsspark_spark import catalog
+from cmsspark_spark.functions import text as T
+from cmsspark_spark.operators import aggregations as A
+from cmsspark_spark.operators import dedup as D
+from cmsspark_spark.operators import joins as J
+from cmsspark_spark.operators import multimodal as M
+from cmsspark_spark.operators import similarity as S
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.3-§2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A11/P4: multi-aggregate groupBy with arithmetic expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_topk_revenue",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 3-way join + W4 top-k (TakeOrderedAndProject, no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15"))
+    )
+    joined = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    out = agg.select(
+        "l_orderkey",
+        "revenue",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+    return A.top_k(out, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+                JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 snowflake 6-way join; dims broadcast so the fact never shuffles
+    for enrichment."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    dims = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cust = c.join(F.broadcast(dims), c.c_nationkey == dims.n_nationkey)
+    ord_c = o.join(cust, o.o_custkey == cust.c_custkey)
+    li_s = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    joined = li_s.join(ord_c, li_s.l_orderkey == ord_c.o_orderkey).filter(
+        F.col("s_nationkey") == F.col("c_nationkey")
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "enrich_customers_orders",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*)                                              AS n_customers,
+           sum(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_inactive,
+           round(sum(coalesce(spend, 0)), 2)                     AS total_spend
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def enrich_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-outer enrichment + P5 null handling + A3 conditional count."""
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("spend"))
+    )
+    enriched = J.enrich(c, per_cust, on=c.c_custkey == per_cust.o_custkey, broadcast_dim=False)
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        A.conditional_count(F.col("n_orders").isNull()).alias("n_inactive"),
+        F.round(F.sum(F.coalesce(F.col("spend"), F.lit(0.0))), 2).alias("total_spend"),
+    )
+
+
+@query(
+    "coverage_full_outer",
+    """
+    WITH l AS (SELECT DISTINCT c_custkey AS k FROM customer),
+         r AS (SELECT DISTINCT o_custkey AS k FROM orders)
+    SELECT CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL THEN 'both'
+                WHEN l.k IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS presence,
+           count(*) AS n
+    FROM l FULL JOIN r ON l.k = r.k
+    GROUP BY 1
+    """,
+)
+def coverage_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 full-outer key-space coverage (rucio_datasets_stats.py:408-427
+    shape: which files exist in Rucio vs DBS)."""
+    left = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    right = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    cov = J.full_outer_coverage(left, right, on=["k"])
+    return cov.groupBy("presence").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "anti_join_inactive_customers",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY n_name
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 anti-join leftovers (reports/aggregate_leftovers.py:127-140) as
+    a single left_anti instead of subtract + re-join."""
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "k")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    n = _t(spark, sf_dir, "nation")
+    inactive = J.anti_join(c, o, on=["k"])
+    joined = J.enrich(inactive, n, on=inactive.c_nationkey == n.n_nationkey, how="inner")
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "broadcast_region_stats",
+    """
+    SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def broadcast_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 broadcast dims: the fact (customer) never shuffles for the join."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    joined = J.enrich(c, dims, on=c.c_nationkey == dims.n_nationkey, how="inner")
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+
+
+@query(
+    "argmax_join_max_qty_line",
+    """
+    WITH mx AS (SELECT l_orderkey, max(l_quantity) AS l_quantity
+                FROM lineitem GROUP BY l_orderkey)
+    SELECT l_returnflag, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN mx USING (l_orderkey, l_quantity)
+    GROUP BY l_returnflag
+    """,
+)
+def argmax_join_max_qty_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 compound-key equi-join + the reference's group-agg+join-back
+    idiom that substitutes for window functions (SURVEY §2.6 W1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_quantity").alias("l_quantity"))
+    joined = li.join(mx, on=["l_orderkey", "l_quantity"])
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "two_hop_nation_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT c_custkey) AS n_customers
+    FROM lineitem JOIN orders   ON l_orderkey  = o_orderkey
+                  JOIN customer ON o_custkey   = c_custkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def two_hop_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 chained two-hop map joins (file→block→dataset shape) + A4."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    hop = J.two_hop(
+        li.withColumn("o_orderkey", F.col("l_orderkey")),
+        o,
+        hop_key=["o_orderkey"],
+    )
+    joined = hop.join(c, hop.o_custkey == c.c_custkey).join(
+        F.broadcast(n), F.col("c_nationkey") == n.n_nationkey
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "day_template_fill_events",
+    """
+    WITH days AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                                INTERVAL 1 day))::DATE AS d),
+         et AS (SELECT DISTINCT event_type FROM events),
+         daily AS (SELECT ts::DATE AS d, event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+    SELECT strftime(t.d, '%Y-%m-%d') AS day, t.event_type,
+           coalesce(n, 0)::BIGINT AS n_events
+    FROM (SELECT d, event_type FROM days CROSS JOIN et) t
+    LEFT JOIN daily USING (d, event_type)
+    """,
+)
+def day_template_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10/F11/S11: day-template zero-fill, template built cluster-side
+    with sequence+explode (hpc_running_cores_and_corehr.py:155-185)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    filled = J.day_template_fill(
+        daily, "day", ["event_type"], ["n_events"], start="2024-01-01", end="2024-01-30"
+    )
+    return filled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type", "n_events"
+    )
+
+
+@query(
+    "conditional_counts_events",
+    """
+    SELECT event_type, count(*) AS n_total,
+           sum(CASE WHEN value > 10 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+           round(sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) / count(*), 4) AS share_high
+    FROM events GROUP BY event_type
+    """,
+)
+def conditional_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 count-if via sum(when) (rucio_datasets_stats.py:317-319)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        A.conditional_count(F.col("value") > 10).alias("n_high"),
+        F.round(
+            A.conditional_count(F.col("value") > 10) / F.count(F.lit(1)), 4
+        ).alias("share_high"),
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 exact distinct count (rucio_datasets_monitoring.py:142-148)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "purchase_share_cohort",
+    """
+    SELECT user_id % 10 AS cohort,
+           round(100 * sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                     / sum(value), 4) AS purchase_share,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def purchase_share_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ratio-of-sums derived metric (CPU-efficiency shape,
+    degraded/condor_cpu_efficiency.py:393-420)."""
+    ev = _t(spark, sf_dir, "events")
+    num = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))
+    return ev.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.round(A.ratio_of_sums(num, F.col("value")), 4).alias("purchase_share"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "collect_set_sources",
+    """
+    SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def collect_set_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 collect_set + sort_array (rucio_datasets_monitoring.py:275-276)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "two_level_nation_spend",
+    """
+    WITH lvl1 AS (
+      SELECT c_nationkey, o_custkey, sum(o_totalprice) AS spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey
+    )
+    SELECT n_name, count(*) AS n_customers,
+           round(max(spend), 2) AS max_spend,
+           round(min(spend), 2) AS min_spend,
+           round(avg(spend), 4) AS avg_spend,
+           round(sum(spend), 2) AS sum_spend
+    FROM lvl1 JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def two_level_nation_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 two-level re-aggregation (rucio_ds_summary.py:292-334)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    lvl2 = A.two_level_agg(
+        joined,
+        level1_keys=["c_nationkey", "o_custkey"],
+        level1_aggs=[F.sum("o_totalprice").alias("spend")],
+        level2_keys=["c_nationkey"],
+        level2_aggs=[
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.avg("spend"), 4).alias("avg_spend"),
+            F.round(F.sum("spend"), 2).alias("sum_spend"),
+        ],
+    )
+    return lvl2.join(F.broadcast(n), lvl2.c_nationkey == n.n_nationkey).select(
+        "n_name", "n_customers", "max_spend", "min_spend", "avg_spend", "sum_spend"
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query(
+    "pivot_daily_event_values",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           coalesce(round(sum(CASE WHEN event_type = 'click'    THEN value END), 2), 0) AS click,
+           coalesce(round(sum(CASE WHEN event_type = 'error'    THEN value END), 2), 0) AS error,
+           coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0) AS purchase,
+           coalesce(round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2), 0) AS signup,
+           coalesce(round(sum(CASE WHEN event_type = 'view'     THEN value END), 2), 0) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 pivot rows→columns (reports/aggregate_campaigns.py:181-184);
+    pivot values passed explicitly to skip the distinct-values pre-job."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return A.pivot_agg(
+        ev, "day", "event_type", F.round(F.sum("value"), 2), pivot_values=_EVENT_TYPES
+    )
+
+
+@query(
+    "global_lineitem_stats",
+    """
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(DISTINCT l_partkey) AS n_parts,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
+    FROM lineitem
+    """,
+)
+def global_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 global (no-key) aggregate (reports/aggregate_leftovers.py:145)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+    )
+
+
+@query(
+    "time_bucket_12min",
+    """
+    WITH per_window AS (
+      SELECT user_id, (floor(epoch(ts) / 720))::BIGINT * 720 AS w,
+             max(value) AS wmax
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(to_timestamp(w), '%Y-%m-%d') AS day,
+           round(sum(wmax), 2) AS sum_window_max,
+           count(*) AS n_windows
+    FROM per_window GROUP BY 1
+    """,
+)
+def time_bucket_12min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/W2/T5: the HPC core-hours pattern — max per (unit, 12-min
+    tumbling window) then per-day re-aggregation, with F.window replacing
+    the reference's epoch-mod arithmetic
+    (hpc_running_cores_and_corehr.py:198-227)."""
+    ev = _t(spark, sf_dir, "events")
+    return A.dedup_then_bin_agg(
+        ev,
+        ts_col="ts",
+        bucket="12 minutes",
+        unit_keys=["user_id"],
+        unit_value=F.max("value"),
+        day_aggs=[
+            F.round(F.sum("_wv"), 2).alias("sum_window_max"),
+            F.count(F.lit(1)).alias("n_windows"),
+        ],
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "sum_window_max",
+        "n_windows",
+    )
+
+
+@query(
+    "top2_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+    WHERE rn <= 2
+    """,
+)
+def top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 per-group top-k via row_number window — the capability the
+    reference lacked and emulated with re-aggregation (SURVEY §2.6)."""
+    o = _t(spark, sf_dir, "orders")
+    top = A.top_k_per_group(
+        o,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=2,
+    )
+    return top.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn"
+    )
+
+
+@query(
+    "sessionize_users",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, sum(new_session)::BIGINT AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 analytic windows: 30-minute-gap sessionization (the streaming
+    session-window semantics, expressed batch-side)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - prev.cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_session").alias("n_sessions"))
+
+
+@query(
+    "set_union_nations",
+    """
+    SELECT c_nationkey AS n_nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 union-dedup (dbs_event_count_plot.py:188-210)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_except_nations",
+    """
+    SELECT c_nationkey AS n_nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 EXCEPT/subtract (reports/aggregate_leftovers.py:127-137)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.distinct().subtract(s.distinct())
+
+
+@query(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey AS n_nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 INTERSECT (absent in reference, free in Spark)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "string_funcs_docs",
+    """
+    SELECT regexp_extract(source, '(\\d+)', 1)::INT AS src_num,
+           count(*) AS n_docs,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+    FROM documents GROUP BY 1
+    """,
+)
+def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F4/F5: regexp_extract + collect_set of strings."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("src_num", F.regexp_extract("source", r"(\d+)", 1).cast("int"))
+        .groupBy("src_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs"),
+        )
+    )
+
+
+@query(
+    "date_parts_orders",
+    """
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, quarter(o_orderdate) AS q,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 date-part extraction family (condor_crab_unique_users.py:84-89)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.quarter("o_orderdate").alias("q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(json_extract_string(props, '$.k')::INT) AS n_k,
+           round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+           max(json_extract_string(props, '$.k')::INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 JSON functions (absent in reference; free in Spark)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS-workflow shapes (SURVEY §3, §7.1-7.2)
+# ---------------------------------------------------------------------------
+
+_TIER_SQL = "CASE p_partkey % 3 WHEN 0 THEN 'RAW' WHEN 1 THEN 'AOD' ELSE 'MINIAOD' END"
+
+
+def _with_dataset_name(part: DataFrame) -> DataFrame:
+    """Synthesize CMS dataset names '/primds/procds/tier' from part rows
+    so split_dataset semantics (spark_utils.py:727-733) are exercised on
+    the synthetic tables."""
+    tier = (
+        F.when(F.col("p_partkey") % 3 == 0, "RAW")
+        .when(F.col("p_partkey") % 3 == 1, "AOD")
+        .otherwise("MINIAOD")
+    )
+    return part.withColumn(
+        "dataset",
+        F.concat(
+            F.lit("/P"),
+            (F.col("p_partkey") % 50).cast("string"),
+            F.lit("/Proc-v"),
+            (F.col("p_partkey") % 3).cast("string"),
+            F.lit("/"),
+            tier,
+        ),
+    )
+
+
+@query(
+    "cms_dataset_split",
+    f"""
+    WITH named AS (
+      SELECT '/P' || (p_partkey % 50)::VARCHAR || '/Proc-v' ||
+             (p_partkey % 3)::VARCHAR || '/' || {_TIER_SQL} AS dataset
+      FROM part
+    )
+    SELECT string_split(dataset, '/')[4] AS tier,
+           count(*) AS n_datasets,
+           count(DISTINCT string_split(dataset, '/')[2]) AS n_primds
+    FROM named GROUP BY 1
+    """,
+)
+def cms_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 composite dataset-name key split (the off-by-one-sensitive
+    operation; SURVEY §7.4)."""
+    from cmsspark_spark.functions.cms import split_dataset
+
+    named = _with_dataset_name(_t(spark, sf_dir, "part"))
+    split = split_dataset(named)
+    return split.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_datasets"),
+        F.countDistinct("primds").alias("n_primds"),
+    )
+
+
+@query(
+    "cms_parse_dn",
+    """
+    WITH dns AS (
+      SELECT c_nationkey,
+             '/DC=ch/DC=cern/OU=Users/CN=user' || (c_custkey % 100)::VARCHAR ||
+             '/CN=' || c_custkey::VARCHAR || '/CN=Person ' || c_name AS dn
+      FROM customer
+    )
+    SELECT c_nationkey AS nationkey,
+           count(DISTINCT regexp_extract(dn, '/CN=([^/]+)$', 1)) AS n_users
+    FROM dns GROUP BY 1
+    """,
+)
+def cms_parse_dn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 parse_dn as a pure column expression
+    (degraded/data_aggregation.py:389-397)."""
+    from cmsspark_spark.functions.cms import parse_dn
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "dn",
+        F.concat(
+            F.lit("/DC=ch/DC=cern/OU=Users/CN=user"),
+            (F.col("c_custkey") % 100).cast("string"),
+            F.lit("/CN="),
+            F.col("c_custkey").cast("string"),
+            F.lit("/CN=Person "),
+            F.col("c_name"),
+        ),
+    )
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.countDistinct(parse_dn("dn")).alias("n_users")
+    )
+
+
+@query(
+    "cms_popularity_spine",
+    f"""
+    SELECT n_name AS site, {_TIER_SQL.replace("p_partkey", "p.p_partkey")} AS tier,
+           count(*) AS n_accesses,
+           count(DISTINCT p.p_partkey) AS n_datasets,
+           round(sum(l_extendedprice), 2) AS bytes_read
+    FROM lineitem l JOIN part p     ON l.l_partkey  = p.p_partkey
+                    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+                    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def cms_popularity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minimum end-to-end slice (SURVEY §7.1): dataset popularity —
+    access stream (lineitem) ⋈ catalog dims (part=dataset, supplier+
+    nation=site), per (site, tier): accesses, distinct datasets, bytes.
+    Mirrors data_collection.py:161-174 / data_aggregation.py:69-89 with
+    all dims broadcast (the fact table never shuffles before the agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _with_dataset_name(_t(spark, sf_dir, "part")).select("p_partkey", "dataset")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    from cmsspark_spark.functions.cms import split_dataset_col
+
+    _, _, tier = split_dataset_col("dataset")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("site"), tier.alias("tier")
+    ).agg(
+        F.count(F.lit(1)).alias("n_accesses"),
+        F.countDistinct("p_partkey").alias("n_datasets"),
+        F.round(F.sum("l_extendedprice"), 2).alias("bytes_read"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (SURVEY §7.2 M8; beyond-reference)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_SHINGLES_SQL = (
+    "list_distinct([array_to_string(tk[i:i+2], ' ') "
+    "for i in generate_series(1, greatest(len(tk)-2, 1))])"
+)
+
+
+@query(
+    "dedup_exact_fingerprint",
+    f"""
+    SELECT md5(array_to_string({_TOKS_SQL}, ' ')) AS fp,
+           min(doc_id) AS survivor_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (hash-groupBy): md5 of the
+    normalized token stream; survivor = min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_by_fingerprint(d, "doc_id", T.fingerprint("text"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+    hashed AS (
+      SELECT doc_id, hi, min(md5(hi::VARCHAR || '|' || shingle)) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS hi) h
+      GROUP BY doc_id, hi
+    ),
+    bands AS (
+      SELECT doc_id, hi // 2 AS band,
+             string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+      FROM hashed GROUP BY doc_id, hi // 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: 3-word shingles, 8 md5-based
+    minhashes, 4 bands × 2 rows. The 100 TB dedup path: candidates come
+    from a bucket join on (band, signature), never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.5 (the verifier that runs on LSH
+    candidates at scale; exact all-overlapping-pairs here)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "text_quality_by_source",
+    f"""
+    WITH q AS (
+      SELECT source, {_TOKS_SQL} AS tk, text FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(len(tk)), 4) AS avg_tokens,
+           round(avg(len(list_filter(tk, t -> list_contains(
+             ['the','a','an','of','and','or','is','in','to','it'], t)))
+             / greatest(len(tk), 1)), 4) AS avg_stopword_ratio,
+           round(avg(length(array_to_string(tk, '')) / greatest(len(tk), 1)), 4)
+             AS avg_token_len
+    FROM q GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token counts, stopword ratio, mean token
+    length — all JVM-side column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(T.token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg(T.stopword_ratio("text")), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg(T.mean_token_length("text")), 4).alias("avg_token_len"),
+    )
+
+
+_MARKER_SQL = {
+    "de": "['der','die','das','und','ist']",
+    "en": "['the','a','of','and','is']",
+    "es": "['el','la','los','y','es']",
+    "fr": "['le','la','les','et','est']",
+}
+_HITS_SQL = {
+    lang: f"len(list_filter(tk, t -> list_contains({lst}, t)))"
+    for lang, lst in _MARKER_SQL.items()
+}
+
+@query(
+    "text_langid_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_HITS_SQL['de']} AS de_h, {_HITS_SQL['en']} AS en_h,
+             {_HITS_SQL['es']} AS es_h, {_HITS_SQL['fr']} AS fr_h
+      FROM (SELECT lang, {_TOKS_SQL} AS tk FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+                WHEN en_h >= es_h AND en_h >= fr_h THEN 'en'
+                WHEN es_h >= fr_h THEN 'es'
+                ELSE 'fr' END AS pred,
+           count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax, first-on-tie) —
+    confusion counts of actual vs predicted language."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", T.lang_id("text").alias("pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS checksum,
+           printf('%02x%02x%08x', ascii(substring(text, 1, 1)),
+                  ascii(substring(text, length(text), 1)),
+                  octet_length(encode(text))) AS feature
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column → Arrow-batched
+    mapInPandas feature extraction (decode stubbed deterministically —
+    FakeDecoder); schema/batching/partitioning are the real thing."""
+    d = _t(spark, sf_dir, "documents")
+    with_payload = M.attach_binary_payload(d, "text")
+    feats = M.extract_features(with_payload, id_col="doc_id")
+    return feats.select("doc_id", "n_bytes", "checksum", "feature")
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         s AS (SELECT qid, cid,
+                      list_inner_product(ce, qe)
+                      / (sqrt(list_inner_product(ce, ce))
+                         * sqrt(list_inner_product(qe, qe))) AS cos
+               FROM q CROSS JOIN c WHERE cid <> qid),
+         r AS (SELECT qid AS query_id, cid AS vec_id, cos,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, cid) AS rank
+               FROM s)
+    SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: exact brute-force cosine top-5 for 5
+    query vectors — broadcast queries, zip_with/aggregate dot products,
+    per-query window top-k. All JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# --- rows-only checks (no SQL-expressible oracle) --------------------------
+
+
+@query("ann_lsh_topk")  # approximate: verified by recall test in tests/
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: sign-LSH bucketing + exact re-score on candidates.
+    Approximate by design → no SQL oracle; tests/test_similarity.py
+    asserts recall ≥ 0.6 vs the brute-force baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.lsh_topk(emb, queries, dim=64, k=5, num_planes=4, tables=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query("dedup_simhash")  # bit-level hashing painful in ANSI SQL → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit token-vote) per document; near-pair
+    extraction via Hamming-block self-join is in
+    operators/dedup.simhash_near_pairs (unit-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text", bits=16).withColumnRenamed("_id", "doc_id")
+
+
+@query("approx_distinct_users")  # HLL sketch differs from exact by design
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 at scale: approx_count_distinct (HLL) — the 100 TB variant of
+    exact distinct; tests assert relative error < 5% vs exact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )

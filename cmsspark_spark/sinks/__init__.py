@@ -1,0 +1,102 @@
+"""Sink adapters (SURVEY §2.2).
+
+File sinks are thin wrappers over ``DataFrameWriter`` with the
+reference's semantics baked in (dynamic partition overwrite for the
+append-only curated tables — dbs_hdfs_eos.py:55-62). Document sinks
+reproduce the chunked JSON push shape (AMQ/OpenSearch —
+rucio_datasets_stats.py:688-743, osearch/osearch.py:170-217) behind one
+callable transport so tests can capture what production would send.
+
+Scale notes: document pushes run per *partition* on the executors
+(``foreachPartition``) — the driver never materializes the result; the
+reference's ``toLocalIterator`` pattern is kept only as an opt-in for
+transports that must run driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1: header'd CSV (data_collection.py:91)."""
+    df.write.option("header", "true").mode(mode).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", gzip: bool = True) -> None:
+    """K3: JSON lines, optionally gzipped (hdfs_an.py:69)."""
+    w = df.write.mode(mode)
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("day",),
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """K2/T3: day-partitioned parquet where overwrite touches only the
+    partitions present in ``df`` (dbs_hdfs_eos.py:55-62's
+    ``partitionOverwriteMode=dynamic``) — the incremental-recompute
+    primitive."""
+    w = df.write.mode(mode).partitionBy(*partition_by)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+
+
+def _chunks(it: Iterable, size: int) -> Iterator[list]:
+    buf: list = []
+    for x in it:
+        buf.append(x)
+        if len(buf) >= size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def doc_batches(df: DataFrame, chunk_size: int = 1000, drop_nulls: bool = True):
+    """Driver-side iterator of JSON-document chunks (K5 shape:
+    ``toLocalIterator`` + fixed-size chunks, nulls dropped —
+    rucio_datasets_stats.py:688-699, 808-830). One partition in memory
+    at a time."""
+    for part in _chunks(df.toJSON().toLocalIterator(), chunk_size):
+        docs = [json.loads(s) for s in part]
+        if drop_nulls:
+            docs = [{k: v for k, v in d.items() if v is not None} for d in docs]
+        yield docs
+
+
+def push_documents(
+    df: DataFrame,
+    transport: Callable[[list[dict]], None],
+    chunk_size: int = 1000,
+    drop_nulls: bool = True,
+    executor_side: bool = True,
+) -> None:
+    """K5/K6: push rows as JSON docs in chunks through ``transport``.
+
+    ``executor_side=True`` ships the transport to executors via
+    ``foreachPartition`` (scales with the cluster); ``False`` keeps the
+    reference's driver-side ``toLocalIterator`` behavior.
+    """
+    if executor_side:
+
+        def handle(rows):
+            for chunk in _chunks(rows, chunk_size):
+                docs = [r.asDict(recursive=True) for r in chunk]
+                if drop_nulls:
+                    docs = [{k: v for k, v in d.items() if v is not None} for d in docs]
+                transport(docs)
+
+        df.foreachPartition(handle)
+    else:
+        for docs in doc_batches(df, chunk_size, drop_nulls):
+            transport(docs)

@@ -1,0 +1,110 @@
+"""Source registry: declarative named sources → DataFrames.
+
+Replaces the reference's per-job reader functions and shell-based path
+discovery (spark_utils.py:66-162 ``os.popen("hadoop fs -ls …")``,
+:259-364 ``dbs_tables``, :367-397 ``cmssw_tables``, …) with one
+declarative ``SourceSpec``:
+
+- format: csv | json | avro | parquet
+- schema regimes (SURVEY §1.3): fixed StructType, *partial* StructType
+  (JSON projection pushdown — load-bearing at 300 GB/day), or inferred
+  (with ``samplingRatio`` bound).
+- daily-snapshot layout: a strftime path template; date ranges expand to
+  explicit path lists handed to one multi-path ``spark.read.load`` —
+  replacing the reference's per-file read + ``union_all`` loop
+  (spark_utils.py:98-109, U1) with a single scan.
+- empty-day fallback: a 0-row DataFrame with the canonical schema when
+  no path exists (S10; spark_utils.py:537-538, schemas.py:669-709).
+- late-data slack: ``day_delta`` widens the scanned range; callers
+  re-filter on the event-time column (T1; spark_utils.py:768-788).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from dataclasses import dataclass, field
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMAT_DEFAULTS: dict[str, dict[str, str]] = {
+    # DBS/PhEDEx CSV dumps normalize literal 'null' (spark_utils.py:287-290).
+    "csv": {"header": "true", "nullValue": "null"},
+    "json": {},
+    "avro": {},
+    "parquet": {},
+}
+
+
+@dataclass
+class SourceSpec:
+    """A named source with schema, format, layout and date resolution."""
+
+    name: str
+    fmt: str
+    path_template: str  # strftime template, e.g. "/data/cmssw/%Y/%m/%d/*.json.gz"
+    schema: StructType | None = None  # fixed or partial; None → infer
+    options: dict[str, str] = field(default_factory=dict)
+    flatten: str | None = None  # e.g. "data.*" envelope flattening (S5)
+    sampling_ratio: float | None = None  # bound inference cost (S6, O9)
+    failfast: bool = False  # schema drift aborts (S2)
+
+    def paths_for(self, start: date, end: date | None = None, day_delta: int = 0) -> list[str]:
+        """Expand a date range (± day_delta slack) to existing paths."""
+        end = end or start
+        lo = start - timedelta(days=day_delta)
+        hi = end + timedelta(days=day_delta)
+        out: list[str] = []
+        d = lo
+        while d <= hi:
+            pattern = d.strftime(self.path_template)
+            if _glob.glob(pattern.split("*")[0] + "*" if "*" in pattern else pattern):
+                out.append(pattern)
+            d += timedelta(days=1)
+        return out
+
+
+def read_source(
+    spark: SparkSession,
+    spec: SourceSpec,
+    start: date | None = None,
+    end: date | None = None,
+    day_delta: int = 0,
+    register: bool = True,
+) -> DataFrame:
+    """Read a source for a date range as ONE multi-path scan.
+
+    Returns a 0-row DataFrame with the declared schema when no paths
+    exist for the range (empty-day fallback, S10) — inference-based
+    sources with no data raise, since there is no schema to fall back to.
+    """
+    if start is not None:
+        paths = spec.paths_for(start, end, day_delta)
+    else:
+        paths = [spec.path_template]
+
+    if not paths:
+        if spec.schema is None:
+            raise FileNotFoundError(
+                f"source {spec.name}: no files for range and no fallback schema"
+            )
+        df = spark.createDataFrame([], spec.schema)
+    else:
+        reader = spark.read.format(spec.fmt)
+        opts = {**_FORMAT_DEFAULTS.get(spec.fmt, {}), **spec.options}
+        if spec.failfast:
+            opts["mode"] = "FAILFAST"
+        if spec.sampling_ratio is not None and spec.schema is None:
+            opts["samplingRatio"] = str(spec.sampling_ratio)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        if spec.schema is not None:
+            reader = reader.schema(spec.schema)
+        df = reader.load(paths)
+
+    if spec.flatten:
+        df = df.select(f"{spec.flatten}")
+    if register:
+        df.createOrReplaceTempView(spec.name)
+    return df
