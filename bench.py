@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the registry's headline queries on local[$SPARK_GRAFT_CPUS]
+(default /root/testdata/sf0.1, 32 threads) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed to a terminal action (collect); results are small
+aggregates so collect cost is negligible. A warm-up action runs first
+so JVM/codegen startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cmsspark_spark.queries import QUERIES  # noqa: E402
+from cmsspark_spark.session import get_spark  # noqa: E402
+
+#: Headline set: every operator family that matters at scale, weighted
+#: toward the shuffle/join/agg-heavy paths.
+HEADLINE = [
+    "q1_pricing_summary",        # wide agg over the fact table
+    "q3_topk_revenue",           # 3-way join + top-k
+    "q5_region_revenue",         # snowflake join, broadcast dims
+    "cms_popularity_spine",      # flagship: stream ⋈ 3 broadcast dims
+    "two_level_nation_spend",    # re-aggregation
+    "argmax_join_max_qty_line",  # group-agg + join-back
+    "top2_orders_per_customer",  # window top-k per group
+    "sessionize_users",          # analytic window (lag)
+    "time_bucket_12min",         # tumbling-window two-level agg
+    "pivot_daily_event_values",  # pivot
+    "day_template_fill_events",  # sequence/explode template + left join
+    "dedup_exact_fingerprint",   # text fingerprint hash-groupBy
+    "dedup_minhash_lsh",         # shingle→minhash→band self-join
+    "dedup_ngram_jaccard",       # shingle self-join + jaccard
+    "text_quality_by_source",    # higher-order array functions
+    "text_langid_confusion",     # marker-word argmax
+    "multimodal_features",       # Arrow mapInPandas
+    "ann_cosine_topk",           # brute-force cosine + window top-k
+    "ann_lsh_topk",              # sign-LSH bucketed ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("cmsspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM / parquet footer cache / codegen outside the clock.
+    QUERIES["global_lineitem_stats"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
