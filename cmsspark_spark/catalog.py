@@ -38,6 +38,31 @@ NS_TIMESTAMP_COLS: dict[str, list[str]] = {
     "lineitem": ["l_shipdate"],
 }
 
+#: Tables with heavy per-row compute consumed by *narrow* pipelines
+#: (tokenization/shingling, vector math): a scan with too few splits
+#: serializes all that work on one core. Relational tables are NOT
+#: widened — their first join/groupBy shuffle already redistributes, so
+#: an up-front repartition would just be a wasted extra shuffle.
+_WIDEN_TABLES = {"documents", "embeddings"}
+
+#: (sf_dir, name) → effective input split count, from parquet footers.
+_SPLITS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _effective_splits(sf_dir: str, name: str) -> int:
+    """Row groups are parquet's split unit: a single-row-group file can
+    never scan in parallel no matter how many byte-range tasks Spark
+    makes. Counted once per table from the footer (cheap, cached)."""
+    key = (sf_dir, name)
+    if key not in _SPLITS_CACHE:
+        import glob
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/{name}.parquet"
+        files = glob.glob(f"{path}/*.parquet") or [path]
+        _SPLITS_CACHE[key] = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    return _SPLITS_CACHE[key]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table, normalizing ns-timestamp columns."""
@@ -47,6 +72,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # ns → µs floor-div matches DuckDB's truncation of TIMESTAMP_NS.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if name in _WIDEN_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if _effective_splits(sf_dir, name) < max(2, target // 2):
+            # Production layouts (many part-files) split naturally and
+            # skip this; one round-robin shuffle of the raw rows buys
+            # full-cluster parallelism for every later narrow stage.
+            df = df.repartition(target)
     return df
 
 

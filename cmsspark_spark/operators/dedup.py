@@ -9,11 +9,12 @@ Beyond-reference: the reference only has exact key-dedup
 - SimHash            — token-hash bit voting → Hamming buckets
 - n-gram Jaccard     — exact pairwise similarity on candidate pairs
 
-Portability note: all hashing uses ``md5`` (identical in Spark and
+Portability note: base hashing uses ``md5`` (identical in Spark and
 DuckDB) rather than Spark's murmur3 ``hash()``, so every operator here
-is oracle-testable in pure SQL. md5 costs a bit more than murmur3; at
-scale swap ``_HASH`` for ``F.xxhash64`` (the structure is unchanged —
-only oracle parity is lost).
+is oracle-testable in pure SQL; MinHash permutes ONE md5-derived
+integer base per shingle with (a*x+b) mod p — integer-only after the
+single md5. At scale, swap the base for ``F.xxhash64`` for another ~2×
+(only oracle parity is lost, the structure is unchanged).
 
 Scale design: all operators are shuffle-on-key joins/aggregations.
 MinHash-LSH is the scale path — candidate generation is a self-join on
@@ -28,7 +29,37 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+import random
+
 from cmsspark_spark.functions.text import shingles, tokens
+
+#: Modulus for permutation-based MinHash (2^31 - 1, prime). Products
+#: a*base stay < 2^62 so the arithmetic never overflows signed 64-bit —
+#: mandatory for oracle parity (DuckDB errors on BIGINT overflow while
+#: Spark would wrap silently).
+MINHASH_PRIME = (1 << 31) - 1
+_BASE_MOD = 1 << 31
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p.
+
+    Uses ``random.Random`` (Mersenne Twister — stable across Python
+    versions) so the Spark plan and the oracle SQL derive identical
+    constants."""
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME) | 1, rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def _shingle_base(shingle: Column) -> Column:
+    """64-bit-safe integer base hash of a shingle: low 60 bits of md5,
+    folded to 31 bits. One md5 per shingle, total."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % _BASE_MOD
+    )
 
 
 def exact_dedup(
@@ -63,6 +94,35 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     )
 
 
+def minhash_signatures_wide(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature, wide form: columns h0..h{k-1}
+    where h_i = min over shingles of (a_i * base(shingle) + b_i) mod p —
+    permutation MinHash over ONE md5-derived integer base per shingle.
+
+    ONE shuffle total: all ``num_hashes`` mins are computed as parallel
+    agg columns of a single groupBy(_id) with map-side partials — the
+    shuffle carries |docs| rows of longs, never |shingles| × num_hashes
+    hash strings.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n).select(
+        "_id", _shingle_base(F.col("shingle")).alias("_base")
+    )
+    params = minhash_params(num_hashes)
+    hashes = [
+        ((F.lit(a) * F.col("_base") + F.lit(b)) % MINHASH_PRIME).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.select("_id", *hashes).groupBy("_id").agg(
+        *[F.min(f"_mh{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -70,18 +130,18 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """Per-document MinHash signature: for hash function i, the min over
-    shingles of md5(i || shingle). Output: (_id, hash_idx, minhash).
-
-    One explode + one groupBy(_id, hash_idx) — map-side combine makes
-    the min cheap; the shuffle is on document id, never on shingle text.
-    """
-    sh = _exploded_shingles(df, id_col, text_col, n)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
-    hashed = sh.select("_id", idx, "shingle").withColumn(
-        "h", F.md5(F.concat_ws("|", F.col("hash_idx"), F.col("shingle")))
+    """Long-form signature view: (_id, hash_idx, minhash) — derived from
+    the wide form by a narrow explode (no extra shuffle)."""
+    wide = minhash_signatures_wide(df, id_col, text_col, n, num_hashes)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("hash_idx"), F.col(f"h{i}").alias("minhash"))
+            for i in range(num_hashes)
+        ]
     )
-    return hashed.groupBy("_id", "hash_idx").agg(F.min("h").alias("minhash"))
+    return wide.select("_id", F.explode(pairs).alias("p")).select(
+        "_id", "p.hash_idx", "p.minhash"
+    )
 
 
 def minhash_lsh_pairs(
@@ -100,12 +160,30 @@ def minhash_lsh_pairs(
 
     Scale: the join is on (band, signature) — bucket sizes are the skew
     risk; AQE skew-join handles hot buckets (e.g. empty-doc signatures).
+    Band signatures are derived from the wide signature without any
+    extra shuffle: the per-band sorted concat is a narrow array op and
+    the (band, band_sig) rows come from exploding an array literal.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("hash_idx") / rows_per_band))
-        .groupBy("_id", "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_sig"))
+    wide = minhash_signatures_wide(df, id_col, text_col, n, num_hashes)
+    nbands = num_hashes // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.array(
+                            *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+                        )
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    bands = wide.select("_id", F.explode(band_structs).alias("bs")).select(
+        "_id", "bs.band", "bs.band_sig"
     )
     a = bands.select(F.col("_id").alias("id_a"), "band", "band_sig")
     b = bands.select(F.col("_id").alias("id_b"), "band", "band_sig")
@@ -128,8 +206,16 @@ def jaccard_pairs(
     ``minhash_lsh_pairs``) it verifies only those — the 100 TB path.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Shuffle compaction: the self-join keys on ``xxhash64(shingle)``
+    (8 bytes) instead of the shingle text — same pair counts modulo a
+    negligible 64-bit collision probability, far less shuffle volume.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n).distinct()
+    sh = (
+        _exploded_shingles(df, id_col, text_col, n)
+        .select("_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("_id").alias("id_a"), "shingle")

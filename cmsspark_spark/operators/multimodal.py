@@ -80,7 +80,7 @@ def extract_features(
     payload_col: str = "payload",
     media_type_col: str = "media_type",
     decoder: Callable[[bytes], str] | None = None,
-    batch_size_hint: int = 256,
+    max_parallelism: int | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -126,6 +126,12 @@ def extract_features(
             )
 
     narrow = df.select(id_col, payload_col, media_type_col)
+    if max_parallelism is not None:
+        # Each concurrent task spawns a Python worker (pandas/pyarrow
+        # import ≈ seconds). For small inputs, capping the stage keeps
+        # worker spin-up from dominating; at real scale leave None so
+        # the stage inherits full input parallelism.
+        narrow = narrow.coalesce(max_parallelism)
     return narrow.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

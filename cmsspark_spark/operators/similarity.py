@@ -92,25 +92,28 @@ def lsh_topk(
     Returns (query_id, vec_id, cosine, rank) like ``brute_force_topk``.
     """
     rng = np.random.default_rng(seed)
-    corpus_b, query_b = [], []
-    for t in range(tables):
-        planes = rng.standard_normal((num_planes, dim))
-        cb = corpus.select(
-            F.col(id_col), F.col(vec_col),
-            F.lit(t).alias("_table"), _sign_bucket(vec_col, planes).alias("_bucket"),
+    all_planes = [rng.standard_normal((num_planes, dim)) for _ in range(tables)]
+
+    def bucketize(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        # ONE scan: every table's bucket as a struct in an array literal,
+        # exploded narrowly — no union-of-branches re-reading the source.
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("_table"),
+                    _sign_bucket(vec_col, all_planes[t]).alias("_bucket"),
+                )
+                for t in range(tables)
+            ]
         )
-        qb = queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"),
-            F.lit(t).alias("_table"), _sign_bucket(vec_col, planes).alias("_bucket"),
-        )
-        corpus_b.append(cb)
-        query_b.append(qb)
-    corpus_all = corpus_b[0]
-    for other in corpus_b[1:]:
-        corpus_all = corpus_all.unionByName(other)
-    query_all = query_b[0]
-    for other in query_b[1:]:
-        query_all = query_all.unionByName(other)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(buckets).alias("_tb"),
+        ).select(out_id, out_vec, "_tb._table", "_tb._bucket")
+
+    corpus_all = bucketize(corpus, id_col, vec_col)
+    query_all = bucketize(queries, query_id_col, "_qvec")
 
     cand = (
         corpus_all.join(F.broadcast(query_all), on=["_table", "_bucket"])

@@ -885,26 +885,44 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_by_fingerprint(d, "doc_id", T.fingerprint("text"))
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
+def _minhash_oracle_sql(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """Oracle twin of operators.dedup.minhash_lsh_pairs, generated from
+    the SAME permutation constants (minhash_params) the Spark plan uses."""
+    from cmsspark_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b_}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b_) in enumerate(params)
+    )
+    nbands = num_hashes // rows_per_band
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, array_to_string(list_sort([{cols}]), '|') AS band_sig FROM sigs".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for b in range(nbands)
+    )
+    return f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
     sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
-    hashed AS (
-      SELECT doc_id, hi, min(md5(hi::VARCHAR || '|' || shingle)) AS minhash
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS hi) h
-      GROUP BY doc_id, hi
+    based AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483648 AS b
+      FROM sh
     ),
-    bands AS (
-      SELECT doc_id, hi // 2 AS band,
-             string_agg(minhash, '|' ORDER BY minhash) AS band_sig
-      FROM hashed GROUP BY doc_id, hi // 2
-    )
+    sigs AS (
+      SELECT doc_id, {mins}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS ({band_rows})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs: 3-word shingles, 8 md5-based
     minhashes, 4 bands × 2 rows. The 100 TB dedup path: candidates come
@@ -1025,7 +1043,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FakeDecoder); schema/batching/partitioning are the real thing."""
     d = _t(spark, sf_dir, "documents")
     with_payload = M.attach_binary_payload(d, "text")
-    feats = M.extract_features(with_payload, id_col="doc_id")
+    feats = M.extract_features(with_payload, id_col="doc_id", max_parallelism=8)
     return feats.select("doc_id", "n_bytes", "checksum", "feature")
 
 
