@@ -96,6 +96,52 @@ def lang_id(text: Column | str) -> Column:
     return best["lang"]
 
 
+#: BPE-ish token pattern: runs of alphanumerics OR single non-space
+#: punctuation — the shape BPE pre-tokenizers (GPT-2 style) split on.
+BPE_TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization (lowercased): word runs + punctuation
+    singletons. A deterministic stand-in for a real BPE vocab merge —
+    the *count* tracks BPE token counts closely for English text."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+#: Rolling-hash constants: base/modulus chosen so acc*B + x < 2^63
+#: always (P < 2^31, B = 131 → acc*B < 2^39) — safe in Spark longs AND
+#: DuckDB BIGINT (which errors on overflow instead of wrapping).
+ROLLING_B = 131
+ROLLING_P = (1 << 31) - 1
+_BASE_MOD = 1 << 31
+
+
+def _token_base(tok: Column) -> Column:
+    """31-bit integer hash of one token (md5-prefix fold — identical
+    expressible in DuckDB for oracle parity)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % _BASE_MOD
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over the token stream:
+    ``acc_{i+1} = (acc_i * B + hash(tok_i)) mod P``.
+
+    Order-sensitive (unlike a bag-of-tokens hash) and incremental — the
+    classic document fingerprint for dedup at scale. Empty token
+    streams hash to 0. Pure Catalyst fold via ``F.aggregate``.
+    """
+    bases = F.transform(tokens(text), _token_base)
+    return F.aggregate(
+        bases,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_B + x) % ROLLING_P,
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Canonical-form document fingerprint: md5 of the normalized token
     stream. Identical token sequences (ignoring case/whitespace) collide —

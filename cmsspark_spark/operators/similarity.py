@@ -20,7 +20,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from cmsspark_spark.functions.vectors import cosine_similarity, dot
+from cmsspark_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def brute_force_topk(
@@ -54,6 +54,92 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    All-pairs self-join: O(n²) scoring — the *verifier/baseline*, meant
+    for bounded subsets (norms are precomputed once per row so the join
+    only evaluates the dot product). For the corpus-scale path use
+    ``cosine_near_pairs_lsh``.
+    """
+    normed = emb.select(
+        F.col(id_col), _dblvec(vec_col).alias("_v"), l2_norm(vec_col).alias("_n")
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cosine")
+
+
+def cosine_near_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: sign-LSH bucket self-join for
+    candidates (high-cosine vectors land in the same bucket with
+    probability (1 - θ/π)^planes per table), exact cosine only on
+    candidates. Approximate: misses pairs no table co-buckets."""
+    rng = np.random.default_rng(seed)
+    all_planes = [rng.standard_normal((num_planes, dim)) for _ in range(tables)]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("_table"),
+                _sign_bucket(vec_col, all_planes[t]).alias("_bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    hashed = emb.select(
+        F.col(id_col),
+        _dblvec(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+        F.explode(buckets).alias("_tb"),
+    ).select(id_col, "_v", "_n", "_tb._table", "_tb._bucket")
+    a = hashed.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_table", "_bucket",
+    )
+    b = hashed.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_table", "_bucket",
+    )
+    cand = (
+        a.join(b, on=["_table", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _dblvec(vec_col: str) -> "F.Column":
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
 def _sign_bucket(vec_col: str, planes: np.ndarray) -> "F.Column":

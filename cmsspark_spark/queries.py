@@ -1078,7 +1078,352 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "anti_join_unshipped_orders",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_shipdate >= TIMESTAMP '1997-01-01')
+    GROUP BY o_orderstatus
+    """,
+)
+def anti_join_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 anti-join with guaranteed non-empty output (orders whose
+    lineitems all shipped before 1997)."""
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    left = J.anti_join(o, li, on=["o_orderkey"])
+    return left.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "filter_like_rlike",
+    """
+    SELECT count(*) AS n_parts,
+           sum(CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END)::BIGINT AS n_red,
+           sum(CASE WHEN regexp_matches(p_name, '(bolt|widget)$') THEN 1 ELSE 0 END)::BIGINT
+             AS n_bolt_widget
+    FROM part
+    WHERE p_name LIKE '%e%' AND NOT regexp_matches(p_name, '^small')
+    """,
+)
+def filter_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 string predicates: like / rlike incl. negation
+    (condor_crab_unique_users.py:76-82, dbs_lfn.py:51-53)."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%e%") & ~F.col("p_name").rlike("^small")
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        A.conditional_count(F.col("p_name").like("red%")).alias("n_red"),
+        A.conditional_count(F.col("p_name").rlike("(bolt|widget)$")).alias(
+            "n_bolt_widget"
+        ),
+    )
+
+
+@query(
+    "dedup_keep_first",
+    """
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+    FROM ranked WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 dedup-by-key with DETERMINISTIC survivor (min event_id) — the
+    engine's replacement for dropDuplicates' arbitrary row choice
+    (degraded/condor_cpu_efficiency.py:378)."""
+    ev = _t(spark, sf_dir, "events")
+    kept = D.exact_dedup(ev, ["user_id", "event_type"], tie_breaker="event_id")
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SITE_SQL = (
+    "'T' || (s_suppkey % 3)::VARCHAR || '_CH_CERN' || "
+    "CASE WHEN s_suppkey % 4 = 0 THEN '_HLT' ELSE '' END"
+)
+
+
+@query(
+    "site_normalize_when",
+    f"""
+    WITH sites AS (SELECT {_SITE_SQL} AS site FROM supplier),
+    cleaned AS (
+      SELECT site,
+             CASE WHEN len(string_split(site, '_')) > 3
+                  THEN array_to_string(string_split(site, '_')[1:3], '_')
+                  ELSE site END AS clean_site,
+             string_split(site, '_')[1] AS site_tier
+      FROM sites
+    )
+    SELECT site_tier, clean_site, count(*) AS n
+    FROM cleaned GROUP BY 1, 2
+    """,
+)
+def site_normalize_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/D1 conditional normalization: the reference's 13-branch
+    when/otherwise site cleanup (hpc_running_cores_and_corehr.py:113-126,
+    data_aggregation.py:374-387) as pure column expressions."""
+    from cmsspark_spark.functions.cms import clean_site_name, tier_from_site
+
+    s = _t(spark, sf_dir, "supplier").withColumn(
+        "site",
+        F.concat(
+            F.lit("T"),
+            (F.col("s_suppkey") % 3).cast("string"),
+            F.lit("_CH_CERN"),
+            F.when(F.col("s_suppkey") % 4 == 0, "_HLT").otherwise(""),
+        ),
+    )
+    return s.groupBy(
+        tier_from_site("site").alias("site_tier"),
+        clean_site_name("site").alias("clean_site"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "path_parse_funcs",
+    """
+    WITH paths AS (
+      SELECT 'file:/store/data/' || year(o_orderdate)::VARCHAR || '/' ||
+             o_orderkey::VARCHAR || '.root' AS raw, o_orderkey
+      FROM orders
+    ),
+    parsed AS (
+      SELECT regexp_replace(raw, '^file:', '') AS path,
+             string_split(regexp_replace(raw, '^file:', ''), '/')[-1] AS fname,
+             o_orderkey
+      FROM paths
+    )
+    SELECT string_split(path, '/')[4] AS year_dir,
+           count(*) AS n,
+           sum(CASE WHEN fname = o_orderkey::VARCHAR || '.root' THEN 1 ELSE 0 END)::BIGINT
+             AS n_roundtrip
+    FROM parsed GROUP BY 1
+    """,
+)
+def path_parse_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F6: regexp_replace prefix strip (spark_utils.py:394) +
+    substring_index path parsing (rucio_daily.py:47-48)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "raw",
+        F.concat(
+            F.lit("file:/store/data/"),
+            F.year("o_orderdate").cast("string"),
+            F.lit("/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(".root"),
+        ),
+    )
+    parsed = o.withColumn("path", F.regexp_replace("raw", "^file:", "")).withColumn(
+        "fname", F.substring_index("path", "/", -1)
+    )
+    return parsed.groupBy(
+        F.split("path", "/").getItem(3).alias("year_dir")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        A.conditional_count(
+            F.col("fname") == F.concat(F.col("o_orderkey").cast("string"), F.lit(".root"))
+        ).alias("n_roundtrip"),
+    )
+
+
+@query(
+    "greatest_last_access",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN ts END) AS click_ts,
+             max(CASE WHEN event_type = 'view'  THEN ts END) AS view_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(greatest(click_ts, view_ts), '%Y-%m-%d') AS last_day,
+           count(*) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+)
+def greatest_last_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 greatest-of-columns with null semantics pinned (both engines
+    skip nulls unless all-null — SURVEY §7.4 risk item;
+    rucio_ds_summary.py:214-219 last-access coalescing)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("click_ts"),
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts"),
+    )
+    return per_user.groupBy(
+        F.date_format(F.greatest("click_ts", "view_ts"), "yyyy-MM-dd").alias("last_day")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           grouping(year(o_orderdate))::INT * 2 + grouping(month(o_orderdate))::INT AS gid,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 grouping-sets family (absent in the reference, which ran one
+    groupBy per granularity — degraded/dbs_condor.py:146-190; rollup
+    computes all levels in one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("y", "m", "gid", "n_orders", "revenue")
+    )
+
+
+@query(
+    "union_frames_by_name",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus, NULL AS o_custkey
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, NULL, o_custkey
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT count(*) AS n_rows,
+           count(o_orderstatus) AS n_with_status,
+           count(o_custkey) AS n_with_cust,
+           round(sum(o_totalprice), 2) AS total
+    FROM unioned
+    """,
+)
+def union_frames_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union of heterogeneous frames by NAME with missing-column
+    fill — the engine's fix for the reference's positional union_all
+    (spark_utils.py:98-109; SURVEY §7.4)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.count("o_custkey").alias("n_with_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_BPE_RE_SQL = "'[a-z0-9]+|[^a-z0-9\\s]'"
+
+
+@query(
+    "bpe_token_stats",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(len(regexp_extract_all(lower(text), {_BPE_RE_SQL}))), 4)
+             AS avg_bpe_tokens,
+           max(len(regexp_extract_all(lower(text), {_BPE_RE_SQL}))) AS max_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (training-data op: word runs +
+    punctuation singletons, the GPT-2 pre-tokenizer shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(T.bpe_token_count("text")), 4).alias("avg_bpe_tokens"),
+        F.max(T.bpe_token_count("text")).alias("max_bpe_tokens"),
+    )
+
+
+def _rolling_fp_sql() -> str:
+    from cmsspark_spark.functions.text import ROLLING_B, ROLLING_P
+
+    base = "('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483648"
+    return f"""
+    WITH fps AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                            list_transform({_TOKS_SQL}, t -> {base})),
+               (acc, x) -> (acc * {ROLLING_B} + x) % {ROLLING_P}) AS fp
+      FROM documents
+    )
+    SELECT fp, min(doc_id) AS survivor_id, count(*) AS n_dups
+    FROM fps GROUP BY fp
+    """
+
+
+@query("dedup_rolling_fingerprint", _rolling_fp_sql())
+def dedup_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (polynomial
+    fold over the token stream) → exact-dedup report. Oracle SQL is
+    generated from the same B/P constants."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_by_fingerprint(d, "doc_id", T.rolling_fingerprint("text"))
+
+
+@query(
+    "embed_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 4 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v)
+          / (sqrt(list_inner_product(a.v, a.v))
+             * sqrt(list_inner_product(b.v, b.v))) >= 0.3
+    """,
+)
+def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline on a bounded
+    subset (all-pairs is the verifier; the corpus path is
+    embed_near_dup_lsh)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    pairs = S.cosine_near_pairs(emb, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
+
+
+@query("embed_near_dup_lsh")  # approximate: verified by recall test in tests/
+def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: sign-LSH bucket self-join for
+    candidates, exact cosine re-score. Approximate by design;
+    tests/test_similarity.py checks precision (every returned pair
+    really is ≥ threshold) and recall vs the exact baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_pairs_lsh(emb, dim=64, threshold=0.3, num_planes=4, tables=8)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @query("ann_lsh_topk")  # approximate: verified by recall test in tests/

@@ -1,0 +1,99 @@
+"""Approximate-operator quality gates: LSH recall/precision vs exact
+baselines, SimHash near-pair correctness. These back the rows-only
+queries that have no SQL oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cmsspark_spark.operators import dedup as D
+from cmsspark_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.lsh_topk(emb, queries, dim=64, k=5, num_planes=4, tables=4)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH top-k recall {recall:.2f} < 0.6"
+
+
+def test_embed_near_dup_lsh_precision_and_recall(spark):
+    emb = _emb(spark)
+    thr = 0.3
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.cosine_near_pairs(emb, threshold=thr).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.cosine_near_pairs_lsh(
+            emb, dim=64, threshold=thr, num_planes=4, tables=8
+        ).collect()
+    }
+    # Precision is exact by construction: candidates are re-scored.
+    assert set(approx) <= set(exact)
+    for pair, cos in approx.items():
+        assert cos >= thr
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.3, f"near-dup LSH recall {recall:.2f} < 0.3"
+
+
+def test_simhash_near_pairs_finds_planted_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra"),              # near-dup: 1 token differs
+        (3, "completely different words about spark catalyst tungsten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.simhash_near_pairs(df, "doc_id", "text", bits=16, max_hamming=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    pairs = D.simhash_near_pairs(df, "doc_id", "text", bits=16, max_hamming=0)
+    rows = pairs.collect()
+    assert len(rows) == 1 and rows[0].hamming == 0
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_with_candidates_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    out = D.jaccard_pairs(df, "doc_id", "text", threshold=0.5, candidates=cands)
+    rows = out.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    assert abs(rows[0].jaccard - 1.0) < 1e-9

@@ -1,0 +1,194 @@
+"""Source-registry and sink-adapter behavior (SURVEY §2.1, §2.2):
+daily-layout multi-path reads, empty-day fallback, FAILFAST drift,
+dynamic partition overwrite, chunked document push."""
+
+from __future__ import annotations
+
+import json
+from datetime import date
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cmsspark_spark import sinks
+from cmsspark_spark.sources.readers import SourceSpec, read_source
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+    ]
+)
+
+
+def _write_day(tmp_path, day: str, rows: list[str], fmt: str = "csv"):
+    d = tmp_path / day
+    d.mkdir(parents=True, exist_ok=True)
+    header = "id,name\n" if fmt == "csv" else ""
+    (d / f"part-0.{fmt}").write_text(header + "\n".join(rows) + "\n")
+
+
+def test_multi_day_csv_scan_single_read(spark, tmp_path):
+    _write_day(tmp_path, "2024/01/01", ["1,alpha", "2,null"])
+    _write_day(tmp_path, "2024/01/02", ["3,gamma"])
+    spec = SourceSpec(
+        name="t_src",
+        fmt="csv",
+        path_template=str(tmp_path) + "/%Y/%m/%d/part-*.csv",
+        schema=SCHEMA,
+    )
+    df = read_source(spark, spec, start=date(2024, 1, 1), end=date(2024, 1, 2))
+    rows = {(r.id, r.name) for r in df.collect()}
+    # 'null' literal normalized to None (reference spark_utils.py:287-290)
+    assert rows == {(1, "alpha"), (2, None), (3, "gamma")}
+    # registered as a temp view (reference registerTempTable behavior)
+    assert spark.sql("SELECT count(*) n FROM t_src").collect()[0].n == 3
+
+
+def test_empty_day_fallback_schema(spark, tmp_path):
+    spec = SourceSpec(
+        name="t_empty",
+        fmt="csv",
+        path_template=str(tmp_path) + "/%Y/%m/%d/part-*.csv",
+        schema=SCHEMA,
+    )
+    df = read_source(spark, spec, start=date(2024, 2, 1))
+    assert df.count() == 0
+    assert df.schema == SCHEMA
+
+
+def test_empty_day_without_schema_raises(spark, tmp_path):
+    spec = SourceSpec(
+        name="t_noschema",
+        fmt="json",
+        path_template=str(tmp_path) + "/%Y/%m/%d/part-*.json",
+    )
+    with pytest.raises(FileNotFoundError):
+        read_source(spark, spec, start=date(2024, 2, 1))
+
+
+def test_day_delta_widens_scan(spark, tmp_path):
+    _write_day(tmp_path, "2024/01/01", ["1,a"])
+    _write_day(tmp_path, "2024/01/02", ["2,b"])
+    _write_day(tmp_path, "2024/01/03", ["3,c"])
+    spec = SourceSpec(
+        name="t_slack",
+        fmt="csv",
+        path_template=str(tmp_path) + "/%Y/%m/%d/part-*.csv",
+        schema=SCHEMA,
+    )
+    exact = read_source(spark, spec, start=date(2024, 1, 2), register=False)
+    slack = read_source(
+        spark, spec, start=date(2024, 1, 2), day_delta=1, register=False
+    )
+    assert exact.count() == 1
+    assert slack.count() == 3
+
+
+def test_failfast_aborts_on_drift(spark, tmp_path):
+    _write_day(tmp_path, "2024/01/01", ["1,a", "not_an_int,b"])
+    spec = SourceSpec(
+        name="t_drift",
+        fmt="csv",
+        path_template=str(tmp_path) + "/%Y/%m/%d/part-*.csv",
+        schema=SCHEMA,
+        failfast=True,
+    )
+    df = read_source(spark, spec, start=date(2024, 1, 1), register=False)
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_json_partial_schema_projection(spark, tmp_path):
+    d = tmp_path / "2024" / "03" / "01"
+    d.mkdir(parents=True)
+    recs = [
+        {"data": {"site": "T1_A", "cpu": 1.5, "noise": "x" * 50}},
+        {"data": {"site": "T2_B", "cpu": 2.5, "noise": "y" * 50}},
+    ]
+    (d / "part-0.json").write_text("\n".join(json.dumps(r) for r in recs))
+    partial = StructType(
+        [
+            StructField(
+                "data",
+                StructType(
+                    [
+                        StructField("site", StringType()),
+                        StructField("cpu", StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    spec = SourceSpec(
+        name="t_json",
+        fmt="json",
+        path_template=str(tmp_path) + "/%Y/%m/%d/part-*.json",
+        schema=partial,
+        flatten="data.*",
+    )
+    df = read_source(spark, spec, start=date(2024, 3, 1), register=False)
+    assert set(df.columns) == {"site", "cpu"}
+    assert df.count() == 2
+
+
+def test_partitioned_parquet_dynamic_overwrite(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    df1 = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], ["day", "v"]
+    )
+    sinks.write_partitioned_parquet(df1, out)
+    # overwrite ONLY day=2024-01-02; day=2024-01-01 must survive
+    df2 = spark.createDataFrame([("2024-01-02", 99)], ["day", "v"])
+    sinks.write_partitioned_parquet(df2, out)
+    # partition values read back type-inferred (string day -> DateType)
+    back = {(str(r.day), r.v) for r in spark.read.parquet(out).collect()}
+    assert back == {("2024-01-01", 1), ("2024-01-02", 99)}
+
+
+def test_doc_batches_chunks_and_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else f"n{i}") for i in range(10)], ["id", "name"]
+    )
+    batches = list(sinks.doc_batches(df, chunk_size=4))
+    docs = [d for b in batches for d in b]
+    assert len(docs) == 10
+    assert all(len(b) <= 4 for b in batches)
+    assert all("name" not in d for d in docs if d["id"] % 2)
+
+
+def test_push_documents_driver_side(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "name"])
+    got: list[list[dict]] = []
+    sinks.push_documents(df, got.append, chunk_size=10, executor_side=False)
+    docs = [d for b in got for d in b]
+    assert sorted(d["id"] for d in docs) == [1, 2]
+    assert all("name" not in d for d in docs if d["id"] == 2)
+
+
+def test_push_documents_executor_side(spark, tmp_path):
+    # transport runs on executors: capture through the filesystem
+    out = tmp_path / "pushed"
+    out.mkdir()
+
+    def transport(docs):
+        import json as _json
+        import os
+        import uuid
+
+        p = os.path.join(str(out), uuid.uuid4().hex + ".json")
+        with open(p, "w") as fh:
+            _json.dump(docs, fh)
+
+    df = spark.createDataFrame([(i,) for i in range(20)], ["id"]).repartition(4)
+    sinks.push_documents(df, transport, chunk_size=3, executor_side=True)
+    docs = []
+    for f in out.glob("*.json"):
+        docs.extend(json.loads(f.read_text()))
+    assert sorted(d["id"] for d in docs) == list(range(20))
