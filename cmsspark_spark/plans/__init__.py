@@ -23,8 +23,30 @@ def plan_has(df: DataFrame, *needles: str) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle boundaries in the physical plan."""
-    return formatted_plan(df).count("Exchange")
+    """Number of shuffle boundaries in the physical plan. Counts node
+    detail headers ('(n) Exchange') so tree+detail duplication in the
+    formatted output doesn't double-count."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.M))
+
+
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Count physical operators by node name via detail headers."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}", formatted_plan(df), re.M))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees (0 = codegen fully broken)."""
+    import re
+
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -1412,6 +1412,65 @@ def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+@query(
+    "stepchain_cpu_eff",
+    """
+    WITH steps AS (
+      SELECT l_orderkey,
+             CASE l_linenumber % 3 WHEN 0 THEN 'cmsRun1'
+                  WHEN 1 THEN 'stageOut1' ELSE 'logArch1' END AS name,
+             l_extendedprice * (1 - l_discount) AS cpu,
+             l_extendedprice AS wall
+      FROM lineitem
+    ),
+    per_order AS (
+      SELECT l_orderkey, 100 * sum(cpu) / sum(wall) AS cpu_eff,
+             count(*) AS n_steps
+      FROM steps WHERE lower(name) LIKE 'cmsrun%'
+      GROUP BY l_orderkey
+    )
+    SELECT count(*) AS n_orders,
+           round(avg(cpu_eff), 4) AS avg_eff,
+           sum(n_steps) AS n_cmsrun_steps
+    FROM per_order
+    """,
+)
+def stepchain_cpu_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 UDTF-equivalent: WMArchive-shaped nested records (array of
+    step structs) exploded to rows with F.explode instead of the
+    reference's RDD flatMap (degraded/stepchain_cpu_eff.py:66-107,
+    wmarchive.py:108-144), then the cmsRun-prefix filter and the
+    per-workflow CPU-efficiency ratio. The nested array is packed from
+    the flat fact first (pack→explode roundtrip exercises both
+    directions)."""
+    from cmsspark_spark.operators import nested as N
+
+    li = _t(spark, sf_dir, "lineitem")
+    flat = li.select(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") % 3 == 0, "cmsRun1")
+        .when(F.col("l_linenumber") % 3 == 1, "stageOut1")
+        .otherwise("logArch1")
+        .alias("name"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cpu"),
+        F.col("l_extendedprice").alias("wall"),
+    )
+    nested_df = N.pack_steps(
+        flat, ["l_orderkey"], [F.col("name"), F.col("cpu"), F.col("wall")]
+    )
+    steps = N.explode_steps(nested_df, "steps", keep=["l_orderkey"])
+    cms = N.filter_steps_by_name(steps, "name", "cmsrun")
+    per_order = cms.groupBy("l_orderkey").agg(
+        A.ratio_of_sums(F.col("cpu"), F.col("wall")).alias("cpu_eff"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("cpu_eff"), 4).alias("avg_eff"),
+        F.sum("n_steps").alias("n_cmsrun_steps"),
+    )
+
+
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
 
 

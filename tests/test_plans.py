@@ -1,0 +1,90 @@
+"""Physical-plan quality gates (SURVEY §4): the 100 TB goal is plan
+shape, not just row parity — dims broadcast, columns pruned, filters
+pushed, no stray shuffles."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cmsspark_spark import plans
+from cmsspark_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_popularity_spine_broadcasts_all_dims(spark):
+    df = QUERIES["cms_popularity_spine"](spark, SF)
+    assert plans.count_nodes(df, "BroadcastHashJoin") == 3
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_q1_scan_prunes_columns(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    schemas = plans.scan_read_schema(df)
+    assert schemas, "no file scan found"
+    scan = schemas[0]
+    # 16-column lineitem pruned to exactly the needed 7
+    for col in (
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    ):
+        assert col in scan, f"{col} missing from ReadSchema"
+    for col in ("l_orderkey", "l_partkey", "l_comment", "l_shipmode"):
+        assert col not in scan, f"{col} not pruned"
+
+
+def test_dim_filter_pushed_to_scan(spark):
+    df = QUERIES["q3_topk_revenue"](spark, SF)
+    plan = plans.formatted_plan(df)
+    # customer's mktsegment equality reaches the parquet reader
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+
+
+def test_single_agg_has_one_shuffle(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    # partial agg → exchange → final agg: exactly one shuffle
+    assert plans.count_exchanges(agg) == 1
+
+
+def test_top_k_plans_take_ordered(spark):
+    from cmsspark_spark.operators.aggregations import top_k
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    df = top_k(o, [F.col("o_totalprice").desc()], 5)
+    # global limit over sort compiles to TakeOrderedAndProject — a
+    # per-partition heap, never a full sort
+    assert plans.plan_has(df, "TakeOrderedAndProject")
+
+
+def test_anti_join_is_single_pass(spark):
+    from cmsspark_spark.operators.joins import anti_join
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    df = anti_join(o, li, on=["o_orderkey"])
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_survives_expression_lib(spark):
+    """The UDF-replacement expressions must not break codegen (§4 O11)."""
+    from cmsspark_spark.functions.cms import clean_site_name, parse_dn
+
+    # AQE defers codegen compilation to adaptive re-planning, so the
+    # static check needs it off for the plan under inspection.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = (
+            spark.read.parquet(f"{SF}/supplier.parquet")
+            .withColumn("site", clean_site_name(F.concat(F.lit("T1_A_B_C"))))
+            .withColumn("cn", parse_dn(F.lit("/DC=ch/CN=x")))
+            .groupBy("site", "cn")
+            .count()
+        )
+        assert plans.codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,96 @@
+"""End-to-end workflow tests: jobs, incremental recompute, nested
+explode — the reference's flagship pipeline shapes (SURVEY §5 level 2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cmsspark_spark.jobs import popularity
+from cmsspark_spark.operators import incremental as I
+from cmsspark_spark.operators import nested as N
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_popularity_job_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "pop")
+    df = popularity.run(spark, SF, out, date="2024-06-01")
+    assert df.count() > 0
+    back = spark.read.parquet(f"{out}/parquet")
+    assert {str(r.day) for r in back.select("day").distinct().collect()} == {
+        "2024-06-01"
+    }
+    # re-run same day: partition replaced, not duplicated
+    popularity.run(spark, SF, out, date="2024-06-01")
+    assert spark.read.parquet(f"{out}/parquet").count() == df.count()
+    # second day appends its own partition
+    popularity.run(spark, SF, out, date="2024-06-02")
+    days = {
+        str(r.day)
+        for r in spark.read.parquet(f"{out}/parquet").select("day").distinct().collect()
+    }
+    assert days == {"2024-06-01", "2024-06-02"}
+
+
+def test_incremental_recompute_touches_only_window(spark, tmp_path):
+    table = str(tmp_path / "curated")
+
+    def compute(s, start, end):
+        ev = s.read.parquet(f"{SF}/events.parquet")
+        ev = ev.withColumn("ts2", F.timestamp_micros(F.expr("ts div 1000")))
+        daily = ev.groupBy(
+            F.date_format("ts2", "yyyy-MM-dd").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return daily
+
+    # initial backfill: whole January
+    full = I.recompute_recent_partitions(
+        spark, compute, table, "2024-01-01", "2024-01-31"
+    )
+    n_days = full.count()
+    assert n_days > 2
+    # partition values read back type-inferred (string day -> DateType)
+    total_before = {
+        str(r.day): r.n for r in I.read_curated(spark, table).collect()
+    }
+
+    # poison one early partition, then recompute only the tail window —
+    # the poisoned day must SURVIVE (incremental contract: untouched)
+    poisoned_day = sorted(total_before)[0]
+    spark.createDataFrame([(poisoned_day, -1)], ["day", "n"]).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy("day").parquet(table)
+
+    tail_start = sorted(total_before)[-2]
+    I.recompute_recent_partitions(
+        spark, compute, table, tail_start, "2024-01-31"
+    )
+    after = {str(r.day): r.n for r in I.read_curated(spark, table).collect()}
+    assert after[poisoned_day] == -1            # outside window: untouched
+    assert after[tail_start] == total_before[tail_start]  # recomputed correctly
+
+
+def test_explode_steps_outer_keeps_empty(spark):
+    df = spark.createDataFrame(
+        [(1, [("a", 1.0)]), (2, [])],
+        "id: long, steps: array<struct<name:string, cpu:double>>",
+    )
+    inner = N.explode_steps(df, "steps", keep=["id"])
+    assert {r.id for r in inner.collect()} == {1}
+    outer = N.explode_steps(df, "steps", keep=["id"], outer=True)
+    assert {r.id for r in outer.collect()} == {1, 2}
+
+
+def test_pack_explode_roundtrip(spark):
+    flat = spark.createDataFrame(
+        [(1, "cmsRun1", 2.0), (1, "logArch1", 3.0), (2, "cmsRun2", 4.0)],
+        ["wf", "name", "cpu"],
+    )
+    packed = N.pack_steps(flat, ["wf"], [F.col("name"), F.col("cpu")])
+    assert packed.count() == 2
+    back = N.explode_steps(packed, "steps", keep=["wf"])
+    assert sorted((r.wf, r.name, r.cpu) for r in back.collect()) == sorted(
+        (r.wf, r.name, r.cpu) for r in flat.collect()
+    )
+    cms_only = N.filter_steps_by_name(back, "name", "cmsrun")
+    assert cms_only.count() == 2
