@@ -1471,6 +1471,54 @@ def stepchain_cpu_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "file_provenance",
+    """
+    SELECT 'nation.parquet' AS src_file,
+           count(*) AS n_rows, count(DISTINCT n_nationkey) AS n_keys
+    FROM nation
+    """,
+)
+def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 file-provenance column: derive source file from the scan
+    (rucio_daily.py:39-48 input_file_name + substring_index)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        n.withColumn(
+            "src_file", F.substring_index(F.input_file_name(), "/", -1)
+        )
+        .groupBy("src_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("n_nationkey").alias("n_keys"),
+        )
+    )
+
+
+_PRIORITY_MAP = {"click": "low", "view": "low", "purchase": "high", "signup": "high", "error": "critical"}
+
+
+@query(
+    "value_remap_replace",
+    """
+    SELECT CASE event_type WHEN 'click' THEN 'low' WHEN 'view' THEN 'low'
+                WHEN 'purchase' THEN 'high' WHEN 'signup' THEN 'high'
+                WHEN 'error' THEN 'critical' ELSE event_type END AS priority,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def value_remap_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 value remap via dict (degraded/
+    rucio_datasets_last_access_ts.py:235 ``.replace(rses_id_name_map)``)
+    — DataFrame.replace compiles to a CASE chain, staying in codegen."""
+    ev = _t(spark, sf_dir, "events").replace(_PRIORITY_MAP, subset=["event_type"])
+    return ev.groupBy(F.col("event_type").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
 
 
