@@ -64,15 +64,24 @@ def _effective_splits(sf_dir: str, name: str) -> int:
     return _SPLITS_CACHE[key]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table, normalizing ns-timestamp columns."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool | None = None
+) -> DataFrame:
+    """Read one synthetic table, normalizing ns-timestamp columns.
+
+    ``widen=True`` is a per-pipeline scan hint: request full-cluster
+    input parallelism even for a fact table. Worth it when the pipeline
+    is map-heavy before its first shuffle (broadcast-join + aggregate
+    chains); wasteful when the first operation is a shuffle join/groupBy
+    that redistributes anyway — hence opt-in, measured per query.
+    """
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NS_TIMESTAMP_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # ns → µs floor-div matches DuckDB's truncation of TIMESTAMP_NS.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    if name in _WIDEN_TABLES:
+    if widen if widen is not None else name in _WIDEN_TABLES:
         target = spark.sparkContext.defaultParallelism
         if _effective_splits(sf_dir, name) < max(2, target // 2):
             # Production layouts (many part-files) split naturally and

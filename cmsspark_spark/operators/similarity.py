@@ -145,17 +145,22 @@ def _dblvec(vec_col: str) -> "F.Column":
 def _sign_bucket(vec_col: str, planes: np.ndarray) -> "F.Column":
     """Bucket id = bit pattern of sign(plane · vec) over all planes.
 
-    Planes enter the plan as literal double arrays; the dot product is a
-    zip_with/aggregate chain — all JVM-side.
+    Built as ONE SQL expression string: planes enter the plan as inline
+    double-array literals and the dot products are zip_with/aggregate
+    chains — all JVM-side. A string keeps DataFrame *construction* to a
+    single py4j call; building the same tree with per-element ``F.lit``
+    costs thousands of driver round-trips (measured: seconds of
+    pure-Python plan-building for 16 planes × 64 dims).
     """
-    bucket = F.lit(0).cast("long")
+    terms = []
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        d = dot(F.col(vec_col), lit_plane)
-        bucket = bucket + F.when(d >= 0, F.lit(2**i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        arr = ", ".join(f"{float(x):.17e}D" for x in plane)
+        d = (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            f"(x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (a, x) -> a + x)"
         )
-    return bucket
+        terms.append(f"IF({d} >= 0.0D, {2 ** i}L, 0L)")
+    return F.expr(" + ".join(terms))
 
 
 def lsh_topk(

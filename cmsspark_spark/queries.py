@@ -45,8 +45,10 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return catalog.load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool | None = None
+) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name, widen=widen)
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +160,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", widen=True)
     s = _t(spark, sf_dir, "supplier")
     dims = (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -836,8 +838,10 @@ def cms_popularity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     access stream (lineitem) ⋈ catalog dims (part=dataset, supplier+
     nation=site), per (site, tier): accesses, distinct datasets, bytes.
     Mirrors data_collection.py:161-174 / data_aggregation.py:69-89 with
-    all dims broadcast (the fact table never shuffles before the agg)."""
-    li = _t(spark, sf_dir, "lineitem")
+    all dims broadcast (the fact table never shuffles before the agg).
+    The fact scan is widened: the whole pipeline up to the final agg is
+    map-side, so input parallelism is the throughput bound."""
+    li = _t(spark, sf_dir, "lineitem", widen=True)
     p = _with_dataset_name(_t(spark, sf_dir, "part")).select("p_partkey", "dataset")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
