@@ -1523,6 +1523,68 @@ def value_remap_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "month_key_formatting",
+    """
+    SELECT year(o_orderdate)::VARCHAR || '-' ||
+             lpad(month(o_orderdate)::VARCHAR, 2, '0') AS month_key,
+           printf('%04d/%02d', year(o_orderdate), month(o_orderdate)) AS month_path,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def month_key_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 concat_ws/lpad/format_string month-key building
+    (hpc_running_cores_and_corehr.py:133-135, dbs_event_count_plot.py:
+    177-179)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.concat_ws(
+            "-",
+            F.year("o_orderdate").cast("string"),
+            F.lpad(F.month("o_orderdate").cast("string"), 2, "0"),
+        ).alias("month_key"),
+        F.format_string(
+            "%04d/%02d", F.year("o_orderdate"), F.month("o_orderdate")
+        ).alias("month_path"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "pandas_grouped_median",
+    """
+    SELECT event_type, round(median(value), 4) AS median_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def pandas_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 UDAF surface (absent in the reference; SURVEY §2.10 maps it to
+    pandas_udf GROUPED_AGG): an Arrow-batched grouped-aggregate median.
+    pandas' linear-interpolated median == DuckDB's quantile_cont(0.5).
+    The UDF body is self-contained (pickled by value — no package import
+    on executors)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses postponed annotations,
+    # which the type-hint-based pandas_udf introspection can't resolve
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(v.median())
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg, so the count is a second pandas aggregate.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(median_udaf("value"), 4).alias("median_value"),
+        count_udaf("value").alias("n"),
+    )
+
+
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
 
 

@@ -1,0 +1,123 @@
+"""Hypothesis property tests on the tricky semantics (SURVEY §5 level 3):
+null handling in conditional counts, full-outer coverage, dedup
+idempotence, union column alignment, day-template completeness,
+minhash containment."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cmsspark_spark.operators import dedup as D
+from cmsspark_spark.operators import joins as J
+from cmsspark_spark.operators.aggregations import conditional_count
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(st.integers(0, 5), min_size=0, max_size=20)
+
+
+@given(vals=st.lists(st.one_of(st.none(), st.integers(-5, 5)), max_size=25))
+@settings(**SETTINGS)
+def test_conditional_count_null_is_zero(spark, vals):
+    """A null condition contributes 0 — the reference's
+    when(isNull,0).otherwise(1) semantics (A3)."""
+    df = spark.createDataFrame([(v,) for v in vals], "v: int")
+    got = df.agg(conditional_count(F.col("v") > 0).alias("n")).collect()[0].n
+    expect = sum(1 for v in vals if v is not None and v > 0)
+    assert (got or 0) == expect
+
+
+@given(left=keys, right=keys)
+@settings(**SETTINGS)
+def test_full_outer_coverage_partitions_key_space(spark, left, right):
+    """J4: both/left_only/right_only partition the key union exactly."""
+    ldf = spark.createDataFrame([(k,) for k in left], "k: int")
+    rdf = spark.createDataFrame([(k,) for k in right], "k: int")
+    cov = {r.k: r.presence for r in J.full_outer_coverage(ldf, rdf, ["k"]).collect()}
+    ls, rs = set(left), set(right)
+    assert set(cov) == ls | rs
+    for k, p in cov.items():
+        expect = "both" if k in ls and k in rs else ("left_only" if k in ls else "right_only")
+        assert p == expect
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_exact_dedup_deterministic_and_idempotent(spark, rows):
+    """P9+A1: dedup keeps exactly min(tie_breaker) per key; applying it
+    twice changes nothing."""
+    df = spark.createDataFrame(rows, ["k", "tb"])
+    once = D.exact_dedup(df, ["k"], "tb")
+    got = {(r.k, r.tb) for r in once.collect()}
+    expect = {(k, min(tb for kk, tb in rows if kk == k)) for k, _ in rows}
+    assert got == expect
+    twice = D.exact_dedup(once, ["k"], "tb")
+    assert {(r.k, r.tb) for r in twice.collect()} == expect
+
+
+@given(n_days=st.integers(1, 10), present=st.lists(st.integers(0, 9), max_size=5))
+@settings(**SETTINGS)
+def test_day_template_fill_completeness(spark, n_days, present):
+    """J10: output has one row per (day × key); absent days read 0."""
+    present = [p for p in present if p < n_days]
+    rows = [(f"2024-03-{p + 1:02d}", "k1", 5) for p in sorted(set(present))]
+    df = spark.createDataFrame(rows or [("2024-03-01", "k1", 0)], ["day", "key", "n"])
+    df = df.withColumn("day", F.col("day").cast("date"))
+    if not rows:
+        df = df.filter(F.lit(False))
+    filled = J.day_template_fill(
+        df, "day", ["key"], ["n"], start="2024-03-01", end=f"2024-03-{n_days:02d}"
+    )
+    got = {str(r.day): r.n for r in filled.collect()}
+    if not rows:
+        # no keys observed → template has no key rows at all
+        assert got == {}
+        return
+    assert len(got) == n_days
+    for d, n in got.items():
+        day_idx = int(d.split("-")[2]) - 1
+        assert n == (5 if day_idx in set(present) else 0)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30), min_size=1, max_size=8
+    )
+)
+@settings(**SETTINGS)
+def test_identical_texts_always_minhash_candidates(spark, texts):
+    """Identical documents have identical signatures → every identical
+    pair is an LSH candidate (no false negatives at similarity 1)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    norm = [" ".join(t.split()) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if norm[i] == norm[j] and norm[i] != "":
+                assert (i, j) in pairs, f"identical pair ({i},{j}) missed"
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.floats(0, 100)), max_size=20))
+@settings(**SETTINGS)
+def test_union_by_name_aligns_columns(spark, rows):
+    """U1/SURVEY §7.4: positional union is the reference's bug class;
+    unionByName must align by NAME regardless of projection order."""
+    df = spark.createDataFrame(rows or [(0, 0.0)], ["k", "v"])
+    if not rows:
+        df = df.filter(F.lit(False))
+    a = df.select("k", "v")
+    b = df.select("v", "k")  # swapped order
+    u = a.unionByName(b)
+    n_k = u.agg(F.sum("k")).collect()[0][0] or 0
+    expect = 2 * sum(k for k, _ in rows)
+    assert n_k == expect
