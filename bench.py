@@ -45,6 +45,13 @@ HEADLINE = [
     "multimodal_features",       # Arrow mapInPandas
     "ann_cosine_topk",           # brute-force cosine + window top-k
     "ann_lsh_topk",              # sign-LSH bucketed ANN
+    "ann_ivf_topk",              # IVF (k-means inverted lists) ANN
+    "embed_near_dup_pairs",      # embedding-cosine near-dup (exact)
+    "dedup_rolling_fingerprint", # polynomial rolling-hash fingerprint
+    "bpe_token_stats",           # BPE-ish regex tokenization
+    "stepchain_cpu_eff",         # pack->explode nested steps + ratio agg
+    "rollup_revenue",            # grouping-sets rollup
+    "pandas_grouped_median",     # Arrow GROUPED_AGG pandas UDF
 ]
 
 

@@ -138,6 +138,109 @@ def cosine_near_pairs_lsh(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means on a bounded driver-side sample → IVF centroids.
+
+    Centroid training is the one deliberately driver-side step (standard
+    for IVF: centroids are tiny and training needs iterations); the
+    sample is capped so this never scales with the corpus. Assignment —
+    the at-scale part — happens cluster-side in ``ivf_topk``.
+    """
+    rows = (
+        corpus.select(vec_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment: normalize once, argmax dot
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _centroid_assign(vec_col: str, centroids: np.ndarray, nprobe: int) -> "F.Column":
+    """Top-``nprobe`` centroid ids by cosine, as one SQL expression
+    (array of struct sorted by score; same single-py4j-call rationale
+    as ``_sign_bucket``)."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    scored = []
+    for ci, c in enumerate(cn):
+        arr = ", ".join(f"{float(v):.17e}D" for v in c)
+        d = (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            f"(x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (a, x) -> a + x)"
+        )
+        scored.append(f"named_struct('s', {d}, 'c', {ci})")
+    expr = (
+        f"transform(slice(reverse(array_sort(array({', '.join(scored)}))), "
+        f"1, {nprobe}), e -> e.c)"
+    )
+    return F.expr(expr)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's inverted list; each query probes its ``nprobe`` nearest
+    lists and exact-scores only those members.
+
+    At 100 TB the corpus is written bucketed/partitioned by
+    ``_centroid`` so a probe is a partition-pruned scan; here the list
+    membership is a join key. Recall grows with nprobe (nprobe =
+    n_centroids ⇒ exact).
+    """
+    c_assign = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        # corpus side: nprobe=1 — each vector lives in ONE list
+        _centroid_assign(vec_col, centroids, 1).getItem(0).alias("_centroid"),
+    )
+    q_assign = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_centroid_assign(vec_col, centroids, nprobe)).alias("_centroid"),
+    )
+    cand = (
+        c_assign.join(F.broadcast(q_assign), on="_centroid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _dblvec(vec_col: str) -> "F.Column":
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 

@@ -1612,6 +1612,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk")  # approximate: verified by recall test in tests/
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means centroids (driver-trained on a bounded sample),
+    cluster-side inverted-list assignment, nprobe-list exact re-score.
+    tests/test_similarity.py asserts recall vs brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = S.train_ivf_centroids(emb, n_centroids=8)
+    out = S.ivf_topk(emb, queries, cents, k=5, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 @query("dedup_simhash")  # bit-level hashing painful in ANSI SQL → rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (16-bit token-vote) per document; near-pair

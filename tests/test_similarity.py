@@ -27,6 +27,30 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"LSH top-k recall {recall:.2f} < 0.6"
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    cents = S.train_ivf_centroids(emb, n_centroids=8)
+    approx = S.ivf_topk(emb, queries, cents, k=5, nprobe=3)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF top-k recall {recall:.2f} < 0.4"
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """nprobe == n_centroids degrades IVF to exact brute force."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    cents = S.train_ivf_centroids(emb, n_centroids=4)
+    approx = S.ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    assert {(r.query_id, r.vec_id) for r in approx.collect()} == {
+        (r.query_id, r.vec_id) for r in exact.collect()
+    }
+
+
 def test_embed_near_dup_lsh_precision_and_recall(spark):
     emb = _emb(spark)
     thr = 0.3
