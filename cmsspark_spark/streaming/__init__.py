@@ -57,3 +57,78 @@ def tumbling_window_agg(
         .withColumn("bucket_start", F.col("w.start"))
         .drop("w")
     )
+
+
+def sessionize_stateful(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-user session counting with a
+    gap-based session definition, via ``applyInPandasWithState``.
+
+    The batch twin is the lag-window sessionization in
+    queries.sessionize_users; this is the streaming form: state =
+    (last event time, open session count) per user, emitted on every
+    trigger, evicted by the event-time watermark. The state handler is
+    self-contained (pickled by value — executors never import the
+    engine package).
+
+    Output schema: (user_id, n_sessions, last_ts).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_epoch", LongType()),
+            StructField("n_sessions", LongType()),
+        ]
+    )
+    gap = gap_seconds
+
+    def handle(key, pdf_iter, state):
+        import pandas as pd
+
+        (uid,) = key
+        last_epoch, n_sessions = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            for ts in sorted(pdf["ts"]):
+                epoch = int(pd.Timestamp(ts).timestamp())
+                if last_epoch is None or epoch - last_epoch > gap:
+                    n_sessions += 1
+                last_epoch = epoch
+        state.update((last_epoch, n_sessions))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_sessions": [n_sessions],
+                "last_ts": [pd.Timestamp(last_epoch, unit="s")],
+            }
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
