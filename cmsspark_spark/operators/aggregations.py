@@ -43,10 +43,23 @@ def two_level_agg(
     level1_aggs: Sequence[Column],
     level2_keys: Sequence[str],
     level2_aggs: Sequence[Column],
+    single_shuffle: bool = True,
 ) -> DataFrame:
     """Aggregate per (k1,k2) then re-aggregate per k2-subset
     (A7; rucio_ds_summary.py:292-334: per-(RSE,dataset) sums, then
-    per-dataset max/min/avg of those sums)."""
+    per-dataset max/min/avg of those sums).
+
+    ``single_shuffle=True`` repartitions by the level-2 keys first:
+    hash distribution on k2 satisfies the clustering requirement of
+    BOTH aggregations (same-key rows co-located), so neither groupBy
+    shuffles again — one exchange of raw rows instead of two of
+    partially-aggregated rows. Wins when level-1 groups are small
+    (little map-side combine benefit); set False when level-1 collapses
+    many rows per group, or when k2 is skewed (k2-only partitioning
+    concentrates hot keys).
+    """
+    if single_shuffle:
+        df = df.repartition(*[F.col(k) for k in level2_keys])
     lvl1 = df.groupBy(*level1_keys).agg(*level1_aggs)
     return lvl1.groupBy(*level2_keys).agg(*level2_aggs)
 

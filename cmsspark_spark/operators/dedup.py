@@ -67,10 +67,26 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep exactly one row per key: the one with the minimum
     ``tie_breaker`` — deterministic, unlike raw ``dropDuplicates`` which
-    keeps an arbitrary row (P9). One shuffle on the dedup key.
+    keeps an arbitrary row (P9).
+
+    ONE shuffle: ``min_by`` carries the surviving row's payload through
+    the aggregation itself (vs. the min + semi-join-back idiom, which
+    shuffles twice and re-scans). Requires ``tie_breaker`` unique per
+    key for fully deterministic payloads (ties keep one arbitrary
+    tied row).
     """
-    keep = df.groupBy(*key_cols).agg(F.min(tie_breaker).alias(tie_breaker))
-    return df.join(keep, on=[*key_cols, tie_breaker], how="left_semi")
+    others = [c for c in df.columns if c not in key_cols and c != tie_breaker]
+    packed = df.groupBy(*key_cols).agg(
+        F.min(tie_breaker).alias(tie_breaker),
+        *(
+            [F.min_by(F.struct(*others), F.col(tie_breaker)).alias("_rest")]
+            if others
+            else []
+        ),
+    )
+    if others:
+        packed = packed.select(*key_cols, tie_breaker, "_rest.*")
+    return packed
 
 
 def dedup_by_fingerprint(

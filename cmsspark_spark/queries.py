@@ -1585,6 +1585,25 @@ def pandas_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_ENTRY = """
+    SELECT n_name AS nation,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@query("sql_entry_supplier_stats", _SQL_ENTRY)
+def sql_entry_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.2 entry point B: SQL-string query over registered temp
+    views (the reference's classic style — catalog population via
+    registerTempTable then sqlContext.sql). The SAME text runs in Spark
+    and DuckDB."""
+    catalog.register_views(spark, sf_dir, ["supplier", "nation"])
+    return spark.sql(_SQL_ENTRY)
+
+
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
 
 

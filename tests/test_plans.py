@@ -58,6 +58,33 @@ def test_top_k_plans_take_ordered(spark):
     assert plans.plan_has(df, "TakeOrderedAndProject")
 
 
+def test_two_level_agg_single_shuffle(spark):
+    """A7: pre-partitioning on the level-2 key satisfies both
+    aggregations' clustering — exactly one exchange end-to-end."""
+    from cmsspark_spark.operators.aggregations import two_level_agg
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    args = (
+        ["o_custkey", "o_orderstatus"],
+        [F.sum("o_totalprice").alias("s")],
+        ["o_custkey"],
+        [F.max("s").alias("m")],
+    )
+    assert plans.count_exchanges(two_level_agg(df, *args, single_shuffle=True)) == 1
+    assert plans.count_exchanges(two_level_agg(df, *args, single_shuffle=False)) == 2
+
+
+def test_exact_dedup_single_shuffle_no_join(spark):
+    """P9: min_by dedup is one aggregation — no semi-join back."""
+    from cmsspark_spark.operators.dedup import exact_dedup
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    out = exact_dedup(df, ["user_id", "event_type"], "event_id")
+    plan = plans.formatted_plan(out)
+    assert plans.count_exchanges(out) == 1
+    assert "Join" not in plan
+
+
 def test_anti_join_is_single_pass(spark):
     from cmsspark_spark.operators.joins import anti_join
 
