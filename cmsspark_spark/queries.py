@@ -1585,6 +1585,58 @@ def pandas_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (F.percentile == DuckDB
+    quantile_cont). At 100 TB swap for approx_percentile — same plan
+    shape, bounded memory."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type, round(sum(value), 2) AS total,
+           round(sum(value) / count(*), 4) AS mean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: two-phase salted groupBy produces
+    byte-identical results to the plain aggregate (the oracle IS the
+    plain form). event_type has only 5 values — exactly the hot-key
+    shape where one reducer would take a key's entire volume."""
+    from cmsspark_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        partial_aggs=[
+            F.sum("value").alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        ],
+        final_aggs=[
+            F.round(F.sum("_s"), 2).alias("total"),
+            F.round(F.sum("_s") / F.sum("_c"), 4).alias("mean_value"),
+        ],
+    )
+
+
 _SQL_ENTRY = """
     SELECT n_name AS nation,
            count(*) AS n_suppliers,

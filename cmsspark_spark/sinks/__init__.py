@@ -51,6 +51,28 @@ def write_partitioned_parquet(
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 8,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) catalog table.
+
+    Co-location primitive for repeated big-big joins: two tables
+    bucketed by the same key into the same bucket count join with NO
+    exchange (and no sort, if sort_by matches) — the shuffle is paid
+    once at write time instead of on every join. The at-scale answer
+    to 'this fact⋈fact join shuffles 100 TB every day'.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 def _chunks(it: Iterable, size: int) -> Iterator[list]:
     buf: list = []
     for x in it:

@@ -25,8 +25,14 @@ TABLES = [
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("cmsspark-tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        "cmsspark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
     s.stop()
 

@@ -97,6 +97,34 @@ def test_anti_join_is_single_pass(spark):
     assert "LeftAnti" in plan
 
 
+def test_bucketed_join_avoids_exchange(spark):
+    """Bucketing co-locates repeated big-big joins: same key, same
+    bucket count → join with zero exchanges (shuffle paid at write)."""
+    from cmsspark_spark.sinks import write_bucketed_table
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed_table(o, "t_orders_b", ["o_orderkey"], num_buckets=4)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        num_buckets=4,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"), on="o_orderkey"
+        )
+        n_rows = joined.count()
+        assert n_rows > 0
+        assert plans.count_exchanges(joined) == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_whole_stage_codegen_survives_expression_lib(spark):
     """The UDF-replacement expressions must not break codegen (§4 O11)."""
     from cmsspark_spark.functions.cms import clean_site_name, parse_dn
