@@ -1,0 +1,217 @@
+"""Workflow replicas of the reference's flagship pipelines (SURVEY §5
+level 2), as DataFrame→DataFrame functions over CMS-shaped inputs.
+
+Each function takes its source DataFrames explicitly (dependency
+injection: production wires the source registry, tests wire fixtures)
+and composes the engine's operators. Reference pipelines replicated:
+
+1. ``dataset_popularity``      — data_collection.py:161-174
+2. ``rucio_dataset_stats``     — rucio_datasets_stats.py:143-676 (core)
+3. ``condor_cpu_efficiency``   — degraded/condor_cpu_efficiency.py:363-420
+4. ``hpc_core_hours_daily``    — hpc_running_cores_and_corehr.py:155-227
+5. ``phedex_leftovers``        — reports/aggregate_leftovers.py:100-146
+6. ``event_count_tier_month``  — dbs_event_count_plot.py:152-210
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from cmsspark_spark.functions.cms import (
+    clean_site_name,
+    parse_dn,
+    split_dataset_col,
+    tier_from_site,
+)
+from cmsspark_spark.operators.aggregations import (
+    conditional_count,
+    ratio_of_sums,
+    two_level_agg,
+)
+from cmsspark_spark.operators.dedup import exact_dedup
+from cmsspark_spark.operators.joins import (
+    anti_join,
+    day_template_fill,
+    enrich,
+    full_outer_coverage,
+)
+
+
+def dataset_popularity(
+    access: DataFrame, files: DataFrame, datasets: DataFrame
+) -> DataFrame:
+    """Per (site, data tier): accesses, distinct users, bytes read.
+
+    access stream ⋈ file catalog ⋈ dataset catalog — the dims are
+    broadcast so the stream never shuffles before the aggregate
+    (data_collection.py:161-174 with the J7 broadcast upgrade).
+    Unresolvable file names (FIXTURES §14.2: 10%) drop out via the
+    inner join, as in the reference.
+    """
+    f = files.select(
+        F.col("logical_file_name").alias("file_lfn"), "dataset_id"
+    )
+    d = datasets.select("dataset_id", "dataset")
+    _, _, tier = split_dataset_col("dataset")
+    joined = (
+        access.join(F.broadcast(f), on="file_lfn")
+        .join(F.broadcast(d), on="dataset_id")
+        .withColumn("tier", tier)
+        .withColumn("site", clean_site_name("site_name"))
+        .withColumn("user", parse_dn("user_dn"))
+    )
+    return joined.groupBy("site", "tier").agg(
+        F.count(F.lit(1)).alias("n_accesses"),
+        F.countDistinct("user").alias("n_users"),
+        F.round(F.sum("read_bytes") / 1e9, 4).alias("gb_read"),
+    )
+
+
+def rucio_dataset_stats(
+    replicas: DataFrame,
+    dids: DataFrame,
+    contents: DataFrame,
+    rses: DataFrame,
+    files: DataFrame,
+    datasets: DataFrame,
+) -> DataFrame:
+    """Per-dataset storage summary across RSEs (rucio_ds_summary /
+    rucio_datasets_stats core): two-hop file→block→dataset mapping from
+    Rucio contents (J9), last-access coalescing across replicas and
+    DIDs via greatest (F8), per-(RSE, dataset) sums re-aggregated to
+    per-dataset max/min/sum (A7), conditional never-accessed counts
+    (A3)."""
+    f2b = contents.filter(F.col("child_type") == "FILE").select(
+        F.col("child").alias("name"), F.col("parent").alias("block")
+    )
+    b2d = contents.filter(F.col("child_type") == "BLOCK").select(
+        F.col("child").alias("block"), F.col("parent").alias("dataset")
+    )
+    f2d = f2b.join(b2d, on="block").select("name", "dataset")
+
+    did_access = dids.select("name", F.col("accessed_at").alias("did_accessed_at"))
+    rep = (
+        replicas.join(F.broadcast(rses), on="rse_id", how="left")
+        .join(f2d, on="name", how="inner")
+        .join(did_access, on="name", how="left")
+        .withColumn("last_access", F.greatest("accessed_at", "did_accessed_at"))
+    )
+    per_rse_ds = rep.groupBy("rse", "dataset").agg(
+        F.sum("bytes").alias("rse_bytes"),
+        F.count(F.lit(1)).alias("n_replicas"),
+        conditional_count(F.col("accessed_at").isNull()).alias("n_never_accessed"),
+        F.max("last_access").alias("rse_last_access"),
+    )
+    return (
+        per_rse_ds.groupBy("dataset")
+        .agg(
+            F.count(F.lit(1)).alias("n_rses"),
+            F.round(F.sum("rse_bytes") / 1e9, 4).alias("total_gb"),
+            F.round(F.max("rse_bytes") / 1e9, 4).alias("max_rse_gb"),
+            F.sum("n_replicas").alias("n_replicas"),
+            F.sum("n_never_accessed").alias("n_never_accessed"),
+            F.max("rse_last_access").alias("last_access"),
+        )
+    )
+
+
+def rucio_dbs_file_coverage(
+    replicas: DataFrame, files: DataFrame
+) -> DataFrame:
+    """The run-stats coverage report (rucio_datasets_stats.py:408-437):
+    which file names exist in Rucio only / DBS only / both (J4)."""
+    cov = full_outer_coverage(
+        replicas.select(F.col("name").alias("file_lfn")),
+        files.select(F.col("logical_file_name").alias("file_lfn")),
+        on=["file_lfn"],
+    )
+    return cov.groupBy("presence").agg(F.count(F.lit(1)).alias("n_files"))
+
+
+def condor_cpu_efficiency(condor: DataFrame) -> DataFrame:
+    """CPU efficiency per (site tier, job type): flatten the data
+    envelope (P2), keep Completed (P3), dedup GlobalJobId keeping the
+    earliest record (P9 — deterministic upgrade of drop_duplicates),
+    eff = 100·Σcpu/ΣcoreTime with CoreTime = RequestCpus·WallClockHr
+    (degraded/condor_cpu_efficiency.py:369-420). Null RequestCpus rows
+    (FIXTURES §14.3: 10%) drop from the ratio via null propagation +
+    coalesce guard, matching the reference's fillna-then-filter."""
+    flat = condor.select("data.*").filter(F.col("Status") == "Completed")
+    deduped = exact_dedup(flat, ["GlobalJobId"], tie_breaker="RecordTime")
+    with_core = deduped.withColumn(
+        "CoreTime", F.col("RequestCpus") * F.col("WallClockHr")
+    ).filter(F.col("CoreTime").isNotNull())
+    return with_core.groupBy(
+        tier_from_site("Site").alias("site_tier"), F.col("Type").alias("job_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.round(ratio_of_sums(F.col("CpuTimeHr"), F.col("CoreTime")), 4).alias(
+            "cpu_eff_pct"
+        ),
+        F.round(
+            F.sum(F.col("CoreTime") - F.col("CpuTimeHr")), 2
+        ).alias("wasted_core_hr"),
+    )
+
+
+def hpc_core_hours_daily(
+    condor: DataFrame, start: str, end: str
+) -> DataFrame:
+    """Daily core-hours with 12-min producer dedup and day-template
+    zero-fill (hpc_running_cores_and_corehr.py:155-227): max CoreHr per
+    (job, 12-min window) → per (site, day) sums → left join onto the
+    full day×site template so missing days read 0."""
+    flat = condor.select("data.*").withColumn(
+        "ts", F.timestamp_seconds(F.col("RecordTime"))
+    )
+    win = F.window("ts", "12 minutes")
+    per_window = flat.groupBy(
+        win.alias("w"), F.col("GlobalJobId"), clean_site_name("Site").alias("site")
+    ).agg(F.max("CoreHr").alias("wmax"))
+    daily = (
+        per_window.withColumn("day", F.to_date("w.start"))
+        .groupBy("day", "site")
+        .agg(F.round(F.sum("wmax"), 2).alias("core_hr"))
+    )
+    filled = day_template_fill(
+        daily, "day", ["site"], ["core_hr"], start=start, end=end
+    )
+    return filled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "site", "core_hr"
+    )
+
+
+def phedex_leftovers(phedex: DataFrame, datasets: DataFrame) -> DataFrame:
+    """Datasets PhEDEx holds that DBS doesn't know (aggregate_leftovers
+    .py:100-146), as ONE left_anti (J8) instead of subtract + re-join:
+    per node, leftover dataset count and bytes."""
+    leftover = anti_join(
+        phedex, datasets.select("dataset").distinct(), on=["dataset"]
+    )
+    return leftover.groupBy("node").agg(
+        F.countDistinct("dataset").alias("n_leftover_datasets"),
+        F.round(F.sum("bytes") / 1e12, 4).alias("leftover_tb"),
+    )
+
+
+def event_count_tier_month(files: DataFrame, datasets: DataFrame) -> DataFrame:
+    """Events by (tier, month) UNION events by (tier+skim, month)
+    (dbs_event_count_plot.py:152-210): the two granularities unioned
+    and deduped exactly as the reference's SQL UNION."""
+    _, procds, tier = split_dataset_col("dataset")
+    joined = enrich(
+        files.select("dataset_id", "event_count", "creation_date"),
+        datasets.select("dataset_id", "dataset"),
+        on=["dataset_id"],
+        how="inner",
+    ).withColumn("tier", tier).withColumn("procds", procds)
+    month = F.date_format(F.timestamp_seconds("creation_date"), "yyyy-MM")
+    by_tier = joined.groupBy(
+        month.alias("month"), F.col("tier").alias("key")
+    ).agg(F.sum("event_count").alias("n_events"))
+    by_tier_skim = joined.groupBy(
+        month.alias("month"),
+        F.concat_ws("/", "tier", F.split("procds", "-").getItem(0)).alias("key"),
+    ).agg(F.sum("event_count").alias("n_events"))
+    return by_tier.union(by_tier_skim).distinct()

@@ -1,0 +1,304 @@
+"""Deterministic CMS-shaped fixture generator (FIXTURES.md §1-§13).
+
+Row content is a pure function of (table, row index) under a fixed
+seed — invariant 1. Scaled-down cardinalities (tests run in seconds)
+but every structural invariant of FIXTURES.md §14 holds:
+
+- 90% of access/replica file names resolve in dbs_files, 10% dangle
+- null injection: ACCESSED_AT 40%, BYTES 2%, RequestCpus 10%, era 5%
+- dataset names 3-slash-part; sites ``T?_CC_Name[_Suffix]``
+- 7 consecutive event days, event time within day ±1h
+- replicas vs dids timestamps disagree on 30% of shared files
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 7
+N_DATASETS = 200
+N_BLOCKS = 600
+N_FILES = 3000
+N_RSES = 40
+N_REPLICAS = 5000
+N_ACCESS = 5000
+N_CONDOR = 2000
+N_WMA = 400
+N_PHEDEX = 800
+
+TIERS = ["RAW", "AOD", "MINIAOD", "NANOAOD", "GEN-SIM", "ALCARECO", "USER", "SKIM"]
+COUNTRIES = ["CH", "US", "DE", "FR", "IT", "UK", "ES", "RU"]
+SITE_NAMES = ["CERN", "FNAL", "DESY", "IN2P3", "CNAF", "RAL", "PIC", "JINR"]
+DAY0 = 1704067200  # 2024-01-01 UTC
+
+
+def _rng(table: str) -> np.random.Generator:
+    return np.random.default_rng(abs(hash((SEED, table))) % 2**31)
+
+
+def _site(i: int, suffix_every: int = 4) -> str:
+    t = f"T{1 + i % 3}_{COUNTRIES[i % 8]}_{SITE_NAMES[(i * 3) % 8]}"
+    return t + ("_Disk" if i % suffix_every == 0 else "")
+
+
+def _dataset_name(i: int) -> str:
+    return f"/Primary{i % 40}/Proc{i % 7}-v{i % 3}/{TIERS[i % 8]}"
+
+
+def _lfn(i: int) -> str:
+    return f"/store/data/Run2024/Primary{i % 40}/file_{i}.root"
+
+
+def datasets_df(spark: SparkSession) -> DataFrame:
+    rng = _rng("datasets")
+    era_null = rng.random(N_DATASETS) < 0.05
+    rows = [
+        (
+            i + 1,
+            _dataset_name(i),
+            1 if i % 10 else 0,
+            (i % 8) + 1,
+            (i % 4) + 1,
+            None if era_null[i] else (i % 6) + 1,
+            float(DAY0 - 86400 * (i % 300)),
+            f"/DC=ch/DC=cern/OU=Users/CN=user{i % 30}/CN=111/CN=First Last{i % 30}",
+        )
+        for i in range(N_DATASETS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dataset_id: long, dataset: string, is_dataset_valid: int, "
+        "data_tier_id: int, dataset_access_type_id: int, "
+        "acquisition_era_id: int, creation_date: double, create_by: string",
+    )
+
+
+def tiers_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(TIERS)],
+        "data_tier_id: int, data_tier_name: string",
+    )
+
+
+def blocks_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (
+            i + 1,
+            f"{_dataset_name(i % N_DATASETS)}#{i:08x}",
+            (i % N_DATASETS) + 1,
+            _site(i),
+            float((i % 97) * 1e9),
+            (i % 20) + 1,
+        )
+        for i in range(N_BLOCKS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "block_id: long, block_name: string, dataset_id: long, "
+        "origin_site_name: string, block_size: double, file_count: int",
+    )
+
+
+def files_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (
+            i + 1,
+            _lfn(i),
+            (i % N_BLOCKS) + 1,
+            ((i % N_BLOCKS) % N_DATASETS) + 1,
+            (i % 5000) + 100,            # event_count
+            float((i % 997) * 1e6 + 1),  # file_size
+            float(DAY0 - 86400 * (i % 200)),
+        )
+        for i in range(N_FILES)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_id: long, logical_file_name: string, block_id: long, "
+        "dataset_id: long, event_count: int, file_size: double, "
+        "creation_date: double",
+    )
+
+
+def rses_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (f"{i:032x}", _site(i, suffix_every=5), "TAPE" if i % 4 == 0 else "DISK")
+        for i in range(N_RSES)
+    ]
+    return spark.createDataFrame(rows, "rse_id: string, rse: string, rse_type: string")
+
+
+def replicas_df(spark: SparkSession) -> DataFrame:
+    rng = _rng("replicas")
+    accessed_null = rng.random(N_REPLICAS) < 0.40
+    bytes_null = rng.random(N_REPLICAS) < 0.02
+    rows = []
+    for i in range(N_REPLICAS):
+        resolves = i % 10 != 7  # 90% resolve
+        name = _lfn(i % N_FILES) if resolves else f"/store/unknown/file_{i}.root"
+        rows.append(
+            (
+                "cms",
+                name,
+                f"{i % N_RSES:032x}",
+                None if bytes_null[i] else float((i % 997) * 1e6 + 1),
+                None if accessed_null[i] else float(DAY0 + (i % 7) * 86400),
+                float(DAY0 - 86400 * (i % 100)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "scope: string, name: string, rse_id: string, bytes: double, "
+        "accessed_at: double, created_at: double",
+    )
+
+
+def dids_df(spark: SparkSession) -> DataFrame:
+    # file-grain DIDs for resolvable names; 30% disagree on accessed_at
+    rows = []
+    for i in range(N_FILES):
+        disagree = i % 10 < 3
+        base = float(DAY0 + (i % 7) * 86400)
+        rows.append(
+            (
+                "cms",
+                _lfn(i),
+                "FILE",
+                base + (3600.0 if disagree else 0.0),
+                float((i % 997) * 1e6 + 1),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "scope: string, name: string, did_type: string, accessed_at: double, "
+        "bytes: double",
+    )
+
+
+def contents_df(spark: SparkSession) -> DataFrame:
+    """Containment edges: file→block and block→dataset (FIXTURES §8)."""
+    rows = []
+    for i in range(N_FILES):
+        block = f"{_dataset_name((i % N_BLOCKS) % N_DATASETS)}#{i % N_BLOCKS:08x}"
+        rows.append((_lfn(i), block, "FILE"))
+    for b in range(N_BLOCKS):
+        block = f"{_dataset_name(b % N_DATASETS)}#{b:08x}"
+        rows.append((block, _dataset_name(b % N_DATASETS), "BLOCK"))
+    return spark.createDataFrame(rows, "child: string, parent: string, child_type: string")
+
+
+def condor_df(spark: SparkSession) -> DataFrame:
+    """HTCondor job metrics with the data envelope (FIXTURES §10)."""
+    rng = _rng("condor")
+    cpus_null = rng.random(N_CONDOR) < 0.10
+    rows = []
+    for i in range(N_CONDOR):
+        wall = float((i % 50) + 1)
+        cpus = None if cpus_null[i] else (i % 8) + 1
+        rows.append(
+            (
+                (
+                    f"crab_{i // 3}#{i}",  # duplicates every ~3 rows pre-dedup
+                    float(DAY0 + (i % 7) * 86400 + (i % 7200) - 3600),
+                    _site(i),
+                    "Completed" if i % 5 else "Removed",
+                    cpus,
+                    wall * 0.7 * (cpus or 1),     # CpuTimeHr
+                    wall,                          # WallClockHr
+                    wall * (cpus or 1),            # CoreHr
+                    "analysis" if i % 3 else "production",
+                    f"{_dataset_name(i % N_DATASETS)}#{i % N_BLOCKS:08x}",
+                ),
+            )
+        )
+    schema = (
+        "data: struct<GlobalJobId: string, RecordTime: double, Site: string, "
+        "Status: string, RequestCpus: int, CpuTimeHr: double, WallClockHr: double, "
+        "CoreHr: double, Type: string, CRAB_DataBlock: string>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def access_events_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for i in range(N_ACCESS):
+        resolves = i % 10 != 3
+        rows.append(
+            (
+                _lfn((i * 13) % N_FILES) if resolves else f"/store/unknown/a_{i}.root",
+                _site(i * 7),
+                f"/DC=ch/DC=cern/OU=Users/CN=user{i % 50}/CN=222/CN=Person {i % 50}",
+                float((i % 89) * 1e6),
+                float(DAY0 + (i % 7) * 86400 + (i % 7200) - 3600),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file_lfn: string, site_name: string, user_dn: string, "
+        "read_bytes: double, ts: double",
+    )
+
+
+def wma_reports_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for i in range(N_WMA):
+        steps = []
+        for sidx in range((i % 3) + 1):
+            name = ["cmsRun1", "stageOut1", "logArch1"][sidx % 3]
+            steps.append(
+                (
+                    name,
+                    _site(i + sidx),
+                    float((i % 40) + sidx),        # jobCPU
+                    float((i % 40) + sidx + 10),   # jobTime
+                    (i % 4) + 1,                   # threads
+                )
+            )
+        rows.append((f"wma_{i:06d}", f"task_{i % 25}", steps, float(DAY0 + (i % 7) * 86400)))
+    schema = (
+        "wmaid: string, task: string, steps: array<struct<name: string, "
+        "site: string, jobCPU: double, jobTime: double, threads: int>>, "
+        "meta_ts: double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def phedex_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for i in range(N_PHEDEX):
+        # 70% datasets overlap DBS; 30% are leftovers ("/Leftover...")
+        overlap = i % 10 < 7
+        ds = _dataset_name(i % N_DATASETS) if overlap else f"/Leftover{i % 23}/ProcX-v1/USER"
+        rows.append(
+            (
+                ds,
+                f"{ds}#{i:08x}",
+                _site(i * 5),
+                float((i % 499) * 1e9 + 1),
+                float(DAY0 - 86400 * (i % 400)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "dataset: string, block: string, node: string, bytes: double, "
+        "time_create: double",
+    )
+
+
+def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        "dbs_datasets": datasets_df(spark),
+        "dbs_data_tiers": tiers_df(spark),
+        "dbs_blocks": blocks_df(spark),
+        "dbs_files": files_df(spark),
+        "rucio_rses": rses_df(spark),
+        "rucio_replicas": replicas_df(spark),
+        "rucio_dids": dids_df(spark),
+        "rucio_contents": contents_df(spark),
+        "condor_jobs": condor_df(spark),
+        "access_events": access_events_df(spark),
+        "wma_reports": wma_reports_df(spark),
+        "phedex_replicas": phedex_df(spark),
+    }

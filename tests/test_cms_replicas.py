@@ -1,0 +1,190 @@
+"""Workflow-replica tests (SURVEY §5 level 2): the six flagship
+pipelines on CMS-shaped fixtures, verified against independent DuckDB
+computations over the SAME fixture rows (uploaded via Arrow)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cmsspark_spark.jobs import cms_replicas as R
+from tests.cms_fixtures import all_fixtures
+
+
+@pytest.fixture(scope="module")
+def fx(spark):
+    return all_fixtures(spark)
+
+
+@pytest.fixture(scope="module")
+def duck_fx(fx):
+    """DuckDB connection holding the flat fixtures (nested condor/wma
+    are flattened Spark-side before upload)."""
+    con = duckdb.connect()
+    for name in [
+        "dbs_datasets", "dbs_files", "rucio_rses", "rucio_replicas",
+        "rucio_dids", "rucio_contents", "access_events", "phedex_replicas",
+    ]:
+        con.register(name, fx[name].toPandas())
+    con.register("condor_flat", fx["condor_jobs"].select("data.*").toPandas())
+    yield con
+    con.close()
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_dataset_popularity(fx, duck_fx):
+    got = R.dataset_popularity(
+        fx["access_events"], fx["dbs_files"], fx["dbs_datasets"]
+    )
+    expect = duck_fx.execute(
+        """
+        WITH j AS (
+          SELECT CASE WHEN len(string_split(a.site_name, '_')) > 3
+                      THEN array_to_string(string_split(a.site_name, '_')[1:3], '_')
+                      ELSE a.site_name END AS site,
+                 string_split(d.dataset, '/')[4] AS tier,
+                 regexp_extract(a.user_dn, '/CN=([^/]+)$', 1) AS u,
+                 a.read_bytes
+          FROM access_events a
+          JOIN dbs_files f ON a.file_lfn = f.logical_file_name
+          JOIN dbs_datasets d ON f.dataset_id = d.dataset_id
+        )
+        SELECT site, tier, count(*), count(DISTINCT u),
+               round(sum(read_bytes)/1e9, 4)
+        FROM j GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert _rows(got, "site", "tier", "n_accesses", "n_users", "gb_read") == sorted(
+        tuple(r) for r in expect
+    )
+    # invariant: 10% dangling names dropped
+    assert got.agg({"n_accesses": "sum"}).collect()[0][0] < 5000
+
+
+def test_rucio_dataset_stats(fx, duck_fx):
+    got = R.rucio_dataset_stats(
+        fx["rucio_replicas"], fx["rucio_dids"], fx["rucio_contents"],
+        fx["rucio_rses"], fx["dbs_files"], fx["dbs_datasets"],
+    )
+    expect = duck_fx.execute(
+        """
+        WITH f2d AS (
+          SELECT fb.child AS name, bd.parent AS dataset
+          FROM (SELECT * FROM rucio_contents WHERE child_type='FILE') fb
+          JOIN (SELECT * FROM rucio_contents WHERE child_type='BLOCK') bd
+            ON fb.parent = bd.child
+        ),
+        rep AS (
+          SELECT r.*, rs.rse, f2d.dataset, d.accessed_at AS did_at,
+                 greatest(r.accessed_at, d.accessed_at) AS last_access
+          FROM rucio_replicas r
+          LEFT JOIN rucio_rses rs USING (rse_id)
+          JOIN f2d USING (name)
+          LEFT JOIN (SELECT name, accessed_at FROM rucio_dids) d USING (name)
+        ),
+        lvl1 AS (
+          SELECT rse, dataset, sum(bytes) AS b, count(*) AS n,
+                 sum(CASE WHEN accessed_at IS NULL THEN 1 ELSE 0 END) AS nn,
+                 max(last_access) AS la
+          FROM rep GROUP BY 1, 2
+        )
+        SELECT dataset, count(*), round(sum(b)/1e9, 4), round(max(b)/1e9, 4),
+               sum(n)::BIGINT, sum(nn)::BIGINT, max(la)
+        FROM lvl1 GROUP BY dataset
+        """
+    ).fetchall()
+    assert _rows(
+        got, "dataset", "n_rses", "total_gb", "max_rse_gb",
+        "n_replicas", "n_never_accessed", "last_access",
+    ) == sorted(tuple(r) for r in expect)
+
+
+def test_rucio_dbs_coverage_has_all_three_classes(fx):
+    cov = {
+        r.presence: r.n_files
+        for r in R.rucio_dbs_file_coverage(
+            fx["rucio_replicas"], fx["dbs_files"]
+        ).collect()
+    }
+    # FIXTURES invariant 2: 90% resolve, 10% dangle → all classes present
+    assert set(cov) == {"both", "left_only", "right_only"}
+    assert cov["left_only"] > 0 and cov["both"] > 0
+
+
+def test_condor_cpu_efficiency(fx, duck_fx):
+    got = R.condor_cpu_efficiency(fx["condor_jobs"])
+    expect = duck_fx.execute(
+        """
+        WITH dd AS (
+          SELECT *, row_number() OVER (PARTITION BY GlobalJobId
+                                       ORDER BY RecordTime) AS rn
+          FROM condor_flat WHERE Status = 'Completed'
+        ),
+        core AS (
+          SELECT string_split(Site, '_')[1] AS site_tier, Type AS job_type,
+                 CpuTimeHr, RequestCpus * WallClockHr AS CoreTime
+          FROM dd WHERE rn = 1 AND RequestCpus IS NOT NULL
+        )
+        SELECT site_tier, job_type, count(*),
+               round(100 * sum(CpuTimeHr) / sum(CoreTime), 4),
+               round(sum(CoreTime - CpuTimeHr), 2)
+        FROM core GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert _rows(
+        got, "site_tier", "job_type", "n_jobs", "cpu_eff_pct", "wasted_core_hr"
+    ) == sorted(tuple(r) for r in expect)
+
+
+def test_hpc_core_hours_day_template(fx):
+    got = R.hpc_core_hours_daily(fx["condor_jobs"], "2024-01-01", "2024-01-10")
+    rows = got.collect()
+    sites = {r.site for r in rows}
+    # every (day, site) cell exists: 10 days × |sites|
+    assert len(rows) == 10 * len(sites)
+    # fixture events span 7 days (±1h) → the tail days are zero-filled
+    by_day = {}
+    for r in rows:
+        by_day[r.day] = by_day.get(r.day, 0) + r.core_hr
+    assert by_day["2024-01-10"] == 0
+    assert by_day["2024-01-03"] > 0
+
+
+def test_phedex_leftovers(fx, duck_fx):
+    got = R.phedex_leftovers(fx["phedex_replicas"], fx["dbs_datasets"])
+    expect = duck_fx.execute(
+        """
+        SELECT node, count(DISTINCT dataset),
+               round(sum(bytes)/1e12, 4)
+        FROM phedex_replicas
+        WHERE dataset NOT IN (SELECT dataset FROM dbs_datasets)
+        GROUP BY node
+        """
+    ).fetchall()
+    assert _rows(got, "node", "n_leftover_datasets", "leftover_tb") == sorted(
+        tuple(r) for r in expect
+    )
+    # invariant: ~30% of phedex datasets are leftovers → non-empty
+    assert got.count() > 0
+
+
+def test_event_count_tier_month_union(fx, duck_fx):
+    got = R.event_count_tier_month(fx["dbs_files"], fx["dbs_datasets"])
+    expect = duck_fx.execute(
+        """
+        WITH j AS (
+          SELECT string_split(d.dataset, '/')[4] AS tier,
+                 string_split(string_split(d.dataset, '/')[3], '-')[1] AS skim,
+                 f.event_count,
+                 strftime(to_timestamp(f.creation_date), '%Y-%m') AS month
+          FROM dbs_files f JOIN dbs_datasets d USING (dataset_id)
+        )
+        SELECT month, tier AS key, sum(event_count)::BIGINT FROM j GROUP BY 1, 2
+        UNION
+        SELECT month, tier || '/' || skim, sum(event_count)::BIGINT FROM j GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert _rows(got, "month", "key", "n_events") == sorted(tuple(r) for r in expect)
