@@ -13,9 +13,14 @@ from cmsspark_spark.functions.cms import (  # noqa: F401
     tier_from_site,
 )
 from cmsspark_spark.functions.text import (  # noqa: F401
+    bpe_token_count,
+    bpe_tokens,
     fingerprint,
     lang_id,
+    mean_token_length,
     quality_features,
+    rolling_fingerprint,
+    shingles,
     stopword_ratio,
     token_count,
     tokens,
