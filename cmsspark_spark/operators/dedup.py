@@ -214,6 +214,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity between documents.
 
@@ -223,38 +224,54 @@ def jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
 
-    Shuffle compaction: the self-join keys on ``xxhash64(shingle)``
-    (8 bytes) instead of the shingle text — same pair counts modulo a
-    negligible 64-bit collision probability, far less shuffle volume.
+    Shuffle economics: the self-join keys on ``xxhash64(shingle)``
+    (8 bytes, same pair counts modulo a negligible 64-bit collision
+    probability); each shingle row CARRIES its document's shingle-set
+    size, so no separate sizes aggregation and no join-back — the whole
+    operator is two identical map branches + one self-join + one
+    groupBy. ``shingles()`` is per-document distinct already, so no
+    distinct shuffle either.
     """
+    # Two-step projection ON PURPOSE: naming the shingle array before
+    # size()+explode() reference it keeps the (large) shingle expression
+    # tree single-instance — CollapseProject won't inline a non-cheap
+    # expression used twice. Inlining it doubles the optimizer/codegen
+    # work on an already-big tree (measured: ~30s of first-execution
+    # planning at sf0.1).
     sh = (
-        _exploded_shingles(df, id_col, text_col, n)
-        .select("_id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
+        df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_arr"))
+        .select("_id", F.size("_arr").alias("n_sh"), F.explode("_arr").alias("shingle"))
+        .select("_id", "n_sh", F.xxhash64("shingle").alias("shingle"))
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if cache:
+        # The shingle frame feeds BOTH self-join branches. Persisting it
+        # (reference O6 pattern: cache frames consumed ≥2×) halves the
+        # tokenize/shingle compute AND keeps each branch's plan a tiny
+        # InMemoryTableScan instead of two copies of the large shingle
+        # expression tree. MEMORY_AND_DISK: spills instead of OOM at
+        # corpus scale; pass cache=False to trade recompute for memory.
+        from pyspark import StorageLevel
 
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+
+    a = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     common = (
         a.join(b, on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
     if candidates is not None:
         common = common.join(candidates, on=["id_a", "id_b"], how="left_semi")
-    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        common.join(sz_a, on="id_a")
-        .join(sz_b, on="id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = common.withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", "jaccard")
 
 
