@@ -70,6 +70,14 @@ def parse_dn(dn: Column | str) -> Column:
     return F.regexp_extract(c, r"/CN=([^/]+)$", 1)
 
 
+def anonymize(col: Column | str) -> Column:
+    """Irreversible column anonymization via md5 (reference
+    hdfs_an.py:23-42's row-level md5 anonymizer, as a column expr).
+    Nulls stay null so join/group semantics survive anonymization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
 def dn2uuid(dn: Column | str) -> Column:
     """Stable 16-digit numeric id from a DN via sha1.
 

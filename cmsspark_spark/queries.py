@@ -1637,6 +1637,53 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "campaign_site_argmax",
+    """
+    WITH p AS (
+      SELECT user_id % 20 AS cohort,
+             coalesce(sum(CASE WHEN event_type='click'    THEN value END), 0) AS click,
+             coalesce(sum(CASE WHEN event_type='error'    THEN value END), 0) AS error,
+             coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0) AS purchase,
+             coalesce(sum(CASE WHEN event_type='signup'   THEN value END), 0) AS signup,
+             coalesce(sum(CASE WHEN event_type='view'     THEN value END), 0) AS view
+      FROM events GROUP BY 1
+    )
+    SELECT cohort,
+           round(greatest(click, error, purchase, signup, view), 2) AS max_value,
+           CASE greatest(click, error, purchase, signup, view)
+                WHEN click THEN 'click' WHEN error THEN 'error'
+                WHEN purchase THEN 'purchase' WHEN signup THEN 'signup'
+                ELSE 'view' END AS top_type
+    FROM p
+    """,
+)
+def campaign_site_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/D2 struct-argmax idiom (reports/aggregate_campaigns.py:
+    189-199: per campaign, the max over pivoted site columns and WHICH
+    site it was): pivot → rowwise greatest + first-match argmax, as
+    pure column expressions instead of the reference's struct-input
+    Python UDFs. Tie resolution: first column in fixed order — both
+    engines use the same order."""
+    ev = _t(spark, sf_dir, "events")
+    p = A.pivot_agg(
+        ev.withColumn("cohort", F.col("user_id") % 20),
+        "cohort",
+        "event_type",
+        F.sum("value"),
+        pivot_values=_EVENT_TYPES,
+    )
+    mx = F.greatest(*[F.col(t) for t in _EVENT_TYPES])
+    argmax = F.coalesce(
+        *[F.when(F.col(t) == mx, F.lit(t)) for t in _EVENT_TYPES]
+    )
+    return p.select(
+        "cohort",
+        F.round(mx, 2).alias("max_value"),
+        argmax.alias("top_type"),
+    )
+
+
 _SQL_ENTRY = """
     SELECT n_name AS nation,
            count(*) AS n_suppliers,

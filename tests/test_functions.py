@@ -69,6 +69,17 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert got[4] == 0               # empty → 0
 
 
+def test_anonymize_md5(spark):
+    """hdfs_an.py anonymizer parity: md5 hex of the string value; null
+    passes through."""
+    import hashlib
+
+    df = spark.createDataFrame([("secret",), (None,)], ["v"])
+    got = [r.a for r in df.select(cms.anonymize("v").alias("a")).collect()]
+    assert got[0] == hashlib.md5(b"secret").hexdigest()
+    assert got[1] is None
+
+
 def test_topandas_arrow_export(spark):
     """K7 driver-side export: toPandas on a bounded aggregate under
     Arrow (degraded/condor_cpu_efficiency.py:398-445 last mile)."""
