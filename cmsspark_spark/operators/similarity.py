@@ -241,6 +241,67 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index: corpus partitioned on disk by nearest
+    centroid. At query time a probe reads ONLY its nprobe partitions
+    (partition pruning at the file listing — the scan never touches the
+    other inverted lists). This is the 100 TB layout; ``ivf_topk``'s
+    join-on-centroid is the ad-hoc/in-memory form of the same plan."""
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _centroid_assign(vec_col, centroids, 1).getItem(0).alias("_centroid"),
+    )
+    # repartition by list: one writer per inverted list → one file per
+    # partition dir, no small-file explosion
+    assigned.repartition("_centroid").write.mode(mode).partitionBy(
+        "_centroid"
+    ).parquet(path)
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a materialized IVF index: queries hash to their nprobe
+    centroid lists; the corpus scan carries a ``_centroid IN (...)``
+    filter that prunes to exactly the probed partitions."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_centroid_assign(vec_col, centroids, nprobe)).alias("_centroid"),
+    )
+    corpus = spark.read.option("basePath", index_path).parquet(index_path)
+    cand = (
+        corpus.join(F.broadcast(q), on="_centroid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _dblvec(vec_col: str) -> "F.Column":
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 

@@ -51,6 +51,26 @@ def test_ivf_full_probe_is_exact(spark):
     }
 
 
+def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
+    """Materialized IVF index returns exactly what the in-memory
+    join-form computes, and the probe scan prunes partitions."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = S.train_ivf_centroids(emb, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, cents, path)
+    from_index = S.ivf_index_topk(spark, path, queries, cents, k=5, nprobe=2)
+    in_memory = S.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    assert sorted(
+        (r.query_id, r.vec_id, r.rank) for r in from_index.collect()
+    ) == sorted((r.query_id, r.vec_id, r.rank) for r in in_memory.collect())
+    # partition layout: one directory per inverted list
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("_centroid=")]
+    assert 1 <= len(dirs) <= 4
+
+
 def test_embed_near_dup_lsh_precision_and_recall(spark):
     emb = _emb(spark)
     thr = 0.3
