@@ -1684,6 +1684,48 @@ def campaign_site_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_last_click",
+    """
+    WITH trades AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+         quotes AS (SELECT user_id, ts, value AS click_value FROM events
+                    WHERE event_type = 'click')
+    SELECT t.user_id,
+           count(*) AS n_purchases,
+           count(click_value) AS n_with_prior_click,
+           round(coalesce(sum(click_value), 0), 2) AS sum_click_value
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    GROUP BY t.user_id
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent in Spark AND the reference; SURVEY §2.4):
+    each purchase matched to the user's latest prior click, via the
+    scalable union+window form (one keyed shuffle, no per-key cross
+    product). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from cmsspark_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    quotes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = as_of_join(
+        trades, quotes, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_value").alias("n_with_prior_click"),
+        F.round(F.coalesce(F.sum("click_value"), F.lit(0.0)), 2).alias(
+            "sum_click_value"
+        ),
+    )
+
+
 _SQL_ENTRY = """
     SELECT n_name AS nation,
            count(*) AS n_suppliers,

@@ -107,6 +107,41 @@ def test_identical_texts_always_minhash_candidates(spark, texts):
                 assert (i, j) in pairs, f"identical pair ({i},{j}) missed"
 
 
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), max_size=12),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_as_of_join_matches_naive_semantics(spark, lefts, rights):
+    """as_of_join == 'latest right with ts <= left ts per key' (computed
+    naively in Python), left-outer, inclusive ties."""
+    from cmsspark_spark.operators.asof import as_of_join
+
+    # dedup right (k, ts) so 'the' latest right row is well-defined
+    seen = {}
+    for k, ts, v in rights:
+        seen[(k, ts)] = v
+    rights = [(k, ts, v) for (k, ts), v in seen.items()]
+    ldf = spark.createDataFrame(lefts or [(0, 0)], ["k", "lts"])
+    if not lefts:
+        ldf = ldf.filter(F.lit(False))
+    rdf = spark.createDataFrame(rights or [(0, 0, 0)], ["k", "rts", "v"])
+    if not rights:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        (r.k, r.lts): r.v
+        for r in as_of_join(ldf, rdf, ["k"], "lts", "rts").collect()
+    }
+    assert len(got) <= len(lefts)  # one output row per distinct left row
+    for k, lts in set(lefts):
+        prior = [(ts, v) for kk, ts, v in rights if kk == k and ts <= lts]
+        expect = max(prior)[1] if prior else None
+        assert got[(k, lts)] == expect, (k, lts)
+
+
 @given(rows=st.lists(st.tuples(st.integers(0, 3), st.floats(0, 100)), max_size=20))
 @settings(**SETTINGS)
 def test_union_by_name_aligns_columns(spark, rows):
