@@ -52,6 +52,7 @@ HEADLINE = [
     "stepchain_cpu_eff",         # pack->explode nested steps + ratio agg
     "rollup_revenue",            # grouping-sets rollup
     "pandas_grouped_median",     # Arrow GROUPED_AGG pandas UDF
+    "asof_join_last_click",      # as-of join (union+window form)
 ]
 
 

@@ -134,6 +134,30 @@ def time_bucket_agg(
     )
 
 
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Gap-based session aggregation via native ``F.session_window``
+    (Spark 3.2+): rows within ``gap`` of each other merge into one
+    session per key. The idiomatic form of the lag-window
+    sessionization (queries.sessionize_users) and of the stateful
+    streaming operator (streaming.sessionize_stateful) — identical
+    session boundaries, and usable in Structured Streaming unchanged.
+    Output carries session_start/session_end."""
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
 def dedup_then_bin_agg(
     df: DataFrame,
     ts_col: str,

@@ -70,6 +70,33 @@ def test_incremental_recompute_touches_only_window(spark, tmp_path):
     assert after[tail_start] == total_before[tail_start]  # recomputed correctly
 
 
+def test_session_window_matches_lag_sessionization(spark):
+    """Native F.session_window produces the same per-user session count
+    as the lag-window formulation (and as streaming.sessionize_stateful
+    — three forms, one semantics)."""
+    from cmsspark_spark.operators.aggregations import session_window_agg
+    from cmsspark_spark.queries import sessionize_users
+    import pyspark.sql.functions as F2
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F2.timestamp_micros(F2.expr("ts div 1000")))
+    )
+    sessions = session_window_agg(
+        ev, "ts", "30 minutes", ["user_id"], [F2.count(F2.lit(1)).alias("n_events")]
+    )
+    got = {
+        r.user_id: r.n
+        for r in sessions.groupBy("user_id")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    expect = {
+        r.user_id: r.n_sessions for r in sessionize_users(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_explode_steps_outer_keeps_empty(spark):
     df = spark.createDataFrame(
         [(1, [("a", 1.0)]), (2, [])],
