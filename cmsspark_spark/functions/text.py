@@ -120,10 +120,12 @@ ROLLING_P = (1 << 31) - 1
 _BASE_MOD = 1 << 31
 
 
-def _token_base(tok: Column) -> Column:
-    """31-bit integer hash of one token (md5-prefix fold — identical
-    expressible in DuckDB for oracle parity)."""
-    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % _BASE_MOD
+def int_base_hash(col: Column) -> Column:
+    """31-bit integer hash of a string (md5-prefix fold): the shared
+    base for rolling fingerprints AND MinHash permutations. Identically
+    expressible in DuckDB (('0x'||substring(md5(x),1,15))::BIGINT %
+    2147483648) — the oracle-parity-critical formula lives ONLY here."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % _BASE_MOD
 
 
 def rolling_fingerprint(text: Column | str) -> Column:
@@ -134,7 +136,7 @@ def rolling_fingerprint(text: Column | str) -> Column:
     classic document fingerprint for dedup at scale. Empty token
     streams hash to 0. Pure Catalyst fold via ``F.aggregate``.
     """
-    bases = F.transform(tokens(text), _token_base)
+    bases = F.transform(tokens(text), int_base_hash)
     return F.aggregate(
         bases,
         F.lit(0).cast("long"),

@@ -80,7 +80,11 @@ def pivot_agg(
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
     g = df.groupBy(*keys)
     p = g.pivot(pivot_col, list(pivot_values)) if pivot_values else g.pivot(pivot_col)
-    return p.agg(value).na.fill(fill)
+    out = p.agg(value)
+    # fill ONLY the pivoted value columns: a blanket fillna would also
+    # rewrite null group keys (a null-keyed group would silently merge
+    # into the fill-valued key).
+    return out.na.fill(fill, subset=[c for c in out.columns if c not in keys])
 
 
 def top_k(

@@ -45,6 +45,13 @@ def as_of_join(
         if payload is not None
         else [c for c in right.columns if c not in on and c != right_ts]
     )
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"as_of_join: right payload columns {sorted(clash)} collide with "
+            "left columns — alias them on the right side first (the union "
+            "form would silently overwrite the left values)"
+        )
     l2 = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     for c in payload:
         l2 = l2.withColumn(c, F.lit(None))

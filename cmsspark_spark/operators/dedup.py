@@ -31,14 +31,13 @@ from pyspark.sql import Column, DataFrame
 
 import random
 
-from cmsspark_spark.functions.text import shingles, tokens
+from cmsspark_spark.functions.text import int_base_hash, shingles, tokens
 
 #: Modulus for permutation-based MinHash (2^31 - 1, prime). Products
 #: a*base stay < 2^62 so the arithmetic never overflows signed 64-bit —
 #: mandatory for oracle parity (DuckDB errors on BIGINT overflow while
 #: Spark would wrap silently).
 MINHASH_PRIME = (1 << 31) - 1
-_BASE_MOD = 1 << 31
 
 
 def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -54,12 +53,7 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def _shingle_base(shingle: Column) -> Column:
-    """64-bit-safe integer base hash of a shingle: low 60 bits of md5,
-    folded to 31 bits. One md5 per shingle, total."""
-    return (
-        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % _BASE_MOD
-    )
+
 
 
 def exact_dedup(
@@ -127,7 +121,7 @@ def minhash_signatures_wide(
     hash strings.
     """
     sh = _exploded_shingles(df, id_col, text_col, n).select(
-        "_id", _shingle_base(F.col("shingle")).alias("_base")
+        "_id", int_base_hash(F.col("shingle")).alias("_base")
     )
     params = minhash_params(num_hashes)
     hashes = [
@@ -256,18 +250,23 @@ def jaccard_pairs(
 
     a = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
-    common = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
+    if candidates is None:
+        pairs = a.join(b, on="shingle").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        # Candidate mode PRUNES BEFORE the join: candidate pairs pick up
+        # id_a's shingles, then match id_b's rows on (id_b, shingle) —
+        # work is linear in Σ|shingles(candidate docs)|, never the
+        # all-co-occurring-pairs blowup of the exact mode.
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(a, on="id_a")
+            .join(b, on=["id_b", "shingle"])
         )
+    common = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
     )
-    if candidates is not None:
-        common = common.join(candidates, on=["id_a", "id_b"], how="left_semi")
     out = common.withColumn(
         "jaccard",
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

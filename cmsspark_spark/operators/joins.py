@@ -74,15 +74,21 @@ def day_template_fill(
     end: str | None = None,
     fill: float = 0,
 ) -> DataFrame:
-    """Left-join aggregated data onto a full (day × keys) template so
-    missing days appear as zeros (J10/F11).
+    """Fill the full (day × keys) grid so missing days appear as zeros
+    (J10/F11). ``df`` must already be aggregated to (date_col,
+    *key_cols) grain.
 
     The reference builds the template rows in the driver
     (hpc_running_cores_and_corehr.py:155-167); here ``sequence()`` +
-    ``explode()`` generates it cluster-side, and the tiny template is
-    broadcast so the data side never shuffles.
+    ``explode()`` generates it cluster-side.
 
-    ``df`` must already be aggregated to (date_col, *key_cols) grain.
+    For ``fill == 0`` (the reference's case) there is NO join at all:
+    zero-valued template rows are unioned in and the grid re-aggregated
+    with sum — one shuffle of (aggregated data + tiny template). A
+    broadcast left-outer join can't do better: Spark cannot broadcast
+    the join's preserved side (LeftOuter requires BuildRight), so the
+    join form always shuffles both sides. For other fill values the
+    join form is used, hint-free.
     """
     if start is not None and end is not None:
         bounds = df.sparkSession.range(1).select(
@@ -98,7 +104,21 @@ def day_template_fill(
     )
     keys = df.select(*key_cols).distinct()
     template = days.crossJoin(keys)
-    out = F.broadcast(template).join(df, on=[date_col, *key_cols], how="left")
+    if fill == 0:
+        zeros = template.select(
+            date_col,
+            *key_cols,
+            *[F.lit(0).cast(dict(df.dtypes)[v]).alias(v) for v in value_cols],
+        )
+        if start is not None and end is not None:
+            # template semantics: only days inside the grid appear (the
+            # join form dropped out-of-range data implicitly)
+            df = df.filter(F.col(date_col).cast("date").between(start, end))
+        unioned = df.select(date_col, *key_cols, *value_cols).unionByName(zeros)
+        return unioned.groupBy(date_col, *key_cols).agg(
+            *[F.sum(v).alias(v) for v in value_cols]
+        )
+    out = template.join(df, on=[date_col, *key_cols], how="left")
     return out.fillna(fill, subset=list(value_cols))
 
 

@@ -50,10 +50,14 @@ class FakeDecoder:
     def __call__(self, payload: bytes) -> str:
         if payload is None:
             return ""
-        # First/last byte + length: cheap, deterministic, content-sensitive.
-        head = payload[0] if len(payload) else 0
-        tail = payload[-1] if len(payload) else 0
-        return f"{head:02x}{tail:02x}{len(payload):08x}"
+        # md5-derived head/tail + length: deterministic, content-
+        # sensitive, and byte-exact to express in ANSI SQL regardless of
+        # text encoding (first/last RAW BYTE is not — DuckDB's ascii()
+        # yields code points, diverging on non-ASCII).
+        import hashlib
+
+        h = hashlib.md5(payload).hexdigest()
+        return f"{h[:2]}{h[-2:]}{len(payload):08x}"
 
 
 def real_decoder(payload: bytes) -> str:  # pragma: no cover - container lacks libs
@@ -102,9 +106,10 @@ def extract_features(
             # Same contract as FakeDecoder, inlined for by-value pickling.
             if payload is None:
                 return ""
-            head = payload[0] if len(payload) else 0
-            tail = payload[-1] if len(payload) else 0
-            return f"{head:02x}{tail:02x}{len(payload):08x}"
+            import hashlib as _hl
+
+            h = _hl.md5(payload).hexdigest()
+            return f"{h[:2]}{h[-2:]}{len(payload):08x}"
 
     dec = decoder
 

@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame, Window
 from cmsspark_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
+def _rescore_topk(
+    cand, k: int, id_col: str, vec_col: str, query_id_col: str
+) -> DataFrame:
+    """Shared tail of every ANN operator: exact cosine on candidates,
+    per-query rank window (ties break on candidate id — deterministic),
+    keep top-k."""
+    scored = cand.withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -41,19 +58,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
+    cand = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
 
 
 def cosine_near_pairs(
@@ -230,15 +238,7 @@ def ivf_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
 
 
 def write_ivf_index(
@@ -291,15 +291,7 @@ def ivf_index_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
 
 
 def _dblvec(vec_col: str) -> "F.Column":
@@ -376,12 +368,4 @@ def lsh_topk(
         .select(query_id_col, id_col, vec_col, "_qvec")
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _rescore_topk(cand, k, id_col, vec_col, query_id_col)

@@ -1035,9 +1035,8 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,
            md5(text) AS checksum,
-           printf('%02x%02x%08x', ascii(substring(text, 1, 1)),
-                  ascii(substring(text, length(text), 1)),
-                  octet_length(encode(text))) AS feature
+           substring(md5(text), 1, 2) || substring(md5(text), 31, 2) ||
+             printf('%08x', octet_length(encode(text))) AS feature
     FROM documents
     """,
 )

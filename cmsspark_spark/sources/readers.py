@@ -59,7 +59,10 @@ class SourceSpec:
         d = lo
         while d <= hi:
             pattern = d.strftime(self.path_template)
-            if _glob.glob(pattern.split("*")[0] + "*" if "*" in pattern else pattern):
+            # glob the FULL pattern: a day directory that exists but has
+            # no matching files (e.g. only _SUCCESS) must fall through
+            # to the empty-day fallback, not crash spark.read.load.
+            if _glob.glob(pattern):
                 out.append(pattern)
             d += timedelta(days=1)
         return out

@@ -88,7 +88,7 @@ def sessionize_stateful(
 
     out_schema = StructType(
         [
-            StructField("user_id", LongType()),
+            StructField(user_col, LongType()),
             StructField("n_sessions", LongType()),
             StructField("last_ts", TimestampType()),
         ]
@@ -100,22 +100,27 @@ def sessionize_stateful(
         ]
     )
     gap = gap_seconds
+    ts_name, user_name = ts_col, user_col
 
     def handle(key, pdf_iter, state):
         import pandas as pd
 
         (uid,) = key
         last_epoch, n_sessions = state.get if state.exists else (None, 0)
+        # Arrow feeds the group in multiple chunks: gap detection needs
+        # ONE globally sorted pass over the trigger's rows — sorting per
+        # chunk counts phantom sessions whenever a group spans batches.
+        epochs: list[int] = []
         for pdf in pdf_iter:
-            for ts in sorted(pdf["ts"]):
-                epoch = int(pd.Timestamp(ts).timestamp())
-                if last_epoch is None or epoch - last_epoch > gap:
-                    n_sessions += 1
-                last_epoch = epoch
+            epochs.extend(int(pd.Timestamp(ts).timestamp()) for ts in pdf[ts_name])
+        for epoch in sorted(epochs):
+            if last_epoch is None or epoch - last_epoch > gap:
+                n_sessions += 1
+            last_epoch = epoch
         state.update((last_epoch, n_sessions))
         yield pd.DataFrame(
             {
-                "user_id": [uid],
+                user_name: [uid],
                 "n_sessions": [n_sessions],
                 "last_ts": [pd.Timestamp(last_epoch, unit="s")],
             }
