@@ -98,12 +98,6 @@ def dedup_by_fingerprint(
     )
 
 
-def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("shingle")
-    )
-
-
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str,
@@ -119,18 +113,31 @@ def minhash_signatures_wide(
     agg columns of a single groupBy(_id) with map-side partials — the
     shuffle carries |docs| rows of longs, never |shingles| × num_hashes
     hash strings.
+
+    Implementation is ZERO-shuffle: each document's signature is a pure
+    row-local array expression — ``array_min(transform(bases, x ->
+    (a*x+b) mod p))`` per hash — so signature generation is a narrow map
+    over the corpus (the explode + groupBy(min) form this replaces
+    shuffled and hash-aggregated |shingle| rows). ``shingles()`` always
+    yields ≥1 element (short docs collapse to one shingle), so no doc
+    is dropped — identical output to the agg form.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n).select(
-        "_id", int_base_hash(F.col("shingle")).alias("_base")
-    )
     params = minhash_params(num_hashes)
-    hashes = [
-        ((F.lit(a) * F.col("_base") + F.lit(b)) % MINHASH_PRIME).alias(f"_mh{i}")
+    # Two-step select ON PURPOSE: naming _bases keeps the (large)
+    # shingle expression tree single-instance; CollapseProject will not
+    # inline a non-cheap expression referenced num_hashes times.
+    based = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles(text_col, n), int_base_hash).alias("_bases"),
+    )
+    def _perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
+    mins = [
+        F.array_min(F.transform(F.col("_bases"), _perm(a, b))).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return sh.select("_id", *hashes).groupBy("_id").agg(
-        *[F.min(f"_mh{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
+    return based.select("_id", *mins)
 
 
 def minhash_signatures(

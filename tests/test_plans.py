@@ -143,3 +143,14 @@ def test_whole_stage_codegen_survives_expression_lib(spark):
         assert plans.codegen_stage_count(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """MinHash signatures are a narrow map (array_min over transform) —
+    no explode, no groupBy, zero exchanges before the LSH band join."""
+    from cmsspark_spark.operators.dedup import minhash_signatures_wide
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures_wide(df, "doc_id", "text", n=3, num_hashes=8)
+    assert plans.count_exchanges(sig) == 0
+    assert sig.count() == df.count()  # shingles() never drops a doc
