@@ -16,9 +16,13 @@ from cmsspark_spark.functions.text import (  # noqa: F401
     bpe_token_count,
     bpe_tokens,
     fingerprint,
+    hash_split,
     lang_id,
     mean_token_length,
+    pii_redact,
     quality_features,
+    raw_ngrams,
+    repetition_features,
     rolling_fingerprint,
     shingles,
     stopword_ratio,

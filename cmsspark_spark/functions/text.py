@@ -151,16 +151,95 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", tokens(text)))
 
 
+def raw_ngrams(toks: Column, n: int) -> Column:
+    """Order-preserving word n-gram list (duplicates kept) over a token
+    array. Token streams shorter than ``n`` collapse to one degenerate
+    gram (the full join), so no document yields an empty list."""
+    k = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), the MinHash/Jaccard unit.
 
     Documents shorter than ``n`` tokens produce their full token join as
     a single shingle, so no document is silently dropped.
     """
-    toks = tokens(text)
-    k = F.size(toks)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    return F.array_distinct(raw_ngrams(tokens(text), n))
+
+
+def _top_fraction(grams: Column, denom: Column) -> Column:
+    """Fraction of ``denom`` taken by the most frequent element of
+    ``grams``. Quadratic in the number of DISTINCT grams per document —
+    row-local array work, fine for document-sized arrays."""
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
     )
-    return F.array_distinct(ngrams)
+    return F.array_max(counts) / F.greatest(denom, F.lit(1))
+
+
+def repetition_features(text: Column | str) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (quality
+    filters for training corpora; Rae et al. 2021 §A1.1):
+
+    - ``dup_token_ratio``  — 1 − distinct/total tokens
+    - ``top_token_frac``   — fraction of tokens that are the single most
+      frequent token
+    - ``top_bigram_frac``  — fraction of bigram slots taken by the most
+      frequent bigram
+
+    All pure row-local array expressions — no explode, no shuffle; a
+    quality-filter pass over 100 TB stays a narrow map.
+    """
+    toks = tokens(text)
+    k = F.greatest(F.size(toks), F.lit(1))
+    bigrams = raw_ngrams(toks, 2)
+    return {
+        "dup_token_ratio": F.lit(1.0) - F.size(F.array_distinct(toks)) / k,
+        "top_token_frac": _top_fraction(toks, F.size(toks)),
+        "top_bigram_frac": _top_fraction(bigrams, F.size(bigrams)),
+    }
+
+
+#: PII patterns (RE2-safe: identical semantics in Spark's Java regex and
+#: DuckDB, so redaction is oracle-testable). Deliberately conservative.
+#: Order matters: IPv4 before phone — dotted quads also match the
+#: looser phone shape.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace email / phone-shaped / IPv4 substrings with typed
+    placeholder tags — the standard pre-training scrub pass. Chained
+    ``regexp_replace`` (replace-all), entirely JVM-side."""
+    out = _c(text)
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def hash_split(key: Column | str, boundaries: dict[str, int]) -> Column:
+    """Deterministic content-keyed train/val/test assignment.
+
+    ``boundaries`` maps label → exclusive upper percentile, e.g.
+    ``{"train": 80, "val": 90, "test": 100}``: a row lands in the first
+    label whose bound exceeds ``md5-hash(key) mod 100``. Content-keyed
+    (hash of the key column, not row position) so the split is stable
+    under re-sharding, re-ordering, and incremental appends — the
+    property a training pipeline needs for leak-free splits.
+    """
+    bucket = int_base_hash(_c(key)) % 100
+    expr: Column | None = None
+    for label, bound in sorted(boundaries.items(), key=lambda kv: kv[1]):
+        cond = bucket < bound
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    assert expr is not None, "boundaries must be non-empty"
+    return expr.otherwise(F.lit(None))

@@ -1802,3 +1802,119 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
     )
+
+
+_DUCK_TOP_FRAC = (
+    "list_max(list_transform(list_distinct({g}), "
+    "u -> len(list_filter({g}, x -> x = u)))) / greatest(len({g}), 1)"
+)
+_DUCK_BIGRAMS = (
+    "[array_to_string(tk[i:i+1], ' ') "
+    "for i in generate_series(1, greatest(len(tk)-1, 1))]"
+)
+
+
+@query(
+    "text_repetition_quality",
+    f"""
+    WITH toks AS (SELECT source, {_TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT source, tk, {_DUCK_BIGRAMS} AS bg FROM toks),
+    f AS (
+      SELECT source,
+             1.0 - len(list_distinct(tk)) / greatest(len(tk), 1) AS dup_ratio,
+             {_DUCK_TOP_FRAC.format(g='tk')} AS ttf,
+             {_DUCK_TOP_FRAC.format(g='bg')} AS tbf
+      FROM g
+    )
+    SELECT source,
+           round(avg(dup_ratio), 4) AS avg_dup_token_ratio,
+           round(avg(ttf), 4)       AS avg_top_token_frac,
+           round(avg(tbf), 4)       AS avg_top_bigram_frac,
+           round(max(ttf), 4)       AS max_top_token_frac
+    FROM f GROUP BY source
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality filters
+    (dup-token ratio, top-token/top-bigram fraction) aggregated per
+    source — a narrow-map quality pass, no shuffle until the final
+    tiny groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    feats = T.repetition_features("text")
+    per_doc = d.select(
+        "source",
+        feats["dup_token_ratio"].alias("dup_ratio"),
+        feats["top_token_frac"].alias("ttf"),
+        feats["top_bigram_frac"].alias("tbf"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.round(F.avg("dup_ratio"), 4).alias("avg_dup_token_ratio"),
+        F.round(F.avg("ttf"), 4).alias("avg_top_token_frac"),
+        F.round(F.avg("tbf"), 4).alias("avg_top_bigram_frac"),
+        F.round(F.max("ttf"), 4).alias("max_top_token_frac"),
+    )
+
+
+@query(
+    "hash_split_assign",
+    """
+    WITH b AS (
+      SELECT source,
+             ('0x' || substring(md5(text), 1, 15))::BIGINT
+               % 2147483648 % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY source, split
+    """,
+)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test split (80/10/10):
+    stable under re-sharding/re-ordering — the leak-free split a
+    training pipeline needs. Assignment is a narrow map; only the
+    audit count shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    split = T.hash_split("text", {"train": 80, "val": 90, "test": 100})
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "pii_redaction_audit",
+    r"""
+    WITH r AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END)::BIGINT
+             AS n_redacted,
+           sum(length(text) - length(redacted))::BIGINT AS chars_removed
+    FROM r
+    """,
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: email/phone/IPv4 → typed tags (chained
+    replace-all regexes, JVM-side), counting touched docs and removed
+    chars. Synthetic corpus contains no PII — the audit proving that
+    (zeros) is the point; redaction behavior itself is pinned on
+    crafted strings in tests/test_functions.py."""
+    d = _t(spark, sf_dir, "documents")
+    red = d.select("text", T.pii_redact("text").alias("redacted"))
+    return red.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("redacted") != F.col("text"), 1).otherwise(0)).alias(
+            "n_redacted"
+        ),
+        F.sum(F.length("text") - F.length("redacted")).alias("chars_removed"),
+    )

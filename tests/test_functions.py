@@ -108,3 +108,61 @@ def test_avro_reader_gate(spark, tmp_path):
         assert "avro" in str(ex).lower()
     if has_avro:  # pragma: no cover - depends on deployment
         pytest.skip("spark-avro deployed; gate not exercised")
+
+
+def test_pii_redact_crafted_strings(spark):
+    from cmsspark_spark.functions.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org please"),
+            (2, "call +1 (415) 555-0199 now"),
+            (3, "server at 10.0.255.7 is up"),
+            (4, "nothing sensitive here"),
+        ],
+        ["id", "text"],
+    )
+    got = {r.id: r.red for r in df.select("id", pii_redact("text").alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "server at <IP> is up"
+    assert got[4] == "nothing sensitive here"
+
+
+def test_hash_split_deterministic_and_total(spark):
+    from cmsspark_spark.functions.text import hash_split
+
+    df = spark.range(500).select(F.concat(F.lit("doc-"), F.col("id")).alias("k"))
+    split = hash_split("k", {"train": 80, "val": 90, "test": 100})
+    counts = {r.split: r.n for r in df.groupBy(split.alias("split")).agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # every row assigned
+    assert sum(counts.values()) == 500
+    assert counts["train"] > counts["val"]  # rough proportionality
+    # stable under re-ordering / re-sharding
+    again = {
+        r.split: r.n
+        for r in df.repartition(7).orderBy(F.desc("k"))
+        .groupBy(split.alias("split")).agg(F.count("*").alias("n")).collect()
+    }
+    assert again == counts
+
+
+def test_repetition_features_values(spark):
+    from cmsspark_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "a b a b")], ["id", "text"]
+    )
+    f = repetition_features("text")
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            f["dup_token_ratio"].alias("dup"),
+            f["top_token_frac"].alias("ttf"),
+            f["top_bigram_frac"].alias("tbf"),
+        ).collect()
+    }
+    assert rows[1].dup == 0.75 and rows[1].ttf == 1.0 and rows[1].tbf == 1.0
+    assert rows[2].dup == 0.0 and rows[2].ttf == 0.25
+    assert rows[3].dup == 0.5 and rows[3].tbf == 2 / 3  # 'a b' twice of 3
