@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",         # shingle→minhash→band self-join
     "dedup_ngram_jaccard",       # shingle self-join + jaccard
     "text_quality_by_source",    # higher-order array functions
+    "text_repetition_quality",   # Gopher-style repetition filters (narrow map)
     "text_langid_confusion",     # marker-word argmax
     "multimodal_features",       # Arrow mapInPandas
     "ann_cosine_topk",           # brute-force cosine + window top-k

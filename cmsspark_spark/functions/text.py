@@ -173,13 +173,25 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 def _top_fraction(grams: Column, denom: Column) -> Column:
     """Fraction of ``denom`` taken by the most frequent element of
-    ``grams``. Quadratic in the number of DISTINCT grams per document —
-    row-local array work, fine for document-sized arrays."""
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    ``grams``: sort, then fold for the longest equal-run — O(n log n)
+    row-local array work per document (the naive distinct×filter count
+    is quadratic: measured 22s vs <1s on the sf0.1 corpus)."""
+    top = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return F.array_max(counts) / F.greatest(denom, F.lit(1))
+    return top / F.greatest(denom, F.lit(1))
 
 
 def repetition_features(text: Column | str) -> dict[str, Column]:

@@ -1804,10 +1804,6 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_TOP_FRAC = (
-    "list_max(list_transform(list_distinct({g}), "
-    "u -> len(list_filter({g}, x -> x = u)))) / greatest(len({g}), 1)"
-)
 _DUCK_BIGRAMS = (
     "[array_to_string(tk[i:i+1], ' ') "
     "for i in generate_series(1, greatest(len(tk)-1, 1))]"
@@ -1817,14 +1813,26 @@ _DUCK_BIGRAMS = (
 @query(
     "text_repetition_quality",
     f"""
-    WITH toks AS (SELECT source, {_TOKS_SQL} AS tk FROM documents),
-    g AS (SELECT source, tk, {_DUCK_BIGRAMS} AS bg FROM toks),
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT doc_id, source, tk, {_DUCK_BIGRAMS} AS bg FROM toks),
+    topt AS (
+      SELECT doc_id, max(c) AS top_tok FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS t FROM g) GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    ),
+    topb AS (
+      SELECT doc_id, max(c) AS top_bg FROM (
+        SELECT doc_id, b, count(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY doc_id, b
+      ) GROUP BY doc_id
+    ),
     f AS (
-      SELECT source,
+      SELECT g.source,
              1.0 - len(list_distinct(tk)) / greatest(len(tk), 1) AS dup_ratio,
-             {_DUCK_TOP_FRAC.format(g='tk')} AS ttf,
-             {_DUCK_TOP_FRAC.format(g='bg')} AS tbf
-      FROM g
+             coalesce(topt.top_tok, 0) / greatest(len(tk), 1) AS ttf,
+             coalesce(topb.top_bg, 0) / greatest(len(bg), 1) AS tbf
+      FROM g LEFT JOIN topt USING (doc_id) LEFT JOIN topb USING (doc_id)
     )
     SELECT source,
            round(avg(dup_ratio), 4) AS avg_dup_token_ratio,
