@@ -255,3 +255,15 @@ def hash_split(key: Column | str, boundaries: dict[str, int]) -> Column:
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     assert expr is not None, "boundaries must be non-empty"
     return expr.otherwise(F.lit(None))
+
+
+def hash_sample(key: Column | str, fraction: float) -> Column:
+    """Deterministic content-keyed sampling predicate: keep a row iff
+    ``md5-hash(key) mod 10000 < fraction*10000``. Unlike ``df.sample``
+    (seed- and partition-dependent, irreproducible across engines or
+    re-shards) the kept set is a pure function of the data — the
+    downsampling a training pipeline can re-run identically anywhere.
+    Basis-point granularity; composable: ``hash_sample(k, 0.1)`` keeps a
+    subset of ``hash_sample(k, 0.2)``'s rows.
+    """
+    return int_base_hash(_c(key)) % 10000 < int(round(fraction * 10000))

@@ -1926,3 +1926,30 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("text") - F.length("redacted")).alias("chars_removed"),
     )
+
+
+@query(
+    "hash_sample_docs",
+    """
+    SELECT source, count(*) AS n_kept,
+           round(avg(octet_length(encode(text))), 4) AS avg_bytes
+    FROM documents
+    WHERE ('0x' || substring(md5(text), 1, 15))::BIGINT
+            % 2147483648 % 10000 < 1000
+    GROUP BY source
+    """,
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% content-keyed downsample (reproducible across
+    engines/re-shards, unlike seeded df.sample) with a per-source audit.
+    The predicate is a narrow filter — at 100 TB it runs in the scan
+    stage with zero extra passes."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(T.hash_sample("text", 0.10))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg(F.octet_length("text")), 4).alias("avg_bytes"),
+        )
+    )

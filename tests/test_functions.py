@@ -166,3 +166,14 @@ def test_repetition_features_values(spark):
     assert rows[1].dup == 0.75 and rows[1].ttf == 1.0 and rows[1].tbf == 1.0
     assert rows[2].dup == 0.0 and rows[2].ttf == 0.25
     assert rows[3].dup == 0.5 and rows[3].tbf == 2 / 3  # 'a b' twice of 3
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from cmsspark_spark.functions.text import hash_sample
+
+    df = spark.range(2000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    kept10 = {r.k for r in df.filter(hash_sample("k", 0.10)).collect()}
+    kept20 = {r.k for r in df.filter(hash_sample("k", 0.20)).collect()}
+    assert kept10 == {r.k for r in df.repartition(5).filter(hash_sample("k", 0.10)).collect()}
+    assert kept10 < kept20            # nested subsets by construction
+    assert 100 < len(kept10) < 300    # ~10% of 2000
