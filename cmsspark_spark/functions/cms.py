@@ -59,15 +59,32 @@ def tier_from_site(site: Column | str) -> Column:
 
 
 def parse_dn(dn: Column | str) -> Column:
-    """Extract the human CN from an X509 DN.
+    """Extract the human CN from an X509 DN, matching the reference's
+    semantics exactly (degraded/data_aggregation.py:389-397 + NUM_PAT
+    at :30):
 
-    ``/DC=ch/DC=cern/OU=Users/CN=user1/CN=111/CN=First Last`` → the last
-    CN segment that is not purely numeric and not a 'user…' login
-    (reference degraded/data_aggregation.py:389-397 takes the last CN).
+    1. keep only the text before the first ``&`` (proxy suffix strip);
+    2. of the ``/``-separated segments starting with ``CN=``, skip those
+       whose body starts with a digit (``NUM_PAT = ^CN=[0-9]``) and take
+       the LAST survivor's last ``=``-separated part
+       (``/CN=user/CN=111/CN=First Last`` → ``First Last``);
+    3. if no CN segment survives, return the whole (``&``-stripped) DN
+       with any ``CN=`` occurrences removed.
+
+    Nulls stay null (the reference str()-ifies; we keep SQL null
+    semantics so joins/groups behave).
     """
     c = F.col(dn) if isinstance(dn, str) else dn
-    # Last CN= segment in the DN.
-    return F.regexp_extract(c, r"/CN=([^/]+)$", 1)
+    stripped = F.substring_index(c, "&", 1)
+    # Prepend '/' so a DN without a leading slash still anchors its
+    # first segment; greedy .* makes regexp_extract take the LAST
+    # /CN= whose body does not start with a digit.
+    padded = F.concat(F.lit("/"), stripped)
+    body = F.regexp_extract(padded, r".*/CN=((?![0-9])[^/]*)", 1)
+    name = F.substring_index(body, "=", -1)
+    has_cn = padded.rlike(r"/CN=(?![0-9])")
+    fallback = F.regexp_replace(stripped, "CN=", "")
+    return F.when(has_cn, name).otherwise(fallback)
 
 
 def anonymize(col: Column | str) -> Column:
@@ -79,14 +96,24 @@ def anonymize(col: Column | str) -> Column:
 
 
 def dn2uuid(dn: Column | str) -> Column:
-    """Stable 16-digit numeric id from a DN via sha1.
+    """Stable 16-digit numeric id from a DN, bit-identical to the
+    reference: ``int(sha1(parse_dn(dn)).hexdigest(), 16) % 10**16``
+    (degraded/data_aggregation.py:418-420 — note it hashes the PARSED
+    DN, not the raw string).
 
-    The reference hashes with ``hashlib.sha1`` then keeps digits
-    (degraded/data_aggregation.py:418-420: int(sha1hex, 16) % 10**16).
-    Pure-SQL equivalent: take the low 13 hex digits (< 2^53, exact in
-    Long) of the sha1 and mod 10**16 — deterministic and codegen-friendly.
+    The full 160-bit digest mod 10**16 is computed as an unrolled
+    chunked-mod fold over the 40 hex chars in five 8-hex (32-bit)
+    chunks: ``acc = (acc * 2^32 + chunk) % 10^16``. Intermediate
+    values stay < 10^16 * 2^32 ≈ 4.3e25, exact in decimal(38,0), so
+    the fold never overflows and stays a pure codegen expression.
     """
     c = F.col(dn) if isinstance(dn, str) else dn
-    return F.conv(F.substring(F.sha1(c), 28, 13), 16, 10).cast("long") % F.lit(10**16).cast(
-        "long"
-    )
+    hexd = F.sha1(parse_dn(c))
+    dec = "decimal(38,0)"
+    base = F.lit(2**32).cast(dec)
+    mod = F.lit(10**16).cast(dec)
+    acc = F.lit(0).cast(dec)
+    for i in range(5):
+        chunk = F.conv(F.substring(hexd, i * 8 + 1, 8), 16, 10).cast(dec)
+        acc = (acc * base + chunk) % mod
+    return acc.cast("long")

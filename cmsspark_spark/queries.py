@@ -790,29 +790,40 @@ def cms_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH dns AS (
       SELECT c_nationkey,
-             '/DC=ch/DC=cern/OU=Users/CN=user' || (c_custkey % 100)::VARCHAR ||
-             '/CN=' || c_custkey::VARCHAR || '/CN=Person ' || c_name AS dn
+             '/DC=ch/OU=Users/CN=user' || (c_custkey % 100)::VARCHAR ||
+             '/CN=Person ' || c_name ||
+             CASE WHEN c_custkey % 3 = 0
+                  THEN '/CN=' || c_custkey::VARCHAR ELSE '' END ||
+             CASE WHEN c_custkey % 5 = 0 THEN '&rfc=proxy' ELSE '' END AS dn
       FROM customer
     )
     SELECT c_nationkey AS nationkey,
-           count(DISTINCT regexp_extract(dn, '/CN=([^/]+)$', 1)) AS n_users
+           count(DISTINCT regexp_extract(split_part(dn, '&', 1),
+                 '.*/CN=([^0-9/][^/]*)', 1)) AS n_users
     FROM dns GROUP BY 1
     """,
 )
 def cms_parse_dn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 parse_dn as a pure column expression
-    (degraded/data_aggregation.py:389-397)."""
+    """D1 parse_dn as a pure column expression with the reference's
+    exact semantics (degraded/data_aggregation.py:389-397): the
+    synthetic DNs are adversarial — a third get a NUMERIC last CN
+    (must be skipped, NUM_PAT), a fifth get an '&rfc=proxy' suffix
+    (must be stripped) — so this oracle row pins the numeric-skip and
+    &-strip behavior, not just 'take the last segment'."""
     from cmsspark_spark.functions.cms import parse_dn
 
     c = _t(spark, sf_dir, "customer").withColumn(
         "dn",
         F.concat(
-            F.lit("/DC=ch/DC=cern/OU=Users/CN=user"),
+            F.lit("/DC=ch/OU=Users/CN=user"),
             (F.col("c_custkey") % 100).cast("string"),
-            F.lit("/CN="),
-            F.col("c_custkey").cast("string"),
             F.lit("/CN=Person "),
             F.col("c_name"),
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.concat(F.lit("/CN="), F.col("c_custkey").cast("string")),
+            ).otherwise(""),
+            F.when(F.col("c_custkey") % 5 == 0, "&rfc=proxy").otherwise(""),
         ),
     )
     return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
@@ -1427,7 +1438,7 @@ def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     per_order AS (
-      SELECT l_orderkey, 100 * sum(cpu) / sum(wall) AS cpu_eff,
+      SELECT l_orderkey, round(100 * sum(cpu) / sum(wall), 6) AS cpu_eff,
              count(*) AS n_steps
       FROM steps WHERE lower(name) LIKE 'cmsrun%'
       GROUP BY l_orderkey
@@ -1463,8 +1474,11 @@ def stepchain_cpu_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     steps = N.explode_steps(nested_df, "steps", keep=["l_orderkey"])
     cms = N.filter_steps_by_name(steps, "name", "cmsrun")
+    # Per-order efficiency rounded to 6 decimals on BOTH Spark and oracle
+    # sides: the final round(avg, 4) is otherwise one summation-order away
+    # from a hash flip over 10k float ratios (round-1 CORRECTNESS failure).
     per_order = cms.groupBy("l_orderkey").agg(
-        A.ratio_of_sums(F.col("cpu"), F.col("wall")).alias("cpu_eff"),
+        F.round(A.ratio_of_sums(F.col("cpu"), F.col("wall")), 6).alias("cpu_eff"),
         F.count(F.lit(1)).alias("n_steps"),
     )
     return per_order.agg(

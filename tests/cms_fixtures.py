@@ -229,7 +229,11 @@ def access_events_df(spark: SparkSession) -> DataFrame:
             (
                 _lfn((i * 13) % N_FILES) if resolves else f"/store/unknown/a_{i}.root",
                 _site(i * 7),
-                f"/DC=ch/DC=cern/OU=Users/CN=user{i % 50}/CN=222/CN=Person {i % 50}",
+                # A quarter get a numeric trailing CN (must be skipped per
+                # NUM_PAT), a tenth an '&' proxy suffix (must be stripped).
+                f"/DC=ch/DC=cern/OU=Users/CN=user{i % 50}/CN=222/CN=Person {i % 50}"
+                + ("/CN=555" if i % 4 == 0 else "")
+                + ("&rfc=proxy" if i % 10 == 0 else ""),
                 float((i % 89) * 1e6),
                 float(DAY0 + (i % 7) * 86400 + (i % 7200) - 3600),
             )

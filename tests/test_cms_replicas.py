@@ -46,7 +46,8 @@ def test_dataset_popularity(fx, duck_fx):
                       THEN array_to_string(string_split(a.site_name, '_')[1:3], '_')
                       ELSE a.site_name END AS site,
                  string_split(d.dataset, '/')[4] AS tier,
-                 regexp_extract(a.user_dn, '/CN=([^/]+)$', 1) AS u,
+                 regexp_extract(split_part(a.user_dn, '&', 1),
+                                '.*/CN=([^0-9/][^/]*)', 1) AS u,
                  a.read_bytes
           FROM access_events a
           JOIN dbs_files f ON a.file_lfn = f.logical_file_name
