@@ -39,7 +39,9 @@ HEADLINE = [
     "day_template_fill_events",  # sequence/explode template + left join
     "dedup_exact_fingerprint",   # text fingerprint hash-groupBy
     "dedup_minhash_lsh",         # shingle→minhash→band self-join
-    "dedup_ngram_jaccard",       # shingle self-join + jaccard
+    "dedup_lsh_verified",        # LSH candidates → candidate-pruned jaccard
+                                 # (replaces exact all-pairs dedup_ngram_jaccard,
+                                 #  demoted to oracle-only per round-1 verdict)
     "text_quality_by_source",    # higher-order array functions
     "text_repetition_quality",   # Gopher-style repetition filters (narrow map)
     "text_langid_confusion",     # marker-word argmax

@@ -24,6 +24,7 @@ from cmsspark_spark.functions.cms import (
     split_dataset_col,
     tier_from_site,
 )
+from cmsspark_spark.operators.joins import broadcast_if_small
 from cmsspark_spark.operators.aggregations import (
     conditional_count,
     ratio_of_sums,
@@ -55,8 +56,11 @@ def dataset_popularity(
     d = datasets.select("dataset_id", "dataset")
     _, _, tier = split_dataset_col("dataset")
     joined = (
-        access.join(F.broadcast(f), on="file_lfn")
-        .join(F.broadcast(d), on="dataset_id")
+        # DBS files/datasets are NOT fixed-size dims — they grow with
+        # the catalog (hundreds of millions of files at production
+        # scale), so the hint must be size-aware, not forced.
+        access.join(broadcast_if_small(f), on="file_lfn")
+        .join(broadcast_if_small(d), on="dataset_id")
         .withColumn("tier", tier)
         .withColumn("site", clean_site_name("site_name"))
         .withColumn("user", parse_dn("user_dn"))

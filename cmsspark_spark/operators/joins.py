@@ -22,6 +22,36 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+#: Default broadcast-hint ceiling — Spark's autoBroadcastJoinThreshold
+#: default. Dims estimated above this get NO hint; AQE decides at
+#: runtime from actual shuffle statistics.
+BROADCAST_THRESHOLD_BYTES = 10 << 20
+
+
+def broadcast_if_small(
+    df: DataFrame, threshold_bytes: int = BROADCAST_THRESHOLD_BYTES
+) -> DataFrame:
+    """Size-aware broadcast hint (round-1 verdict, scale hazard #1).
+
+    An unconditional ``F.broadcast`` overrides AQE's size check and
+    OOMs the driver/executors when the "small" side grows with the
+    data (part/supplier-class dims at 100× SF). Hint only when
+    Catalyst's optimized-plan size estimate is under the threshold;
+    above it, return the frame un-hinted so AQE can still pick a
+    broadcast join at runtime if the ACTUAL post-filter size allows.
+
+    The estimate comes from the optimized logical plan's statistics
+    (file sizes × compression factor, scaled by column pruning), so a
+    projected dim is judged by what the join would actually ship.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(stats.sizeInBytes())  # py4j converts scala BigInt → int
+    except Exception:  # no estimate (e.g. streaming source) → no hint
+        return df
+    return F.broadcast(df) if size <= threshold_bytes else df
+
+
 def enrich(
     fact: DataFrame,
     dim: DataFrame,
@@ -29,13 +59,16 @@ def enrich(
     how: str = "left",
     broadcast_dim: bool = True,
 ) -> DataFrame:
-    """Fact⋈dim enrichment join; broadcasts the dimension by default.
+    """Fact⋈dim enrichment join; size-aware broadcast of the dimension
+    by default.
 
     Reference pattern J3/J7: left-outer enrichment keeping all fact rows
     (rucio_ds_summary.py:142-246) with an explicit broadcast for small
-    dims (rucio_datasets_monitoring.py:191).
+    dims (rucio_datasets_monitoring.py:191) — made size-aware here so a
+    dim that grows past the threshold falls through to AQE instead of
+    forcing an OOM-prone broadcast.
     """
-    d = F.broadcast(dim) if broadcast_dim else dim
+    d = broadcast_if_small(dim) if broadcast_dim else dim
     return fact.join(d, on=on, how=how)
 
 

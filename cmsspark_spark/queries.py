@@ -124,9 +124,10 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15"))
     )
+    # customer grows with SF: size-aware hint, not a forced broadcast
     joined = li.join(
         o, li.l_orderkey == o.o_orderkey
-    ).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    ).join(J.broadcast_if_small(c), o.o_custkey == c.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"
@@ -168,7 +169,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = c.join(F.broadcast(dims), c.c_nationkey == dims.n_nationkey)
     ord_c = o.join(cust, o.o_custkey == cust.c_custkey)
-    li_s = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    # supplier grows with SF: size-aware hint (nation/region above are
+    # spec-fixed at 25/5 rows, so their unconditional hints are safe)
+    li_s = li.join(J.broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
     joined = li_s.join(ord_c, li_s.l_orderkey == ord_c.o_orderkey).filter(
         F.col("s_nationkey") == F.col("c_nationkey")
     )
@@ -859,9 +862,12 @@ def cms_popularity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cmsspark_spark.functions.cms import split_dataset_col
 
     _, _, tier = split_dataset_col("dataset")
+    # part (dataset catalog analog) and supplier grow with SF — the
+    # forced broadcast that was here OOMs at 100×; the size-aware hint
+    # falls through to AQE above the threshold. nation is spec-fixed.
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(J.broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(J.broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
     return joined.groupBy(
@@ -946,6 +952,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
     )
+
+
+def _lsh_verified_oracle_sql(
+    num_hashes: int = 8, rows_per_band: int = 2, threshold: float = 0.5
+) -> str:
+    """Oracle twin of the LSH→verify composition: the minhash-LSH
+    candidate CTEs (same permutation constants as the Spark plan)
+    feeding an exact-Jaccard verification restricted to candidates."""
+    from cmsspark_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b_}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b_) in enumerate(params)
+    )
+    nbands = num_hashes // rows_per_band
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, array_to_string(list_sort([{cols}]), '|') AS band_sig FROM sigs".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for b in range(nbands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+    based AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483648 AS b
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, {mins}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(nc / (sa.n + sb.n - nc), 4) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+    WHERE nc / (sa.n + sb.n - nc) >= {threshold}
+    """
+
+
+@query("dedup_lsh_verified", _lsh_verified_oracle_sql())
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale dedup path (round-1 verdict #5): MinHash-LSH candidate
+    generation (bucket join on (band, signature) — never all-pairs)
+    composed with candidate-pruned exact n-gram Jaccard verification
+    (work linear in Σ|shingles(candidate docs)|). This is the
+    composition a 100 TB corpus runs; exact all-pairs Jaccard
+    (dedup_ngram_jaccard) stays registered as the sf0.01 oracle twin
+    of the verifier only."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 @query(

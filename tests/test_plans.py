@@ -154,3 +154,38 @@ def test_minhash_signatures_zero_shuffle(spark):
     sig = minhash_signatures_wide(df, "doc_id", "text", n=3, num_hashes=8)
     assert plans.count_exchanges(sig) == 0
     assert sig.count() == df.count()  # shingles() never drops a doc
+
+
+def test_broadcast_if_small_hints_under_threshold(spark):
+    """Size-aware policy (round-1 verdict #4): a small dim still gets
+    the hint and plans a BroadcastHashJoin at test scale."""
+    from cmsspark_spark.operators.joins import broadcast_if_small
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(
+            broadcast_if_small(s), li.l_suppkey == s.s_suppkey
+        )
+        # the hint (not auto-broadcast — it's disabled) drives the plan
+        assert plans.count_nodes(joined, "BroadcastHashJoin") == 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_broadcast_if_small_withholds_above_threshold(spark):
+    """A dim whose size estimate exceeds the threshold gets NO hint —
+    the forced-broadcast OOM path at 100× SF is structurally closed."""
+    from cmsspark_spark.operators.joins import broadcast_if_small
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    hinted = broadcast_if_small(s, threshold_bytes=1)
+    assert "hint" not in hinted._jdf.queryExecution().logical().toString().lower()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(hinted, li.l_suppkey == s.s_suppkey)
+        assert plans.count_nodes(joined, "BroadcastHashJoin") == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
