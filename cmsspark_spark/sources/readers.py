@@ -68,6 +68,20 @@ class SourceSpec:
         return out
 
 
+def spark_avro_available(spark: SparkSession) -> bool:
+    """True when ``spark.read.format("avro")`` works natively — asks
+    the DataSource registry itself (some avro *classes* are on the
+    classpath even without the spark-avro module registered, so a
+    Class.forName probe false-positives)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
 def read_source(
     spark: SparkSession,
     spec: SourceSpec,
@@ -93,6 +107,14 @@ def read_source(
                 f"source {spec.name}: no files for range and no fallback schema"
             )
         df = spark.createDataFrame([], spec.schema)
+    elif spec.fmt == "avro" and not spark_avro_available(spark):
+        # No spark-avro module jar in this deployment: decode with the
+        # vendored pure-Python Avro codec, distributed via binaryFile +
+        # mapInPandas (sources/avro_io.py). Same schema/flatten/register
+        # semantics as the native path.
+        from cmsspark_spark.sources.avro_io import read_avro
+
+        df = read_avro(spark, paths, schema=spec.schema)
     else:
         reader = spark.read.format(spec.fmt)
         opts = {**_FORMAT_DEFAULTS.get(spec.fmt, {}), **spec.options}

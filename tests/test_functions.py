@@ -123,22 +123,15 @@ def test_topandas_arrow_export(spark):
     assert len(pdf) == 5 and set(pdf.columns) == {"n_regionkey", "count"}
 
 
-def test_avro_reader_gate(spark, tmp_path):
-    """S3 Avro scan: the spark-avro module is not deployed in this
-    container; the source registry surfaces a clear error instead of a
-    py4j stack, and works transparently where the module exists."""
+def test_avro_corrupt_file_raises(spark, tmp_path):
+    """S3 Avro scan is now a working path (tests/test_avro.py); a
+    truncated container must still fail loudly, not decode garbage."""
     from cmsspark_spark.sources.readers import SourceSpec, read_source
 
     spec = SourceSpec(name="t_avro", fmt="avro", path_template=str(tmp_path) + "/x.avro")
-    (tmp_path / "x.avro").write_bytes(b"Obj\x01")
-    try:
+    (tmp_path / "x.avro").write_bytes(b"Obj\x01")  # magic only, no metadata
+    with pytest.raises(Exception):
         read_source(spark, spec, register=False).collect()
-        has_avro = True
-    except Exception as ex:
-        has_avro = False
-        assert "avro" in str(ex).lower()
-    if has_avro:  # pragma: no cover - depends on deployment
-        pytest.skip("spark-avro deployed; gate not exercised")
 
 
 def test_pii_redact_crafted_strings(spark):
