@@ -11,6 +11,9 @@ and composes the engine's operators. Reference pipelines replicated:
 4. ``hpc_core_hours_daily``    — hpc_running_cores_and_corehr.py:155-227
 5. ``phedex_leftovers``        — reports/aggregate_leftovers.py:100-146
 6. ``event_count_tier_month``  — dbs_event_count_plot.py:152-210
+7. ``wmarchive_step_metrics``  — wmarchive.py:108-154
+8. ``crab_unique_users``       — condor_crab_unique_users.py:55-95
+9. ``aso_fts_stats``           — aso_stats.py:55-101
 """
 
 from __future__ import annotations
@@ -196,6 +199,121 @@ def phedex_leftovers(phedex: DataFrame, datasets: DataFrame) -> DataFrame:
     return leftover.groupBy("node").agg(
         F.countDistinct("dataset").alias("n_leftover_datasets"),
         F.round(F.sum("bytes") / 1e12, 4).alias("leftover_tb"),
+    )
+
+
+def wmarchive_step_metrics(reports: DataFrame) -> DataFrame:
+    """Per-report metrics of the FIRST cmsRun* step (wmarchive.py:
+    108-154). The reference RDD-maps a Python ``getdata`` over parsed
+    Avro records, breaking at the first step whose name starts with
+    'cmsrun'; here it is a pure array expression — ``element_at(
+    filter(steps, …), 1)`` — so the extraction is a narrow map that
+    stays JVM-side (no RDD, no Python worker). Records without a
+    cmsRun step keep null metrics, like the reference's dict that
+    simply lacks those keys."""
+    # try_element_at: records with no cmsRun step yield null, not an
+    # ANSI INVALID_ARRAY_INDEX error.
+    first_cms = F.try_element_at(
+        F.filter(
+            "steps", lambda s: F.lower(s["name"]).startswith("cmsrun")
+        ),
+        F.lit(1),
+    )
+    return reports.select("wmaid", "task", first_cms.alias("st")).select(
+        "wmaid",
+        "task",
+        F.col("st.site").alias("site"),
+        F.col("st.jobCPU").alias("job_cpu"),
+        F.col("st.jobTime").alias("job_time"),
+        F.col("st.threads").alias("nthreads"),
+    )
+
+
+def crab_unique_users(
+    condor: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    by: str = "weekofyear",
+    include_re: str = "^T2_.*$",
+    exclude_re: str = ".*_CERN.*",
+) -> DataFrame:
+    """Unique CRAB users per (year, week-of-year | month)
+    (condor_crab_unique_users.py:55-95): flatten the ``data``
+    envelope, keep Completed analysis jobs on included sites inside
+    the [start, end) RecordTime window (milliseconds, as in the
+    source), dedup retried GlobalJobIds, countDistinct CRAB_UserHN."""
+    if by not in ("weekofyear", "month"):
+        raise ValueError("by must be 'weekofyear' or 'month'")
+    flat = condor.select("data.*").filter(
+        (F.col("Status") == "Completed")
+        & (F.col("Type") == "analysis")
+        & F.col("Site").rlike(include_re)
+        & ~F.col("Site").rlike(exclude_re)
+        & (F.col("RecordTime") >= start_ms)
+        & (F.col("RecordTime") < end_ms)
+    )
+    rd = F.timestamp_seconds(F.col("RecordTime") / 1000)
+    bucket = F.weekofyear(rd) if by == "weekofyear" else F.month(rd)
+    return (
+        flat.dropDuplicates(["GlobalJobId"])
+        .groupBy(F.year(rd).alias("year"), bucket.alias(by))
+        .agg(F.countDistinct("CRAB_UserHN").alias("n_users"))
+    )
+
+
+def aso_fts_stats(fts: DataFrame, aso: DataFrame) -> DataFrame:
+    """ASO↔FTS transfer latency stats (aso_stats.py:55-101): ASO-issued
+    FTS transfers left-joined to ASO transfer rows on (filename,
+    job_id), then per (job_id, state, publish, retry_count) record
+    counts and mean durations/delays. The reference's two
+    ``split("/")[-1]`` Python UDFs become ``substring_index`` column
+    expressions (codegen, no Python workers); its ms→s scalings are
+    kept verbatim."""
+    f = (
+        fts.select(
+            F.col("job_metadata.issuer").alias("issuer"),
+            "job_id",
+            "src_url",
+            "t_final_transfer_state",
+            "tr_timestamp_start",
+            "tr_timestamp_complete",
+        )
+        .filter(F.col("issuer") == "ASO")
+        .withColumn("filename", F.substring_index("src_url", "/", -1))
+        .withColumn(
+            "fts_duration",
+            (F.col("tr_timestamp_complete") - F.col("tr_timestamp_start")) / 1000.0,
+        )
+    )
+    a = (
+        aso.select(
+            "tm_source_lfn",
+            F.col("tm_fts_id").alias("job_id"),
+            "tm_last_update",
+            "tm_start_time",
+            "tm_transfer_state",
+            "tm_transfer_retry_count",
+            "tm_publish",
+        )
+        .withColumn("filename", F.substring_index("tm_source_lfn", "/", -1))
+        .filter(F.col("tm_transfer_state").isin(2, 3))
+        .filter(F.col("job_id").isNotNull())
+    )
+    joined = f.join(a, on=["filename", "job_id"], how="left_outer")
+    return joined.groupBy(
+        "job_id", "tm_transfer_state", "tm_publish", "tm_transfer_retry_count"
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.round(F.avg(F.col("tm_last_update") - F.col("tm_start_time")), 4).alias(
+            "aso_duration"
+        ),
+        F.round(
+            F.avg(F.col("tr_timestamp_start") / 1000.0 - F.col("tm_start_time")), 4
+        ).alias("aso_delay_start"),
+        F.round(
+            F.avg(F.col("tm_last_update") - F.col("tr_timestamp_complete") / 1000.0), 4
+        ).alias("aso_delay"),
+        F.round(F.avg("fts_duration"), 4).alias("fts_duration"),
     )
 
 

@@ -246,11 +246,15 @@ def access_events_df(spark: SparkSession) -> DataFrame:
 
 
 def wma_reports_df(spark: SparkSession) -> DataFrame:
+    """Step arrays are adversarial for first-cmsRun extraction: i%3==1
+    records have NO cmsRun step, i%3==2 have it at position 2 (not
+    first), and every 5th record has a SECOND cmsRun step whose metrics
+    must lose to the first match (the reference breaks at the first)."""
     rows = []
     for i in range(N_WMA):
         steps = []
         for sidx in range((i % 3) + 1):
-            name = ["cmsRun1", "stageOut1", "logArch1"][sidx % 3]
+            name = ["cmsRun1", "stageOut1", "logArch1"][(sidx + i) % 3]
             steps.append(
                 (
                     name,
@@ -260,11 +264,94 @@ def wma_reports_df(spark: SparkSession) -> DataFrame:
                     (i % 4) + 1,                   # threads
                 )
             )
+        if i % 5 == 0:
+            steps.append(("cmsRun2", _site(i + 9), 999.0, 999.0, 9))
         rows.append((f"wma_{i:06d}", f"task_{i % 25}", steps, float(DAY0 + (i % 7) * 86400)))
     schema = (
         "wmaid: string, task: string, steps: array<struct<name: string, "
         "site: string, jobCPU: double, jobTime: double, threads: int>>, "
         "meta_ts: double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+N_CRAB = 1500
+N_FTS = 1200
+N_ASO = 900
+MS0 = DAY0 * 1000
+
+
+def crab_condor_df(spark: SparkSession) -> DataFrame:
+    """CRAB-subset condor records (condor_crab_unique_users.py schema):
+    RecordTime in MILLISECONDS like the monitoring source; every 3rd
+    row is a retry sharing a GlobalJobId; sites span T1/T2 incl.
+    _CERN (excluded by the default regex)."""
+    rows = []
+    for i in range(N_CRAB):
+        rows.append(
+            (
+                (
+                    f"crab_{i // 3}#{i % 3}",
+                    MS0 + (i % 42) * 86400_000 + (i % 3600) * 1000,
+                    f"crabuser{(i * 7) % 37}",
+                    "Completed" if i % 5 else "Removed",
+                    _site(i * 11),
+                    "analysis" if i % 4 else "production",
+                ),
+            )
+        )
+    schema = (
+        "data: struct<GlobalJobId: string, RecordTime: long, "
+        "CRAB_UserHN: string, Status: string, Site: string, Type: string>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def fts_df(spark: SparkSession) -> DataFrame:
+    """FTS transfer records (aso_stats.py fts_tables shape): nested
+    job_metadata.issuer envelope; 1 in 5 transfers is non-ASO."""
+    rows = []
+    for i in range(N_FTS):
+        start = MS0 + i * 60_000
+        rows.append(
+            (
+                ("ASO" if i % 5 else "other",),
+                f"fts_{i % 120}",
+                f"srm://se.example/store/user/f_{i % 600}.root",
+                "FINISHED" if i % 7 else "FAILED",
+                float(start),
+                float(start + (i % 300) * 1000),
+            )
+        )
+    schema = (
+        "job_metadata: struct<issuer: string>, job_id: string, "
+        "src_url: string, t_final_transfer_state: string, "
+        "tr_timestamp_start: double, tr_timestamp_complete: double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def aso_df(spark: SparkSession) -> DataFrame:
+    """ASO transfer rows keyed (filename, tm_fts_id); states 1/2/3 with
+    nulls — only 2 and 3 survive the replica's filter."""
+    rows = []
+    for i in range(N_ASO):
+        start = DAY0 + i * 60
+        rows.append(
+            (
+                f"/store/user/f_{i % 600}.root",
+                None if i % 13 == 0 else f"fts_{i % 120}",
+                None if i % 11 == 0 else (i % 3) + 1,
+                float(start),
+                float(start + (i % 500)),
+                i % 4,      # retry count
+                i % 2,      # publish flag
+            )
+        )
+    schema = (
+        "tm_source_lfn: string, tm_fts_id: string, tm_transfer_state: int, "
+        "tm_start_time: double, tm_last_update: double, "
+        "tm_transfer_retry_count: int, tm_publish: int"
     )
     return spark.createDataFrame(rows, schema)
 
@@ -305,4 +392,7 @@ def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
         "access_events": access_events_df(spark),
         "wma_reports": wma_reports_df(spark),
         "phedex_replicas": phedex_df(spark),
+        "crab_condor": crab_condor_df(spark),
+        "fts_transfers": fts_df(spark),
+        "aso_transfers": aso_df(spark),
     }

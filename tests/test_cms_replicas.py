@@ -5,6 +5,7 @@ computations over the SAME fixture rows (uploaded via Arrow)."""
 from __future__ import annotations
 
 import duckdb
+import pyspark.sql.functions as F
 import pytest
 
 from cmsspark_spark.jobs import cms_replicas as R
@@ -31,8 +32,14 @@ def duck_fx(fx):
     con.close()
 
 
+def _nullsafe_key(row):
+    return tuple((v is None, v) for v in row)
+
+
 def _rows(df, *cols):
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()), key=_nullsafe_key
+    )
 
 
 def test_dataset_popularity(fx, duck_fx):
@@ -189,3 +196,114 @@ def test_event_count_tier_month_union(fx, duck_fx):
         """
     ).fetchall()
     assert _rows(got, "month", "key", "n_events") == sorted(tuple(r) for r in expect)
+
+
+def test_wmarchive_step_metrics(fx):
+    """First-cmsRun extraction vs an independent Python replica of the
+    reference's getdata loop (wmarchive.py:118-142): records without a
+    cmsRun step keep null metrics; a later cmsRun2 must lose to the
+    first match."""
+    got = {
+        r.wmaid: (r.task, r.site, r.job_cpu, r.job_time, r.nthreads)
+        for r in R.wmarchive_step_metrics(fx["wma_reports"]).collect()
+    }
+    rows = fx["wma_reports"].collect()
+    assert len(got) == len(rows)
+    n_missing = n_shadowed = 0
+    for rec in rows:
+        first = next(
+            (s for s in rec.steps if s.name.lower().startswith("cmsrun")), None
+        )
+        if first is None:
+            exp = (rec.task, None, None, None, None)
+            n_missing += 1
+        else:
+            exp = (rec.task, first.site, first.jobCPU, first.jobTime, first.threads)
+            if first.name != "cmsRun2" and any(
+                s.name == "cmsRun2" for s in rec.steps
+            ):
+                n_shadowed += 1
+                # a later cmsRun2 (threads=9) must lose to the first match
+                assert got[rec.wmaid][4] != 9, rec.wmaid
+        assert got[rec.wmaid] == exp, rec.wmaid
+    # the fixture really exercises both adversarial branches
+    assert n_missing > 50 and n_shadowed > 50
+
+
+def test_crab_unique_users(fx, duck_fx):
+    """Unique users by (year, ISO week) vs a DuckDB twin — retries share
+    a GlobalJobId and must collapse before the distinct count
+    (condor_crab_unique_users.py:68-95)."""
+    from tests.cms_fixtures import MS0
+
+    start, end = MS0 + 7 * 86400_000, MS0 + 35 * 86400_000
+    duck_fx.register(
+        "crab_flat", fx["crab_condor"].select("data.*").toPandas()
+    )
+    got = R.crab_unique_users(fx["crab_condor"], start, end, by="weekofyear")
+    expect = duck_fx.execute(
+        f"""
+        WITH f AS (
+          SELECT DISTINCT GlobalJobId, CRAB_UserHN,
+                 year(to_timestamp(RecordTime / 1000)) AS y,
+                 weekofyear(to_timestamp(RecordTime / 1000)) AS w
+          FROM crab_flat
+          WHERE Status = 'Completed' AND Type = 'analysis'
+            AND regexp_matches(Site, '^T2_.*$')
+            AND NOT regexp_matches(Site, '.*_CERN.*')
+            AND RecordTime >= {start} AND RecordTime < {end}
+        )
+        SELECT y, w, count(DISTINCT CRAB_UserHN) FROM f GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert _rows(got, "year", "weekofyear", "n_users") == sorted(
+        tuple(r) for r in expect
+    )
+    assert got.count() > 1  # window spans several ISO weeks
+
+
+def test_aso_fts_stats(fx, duck_fx):
+    """FTS⋈ASO latency stats vs a DuckDB twin (aso_stats.py:69-91):
+    non-ASO issuers dropped, states outside (2,3) dropped, unmatched
+    FTS rows survive the left join with null ASO metrics."""
+    duck_fx.register(
+        "fts_flat",
+        fx["fts_transfers"].select(
+            F.col("job_metadata.issuer").alias("issuer"),
+            "job_id", "src_url", "tr_timestamp_start", "tr_timestamp_complete",
+        ).toPandas(),
+    )
+    duck_fx.register("aso_t", fx["aso_transfers"].toPandas())
+    got = R.aso_fts_stats(fx["fts_transfers"], fx["aso_transfers"])
+    expect = duck_fx.execute(
+        """
+        WITH f AS (
+          SELECT job_id, string_split(src_url, '/')[-1] AS filename,
+                 tr_timestamp_start, tr_timestamp_complete,
+                 (tr_timestamp_complete - tr_timestamp_start) / 1000.0 AS fts_duration
+          FROM fts_flat WHERE issuer = 'ASO'
+        ),
+        a AS (
+          SELECT string_split(tm_source_lfn, '/')[-1] AS filename,
+                 tm_fts_id AS job_id, tm_last_update, tm_start_time,
+                 tm_transfer_state, tm_transfer_retry_count, tm_publish
+          FROM aso_t
+          WHERE tm_transfer_state IN (2, 3) AND tm_fts_id IS NOT NULL
+        )
+        SELECT f.job_id, tm_transfer_state, tm_publish, tm_transfer_retry_count,
+               count(*),
+               round(avg(tm_last_update - tm_start_time), 4),
+               round(avg(tr_timestamp_start / 1000.0 - tm_start_time), 4),
+               round(avg(tm_last_update - tr_timestamp_complete / 1000.0), 4),
+               round(avg(fts_duration), 4)
+        FROM f LEFT JOIN a USING (filename, job_id)
+        GROUP BY 1, 2, 3, 4
+        """
+    ).fetchall()
+    assert _rows(
+        got, "job_id", "tm_transfer_state", "tm_publish",
+        "tm_transfer_retry_count", "n_records", "aso_duration",
+        "aso_delay_start", "aso_delay", "fts_duration",
+    ) == sorted((tuple(r) for r in expect), key=_nullsafe_key)
+    # left-outer: unmatched FTS rows present with null ASO state
+    assert got.filter(F.col("tm_transfer_state").isNull()).count() > 0
