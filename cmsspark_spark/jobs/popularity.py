@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cmsspark_spark import sinks
+from cmsspark_spark.sinks import report
 from cmsspark_spark.queries import cms_popularity_spine
 from cmsspark_spark.session import get_spark
 
@@ -33,6 +34,15 @@ def run(spark: SparkSession, sf_dir: str, out: str, date: str) -> DataFrame:
     sinks.write_partitioned_parquet(df, f"{out}/parquet", partition_by=("day",))
     # Human-facing CSV report (K1).
     sinks.write_csv(df, f"{out}/csv/{date}")
+    # Driver-side report mile (K7): CSV + HTML table page of the
+    # aggregated result (condor_cpu_efficiency.py:398-445's shape).
+    report.write_report(
+        df,
+        f"{out}/report",
+        name=f"popularity_{date}",
+        title="Dataset popularity",
+        subtitle=f"run date {date}",
+    )
     return df
 
 

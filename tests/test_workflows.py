@@ -30,6 +30,14 @@ def test_popularity_job_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/parquet").select("day").distinct().collect()
     }
     assert days == {"2024-06-01", "2024-06-02"}
+    # K7 driver-side report artifacts (CSV + HTML page) per run date
+    import csv as _csv
+
+    with open(f"{out}/report/popularity_2024-06-01.csv") as fh:
+        rows = list(_csv.DictReader(fh))
+    assert len(rows) == df.count()
+    html = open(f"{out}/report/popularity_2024-06-01.html").read()
+    assert 'table id="dataframe"' in html and "Dataset popularity" in html
 
 
 def test_incremental_recompute_touches_only_window(spark, tmp_path):
