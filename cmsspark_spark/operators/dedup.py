@@ -354,3 +354,65 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair graph by min-label propagation.
+
+    LSH/Jaccard emit PAIRS; a dedup pipeline needs GROUPS (keep one
+    survivor per component, drop the rest). Each node starts labeled
+    with its own id; every round each node takes the min of its label
+    and its neighbors' labels; at fixpoint the label is the component's
+    minimum member id — the canonical survivor.
+
+    Scale design: one shuffle per round (edge ⋈ label hash join +
+    min-aggregate), rounds = O(component diameter) — near-dup clusters
+    are shallow (stars/cliques around a template), so 3-5 rounds in
+    practice. Lineage is truncated every round with an eager
+    ``localCheckpoint`` (on a cluster: ``checkpoint`` to HDFS), the
+    standard Spark idiom for iterative graph algorithms; the
+    convergence probe is a 1-row aggregate, not a collect of the data.
+
+    Returns (node, component) for every node appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().withColumn("component", F.col("src"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("src", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = labels.join(nbr, on="src", how="left").select(
+            "src",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("new_component"),
+        )
+        probe = (
+            new_labels.join(labels, on="src")
+            .agg(
+                F.sum(
+                    (F.col("new_component") != F.col("component")).cast("int")
+                ).alias("changed")
+            )
+            .collect()[0]
+        )
+        labels = new_labels.withColumnRenamed(
+            "new_component", "component"
+        ).localCheckpoint(eager=True)
+        if not probe["changed"]:
+            return labels.select(F.col("src").alias("node"), "component")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )

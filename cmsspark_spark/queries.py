@@ -2045,3 +2045,165 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.octet_length("text")), 4).alias("avg_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: dedup clustering, daily-fold stats, quality funnel
+# ---------------------------------------------------------------------------
+
+
+def _components_oracle_sql() -> str:
+    """Recursive-CTE oracle for duplicate clustering: transitive closure
+    over the LSH-verified pair graph, component = min reachable id."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_verified_oracle_sql()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
+@query("dedup_cluster_components", _components_oracle_sql())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: LSH-verified pairs → connected
+    components by min-label propagation (operators/dedup.py). The
+    component label is the minimum member doc_id — the canonical
+    survivor a dedup pipeline keeps. The oracle is a DuckDB recursive
+    CTE computing the same transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "phedex_daily_fold",
+    """
+    WITH daily AS (
+      SELECT event_type, user_id % 10 AS cohort, CAST(ts AS DATE) AS d,
+             round(sum(value), 6) AS total
+      FROM events GROUP BY 1, 2, 3
+    ),
+    marked AS (
+      SELECT *, max(d) OVER (PARTITION BY event_type, cohort) AS maxd
+      FROM daily
+    )
+    SELECT event_type, cohort,
+           count(*) AS days,
+           CAST(min(d) AS VARCHAR) AS min_date,
+           CAST(max(d) AS VARCHAR) AS max_date,
+           round(max(total), 4) AS max_daily,
+           round(max(CASE WHEN d = maxd THEN total END), 4) AS last_daily,
+           round(coalesce(avg(CASE WHEN d <> maxd THEN total END),
+                          max(total)), 4) AS ave_daily
+    FROM marked GROUP BY 1, 2
+    """,
+)
+def phedex_daily_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-snapshot fold stats, the mergePhedex pattern
+    (/root/reference/src/Go/mergePhedex.go:152-325) on the events
+    table: per (group, day) totals folded to min/max date, day count,
+    max daily total, last-day total, and the average of daily totals
+    EXCLUDING the newest day (the Go merger's ave_size intent). Two
+    shuffles total (daily agg; regroup) — the window max rides the
+    second. Daily totals are rounded to 6 before the comparisons/avg
+    so FP summation order can't flip the round-4 outputs."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    w = Window.partitionBy("event_type", "cohort")
+    marked = daily.withColumn("maxd", F.max("d").over(w))
+    return marked.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("max_date"),
+        F.round(F.max("total"), 4).alias("max_daily"),
+        F.round(
+            F.max(F.when(F.col("d") == F.col("maxd"), F.col("total"))), 4
+        ).alias("last_daily"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(F.col("d") != F.col("maxd"), F.col("total"))),
+                F.max("total"),
+            ),
+            4,
+        ).alias("ave_daily"),
+    )
+
+
+@query(
+    "quality_gate_funnel",
+    r"""
+    WITH g AS (
+      SELECT source,
+             (n_chars BETWEEN 100 AND 20000) AS pass_len,
+             len(regexp_split_to_array(trim(text), '\s+')) >= 20 AS pass_words,
+             length(regexp_replace(text, '\s+', '', 'g'))
+               / len(regexp_split_to_array(trim(text), '\s+'))
+               BETWEEN 3 AND 12 AS pass_wordlen,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+               / length(text) >= 0.6 AS pass_alpha
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN pass_len THEN 1 ELSE 0 END)::BIGINT AS n_pass_len,
+           sum(CASE WHEN pass_words THEN 1 ELSE 0 END)::BIGINT AS n_pass_words,
+           sum(CASE WHEN pass_wordlen THEN 1 ELSE 0 END)::BIGINT AS n_pass_wordlen,
+           sum(CASE WHEN pass_alpha THEN 1 ELSE 0 END)::BIGINT AS n_pass_alpha,
+           sum(CASE WHEN pass_len AND pass_words AND pass_wordlen
+                         AND pass_alpha THEN 1 ELSE 0 END)::BIGINT AS n_pass_all
+    FROM g GROUP BY source
+    """,
+)
+def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-filter funnel audit: per source, how many
+    docs survive each structural gate (length band, min word count,
+    mean word length band, alphanumeric ratio) and all gates together.
+    Every gate is integer/exact arithmetic on both engines, so the
+    funnel is hash-stable; all gates evaluate in the scan stage — one
+    shuffle for the final per-source rollup."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+    g = d.select(
+        "source",
+        F.col("n_chars").between(100, 20000).alias("pass_len"),
+        (n_words >= 20).alias("pass_words"),
+        (nonspace / n_words).between(3, 12).alias("pass_wordlen"),
+        ((alnum / F.length("text")) >= 0.6).alias("pass_alpha"),
+    )
+    as_int = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_int("pass_len").alias("n_pass_len"),
+        as_int("pass_words").alias("n_pass_words"),
+        as_int("pass_wordlen").alias("n_pass_wordlen"),
+        as_int("pass_alpha").alias("n_pass_alpha"),
+        F.sum(
+            F.when(
+                F.col("pass_len")
+                & F.col("pass_words")
+                & F.col("pass_wordlen")
+                & F.col("pass_alpha"),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass_all"),
+    )

@@ -141,3 +141,39 @@ def test_jaccard_with_candidates_filters(spark):
     rows = out.collect()
     assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
     assert abs(rows[0].jaccard - 1.0) < 1e-9
+
+
+def test_connected_components_chain_and_star(spark):
+    """A 4-node chain and a 3-node star must each collapse to one
+    component labeled by the min member; an isolated pair stays its
+    own component."""
+    from cmsspark_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4; star 10-(11,12); pair 20-21
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (21, 20)],
+        "id_a: long, id_b: long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+    assert got == want
+
+
+def test_connected_components_idempotent_on_clique(spark):
+    """Already-minimal labels (a clique) converge in one probe round."""
+    from cmsspark_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a: long, id_b: long"
+    )
+    rows = connected_components(pairs, max_iters=3).collect()
+    assert {(r["node"], r["component"]) for r in rows} == {
+        (1, 1), (2, 1), (3, 1)
+    }
