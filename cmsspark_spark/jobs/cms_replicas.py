@@ -14,12 +14,16 @@ and composes the engine's operators. Reference pipelines replicated:
 7. ``wmarchive_step_metrics``  — wmarchive.py:108-154
 8. ``crab_unique_users``       — condor_crab_unique_users.py:55-95
 9. ``aso_fts_stats``           — aso_stats.py:55-101
+10. ``hs06_core_hours``        — condor_hs06coreHrPlot.py:54-93
+11. ``dbs_block_file_match``   — dbs_lfn.py:40-55
+12. ``dbs_block_lumis``        — dbs_block_lumis.py:41-60
+13. ``phedex_merge``           — src/Go/mergePhedex.go:152-325
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from cmsspark_spark.functions.cms import (
     clean_site_name,
@@ -337,3 +341,144 @@ def event_count_tier_month(files: DataFrame, datasets: DataFrame) -> DataFrame:
         F.concat_ws("/", "tier", F.split("procds", "-").getItem(0)).alias("key"),
     ).agg(F.sum("event_count").alias("n_events"))
     return by_tier.union(by_tier_skim).distinct()
+
+
+def hs06_core_hours(
+    condor: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    by: str = "month",
+    include_re: str = "^T2_.*$",
+    exclude_re: str = ".*_CERN.*",
+) -> DataFrame:
+    """HS06-normalized CPU hours by (year, month | ISO week)
+    (condor_hs06coreHrPlot.py:54-93): flatten the ``data`` envelope,
+    keep Completed jobs on included sites in the [start, end)
+    RecordTime window, collapse retried GlobalJobIds, sum
+    HS06CpuTimeHr (nulls skip, as in the reference's agg)."""
+    if by not in ("month", "weekofyear"):
+        raise ValueError("by must be 'month' or 'weekofyear'")
+    flat = condor.select("data.*").filter(
+        (F.col("Status") == "Completed")
+        & F.col("Site").rlike(include_re)
+        & ~F.col("Site").rlike(exclude_re)
+        & (F.col("RecordTime") >= start_ms)
+        & (F.col("RecordTime") < end_ms)
+    )
+    rd = F.timestamp_seconds(F.col("RecordTime") / 1000)
+    bucket = F.month(rd) if by == "month" else F.weekofyear(rd)
+    return (
+        flat.dropDuplicates(["GlobalJobId"])
+        .groupBy(F.year(rd).alias("year"), bucket.alias(by))
+        .agg(F.round(F.sum("HS06CpuTimeHr"), 4).alias("hs06_cpu_hr"))
+    )
+
+
+def dbs_block_file_match(
+    blocks: DataFrame, files: DataFrame, pattern: str
+) -> DataFrame:
+    """Block↔file lookup by LFN pattern (dbs_lfn.py:40-55): the
+    reference persists the full block⋈file join, then filters LIKE.
+    Declared filter-then-join instead: the LIKE predicate pushes to
+    the file scan, and the block side is a size-aware broadcast — at
+    catalog scale the join never shuffles the (pre-filtered, tiny)
+    file side."""
+    f = files.select("block_id", "logical_file_name").filter(
+        F.col("logical_file_name").like(pattern)
+    )
+    b = blocks.select("block_id", "block_name")
+    return f.join(broadcast_if_small(b), on="block_id").select(
+        "block_name", "logical_file_name"
+    )
+
+
+def dbs_block_lumis(
+    blocks: DataFrame, files: DataFrame, file_lumis: DataFrame
+) -> DataFrame:
+    """Lumi-section count per block (dbs_block_lumis.py:41-60):
+    blocks ⋈ files ⋈ file_lumis, count lumi rows per block name.
+    The fact-fact join (files⋈file_lumis) shuffles on file_id; the
+    block dim rides along as a size-aware broadcast. Files without
+    lumi rows drop out via the inner join, as in the reference SQL."""
+    fl = file_lumis.select(
+        F.col("fl_file_id").alias("file_id"), "fl_lumi_section_num"
+    )
+    j = (
+        files.select("file_id", "block_id")
+        .join(fl, on="file_id")
+        .join(broadcast_if_small(blocks.select("block_id", "block_name")), on="block_id")
+    )
+    return j.groupBy("block_name").agg(
+        F.count("fl_lumi_section_num").alias("nlumis")
+    )
+
+
+def phedex_merge(daily: DataFrame) -> DataFrame:
+    """Declarative twin of the Go PhEDEx snapshot merger
+    (src/Go/mergePhedex.go:152-325): fold one row per (day, replica)
+    into per-(site, dataset, rdate, gid) lifetime stats.
+
+    - gid reconciliation (mergePhedex.go:263-291): null gid → -1;
+      rows adopt the group's valid gid when one exists anywhere in
+      the stream. The Go map does this order-dependently; here every
+      row takes ``max(gid) over (site, dataset, rdate)``, the
+      order-free equivalent when a key carries at most one valid gid
+      (production data does: gid identifies the subscription group).
+    - daily totals, min/max date, day count, max daily size.
+    - ``ave_size`` reproduces the merger's running integer average
+      (mergePhedex.go:300-317) exactly: processed in date order, the
+      average folds in each COMPLETED day on the next day's arrival,
+      so the newest day never contributes; with a single day the
+      daily total stands in (the Go value is its first parsed record
+      — a read-order artifact a declarative engine shouldn't copy).
+
+    One shuffle to daily totals, one to the per-key arrays; the fold
+    is a row-local Catalyst ``aggregate`` over the date-sorted array
+    (bounded: one element per day of replica lifetime).
+    """
+    gid_eff = F.coalesce(
+        F.max("gid").over(Window.partitionBy("site", "dataset", "rdate")),
+        F.lit(-1),
+    )
+    day_tot = (
+        daily.withColumn("gid", gid_eff)
+        .groupBy("site", "dataset", "rdate", "gid", "date")
+        .agg(F.sum("size").alias("total"))
+    )
+    per_key = day_tot.groupBy("site", "dataset", "rdate", "gid").agg(
+        F.sort_array(F.collect_list(F.struct("date", "total"))).alias("dt")
+    )
+    # Go fold: after consuming j completed days, folding day j+1:
+    #   j=0 → ave = T1;  j≥1 → ave = (ave*(j+1) + T_{j+1}) div (j+2)
+    # (mergePhedex.go:300-308, integer division; totals are positive
+    # so floor == the Go truncation)
+    folded = F.aggregate(
+        F.expr("slice(dt, 1, size(dt) - 1)"),
+        F.struct(
+            F.lit(0).cast("long").alias("ave"), F.lit(0).cast("long").alias("j")
+        ),
+        lambda acc, x: F.struct(
+            F.when(acc["j"] == 0, x["total"])
+            .otherwise(
+                F.floor(
+                    (acc["ave"] * (acc["j"] + F.lit(1)) + x["total"])
+                    / (acc["j"] + F.lit(2))
+                ).cast("long")
+            )
+            .alias("ave"),
+            (acc["j"] + F.lit(1)).alias("j"),
+        ),
+    )
+    return per_key.select(
+        "site",
+        "dataset",
+        "rdate",
+        "gid",
+        F.element_at("dt", 1)["date"].alias("min_date"),
+        F.element_at("dt", -1)["date"].alias("max_date"),
+        F.when(F.size("dt") == 1, F.element_at("dt", 1)["total"])
+        .otherwise(folded["ave"])
+        .alias("ave_size"),
+        F.array_max(F.transform("dt", lambda s: s["total"])).alias("max_size"),
+        F.size("dt").alias("days"),
+    )

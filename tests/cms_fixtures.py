@@ -297,12 +297,16 @@ def crab_condor_df(spark: SparkSession) -> DataFrame:
                     "Completed" if i % 5 else "Removed",
                     _site(i * 11),
                     "analysis" if i % 4 else "production",
+                    # normalized-CPU hours; 1 in 11 records lacks the
+                    # benchmark field (sum must skip nulls)
+                    None if i % 11 == 0 else round((i % 97) / 3.0, 3),
                 ),
             )
         )
     schema = (
         "data: struct<GlobalJobId: string, RecordTime: long, "
-        "CRAB_UserHN: string, Status: string, Site: string, Type: string>"
+        "CRAB_UserHN: string, Status: string, Site: string, Type: string, "
+        "HS06CpuTimeHr: double>"
     )
     return spark.createDataFrame(rows, schema)
 
@@ -378,6 +382,57 @@ def phedex_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def file_lumis_df(spark: SparkSession) -> DataFrame:
+    """DBS FILE_LUMIS rows (dbs_block_lumis.py flf table): a variable
+    number of (run, lumi-section) rows per file; every 7th file has
+    none (blocks whose files carry no lumis must drop out of the
+    count, as in the reference's inner join)."""
+    rows = []
+    for i in range(N_FILES):
+        if i % 7 == 0:
+            continue
+        for k in range(1 + i % 4):
+            rows.append((i + 1, 300000 + i % 50, k + 1))
+    return spark.createDataFrame(
+        rows,
+        "fl_file_id: long, fl_run_num: long, fl_lumi_section_num: long",
+    )
+
+
+#: (site, dataset, rdate) keys in the phedex_daily fixture.
+N_PHEDEX_KEYS = 60
+PHEDEX_DAYS = [20240101 + d for d in range(6)]
+
+
+def phedex_daily_df(spark: SparkSession) -> DataFrame:
+    """mergePhedex input snapshots (src/Go/mergePhedex.go:257-262):
+    one row per (day, block replica) — multiple rows per key per day
+    sum to the daily size. gid is null on every 3rd row; keys
+    divisible by 5 have ONLY null gids (stay -1), the rest also carry
+    exactly one valid gid so the null rows must adopt it. Keys skip
+    some days (days count ≠ span) and key%4 spans only one day
+    (the days==1 ave edge case)."""
+    rows = []
+    for k in range(N_PHEDEX_KEYS):
+        site = _site(k)
+        dataset = _dataset_name(k * 3)
+        rdate = 20231201 + (k % 2)
+        base_gid = None if k % 5 == 0 else 1000 + (k % 9)
+        days = PHEDEX_DAYS[: 1 if k % 4 == 0 else 2 + k % 5]
+        for di, day in enumerate(days):
+            if k % 3 == 1 and di == 1:
+                continue  # hole in the middle of the span
+            for r in range(1 + (k + di) % 3):
+                gid = None if (k + di + r) % 3 == 0 else base_gid
+                size = (k * 131 + di * 17 + r * 7 + 1) * 10_000_000
+                rows.append((day, site, dataset, size, rdate, gid))
+    return spark.createDataFrame(
+        rows,
+        "date: int, site: string, dataset: string, size: long, "
+        "rdate: int, gid: long",
+    )
+
+
 def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
     return {
         "dbs_datasets": datasets_df(spark),
@@ -395,4 +450,6 @@ def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
         "crab_condor": crab_condor_df(spark),
         "fts_transfers": fts_df(spark),
         "aso_transfers": aso_df(spark),
+        "dbs_file_lumis": file_lumis_df(spark),
+        "phedex_daily": phedex_daily_df(spark),
     }

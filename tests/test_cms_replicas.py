@@ -307,3 +307,127 @@ def test_aso_fts_stats(fx, duck_fx):
     ) == sorted((tuple(r) for r in expect), key=_nullsafe_key)
     # left-outer: unmatched FTS rows present with null ASO state
     assert got.filter(F.col("tm_transfer_state").isNull()).count() > 0
+
+
+def test_hs06_core_hours(fx, duck_fx):
+    """HS06 CPU-hour sums by (year, month) vs a DuckDB twin
+    (condor_hs06coreHrPlot.py:54-93): retries collapse before the sum,
+    null HS06CpuTimeHr records are skipped, _CERN sites excluded."""
+    from tests.cms_fixtures import MS0
+
+    start, end = MS0, MS0 + 42 * 86400_000
+    duck_fx.register(
+        "hs06_flat", fx["crab_condor"].select("data.*").toPandas()
+    )
+    got = R.hs06_core_hours(fx["crab_condor"], start, end, by="month")
+    expect = duck_fx.execute(
+        f"""
+        WITH d AS (
+          SELECT DISTINCT GlobalJobId, HS06CpuTimeHr,
+                 year(to_timestamp(RecordTime / 1000)) AS y,
+                 month(to_timestamp(RecordTime / 1000)) AS m
+          FROM hs06_flat
+          WHERE Status = 'Completed'
+            AND regexp_matches(Site, '^T2_.*$')
+            AND NOT regexp_matches(Site, '.*_CERN.*')
+            AND RecordTime >= {start} AND RecordTime < {end}
+        )
+        SELECT y, m, round(sum(HS06CpuTimeHr), 4) FROM d GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert _rows(got, "year", "month", "hs06_cpu_hr") == sorted(
+        tuple(r) for r in expect
+    )
+    assert got.count() >= 2
+
+
+def test_dbs_block_file_match(fx, duck_fx):
+    """LFN-pattern lookup vs the DuckDB twin of the reference's
+    join-then-LIKE (dbs_lfn.py:40-55)."""
+    duck_fx.register("dbs_blocks", fx["dbs_blocks"].toPandas())
+    got = R.dbs_block_file_match(
+        fx["dbs_blocks"], fx["dbs_files"], "%/Primary7/file_%"
+    )
+    expect = duck_fx.execute(
+        """
+        SELECT b.block_name, f.logical_file_name
+        FROM dbs_blocks b JOIN dbs_files f ON b.block_id = f.block_id
+        WHERE f.logical_file_name LIKE '%/Primary7/file_%'
+        """
+    ).fetchall()
+    assert _rows(got, "block_name", "logical_file_name") == sorted(
+        tuple(r) for r in expect
+    )
+    assert got.count() > 10
+
+
+def test_dbs_block_lumis(fx, duck_fx):
+    """Per-block lumi counts vs the DuckDB twin of the 3-way join
+    (dbs_block_lumis.py:41-60); files with no lumi rows (every 7th)
+    contribute nothing, blocks whose files all lack lumis vanish."""
+    duck_fx.register("dbs_blocks2", fx["dbs_blocks"].toPandas())
+    duck_fx.register("dbs_file_lumis", fx["dbs_file_lumis"].toPandas())
+    got = R.dbs_block_lumis(
+        fx["dbs_blocks"], fx["dbs_files"], fx["dbs_file_lumis"]
+    )
+    expect = duck_fx.execute(
+        """
+        SELECT b.block_name, count(fl.fl_lumi_section_num)
+        FROM dbs_blocks2 b
+        JOIN dbs_files f ON b.block_id = f.block_id
+        JOIN dbs_file_lumis fl ON f.file_id = fl.fl_file_id
+        GROUP BY 1
+        """
+    ).fetchall()
+    assert _rows(got, "block_name", "nlumis") == sorted(
+        tuple(r) for r in expect
+    )
+
+
+def test_phedex_merge(fx):
+    """Declarative mergePhedex vs an independent Python replica of the
+    Go fold (mergePhedex.go:263-325) run in date order: gid adoption,
+    day-hole handling, the running integer average, and the
+    single-day edge case."""
+    rows = fx["phedex_daily"].collect()
+
+    # gid adoption: max valid gid per (site, dataset, rdate), else -1
+    valid = {}
+    for r in rows:
+        if r.gid is not None:
+            k = (r.site, r.dataset, r.rdate)
+            valid[k] = max(valid.get(k, r.gid), r.gid)
+
+    daily = {}
+    for r in rows:
+        gid = valid.get((r.site, r.dataset, r.rdate), -1)
+        k = (r.site, r.dataset, r.rdate, gid)
+        daily.setdefault(k, {})
+        daily[k][r.date] = daily[k].get(r.date, 0) + r.size
+
+    expect = {}
+    for k, by_day in daily.items():
+        days = sorted(by_day)
+        totals = [by_day[d] for d in days]
+        n = len(totals)
+        if n == 1:
+            ave = totals[0]
+        else:
+            ave, j = 0, 0
+            for t in totals[:-1]:
+                ave = t if j == 0 else (ave * (j + 1) + t) // (j + 2)
+                j += 1
+        expect[k] = (days[0], days[-1], ave, max(totals), n)
+
+    got = {
+        (r.site, r.dataset, r.rdate, r.gid): (
+            r.min_date, r.max_date, r.ave_size, r.max_size, r.days
+        )
+        for r in R.phedex_merge(fx["phedex_daily"]).collect()
+    }
+    assert got == expect
+    # the fixture exercises both branches
+    assert any(v[4] == 1 for v in expect.values())
+    assert any(v[4] > 3 for v in expect.values())
+    assert any(k[3] == -1 for k in expect)
+    assert any(k[3] != -1 for k in expect)
