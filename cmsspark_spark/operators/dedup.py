@@ -168,6 +168,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -180,8 +181,17 @@ def minhash_lsh_pairs(
     Band signatures are derived from the wide signature without any
     extra shuffle: the per-band sorted concat is a narrow array op and
     the (band, band_sig) rows come from exploding an array literal.
+
+    ``cache=True`` persists the wide signatures (|docs| × k longs —
+    tiny next to the corpus) so the tokenize→shingle→minhash pipeline
+    runs ONCE; both self-join branches then scan the cached
+    signatures instead of re-deriving the whole expression tree.
     """
     wide = minhash_signatures_wide(df, id_col, text_col, n, num_hashes)
+    if cache:
+        from pyspark import StorageLevel
+
+        wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
     nbands = num_hashes // rows_per_band
     band_structs = F.array(
         *[
@@ -233,10 +243,32 @@ def jaccard_pairs(
     groupBy. ``shingles()`` is per-document distinct already, so no
     distinct shuffle either.
     """
+    if candidates is not None:
+        # Prune the corpus to candidate MEMBERS before any shingling:
+        # verification compute must be ∝ Σ|shingles(candidate docs)|,
+        # not ∝ corpus size — at 100 TB the candidate set is orders of
+        # magnitude smaller than the corpus, and without this semi-join
+        # the whole corpus is tokenized+shingled just to verify a few
+        # pairs (measured 4-5× wall-clock on the bench composition).
+        # Persist candidates first: they feed the member set AND both
+        # pair-join branches, and (when they come from minhash_lsh_pairs)
+        # re-deriving them means re-running the whole MinHash plan.
+        from pyspark import StorageLevel
+
+        candidates = candidates.select("id_a", "id_b").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        members = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(members, on=id_col, how="left_semi")
+
     # Two-step projection ON PURPOSE: naming the shingle array before
     # size()+explode() reference it keeps the (large) shingle expression
     # tree single-instance — CollapseProject won't inline a non-cheap
-    # expression used twice. Inlining it doubles the optimizer/codegen
+    # expression referenced twice. Inlining it doubles the optimizer/codegen
     # work on an already-big tree (measured: ~30s of first-execution
     # planning at sf0.1).
     sh = (
