@@ -413,37 +413,48 @@ def connected_components(
 
     Returns (node, component) for every node appearing in ``pairs``.
     """
+    # Materialize the pair list ONCE before mirroring it: the union's
+    # two branches would otherwise each re-execute the full upstream
+    # plan (e.g. LSH + Jaccard verification), and every propagation
+    # round would re-execute it again. localCheckpoint (not persist)
+    # so the upstream runs through normal adaptive execution; on a
+    # cluster use checkpoint() for executor-loss resilience.
+    pairs = pairs.select(
+        F.col(left).alias("src"), F.col(right).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        pairs.union(pairs.select(F.col("dst"), F.col("src")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().withColumn("component", F.col("src"))
     for _ in range(max_iters):
         nbr = (
-            edges.join(labels.withColumnRenamed("src", "dst"), on="dst")
+            edges.join(labels.select("src", "component").withColumnRenamed("src", "dst"), on="dst")
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = labels.join(nbr, on="src", how="left").select(
-            "src",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", "component")
-            ).alias("new_component"),
-        )
-        probe = (
-            new_labels.join(labels, on="src")
-            .agg(
-                F.sum(
-                    (F.col("new_component") != F.col("component")).cast("int")
-                ).alias("changed")
+        # The changed-flag rides INSIDE the checkpointed frame: one
+        # heavy job per round (the eager checkpoint), and the
+        # convergence probe is then a cheap scan of the materialized
+        # result — not a second execution of the join.
+        labels = (
+            labels.join(nbr, on="src", how="left")
+            .select(
+                "src",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("new_component"),
+                (
+                    F.coalesce("nbr_min", F.col("component"))
+                    < F.col("component")
+                ).cast("int").alias("_chg"),
             )
-            .collect()[0]
+            .withColumnRenamed("new_component", "component")
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels.withColumnRenamed(
-            "new_component", "component"
-        ).localCheckpoint(eager=True)
-        if not probe["changed"]:
+        changed = labels.agg(F.sum("_chg").alias("c")).collect()[0]["c"]
+        if not changed:
             return labels.select(F.col("src").alias("node"), "component")
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds"

@@ -31,6 +31,11 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Persisted frames otherwise compile WITHOUT adaptive execution —
+    # no runtime broadcast conversion, no partition coalescing — so a
+    # cached operator pipeline (LSH signatures, shingle frames) would
+    # silently lose the optimizations its uncached twin gets.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
