@@ -117,3 +117,19 @@ def dn2uuid(dn: Column | str) -> Column:
         chunk = F.conv(F.substring(hexd, i * 8 + 1, 8), 16, 10).cast(dec)
         acc = (acc * base + chunk) % mod
     return acc.cast("long")
+
+
+def parse_kv_record(
+    col: Column | str, pair_sep: str = "&", kv_sep: str = "="
+) -> Column:
+    """EOS-style ``k=v&k=v&…`` record string → ``map<string,string>``.
+
+    The reference's EOS reader documents this raw-string record format
+    (spark_utils.py:552-566: the whole measurement squashed into one
+    ``data`` string) and parses it with per-row Python string splits
+    downstream. ``str_to_map`` keeps it a single Catalyst expression:
+    JVM-side, null-safe, and usable as the per-era normalizer of a
+    ``VersionedSource`` (``m['path']``, ``m['rb']`` projections).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.str_to_map(c, F.lit(pair_sep), F.lit(kv_sep))

@@ -2207,3 +2207,61 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_pass_all"),
     )
+
+
+@query(
+    "token_rarity_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+    per_doc AS (
+      SELECT doc_id, any_value(source) AS source,
+             round(avg(tf), 6) AS mean_tf,
+             round(sum(CASE WHEN tf < 5 THEN 1 ELSE 0 END) / count(*), 6)
+               AS rare_frac
+      FROM toks JOIN freq USING (tok) GROUP BY doc_id
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(mean_tf), 4) AS mean_token_freq,
+           round(avg(rare_frac), 4) AS rare_token_frac
+    FROM per_doc GROUP BY source
+    """,
+)
+def token_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality score (the CCNet/LM-filter idea with
+    the LM replaced by corpus statistics): per document, the mean
+    corpus frequency of its tokens and the fraction of rare (tf < 5)
+    tokens; rolled up per source. Boilerplate-heavy docs score high
+    mean_tf / low rare_frac; noisy or OCR-damaged docs the reverse.
+
+    Scale shape: explode → per-token count (map-side partials) →
+    join-back on token → per-doc agg → per-source agg. The token
+    frequency table is vocabulary-sized — orders of magnitude smaller
+    than the corpus — and AQE broadcast-converts it when it fits;
+    everything stays JVM-side (all integer arithmetic until the final
+    rounded averages, so the oracle comparison is FP-stable)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(T.tokens("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = (
+        toks.join(freq, on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.round(F.avg("tf"), 6).alias("mean_tf"),
+            F.round(
+                F.sum(F.when(F.col("tf") < 5, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rare_frac"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("mean_tf"), 4).alias("mean_token_freq"),
+        F.round(F.avg("rare_frac"), 4).alias("rare_token_frac"),
+    )

@@ -133,3 +133,93 @@ def read_source(
     if register:
         df.createOrReplaceTempView(spec.name)
     return df
+
+
+@dataclass
+class Era:
+    """One schema era of a drifting source: the spec that reads it and
+    the first date (inclusive) it applies from."""
+
+    since: date
+    spec: SourceSpec
+    # Optional per-era projection onto the source's CANONICAL columns
+    # (applied before the cross-era union).
+    normalize: "object | None" = None  # Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class VersionedSource:
+    """A source whose record format changed over time (SURVEY §7.4
+    "schema drift across eras").
+
+    The reference's EOS reader hard-codes only the newest format and
+    path (spark_utils.py:550-566 documents THREE record formats and a
+    2020 path move in a docstring, then reads just one). Here each era
+    declares its own path template + schema + a normalizer onto the
+    canonical column set; a date range is split at the era boundaries,
+    each slice is read with its own spec (one multi-path scan per era),
+    and the slices are unioned BY NAME with missing-column tolerance —
+    so a query spanning a format change just works.
+
+    Scale note: each era remains a single declarative scan, so
+    predicate pushdown / partition pruning apply per era; the union is
+    a zero-shuffle concatenation.
+    """
+
+    name: str
+    eras: list[Era] = field(default_factory=list)
+
+    def _sorted(self) -> list[Era]:
+        return sorted(self.eras, key=lambda e: e.since)
+
+    def era_for(self, d: date) -> Era:
+        """The era in effect on ``d`` (the latest era with since ≤ d)."""
+        eras = self._sorted()
+        live = [e for e in eras if e.since <= d]
+        if not live:
+            raise ValueError(
+                f"source {self.name}: date {d} predates the first era "
+                f"({eras[0].since})"
+            )
+        return live[-1]
+
+    def slices(
+        self, start: date, end: date | None = None
+    ) -> list[tuple[Era, date, date]]:
+        """Split [start, end] into (era, slice_start, slice_end) runs."""
+        end = end or start
+        out: list[tuple[Era, date, date]] = []
+        eras = self._sorted()
+        for i, era in enumerate(eras):
+            lo = max(start, era.since)
+            hi = end if i + 1 == len(eras) else min(
+                end, eras[i + 1].since - timedelta(days=1)
+            )
+            if lo <= hi:
+                out.append((era, lo, hi))
+        if not out:
+            # whole range predates every era boundary → era_for raises
+            self.era_for(start)
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        start: date,
+        end: date | None = None,
+        day_delta: int = 0,
+        register: bool = True,
+    ) -> DataFrame:
+        """One DataFrame across eras, in canonical columns."""
+        parts: list[DataFrame] = []
+        for era, lo, hi in self.slices(start, end):
+            df = read_source(spark, era.spec, lo, hi, day_delta, register=False)
+            if era.normalize is not None:
+                df = era.normalize(df)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if register:
+            out.createOrReplaceTempView(self.name)
+        return out

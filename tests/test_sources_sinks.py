@@ -192,3 +192,131 @@ def test_push_documents_executor_side(spark, tmp_path):
     for f in out.glob("*.json"):
         docs.extend(json.loads(f.read_text()))
     assert sorted(d["id"] for d in docs) == list(range(20))
+
+
+def _write_json_day(base, day: str, lines: list[str], fname="part-0.json"):
+    d = base / day
+    d.mkdir(parents=True, exist_ok=True)
+    (d / fname).write_text("\n".join(lines) + "\n")
+
+
+def test_versioned_source_spans_era_boundary(spark, tmp_path):
+    """A date range crossing a format change reads each era with its
+    own path template + schema, normalizes onto canonical columns via
+    per-era projections, and unions by name (SURVEY §7.4 EOS drift:
+    spark_utils.py:550-566 documents three formats, reads one)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cmsspark_spark.functions.cms import parse_kv_record
+    from cmsspark_spark.sources.readers import Era, SourceSpec, VersionedSource
+
+    # Era 1 (raw-string records, old path layout): data is one k=v&k=v blob.
+    _write_json_day(
+        tmp_path / "old",
+        "2019/12/30",
+        ['{"data": "path=/store/a.root&rb=100&host=h1"}'],
+    )
+    _write_json_day(
+        tmp_path / "old",
+        "2019/12/31",
+        ['{"data": "path=/store/b.root&rb=200&host=h2"}'],
+    )
+    # Era 2 (structured records, new path layout, extra column).
+    _write_json_day(
+        tmp_path / "new",
+        "2020/01/01",
+        ['{"data": {"path": "/store/c.root", "rb": "300", "app": "xrootd"}}'],
+    )
+
+    era1 = Era(
+        since=date(2019, 1, 1),
+        spec=SourceSpec(
+            name="eos_v1",
+            fmt="json",
+            path_template=str(tmp_path / "old") + "/%Y/%m/%d/part-*.json",
+            schema=StructType([StructField("data", StringType())]),
+        ),
+        normalize=lambda df: df.select(
+            parse_kv_record("data").alias("m")
+        ).select(
+            F.col("m")["path"].alias("path"),
+            F.col("m")["rb"].cast("long").alias("read_bytes"),
+        ),
+    )
+    era2 = Era(
+        since=date(2020, 1, 1),
+        spec=SourceSpec(
+            name="eos_v2",
+            fmt="json",
+            path_template=str(tmp_path / "new") + "/%Y/%m/%d/part-*.json",
+            schema=StructType(
+                [
+                    StructField(
+                        "data",
+                        StructType(
+                            [
+                                StructField("path", StringType()),
+                                StructField("rb", StringType()),
+                                StructField("app", StringType()),
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        ),
+        normalize=lambda df: df.select(
+            F.col("data.path").alias("path"),
+            F.col("data.rb").cast("long").alias("read_bytes"),
+            F.col("data.app").alias("app"),
+        ),
+    )
+    src = VersionedSource(name="eos", eras=[era1, era2])
+
+    # era resolution
+    assert src.era_for(date(2019, 6, 1)) is era1
+    assert src.era_for(date(2020, 1, 1)) is era2
+    with pytest.raises(ValueError):
+        src.era_for(date(2018, 12, 31))
+
+    df = src.read(spark, start=date(2019, 12, 30), end=date(2020, 1, 2))
+    rows = {(r.path, r.read_bytes, r.app) for r in df.collect()}
+    # era-1 rows carry null for the era-2-only column (unionByName
+    # allowMissingColumns), era-2 rows carry it populated
+    assert rows == {
+        ("/store/a.root", 100, None),
+        ("/store/b.root", 200, None),
+        ("/store/c.root", 300, "xrootd"),
+    }
+    # registered under the canonical name
+    assert spark.sql("SELECT count(*) n FROM eos").collect()[0].n == 3
+
+
+def test_versioned_source_single_era_slice(spark, tmp_path):
+    """A range entirely inside one era touches only that era's spec."""
+    from cmsspark_spark.sources.readers import Era, SourceSpec, VersionedSource
+
+    _write_day(tmp_path, "2024/03/01", ["1,a"])
+    era = Era(
+        since=date(2024, 1, 1),
+        spec=SourceSpec(
+            name="v1",
+            fmt="csv",
+            path_template=str(tmp_path) + "/%Y/%m/%d/part-*.csv",
+            schema=SCHEMA,
+        ),
+    )
+    late_era = Era(
+        since=date(2024, 6, 1),
+        spec=SourceSpec(
+            name="v2",
+            fmt="csv",
+            path_template=str(tmp_path / "nonexistent") + "/%Y/%m/%d/part-*.csv",
+            schema=SCHEMA,
+        ),
+    )
+    src = VersionedSource(name="versioned_csv", eras=[era, late_era])
+    slices = src.slices(date(2024, 3, 1), date(2024, 3, 2))
+    assert len(slices) == 1 and slices[0][0] is era
+    df = src.read(spark, start=date(2024, 3, 1), end=date(2024, 3, 2))
+    assert df.count() == 1
