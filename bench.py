@@ -65,6 +65,7 @@ EXTRA = [
     "phedex_daily_fold",         # daily-snapshot fold stats
     "quality_gate_funnel",       # structural quality-gate audit
     "token_rarity_stats",        # corpus-frequency rarity score
+    "range_join_order_windows",  # binned non-equi range join
 ]
 
 

@@ -171,3 +171,47 @@ def full_outer_coverage(
         .otherwise("right_only")
         .alias(indicator),
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Non-equi range join — point ∈ [start, end) — via bin bucketing.
+
+    Beyond-reference custom operator: Spark's optimizer turns a bare
+    range predicate into BroadcastNestedLoopJoin (all-pairs work per
+    partition) — fine for tiny interval sets, catastrophic at scale.
+    Bucketing restores an EQUI-join: each point lands in bin
+    ``floor(p / w)``; each interval replicates to every bin its span
+    overlaps (``span/w + 1`` rows, an explode of a bounded sequence);
+    the join keys on bin and the exact range predicate filters
+    residually. Shuffle is hash-partitioned on bin — work is
+    O(|points| + Σ spans/w) with per-bin locality, never all-pairs;
+    hot bins split by AQE skew handling.
+
+    ``bin_width`` tunes replication vs bucket size: ≈ the typical
+    interval span is a good default (≤2 bins per interval).
+
+    Inputs are numeric (caller maps timestamps with e.g.
+    ``F.unix_date``/``F.unix_timestamp``). Output: every (interval ×
+    matching point) row pair's columns.
+    """
+    p_bin = F.floor(F.col(point_col) / bin_width).cast("long")
+    binned_points = points.withColumn("_bin", p_bin)
+    iv_bins = F.sequence(
+        F.floor(F.col(start_col) / bin_width).cast("long"),
+        # end is EXCLUSIVE: a span ending exactly on a bin edge must
+        # not replicate into the next bin
+        F.floor((F.col(end_col) - 1) / bin_width).cast("long"),
+    )
+    binned_iv = intervals.withColumn("_bin", F.explode(iv_bins))
+    out = binned_points.join(binned_iv, on="_bin").filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return out.drop("_bin")

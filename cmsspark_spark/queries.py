@@ -2265,3 +2265,48 @@ def token_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_tf"), 4).alias("mean_token_freq"),
         F.round(F.avg("rare_frac"), 4).alias("rare_token_frac"),
     )
+
+
+@query(
+    "range_join_order_windows",
+    """
+    WITH p AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS p,
+             o_totalprice
+      FROM orders
+    ),
+    iv AS (
+      SELECT o_orderkey AS window_key,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS s
+      FROM orders WHERE o_custkey % 100 = 0
+    )
+    SELECT window_key,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM iv JOIN p ON p.p >= iv.s AND p.p < iv.s + 7
+    GROUP BY window_key
+    """,
+)
+def range_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join (point-in-interval) through the binned
+    range-join operator: orders placed within 7 days of each probe
+    order's date, aggregated per window. The oracle states the bare
+    BETWEEN join; the Spark plan is the bin-bucketed equi-join —
+    identical results, scalable shape (operators/joins.py
+    range_join_binned)."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate"))
+    points = o.select(day.alias("p"), "o_totalprice")
+    iv = (
+        o.filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_key"),
+            day.alias("s"),
+            (day + 7).alias("e"),
+        )
+    )
+    joined = J.range_join_binned(points, iv, "p", "s", "e", bin_width=7)
+    return joined.groupBy("window_key").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

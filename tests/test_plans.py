@@ -189,3 +189,39 @@ def test_broadcast_if_small_withholds_above_threshold(spark):
         assert plans.count_nodes(joined, "BroadcastHashJoin") == 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_range_join_binned_is_equi_join(spark):
+    """The binned range join must plan as a hash EQUI-join on the bin
+    key — no BroadcastNestedLoopJoin / CartesianProduct (the naive
+    plans Spark picks for bare range predicates)."""
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.operators.joins import range_join_binned
+
+    points = spark.range(0, 1000).select(F.col("id").alias("p"))
+    iv = spark.range(0, 40).select(
+        (F.col("id") * 25).alias("s"), (F.col("id") * 25 + 10).alias("e")
+    )
+    out = range_join_binned(points, iv, "p", "s", "e", bin_width=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # correctness on the synthetic ramp: each interval [25k, 25k+10)
+    # contains exactly 10 integer points
+    n = out.count()
+    assert n == 40 * 10
+
+
+def test_range_join_binned_edge_exclusive(spark):
+    """End bound is exclusive; spans ending on a bin edge must not
+    leak matches from the next bin."""
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.operators.joins import range_join_binned
+
+    points = spark.createDataFrame([(9,), (10,), (19,), (20,)], "p: long")
+    iv = spark.createDataFrame([(10, 20)], "s: long, e: long")
+    got = sorted(
+        r.p for r in range_join_binned(points, iv, "p", "s", "e", 10).collect()
+    )
+    assert got == [10, 19]
