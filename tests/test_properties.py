@@ -156,3 +156,39 @@ def test_union_by_name_aligns_columns(spark, rows):
     n_k = u.agg(F.sum("k")).collect()[0][0] or 0
     expect = 2 * sum(k for k, _ in rows)
     assert n_k == expect
+
+
+@given(
+    points=st.lists(st.integers(-50, 50), max_size=15),
+    intervals=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 30)), max_size=8
+    ),
+    bin_width=st.integers(1, 12),
+)
+@settings(**SETTINGS)
+def test_range_join_binned_matches_naive(spark, points, intervals, bin_width):
+    """The bin-bucketed range join must return exactly the pairs the
+    naive predicate join returns, for any bin width — including
+    negative domains, empty spans, and spans straddling many bins."""
+    from cmsspark_spark.operators.joins import range_join_binned
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)] or [(0, 0)], ["pid", "p"]
+    )
+    if not points:
+        pdf = pdf.filter(F.lit(False))
+    ivs = [(i, s, s + w) for i, (s, w) in enumerate(intervals)]
+    idf = spark.createDataFrame(ivs or [(0, 0, 0)], ["iid", "s", "e"])
+    if not intervals:
+        idf = idf.filter(F.lit(False))
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_binned(pdf, idf, "p", "s", "e", bin_width).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, p in enumerate(points)
+        for iid, s, e in ivs
+        if s <= p < e
+    }
+    assert got == want
