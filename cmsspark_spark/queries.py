@@ -2094,7 +2094,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, user_id % 10 AS cohort, CAST(ts AS DATE) AS d,
-             round(sum(value), 6) AS total
+             CAST(round(round(sum(value), 6) * 1000000, 0) AS BIGINT) AS tu
       FROM events GROUP BY 1, 2, 3
     ),
     marked AS (
@@ -2105,10 +2105,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS days,
            CAST(min(d) AS VARCHAR) AS min_date,
            CAST(max(d) AS VARCHAR) AS max_date,
-           round(max(total), 4) AS max_daily,
-           round(max(CASE WHEN d = maxd THEN total END), 4) AS last_daily,
-           round(coalesce(avg(CASE WHEN d <> maxd THEN total END),
-                          max(total)), 4) AS ave_daily
+           round(max(tu) / 1e6, 4) AS max_daily,
+           round(max(CASE WHEN d = maxd THEN tu END) / 1e6, 4) AS last_daily,
+           round(coalesce(
+                   sum(CASE WHEN d <> maxd THEN tu END)
+                     / count(CASE WHEN d <> maxd THEN tu END),
+                   max(tu)) / 1e6, 4) AS ave_daily
     FROM marked GROUP BY 1, 2
     """,
 )
@@ -2119,29 +2121,38 @@ def phedex_daily_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     max daily total, last-day total, and the average of daily totals
     EXCLUDING the newest day (the Go merger's ave_size intent). Two
     shuffles total (daily agg; regroup) — the window max rides the
-    second. Daily totals are rounded to 6 before the comparisons/avg
-    so FP summation order can't flip the round-4 outputs."""
+    second. Daily totals are integerized to micro-units (round-6 ×
+    1e6 as BIGINT) before the comparisons/avg, so all downstream
+    arithmetic is exact integers and FP summation order can't flip a
+    round-4 output sitting on a .5 boundary; one deterministic
+    division at the end converts back."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type",
         (F.col("user_id") % 10).alias("cohort"),
         F.to_date("ts").alias("d"),
-    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    ).agg(
+        F.round(F.round(F.sum("value"), 6) * 1000000, 0)
+        .cast("bigint")
+        .alias("tu")
+    )
     w = Window.partitionBy("event_type", "cohort")
     marked = daily.withColumn("maxd", F.max("d").over(w))
+    not_last = F.when(F.col("d") != F.col("maxd"), F.col("tu"))
     return marked.groupBy("event_type", "cohort").agg(
         F.count(F.lit(1)).alias("days"),
         F.date_format(F.min("d"), "yyyy-MM-dd").alias("min_date"),
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("max_date"),
-        F.round(F.max("total"), 4).alias("max_daily"),
+        F.round(F.max("tu") / 1e6, 4).alias("max_daily"),
         F.round(
-            F.max(F.when(F.col("d") == F.col("maxd"), F.col("total"))), 4
+            F.max(F.when(F.col("d") == F.col("maxd"), F.col("tu"))) / 1e6, 4
         ).alias("last_daily"),
         F.round(
             F.coalesce(
-                F.avg(F.when(F.col("d") != F.col("maxd"), F.col("total"))),
-                F.max("total"),
-            ),
+                F.sum(not_last) / F.count(not_last),
+                F.max("tu"),
+            )
+            / 1e6,
             4,
         ).alias("ave_daily"),
     )
