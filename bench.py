@@ -66,6 +66,7 @@ EXTRA = [
     "quality_gate_funnel",       # structural quality-gate audit
     "token_rarity_stats",        # corpus-frequency rarity score
     "range_join_order_windows",  # binned non-equi range join
+    "time_rollup_hierarchy",     # hypertable continuous aggregate
 ]
 
 

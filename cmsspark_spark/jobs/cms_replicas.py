@@ -18,6 +18,9 @@ and composes the engine's operators. Reference pipelines replicated:
 11. ``dbs_block_file_match``   — dbs_lfn.py:40-55
 12. ``dbs_block_lumis``        — dbs_block_lumis.py:41-60
 13. ``phedex_merge``           — src/Go/mergePhedex.go:152-325
+14. ``dbs_access_stream_counts`` — dbs_cmssw.py:63-76 (+ the aaa/eos/jm
+    clones, parametrized away)
+15. ``monit_envelope``         — cmssw_avro2json.py:18-50
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from cmsspark_spark.functions.cms import (
     clean_site_name,
     parse_dn,
+    split_dataset,
     split_dataset_col,
     tier_from_site,
 )
@@ -481,4 +485,72 @@ def phedex_merge(daily: DataFrame) -> DataFrame:
         .alias("ave_size"),
         F.array_max(F.transform("dt", lambda s: s["total"])).alias("max_size"),
         F.size("dt").alias("days"),
+    )
+
+
+def dbs_access_stream_counts(
+    datasets: DataFrame,
+    files: DataFrame,
+    access: DataFrame,
+    count_type: str,
+    date_unix: float,
+    lfn_col: str = "file_lfn",
+    site_col: str = "site_name",
+) -> DataFrame:
+    """Access counts per (site, dataset) — the whole dbs_{cmssw, aaa,
+    eos, jm} script family as ONE parametrized pipeline (dbs_cmssw.py:
+    63-76; dbs_aaa.py:60-75, dbs_eos.py:63-80, dbs_jm.py:64-78 repeat
+    it verbatim, differing only in the stream's LFN/site column names
+    and the ``count_type`` tag).
+
+    Dataset dim joins the file catalog on dataset_id as a size-aware
+    broadcast; the day's access stream joins on LFN — the only real
+    shuffle, keyed on the high-cardinality LFN so it scales with the
+    day's traffic, not the catalog. Counts are tagged with the stream
+    name and day like the reference, and the dataset key is split to
+    primds/procds/tier for the CSV sink (dbs_cmssw.py:84-87)."""
+    cat = files.select("logical_file_name", "dataset_id").join(
+        broadcast_if_small(datasets.select("dataset_id", "dataset")),
+        on="dataset_id",
+    )
+    stream = access.select(
+        F.col(lfn_col).alias("file_lfn"), F.col(site_col).alias("site_name")
+    )
+    j = stream.join(cat, F.col("file_lfn") == F.col("logical_file_name"))
+    agg = (
+        j.groupBy("site_name", "dataset")
+        .agg(F.count("file_lfn").alias("count"))
+        .withColumn("date", F.lit(date_unix))
+        .withColumn("count_type", F.lit(count_type))
+    )
+    return split_dataset(agg, "dataset")
+
+
+def monit_envelope(
+    df: DataFrame,
+    topic: str,
+    producer: str,
+    tstamp_ms: int,
+    hostname: str = "",
+) -> DataFrame:
+    """Monitoring-envelope wrap — cmssw_avro2json.py:18-50 without the
+    RDD round-trip: the reference maps every row through a Python
+    ``row.asDict`` → dict-wrap → ``createDataFrame`` cycle; here the
+    same ``{"data": <record>, "metadata": {...}}`` shape is a pure
+    struct projection (codegen'd, zero Python per-row cost, streams
+    through any sink including ``write_json``)."""
+    meta = F.struct(
+        F.lit(hostname).alias("hostname"),
+        F.lit(str(tstamp_ms)).alias("kafka_timestamp"),
+        F.lit("1").alias("partition"),
+        F.lit(producer).alias("producer"),
+        F.lit(str(tstamp_ms)).alias("timestamp"),
+        F.lit(topic).alias("topic"),
+        F.lit("metric").alias("type"),
+        F.lit("raw").alias("type_prefix"),
+        F.lit("001").alias("version"),
+    )
+    return df.select(
+        F.struct(*[F.col(c) for c in df.columns]).alias("data"),
+        meta.alias("metadata"),
     )

@@ -60,3 +60,12 @@ def scan_read_schema(df: DataFrame) -> list[str]:
         for line in formatted_plan(df).splitlines()
         if "ReadSchema" in line
     ]
+
+
+def executed_plan_node_count(df: DataFrame, node: str) -> int:
+    """Count nodes in the POST-EXECUTION physical plan. AQE finalizes
+    exchange reuse at runtime, so reuse assertions must run the query
+    first and then read the adaptive plan (the static plan shows the
+    pre-reuse shape)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString().count(node)

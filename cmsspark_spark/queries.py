@@ -2321,3 +2321,52 @@ def range_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "time_rollup_hierarchy",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(round(round(sum(value), 6) * 1000000, 0) AS BIGINT) AS tu,
+             count(*) AS n, min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, date_trunc('day', bucket) AS bucket,
+             sum(tu) AS tu, sum(n) AS n,
+             min(vmin) AS vmin, max(vmax) AS vmax
+      FROM h GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, date_trunc('month', bucket) AS bucket,
+             sum(tu) AS tu, sum(n) AS n,
+             min(vmin) AS vmin, max(vmax) AS vmax
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           'hour' AS resolution, round(tu / 1e6, 6) AS total,
+           CAST(n AS BIGINT) AS n, vmin, vmax
+    FROM h
+    UNION ALL
+    SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S'),
+           'day', round(tu / 1e6, 6), CAST(n AS BIGINT), vmin, vmax
+    FROM d
+    UNION ALL
+    SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S'),
+           'month', round(tu / 1e6, 6), CAST(n AS BIGINT), vmin, vmax
+    FROM m
+    """,
+)
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (operators/aggregations.py
+    time_rollup): hour/day/month event rollups where each coarser level
+    re-aggregates the level below — ONE fact scan, plan-asserted
+    exchange reuse across the union branches. The oracle mirrors the
+    level derivation (day from hour, month from day) so the micro-unit
+    integer sums are bit-identical."""
+    e = _t(spark, sf_dir, "events")
+    out = A.time_rollup(e, "ts", ["event_type"], "value")
+    return out.withColumn(
+        "bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+    )

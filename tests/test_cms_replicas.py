@@ -431,3 +431,62 @@ def test_phedex_merge(fx):
     assert any(v[4] > 3 for v in expect.values())
     assert any(k[3] == -1 for k in expect)
     assert any(k[3] != -1 for k in expect)
+
+
+def test_dbs_access_stream_counts(fx, duck_fx):
+    got = R.dbs_access_stream_counts(
+        fx["dbs_datasets"], fx["dbs_files"], fx["access_events"],
+        count_type="cmssw", date_unix=1700000000.0,
+    )
+    expect = duck_fx.execute(
+        """
+        SELECT a.site_name, d.dataset, count(a.file_lfn) AS cnt,
+               string_split(d.dataset, '/')[2] AS primds,
+               string_split(d.dataset, '/')[3] AS procds,
+               string_split(d.dataset, '/')[4] AS tier
+        FROM access_events a
+        JOIN dbs_files f ON a.file_lfn = f.logical_file_name
+        JOIN dbs_datasets d ON f.dataset_id = d.dataset_id
+        GROUP BY 1, 2, 4, 5, 6
+        """
+    ).fetchall()
+    assert _rows(
+        got, "site_name", "dataset", "count", "primds", "procds", "tier"
+    ) == sorted(
+        ((s, ds, c, p, pr, t) for s, ds, c, p, pr, t in expect),
+        key=_nullsafe_key,
+    )
+    one = got.collect()[0]
+    assert one.count_type == "cmssw" and one.date == 1700000000.0
+    # unresolvable LFNs (access rows with no catalog file) must drop out
+    n_unresolved = fx["access_events"].filter(
+        F.col("file_lfn").like("/store/unknown/%")
+    ).count()
+    assert n_unresolved > 0
+    total = got.agg(F.sum("count")).collect()[0][0]
+    assert total == fx["access_events"].count() - n_unresolved
+
+
+def test_monit_envelope_shape_and_json(fx, spark, tmp_path):
+    src = fx["dbs_datasets"].select("dataset_id", "dataset").limit(7)
+    env = R.monit_envelope(
+        src, topic="cmssw_pop_raw_metric", producer="convert_avro2json",
+        tstamp_ms=1700000000000,
+    )
+    assert env.columns == ["data", "metadata"]
+    assert [f.name for f in env.schema["data"].dataType.fields] == [
+        "dataset_id", "dataset"
+    ]
+    rows = env.collect()
+    assert len(rows) == 7
+    m = rows[0].metadata
+    assert (m.topic, m.producer, m.type, m.type_prefix, m.version) == (
+        "cmssw_pop_raw_metric", "convert_avro2json", "metric", "raw", "001"
+    )
+    assert m.kafka_timestamp == m.timestamp == "1700000000000"
+    # end-to-end like the reference job: envelope → JSON lines on disk
+    out = str(tmp_path / "monit_json")
+    env.write.format("json").save(out)
+    back = spark.read.json(out)
+    assert back.count() == 7
+    assert {f.name for f in back.schema.fields} == {"data", "metadata"}

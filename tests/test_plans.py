@@ -225,3 +225,11 @@ def test_range_join_binned_edge_exclusive(spark):
         r.p for r in range_join_binned(points, iv, "p", "s", "e", 10).collect()
     )
     assert got == [10, 19]
+
+
+def test_time_rollup_reuses_finer_levels(spark):
+    """Hypertable rollup: day must derive from the hour exchange and
+    month from the day exchange — one fact scan for three resolutions.
+    AQE materializes the reuse at runtime, hence the executed plan."""
+    df = QUERIES["time_rollup_hierarchy"](spark, SF)
+    assert plans.executed_plan_node_count(df, "ReusedExchange") == 2
