@@ -67,6 +67,7 @@ EXTRA = [
     "token_rarity_stats",        # corpus-frequency rarity score
     "range_join_order_windows",  # binned non-equi range join
     "time_rollup_hierarchy",     # hypertable continuous aggregate
+    "count_min_heavy_users",     # CM sketch build + heavy-hitter probe
 ]
 
 

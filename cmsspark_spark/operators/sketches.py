@@ -1,0 +1,87 @@
+"""Mergeable frequency sketches (beyond-reference, brief §M8 "novel
+sketch").
+
+Count-Min sketch, Spark-first: the build is ONE narrow map (each row
+derives its ``depth`` (row, bucket) coordinates as a row-local array)
+plus ONE groupBy whose map-side partial aggregation caps the shuffle
+at depth × width rows PER PARTITION — at 100 TB the shuffle carries
+sketch cells, never input rows. The finished sketch is depth × width
+counters: mergeable across days/streams by summing cell-wise (the
+same property HLL gives approx_count_distinct), so daily sketches
+roll up to monthly ones without touching the raw data.
+
+Bucket hashing reuses the md5-derived integer base (functions/text.
+int_base_hash) salted per sketch row, so the build is deterministic
+and oracle-testable in pure DuckDB SQL — swap for ``F.xxhash64`` at
+production scale (structure unchanged, oracle parity lost).
+
+Estimate guarantee (Cormode & Muthukrishnan 2005): est(x) ≥ true(x)
+always; est(x) ≤ true(x) + εN with probability 1-δ for width = ⌈e/ε⌉,
+depth = ⌈ln 1/δ⌉ — property-tested in tests/test_properties.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from cmsspark_spark.functions.text import int_base_hash
+
+
+def _bucket(key: Column, d: int, width: int) -> Column:
+    """Row-d bucket of a key: md5-int of the salted key, mod width."""
+    return int_base_hash(F.concat(F.lit(f"cm{d}|"), key)) % width
+
+
+def count_min_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a Count-Min sketch over ``key_col``.
+
+    Returns (d, bucket, cnt): the non-zero cells of the depth × width
+    counter matrix. Merge sketches by unioning and summing cnt per
+    (d, bucket)."""
+    key = F.col(key_col).cast("string")
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), _bucket(key, d, width).alias("bucket")
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]`` from a built
+    sketch: min over the key's depth cells (missing cell → 0). The
+    sketch side is a size-aware broadcast candidate (≤ depth × width
+    rows by construction) — Catalyst/AQE will broadcast it, so probing
+    never shuffles the probe stream."""
+    key = F.col(key_col).cast("string")
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), _bucket(key, d, width).alias("bucket")
+            )
+            for d in range(depth)
+        ]
+    )
+    exploded = probes.select(
+        F.col(key_col).alias("key"), F.explode(coords).alias("c")
+    ).select("key", "c.d", "c.bucket")
+    joined = exploded.join(sketch, on=["d", "bucket"], how="left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

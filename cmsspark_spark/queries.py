@@ -29,6 +29,7 @@ from cmsspark_spark.operators import dedup as D
 from cmsspark_spark.operators import joins as J
 from cmsspark_spark.operators import multimodal as M
 from cmsspark_spark.operators import similarity as S
+from cmsspark_spark.operators import sketches as K
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -1877,11 +1878,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # bit-level hashing painful in ANSI SQL → rows-only
+@query(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(tok), 1, 15))::BIGINT AS th
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(generate_series(0, 15)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (16-bit token-vote) per document; near-pair
-    extraction via Hamming-block self-join is in
-    operators/dedup.simhash_near_pairs (unit-tested)."""
+    """SimHash fingerprints (16-bit token-vote) per document, now
+    oracle-backed: the DuckDB twin unrolls the same md5-derived token
+    hash, per-bit +1/-1 votes and sign-vector assembly in pure SQL
+    (the cross join against generate_series(0,15) is the oracle-side
+    price of bit-level hashing — the Spark side stays one explode +
+    one groupBy). Near-pair extraction via Hamming-block self-join is
+    in operators/dedup.simhash_near_pairs (unit-tested)."""
     d = _t(spark, sf_dir, "documents")
     return D.simhash(d, "doc_id", "text", bits=16).withColumnRenamed("_id", "doc_id")
 
@@ -2370,3 +2397,62 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
     )
+
+
+_CM_BUCKET_SQL = (
+    "('0x' || substring(md5('cm' || {d} || '|' "
+    "|| CAST(user_id AS VARCHAR)), 1, 15))::BIGINT "
+    "% 2147483648 % 256"
+)
+_CM_SKETCH_SQL = f"""
+      SELECT CAST(d.d AS BIGINT) AS d,
+             {_CM_BUCKET_SQL.format(d="d.d")} AS bucket,
+             count(*) AS cnt
+      FROM events, (SELECT unnest(generate_series(0, 3)) AS d) d
+      GROUP BY 1, 2
+"""
+
+
+@query(
+    "count_min_sketch_events",
+    f"SELECT d, bucket, cnt FROM ({_CM_SKETCH_SQL})",
+)
+def count_min_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build over event user_ids (operators/
+    sketches.py): depth×width counter cells from one narrow map + one
+    partially-aggregated groupBy. The oracle unrolls the same salted
+    md5 bucket hash in SQL; cell counts must match exactly."""
+    e = _t(spark, sf_dir, "events")
+    sk = K.count_min_build(e, "user_id", depth=4, width=256)
+    return sk.withColumn("d", F.col("d").cast("long"))
+
+
+@query(
+    "count_min_heavy_users",
+    f"""
+    WITH sketch AS ({_CM_SKETCH_SQL}),
+    probes AS (SELECT DISTINCT user_id FROM events),
+    coords AS (
+      SELECT user_id AS key, CAST(d.d AS BIGINT) AS d,
+             {_CM_BUCKET_SQL.format(d="d.d")} AS bucket
+      FROM probes, (SELECT unnest(generate_series(0, 3)) AS d) d
+    ),
+    est AS (
+      SELECT key, min(coalesce(s.cnt, 0)) AS est
+      FROM coords c LEFT JOIN sketch s USING (d, bucket)
+      GROUP BY key
+    )
+    SELECT key, est FROM est ORDER BY est DESC, key LIMIT 10
+    """,
+)
+def count_min_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter recovery through the sketch: estimate every
+    distinct user's frequency from the depth×width cells (sketch side
+    broadcast — it is ≤1024 rows by construction) and keep the top 10
+    by estimate. Deterministic tie-break on key makes the top-k
+    oracle-stable."""
+    e = _t(spark, sf_dir, "events")
+    sk = K.count_min_build(e, "user_id", depth=4, width=256)
+    probes = e.select("user_id").distinct()
+    est = K.count_min_estimate(sk, probes, "user_id", depth=4, width=256)
+    return est.orderBy(F.col("est").desc(), F.col("key")).limit(10)

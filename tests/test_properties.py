@@ -192,3 +192,53 @@ def test_range_join_binned_matches_naive(spark, points, intervals, bin_width):
         if s <= p < e
     }
     assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 40), min_size=1, max_size=120),
+)
+@settings(**SETTINGS)
+def test_count_min_overcounts_never_undercounts(spark, keys):
+    """Cormode-Muthukrishnan guarantee: for every key, est ≥ true
+    count, and est ≤ true + N (trivial bound; the εN bound is
+    probabilistic). With width ≫ distinct keys, estimates should be
+    exact for most keys."""
+    from collections import Counter
+
+    from cmsspark_spark.operators import sketches as K
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    sk = K.count_min_build(df, "k", depth=4, width=64)
+    probes = df.distinct()
+    est = {
+        r.key: r.est
+        for r in K.count_min_estimate(sk, probes, "k", depth=4, width=64).collect()
+    }
+    true = Counter(keys)
+    n = len(keys)
+    for k, t in true.items():
+        assert est[k] >= t, f"undercount for {k}: {est[k]} < {t}"
+        assert est[k] <= n
+    # width 64 vs ≤41 distinct keys: at least half the keys exact
+    exact = sum(1 for k, t in true.items() if est[k] == t)
+    assert exact * 2 >= len(true)
+
+
+def test_count_min_sketches_merge_cellwise(spark):
+    """Mergeability: sketch(A ∪ B) == cellwise-sum(sketch(A), sketch(B))
+    — the property that lets daily sketches roll up to monthly without
+    re-reading the raw stream."""
+    from cmsspark_spark.operators import sketches as K
+
+    a = spark.createDataFrame([(i % 7,) for i in range(50)], ["k"])
+    b = spark.createDataFrame([(i % 11,) for i in range(80)], ["k"])
+    sk_union = K.count_min_build(a.unionAll(b), "k", depth=4, width=32)
+    merged = (
+        K.count_min_build(a, "k", depth=4, width=32)
+        .unionByName(K.count_min_build(b, "k", depth=4, width=32))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r.d, r.bucket): r.cnt for r in sk_union.collect()}
+    want = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert got == want
