@@ -137,3 +137,51 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_count_min(
+    stream_df: DataFrame,
+    key_col: str,
+    store_path: str,
+    depth: int = 4,
+    width: int = 256,
+    checkpoint: str | None = None,
+):
+    """Incrementally maintained Count-Min sketch over a stream.
+
+    Each micro-batch builds its own sketch (operators/sketches.py —
+    shuffle bounded by depth × width cells) and merges it cell-wise
+    into a parquet cell store via ``foreachBatch``. Mergeability keeps
+    the store ≤ depth × width rows no matter how much volume streams
+    through — the streaming twin of rolling daily sketches into
+    monthly ones. Returns the prepared ``writeStream`` builder (caller
+    picks trigger/checkpoint and starts it).
+
+    The merge runs on the driver inside ``foreachBatch``; the store is
+    re-read each batch, so the previous lineage must be cut (eager
+    ``localCheckpoint``) before overwriting the same path.
+    """
+    from pyspark.errors import AnalysisException
+
+    from cmsspark_spark.operators.sketches import count_min_build
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sk = count_min_build(batch_df, key_col, depth, width)
+        try:
+            cur = spark.read.parquet(store_path)
+            merged = (
+                cur.unionByName(sk)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except AnalysisException:  # first batch: no store yet
+            merged = sk
+        merged.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(store_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -114,3 +114,45 @@ def test_streaming_dedup_batch_passthrough(spark):
     df = spark.createDataFrame([("x", 1), ("x", 2), ("y", 3)], ["k", "v"])
     out = ST.streaming_dedup(df, ["k"])
     assert out.count() == 2
+
+
+def test_streaming_count_min_matches_batch(spark, tmp_path):
+    """Two micro-batches of keys merged through the streaming sketch
+    must equal the batch sketch over all rows — the cellwise-merge
+    property driving the bounded foreachBatch store."""
+    from cmsspark_spark.operators.sketches import count_min_build
+
+    src = tmp_path / "cm_in"
+    src.mkdir()
+    rows_a = [{"k": i % 7} for i in range(60)]
+    rows_b = [{"k": i % 13} for i in range(90)]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows_a))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows_b))
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    store = str(tmp_path / "cm_store")
+    q = (
+        ST.streaming_count_min(
+            stream, "k", store, depth=4, width=32,
+            checkpoint=str(tmp_path / "cm_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(
+        [(r["k"],) for r in rows_a + rows_b], "k long"
+    )
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in count_min_build(batch, "k", depth=4, width=32).collect()
+    }
+    got = {
+        (r.d, r.bucket): r.cnt for r in spark.read.parquet(store).collect()
+    }
+    assert got == want and len(got) > 0
