@@ -21,6 +21,8 @@ and composes the engine's operators. Reference pipelines replicated:
 14. ``dbs_access_stream_counts`` — dbs_cmssw.py:63-76 (+ the aaa/eos/jm
     clones, parametrized away)
 15. ``monit_envelope``         — cmssw_avro2json.py:18-50
+16. ``crab_dataset_popularity`` — dbs_hdfs_crab.py:71-105
+17. ``dbs_file_checksums``     — dbs_adler.py:40-62
 """
 
 from __future__ import annotations
@@ -553,4 +555,70 @@ def monit_envelope(
     return df.select(
         F.struct(*[F.col(c) for c in df.columns]).alias("data"),
         meta.alias("metadata"),
+    )
+
+
+def crab_dataset_popularity(crab: DataFrame) -> DataFrame:
+    """CRAB dataset popularity (dbs_hdfs_crab.py:71-105): completed or
+    removed jobs deduped per GlobalJobId; dataset and datatier parsed
+    from the data-block name with the reference's own regexp (whose
+    greedy group leaves the tier OUT of ``dataset`` and returns '' on
+    malformed blocks — both kept faithfully); per (datatier, primary
+    dataset, dataset): record-time span, job count, distinct
+    workflows, summed read bytes; null names → 'Unknown'.
+
+    Scale note: the reference repartitions on CRAB_DataBlock and THEN
+    drops duplicates on GlobalJobId — an extra full shuffle on a key
+    that doesn't help the dedup. Declared as a bare dropDuplicates
+    (one shuffle, on the dedup key); the aggregation reshuffles only
+    the surviving jobs."""
+    flat = crab.select("data.*")
+    block_re = r"^(.*)/([^/]*)#.*$"
+    jobs = (
+        flat.filter(
+            F.col("Status").isin("Completed", "Removed")
+            & F.col("CRAB_DataBlock").isNotNull()
+        )
+        .dropDuplicates(["GlobalJobId"])
+        .withColumn("dataset", F.regexp_extract("CRAB_DataBlock", block_re, 1))
+        .withColumn("datatier", F.regexp_extract("CRAB_DataBlock", block_re, 2))
+        .withColumnRenamed("CMSPrimaryPrimaryDataset", "primary_dataset")
+    )
+    return (
+        jobs.groupBy("datatier", "primary_dataset", "dataset")
+        .agg(
+            F.max("RecordTime").alias("max_record_time"),
+            F.min("RecordTime").alias("min_record_time"),
+            F.count(F.lit(1)).alias("job_count"),
+            F.countDistinct("CRAB_Workflow").alias("workflow_count"),
+            F.sum("ChirpCMSSWReadBytes").alias("read_bytes"),
+        )
+        .na.fill("Unknown", ["datatier", "primary_dataset", "dataset"])
+    )
+
+
+def dbs_file_checksums(
+    datasets: DataFrame,
+    files: DataFrame,
+    patterns: list[str] | None = None,
+    antipatterns: list[str] | None = None,
+) -> DataFrame:
+    """Dataset→file checksum export with pattern selection
+    (dbs_adler.py:40-62): dataset dim ⋈ file catalog, keeping
+    (dataset, lfn, adler32); ``patterns`` keep datasets LIKE any of
+    them, ``antipatterns`` drop datasets LIKE any of them. Both
+    filters collapse to one Catalyst predicate on the (broadcast)
+    dataset dim, so they prune before the join fans out."""
+    d = datasets.select("dataset_id", "dataset")
+    if patterns:
+        keep = F.lit(False)
+        for p in patterns:
+            keep = keep | F.col("dataset").like(p)
+        d = d.filter(keep)
+    if antipatterns:
+        for p in antipatterns:
+            d = d.filter(~F.col("dataset").like(p))
+    f = files.select("dataset_id", "logical_file_name", "adler32")
+    return f.join(broadcast_if_small(d), on="dataset_id").select(
+        "dataset", "logical_file_name", "adler32"
     )

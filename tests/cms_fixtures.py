@@ -111,6 +111,7 @@ def files_df(spark: SparkSession) -> DataFrame:
             (i % 5000) + 100,            # event_count
             float((i % 997) * 1e6 + 1),  # file_size
             float(DAY0 - 86400 * (i % 200)),
+            f"{(i * 2654435761) % (1 << 32):08x}",  # adler32 checksum
         )
         for i in range(N_FILES)
     ]
@@ -118,7 +119,7 @@ def files_df(spark: SparkSession) -> DataFrame:
         rows,
         "file_id: long, logical_file_name: string, block_id: long, "
         "dataset_id: long, event_count: int, file_size: double, "
-        "creation_date: double",
+        "creation_date: double, adler32: string",
     )
 
 
@@ -311,6 +312,39 @@ def crab_condor_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def crab_dataset_jobs_df(spark: SparkSession) -> DataFrame:
+    """CRAB job records with data-block provenance (dbs_hdfs_crab.py
+    _get_crab_condor_schema subset): every 4th row is a retry sharing
+    a GlobalJobId; 1 in 9 has a null primary dataset (fillna path);
+    1 in 13 a malformed block name (regexp no-match → empty string);
+    statuses beyond Completed/Removed must be filtered out."""
+    rows = []
+    for i in range(N_CRAB):
+        ds = _dataset_name(i % N_DATASETS)
+        block = (
+            f"{ds}#{i % 40:08x}" if i % 13 else f"malformed_block_{i}"
+        )
+        rows.append(
+            (
+                (
+                    f"crabds_{i // 4}#{i % 4}",
+                    MS0 + (i % 42) * 86400_000 + (i % 7200) * 500,
+                    "Completed" if i % 5 else ("Removed" if i % 2 else "Running"),
+                    None if i % 17 == 0 else block,
+                    f"wf_{(i * 3) % 97}",
+                    None if i % 9 == 0 else ds.split("/")[1],
+                    float((i % 89) * 1e5),
+                ),
+            )
+        )
+    schema = (
+        "data: struct<GlobalJobId: string, RecordTime: long, "
+        "Status: string, CRAB_DataBlock: string, CRAB_Workflow: string, "
+        "CMSPrimaryPrimaryDataset: string, ChirpCMSSWReadBytes: double>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def fts_df(spark: SparkSession) -> DataFrame:
     """FTS transfer records (aso_stats.py fts_tables shape): nested
     job_metadata.issuer envelope; 1 in 5 transfers is non-ASO."""
@@ -448,6 +482,7 @@ def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
         "wma_reports": wma_reports_df(spark),
         "phedex_replicas": phedex_df(spark),
         "crab_condor": crab_condor_df(spark),
+        "crab_dataset_jobs": crab_dataset_jobs_df(spark),
         "fts_transfers": fts_df(spark),
         "aso_transfers": aso_df(spark),
         "dbs_file_lumis": file_lumis_df(spark),

