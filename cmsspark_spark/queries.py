@@ -2456,3 +2456,58 @@ def count_min_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.select("user_id").distinct()
     est = K.count_min_estimate(sk, probes, "user_id", depth=4, width=256)
     return est.orderBy(F.col("est").desc(), F.col("key")).limit(10)
+
+
+@query(
+    "semi_join_recent_customers",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '1997-06-01'
+    )
+    """,
+)
+def semi_join_recent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi completes the join-type family (J8's anti twin):
+    customers with a recent order, no order columns carried — the
+    semi join probes the build side and short-circuits on first
+    match, cheaper than inner-join + distinct at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-06-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE across (status, priority) — all four grouping-set
+    combinations in ONE pass (A12's rollup sibling; Spark expands the
+    cube in the partial aggregate, so the fact still scans once)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )

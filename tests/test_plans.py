@@ -233,3 +233,11 @@ def test_time_rollup_reuses_finer_levels(spark):
     AQE materializes the reuse at runtime, hence the executed plan."""
     df = QUERIES["time_rollup_hierarchy"](spark, SF)
     assert plans.executed_plan_node_count(df, "ReusedExchange") == 2
+
+
+def test_count_min_estimate_broadcasts_sketch(spark):
+    """The sketch is ≤ depth×width rows by construction — probing must
+    broadcast it, never sort-merge the probe stream."""
+    df = QUERIES["count_min_heavy_users"](spark, SF)
+    assert plans.count_nodes(df, "BroadcastHashJoin") == 1
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
