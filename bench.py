@@ -83,26 +83,37 @@ def main() -> None:
     # Two timed runs per query, keep the min: strips one-off JIT/compile
     # warmup and machine-load spikes from the recorded throughput number
     # (each run still rebuilds the full plan from scratch).
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # A failing query must cost only its own entry, never the whole bench
+    # run (round-2 lost ALL numbers to one AnalysisException): time each
+    # query independently and record errors alongside the timings.
+    errors: dict[str, str] = {}
+
+    def timed(name: str) -> float | None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            try:
+                QUERIES[name](spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001 — record and move on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                return None
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t = timed(name)
+        if t is not None:
+            timings[name] = t
 
     # Round-2 additions timed SEPARATELY: the headline total is the
     # round-over-round comparison basis and must keep a fixed query
     # set; new queries report alongside until promoted.
     extra: dict[str, float] = {}
     for name in EXTRA:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        extra[name] = round(best, 3)
+        t = timed(name)
+        if t is not None:
+            extra[name] = t
 
     total = round(sum(timings.values()), 3)
     print(
@@ -113,6 +124,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -78,9 +78,19 @@ def load_table(
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NS_TIMESTAMP_COLS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             # ns → µs floor-div matches DuckDB's truncation of TIMESTAMP_NS.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # Newer generator layouts write TIMESTAMP(MICROS, isAdjustedToUTC
+            # =false) which Spark reads as TIMESTAMP_NTZ — a type that forbids
+            # numeric casts (epoch math) and differs from the reference's
+            # long/timestamp columns (SURVEY §1.2: epoch columns + LTZ casts).
+            # With the session timezone pinned UTC the NTZ→LTZ cast is a pure
+            # relabel (bit-identical instant), and DuckDB's epoch() over the
+            # same naive timestamp agrees.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if widen if widen is not None else name in _WIDEN_TABLES:
         target = spark.sparkContext.defaultParallelism
         if _effective_splits(sf_dir, name) < max(2, target // 2):

@@ -615,7 +615,10 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    gap = F.col("ts").cast("double") - prev.cast("double")
+    # Go through an explicit LTZ cast first: a TIMESTAMP_NTZ column (newer
+    # parquet layouts) cannot cast straight to double, while LTZ→LTZ is a
+    # no-op — this stays correct for either physical timestamp type.
+    gap = F.col("ts").cast("timestamp").cast("double") - prev.cast("timestamp").cast("double")
     flagged = ev.withColumn(
         "new_session",
         F.when(prev.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
@@ -1512,19 +1515,23 @@ def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey,
              CASE l_linenumber % 3 WHEN 0 THEN 'cmsRun1'
                   WHEN 1 THEN 'stageOut1' ELSE 'logArch1' END AS name,
-             l_extendedprice * (1 - l_discount) AS cpu,
-             l_extendedprice AS wall
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cpu_s,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * 100 AS wall_s
       FROM lineitem
     ),
     per_order AS (
-      SELECT l_orderkey, round(100 * sum(cpu) / sum(wall), 6) AS cpu_eff,
+      SELECT l_orderkey,
+             (100000000 * sum(cpu_s) + sum(wall_s) // 2) // sum(wall_s)
+               AS eff_micro,
              count(*) AS n_steps
       FROM steps WHERE lower(name) LIKE 'cmsrun%'
       GROUP BY l_orderkey
     )
     SELECT count(*) AS n_orders,
-           round(avg(cpu_eff), 4) AS avg_eff,
-           sum(n_steps) AS n_cmsrun_steps
+           round(CAST(sum(eff_micro) AS DOUBLE)
+                 / (1000000.0 * count(*)), 4) AS avg_eff,
+           CAST(sum(n_steps) AS BIGINT) AS n_cmsrun_steps
     FROM per_order
     """,
 )
@@ -1535,34 +1542,47 @@ def stepchain_cpu_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmarchive.py:108-144), then the cmsRun-prefix filter and the
     per-workflow CPU-efficiency ratio. The nested array is packed from
     the flat fact first (pack→explode roundtrip exercises both
-    directions)."""
+    directions).
+
+    FP determinism: this query's first two formulations flipped the
+    driver's full-precision value hash (rounds 1 AND 2) because a double
+    ``avg`` over ~10k ratios is summation-order dependent and Spark/
+    DuckDB disagree in the low bits. Now every aggregate is an exact
+    int64 sum (price/discount are 2-decimal values → exact cents), the
+    per-order efficiency is a half-up *integer* division in micro-units,
+    and the only floating-point op is one final division performed
+    identically on both sides — bit-deterministic regardless of
+    partitioning or summation order."""
     from cmsspark_spark.operators import nested as N
 
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
     flat = li.select(
         "l_orderkey",
         F.when(F.col("l_linenumber") % 3 == 0, "cmsRun1")
         .when(F.col("l_linenumber") % 3 == 1, "stageOut1")
         .otherwise("logArch1")
         .alias("name"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cpu"),
-        F.col("l_extendedprice").alias("wall"),
+        (cents * (100 - disc_pct)).alias("cpu_s"),
+        (cents * 100).alias("wall_s"),
     )
     nested_df = N.pack_steps(
-        flat, ["l_orderkey"], [F.col("name"), F.col("cpu"), F.col("wall")]
+        flat, ["l_orderkey"], [F.col("name"), F.col("cpu_s"), F.col("wall_s")]
     )
     steps = N.explode_steps(nested_df, "steps", keep=["l_orderkey"])
     cms = N.filter_steps_by_name(steps, "name", "cmsrun")
-    # Per-order efficiency rounded to 6 decimals on BOTH Spark and oracle
-    # sides: the final round(avg, 4) is otherwise one summation-order away
-    # from a hash flip over 10k float ratios (round-1 CORRECTNESS failure).
     per_order = cms.groupBy("l_orderkey").agg(
-        F.round(A.ratio_of_sums(F.col("cpu"), F.col("wall")), 6).alias("cpu_eff"),
+        F.expr(
+            "(100000000L * sum(cpu_s) + sum(wall_s) div 2) div sum(wall_s)"
+        ).alias("eff_micro"),
         F.count(F.lit(1)).alias("n_steps"),
     )
     return per_order.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("cpu_eff"), 4).alias("avg_eff"),
+        F.expr(
+            "round(CAST(sum(eff_micro) AS DOUBLE) / (1000000.0D * count(1)), 4)"
+        ).alias("avg_eff"),
         F.sum("n_steps").alias("n_cmsrun_steps"),
     )
 

@@ -44,8 +44,12 @@ def test_incremental_recompute_touches_only_window(spark, tmp_path):
     table = str(tmp_path / "curated")
 
     def compute(s, start, end):
-        ev = s.read.parquet(f"{SF}/events.parquet")
-        ev = ev.withColumn("ts2", F.timestamp_micros(F.expr("ts div 1000")))
+        from cmsspark_spark.catalog import load_table
+
+        # load_table normalizes whichever physical ts layout the
+        # generator used (bigint nanos / TIMESTAMP_NTZ) to LTZ.
+        ev = load_table(s, SF, "events", widen=False)
+        ev = ev.withColumn("ts2", F.col("ts"))
         daily = ev.groupBy(
             F.date_format("ts2", "yyyy-MM-dd").alias("day")
         ).agg(F.count(F.lit(1)).alias("n"))
@@ -86,10 +90,9 @@ def test_session_window_matches_lag_sessionization(spark):
     from cmsspark_spark.queries import sessionize_users
     import pyspark.sql.functions as F2
 
-    ev = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F2.timestamp_micros(F2.expr("ts div 1000")))
-    )
+    from cmsspark_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events", widen=False)
     sessions = session_window_agg(
         ev, "ts", "30 minutes", ["user_id"], [F2.count(F2.lit(1)).alias("n_events")]
     )
