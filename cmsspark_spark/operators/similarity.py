@@ -20,7 +20,13 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from cmsspark_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from cmsspark_spark.functions.vectors import (
+    centroid_probe_arrow,
+    cosine_similarity,
+    dot,
+    l2_norm,
+    sign_buckets_arrow,
+)
 
 
 def _rescore_topk(
@@ -28,7 +34,13 @@ def _rescore_topk(
 ) -> DataFrame:
     """Shared tail of every ANN operator: exact cosine on candidates,
     per-query rank window (ties break on candidate id — deterministic),
-    keep top-k."""
+    keep top-k.
+
+    The rescore dot stays a Catalyst fold ON PURPOSE: an Arrow pandas
+    UDF here must ship BOTH vectors of every candidate pair across the
+    Python boundary (measured 2.8s → 13.2s on near-dup at sf0.1) —
+    vectorizing pays pre-join (one array per row, see ``_all_buckets``),
+    never post-join."""
     scored = cand.withColumn("cosine", cosine_similarity(vec_col, "_qvec"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -104,43 +116,60 @@ def cosine_near_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: sign-LSH bucket self-join for
     candidates (high-cosine vectors land in the same bucket with
     probability (1 - θ/π)^planes per table), exact cosine only on
-    candidates. Approximate: misses pairs no table co-buckets."""
+    candidates. Approximate: misses pairs no table co-buckets.
+
+    ``impl="arrow"`` (default) hashes with one vectorized numpy matmul
+    per Arrow batch; ``impl="sql"`` keeps the pure-Catalyst expression
+    form (UDF-free, for environments where Arrow is off).
+
+    Shuffle discipline (the 100 TB shape): the bucket self-join carries
+    ONLY (id, table, bucket) — candidate pairs are ids, never vectors.
+    A bucket of size s yields s² id-pairs; attaching the 64-dim arrays
+    before the join multiplies every one of those by the vector payload
+    (measured at sf0.1: ~1M candidates × 2×64 doubles ≈ 1 GB shuffled,
+    6-13 s; ids-only ≈ 16 bytes/pair). Vectors are unit-normalized ONCE
+    per row and joined back to the *deduplicated* pairs — AQE turns
+    those join-backs into broadcasts when the embedding side is small.
+    """
     rng = np.random.default_rng(seed)
     all_planes = [rng.standard_normal((num_planes, dim)) for _ in range(tables)]
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("_table"),
-                _sign_bucket(vec_col, all_planes[t]).alias("_bucket"),
-            )
-            for t in range(tables)
-        ]
-    )
     hashed = emb.select(
         F.col(id_col),
-        _dblvec(vec_col).alias("_v"),
-        l2_norm(vec_col).alias("_n"),
-        F.explode(buckets).alias("_tb"),
-    ).select(id_col, "_v", "_n", "_tb._table", "_tb._bucket")
-    a = hashed.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"), "_table", "_bucket",
+        F.posexplode(_all_buckets(vec_col, all_planes, impl)).alias(
+            "_table", "_bucket"
+        ),
     )
-    b = hashed.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"), "_table", "_bucket",
-    )
+    a = hashed.select(F.col(id_col).alias("id_a"), "_table", "_bucket")
+    b = hashed.select(F.col(id_col).alias("id_b"), "_table", "_bucket")
     cand = (
         a.join(b, on=["_table", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Unit-normalize once per row: the pair rescore is then one dot.
+    unit = emb.select(
+        F.col(id_col),
+        F.zip_with(
+            _dblvec(vec_col),
+            F.array_repeat(l2_norm(vec_col), dim),
+            lambda x, n: x / n,
+        ).alias("_u"),
+    )
+    ua = unit.select(F.col(id_col).alias("id_a"), F.col("_u").alias("_ua"))
+    ub = unit.select(F.col(id_col).alias("id_b"), F.col("_u").alias("_ub"))
+    # Rescore stays a Catalyst fold: an Arrow UDF post-join ships both
+    # vectors of every pair across the Python boundary (measured 2.8s →
+    # 13.2s at sf0.1). Vectorize pre-join only.
     return (
-        cand.withColumn("cosine", dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        cand.join(ua, on="id_a")
+        .join(ub, on="id_b")
+        .withColumn("cosine", dot("_ua", "_ub"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -203,6 +232,17 @@ def _centroid_assign(vec_col: str, centroids: np.ndarray, nprobe: int) -> "F.Col
     return F.expr(expr)
 
 
+def _probe_lists(
+    vec_col: str, centroids: np.ndarray, nprobe: int, impl: str
+) -> "F.Column":
+    """Top-``nprobe`` inverted-list ids for one vector — arrow (numpy
+    matmul per Arrow batch, default) or sql (one expression tree per
+    centroid; oracle-safe/UDF-free fallback)."""
+    if impl == "arrow":
+        return centroid_probe_arrow(centroids, nprobe)(vec_col)
+    return _centroid_assign(vec_col, centroids, nprobe)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -212,6 +252,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest
     centroid's inverted list; each query probes its ``nprobe`` nearest
@@ -226,12 +267,12 @@ def ivf_topk(
         F.col(id_col),
         F.col(vec_col),
         # corpus side: nprobe=1 — each vector lives in ONE list
-        _centroid_assign(vec_col, centroids, 1).getItem(0).alias("_centroid"),
+        _probe_lists(vec_col, centroids, 1, impl).getItem(0).alias("_centroid"),
     )
     q_assign = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(_centroid_assign(vec_col, centroids, nprobe)).alias("_centroid"),
+        F.explode(_probe_lists(vec_col, centroids, nprobe, impl)).alias("_centroid"),
     )
     cand = (
         c_assign.join(F.broadcast(q_assign), on="_centroid")
@@ -248,6 +289,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    impl: str = "arrow",
 ) -> None:
     """Materialize the IVF index: corpus partitioned on disk by nearest
     centroid. At query time a probe reads ONLY its nprobe partitions
@@ -257,7 +299,7 @@ def write_ivf_index(
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        _centroid_assign(vec_col, centroids, 1).getItem(0).alias("_centroid"),
+        _probe_lists(vec_col, centroids, 1, impl).getItem(0).alias("_centroid"),
     )
     # repartition by list: one writer per inverted list → one file per
     # partition dir, no small-file explosion
@@ -276,6 +318,7 @@ def ivf_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Probe a materialized IVF index: queries hash to their nprobe
     centroid lists; the corpus scan carries a ``_centroid IN (...)``
@@ -283,7 +326,7 @@ def ivf_index_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(_centroid_assign(vec_col, centroids, nprobe)).alias("_centroid"),
+        F.explode(_probe_lists(vec_col, centroids, nprobe, impl)).alias("_centroid"),
     )
     corpus = spark.read.option("basePath", index_path).parquet(index_path)
     cand = (
@@ -319,6 +362,25 @@ def _sign_bucket(vec_col: str, planes: np.ndarray) -> "F.Column":
     return F.expr(" + ".join(terms))
 
 
+def _all_buckets(vec_col: str, all_planes: list, impl: str) -> "F.Column":
+    """``array<bigint>`` of every table's bucket id for one vector.
+
+    arrow: one vectorized pandas UDF (numpy matmul per Arrow batch) —
+    the hot path; the per-plane aggregate(zip_with) trees of the sql
+    form are interpreted (HOFs never reach whole-stage codegen) and
+    re-walk the vector per plane.
+    sql: pure Catalyst expressions, UDF-free (oracle-safe fallback).
+    """
+    if impl == "arrow":
+        return sign_buckets_arrow(all_planes)(vec_col)
+    return F.array(
+        *[
+            _sign_bucket(vec_col, planes).cast("bigint")
+            for planes in all_planes
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -330,6 +392,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH bucketing + exact re-score.
 
@@ -337,27 +400,22 @@ def lsh_topk(
     of ``tables`` independent hash tables; only candidates get the exact
     cosine. Recall grows with ``tables`` and shrinks with ``num_planes``.
     Returns (query_id, vec_id, cosine, rank) like ``brute_force_topk``.
+    ``impl``: see ``cosine_near_pairs_lsh``.
     """
     rng = np.random.default_rng(seed)
     all_planes = [rng.standard_normal((num_planes, dim)) for _ in range(tables)]
 
     def bucketize(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        # ONE scan: every table's bucket as a struct in an array literal,
-        # exploded narrowly — no union-of-branches re-reading the source.
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("_table"),
-                    _sign_bucket(vec_col, all_planes[t]).alias("_bucket"),
-                )
-                for t in range(tables)
-            ]
-        )
+        # ONE scan: every table's bucket in one array column (one UDF
+        # call or one expression tree), exploded narrowly — no
+        # union-of-branches re-reading the source.
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
-            F.explode(buckets).alias("_tb"),
-        ).select(out_id, out_vec, "_tb._table", "_tb._bucket")
+            F.posexplode(_all_buckets(vec_col, all_planes, impl)).alias(
+                "_table", "_bucket"
+            ),
+        )
 
     corpus_all = bucketize(corpus, id_col, vec_col)
     query_all = bucketize(queries, query_id_col, "_qvec")
