@@ -68,6 +68,13 @@ EXTRA = [
     "range_join_order_windows",  # binned non-equi range join
     "time_rollup_hierarchy",     # hypertable continuous aggregate
     "count_min_heavy_users",     # CM sketch build + heavy-hitter probe
+    # round 3: training-data pipeline ops
+    "decontaminate_ngram_overlap",  # benchmark n-gram leak detection
+    "pack_concat_chunks",           # GPT-style concat-and-slice packing
+    "greedy_pack_bins",             # whole-doc next-fit packing (Arrow)
+    "stratified_sample_sources",    # exact k-per-stratum content-hash sample
+    "mixture_weights_temperature",  # temperature mixture re-weighting
+    "quality_ntile_buckets",        # per-source quality quartiles
 ]
 
 

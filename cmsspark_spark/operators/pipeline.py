@@ -1,0 +1,262 @@
+"""Training-data pipeline operators (beyond-reference, SURVEY §7.2 M8).
+
+The ops a large-scale LLM pre-training data pipeline runs between "raw
+corpus" and "token stream": benchmark decontamination, sequence packing,
+stratified sampling, and data-mixture weighting. All hot paths are pure
+Catalyst expressions / window math; the one genuinely stateful op
+(greedy bin packing) is an Arrow ``applyInPandas`` with a documented
+per-partition contract.
+
+Scale notes (100 TB shapes):
+
+- Decontamination joins the corpus' exploded n-grams against the
+  benchmark's — the benchmark side is small by construction (eval sets)
+  and broadcast; the corpus side never shuffles. With a huge benchmark,
+  swap the broadcast for a bloom-filter pre-pass + shuffle join on the
+  survivors.
+- Concat-packing is one window cumsum over doc ordering + a bounded
+  per-row sequence explode: no driver state, no iteration.
+- Greedy packing is per-partition-local by design (bins never span
+  partitions) — the trade every distributed packer makes; partition by
+  shard/source to control fragment count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from cmsspark_spark.functions.text import raw_ngrams, tokens
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its distinct
+    word n-grams appear anywhere in ``benchmark`` (the eval set being
+    protected). Returns (id, n_grams, n_hit, hit_ratio) for every doc
+    with ≥1 distinct n-gram; downstream filters on hit_ratio.
+
+    Join discipline: the benchmark's distinct n-grams are broadcast
+    (eval sets are tiny next to the corpus); the corpus side explodes
+    its distinct grams and LEFT SEMI-joins per gram, then re-aggregates
+    per doc. The corpus is never shuffled — only its gram list, and only
+    map-side.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(raw_ngrams(tokens(bench_text_col), n))).alias(
+                "_gram"
+            )
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(raw_ngrams(tokens(text_col), n))).alias("_gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="_gram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(raw_ngrams(tokens(text_col), n))).alias("n_grams"),
+    )
+    return (
+        totals.join(hits, on=id_col, how="left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "hit_ratio",
+            F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)),
+        )
+    )
+
+
+def concat_pack_chunks(
+    docs: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document in a
+    deterministic order and slice the stream into fixed ``ctx_len``
+    token windows; documents may span window boundaries. Returns one row
+    per (chunk_id, doc) overlap:
+
+    (chunk_id, id, doc_tokens, start_offset, tokens_in_chunk)
+
+    Pure window math: a global cumsum gives each doc its token offset;
+    each doc overlaps chunks floor(start/ctx) .. floor((end-1)/ctx), a
+    bounded row-local ``sequence`` explode. No driver state, no loops —
+    the whole packer is one sort + one narrow map at any scale. (The
+    single global cumsum window is the deliberate cost: packing defines
+    a total order. Shard first — partition the cumsum by shard — when
+    one global stream isn't required.)
+    """
+    tc = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(tokens("text"))
+    ).alias("doc_tokens")
+    order = order_col or id_col
+    w = Window.orderBy("_ord")
+    offs = docs.select(F.col(id_col), tc, F.col(order).alias("_ord")).withColumn(
+        "start_offset",
+        F.coalesce(
+            F.sum("doc_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    offs = offs.filter(F.col("doc_tokens") > 0).withColumn(
+        "_end", F.col("start_offset") + F.col("doc_tokens")
+    )
+    first = (F.col("start_offset") / ctx_len).cast("long")
+    last = ((F.col("_end") - 1) / ctx_len).cast("long")
+    return (
+        offs.select(
+            id_col,
+            "doc_tokens",
+            "start_offset",
+            F.explode(F.sequence(first, last)).alias("chunk_id"),
+        )
+        .withColumn(
+            "tokens_in_chunk",
+            F.least(F.col("start_offset") + F.col("doc_tokens"), (F.col("chunk_id") + 1) * ctx_len)
+            - F.greatest(F.col("start_offset"), F.col("chunk_id") * ctx_len),
+        )
+        .drop("start_offset")
+    )
+
+
+def greedy_pack_bins(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Greedy next-fit bin packing: docs are packed whole (never split)
+    into bins of ≤ ``capacity`` tokens. Within each partition group the
+    docs are walked in ``id_col`` order; a doc that doesn't fit opens the
+    next bin. Docs longer than ``capacity`` get a singleton bin with
+    ``truncated=true``. Returns (partition cols..., id, doc_tokens,
+    bin_id, truncated).
+
+    Next-fit needs running *resettable* state (a window cumsum can't
+    express "reset when the bin fills"), so this is the one packer
+    stage that leaves Catalyst: an Arrow ``applyInPandas`` per
+    partition group. Bins never span groups — partition by shard/source
+    to bound group size and keep packing embarrassingly parallel.
+    Deterministic: group walk order is a stable in-group sort on
+    ``id_col``.
+    """
+    parts = partition_cols or []
+    tc = (
+        token_count_col if token_count_col is not None else F.size(tokens("text"))
+    ).alias("doc_tokens")
+    slim = docs.select(*parts, F.col(id_col), tc)
+    cap = int(capacity)
+    idc = str(id_col)
+    out_schema = ", ".join(
+        [f"`{c}` string" for c in parts]
+        + [f"`{idc}` bigint", "doc_tokens int", "bin_id bigint", "truncated boolean"]
+    )
+
+    out_cols = [*parts, idc, "doc_tokens", "bin_id", "truncated"]
+
+    def _pack(pdf):
+        # By-value closure: pandas only, no module globals.
+        pdf = pdf.sort_values(idc).reset_index(drop=True)
+        bins, toks, trunc = [], [], []
+        bin_id, used = 0, 0
+        started = False
+        for t in pdf["doc_tokens"]:
+            t = int(t)
+            if t > cap:
+                if started:
+                    bin_id += 1
+                bins.append(bin_id)
+                trunc.append(True)
+                bin_id += 1
+                used, started = 0, False
+                continue
+            if started and used + t > cap:
+                bin_id += 1
+                used = 0
+            bins.append(bin_id)
+            trunc.append(False)
+            used += t
+            started = True
+        pdf["bin_id"] = bins
+        pdf["truncated"] = trunc
+        return pdf[out_cols]
+
+    grouped = slim.groupBy(*parts) if parts else slim.groupBy(F.lit(1).alias("_g"))
+    return grouped.applyInPandas(_pack, schema=out_schema)
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact k-per-stratum deterministic sample: rank rows inside each
+    stratum by a content hash of ``key_col`` (stable under re-sharding
+    and re-ordering — same property as ``hash_sample``) and keep the
+    first ``k``. One shuffle on the strata key; ties in the hash break
+    on the key itself so the sample is a pure function of the data.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.7,
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Temperature-scaled data-mixture weights: per source s with token
+    share p_s, sampling weight w_s ∝ p_s^α, normalized to sum 1
+    (multinomial mixture re-balancing à la multilingual pre-training;
+    α<1 up-weights small sources). Returns per-source
+    (source, n_docs, n_tokens, token_share, weight, boost) where boost =
+    weight / token_share (how over/under-sampled the source is).
+
+    Two tiny aggregations (per-source, then a broadcast-able global
+    total folded in via a window over the per-source frame) — the corpus
+    is scanned once.
+    """
+    tc = (
+        token_count_col if token_count_col is not None else F.size(tokens("text"))
+    )
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    raw = F.pow(share, F.lit(alpha))
+    weight = raw / F.sum(raw).over(wall)
+    return per.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        weight.alias("weight"),
+        (weight / share).alias("boost"),
+    )

@@ -2531,3 +2531,208 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: decontamination, packing, sampling, mixtures
+# (operators/pipeline.py — beyond-reference, SURVEY §7.2 M8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    grams AS (SELECT doc_id, {_SHINGLES_SQL} AS gs FROM tok),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0),
+    doc_g AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM doc_g WHERE g IN (SELECT g FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.gs) AS BIGINT) AS n_grams,
+           CAST(h.n_hit AS BIGINT) AS n_hit,
+           round(h.n_hit / greatest(len(t.gs), 1), 6) AS hit_ratio
+    FROM grams t JOIN hits h ON t.doc_id = h.doc_id
+    WHERE t.doc_id % 20 <> 0
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word trigrams with
+    a protected eval set (here: every 20th doc). The eval set's distinct
+    grams are BROADCAST; the corpus side never shuffles — the 100 TB
+    shape of test-set leakage detection for training corpora."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    rest = d.filter(F.col("doc_id") % 20 != 0)
+    out = PL.ngram_overlap(rest, bench, n=3)
+    return out.filter(F.col("n_hit") > 0).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round("hit_ratio", 6).alias("hit_ratio"),
+    )
+
+
+@query(
+    "pack_concat_chunks",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS doc_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, doc_tokens,
+             CAST(coalesce(sum(doc_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, doc_tokens, s,
+             unnest(generate_series(s // 512, (s + doc_tokens - 1) // 512))
+               AS chunk_id
+      FROM offs WHERE doc_tokens > 0
+    )
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(s + doc_tokens, (chunk_id + 1) * 512)
+                    - greatest(s, chunk_id * 512)) AS BIGINT) AS chunk_tokens
+    FROM chunks GROUP BY chunk_id
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate docs in doc_id order and
+    slice fixed 512-token windows (docs may span boundaries). Output is
+    per-chunk occupancy — every chunk_tokens is exactly 512 except the
+    tail, which is the packer's invariant. Pure window cumsum + bounded
+    sequence explode; no driver state (operators/pipeline.py)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = PL.concat_pack_chunks(d, ctx_len=512)
+    return chunks.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens_in_chunk").alias("chunk_tokens"),
+    )
+
+
+@query(
+    "stratified_sample_sources",
+    """
+    WITH rk AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS _rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM rk WHERE _rk <= 5
+    """,
+)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-per-source deterministic sample: rank inside each stratum
+    by a content hash (stable under re-sharding, like hash_sample) and
+    keep the first 5. One shuffle on the stratum key
+    (operators/pipeline.stratified_topk_sample)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return PL.stratified_topk_sample(d, ["source"], k=5)
+
+
+@query(
+    "mixture_weights_temperature",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens / sum(n_tokens) OVER () AS share
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           round(share, 6) AS token_share,
+           round(pow(share, 0.7) / sum(pow(share, 0.7)) OVER (), 6) AS weight
+    FROM shares
+    """,
+)
+def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights (α=0.7): per-source token
+    share p_s and sampling weight ∝ p_s^0.7 normalized — the standard
+    multilingual/multi-source re-balancing computed in one corpus scan
+    plus two tiny window sums (operators/pipeline.mixture_weights)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    out = PL.mixture_weights(d, "source", alpha=0.7)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+@query(
+    "quality_ntile_buckets",
+    """
+    WITH b AS (
+      SELECT source, n_chars,
+             ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS bucket
+      FROM documents
+    )
+    SELECT source, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY source, bucket
+    """,
+)
+def quality_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quartile assignment per source (curriculum/quality
+    binning): NTILE(4) over a deterministic (n_chars, doc_id) order,
+    then per-bucket spans. W-family windowing over the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@query("greedy_pack_bins")  # stateful per-group walk: no plain-SQL oracle
+def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit whole-doc bin packing (capacity 512 tokens) per
+    source via Arrow applyInPandas — deterministic (stable in-group
+    doc_id walk) but its resettable running state is not expressible in
+    plain window SQL, so the oracle is the invariant test suite
+    (tests/test_pipeline.py: capacity respected, every doc exactly
+    once, bins contiguous)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    packed = PL.greedy_pack_bins(
+        d, capacity=512, partition_cols=["source"]
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_tokens").alias("bin_tokens"),
+        F.max(F.col("truncated").cast("int")).alias("has_truncated"),
+    )

@@ -1,0 +1,154 @@
+"""Invariant tests for the training-data pipeline operators
+(operators/pipeline.py): packing capacity/coverage, decontamination
+hit semantics, sampling determinism, mixture-weight algebra.
+
+greedy_pack_bins has no SQL oracle (resettable running state) — these
+invariants ARE its correctness contract.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cmsspark_spark import catalog
+from cmsspark_spark.operators import pipeline as PL
+
+SF = "/root/testdata/sf0.001"
+CAP = 100
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return catalog.load_table(spark, SF, "documents", widen=False)
+
+
+def test_greedy_pack_capacity_and_coverage(spark, docs):
+    packed = PL.greedy_pack_bins(docs, capacity=CAP, partition_cols=["source"])
+    rows = packed.collect()
+    n_docs = docs.count()
+    # every doc exactly once
+    assert len(rows) == n_docs
+    assert len({(r["source"], r["doc_id"]) for r in rows}) == n_docs
+    # capacity: non-truncated bins fit; truncated rows exceed cap alone
+    from collections import defaultdict
+
+    bin_tokens = defaultdict(int)
+    bin_members = defaultdict(list)
+    for r in rows:
+        bin_tokens[(r["source"], r["bin_id"])] += r["doc_tokens"]
+        bin_members[(r["source"], r["bin_id"])].append(r)
+    for key, members in bin_members.items():
+        if any(m["truncated"] for m in members):
+            assert len(members) == 1, "truncated doc must sit alone in its bin"
+            assert members[0]["doc_tokens"] > CAP
+        else:
+            assert bin_tokens[key] <= CAP, f"bin {key} over capacity"
+
+
+def test_greedy_pack_bins_contiguous_and_deterministic(spark, docs):
+    packed = PL.greedy_pack_bins(docs, capacity=CAP, partition_cols=["source"])
+    one = {(r["source"], r["doc_id"]): r["bin_id"] for r in packed.collect()}
+    # bins contiguous from 0 per group
+    from collections import defaultdict
+
+    per_group = defaultdict(set)
+    for (src, _), b in one.items():
+        per_group[src].add(b)
+    for src, bins in per_group.items():
+        assert bins == set(range(len(bins))), f"holes in bin ids for {src}"
+    # deterministic under re-partitioning (group walk is a stable sort)
+    again = {
+        (r["source"], r["doc_id"]): r["bin_id"]
+        for r in PL.greedy_pack_bins(
+            docs.repartition(7), capacity=CAP, partition_cols=["source"]
+        ).collect()
+    }
+    assert one == again
+
+
+def test_concat_pack_chunks_partition_of_doc_tokens(spark, docs):
+    ctx = 128
+    chunks = PL.concat_pack_chunks(docs, ctx_len=ctx)
+    rows = chunks.collect()
+    # per-doc: chunk fragments partition the doc's tokens
+    from collections import defaultdict
+
+    per_doc = defaultdict(int)
+    per_chunk = defaultdict(int)
+    for r in rows:
+        assert r["tokens_in_chunk"] > 0
+        per_doc[r["doc_id"]] += r["tokens_in_chunk"]
+        per_chunk[r["chunk_id"]] += r["tokens_in_chunk"]
+    doc_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias("n"),
+        ).collect()
+        if r["n"] > 0
+    }
+    assert per_doc == doc_tokens
+    # every chunk is exactly full except the last
+    last = max(per_chunk)
+    for cid, n in per_chunk.items():
+        if cid != last:
+            assert n == ctx, f"chunk {cid} not full: {n}"
+        else:
+            assert 0 < n <= ctx
+    assert set(per_chunk) == set(range(last + 1))
+
+
+def test_ngram_overlap_planted_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # shares trigrams
+            (2, "completely unrelated text about spark engines"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # exact
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in PL.ngram_overlap(docs, bench, n=3).collect()
+    }
+    assert out[3]["hit_ratio"] == 1.0
+    assert out[1]["n_hit"] >= 3  # "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out[2]["n_hit"] == 0 and out[2]["hit_ratio"] == 0.0
+
+
+def test_stratified_sample_exact_k_and_stable(spark, docs):
+    k = 3
+    s1 = {
+        (r["source"], r["doc_id"])
+        for r in PL.stratified_topk_sample(
+            docs.select("doc_id", "source"), ["source"], k=k
+        ).collect()
+    }
+    # exactly k per stratum (every source has ≥ k docs at sf0.001)
+    from collections import Counter
+
+    per = Counter(src for src, _ in s1)
+    assert all(v == k for v in per.values())
+    # stable under re-partitioning AND row-order changes
+    shuffled = docs.select("doc_id", "source").orderBy(F.rand(7)).repartition(5)
+    s2 = {
+        (r["source"], r["doc_id"])
+        for r in PL.stratified_topk_sample(shuffled, ["source"], k=k).collect()
+    }
+    assert s1 == s2
+
+
+def test_mixture_weights_algebra(spark, docs):
+    out = PL.mixture_weights(docs, "source", alpha=0.7).collect()
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-9
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-9
+    # α<1 boosts small sources above their share, shrinks large ones
+    by_share = sorted(out, key=lambda r: r["token_share"])
+    assert by_share[0]["boost"] >= by_share[-1]["boost"]
+    # α=1 is share-proportional (boost == 1)
+    flat = PL.mixture_weights(docs, "source", alpha=1.0).collect()
+    assert all(abs(r["boost"] - 1.0) < 1e-9 for r in flat)
