@@ -139,6 +139,69 @@ def sessionize_stateful(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: int = 0,
+    upper_seconds: int = 600,
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left row with
+    right rows of the same key whose timestamp falls in
+    ``[left_ts + lower, left_ts + upper]``.
+
+    Both sides are watermarked so the join state is bounded: a buffered
+    left row can be evicted once the right watermark passes
+    ``left_ts + upper`` (Spark derives the state cleanup from the
+    time-range predicate — without the range condition the state grows
+    forever, the classic stream-join mistake). Works identically on
+    batch DataFrames (watermarks are no-ops there), so the batch twin
+    IS the same function.
+
+    Columns are disambiguated as ``l_*`` / ``r_*``; the key keeps its
+    name.
+    """
+    lpref = left.select(
+        F.col(key),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    )
+    rpref = right.select(
+        F.col(key).alias("_rkey"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    if left.isStreaming:
+        lpref = lpref.withWatermark(f"l_{left_ts}", watermark)
+    if right.isStreaming:
+        rpref = rpref.withWatermark(f"r_{right_ts}", watermark)
+    lc, rc = F.col(f"l_{left_ts}"), F.col(f"r_{right_ts}")
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (rc >= lc + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rc <= lc + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    return lpref.join(rpref, on=cond, how=how).drop("_rkey")
+
+
+def streaming_dedup_within_watermark(
+    df: DataFrame, keys: Sequence[str], ts_col: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Best-effort streaming dedup with *bounded* state:
+    ``dropDuplicatesWithinWatermark`` guarantees rows whose event times
+    fall within the watermark delay of each other dedup exactly, while
+    letting the state store evict keys older than the watermark — the
+    trade for infinite streams (plain ``dropDuplicates`` state grows
+    with distinct keys forever; T4's exactly-once-ish contract at
+    unbounded runtime). Batch DataFrames fall back to plain
+    ``dropDuplicates`` (the watermark variant is streaming-only)."""
+    if not df.isStreaming:
+        return df.dropDuplicates(list(keys))
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
 def streaming_count_min(
     stream_df: DataFrame,
     key_col: str,

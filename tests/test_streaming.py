@@ -156,3 +156,87 @@ def test_streaming_count_min_matches_batch(spark, tmp_path):
         (r.d, r.bucket): r.cnt for r in spark.read.parquet(store).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    clicks = [
+        ("2024-01-01 00:00:30", "u1", 1.0),
+        ("2024-01-01 00:04:00", "u2", 2.0),
+        ("2024-01-01 00:20:00", "u1", 3.0),
+    ]
+    buys = [
+        ("2024-01-01 00:05:00", "u1", 10.0),   # 270s after u1 click → in window
+        ("2024-01-01 00:05:30", "u2", 20.0),   # 90s after u2 click → in window
+        ("2024-01-01 00:40:00", "u1", 30.0),   # 1200s after u1@20:00 → out (>600)
+    ]
+    cdir, bdir = tmp_path / "clicks", tmp_path / "buys"
+    cdir.mkdir(), bdir.mkdir()
+    (cdir / "b0.json").write_text(
+        "\n".join(json.dumps({"ts": t, "k": k, "v": v}) for t, k, v in clicks)
+    )
+    (bdir / "b0.json").write_text(
+        "\n".join(json.dumps({"ts": t, "k": k, "v": v}) for t, k, v in buys)
+    )
+
+    def join(l, r):
+        return ST.stream_interval_join(
+            l, r, key="k", left_ts="ts", right_ts="ts",
+            lower_seconds=0, upper_seconds=600,
+        )
+
+    lb = spark.read.schema(SCHEMA).json(str(cdir))
+    rb = spark.read.schema(SCHEMA).json(str(bdir))
+    batch = {(r["k"], r["l_v"], r["r_v"]) for r in join(lb, rb).collect()}
+    assert batch == {("u1", 1.0, 10.0), ("u2", 2.0, 20.0)}
+
+    ls = spark.readStream.schema(SCHEMA).json(str(cdir))
+    rs = spark.readStream.schema(SCHEMA).json(str(bdir))
+    q = (
+        join(ls, rs)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["l_v"], r["r_v"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == batch
+
+
+def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:01:00", "a", 1.0),
+        ("2024-01-01 00:01:00", "a", 1.0),   # exact dup → dropped
+        ("2024-01-01 00:03:00", "a", 9.0),   # same key within delay → dropped
+        ("2024-01-01 00:02:00", "b", 2.0),
+    ]
+    src = tmp_path / "dd"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps({"ts": t, "k": k, "v": v}) for t, k, v in rows)
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    deduped = ST.streaming_dedup_within_watermark(
+        stream, keys=["k"], ts_col="ts", delay="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.sql("SELECT k, v FROM ddww").collect()
+    )
+    assert [k for k, _ in got] == ["a", "b"]
+    # batch passthrough dedups on the key too
+    b = ST.streaming_dedup_within_watermark(
+        spark.read.schema(SCHEMA).json(str(src)), keys=["k"], ts_col="ts"
+    )
+    assert b.count() == 2
