@@ -75,6 +75,7 @@ EXTRA = [
     "stratified_sample_sources",    # exact k-per-stratum content-hash sample
     "mixture_weights_temperature",  # temperature mixture re-weighting
     "quality_ntile_buckets",        # per-source quality quartiles
+    "bloom_decontaminate",          # mergeable Bloom-filter membership
 ]
 
 

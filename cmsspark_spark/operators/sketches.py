@@ -85,3 +85,74 @@ def count_min_estimate(
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
+    """Hash-i bit position of a key: md5-int of the salted key, mod m."""
+    return int_base_hash(F.concat(F.lit(f"bf{i}|"), key)) % m_bits
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 4096, k_hashes: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as mergeable word cells.
+
+    Returns (word_idx, bits): the non-zero words of the m-bit array —
+    32-bit words carried in 64-bit lanes (DuckDB BIGINT shifts are
+    overflow-checked and error at bit 63, so capping lanes at 32 bits
+    keeps the build bit-identical in both engines for the oracle). Same shuffle discipline as Count-Min: one narrow map derives
+    each row's k bit coordinates, one groupBy with map-side partial
+    ``bit_or`` caps the shuffle at ⌈m/64⌉ rows per partition — at
+    100 TB the shuffle carries filter words, never input rows. Merge
+    filters (daily → monthly, shard → global) by unioning cells and
+    ``bit_or`` per word_idx; OR is idempotent so re-merges are safe.
+
+    The membership probe this feeds is the scale path for benchmark
+    decontamination (operators/pipeline.ngram_overlap broadcasts raw
+    gram strings; a Bloom of the benchmark is ~bits/gram instead of the
+    strings themselves). md5-derived positions keep the build
+    deterministic and DuckDB-oracle-testable; swap int_base_hash for
+    xxhash64 at production scale (structure unchanged, parity lost).
+
+    False-positive rate ≈ (1 - e^(-k·n/m))^k; no false negatives —
+    property-tested in tests/test_sketches.py.
+    """
+    key = F.col(key_col).cast("string")
+    positions = F.array(*[_bloom_pos(key, i, m_bits) for i in range(k_hashes)])
+    return (
+        df.select(F.explode(positions).alias("pos"))
+        .groupBy((F.col("pos") / 32).cast("long").alias("word_idx"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, CAST(pos % 32 AS INT)))").alias("bits")
+        )
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe: for each probe key, true iff ALL k of its bits
+    are set (possible false positives, never false negatives). The
+    filter side is ≤ ⌈m/64⌉ rows by construction — Catalyst/AQE
+    broadcasts it, so probing never shuffles the probe stream beyond
+    the per-key re-aggregation."""
+    key = F.col(key_col).cast("string")
+    positions = F.array(*[_bloom_pos(key, i, m_bits) for i in range(k_hashes)])
+    exploded = probes.select(
+        F.col(key_col).alias("key"), F.explode(positions).alias("pos")
+    ).select(
+        "key",
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    joined = exploded.join(F.broadcast(bloom), on="word_idx", how="left")
+    hit = F.coalesce(
+        F.expr("(bits & shiftleft(1L, bit)) != 0L"), F.lit(False)
+    )
+    return joined.groupBy("key").agg(
+        F.min(hit.cast("int")).cast("boolean").alias("might_contain")
+    )

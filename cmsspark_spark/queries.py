@@ -2736,3 +2736,80 @@ def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_tokens").alias("bin_tokens"),
         F.max(F.col("truncated").cast("int")).alias("has_truncated"),
     )
+
+
+_BF_POS_SQL = (
+    "(('0x' || substring(md5('bf' || {i} || '|' || g), 1, 15))::BIGINT "
+    "% 2147483648) % 4096"
+)
+
+
+@query(
+    "bloom_decontaminate",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    grams AS (SELECT doc_id, {_SHINGLES_SQL} AS gs FROM tok),
+    bench_g AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0),
+    bpos AS (
+      SELECT DISTINCT {_BF_POS_SQL.format(i="i.i")} AS pos
+      FROM bench_g, (SELECT unnest(generate_series(0, 3)) AS i) i
+    ),
+    bloom AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    doc_g AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0
+    ),
+    probe_g AS (SELECT DISTINCT g FROM doc_g),
+    ppos AS (
+      SELECT g, {_BF_POS_SQL.format(i="i.i")} AS pos
+      FROM probe_g, (SELECT unnest(generate_series(0, 3)) AS i) i
+    ),
+    flags AS (
+      SELECT g,
+             min(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS hit
+      FROM ppos p LEFT JOIN bloom b ON p.pos // 32 = b.word_idx
+      GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(hit) AS BIGINT) AS n_flagged
+    FROM doc_g JOIN flags USING (g)
+    GROUP BY doc_id
+    HAVING sum(hit) > 0
+    """,
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at scale via a mergeable Bloom filter
+    (operators/sketches.bloom_build): the benchmark's trigrams collapse
+    to ≤⌈m/32⌉ filter words instead of broadcast strings; probing ANDs
+    k bit tests per gram. Deterministic md5 positions make even the
+    false positives reproducible — the DuckDB twin builds the identical
+    filter, so cell-exact oracle parity covers build AND probe."""
+    from cmsspark_spark.functions.text import raw_ngrams, tokens
+    from cmsspark_spark.operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(raw_ngrams(tokens("text"), 3))).alias("g"),
+    )
+    bench_g = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    doc_g = grams.filter(F.col("doc_id") % 20 != 0)
+    bloom = SK.bloom_build(bench_g, "g", m_bits=4096, k_hashes=4)
+    flags = SK.bloom_might_contain(
+        bloom, doc_g.select("g").distinct(), "g", m_bits=4096, k_hashes=4
+    )
+    return (
+        doc_g.join(flags, doc_g["g"] == flags["key"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("might_contain").cast("long")).alias("n_flagged"),
+        )
+        .filter(F.col("n_flagged") > 0)
+    )

@@ -242,3 +242,47 @@ def test_count_min_sketches_merge_cellwise(spark):
     got = {(r.d, r.bucket): r.cnt for r in sk_union.collect()}
     want = {(r.d, r.bucket): r.cnt for r in merged.collect()}
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    from cmsspark_spark.operators import sketches as K
+
+    members = spark.range(0, 300).select(
+        F.concat(F.lit("m"), F.col("id")).alias("k")
+    )
+    others = spark.range(0, 1000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("k")
+    )
+    bloom = K.bloom_build(members, "k", m_bits=4096, k_hashes=4)
+    # every member must probe true — Bloom's hard guarantee
+    got = {
+        r["key"]: r["might_contain"]
+        for r in K.bloom_might_contain(
+            bloom, members, "k", m_bits=4096, k_hashes=4
+        ).collect()
+    }
+    assert all(got.values()) and len(got) == 300
+    # non-members: fp rate ≈ (1-e^(-kn/m))^k ≈ 4.7% here; allow slack
+    fps = sum(
+        1
+        for r in K.bloom_might_contain(
+            bloom, others, "k", m_bits=4096, k_hashes=4
+        ).collect()
+        if r["might_contain"]
+    )
+    assert fps / 1000 < 0.15
+
+
+def test_bloom_filters_merge_wordwise(spark):
+    from cmsspark_spark.operators import sketches as K
+
+    a = spark.range(0, 100).select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    b = spark.range(0, 100).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    merged = (
+        K.bloom_build(a, "k", m_bits=1024, k_hashes=3)
+        .unionByName(K.bloom_build(b, "k", m_bits=1024, k_hashes=3))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    full = K.bloom_build(a.unionAll(b), "k", m_bits=1024, k_hashes=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))

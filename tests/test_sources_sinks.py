@@ -320,3 +320,25 @@ def test_versioned_source_single_era_slice(spark, tmp_path):
     assert len(slices) == 1 and slices[0][0] is era
     df = src.read(spark, start=date(2024, 3, 1), end=date(2024, 3, 2))
     assert df.count() == 1
+
+
+def test_orc_roundtrip_through_source_spec(spark, tmp_path):
+    """S-family breadth: ORC is a first-class columnar format in Spark
+    (native reader/writer, predicate pushdown) — SourceSpec passes any
+    registered format through, so ORC needs no special casing."""
+    from datetime import date as _date
+
+    out = tmp_path / "2024" / "03" / "05"
+    out.mkdir(parents=True)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "gamma")], "id long, name string"
+    ).write.mode("overwrite").orc(str(out / "day"))
+    spec = SourceSpec(
+        name="t_orc",
+        fmt="orc",
+        path_template=str(tmp_path) + "/%Y/%m/%d/day",
+    )
+    df = read_source(spark, spec, start=_date(2024, 3, 5))
+    assert {(r.id, r.name) for r in df.collect()} == {
+        (1, "alpha"), (2, None), (3, "gamma")
+    }
