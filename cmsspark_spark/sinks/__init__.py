@@ -122,3 +122,61 @@ def push_documents(
     else:
         for docs in doc_batches(df, chunk_size, drop_nulls):
             transport(docs)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int = 32,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Deterministic training-shard writer: the write-side contract of a
+    pre-training data loader (fixed shard count, reproducible global
+    order, bounded file sizes).
+
+    - Shard membership and in-shard order are *content*-derived —
+      ``_shard_id = md5int(key) mod num_shards``, ordered by the full
+      md5 — so an epoch's shuffle is baked in at write time and
+      identical across re-runs, input re-shards, and engines
+      (``df.orderBy(rand())`` is none of those; ``repartitionByRange``
+      draws its boundaries from a sample, so membership drifts between
+      runs).
+    - One hash-repartition on ``_shard_id`` + ``sortWithinPartitions``
+      then ``partitionBy(_shard_id)``: every shard is a directory whose
+      part files are internally ordered — a reader streaming shard k
+      sees a deterministic sequence.
+    - ``maxRecordsPerFile`` caps file size without changing shard
+      membership.
+
+    Returns a manifest DataFrame (shard_id, n_rows, min_key, max_key)
+    computed FROM THE WRITTEN FILES — the loader's integrity check.
+    """
+    from pyspark.sql import functions as _F
+
+    key = _F.md5(_F.col(key_col).cast("string"))
+    hashed = df.withColumn("_shard_key", key).withColumn(
+        "_shard_id",
+        (
+            _F.conv(_F.substring("_shard_key", 1, 15), 16, 10).cast("long")
+            % num_shards
+        ).cast("int"),
+    )
+    parted = hashed.repartition(num_shards, "_shard_id").sortWithinPartitions(
+        "_shard_id", "_shard_key"
+    )
+    w = parted.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("_shard_id").parquet(path)
+    written = df.sparkSession.read.parquet(path)
+    return (
+        written.groupBy(_F.col("_shard_id").cast("int").alias("shard_id"))
+        .agg(
+            _F.count(_F.lit(1)).alias("n_rows"),
+            _F.min("_shard_key").alias("min_key"),
+            _F.max("_shard_key").alias("max_key"),
+        )
+        .orderBy("shard_id")
+    )

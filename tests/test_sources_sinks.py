@@ -342,3 +342,33 @@ def test_orc_roundtrip_through_source_spec(spark, tmp_path):
     assert {(r.id, r.name) for r in df.collect()} == {
         (1, "alpha"), (2, None), (3, "gamma")
     }
+
+
+def test_training_shards_deterministic_and_capped(spark, tmp_path):
+    from cmsspark_spark.sinks import write_training_shards
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(
+        df, p1, "doc_id", num_shards=8, max_records_per_file=20
+    ).collect()
+    # same data, different incoming partitioning → identical shards
+    m2 = write_training_shards(
+        df.repartition(13).orderBy(F.rand(3)), p2, "doc_id", num_shards=8
+    ).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+    assert sum(r["n_rows"] for r in m1) == 500
+    assert {r["shard_id"] for r in m1} == set(range(8))
+    # membership is content-derived: re-read shard 3 both sides, same rows
+    s1 = {r["doc_id"] for r in spark.read.parquet(p1 + "/_shard_id=3").collect()}
+    s2 = {r["doc_id"] for r in spark.read.parquet(p2 + "/_shard_id=3").collect()}
+    assert s1 == s2 and s1
+    # maxRecordsPerFile respected
+    import glob
+
+    for f in glob.glob(p1 + "/_shard_id=*/part-*.parquet"):
+        import pyarrow.parquet as pq
+
+        assert pq.read_metadata(f).num_rows <= 20
