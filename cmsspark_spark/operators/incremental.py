@@ -46,3 +46,46 @@ def recompute_recent_partitions(
 def read_curated(spark: SparkSession, table_path: str) -> DataFrame:
     """Read the full curated history (partition-pruned on filters)."""
     return spark.read.option("basePath", table_path).parquet(table_path)
+
+
+def ingest_increment_dedup(
+    spark: SparkSession,
+    increment: DataFrame,
+    corpus_path: str,
+    fingerprint_col: str = "fp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus ingestion with cross-run dedup: append only
+    the increment rows whose fingerprint is unseen — in the existing
+    corpus AND within the increment itself (deterministic min-id
+    survivor).
+
+    The cross-run check is a LEFT ANTI join against the corpus'
+    fingerprint column only (column-pruned scan — the store is parquet,
+    so the anti-join reads one column of history, never the documents).
+    At 100 TB the corpus side of the anti-join is the big relation;
+    keeping the increment on the probe side means the shuffle is sized
+    by the DAILY increment, and a sorted/bucketed store upgrades it to
+    a co-located join. Appends are atomic per run (parquet append mode);
+    re-running the same increment is a no-op (its fingerprints now
+    exist). Returns the appended survivors.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    # in-increment dedup first: deterministic min-id survivor per
+    # fingerprint in ONE shuffle (window rank, no join-back)
+    w = Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())
+    survivors = (
+        increment.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        seen = spark.read.parquet(corpus_path).select(fingerprint_col).distinct()
+        fresh = survivors.join(seen, on=fingerprint_col, how="left_anti")
+    except AnalysisException:  # first run: empty store
+        fresh = survivors
+    fresh = fresh.localCheckpoint(eager=True)  # cut lineage before append
+    fresh.write.mode("append").parquet(corpus_path)
+    return fresh

@@ -132,3 +132,30 @@ def test_pack_explode_roundtrip(spark):
     )
     cms_only = N.filter_steps_by_name(back, "name", "cmsrun")
     assert cms_only.count() == 2
+
+
+def test_ingest_increment_dedup_across_runs(spark, tmp_path):
+    from cmsspark_spark.operators.incremental import ingest_increment_dedup
+
+    store = str(tmp_path / "corpus")
+
+    def inc(rows):
+        return spark.createDataFrame(rows, ["doc_id", "fp", "text"])
+
+    # run 1: internal dup (fp a twice) → min-id survivor
+    r1 = ingest_increment_dedup(
+        spark, inc([(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]), store
+    )
+    assert {r["doc_id"] for r in r1.collect()} == {1, 3}
+    # run 2: fp b already in store → dropped; fp c fresh
+    r2 = ingest_increment_dedup(
+        spark, inc([(4, "b", "w"), (5, "c", "v")]), store
+    )
+    assert {r["doc_id"] for r in r2.collect()} == {5}
+    # re-running run 2 is a no-op
+    r3 = ingest_increment_dedup(
+        spark, inc([(4, "b", "w"), (5, "c", "v")]), store
+    )
+    assert r3.count() == 0
+    stored = spark.read.parquet(store)
+    assert {r["doc_id"] for r in stored.collect()} == {1, 3, 5}
