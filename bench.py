@@ -76,6 +76,8 @@ EXTRA = [
     "mixture_weights_temperature",  # temperature mixture re-weighting
     "quality_ntile_buckets",        # per-source quality quartiles
     "bloom_decontaminate",          # mergeable Bloom-filter membership
+    "rolling_7day_revenue",         # RANGE-frame trailing-interval window
+    "event_gap_percentiles",        # lag-gap exact percentile distribution
 ]
 
 

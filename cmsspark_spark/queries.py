@@ -2813,3 +2813,90 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_flagged") > 0)
     )
+
+
+@query(
+    "rolling_7day_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(epoch(CAST(o_orderdate AS DATE)) AS BIGINT) AS day_epoch,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(rev_cents / 100.0, 2) AS day_revenue,
+           round(CAST(sum(rev_cents) OVER (
+             ORDER BY day_epoch
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 100.0, 2) AS rolling_7d_revenue
+    FROM daily
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-interval rolling aggregate (W-family RANGE frame): per
+    order day, revenue summed over the trailing 7 calendar days via a
+    RANGE window on epoch seconds — the frame is value-based, so gap
+    days are handled correctly (a ROWS frame would silently span them).
+    Daily pre-aggregation first: the window walks |days| rows, never
+    |orders|. Integer cents inside the window for summation-order-proof
+    oracle parity."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_orderdate").cast("date").cast("timestamp").cast("long").alias(
+            "day_epoch"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    w = Window.orderBy("day_epoch").rangeBetween(-6 * 86400, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("rev_cents") / 100.0, 2).alias("day_revenue"),
+        F.round((F.sum("rev_cents").over(w)) / 100.0, 2).alias(
+            "rolling_7d_revenue"
+        ),
+    )
+
+
+@query(
+    "event_gap_percentiles",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+               AS gap_s
+      FROM events
+    )
+    SELECT CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.50), 2) AS p50_s,
+           round(quantile_cont(gap_s, 0.90), 2) AS p90_s,
+           round(quantile_cont(gap_s, 0.99), 2) AS p99_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    """,
+)
+def event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution: per-user lag diffs (deterministic
+    (ts, event_id) order) → exact global percentiles. The lag window
+    shuffles once on user_id; the percentile is a single-row global agg
+    (F.percentile ≡ quantile_cont). At 100 TB swap the exact percentile
+    for approx_percentile — same plan shape, sketch-mergeable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.50D)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.90D)"), 2).alias("p90_s"),
+        F.round(F.expr("percentile(gap_s, 0.99D)"), 2).alias("p99_s"),
+        F.max("gap_s").alias("max_s"),
+    )
