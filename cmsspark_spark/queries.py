@@ -1860,22 +1860,25 @@ def sql_entry_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
 
 
-@query("embed_near_dup_lsh")  # approximate: verified by recall test in tests/
+@query("embed_near_dup_lsh")  # oracle attached below (generated SQL)
 def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: sign-LSH bucket self-join for
-    candidates, exact cosine re-score. Approximate by design;
-    tests/test_similarity.py checks precision (every returned pair
-    really is ≥ threshold) and recall vs the exact baseline."""
+    candidates, exact cosine re-score. Approximate vs the exact
+    baseline (recall/precision-gated in tests/test_similarity.py) yet
+    fully deterministic — the seeded hyperplanes are plan literals, so
+    a generated DuckDB twin (ORACLES assignment at module end)
+    reproduces candidates AND cosines hash-exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = S.cosine_near_pairs_lsh(emb, dim=64, threshold=0.3, num_planes=4, tables=8)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@query("ann_lsh_topk")  # approximate: verified by recall test in tests/
+@query("ann_lsh_topk")  # oracle attached below (generated SQL)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: sign-LSH bucketing + exact re-score on candidates.
-    Approximate by design → no SQL oracle; tests/test_similarity.py
-    asserts recall ≥ 0.6 vs the brute-force baseline."""
+    Approximate vs brute force (recall ≥ 0.6 gated in tests) yet
+    deterministic — seeded planes + sequential-fold cosines give an
+    exact generated DuckDB twin (ORACLES assignment at module end)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.lsh_topk(emb, queries, dim=64, k=5, num_planes=4, tables=4)
@@ -2900,3 +2903,112 @@ def event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.99D)"), 2).alias("p99_s"),
         F.max("gap_s").alias("max_s"),
     )
+
+
+# --- oracle upgrades for sign-LSH ANN (rows-only → oracle-backed) ----------
+# The hyperplanes are seeded literals, DuckDB's list_dot_product folds
+# left-to-right in double exactly like Spark's aggregate(zip_with(...)),
+# and the rescore is the same Catalyst fold on both engines — so even
+# these *approximate* operators have exact cross-engine twins. The SQL
+# is generated here so the plane constants exist in ONE place (numpy
+# default_rng(42), identical to operators/similarity.py's calls).
+
+
+def _plane_sql(plane) -> str:
+    return "[" + ", ".join(f"{float(x):.17e}" for x in plane) + "]"
+
+
+def _bucket_sql(planes, vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_plane_sql(p)}) >= 0.0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+def _lsh_topk_oracle() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    all_planes = [rng.standard_normal((4, 64)) for _ in range(4)]
+    bucket_cols = ",\n             ".join(
+        f"{_bucket_sql(all_planes[t], 'e')} AS b{t}" for t in range(4)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM hashed"
+        for t in range(4)
+    )
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    hashed AS (
+      SELECT vec_id, {bucket_cols}
+      FROM corpus
+    ),
+    lb AS ({unpivot}),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM lb WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id
+      FROM lb c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+                      AND c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_dot_product(ce.e, qe.e)
+               / (sqrt(list_dot_product(ce.e, ce.e))
+                  * sqrt(list_dot_product(qe.e, qe.e))) AS cos
+      FROM cand
+      JOIN corpus ce ON cand.vec_id = ce.vec_id
+      JOIN corpus qe ON cand.query_id = qe.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+def _near_dup_lsh_oracle() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    all_planes = [rng.standard_normal((4, 64)) for _ in range(8)]
+    bucket_cols = ",\n             ".join(
+        f"{_bucket_sql(all_planes[t], 'e')} AS b{t}" for t in range(8)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM hashed"
+        for t in range(8)
+    )
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    hashed AS (
+      SELECT vec_id, {bucket_cols}
+      FROM corpus
+    ),
+    lb AS ({unpivot}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM lb a JOIN lb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+    ),
+    units AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM corpus
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(ua.u, ub.u), 6) AS cosine
+    FROM cand c
+    JOIN units ua ON c.id_a = ua.vec_id
+    JOIN units ub ON c.id_b = ub.vec_id
+    WHERE list_dot_product(ua.u, ub.u) >= 0.3
+    """
+
+
+ORACLES["ann_lsh_topk"] = _lsh_topk_oracle()
+ORACLES["embed_near_dup_lsh"] = _near_dup_lsh_oracle()
