@@ -2720,14 +2720,60 @@ def quality_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("greedy_pack_bins")  # stateful per-group walk: no plain-SQL oracle
+_GREEDY_PACK_SQL = f"""
+    WITH RECURSIVE tok AS (
+      SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS INT) AS doc_tokens,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY doc_id) AS INT) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT source, doc_id, doc_tokens, rn,
+             0 AS bin_id,
+             doc_tokens > 512 AS truncated,
+             CASE WHEN doc_tokens > 512 THEN 1 ELSE 0 END AS next_bin,
+             CASE WHEN doc_tokens > 512 THEN 0 ELSE doc_tokens END AS used,
+             doc_tokens <= 512 AS started
+      FROM tok WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.doc_tokens, t.rn,
+             CASE
+               WHEN t.doc_tokens > 512 THEN
+                 CASE WHEN w.started THEN w.next_bin + 1 ELSE w.next_bin END
+               WHEN w.started AND w.used + t.doc_tokens > 512 THEN w.next_bin + 1
+               ELSE w.next_bin
+             END AS bin_id,
+             t.doc_tokens > 512 AS truncated,
+             CASE
+               WHEN t.doc_tokens > 512 THEN
+                 (CASE WHEN w.started THEN w.next_bin + 1 ELSE w.next_bin END) + 1
+               WHEN w.started AND w.used + t.doc_tokens > 512 THEN w.next_bin + 1
+               ELSE w.next_bin
+             END AS next_bin,
+             CASE WHEN t.doc_tokens > 512 THEN 0
+                  WHEN w.started AND w.used + t.doc_tokens > 512 THEN t.doc_tokens
+                  ELSE w.used + t.doc_tokens END AS used,
+             t.doc_tokens <= 512 AS started
+      FROM tok t JOIN walk w ON t.source = w.source AND t.rn = w.rn + 1
+    )
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_tokens) AS BIGINT) AS bin_tokens,
+           CAST(max(CASE WHEN truncated THEN 1 ELSE 0 END) AS INT)
+             AS has_truncated
+    FROM walk GROUP BY source, bin_id
+"""
+
+
+@query("greedy_pack_bins", _GREEDY_PACK_SQL)
 def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit whole-doc bin packing (capacity 512 tokens) per
-    source via Arrow applyInPandas — deterministic (stable in-group
-    doc_id walk) but its resettable running state is not expressible in
-    plain window SQL, so the oracle is the invariant test suite
-    (tests/test_pipeline.py: capacity respected, every doc exactly
-    once, bins contiguous)."""
+    source via Arrow applyInPandas — resettable running state that
+    plain window SQL can't express, but a DuckDB RECURSIVE CTE can:
+    the oracle replays the identical per-group walk one row per
+    iteration (depth = max group size), on top of the invariant suite
+    (tests/test_pipeline.py: capacity, coverage, contiguity,
+    reshard-determinism)."""
     from cmsspark_spark.operators import pipeline as PL
 
     d = _t(spark, sf_dir, "documents")
