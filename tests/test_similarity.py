@@ -69,6 +69,11 @@ def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
 
     dirs = [d for d in os.listdir(path) if d.startswith("_centroid=")]
     assert 1 <= len(dirs) <= 4
+    # the probe scan must PRUNE the unprobed inverted lists: broadcast
+    # join on the partition column triggers dynamic partition pruning
+    from cmsspark_spark.plans import formatted_plan
+
+    assert "dynamicpruningexpression(_centroid" in formatted_plan(from_index)
 
 
 def test_embed_near_dup_lsh_precision_and_recall(spark):
