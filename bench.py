@@ -78,6 +78,7 @@ EXTRA = [
     "bloom_decontaminate",          # mergeable Bloom-filter membership
     "rolling_7day_revenue",         # RANGE-frame trailing-interval window
     "event_gap_percentiles",        # lag-gap exact percentile distribution
+    "forward_fill_purchase_value",  # LOCF gap-fill window
 ]
 
 

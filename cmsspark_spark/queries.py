@@ -3058,3 +3058,63 @@ def _near_dup_lsh_oracle() -> str:
 
 ORACLES["ann_lsh_topk"] = _lsh_topk_oracle()
 ORACLES["embed_near_dup_lsh"] = _near_dup_lsh_oracle()
+
+
+@query(
+    "forward_fill_purchase_value",
+    """
+    WITH ff AS (
+      SELECT user_id, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(last_purchase_value) AS BIGINT) AS n_filled,
+           round(sum(CASE WHEN event_type = 'click'
+                          THEN last_purchase_value END), 2)
+             AS click_attributed_value
+    FROM ff GROUP BY user_id HAVING count(last_purchase_value) > 0
+    """,
+)
+def forward_fill_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (gap fill): carry each user's last purchase value
+    forward onto later events via ``last(..., ignorenulls=True)`` over
+    an unbounded-preceding frame — the standard last-observation-
+    carried-forward for sparse signals. One shuffle on user_id; the
+    fill itself is a running window, no self-join. Aggregated to
+    per-user attribution sums for a compact oracle surface."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.withColumn(
+        "last_purchase_value",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("last_purchase_value").alias("n_filled"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.col("last_purchase_value"),
+                    )
+                ),
+                2,
+            ).alias("click_attributed_value"),
+        )
+        .filter(F.col("n_filled") > 0)
+    )

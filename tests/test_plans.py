@@ -241,3 +241,24 @@ def test_count_min_estimate_broadcasts_sketch(spark):
     df = QUERIES["count_min_heavy_users"](spark, SF)
     assert plans.count_nodes(df, "BroadcastHashJoin") == 1
     assert plans.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_curated_day_table_prunes_partitions(spark, tmp_path):
+    """T3's read side: a day filter on the curated day-partitioned
+    table must reach the scan as a PartitionFilter (directory-level
+    pruning — at 100 TB the un-filtered days are never even listed)."""
+    from cmsspark_spark.operators.incremental import read_curated
+    from cmsspark_spark.plans import formatted_plan
+    from cmsspark_spark.sinks import write_partitioned_parquet
+
+    path = str(tmp_path / "curated")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)], ["day", "n"]
+    )
+    write_partitioned_parquet(df, path, partition_by=("day",))
+    filtered = read_curated(spark, path).filter(F.col("day") == "2024-01-02")
+    plan = formatted_plan(filtered)
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+    # correct row survives (partition values are type-inferred → DATE)
+    rows = filtered.collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2 and str(rows[0]["day"]) == "2024-01-02"
