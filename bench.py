@@ -79,6 +79,7 @@ EXTRA = [
     "rolling_7day_revenue",         # RANGE-frame trailing-interval window
     "event_gap_percentiles",        # lag-gap exact percentile distribution
     "forward_fill_purchase_value",  # LOCF gap-fill window
+    "ann_ivf_static_topk",          # IVF probe machinery, oracle-exact
 ]
 
 

@@ -3118,3 +3118,81 @@ def forward_fill_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_filled") > 0)
     )
+
+
+def _ivf_static_centroids():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((8, 64))
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
+def _ivf_static_oracle() -> str:
+    cents = _ivf_static_centroids()
+    cent_rows = ", ".join(
+        f"({ci}, {_plane_sql(c)})" for ci, c in enumerate(cents)
+    )
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents(c, v) AS (VALUES {cent_rows}),
+    scored AS (
+      SELECT corpus.vec_id, cents.c,
+             list_dot_product(corpus.e, cents.v) AS s
+      FROM corpus, cents
+    ),
+    ranked AS (
+      SELECT vec_id, c, s,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rk
+      FROM scored
+    ),
+    assign AS (SELECT vec_id, c AS centroid FROM ranked WHERE rk = 1),
+    probes AS (SELECT vec_id AS query_id, c AS centroid
+               FROM ranked WHERE rk <= 3 AND vec_id < 5),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON p.centroid = a.centroid
+                                  AND a.vec_id <> p.query_id
+    ),
+    rescored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_dot_product(ce.e, qe.e)
+               / (sqrt(list_dot_product(ce.e, ce.e))
+                  * sqrt(list_dot_product(qe.e, qe.e))) AS cos
+      FROM cand
+      JOIN corpus ce ON cand.vec_id = ce.vec_id
+      JOIN corpus qe ON cand.query_id = qe.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM rescored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_ivf_static_topk")
+def ann_ivf_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe machinery with STATIC seeded centroids (random unit
+    vectors — the production shape where the index's coarse quantizer
+    is built offline and shipped, and a legitimate ANN scheme in its
+    own right). Unlike ann_ivf_topk's driver-trained k-means, every
+    step is SQL-reproducible: assignment uses the sequential-fold SQL
+    impl whose (score DESC, centroid DESC) tie-break the DuckDB twin
+    replicates, so inverted lists, probe sets, candidates and cosines
+    all match hash-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_topk(
+        emb, queries, _ivf_static_centroids(), k=5, nprobe=3, impl="sql"
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+ORACLES["ann_ivf_static_topk"] = _ivf_static_oracle()
