@@ -372,3 +372,34 @@ def test_training_shards_deterministic_and_capped(spark, tmp_path):
         import pyarrow.parquet as pq
 
         assert pq.read_metadata(f).num_rows <= 20
+
+
+def test_fixed_schemas_load_csv_failfast(spark, tmp_path):
+    """§1.3 regime 1: fixed prefixed schemas pin CSV loads (FAILFAST +
+    nullValue='null'), and the empty-day fallback carries the same
+    shape so unions never branch on emptiness."""
+    from datetime import date as _date
+
+    from cmsspark_spark import schemas
+
+    assert "dbs_files" in schemas.available()
+    sch = schemas.schema("dbs_files")
+    day = tmp_path / "2024" / "04" / "01"
+    day.mkdir(parents=True)
+    (day / "part-0.csv").write_text(
+        "f_file_id,f_logical_file_name,f_dataset_id,f_block_id,f_event_count,"
+        "f_file_size,f_adler32,f_check_sum,f_creation_date,f_is_file_valid\n"
+        "1,/store/a.root,10,100,5000,1234.0,abcd,null,1.6e9,1\n"
+    )
+    spec = SourceSpec(
+        name="t_dbs_files",
+        fmt="csv",
+        path_template=str(tmp_path) + "/%Y/%m/%d/part-*.csv",
+        schema=sch,
+        failfast=True,
+    )
+    df = read_source(spark, spec, start=_date(2024, 4, 1))
+    row = df.collect()[0]
+    assert row["f_logical_file_name"] == "/store/a.root"
+    assert row["f_check_sum"] is None  # 'null' literal normalized
+    assert df.schema == sch == schemas.empty_fallback("dbs_files")
