@@ -133,3 +133,31 @@ def parse_kv_record(
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.str_to_map(c, F.lit(pair_sep), F.lit(kv_sep))
+
+
+def rse_tags(rse: Column | str) -> dict[str, Column]:
+    """RSE name → (rse_tier, rse_country, rse_kind) tag columns
+    (rucio_ds_summary.py:75-84, rucio_datasets_monitoring.py:167-189):
+    tier and country are the first two ``_``-separated segments
+    (T1_US_FNAL_Disk → T1, US); kind is 'temp'/'test' when the name
+    ends with any case variant of Temp/Test, else 'prod'. Pure column
+    expressions — endswith chains exactly as the reference's
+    when-cascade, so Temp/temp/TEMP all tag 'temp'."""
+    c = F.col(rse) if isinstance(rse, str) else rse
+    parts = F.split(c, "_")
+    kind = (
+        F.when(
+            c.endswith("Temp") | c.endswith("temp") | c.endswith("TEMP"),
+            F.lit("temp"),
+        )
+        .when(
+            c.endswith("Test") | c.endswith("test") | c.endswith("TEST"),
+            F.lit("test"),
+        )
+        .otherwise(F.lit("prod"))
+    )
+    return {
+        "rse_tier": parts.getItem(0),
+        "rse_country": parts.getItem(1),
+        "rse_kind": kind,
+    }

@@ -201,3 +201,22 @@ def test_hash_sample_deterministic_and_nested(spark):
     assert kept10 == {r.k for r in df.repartition(5).filter(hash_sample("k", 0.10)).collect()}
     assert kept10 < kept20            # nested subsets by construction
     assert 100 < len(kept10) < 300    # ~10% of 2000
+
+
+def test_rse_tags_tier_country_kind(spark):
+    from cmsspark_spark.functions.cms import rse_tags
+
+    df = spark.createDataFrame(
+        [("T1_US_FNAL_Disk",), ("T2_DE_DESY_Temp",), ("T0_CH_CERN_TEST",),
+         ("T2_UK_London_IC",)],
+        ["rse"],
+    )
+    tags = rse_tags("rse")
+    out = {
+        r["rse"]: (r["rse_tier"], r["rse_country"], r["rse_kind"])
+        for r in df.select("rse", *[v.alias(k) for k, v in tags.items()]).collect()
+    }
+    assert out["T1_US_FNAL_Disk"] == ("T1", "US", "prod")
+    assert out["T2_DE_DESY_Temp"] == ("T2", "DE", "temp")
+    assert out["T0_CH_CERN_TEST"] == ("T0", "CH", "test")
+    assert out["T2_UK_London_IC"] == ("T2", "UK", "prod")
