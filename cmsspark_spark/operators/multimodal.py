@@ -149,3 +149,130 @@ def payload_schema(extra_meta: list[StructField] | None = None) -> StructType:
         StructField("n_bytes", LongType(), True),
     ]
     return StructType(fields + (extra_meta or []))
+
+
+#: Resize output: one row per input image, new payload + dimensions.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_parallelism: int | None = None,
+) -> DataFrame:
+    """Image resize over binary payloads: Arrow ``mapInPandas``, fixed
+    output schema (payload + new dims) so the write side is stable.
+
+    The resampler is STUBBED (no imaging libs in this container) with a
+    deterministic fake — payload bytes are tiled/truncated to exactly
+    width×height bytes, standing in for a width×height×1 raster — so
+    batch shapes, memory profile, and the binary-in/binary-out contract
+    are exercised for real. Swap the inner function for PIL/opencv on a
+    real deployment (same signature: bytes → bytes of the new raster).
+    Closure pickles by value; executors never import the package.
+    """
+    w, h = int(width), int(height)
+    target = w * h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_resize(b) -> bytes:
+            if b is None or len(b) == 0:
+                return bytes(target)
+            raw = bytes(b)
+            reps = -(-target // len(raw))  # ceil-div tile then crop
+            return (raw * reps)[:target]
+
+        for pdf in batches:
+            out = pdf[payload_col].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": out,
+                    "width": w,
+                    "height": h,
+                    "n_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    narrow = df.select(id_col, payload_col)
+    if max_parallelism is not None:
+        narrow = narrow.coalesce(max_parallelism)
+    return narrow.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+#: Frame sampling output: 1→N rows (frame_idx within each video).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int = 10,
+    frame_bytes: int = 64,
+    max_frames: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_parallelism: int | None = None,
+) -> DataFrame:
+    """Video frame sampling: each binary payload yields every ``k``-th
+    frame as its own row (1→N via ``mapInPandas`` — the UDTF shape),
+    capped at ``max_frames`` per video so one long video can't blow an
+    Arrow batch.
+
+    The decoder is STUBBED deterministically: the payload is treated as
+    a stream of fixed-size ``frame_bytes`` frames (stand-in for ffmpeg
+    keyframe extraction) — the explode shape, per-frame checksums, and
+    batch-size discipline are real. Closure pickles by value.
+    """
+    k, fb, cap = int(every_k), int(frame_bytes), int(max_frames)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, frames, sums = [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                n_frames = len(raw) // fb
+                taken = 0
+                for fi in range(0, n_frames, k):
+                    if taken >= cap:
+                        break
+                    frame = raw[fi * fb : (fi + 1) * fb]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    frames.append(frame)
+                    sums.append(hashlib.md5(frame).hexdigest())
+                    taken += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    narrow = df.select(id_col, payload_col)
+    if max_parallelism is not None:
+        narrow = narrow.coalesce(max_parallelism)
+    return narrow.mapInPandas(run, schema=FRAME_SCHEMA)
