@@ -286,3 +286,22 @@ def test_bloom_filters_merge_wordwise(spark):
     )
     full = K.bloom_build(a.unionAll(b), "k", m_bits=1024, k_hashes=3)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The documented 100 TB swap (exact percentile → approx_percentile
+    sketch) must stay within tight relative error on real gap data."""
+    from cmsspark_spark import catalog
+    from pyspark.sql import Window
+
+    ev = catalog.load_table(spark, "/root/testdata/sf0.01", "events", widen=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    row = gaps.agg(
+        F.expr("percentile(g, array(0.5D, 0.9D, 0.99D))").alias("exact"),
+        F.expr("approx_percentile(g, array(0.5D, 0.9D, 0.99D), 1000)").alias("approx"),
+    ).collect()[0]
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) / max(e, 1.0) < 0.02

@@ -403,3 +403,42 @@ def test_fixed_schemas_load_csv_failfast(spark, tmp_path):
     assert row["f_logical_file_name"] == "/store/a.root"
     assert row["f_check_sum"] is None  # 'null' literal normalized
     assert df.schema == sch == schemas.empty_fallback("dbs_files")
+
+
+def test_kvlog_python_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource: kv-record logs as a typed source with
+    one input partition per file; result matches the text-scan +
+    parse_kv_record (str_to_map) path on the same data."""
+    from cmsspark_spark.functions.cms import parse_kv_record
+    from cmsspark_spark.sources.pyds import KVLogDataSource
+
+    (tmp_path / "day1.log").write_text(
+        "path=/store/a&rb=100&wb=5&ts=1700000000\n"
+        "path=/store/b&rb=200&ts=1700000001\n"
+    )
+    (tmp_path / "day2.log").write_text("path=/store/c&rb=300&wb=7&ts=1700000002\n")
+
+    spark.dataSource.register(KVLogDataSource)
+    df = (
+        spark.read.format("kvlog")
+        .option("path", str(tmp_path / "*.log"))
+        .option("columns", "path,rb,wb,ts")
+        .load()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        ("/store/a", "100", "5", "1700000000"),
+        ("/store/b", "200", None, "1700000001"),
+        ("/store/c", "300", "7", "1700000002"),
+    ]
+    # twin: text scan + Catalyst str_to_map projection
+    txt = spark.read.text(str(tmp_path / "*.log"))
+    m = txt.select(parse_kv_record("value").alias("m")).select(
+        F.col("m")["path"].alias("path"),
+        F.col("m")["rb"].alias("rb"),
+        F.col("m")["wb"].alias("wb"),
+        F.col("m")["ts"].alias("ts"),
+    )
+    assert sorted(tuple(r) for r in m.collect()) == got
+    # file-level parallelism: one partition per file
+    assert df.rdd.getNumPartitions() == 2
