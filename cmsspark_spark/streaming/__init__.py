@@ -248,3 +248,4 @@ def streaming_count_min(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+

@@ -240,3 +240,4 @@ def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path):
         spark.read.schema(SCHEMA).json(str(src)), keys=["k"], ts_col="ts"
     )
     assert b.count() == 2
+
