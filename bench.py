@@ -80,6 +80,7 @@ EXTRA = [
     "event_gap_percentiles",        # lag-gap exact percentile distribution
     "forward_fill_purchase_value",  # LOCF gap-fill window
     "ann_ivf_static_topk",          # IVF probe machinery, oracle-exact
+    "clean_corpus_survivors",       # dedup -> decontaminate composition
 ]
 
 

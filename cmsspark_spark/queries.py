@@ -3196,3 +3196,78 @@ def ann_ivf_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_ivf_static_topk"] = _ivf_static_oracle()
+
+
+@query(
+    "clean_corpus_survivors",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+    fp AS (
+      SELECT doc_id, source, md5(array_to_string(tk, ' ')) AS fp, tk
+      FROM tok
+    ),
+    survivors AS (
+      SELECT doc_id, source, tk FROM (
+        SELECT doc_id, source, tk,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ),
+    grams AS (SELECT doc_id, source, {_SHINGLES_SQL} AS gs FROM survivors),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0
+    ),
+    doc_g AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0
+    ),
+    contam AS (
+      SELECT doc_id,
+             count(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS n_hit,
+             count(*) AS n_grams
+      FROM doc_g GROUP BY doc_id
+    ),
+    clean AS (
+      SELECT s.doc_id, s.source
+      FROM survivors s JOIN contam c ON s.doc_id = c.doc_id
+      WHERE c.n_hit <= 0.5 * c.n_grams
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE c.doc_id IS NOT NULL) AS BIGINT)
+             AS n_clean
+    FROM tok t LEFT JOIN clean c ON t.doc_id = c.doc_id
+    GROUP BY t.source
+    """,
+)
+def clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning composition — the realistic
+    pre-training pipeline shape: exact-dedup (deterministic min-id
+    survivor per token fingerprint) → benchmark decontamination (drop
+    docs with >50% trigram overlap against the protected eval set; eval
+    members themselves are excluded) → per-source survival counts. Each
+    stage is the already-verified operator; this entry verifies the
+    COMPOSITION end-to-end against one DuckDB twin."""
+    from cmsspark_spark.functions.text import fingerprint
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").asc())
+    survivors = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    bench = survivors.filter(F.col("doc_id") % 20 == 0)
+    rest = survivors.filter(F.col("doc_id") % 20 != 0)
+    overlap = PL.ngram_overlap(rest, bench, n=3)
+    clean = overlap.filter(
+        F.col("n_hit") <= 0.5 * F.col("n_grams")
+    ).select("doc_id")
+    return (
+        d.join(clean.withColumn("_clean", F.lit(1)), on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_clean").alias("n_clean"),
+        )
+    )
