@@ -81,6 +81,7 @@ EXTRA = [
     "forward_fill_purchase_value",  # LOCF gap-fill window
     "ann_ivf_static_topk",          # IVF probe machinery, oracle-exact
     "clean_corpus_survivors",       # dedup -> decontaminate composition
+    "scd2_user_type_history",       # snapshot run-length history build
 ]
 
 

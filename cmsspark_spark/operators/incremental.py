@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cmsspark_spark.sinks import write_partitioned_parquet
 
@@ -71,7 +71,6 @@ def ingest_increment_dedup(
     exist). Returns the appended survivors.
     """
     from pyspark.errors import AnalysisException
-    from pyspark.sql import Window
 
     # in-increment dedup first: deterministic min-id survivor per
     # fingerprint in ONE shuffle (window rank, no join-back)
@@ -89,3 +88,51 @@ def ingest_increment_dedup(
     fresh = fresh.localCheckpoint(eager=True)  # cut lineage before append
     fresh.write.mode("append").parquet(corpus_path)
     return fresh
+
+
+def scd2_intervals(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    day_col: str = "day",
+) -> DataFrame:
+    """Collapse daily snapshots into SCD2-style validity intervals: one
+    row per (key, run of consecutive equal values) with
+    ``valid_from`` / ``valid_to`` (inclusive day bounds; open runs get
+    NULL ``valid_to``).
+
+    The daily-snapshot layout (one full table copy per day — the
+    reference's PhEDEx/Rucio dump shape) multiplies storage by days;
+    run-length compressing unchanged values recovers the history table
+    a warehouse actually queries. One shuffle on the key: change
+    detection is a lag window (value != previous value opens a run), a
+    running SUM of change flags numbers the runs, and one groupBy
+    folds each run to its bounds — no self-joins, no per-day loops.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(day_col)
+    changed = F.lit(False)
+    for v in value_cols:
+        changed = changed | ~F.lag(F.col(v)).over(w).eqNullSafe(F.col(v))
+    flag = F.when(
+        F.lag(F.col(day_col)).over(w).isNull() | changed, 1
+    ).otherwise(0)
+    run = F.sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = snapshots.withColumn("_run", run)
+    last_day = snapshots.agg(F.max(day_col).alias("m")).collect()[0]["m"]
+    return (
+        runs.groupBy(*key_cols, "_run")
+        .agg(
+            *[F.first(v).alias(v) for v in value_cols],
+            F.min(day_col).alias("valid_from"),
+            F.max(day_col).alias("valid_to"),
+        )
+        .withColumn(
+            "valid_to",
+            F.when(F.col("valid_to") == F.lit(last_day), F.lit(None)).otherwise(
+                F.col("valid_to")
+            ),
+        )
+        .drop("_run")
+    )

@@ -3271,3 +3271,59 @@ def clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_clean").alias("n_clean"),
         )
     )
+
+
+@query(
+    "scd2_user_type_history",
+    """
+    WITH snap AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(event_type) AS event_type
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    flagged AS (
+      SELECT user_id, day, event_type,
+             CASE WHEN lag(day) OVER w IS NULL
+                   OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    runs AS (
+      SELECT user_id, day, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, event_type,
+             CAST(min(day) AS VARCHAR) AS valid_from,
+             CAST(max(day) AS VARCHAR) AS valid_to_raw,
+             max(day) AS _to_day
+      FROM runs GROUP BY user_id, event_type, run
+    )
+    SELECT user_id, event_type, valid_from,
+           CASE WHEN _to_day = (SELECT max(CAST(ts AS DATE)) FROM events)
+                THEN NULL ELSE valid_to_raw END AS valid_to
+    FROM intervals
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (operators/incremental.scd2_intervals): daily
+    per-user snapshots (min event_type per day — deterministic) run-
+    length compressed into validity intervals; open runs end NULL. The
+    window-flag → running-sum → fold shape replaces per-day loops and
+    self-joins over the reference's full-copy daily dumps."""
+    from cmsspark_spark.operators.incremental import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    snap = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("event_type").alias("event_type"))
+    out = scd2_intervals(snap, ["user_id"], ["event_type"], day_col="day")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+    )

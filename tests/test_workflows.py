@@ -159,3 +159,29 @@ def test_ingest_increment_dedup_across_runs(spark, tmp_path):
     assert r3.count() == 0
     stored = spark.read.parquet(store)
     assert {r["doc_id"] for r in stored.collect()} == {1, 3, 5}
+
+
+def test_scd2_intervals_compress_and_reopen(spark):
+    from cmsspark_spark.operators.incremental import scd2_intervals
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "A"),
+            (1, "2024-01-02", "A"),   # unchanged → same run
+            (1, "2024-01-03", "B"),   # change → new run
+            (1, "2024-01-04", "A"),   # back to A → NEW run (not merged)
+            (2, "2024-01-01", "X"),
+            (2, "2024-01-04", "X"),   # gap but unchanged → same run
+        ],
+        ["k", "day", "v"],
+    )
+    out = sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"])
+        for r in scd2_intervals(snaps, ["k"], ["v"]).collect()
+    )
+    assert out == [
+        (1, "A", "2024-01-01", "2024-01-02"),
+        (1, "A", "2024-01-04", None),          # open run (ends on last day)
+        (1, "B", "2024-01-03", "2024-01-03"),
+        (2, "X", "2024-01-01", None),          # open: unchanged through last day
+    ]
