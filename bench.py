@@ -82,6 +82,7 @@ EXTRA = [
     "ann_ivf_static_topk",          # IVF probe machinery, oracle-exact
     "clean_corpus_survivors",       # dedup -> decontaminate composition
     "scd2_user_type_history",       # snapshot run-length history build
+    "snapshot_diff_order_status",   # added/removed/changed snapshot diff
 ]
 
 

@@ -136,3 +136,42 @@ def scd2_intervals(
         )
         .drop("_run")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Day-over-day snapshot diff: one row per key that was added,
+    removed, or changed between two snapshots (unchanged keys are
+    dropped — at scale the diff is tiny next to the snapshots).
+
+    One full-outer join on the key; change classification is null-safe
+    column comparison (``eqNullSafe`` so NULL→value and value→NULL
+    count as changes). Output: key cols, change ('added' | 'removed' |
+    'changed'), old_/new_ value columns. The generalization of the
+    leftovers anti-join family (phedex_leftovers): an anti-join is the
+    'removed' slice of this operator.
+    """
+    o = old.select(
+        *key_cols, *[F.col(v).alias(f"old_{v}") for v in value_cols]
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        *key_cols, *[F.col(v).alias(f"new_{v}") for v in value_cols]
+    ).withColumn("_in_new", F.lit(1))
+    j = o.join(n, on=key_cols, how="full_outer")
+    same = F.lit(True)
+    for v in value_cols:
+        same = same & F.col(f"old_{v}").eqNullSafe(F.col(f"new_{v}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~same, "changed")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .drop("_in_old", "_in_new")
+    )

@@ -3327,3 +3327,53 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").cast("string").alias("valid_from"),
         F.col("valid_to").cast("string").alias("valid_to"),
     )
+
+
+@query(
+    "snapshot_diff_order_status",
+    """
+    WITH old AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      GROUP BY o_custkey
+    ),
+    new AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+      GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+             o.n_orders AS old_n_orders, n.n_orders AS new_n_orders,
+             o.o_custkey IS NULL AS only_new,
+             n.o_custkey IS NULL AS only_old
+      FROM old o FULL OUTER JOIN new n ON o.o_custkey = n.o_custkey
+    )
+    SELECT o_custkey, old_n_orders, new_n_orders,
+           CASE WHEN only_new THEN 'added'
+                WHEN only_old THEN 'removed'
+                WHEN old_n_orders IS DISTINCT FROM new_n_orders THEN 'changed'
+           END AS change
+    FROM j
+    WHERE only_new OR only_old OR old_n_orders IS DISTINCT FROM new_n_orders
+    """,
+)
+def snapshot_diff_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic snapshot diff (operators/incremental.snapshot_diff): the
+    per-customer order-count snapshot as of 1997 vs 1999 — added /
+    removed / changed keys only, null-safe comparison, one full-outer
+    join. The leftovers anti-join family is the 'removed' slice."""
+    from cmsspark_spark.operators.incremental import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+
+    def snap(before: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate").cast("date") < F.lit(before).cast("date"))
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    return snapshot_diff(
+        snap("1997-01-01"), snap("1999-01-01"), ["o_custkey"], ["n_orders"]
+    )
