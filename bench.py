@@ -83,6 +83,8 @@ EXTRA = [
     "clean_corpus_survivors",       # dedup -> decontaminate composition
     "scd2_user_type_history",       # snapshot run-length history build
     "snapshot_diff_order_status",   # added/removed/changed snapshot diff
+    "line_dedup_corpus",            # C4-style global line dedup + reassembly
+    "strip_markup_cleanup",         # tag/URL/entity strip pre-tokenization
 ]
 
 

@@ -267,3 +267,23 @@ def hash_sample(key: Column | str, fraction: float) -> Column:
     subset of ``hash_sample(k, 0.2)``'s rows.
     """
     return int_base_hash(_c(key)) % 10000 < int(round(fraction * 10000))
+
+
+#: Markup-stripping patterns (C4-style cleanup; Raffel et al. 2020 §2.2
+#: strip lines that are boilerplate): HTML tags, then bare URLs. RE2-safe
+#: so Spark and DuckDB agree (oracle-testable).
+MARKUP_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"<[^>]{1,200}>", " "),                      # HTML/XML tags
+    (r"https?://[^\s]+", " "),                    # bare URLs
+    (r"&(amp|lt|gt|quot|nbsp);", " "),            # common entities
+)
+
+
+def strip_markup(text: Column | str) -> Column:
+    """Remove HTML tags, bare URLs and common entities, then collapse
+    runs of whitespace — the standard pre-tokenization cleanup pass.
+    Chained ``regexp_replace``, entirely JVM-side."""
+    out = _c(text)
+    for pat, repl in MARKUP_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 import random
 
@@ -458,4 +458,56 @@ def connected_components(
             return labels.select(F.col("src").alias("node"), "component")
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds"
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Line-level exact dedup (the C4 move: drop every repeated LINE
+    across the corpus, keeping its first occurrence) and reassemble
+    documents from their surviving lines in original order.
+
+    Shape: posexplode lines (keeping line ordinals) → one hash-groupBy
+    elects the global survivor per distinct line text (min (doc, pos) —
+    deterministic) → survivors re-fold per document with
+    ``array_sort``/``array_join`` over (pos, line) structs. Two
+    shuffles total (line election, doc re-fold); the shuffle key is the
+    md5 of the line, never the line text twice. Documents whose every
+    line is elsewhere's duplicate come back EMPTY (text '') rather than
+    vanishing — the caller decides the drop policy.
+
+    Returns (id, text, n_lines_kept, n_lines_dropped).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).filter(F.length(F.trim(F.col("line"))) >= min_line_chars)
+    keyed = lines.withColumn("_h", F.md5(F.col("line")))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    elected = keyed.withColumn("_rn", F.row_number().over(w))
+    marked = elected.withColumn("_keep", F.col("_rn") == 1)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_lines_dropped"),
+        )
     )

@@ -3377,3 +3377,118 @@ def snapshot_diff_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         snap("1997-01-01"), snap("1999-01-01"), ["o_custkey"], ["n_orders"]
     )
+
+
+@query(
+    "line_dedup_corpus",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    lined AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(tk[(i.i*8+1):(i.i*8+8)], ' ') AS line
+      FROM toks, (SELECT unnest(generate_series(0, 127)) AS i) i
+      WHERE i.i <= greatest(CAST(ceil(len(tk)/8.0) AS INT) - 1, 0)
+    ),
+    flt AS (SELECT * FROM lined WHERE len(trim(line)) >= 1),
+    elected AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (
+               PARTITION BY line ORDER BY doc_id, pos) = 1 AS keep
+      FROM flt
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                          FILTER (WHERE keep), '')) AS text_md5,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_lines_dropped
+    FROM elected GROUP BY doc_id
+    """,
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (operators/dedup.line_dedup — the C4
+    move: drop every globally repeated line, first occurrence wins,
+    reassemble docs in order). The synthetic corpus is single-line, so
+    both engines first reformat deterministically into 8-token lines;
+    election + in-order reassembly then run through the operator. Doc
+    text compared by md5 for a compact oracle surface."""
+    from cmsspark_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(8.0)).cast("int") - 1, F.lit(0)
+    )
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = D.line_dedup(lined, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+@query(
+    "strip_markup_cleanup",
+    """
+    WITH marked AS (
+      SELECT doc_id,
+             '<p class="x">' || text || '</p> see https://example.com/d/'
+               || doc_id || ' &amp; <br/> more' AS raw
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(raw, '<[^>]{1,200}>', ' ', 'g'),
+                   'https?://[^\\s]+', ' ', 'g'),
+                 '&(amp|lt|gt|quot|nbsp);', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(len(raw) AS BIGINT) AS raw_chars,
+           CAST(len(clean) AS BIGINT) AS clean_chars,
+           md5(clean) AS clean_md5
+    FROM stripped
+    """,
+)
+def strip_markup_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup/URL stripping (functions/text.strip_markup — the C4-style
+    pre-tokenization cleanup): HTML tags, bare URLs and entities out,
+    whitespace collapsed. The corpus is plain text, so both engines
+    first wrap each doc in identical synthetic markup; the chained
+    regexp_replace pass then runs for real and the cleaned text is
+    md5-compared."""
+    from cmsspark_spark.functions.text import strip_markup
+
+    d = _t(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">'),
+            F.col("text"),
+            F.lit("</p> see https://example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" &amp; <br/> more"),
+        ).alias("raw"),
+    )
+    return marked.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("raw_chars"),
+        F.length(strip_markup("raw")).cast("long").alias("clean_chars"),
+        F.md5(strip_markup("raw")).alias("clean_md5"),
+    )

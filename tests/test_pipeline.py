@@ -152,3 +152,33 @@ def test_mixture_weights_algebra(spark, docs):
     # α=1 is share-proportional (boost == 1)
     flat = PL.mixture_weights(docs, "source", alpha=1.0).collect()
     assert all(abs(r["boost"] - 1.0) < 1e-9 for r in flat)
+
+
+def test_line_dedup_drops_repeats_keeps_order(spark):
+    from cmsspark_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma"),       # 'shared line' already in doc 1
+            (3, "shared line"),              # entirely duplicate → empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["text"] == "alpha\nshared line\nbeta"
+    assert out[1]["n_lines_dropped"] == 0
+    assert out[2]["text"] == "gamma" and out[2]["n_lines_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+
+
+def test_strip_markup_removes_tags_urls_entities(spark):
+    from cmsspark_spark.functions.text import strip_markup
+
+    df = spark.createDataFrame(
+        [("<div>hello <b>world</b></div> go to https://x.io/a?b=1 &amp; more",)],
+        ["t"],
+    )
+    assert df.select(strip_markup("t").alias("c")).collect()[0]["c"] == (
+        "hello world go to more"
+    )
