@@ -85,6 +85,9 @@ EXTRA = [
     "snapshot_diff_order_status",   # added/removed/changed snapshot diff
     "line_dedup_corpus",            # C4-style global line dedup + reassembly
     "strip_markup_cleanup",         # tag/URL/entity strip pre-tokenization
+    "q10_returned_item_report",     # returned-item revenue top-20
+    "q12_shipmode_priority",        # priority-split conditional counts
+    "q14_promo_revenue_share",      # conditional ratio-of-sums
 ]
 
 
