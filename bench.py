@@ -88,6 +88,7 @@ EXTRA = [
     "q10_returned_item_report",     # returned-item revenue top-20
     "q12_shipmode_priority",        # priority-split conditional counts
     "q14_promo_revenue_share",      # conditional ratio-of-sums
+    "multimodal_frame_sample",      # 1->N Arrow frame explode, oracle-exact
 ]
 
 

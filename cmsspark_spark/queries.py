@@ -3611,3 +3611,45 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
         )
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH vids AS (
+      SELECT doc_id, text,
+             CAST(len(text) // 32 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, text, i.i AS frame_idx,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i.i) AS taken
+      FROM vids, (SELECT unnest(generate_series(0, 1023, 4)) AS i) i
+      WHERE i.i < n_frames
+    )
+    SELECT doc_id, frame_idx,
+           md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_checksum
+    FROM idx WHERE taken <= 16
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing, oracle-backed: documents stand in as
+    'videos' (UTF-8 payload bytes; the corpus is ASCII so byte frames
+    equal character frames and DuckDB reproduces every frame checksum
+    with substring+md5). Exercises the 1→N mapInPandas explode, the
+    every-k stride, and the per-video frame cap for real
+    (operators/multimodal.sample_frames)."""
+    from cmsspark_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_binary_payload(d),
+        every_k=4,
+        frame_bytes=32,
+        max_frames=16,
+        max_parallelism=8,
+    )
+    return frames.select("doc_id", "frame_idx", "frame_checksum")
