@@ -89,6 +89,8 @@ EXTRA = [
     "q12_shipmode_priority",        # priority-split conditional counts
     "q14_promo_revenue_share",      # conditional ratio-of-sums
     "multimodal_frame_sample",      # 1->N Arrow frame explode, oracle-exact
+    "q4_order_priority_exists",     # correlated EXISTS as left-semi
+    "q16_part_supplier_counts",     # NOT-IN anti-join + countDistinct
 ]
 
 

@@ -3662,3 +3662,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_parallelism=8,
     )
     return frames.select("doc_id", "frame_idx", "frame_checksum")
+
+
+@query(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-07-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders with any late-shipped
+    line, counted by priority. Spark expresses the subquery as a LEFT
+    SEMI join on the key plus the correlated predicate (the planner's
+    own decorrelation), so the fact dedups without a distinct."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od = F.col("o_orderdate").cast("date")
+    window = o.filter(
+        (od >= F.lit("1997-07-01").cast("date"))
+        & (od < F.lit("1997-10-01").cast("date"))
+    )
+    late = window.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate").cast("date") > od),
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q16_part_supplier_counts",
+    """
+    SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_type
+    """,
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN exclusion (LEFT ANTI on the broadcast
+    blocklist of negative-balance suppliers) + distinct supplier counts
+    per part type."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    blocked = s.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(blocked, on="l_suppkey", how="left_anti")
+        .join(
+            p.filter(~F.col("p_type").like("PROMO%")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
