@@ -91,6 +91,7 @@ EXTRA = [
     "multimodal_frame_sample",      # 1->N Arrow frame explode, oracle-exact
     "q4_order_priority_exists",     # correlated EXISTS as left-semi
     "q16_part_supplier_counts",     # NOT-IN anti-join + countDistinct
+    "training_pipeline_e2e",        # capstone: gate->dedup->decontam->budget
 ]
 
 

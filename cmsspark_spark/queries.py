@@ -3734,3 +3734,88 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "training_pipeline_e2e",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, source, text, {_TOKS_SQL} AS tk
+      FROM documents
+      WHERE n_chars >= 10
+    ),
+    elected AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 PARTITION BY md5(array_to_string(tk, ' '))
+                 ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    surv AS (
+      SELECT g.doc_id, g.source, g.tk,
+             {_SHINGLES_SQL.replace("tk", "g.tk")} AS gs
+      FROM gated g JOIN elected e ON g.doc_id = e.doc_id
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM surv WHERE doc_id % 20 = 0
+    ),
+    contam AS (
+      SELECT doc_id,
+             count(*) AS n_grams,
+             count(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS n_hit
+      FROM (SELECT doc_id, unnest(gs) AS g FROM surv WHERE doc_id % 20 <> 0)
+      GROUP BY doc_id
+    ),
+    clean AS (
+      SELECT s.doc_id, s.source, len(s.tk) AS n_tokens
+      FROM surv s JOIN contam c ON s.doc_id = c.doc_id
+      WHERE c.n_hit <= 0.5 * c.n_grams
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(ceil(n_tokens / 512.0) AS BIGINT)) AS BIGINT)
+             AS n_chunks_512
+    FROM clean GROUP BY source
+    """,
+)
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — a pre-training data pipeline front to
+    back: length gate → exact-dedup election (ids-only shuffle, staged
+    id list) → benchmark decontamination (>50% trigram overlap drops;
+    eval members excluded) → per-source token budget with 512-token
+    chunk counts (the per-doc packing estimate). Every stage is an
+    already-verified operator; the four-stage composition verifies
+    hash-exactly against one DuckDB twin."""
+    from cmsspark_spark.functions.text import fingerprint, token_count
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 10)
+    w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+    survivor_ids = (
+        d.select(fingerprint("text").alias("_fp"), "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    surv = d.join(survivor_ids, on="doc_id", how="left_semi")
+    bench = surv.filter(F.col("doc_id") % 20 == 0)
+    rest = surv.filter(F.col("doc_id") % 20 != 0)
+    clean_ids = (
+        PL.ngram_overlap(rest, bench, n=3)
+        .filter(F.col("n_hit") <= 0.5 * F.col("n_grams"))
+        .select("doc_id")
+    )
+    clean = surv.join(clean_ids, on="doc_id", how="left_semi").select(
+        "source", token_count("text").alias("n_tokens")
+    )
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.ceil(F.col("n_tokens") / 512.0).cast("long")).alias(
+            "n_chunks_512"
+        ),
+    )
