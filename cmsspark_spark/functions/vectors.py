@@ -77,9 +77,11 @@ def centroid_probe_arrow(centroids, nprobe: int) -> Column:
     """Arrow fast path for IVF centroid assignment: top-``nprobe``
     centroid ids by cosine in one numpy matmul per Arrow batch (the SQL
     form builds one aggregate(zip_with) tree PER centroid). Ties break
-    on centroid id ascending (stable argsort on (-score, id)), matching
-    the SQL form's array_sort ordering. Returns a column factory: call
-    with the vector column name, yields ``array<int>``.
+    on centroid id DESCENDING, exactly matching the SQL form's
+    ``reverse(array_sort(...))`` ordering of (score, id) structs — the
+    two impls assign identical inverted lists even on exact score ties.
+    Returns a column factory: call with the vector column name, yields
+    ``array<int>``.
 
     Closure pickles by value (numpy arrays only)."""
     import numpy as np
@@ -94,8 +96,11 @@ def centroid_probe_arrow(centroids, nprobe: int) -> Column:
 
         x = np.asarray(list(vecs), dtype=np.float64)
         scores = x @ cn.T  # (N, C); query norm is rank-invariant
-        # argsort on (-score, centroid_id): deterministic under ties
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :k].astype(np.int32)
+        # ties → centroid id DESC (= reverse(array_sort) in the SQL
+        # impl): stable-argsort the id-reversed score matrix, map back
+        n_c = scores.shape[1]
+        rev = np.argsort(-scores[:, ::-1], axis=1, kind="stable")
+        order = (n_c - 1 - rev)[:, :k].astype(np.int32)
         return pd.Series(list(order))
 
     return pandas_udf(_probe, "array<int>")

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from cmsspark_spark.functions.text import raw_ngrams, tokens
 
@@ -81,30 +82,40 @@ def concat_pack_chunks(
     id_col: str = "doc_id",
     token_count_col: Column | None = None,
     order_col: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """GPT-style sequence packing: concatenate every document in a
+    """GPT-style sequence packing: concatenate documents in a
     deterministic order and slice the stream into fixed ``ctx_len``
     token windows; documents may span window boundaries. Returns one row
     per (chunk_id, doc) overlap:
 
-    (chunk_id, id, doc_tokens, start_offset, tokens_in_chunk)
+    (partition cols..., chunk_id, id, doc_tokens, tokens_in_chunk)
 
-    Pure window math: a global cumsum gives each doc its token offset;
-    each doc overlaps chunks floor(start/ctx) .. floor((end-1)/ctx), a
-    bounded row-local ``sequence`` explode. No driver state, no loops —
-    the whole packer is one sort + one narrow map at any scale. (The
-    single global cumsum window is the deliberate cost: packing defines
-    a total order. Shard first — partition the cumsum by shard — when
-    one global stream isn't required.)
+    Pure window math: a cumsum gives each doc its token offset; each doc
+    overlaps chunks floor(start/ctx) .. floor((end-1)/ctx), a bounded
+    row-local ``sequence`` explode. No driver state, no loops.
+
+    **Scale default: pass ``partition_cols``** (shard/source) — the
+    cumsum then partitions by shard and every stream packs in parallel
+    (chunk_id is per-shard). With no partition cols the cumsum is one
+    global total order, i.e. a single-partition sort — correct, and the
+    right tool only when one global stream is genuinely required.
     """
+    parts = list(partition_cols or [])
     tc = (
         token_count_col
         if token_count_col is not None
         else F.size(tokens("text"))
     ).alias("doc_tokens")
     order = order_col or id_col
-    w = Window.orderBy("_ord")
-    offs = docs.select(F.col(id_col), tc, F.col(order).alias("_ord")).withColumn(
+    w = (
+        Window.partitionBy(*parts).orderBy("_ord")
+        if parts
+        else Window.orderBy("_ord")
+    )
+    offs = docs.select(
+        *parts, F.col(id_col), tc, F.col(order).alias("_ord")
+    ).withColumn(
         "start_offset",
         F.coalesce(
             F.sum("doc_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -118,6 +129,7 @@ def concat_pack_chunks(
     last = ((F.col("_end") - 1) / ctx_len).cast("long")
     return (
         offs.select(
+            *parts,
             id_col,
             "doc_tokens",
             "start_offset",
@@ -161,9 +173,17 @@ def greedy_pack_bins(
     slim = docs.select(*parts, F.col(id_col), tc)
     cap = int(capacity)
     idc = str(id_col)
-    out_schema = ", ".join(
-        [f"`{c}` string" for c in parts]
-        + [f"`{idc}` bigint", "doc_tokens int", "bin_id bigint", "truncated boolean"]
+    # Output schema mirrors the input field types (a caller with an int
+    # shard column or a string id must round-trip through Arrow cleanly);
+    # only bin_id/truncated are ours.
+    out_schema = StructType(
+        [slim.schema[c] for c in parts]
+        + [
+            slim.schema[idc],
+            slim.schema["doc_tokens"],
+            StructField("bin_id", LongType()),
+            StructField("truncated", BooleanType()),
+        ]
     )
 
     out_cols = [*parts, idc, "doc_tokens", "bin_id", "truncated"]

@@ -1865,9 +1865,12 @@ def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: sign-LSH bucket self-join for
     candidates, exact cosine re-score. Approximate vs the exact
     baseline (recall/precision-gated in tests/test_similarity.py) yet
-    fully deterministic — the seeded hyperplanes are plan literals, so
-    a generated DuckDB twin (ORACLES assignment at module end)
-    reproduces candidates AND cosines hash-exactly."""
+    deterministic in practice — the seeded hyperplanes are plan
+    literals, so a generated DuckDB twin (ORACLES assignment at module
+    end) reproduces candidates AND cosines. (The arrow impl's BLAS
+    summation order can in principle flip a sign on a plane dot within
+    float error of 0 — measure-zero for continuous embeddings; pin
+    impl='sql' for a hard bucket guarantee.)"""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = S.cosine_near_pairs_lsh(emb, dim=64, threshold=0.3, num_planes=4, tables=8)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -1877,8 +1880,9 @@ def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: sign-LSH bucketing + exact re-score on candidates.
     Approximate vs brute force (recall ≥ 0.6 gated in tests) yet
-    deterministic — seeded planes + sequential-fold cosines give an
-    exact generated DuckDB twin (ORACLES assignment at module end)."""
+    deterministic in practice — seeded planes give a generated DuckDB
+    twin (ORACLES assignment at module end); see embed_near_dup_lsh's
+    docstring for the arrow-impl sign-order caveat."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.lsh_topk(emb, queries, dim=64, k=5, num_planes=4, tables=4)
@@ -3392,11 +3396,16 @@ def snapshot_diff_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "line_dedup_corpus",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    posd AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(
+               0, greatest(CAST(ceil(len(tk)/8.0) AS INT) - 1, 0))) AS pos
+      FROM toks
+    ),
     lined AS (
-      SELECT doc_id, i.i AS pos,
-             array_to_string(tk[(i.i*8+1):(i.i*8+8)], ' ') AS line
-      FROM toks, (SELECT unnest(generate_series(0, 127)) AS i) i
-      WHERE i.i <= greatest(CAST(ceil(len(tk)/8.0) AS INT) - 1, 0)
+      SELECT doc_id, pos,
+             array_to_string(tk[(pos*8+1):(pos*8+8)], ' ') AS line
+      FROM posd
     ),
     flt AS (SELECT * FROM lined WHERE len(trim(line)) >= 1),
     elected AS (

@@ -183,7 +183,13 @@ def stream_interval_join(
         & (rc >= lc + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
         & (rc <= lc + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
     )
-    return lpref.join(rpref, on=cond, how=how).drop("_rkey")
+    # With how='right'/'full' the surviving key column is left-side and
+    # NULL for unmatched right rows — coalesce in the right key first.
+    return (
+        lpref.join(rpref, on=cond, how=how)
+        .withColumn(key, F.coalesce(F.col(key), F.col("_rkey")))
+        .drop("_rkey")
+    )
 
 
 def streaming_dedup_within_watermark(
