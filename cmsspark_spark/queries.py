@@ -1540,9 +1540,12 @@ def stepchain_cpu_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
     step structs) exploded to rows with F.explode instead of the
     reference's RDD flatMap (degraded/stepchain_cpu_eff.py:66-107,
     wmarchive.py:108-144), then the cmsRun-prefix filter and the
-    per-workflow CPU-efficiency ratio. The nested array is packed from
-    the flat fact first (pack→explode roundtrip exercises both
-    directions).
+    per-workflow CPU-efficiency ratio. The step array is packed
+    row-locally in the select (fused pack: no collect_list shuffle —
+    the grouped pack→explode roundtrip is exercised by
+    tests/test_workflows.py::test_pack_explode_roundtrip instead, after
+    round 3's bench showed the both-ways roundtrip costing 2.26× the
+    round-1 time).
 
     FP determinism: this query's first two formulations flipped the
     driver's full-precision value hash (rounds 1 AND 2) because a double
@@ -1558,17 +1561,18 @@ def stepchain_cpu_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_pct = F.round(F.col("l_discount") * 100).cast("long")
-    flat = li.select(
+    nested_df = li.select(
         "l_orderkey",
-        F.when(F.col("l_linenumber") % 3 == 0, "cmsRun1")
-        .when(F.col("l_linenumber") % 3 == 1, "stageOut1")
-        .otherwise("logArch1")
-        .alias("name"),
-        (cents * (100 - disc_pct)).alias("cpu_s"),
-        (cents * 100).alias("wall_s"),
-    )
-    nested_df = N.pack_steps(
-        flat, ["l_orderkey"], [F.col("name"), F.col("cpu_s"), F.col("wall_s")]
+        F.array(
+            F.struct(
+                F.when(F.col("l_linenumber") % 3 == 0, "cmsRun1")
+                .when(F.col("l_linenumber") % 3 == 1, "stageOut1")
+                .otherwise("logArch1")
+                .alias("name"),
+                (cents * (100 - disc_pct)).alias("cpu_s"),
+                (cents * 100).alias("wall_s"),
+            )
+        ).alias("steps"),
     )
     steps = N.explode_steps(nested_df, "steps", keep=["l_orderkey"])
     cms = N.filter_steps_by_name(steps, "name", "cmsrun")
