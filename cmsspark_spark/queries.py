@@ -2634,6 +2634,52 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_concat_chunks_sharded",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS doc_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, source, doc_tokens,
+             CAST(coalesce(sum(doc_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, source, doc_tokens, s,
+             unnest(generate_series(s // 512, (s + doc_tokens - 1) // 512))
+               AS chunk_id
+      FROM offs WHERE doc_tokens > 0
+    )
+    SELECT source, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(s + doc_tokens, (chunk_id + 1) * 512)
+                    - greatest(s, chunk_id * 512)) AS BIGINT) AS chunk_tokens
+    FROM chunks GROUP BY source, chunk_id
+    """,
+)
+def pack_concat_chunks_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-first sequence packing — the 100 TB default shape: the
+    offset cumsum partitions by ``source`` so every shard's stream packs
+    in parallel (chunk_id is per-shard); no single-partition global sort
+    anywhere in the plan (asserted by
+    tests/test_plans.py::test_sharded_pack_has_no_single_partition_sort).
+    The unsharded form (pack_concat_chunks) stays as the documented
+    special case for when one global stream is genuinely required."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = PL.concat_pack_chunks(d, ctx_len=512, partition_cols=["source"])
+    return chunks.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens_in_chunk").alias("chunk_tokens"),
+    )
+
+
+@query(
     "stratified_sample_sources",
     """
     WITH rk AS (

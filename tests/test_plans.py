@@ -262,3 +262,19 @@ def test_curated_day_table_prunes_partitions(spark, tmp_path):
     # correct row survives (partition values are type-inferred → DATE)
     rows = filtered.collect()
     assert len(rows) == 1 and rows[0]["n"] == 2 and str(rows[0]["day"]) == "2024-01-02"
+
+
+def test_sharded_pack_has_no_single_partition_sort(spark):
+    """Shard-first packing (partition_cols) must never collapse to one
+    partition: the cumsum window exchanges hash(source), not
+    SinglePartition. The unsharded form IS the global-order special
+    case — assert it (and only it) pays the single-partition sort."""
+    from cmsspark_spark.operators.pipeline import concat_pack_chunks
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sharded = concat_pack_chunks(d, ctx_len=512, partition_cols=["source"])
+    plan = plans.formatted_plan(sharded)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+    unsharded = concat_pack_chunks(d, ctx_len=512)
+    assert "SinglePartition" in plans.formatted_plan(unsharded)
