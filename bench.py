@@ -92,6 +92,9 @@ EXTRA = [
     "q4_order_priority_exists",     # correlated EXISTS as left-semi
     "q16_part_supplier_counts",     # NOT-IN anti-join + countDistinct
     "training_pipeline_e2e",        # capstone: gate->dedup->decontam->budget
+    # round 4
+    "pack_concat_chunks_sharded",   # shard-first packing (parallel cumsum)
+    "near_dup_pipeline_e2e",        # LSH->verify->components->survivors
 ]
 
 

@@ -3878,3 +3878,72 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chunks_512"
         ),
     )
+
+
+@query(
+    "near_dup_pipeline_e2e",
+    f"""
+    WITH RECURSIVE pairs AS ({{LSH_VERIFIED}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    drops AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dr.doc_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(dr.doc_id) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN drops dr USING (doc_id)
+    GROUP BY source
+    """,
+)
+def near_dup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup dedup capstone (training_pipeline_e2e's sibling,
+    which dedups exactly): MinHash-LSH candidates → candidate-pruned
+    exact-Jaccard verification → connected components → min-id survivor
+    per cluster → per-source keep/drop counts.
+
+    100 TB shape: every stage shuffles ids/signatures only — candidates
+    from the banded bucket self-join (never all-pairs), verification
+    linear in Σ|shingles(candidate docs)|, components one shuffle per
+    propagation round over the (tiny) verified pair list, and the final
+    drop list joins back to the corpus by id with document text never
+    crossing a shuffle. The oracle is one DuckDB twin: the LSH-verified
+    pair CTEs feeding a recursive-CTE transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    drops = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("_dropped"))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(drops, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("_dropped")).alias("n_kept"),
+        )
+    )
+
+
+# The near-dup capstone's oracle embeds the LSH-verified pair SQL; the
+# f-string above leaves a {LSH_VERIFIED} placeholder because nesting a
+# multi-line generated CTE inside an f-string literal is unreadable.
+ORACLES["near_dup_pipeline_e2e"] = ORACLES["near_dup_pipeline_e2e"].replace(
+    "{LSH_VERIFIED}", _lsh_verified_oracle_sql()
+)
