@@ -60,12 +60,120 @@ class FakeDecoder:
         return f"{h[:2]}{h[-2:]}{len(payload):08x}"
 
 
-def real_decoder(payload: bytes) -> str:  # pragma: no cover - container lacks libs
-    """Placeholder for a real decode (image resize / audio resample /
-    video frame-sample). Plug in when media libs are available."""
-    raise NotImplementedError(
-        "media decode libraries are not available in this container; "
-        "use FakeDecoder for plumbing tests"
+def _make_bmp_codec():
+    """Pure-Python 24-bit BMP decode/encode/nearest-resize, returned as
+    NESTED functions so any closure referencing them pickles BY VALUE
+    (cloudpickle can't resolve nested funcs by module+qualname, so it
+    ships the code — executors never need this package importable)."""
+    import struct
+
+    def decode(raw: bytes):
+        """BMP → (width, height, rows) with rows top-down lists of BGR
+        byte triples. Supports the baseline everyone writes: 24-bit
+        uncompressed (BI_RGB) with BITMAPINFOHEADER."""
+        if len(raw) < 54 or raw[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        data_off = struct.unpack_from("<I", raw, 10)[0]
+        width, height = struct.unpack_from("<ii", raw, 18)
+        bpp = struct.unpack_from("<H", raw, 28)[0]
+        compression = struct.unpack_from("<I", raw, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError("only 24-bit uncompressed BMP is supported")
+        bottom_up = height > 0
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3
+        if data_off + stride * height > len(raw):
+            raise ValueError("truncated BMP pixel data")
+        rows = [
+            raw[data_off + r * stride : data_off + r * stride + width * 3]
+            for r in range(height)
+        ]
+        if bottom_up:
+            rows.reverse()
+        return width, height, rows
+
+    def encode(width: int, height: int, rows) -> bytes:
+        """(width, height, top-down BGR rows) → 24-bit bottom-up BMP."""
+        stride = (width * 3 + 3) & ~3
+        pad = b"\x00" * (stride - width * 3)
+        body = b"".join(rows[r] + pad for r in range(height - 1, -1, -1))
+        off = 14 + 40
+        header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+        return header + info + body
+
+    def resize(width: int, height: int, rows, new_w: int, new_h: int):
+        """Nearest-neighbor resample of top-down BGR rows."""
+        out = []
+        for y in range(new_h):
+            sy = min(height - 1, (y * height) // new_h)
+            srow = rows[sy]
+            orow = bytearray()
+            for x in range(new_w):
+                sx = min(width - 1, (x * width) // new_w)
+                orow += srow[sx * 3 : sx * 3 + 3]
+            out.append(bytes(orow))
+        return out
+
+    return decode, encode, resize
+
+
+def _make_wav_probe():
+    """Pure-Python RIFF/WAVE header walk (PCM), nested for by-value
+    pickling like ``_make_bmp_codec``."""
+    import struct
+
+    def probe(raw: bytes):
+        """WAV → (n_channels, sample_rate, bits_per_sample, n_samples)."""
+        if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, fmt, data_len = 12, None, None
+        while pos + 8 <= len(raw):
+            cid = raw[pos : pos + 4]
+            size = struct.unpack_from("<I", raw, pos + 4)[0]
+            if cid == b"fmt ":
+                audio_fmt, n_ch, rate = struct.unpack_from("<HHI", raw, pos + 8)
+                bits = struct.unpack_from("<H", raw, pos + 22)[0]
+                if audio_fmt != 1:
+                    raise ValueError("only PCM WAV is supported")
+                fmt = (n_ch, rate, bits)
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data_len is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        n_ch, rate, bits = fmt
+        n_samples = data_len // max(n_ch * (bits // 8), 1)
+        return n_ch, rate, bits, n_samples
+
+    return probe
+
+
+def real_decoder(payload: bytes) -> str:
+    """Real decode for the pure-Python-decodable formats: BMP (24-bit
+    uncompressed) and PCM WAV, dispatched on magic bytes. Returns the
+    same compact feature-string contract as ``FakeDecoder`` — media
+    geometry instead of a content hash. Formats needing native libs
+    (JPEG/PNG/MP4...) raise ValueError with the offending magic; plug a
+    PIL/ffmpeg-backed callable into ``extract_features(decoder=...)``
+    on deployments that have them."""
+    if payload is None:
+        return ""
+    raw = bytes(payload)
+    if raw[:2] == b"BM":
+        decode, _, _ = _make_bmp_codec()
+        w, h, _rows = decode(raw)
+        return f"bmp:{w}x{h}"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        probe = _make_wav_probe()
+        n_ch, rate, bits, n_samples = probe(raw)
+        return f"wav:{n_ch}ch:{rate}hz:{bits}bit:{n_samples}samp"
+    raise ValueError(
+        f"unsupported media format (magic {raw[:8]!r}); decodable here: "
+        "BMP (24-bit), PCM WAV"
     )
 
 
@@ -174,27 +282,35 @@ def resize_images(
     """Image resize over binary payloads: Arrow ``mapInPandas``, fixed
     output schema (payload + new dims) so the write side is stable.
 
-    The resampler is STUBBED (no imaging libs in this container) with a
-    deterministic fake — payload bytes are tiled/truncated to exactly
-    width×height bytes, standing in for a width×height×1 raster — so
-    batch shapes, memory profile, and the binary-in/binary-out contract
-    are exercised for real. Swap the inner function for PIL/opencv on a
-    real deployment (same signature: bytes → bytes of the new raster).
-    Closure pickles by value; executors never import the package.
+    BMP payloads (24-bit uncompressed — the one format decodable in
+    pure Python) are REALLY decoded, nearest-neighbor resampled to
+    width×height, and re-encoded as BMP. Anything else falls back to a
+    deterministic fake raster (bytes tiled/truncated to width×height),
+    standing in for a PIL/opencv resample on deployments that have
+    native imaging libs (same contract: bytes → bytes of the new
+    raster). Closure pickles by value; executors never import the
+    package.
     """
     w, h = int(width), int(height)
     target = w * h
+    bmp_decode, bmp_encode, bmp_resize = _make_bmp_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_resize(b) -> bytes:
+        def do_resize(b) -> bytes:
             if b is None or len(b) == 0:
                 return bytes(target)
             raw = bytes(b)
+            if raw[:2] == b"BM":
+                try:
+                    ow, oh, rows = bmp_decode(raw)
+                    return bmp_encode(w, h, bmp_resize(ow, oh, rows, w, h))
+                except ValueError:
+                    pass  # malformed/odd-bpp BMP → fake raster below
             reps = -(-target // len(raw))  # ceil-div tile then crop
             return (raw * reps)[:target]
 
         for pdf in batches:
-            out = pdf[payload_col].map(fake_resize)
+            out = pdf[payload_col].map(do_resize)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
