@@ -23,6 +23,8 @@ and composes the engine's operators. Reference pipelines replicated:
 15. ``monit_envelope``         — cmssw_avro2json.py:18-50
 16. ``crab_dataset_popularity`` — dbs_hdfs_crab.py:71-105
 17. ``dbs_file_checksums``     — dbs_adler.py:40-62
+18. ``rucio_datasets_monitoring`` — rucio_datasets_monitoring.py:385-470
+19. ``wma_agent_count``        — wma_agent_count_to_opensearch.py:54-147
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from cmsspark_spark.functions.cms import (
     clean_site_name,
     parse_dn,
+    rse_tags,
     split_dataset,
     split_dataset_col,
     tier_from_site,
@@ -621,4 +624,189 @@ def dbs_file_checksums(
     f = files.select("dataset_id", "logical_file_name", "adler32")
     return f.join(broadcast_if_small(d), on="dataset_id").select(
         "dataset", "logical_file_name", "adler32"
+    )
+
+
+#: The reference's production lock accounts
+#: (rucio_datasets_monitoring.py:56-66); "sync" is both a literal
+#: account and the collapse prefix for per-site sync_* accounts.
+RUCIO_PROD_ACCOUNTS = (
+    "transfer_ops",
+    "wma_prod",
+    "wmcore_output",
+    "wmcore_pileup",
+    "wmcore_transferor",
+    "crab_tape_recall",
+    "crab_input",
+    "sync",
+)
+
+
+def rucio_datasets_monitoring(
+    replicas: DataFrame,
+    contents: DataFrame,
+    rses: DataFrame,
+    dlocks: DataFrame,
+    prod_accounts: tuple[str, ...] = RUCIO_PROD_ACCOUNTS,
+    sync_prefix: str = "sync",
+) -> DataFrame:
+    """Per-(RSE, dataset) replica monitoring — the last flagship
+    (rucio_datasets_monitoring.py:385-470): file replicas roll up to
+    (RSE, dataset) size/count/access stats; DBS-side totals give the
+    DecimalType(6,2) FilePercentage (:391-401) and IsFullyReplicated;
+    open prod-account block locks (sync_* accounts collapse to the
+    prefix, :426-435 + :200-260) classify each cell FULLY / PARTIAL /
+    DYNAMIC; RSE names tag prod/temp/test kind (:167-187).
+
+    Plan shape: the fact (file replicas) shuffles ONCE into the
+    (rse_id, dataset) rollup; rses broadcast; the two per-dataset
+    total frames and the per-(dataset, rse) lock counts are
+    block/dataset-grain (orders smaller than file grain) and join onto
+    the rolled-up cells, not the fact.
+    """
+    f2b = contents.filter(F.col("child_type") == "FILE").select(
+        F.col("child").alias("name"), F.col("parent").alias("block")
+    )
+    b2d = contents.filter(F.col("child_type") == "BLOCK").select(
+        F.col("child").alias("block"), F.col("parent").alias("dataset")
+    )
+    f2d = f2b.join(b2d, on="block").select("name", "dataset")
+
+    per_cell = (
+        replicas.join(f2d, on="name")
+        .groupBy("rse_id", "dataset")
+        .agg(
+            F.sum("bytes").alias("size_bytes"),
+            F.count(F.lit(1)).alias("file_count"),
+            conditional_count(F.col("accessed_at").isNotNull()).alias(
+                "accessed_file_count"
+            ),
+            F.max("accessed_at").alias("last_access"),
+            F.max("created_at").alias("last_create"),
+        )
+    )
+
+    totals = (
+        f2d.groupBy("dataset")
+        .agg(F.countDistinct("name").alias("tot_file_cnt"))
+        .join(
+            b2d.groupBy("dataset").agg(
+                F.countDistinct("block").alias("tot_block_cnt")
+            ),
+            on="dataset",
+        )
+    )
+
+    locked = (
+        dlocks.filter(F.col("state") == "O")
+        .withColumn(
+            "account",
+            F.when(
+                F.col("account").startswith(sync_prefix), F.lit(sync_prefix)
+            ).otherwise(F.col("account")),
+        )
+        .filter(F.col("account").isin(*prod_accounts))
+        .join(b2d, dlocks["name"] == b2d["block"])
+        .groupBy("rse_id", "dataset")
+        .agg(F.countDistinct("block").alias("prod_locked_block_count"))
+    )
+
+    tags = rse_tags("rse")
+    tagged_rses = rses.select(
+        "rse_id", "rse", *[c.alias(n) for n, c in tags.items()]
+    )
+
+    return (
+        per_cell.join(broadcast_if_small(totals), on="dataset", how="left")
+        .join(locked, on=["rse_id", "dataset"], how="left")
+        .join(F.broadcast(tagged_rses), on="rse_id", how="left")
+        .withColumn(
+            "file_percentage",
+            (100 * F.col("file_count") / F.col("tot_file_cnt")).cast(
+                "decimal(6,2)"
+            ),
+        )
+        .withColumn(
+            "is_fully_replicated",
+            F.col("file_count") == F.col("tot_file_cnt"),
+        )
+        .withColumn(
+            "is_locked",
+            F.when(
+                F.col("tot_block_cnt") == F.col("prod_locked_block_count"),
+                F.lit("FULLY"),
+            )
+            .when(F.col("prod_locked_block_count") >= 1, F.lit("PARTIAL"))
+            .otherwise(F.lit("DYNAMIC")),
+        )
+        .withColumn(
+            "prod_locked_block_count",
+            F.coalesce("prod_locked_block_count", F.lit(0)).cast("int"),
+        )
+        .select(
+            "rse",
+            "rse_kind",
+            "dataset",
+            "size_bytes",
+            "last_access",
+            "last_create",
+            "file_count",
+            "accessed_file_count",
+            "is_fully_replicated",
+            "file_percentage",
+            F.col("tot_block_cnt").alias("block_count"),
+            "prod_locked_block_count",
+            "is_locked",
+        )
+    )
+
+
+def rucio_monitoring_kind_counts(monitoring: DataFrame) -> DataFrame:
+    """Datasets-per-RSE-kind rollup (rucio_datasets_monitoring.py's
+    prod/temp/test split, :167-187): distinct datasets and total bytes
+    by rse_kind over the monitoring frame."""
+    return monitoring.groupBy("rse_kind").agg(
+        F.countDistinct("dataset").alias("n_datasets"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("size_bytes").alias("total_bytes"),
+    )
+
+
+def wma_agent_count(reports: DataFrame) -> DataFrame:
+    """Per-(day, host) WMArchive agent counts
+    (wma_agent_count_to_opensearch.py:54-147): the reference RDD-maps
+    ``udf_step_extract`` over each record (site = LAST step with a
+    non-null site else 'UNKNOWN', number_of_steps = len(steps)), dedups
+    on wmaid, then aggregates count / avg step count / site set / a
+    midday-rounded epoch per (day, host). Here the per-record extract
+    is pure array expressions (try_element_at(filter(...), -1)) — no
+    RDD, no Python worker — and the midday timestamp is derived from
+    min(wmats) (every record in a (day, host) group shares the same
+    UTC day, so the reference's ``first(wmats)`` rounds to the same
+    midday; min makes it order-independent).
+
+    Output: (day, host, count, avg_steps_count, sites, wmats_midday)
+    with ``sites`` sorted for deterministic comparison (the reference
+    emits a set)."""
+    last_site = F.try_element_at(
+        F.filter("steps", lambda s: s["site"].isNotNull()), F.lit(-1)
+    )["site"]
+    flat = reports.select(
+        "wmaid",
+        "host",
+        F.col("wmats").cast("long").alias("wmats"),
+        F.coalesce(last_site, F.lit("UNKNOWN")).alias("site"),
+        F.size("steps").alias("number_of_steps"),
+    ).dropDuplicates(["wmaid"])
+    return (
+        flat.withColumn("day", F.from_unixtime("wmats", "yyyy-MM-dd"))
+        .groupBy("day", "host")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.avg("number_of_steps").alias("avg_steps_count"),
+            F.sort_array(F.collect_set("site")).alias("sites"),
+            (
+                F.min("wmats") - (F.min("wmats") % 86400) + 43200
+            ).alias("wmats_midday"),
+        )
     )

@@ -124,10 +124,20 @@ def files_df(spark: SparkSession) -> DataFrame:
 
 
 def rses_df(spark: SparkSession) -> DataFrame:
-    rows = [
-        (f"{i:032x}", _site(i, suffix_every=5), "TAPE" if i % 4 == 0 else "DISK")
-        for i in range(N_RSES)
-    ]
+    """Every 10th-ish RSE is a Temp/Test endpoint (case-varied like the
+    real namespace) so rse_tags' prod/temp/test split is exercised."""
+    rows = []
+    for i in range(N_RSES):
+        name = _site(i, suffix_every=5)
+        # NOT i%10==7: those rses only ever receive the unresolvable
+        # replica names (replica i sits on rse i%40 and dangles when
+        # i%10==7, and 10|40), so they'd never appear in file-grain
+        # rollups.
+        if i % 10 == 3:
+            name += "_Temp" if i % 20 == 3 else "_temp"
+        elif i % 10 == 4:
+            name += "_Test" if i % 20 == 4 else "_TEST"
+        rows.append((f"{i:032x}", name, "TAPE" if i % 4 == 0 else "DISK"))
     return spark.createDataFrame(rows, "rse_id: string, rse: string, rse_type: string")
 
 
@@ -467,6 +477,40 @@ def phedex_daily_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def dlocks_df(spark: SparkSession) -> DataFrame:
+    """Rucio dataset_locks at BLOCK grain (rucio_datasets_monitoring.py
+    :200-260 input shape): account mix spans prod accounts, sync-prefix
+    accounts (collapse to the prefix), and user accounts (filtered
+    out). Lock placement: one lock per block on rse b%N_RSES — the one
+    rse that actually holds the dataset's file replicas (replica i sits
+    on rse i%40 and dataset i%200, and 40|200). A dataset's blocks are
+    b, b+200, b+400: the ACCOUNT selector b%5 aligns across them
+    (200 ≡ 0 mod 5) so account class decides prod-vs-user per dataset,
+    while the STATE selector b%7 de-aligns (200 ≡ 4 mod 7) so some
+    datasets get a non-open 'R' on a strict subset of blocks. Result:
+    d%5==4 → user account → DYNAMIC; else d%7 ∈ {2,3,6} → one block R
+    → PARTIAL; else all three open prod locks → FULLY."""
+    accounts = ["transfer_ops", "wma_prod", "wmcore_output",
+                "sync_rucio_site_a", "user_joe"]
+    rows = []
+    for b in range(N_BLOCKS):
+        block = f"{_dataset_name(b % N_DATASETS)}#{b:08x}"
+        rows.append(
+            (
+                "cms",
+                block,
+                f"{b % N_RSES:032x}",
+                accounts[b % len(accounts)],
+                "O" if b % 7 != 3 else "R",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "scope: string, name: string, rse_id: string, account: string, "
+        "state: string",
+    )
+
+
 def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
     return {
         "dbs_datasets": datasets_df(spark),
@@ -487,4 +531,5 @@ def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
         "aso_transfers": aso_df(spark),
         "dbs_file_lumis": file_lumis_df(spark),
         "phedex_daily": phedex_daily_df(spark),
+        "rucio_dlocks": dlocks_df(spark),
     }

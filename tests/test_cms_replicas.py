@@ -25,6 +25,7 @@ def duck_fx(fx):
     for name in [
         "dbs_datasets", "dbs_files", "rucio_rses", "rucio_replicas",
         "rucio_dids", "rucio_contents", "access_events", "phedex_replicas",
+        "rucio_dlocks",
     ]:
         con.register(name, fx[name].toPandas())
     con.register("condor_flat", fx["condor_jobs"].select("data.*").toPandas())
@@ -563,3 +564,215 @@ def test_dbs_file_checksums_patterns(fx, duck_fx):
         expect, key=_nullsafe_key
     )
     assert len(expect) > 0
+
+
+def test_rucio_datasets_monitoring(fx, duck_fx):
+    got = R.rucio_datasets_monitoring(
+        fx["rucio_replicas"],
+        fx["rucio_contents"],
+        fx["rucio_rses"],
+        fx["rucio_dlocks"],
+    )
+    expect = duck_fx.execute(
+        """
+        WITH f2b AS (SELECT child AS name, parent AS block
+                     FROM rucio_contents WHERE child_type = 'FILE'),
+        b2d AS (SELECT child AS block, parent AS dataset
+                FROM rucio_contents WHERE child_type = 'BLOCK'),
+        f2d AS (SELECT f.name, b.dataset
+                FROM f2b f JOIN b2d b USING (block)),
+        cell AS (
+          SELECT r.rse_id, m.dataset,
+                 sum(r.bytes) AS size_bytes,
+                 count(*) AS file_count,
+                 count(r.accessed_at) AS accessed_file_count,
+                 max(r.accessed_at) AS last_access,
+                 max(r.created_at) AS last_create
+          FROM rucio_replicas r JOIN f2d m USING (name)
+          GROUP BY 1, 2
+        ),
+        totals AS (
+          SELECT f.dataset, count(DISTINCT f.name) AS tot_file_cnt,
+                 b.tot_block_cnt
+          FROM f2d f JOIN (
+            SELECT dataset, count(DISTINCT block) AS tot_block_cnt
+            FROM b2d GROUP BY 1) b USING (dataset)
+          GROUP BY 1, 3
+        ),
+        locks AS (
+          SELECT l.rse_id, b.dataset,
+                 count(DISTINCT b.block) AS prod_locked_block_count
+          FROM rucio_dlocks l JOIN b2d b ON l.name = b.block
+          WHERE l.state = 'O'
+            AND (CASE WHEN starts_with(l.account, 'sync') THEN 'sync'
+                      ELSE l.account END) IN
+                ('transfer_ops','wma_prod','wmcore_output','wmcore_pileup',
+                 'wmcore_transferor','crab_tape_recall','crab_input','sync')
+          GROUP BY 1, 2
+        )
+        SELECT s.rse,
+               CASE WHEN lower(s.rse) LIKE '%temp' THEN 'temp'
+                    WHEN lower(s.rse) LIKE '%test' THEN 'test'
+                    ELSE 'prod' END AS rse_kind,
+               c.dataset, c.size_bytes, c.last_access, c.last_create,
+               c.file_count, c.accessed_file_count,
+               c.file_count = t.tot_file_cnt AS is_fully_replicated,
+               CAST(100 * c.file_count / t.tot_file_cnt
+                    AS DECIMAL(6,2)) AS file_percentage,
+               t.tot_block_cnt AS block_count,
+               coalesce(k.prod_locked_block_count, 0) AS plbc,
+               CASE WHEN t.tot_block_cnt = k.prod_locked_block_count
+                      THEN 'FULLY'
+                    WHEN k.prod_locked_block_count >= 1 THEN 'PARTIAL'
+                    ELSE 'DYNAMIC' END AS is_locked
+        FROM cell c
+        JOIN totals t USING (dataset)
+        LEFT JOIN locks k ON k.rse_id = c.rse_id AND k.dataset = c.dataset
+        LEFT JOIN rucio_rses s ON s.rse_id = c.rse_id
+        """
+    ).fetchall()
+    cols = [
+        "rse", "rse_kind", "dataset", "size_bytes", "last_access",
+        "last_create", "file_count", "accessed_file_count",
+        "is_fully_replicated", "file_percentage", "block_count",
+        "prod_locked_block_count", "is_locked",
+    ]
+    got_rows = [
+        tuple(
+            float(v) if c == "file_percentage" and v is not None else v
+            for c, v in zip(cols, row)
+        )
+        for row in _rows(got, *cols)
+    ]
+    exp_rows = sorted(
+        (
+            tuple(
+                float(v) if i == 9 and v is not None else v
+                for i, v in enumerate(r)
+            )
+            for r in expect
+        ),
+        key=_nullsafe_key,
+    )
+    assert len(got_rows) == len(exp_rows) > 0
+    assert got_rows == exp_rows
+    # every lock state appears (the fixture plants all three)
+    states = {r["is_locked"] for r in got.collect()}
+    assert states == {"FULLY", "PARTIAL", "DYNAMIC"}
+    # the DecimalType(6,2) contract of the reference (:391-401)
+    assert dict(got.dtypes)["file_percentage"] == "decimal(6,2)"
+    # prod/temp/test kinds all present via rse_tags
+    kinds = {r["rse_kind"] for r in R.rucio_monitoring_kind_counts(got).collect()}
+    assert kinds == {"prod", "temp", "test"}
+
+
+def test_wma_agent_count(fx, duck_fx, spark):
+    import pyspark.sql.functions as F
+
+    # host derived from task; duplicate the first 50 wmaids to exercise
+    # the reference's dropDuplicates(['wmaid'])
+    base = fx["wma_reports"].withColumn(
+        "host", F.concat(F.lit("vocms"), F.substring("task", -2, 2))
+    ).withColumn("wmats", F.col("meta_ts"))
+    dup = base.limit(50)
+    got = R.wma_agent_count(base.unionByName(dup))
+
+    duck_fx.register(
+        "wma_flat",
+        base.select(
+            "wmaid",
+            "host",
+            "wmats",
+            F.coalesce(
+                F.try_element_at(
+                    F.filter("steps", lambda s: s["site"].isNotNull()),
+                    F.lit(-1),
+                )["site"],
+                F.lit("UNKNOWN"),
+            ).alias("site"),
+            F.size("steps").alias("number_of_steps"),
+        ).toPandas(),
+    )
+    expect = duck_fx.execute(
+        """
+        SELECT strftime(to_timestamp(CAST(wmats AS BIGINT)), '%Y-%m-%d') AS day,
+               host,
+               count(*) AS count,
+               avg(number_of_steps) AS avg_steps_count,
+               list_sort(list(DISTINCT site)) AS sites,
+               min(CAST(wmats AS BIGINT))
+                 - (min(CAST(wmats AS BIGINT)) % 86400) + 43200
+                 AS wmats_midday
+        FROM wma_flat
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    got_rows = sorted(
+        (
+            (r["day"], r["host"], r["count"], round(r["avg_steps_count"], 9),
+             tuple(r["sites"]), r["wmats_midday"])
+            for r in got.collect()
+        ),
+        key=_nullsafe_key,
+    )
+    exp_rows = sorted(
+        ((d, h, c, round(a, 9), tuple(s), m) for d, h, c, a, s, m in expect),
+        key=_nullsafe_key,
+    )
+    assert got_rows == exp_rows and len(got_rows) > 0
+    # midday stamps land exactly at 12:00 UTC
+    assert all(r["wmats_midday"] % 86400 == 43200 for r in got.collect())
+
+
+def test_wma_agent_count_to_opensearch_end_to_end(fx, spark):
+    """The reference job end-to-end (wma_agent_count_to_opensearch.py:
+    103-147): aggregate → dict docs → monthly index naming → bulk NDJSON
+    through a recorded transport."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.sinks.osearch import (
+        OpenSearchSink,
+        index_schema_body,
+    )
+
+    base = fx["wma_reports"].withColumn(
+        "host", F.concat(F.lit("vocms"), F.substring("task", -2, 2))
+    ).withColumn("wmats", F.col("meta_ts"))
+    df = R.wma_agent_count(base)
+
+    created, posted = [], []
+    sink = OpenSearchSink(
+        index_template="test-wmarchive-agent-count",
+        schema_body=index_schema_body(
+            {
+                "wmats_midday": {"format": "epoch_second", "type": "date"},
+                "day": {"ignore_above": 32, "type": "keyword"},
+                "host": {"ignore_above": 256, "type": "keyword"},
+                "count": {"type": "long"},
+                "avg_steps_count": {"type": "long"},
+                "sites": {"type": "text"},
+            },
+            shards=2,
+            replicas=1,
+        ),
+        create_index=lambda name, body: created.append((name, body)),
+        bulk_post=lambda name, body: posted.append((name, body)) and 0,
+        index_mod="M",  # the reference pushes to a monthly index
+        drop_nulls=True,
+    )
+    docs = [r.asDict(recursive=True) for r in df.collect()]
+    n_failed = sink.send(docs, timestamp_field="wmats_midday")
+    assert n_failed == 0
+    # monthly index name derives from the doc midday timestamp
+    assert len(created) == 1
+    assert created[0][0].startswith("test-wmarchive-agent-count-2024-")
+    assert created[0][1]["settings"]["index"]["number_of_shards"] == "2"
+    # bulk body round-trips every doc with the action line interleaved
+    lines = [ln for p in posted for ln in p[1].strip().split("\n")]
+    actions, payloads = lines[0::2], lines[1::2]
+    assert all(json.loads(a) == {"index": {}} for a in actions)
+    assert len(payloads) == len(docs)
+    sent_hosts = {json.loads(p)["host"] for p in payloads}
+    assert sent_hosts == {d["host"] for d in docs}
