@@ -25,6 +25,8 @@ and composes the engine's operators. Reference pipelines replicated:
 17. ``dbs_file_checksums``     — dbs_adler.py:40-62
 18. ``rucio_datasets_monitoring`` — rucio_datasets_monitoring.py:385-470
 19. ``wma_agent_count``        — wma_agent_count_to_opensearch.py:54-147
+20. ``phedex_days_present``    — degraded/phedex_agg.py:37-91
+21. ``dbs_events_agg``         — degraded/dbs_events.py:40-59
 """
 
 from __future__ import annotations
@@ -809,4 +811,83 @@ def wma_agent_count(reports: DataFrame) -> DataFrame:
                 F.min("wmats") - (F.min("wmats") % 86400) + 43200
             ).alias("wmats_midday"),
         )
+    )
+
+
+def phedex_days_present(daily: DataFrame) -> DataFrame:
+    """Replica-lifetime span per (site, dataset, size)
+    (degraded/phedex_agg.py:37-91): min/max of the YYYYMMDD snapshot
+    date and of the replica-creation date, plus ``days`` — the span in
+    days between the overall earliest and latest of the four.
+
+    The reference computes ``days`` with a per-row Python UDF
+    (``days_present``: mktime round-trips through epoch seconds); here
+    it is ``datediff`` over ``to_date(..., 'yyyyMMdd')`` — a narrow
+    JVM-side map after the one groupBy shuffle. The UDF's ``-1`` branch
+    (any of the four endpoints missing) is kept via a null guard."""
+    agg = daily.groupBy("site", "dataset", "size").agg(
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+        F.min("rdate").alias("min_rdate"),
+        F.max("rdate").alias("max_rdate"),
+    )
+    as_date = lambda c: F.to_date(F.col(c).cast("string"), "yyyyMMdd")
+    span = F.datediff(
+        F.greatest(as_date("max_date"), as_date("max_rdate")),
+        F.least(as_date("min_date"), as_date("min_rdate")),
+    )
+    missing = (
+        F.col("min_date").isNull()
+        | F.col("max_date").isNull()
+        | F.col("min_rdate").isNull()
+        | F.col("max_rdate").isNull()
+    )
+    return agg.withColumn(
+        "days", F.when(missing, F.lit(-1)).otherwise(span).cast("int")
+    )
+
+
+def dbs_events_agg(
+    datasets: DataFrame, blocks: DataFrame, files: DataFrame
+) -> DataFrame:
+    """Per-(dataset, creation_date) file/event/size totals
+    (degraded/dbs_events.py:40-59): dataset ⋈ block ⋈ file, then the
+    reference's dict-form ``agg({'f_file_id': 'count', ...})`` with
+    ``withColumnRenamed`` — reproduced verbatim as the one sanctioned
+    use of that idiom (everywhere else the repo aliases inline).
+
+    ``files`` must carry an ``is_file_valid`` int column (the
+    reference's FILES table has it; the synthetic fixture derives it).
+    The two dimension joins are broadcast when small; the single
+    shuffle is the groupBy on (dataset, creation_date)."""
+    joined = (
+        files.join(
+            broadcast_if_small(blocks.select("block_id", "dataset_id")),
+            on="block_id",
+        )
+        .drop(files["dataset_id"])
+        .join(
+            broadcast_if_small(
+                datasets.select(
+                    "dataset_id", "dataset", F.col("creation_date").alias("d_creation_date")
+                )
+            ),
+            on="dataset_id",
+        )
+    )
+    return (
+        joined.groupBy(["dataset", "d_creation_date"])
+        .agg(
+            {
+                "file_id": "count",
+                "event_count": "sum",
+                "file_size": "sum",
+                "is_file_valid": "sum",
+            }
+        )
+        .withColumnRenamed("count(file_id)", "nfiles")
+        .withColumnRenamed("sum(event_count)", "nevents")
+        .withColumnRenamed("sum(file_size)", "size")
+        .withColumnRenamed("d_creation_date", "creation_date")
+        .withColumnRenamed("sum(is_file_valid)", "nfiles_valid")
     )

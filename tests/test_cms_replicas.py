@@ -776,3 +776,74 @@ def test_wma_agent_count_to_opensearch_end_to_end(fx, spark):
     assert len(payloads) == len(docs)
     sent_hosts = {json.loads(p)["host"] for p in payloads}
     assert sent_hosts == {d["host"] for d in docs}
+
+
+def test_phedex_days_present(fx, duck_fx):
+    got = R.phedex_days_present(fx["phedex_daily"])
+    duck_fx.register("phedex_daily", fx["phedex_daily"].toPandas())
+    expect = duck_fx.execute(
+        """
+        WITH agg AS (
+          SELECT site, dataset, size,
+                 min(date) AS min_date, max(date) AS max_date,
+                 min(rdate) AS min_rdate, max(rdate) AS max_rdate
+          FROM phedex_daily GROUP BY site, dataset, size
+        )
+        SELECT site, dataset, size, min_date, max_date, min_rdate, max_rdate,
+               date_diff('day',
+                 least(strptime(CAST(min_date AS VARCHAR), '%Y%m%d'),
+                       strptime(CAST(min_rdate AS VARCHAR), '%Y%m%d')),
+                 greatest(strptime(CAST(max_date AS VARCHAR), '%Y%m%d'),
+                          strptime(CAST(max_rdate AS VARCHAR), '%Y%m%d'))
+               )::INT AS days
+        FROM agg
+        """
+    ).fetchall()
+    cols = ["site", "dataset", "size", "min_date", "max_date",
+            "min_rdate", "max_rdate", "days"]
+    assert _rows(got, *cols) == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+    # rdate (Dec 2023) always precedes the first snapshot day (Jan
+    # 2024), so every span is strictly positive
+    assert got.filter(F.col("days") <= 0).count() == 0
+
+
+def test_phedex_days_present_null_guard(spark):
+    daily = spark.createDataFrame(
+        [(None, "s", "d", 1, 20240101)],
+        "date: int, site: string, dataset: string, size: long, rdate: int",
+    )
+    got = R.phedex_days_present(daily).collect()
+    assert got[0]["days"] == -1  # reference's udf returns -1 on missing
+
+
+def test_dbs_events_agg(fx, duck_fx):
+    files = fx["dbs_files"].withColumn(
+        "is_file_valid", (F.col("file_id") % 10 != 0).cast("int")
+    )
+    got = R.dbs_events_agg(fx["dbs_datasets"], fx["dbs_blocks"], files)
+    duck_fx.register("dbs_blocks", fx["dbs_blocks"].toPandas())
+    expect = duck_fx.execute(
+        """
+        SELECT d.dataset, d.creation_date AS creation_date,
+               count(f.file_id)::BIGINT AS nfiles,
+               sum(f.event_count)::BIGINT AS nevents,
+               sum(f.file_size) AS size,
+               sum(CASE WHEN f.file_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS nfiles_valid
+        FROM dbs_files f
+        JOIN dbs_blocks b ON f.block_id = b.block_id
+        JOIN dbs_datasets d ON b.dataset_id = d.dataset_id
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert _rows(
+        got, "dataset", "creation_date", "nfiles", "nevents", "size",
+        "nfiles_valid"
+    ) == sorted((tuple(r) for r in expect), key=_nullsafe_key)
+    # dict-form agg renames landed (the reference's exact output names)
+    assert set(got.columns) == {
+        "dataset", "creation_date", "nfiles", "nevents", "size",
+        "nfiles_valid",
+    }
