@@ -427,3 +427,191 @@ def lsh_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (compressed-domain ADC scan)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    m: int = 8, k: int = 16, d_sub: int = 8, seed: int = 11
+) -> np.ndarray:
+    """Static PQ codebook: ``m`` subspaces × ``k`` codes × ``d_sub``
+    dims (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011). Seeded-random here — the production shape
+    trains it offline on a sample (like ``train_ivf_centroids``) and
+    ships the constant, which is exactly what a literal codebook
+    models."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, k, d_sub))
+
+
+def _pq_subspace_scores(vec_col: str, codebook: np.ndarray) -> list:
+    """Per-subspace arrays of ``k`` scores ``sub_j · C_jc − ½|C_jc|²``
+    (maximizing this over c minimizes the L2 distance ‖sub_j − C_jc‖²,
+    since the ‖sub_j‖² term is constant per row). Pure Catalyst folds —
+    the identical left-to-right double fold as the DuckDB twin's
+    ``list_dot_product``, and the ½|C|² constants are Python-computed
+    literals shared by BOTH engines, so assignment is hash-exact."""
+    m, k, d_sub = codebook.shape
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = []
+    for j in range(m):
+        sub = F.slice(dvec, j * d_sub + 1, d_sub)
+        scores = []
+        for c in range(k):
+            cent = codebook[j, c]
+            prods = F.zip_with(
+                sub,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: x * y,
+            )
+            dot = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+            half_norm = float(np.dot(cent, cent)) / 2.0
+            scores.append(dot - F.lit(half_norm))
+        out.append(F.array(*scores))
+    return out
+
+
+def pq_codes(
+    df: DataFrame, id_col: str, vec_col: str, codebook: np.ndarray
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes: per subspace, the
+    argmin-distance code (ties → smallest code id, via the
+    first-occurrence semantics of ``array_position(scores,
+    array_max(scores))``). Output (id, code_0..code_{m-1}) — this IS
+    the index: 100 TB of float vectors compress to m bytes/vector, so
+    the downstream scan is memory-bandwidth-bound on codes, never on
+    raw embeddings. A narrow zero-shuffle map."""
+    scores = _pq_subspace_scores(vec_col, codebook)
+    cols = [F.col(id_col)]
+    for j, s in enumerate(scores):
+        cols.append(
+            F.array_position(s, F.array_max(s)).cast("int").alias(f"code_{j}")
+        )
+    return df.select(*cols)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: queries stay exact, the corpus
+    is scanned in code space. Per query, a k(=16)-entry lookup table
+    per subspace replaces every distance computation with ``m`` table
+    lookups + an ordered sum.
+
+    Plan shape: the (tiny) query side carries its per-subspace score
+    arrays and BROADCASTS into the corpus-code scan — one narrow pass
+    over the code table, no shuffle of vectors; the only shuffle is the
+    per-query top-k (TakeOrderedAndProject-sized). The ADC sum is a
+    LEFT-ASSOCIATIVE chain over subspace order, mirrored exactly by the
+    oracle's ``list_reduce(list(s ORDER BY j), ...)`` so ranking is
+    cross-engine deterministic. ``adc_score`` is the (constant-shifted)
+    negated half-distance: rank by it DESC ≡ L2 ADC distance ASC."""
+    m = codebook.shape[0]
+    codes = pq_codes(corpus, id_col, vec_col, codebook)
+    qscores = _pq_subspace_scores(vec_col, codebook)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[s.alias(f"qs_{j}") for j, s in enumerate(qscores)],
+    )
+    joined = codes.join(F.broadcast(q), on=F.col(id_col) != F.col("query_id"))
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"qs_{j}"), F.col(f"code_{j}"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("_adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round("_adc", 6).alias("adc_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def pq_codes_arrow(
+    df: DataFrame, id_col: str, vec_col: str, codebook: np.ndarray
+) -> DataFrame:
+    """Arrow fast path for PQ encoding: one numpy distance matrix per
+    (Arrow batch, subspace) — ``argmin_c ‖sub − C_jc‖²`` via the
+    ‖x‖²−2x·c+‖c‖² expansion — instead of m×k interpreted fold trees.
+    ``np.argmin`` takes the FIRST minimum, matching ``pq_codes``'s
+    smallest-code tie-break (bit-identical agreement is probabilistic —
+    the two paths sum in different orders — but a flip needs two
+    centroids within float error of equidistant: measure-zero for
+    continuous data). Closure pickles by value (numpy constants only).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebook.astype(np.float64)
+    m, k, d_sub = cb.shape
+    flat = cb.reshape(m * k, d_sub)  # codes vary fastest within a subspace
+    cnorm = (flat * flat).sum(axis=1)  # (m*k,)
+
+    def _encode(vecs):
+        import pandas as pd
+
+        x = np.asarray(list(vecs), dtype=np.float64)  # (N, m*d_sub)
+        subs = x.reshape(len(x), m, d_sub)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            cj = cb[j]  # (k, d_sub)
+            d = cnorm[j * k : (j + 1) * k] - 2.0 * subs[:, j, :] @ cj.T
+            codes[:, j] = np.argmin(d, axis=1) + 1  # 1-based like pq_codes
+        return pd.Series(list(codes))
+
+    enc = pandas_udf(_encode, "array<int>")
+    out = df.select(F.col(id_col), enc(F.col(vec_col)).alias("_codes"))
+    return out.select(
+        id_col,
+        *[F.element_at("_codes", j + 1).alias(f"code_{j}") for j in range(m)],
+    )
+
+
+def train_pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on a bounded driver-side sample →
+    PQ codebook (m, k, d_sub). Same division of labor as
+    ``train_ivf_centroids``: training is tiny and iterative (driver),
+    encoding/scanning is the at-scale part (cluster-side in
+    ``pq_codes``/``pq_adc_topk``)."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    cb = np.empty((m, k, d_sub))
+    for j in range(m):
+        sub = x[:, j * d_sub : (j + 1) * d_sub]
+        cents = sub[rng.choice(len(sub), size=min(k, len(sub)), replace=False)]
+        for _ in range(iters):
+            # L2 assignment via the |c|²−2x·c expansion
+            d = (cents * cents).sum(axis=1) - 2.0 * sub @ cents.T
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        cb[j] = cents
+    return cb

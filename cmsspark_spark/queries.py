@@ -3947,3 +3947,77 @@ def near_dup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["near_dup_pipeline_e2e"] = ORACLES["near_dup_pipeline_e2e"].replace(
     "{LSH_VERIFIED}", _lsh_verified_oracle_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle() -> str:
+    import numpy as np
+
+    cb = S.pq_codebook()
+    m, k, d_sub = cb.shape
+    rows = []
+    for j in range(m):
+        for c in range(k):
+            hn = float(np.dot(cb[j, c], cb[j, c])) / 2.0
+            rows.append(f"({j}, {c}, {_plane_sql(cb[j, c])}, {hn:.17e})")
+    cent_rows = ", ".join(rows)
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents(j, c, v, hn) AS (VALUES {cent_rows}),
+    scored AS (
+      SELECT corpus.vec_id, cents.j, cents.c,
+             list_dot_product(
+               corpus.e[cents.j * {d_sub} + 1 : cents.j * {d_sub} + {d_sub}],
+               cents.v) - cents.hn AS s
+      FROM corpus, cents
+    ),
+    assign AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (
+                 PARTITION BY vec_id, j ORDER BY s DESC, c ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    qs AS (SELECT vec_id AS query_id, j, c, s FROM scored WHERE vec_id < 5),
+    adc AS (
+      SELECT q.query_id, a.vec_id,
+             list_reduce(list(q.s ORDER BY q.j), (x, y) -> x + y) AS adc
+      FROM assign a JOIN qs q ON a.j = q.j AND a.code = q.c
+      WHERE a.vec_id <> q.query_id
+      GROUP BY q.query_id, a.vec_id
+    )
+    SELECT query_id, vec_id, round(adc, 6) AS adc_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_pq_static_topk")
+def ann_pq_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with a STATIC codebook
+    (operators/similarity.py pq_codes/pq_adc_topk): the compressed-
+    domain ANN scan that complements IVF — 8 subspaces × 16 codes over
+    the 64-dim embeddings, corpus encoded to 8 small codes/vector,
+    queries (vec_id<5) broadcast their per-subspace lookup tables into
+    one narrow pass over the code table. Every float op (subspace dot
+    folds, the left-associative ADC sum) is order-identical in the
+    DuckDB twin, so candidates, scores and ranks match hash-exactly —
+    same discipline as ann_ivf_static_topk. (The seeded codebook proves
+    the machinery; retrieval quality needs ``train_pq_codebook``'s
+    per-subspace k-means — recall-gated in tests/test_similarity.py.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.pq_adc_topk(emb, queries_df, S.pq_codebook(), k=5)
+
+
+ORACLES["ann_pq_static_topk"] = _pq_oracle()

@@ -182,3 +182,51 @@ def test_connected_components_idempotent_on_clique(spark):
     assert {(r["node"], r["component"]) for r in rows} == {
         (1, 1), (2, 1), (3, 1)
     }
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_sql_vs_arrow_agree(spark):
+    emb = _emb(spark)
+    """The interpreted-fold and numpy-matmul encoders must assign the
+    same codes on real (continuous) data — same argmin, same 1-based
+    ids, same first-min tie-break."""
+    cb = S.pq_codebook()
+    sql_codes = S.pq_codes(emb, "vec_id", "embedding", cb)
+    arrow_codes = S.pq_codes_arrow(emb, "vec_id", "embedding", cb)
+    assert sql_codes.columns == arrow_codes.columns
+    a = {r["vec_id"]: tuple(r)[1:] for r in sql_codes.collect()}
+    b = {r["vec_id"]: tuple(r)[1:] for r in arrow_codes.collect()}
+    assert a == b
+    # codes are 1-based into k=16
+    for codes in a.values():
+        assert all(1 <= c <= 16 for c in codes)
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    """PQ is approximate; with a TRAINED 8×16 codebook over 64 dims it
+    must put a decent fraction of the true top-5 in its top-5 (sanity
+    gate, not a precision claim) and must rank deterministically. (A
+    seeded-random codebook — the static-oracle query's machinery — has
+    no retrieval power; retrieval quality needs the k-means one.)"""
+    cb = S.train_pq_codebook(emb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq = S.pq_adc_topk(emb, queries, cb, k=5)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    pq_sets = {}
+    for r in pq.collect():
+        pq_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    for r in exact.collect():
+        tot += 1
+        hits += r["vec_id"] in pq_sets.get(r["query_id"], set())
+    assert tot == 50
+    assert hits / tot >= 0.2  # well above the 5/499 ≈ 1% random floor
+    # deterministic: rerun hashes identically
+    again = {(r["query_id"], r["vec_id"], r["rank"]) for r in pq.collect()}
+    first = {(r["query_id"], r["vec_id"], r["rank"]) for r in pq.collect()}
+    assert again == first
