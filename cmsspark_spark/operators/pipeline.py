@@ -276,3 +276,43 @@ def mixture_weights(
         weight.alias("weight"),
         (weight / share).alias("boost"),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.7,
+    budget_frac: float = 0.5,
+    key_col: str = "doc_id",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Deterministic Bernoulli thinning that REALIZES a temperature
+    mixture: per source, keep each doc with probability ``rate_s =
+    min(1, budget_frac · w_s / p_s)`` (``mixture_weights``'s boost
+    scaled by the overall budget), so the kept corpus's expected token
+    shares match the α-temperature mixture.
+
+    The coin is not random: a doc is kept iff the integer value of the
+    first 13 hex chars of ``md5(key)`` falls below ``floor(rate·16¹³)``
+    — a pure function of content, so membership is reproducible across
+    runs, re-shards and engines, and DOWNSTREAM-CONSISTENT (a doc kept
+    at budget 0.5 is also kept at any higher rate: nested samples, like
+    progressive data ablations want). Rates round to 6 decimals before
+    thresholding so the integer cut is cross-engine stable. Plan: two
+    tiny aggs for rates → broadcast join → narrow filter; the corpus
+    scans once and never shuffles.
+
+    Returns ``df`` plus ``_rate`` and boolean ``_keep``.
+    """
+    w = mixture_weights(df, source_col, alpha, token_count_col)
+    rate = F.least(
+        F.lit(1.0), F.round(F.lit(float(budget_frac)) * F.col("boost"), 6)
+    )
+    rates = w.select(source_col, rate.alias("_rate"))
+    u = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    thresh = F.floor(F.col("_rate") * F.lit(float(16**13))).cast("long")
+    return df.join(F.broadcast(rates), on=source_col).withColumn(
+        "_keep", u < thresh
+    )

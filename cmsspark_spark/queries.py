@@ -4021,3 +4021,68 @@ def ann_pq_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_pq_static_topk"] = _pq_oracle()
+
+
+@query(
+    "mixture_resample_budget",
+    f"""
+    WITH tok AS (
+      SELECT source, doc_id, len({_TOKS_SQL}) AS n_tok FROM documents
+    ),
+    per AS (
+      SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      FROM tok GROUP BY source
+    ),
+    shares AS (
+      SELECT source, n_tokens / sum(n_tokens) OVER () AS share FROM per
+    ),
+    weights AS (
+      SELECT source, share,
+             pow(share, 0.7) / sum(pow(share, 0.7)) OVER () AS weight
+      FROM shares
+    ),
+    rates AS (
+      SELECT source,
+             least(1.0, round(0.5 * (weight / share), 6)) AS rate
+      FROM weights
+    ),
+    flagged AS (
+      SELECT t.source, t.n_tok, r.rate,
+             (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
+              < floor(r.rate * {float(16 ** 13):.1f})::BIGINT) AS keep
+      FROM tok t JOIN rates r USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(n_tok) FILTER (WHERE keep), 0) AS BIGINT)
+             AS kept_tokens,
+           round(any_value(rate), 6) AS rate
+    FROM flagged GROUP BY source
+    """,
+)
+def mixture_resample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture realization (operators/pipeline.
+    mixture_resample): α=0.7 temperature weights → per-source keep-rates
+    at half budget → content-hashed Bernoulli membership, reported as
+    per-source doc/token keep counts. The md5-prefix integer coin is
+    bit-identical in the DuckDB twin, so the kept SET (not just its
+    size) is what the hash-match certifies."""
+    from cmsspark_spark.functions.text import tokens as _tokens
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    flagged = PL.mixture_resample(
+        d, "source", alpha=0.7, budget_frac=0.5, key_col="doc_id"
+    )
+    n_tok = F.size(_tokens("text"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("_keep")).alias("n_kept"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("_keep"), n_tok)), F.lit(0)
+        ).cast("long").alias("kept_tokens"),
+        F.round(F.first("_rate"), 6).alias("rate"),
+    )

@@ -182,3 +182,21 @@ def test_strip_markup_removes_tags_urls_entities(spark):
     assert df.select(strip_markup("t").alias("c")).collect()[0]["c"] == (
         "hello world go to more"
     )
+
+
+def test_mixture_resample_nested_and_deterministic(spark):
+    from cmsspark_spark.operators.pipeline import mixture_resample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = mixture_resample(d, "source", alpha=0.7, budget_frac=0.3)
+    hi = mixture_resample(d, "source", alpha=0.7, budget_frac=0.8)
+    kept_lo = {r["doc_id"] for r in lo.filter("_keep").select("doc_id").collect()}
+    kept_hi = {r["doc_id"] for r in hi.filter("_keep").select("doc_id").collect()}
+    # content-hash coin → nested samples: raising the budget only ADDS docs
+    assert kept_lo <= kept_hi
+    assert len(kept_hi) > len(kept_lo) > 0
+    # and a rerun is bit-identical
+    again = {r["doc_id"] for r in mixture_resample(
+        d, "source", alpha=0.7, budget_frac=0.3
+    ).filter("_keep").select("doc_id").collect()}
+    assert again == kept_lo
