@@ -4086,3 +4086,401 @@ def mixture_resample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("kept_tokens"),
         F.round(F.first("_rate"), 6).alias("rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth, round 4 (q7/q8/q9/q13/q17/q18/q19/q22 shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(CAST(l.l_shipdate AS DATE)) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                           AND DATE '1997-12-31'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year — the fact joins BOTH dims' nation lookups (supplier side and
+    customer side, two broadcast copies of the same tiny table) with the
+    symmetric nation-pair predicate applied post-join, then a 3-key
+    agg."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    sd = F.col("l_shipdate").cast("date")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.filter(sd.between(F.lit("1996-01-01").cast("date"),
+                             F.lit("1997-12-31").cast("date")))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year(sd).alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                            AND DATE '1997-12-31'
+    ) GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share inside one consuming
+    region — the 8-way snowflake (fact + part/supplier/orders/customer
+    + two nation roles + region) with a conditional ratio-of-sums per
+    order year. Dims broadcast; the fact shuffles once for the year
+    agg."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    od = F.col("o_orderdate").cast("date")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.filter(od.between(F.lit("1996-01-01").cast("date"),
+                                F.lit("1997-12-31").cast("date"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year(od).alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+                ) / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             year(CAST(o.o_orderdate AS DATE)) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name family. (The test schema has no partsupp, so profit is
+    discounted revenue without the supplycost term — the join/agg
+    topology is Q9's.) Part filter broadcast into the fact scan."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT outer
+    join with an extra join-time predicate (filtering the RIGHT side
+    pre-join, so zero-order customers survive with count 0), then a
+    histogram re-aggregation of the counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "5-LOW"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size <= 10
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity order revenue — a correlated
+    scalar subquery (per-part average quantity) decorrelated into a
+    per-part aggregate joined back to the fact. Quantities are integral
+    doubles, so both engines' averages are exact and the < threshold
+    compare is cross-engine deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("_qty_cut")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                p.filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — an IN subquery on a
+    grouped HAVING realized as a semi-join against the qualifying
+    order-key aggregate, then the enrich joins and a top-100. The
+    aggregate feeding the semi-join is ids-only (one narrow shuffle of
+    the fact, reused by AQE for the re-agg)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"),
+                F.col("l_orderkey") == F.col("_bk"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates spanning
+    BOTH join sides (brand/size/quantity triplets OR-ed) — the
+    optimizer keeps the join on partkey and evaluates the residual
+    disjunction post-join; part prunes to the union of branch
+    predicates broadcast-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    b1 = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+        & q.between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+        & q.between(10, 30)
+    )
+    b3 = (
+        (F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50)
+        & q.between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    WITH cut AS (
+      SELECT round(avg(c_acctbal), 2) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, cut
+    WHERE c.c_acctbal > cut.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich prospects gone quiet (no orders since
+    2000 — the fixture gives every customer SOME order, so the classic
+    never-ordered form is vacuous here) — a scalar
+    uncorrelated subquery (global positive-balance average, rounded to
+    2dp on BOTH engines so the float threshold is cross-engine stable)
+    broadcast as a one-row cross join, plus a NOT EXISTS anti-join,
+    grouped by segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cut = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("_a")
+    )
+    return (
+        c.join(F.broadcast(cut))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .join(
+            o.filter(
+                F.col("o_orderdate").cast("date")
+                >= F.lit("2000-01-01").cast("date")
+            ).select(F.col("o_custkey").alias("_ok")).distinct(),
+            F.col("c_custkey") == F.col("_ok"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
