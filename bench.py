@@ -95,6 +95,16 @@ EXTRA = [
     # round 4
     "pack_concat_chunks_sharded",   # shard-first packing (parallel cumsum)
     "near_dup_pipeline_e2e",        # LSH->verify->components->survivors
+    "ann_pq_static_topk",           # product-quantization ADC scan
+    "mixture_resample_budget",      # deterministic mixture realization
+    "q7_volume_shipping",           # bilateral nation-pair volume
+    "q8_market_share",              # snowflake conditional ratio
+    "q9_product_profit",            # part-family profit by nation/year
+    "q13_customer_distribution",    # outer-join count histogram
+    "q17_small_quantity_revenue",   # correlated scalar subquery
+    "q18_large_volume_customers",   # HAVING semi-join + top-100
+    "q19_discounted_revenue",       # disjunctive cross-side predicates
+    "q22_global_sales_opportunity", # scalar-cut + windowed anti-join
 ]
 
 
