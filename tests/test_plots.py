@@ -136,3 +136,31 @@ def test_end_to_end_event_count_plot(spark, tmp_path):
     )
     root = ET.parse(p).getroot()
     assert root.findall(".//svg:rect[@class='bar']", NS)
+
+
+def test_replica_core_hours_line_plot(spark, tmp_path):
+    """The condor_hs06coreHrPlot composition: the hs06_core_hours
+    replica's per-day aggregate rendered through the SVG line writer —
+    the reference's savefig mile on a REAL replica output."""
+    from cmsspark_spark.jobs.cms_replicas import hs06_core_hours
+    from cmsspark_spark.sinks.plots import write_plot
+    from tests.cms_fixtures import MS0, crab_condor_df
+
+    agg = hs06_core_hours(
+        crab_condor_df(spark), MS0, MS0 + 42 * 86400_000, by="month"
+    )
+    num_cols = [
+        c for c, t in agg.dtypes
+        if t in ("double", "bigint", "long") and c != agg.columns[0]
+    ][:2]
+    x_col = agg.columns[0]
+    p = write_plot(
+        agg.orderBy(x_col), str(tmp_path / "corehr.svg"), kind="line",
+        x=x_col, y_cols=num_cols, title="HS06 core hours",
+    )
+    root = ET.parse(p).getroot()
+    series = root.findall(".//svg:polyline[@class='series']", NS)
+    assert {s.get("data-series") for s in series} == set(num_cols)
+    n_rows = agg.count()
+    for s in series:
+        assert len(s.get("points").split()) == n_rows

@@ -162,3 +162,41 @@ def test_executor_side_push(spark, broker):
     push_documents(df, transport, chunk_size=5, executor_side=True)
     assert len(state["sends"]) == 12
     assert len(state["connects"]) <= 3  # ≤ one connection per partition
+
+
+def test_streaming_foreachbatch_to_stomp(spark, broker, tmp_path):
+    """Structured-Streaming → AMQ mile: a file-source stream pushed to
+    the live STOMP broker via foreachBatch + push_documents — the
+    streaming form of cern_monit's send2monit (micro-batch at-least-
+    once: each batch's SENDs complete before the epoch commits)."""
+    import json as _json
+
+    port, state = broker
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "v": i * 1.5}) for i in range(7))
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, v double")
+        .json(str(src))
+    )
+    transport = amq_transport(
+        "127.0.0.1", port, "/topic/stream", producer="streamer", ts_ms=5
+    )
+
+    def _push(batch_df, epoch_id):
+        push_documents(batch_df, transport, chunk_size=3, executor_side=False)
+
+    q = (
+        stream.writeStream.foreachBatch(_push)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    transport.close()
+    assert len(state["sends"]) == 7
+    notes = [json.loads(b) for _, b in state["sends"]]
+    assert sorted(n["data"]["doc_id"] for n in notes) == list(range(7))
+    assert {n["metadata"]["producer"] for n in notes} == {"streamer"}
