@@ -459,18 +459,34 @@ def _pq_subspace_scores(vec_col: str, codebook: np.ndarray) -> list:
     out = []
     for j in range(m):
         sub = F.slice(dvec, j * d_sub + 1, d_sub)
-        scores = []
-        for c in range(k):
-            cent = codebook[j, c]
-            prods = F.zip_with(
-                sub,
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda x, y: x * y,
+        # ONE zip_with over (centroid, ½-norm) literal arrays per
+        # subspace, with the dot fold inside the lambda — same float
+        # order as k separate folds, but the fold subtree appears once
+        # instead of k times (an early k-unrolled form spent ~8 s per
+        # query in Catalyst analysis alone at m·k=128).
+        cents_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in codebook[j, c]])
+                for c in range(k)
+            ]
+        )
+        half_norms_lit = F.array(
+            *[
+                F.lit(float(np.dot(codebook[j, c], codebook[j, c])) / 2.0)
+                for c in range(k)
+            ]
+        )
+        scores = F.zip_with(
+            cents_lit,
+            half_norms_lit,
+            lambda cent, hn: F.aggregate(
+                F.zip_with(sub, cent, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
             )
-            dot = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
-            half_norm = float(np.dot(cent, cent)) / 2.0
-            scores.append(dot - F.lit(half_norm))
-        out.append(F.array(*scores))
+            - hn,
+        )
+        out.append(scores)
     return out
 
 

@@ -278,3 +278,40 @@ def test_sharded_pack_has_no_single_partition_sort(spark):
     assert "hashpartitioning(source" in plan
     unsharded = concat_pack_chunks(d, ctx_len=512)
     assert "SinglePartition" in plans.formatted_plan(unsharded)
+
+
+def test_q18_takeordered_and_semi_join(spark):
+    df = QUERIES["q18_large_volume_customers"](spark, SF)
+    plan = plans.formatted_plan(df)
+    # top-100 never global-sorts; the HAVING subquery runs as a semi join
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+
+
+def test_q8_snowflake_broadcasts_dims(spark):
+    df = QUERIES["q8_market_share"](spark, SF)
+    # part/nation×2/region broadcast; at sf0.001 the size-aware rest
+    # may too — what matters is no dim falls back to sort-merge
+    assert plans.count_nodes(df, "BroadcastHashJoin") >= 4
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark):
+    """The ADC join must broadcast the 5-row query side; the corpus
+    side contributes codes only (the embedding column is consumed by
+    the encoder, never joined through)."""
+    df = QUERIES["ann_pq_static_topk"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi self-exclusion
+    assert plans.count_nodes(df, "CartesianProduct") == 0
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_mixture_resample_single_corpus_scan(spark):
+    from cmsspark_spark.operators.pipeline import mixture_resample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = mixture_resample(d, "source", alpha=0.7, budget_frac=0.5)
+    # rate table broadcasts; the corpus side never sort-merge-joins
+    assert plans.count_nodes(out, "BroadcastHashJoin") >= 1
+    assert plans.count_nodes(out, "SortMergeJoin") == 0
