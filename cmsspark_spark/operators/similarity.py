@@ -631,3 +631,57 @@ def train_pq_codebook(
                     cents[c] = members.mean(axis=0)
         cb[j] = cents
     return cb
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "sql",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, then
+    inside each cluster drop every vector that has a LOWER-id neighbor
+    with cosine ≥ ``threshold`` (the deterministic leader rule; the
+    paper keeps one representative per ε-ball — lowest id makes the
+    survivor a pure function of the data instead of k-means internals).
+
+    This is the embedding-space sibling of the MinHash-LSH text
+    near-dup: the cluster id is the bucket, so the quadratic cosine
+    check runs WITHIN clusters only — at 100 TB the all-pairs matrix is
+    impossible, but per-cluster blocks are bounded by design (SemDeDup's
+    own tradeoff: cross-cluster near-dups are missed; recall against
+    the exact verifier is what tests gate). Pairs carry ids + norms
+    only; vectors never join through the pair list.
+
+    Returns one row per input vector: (``_cluster``, id, ``_dropped``
+    flag).
+    """
+    cl = corpus.select(
+        F.col(id_col),
+        _dblvec(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+        F.element_at(_probe_lists(vec_col, centroids, 1, impl), 1).alias(
+            "_cluster"
+        ),
+    )
+    a = cl.select(
+        "_cluster", F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = cl.select(
+        "_cluster", F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, on="_cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_cos", dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+    )
+    drops = pairs.select(F.col("_idb").alias(id_col)).distinct().withColumn(
+        "_dropped", F.lit(1)
+    )
+    return cl.select("_cluster", id_col).join(drops, on=id_col, how="left")

@@ -4484,3 +4484,74 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
+    import numpy as np
+
+    cents = _ivf_static_centroids()
+    # mirror _centroid_assign's renormalization so literal values are
+    # the exact doubles Spark folds against
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cent_rows = ", ".join(f"({ci}, {_plane_sql(c)})" for ci, c in enumerate(cn))
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents(c, v) AS (VALUES {cent_rows}),
+    scored AS (
+      SELECT corpus.vec_id, cents.c,
+             list_dot_product(corpus.e, cents.v) AS s
+      FROM corpus, cents
+    ),
+    assign AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    normed AS (
+      SELECT a.cluster, co.vec_id, co.e,
+             sqrt(list_dot_product(co.e, co.e)) AS n
+      FROM corpus co JOIN assign a USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS ia, b.vec_id AS ib
+      FROM normed a JOIN normed b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= {threshold}
+    ),
+    drops AS (SELECT DISTINCT ib FROM pairs)
+    SELECT nm.cluster AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(d.ib) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.ib) AS BIGINT) AS n_kept
+    FROM normed nm LEFT JOIN drops d ON nm.vec_id = d.ib
+    GROUP BY nm.cluster
+    """
+
+
+@query("semantic_dedup_static")
+def semantic_dedup_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.
+    semantic_dedup, arXiv:2303.09540) with the STATIC seeded centroids:
+    embeddings cluster to their nearest centroid, each cluster drops
+    vectors with a lower-id neighbor at cosine ≥ 0.4, reported as
+    per-cluster kept/dropped counts. The cluster id is the bucket —
+    the quadratic cosine check never leaves a cluster, which is what
+    makes the scheme viable at corpus scale (cross-cluster dups are the
+    documented miss; the exact verifier twin gates recall in pytest).
+    Assignment tie-break and every fold mirror the DuckDB twin, so the
+    dropped SET is certified hash-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flagged = S.semantic_dedup(
+        emb, _ivf_static_centroids(), threshold=0.4, impl="sql"
+    )
+    return flagged.groupBy(F.col("_cluster").alias("centroid")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count("_dropped").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.count("_dropped")).alias("n_kept"),
+    )
+
+
+ORACLES["semantic_dedup_static"] = _semantic_dedup_oracle()

@@ -230,3 +230,31 @@ def test_pq_adc_recall_vs_brute_force(spark):
     again = {(r["query_id"], r["vec_id"], r["rank"]) for r in pq.collect()}
     first = {(r["query_id"], r["vec_id"], r["rank"]) for r in pq.collect()}
     assert again == first
+
+
+def test_semantic_dedup_recall_and_determinism(spark):
+    """Cluster-bucketed semantic dedup vs the exact all-pairs verifier:
+    within-cluster blocking must recover a real fraction of the global
+    near-dup drop set (cross-cluster pairs are the documented miss),
+    and the flagged frame must be a pure function of the data."""
+    from cmsspark_spark.queries import _ivf_static_centroids
+
+    emb = _emb(spark)
+    cents = _ivf_static_centroids()
+    flagged = S.semantic_dedup(emb, cents, threshold=0.4, impl="sql")
+    dropped = {
+        r["vec_id"] for r in flagged.filter("_dropped IS NOT NULL").collect()
+    }
+    # exact global leader-rule drop set at the same threshold
+    pairs = S.cosine_near_pairs(emb, threshold=0.4)
+    global_drops = {r["id_b"] for r in pairs.collect()}
+    assert dropped, "no semantic duplicates found at 0.4"
+    assert dropped <= global_drops  # in-cluster pairs are real pairs
+    assert len(dropped) / len(global_drops) >= 0.1
+    again = {
+        r["vec_id"]
+        for r in S.semantic_dedup(emb, cents, threshold=0.4, impl="sql")
+        .filter("_dropped IS NOT NULL")
+        .collect()
+    }
+    assert again == dropped
