@@ -220,3 +220,58 @@ def test_rse_tags_tier_country_kind(spark):
     assert out["T2_DE_DESY_Temp"] == ("T2", "DE", "temp")
     assert out["T0_CH_CERN_TEST"] == ("T0", "CH", "test")
     assert out["T2_UK_London_IC"] == ("T2", "UK", "prod")
+
+
+# ---------------------------------------------------------------------------
+# Python UDTFs (D3 modern surface)
+# ---------------------------------------------------------------------------
+
+
+def test_tokenize_udtf_matches_posexplode(spark):
+    """The UDTF and the Catalyst posexplode twin must emit identical
+    (doc_id, pos, token) rows — the explode form stays the default."""
+    import pyspark.sql.functions as F
+    from cmsspark_spark.functions.udtfs import TokenizeUDTF, register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "a b  c"), (2, "hello"), (3, None), (4, "")],
+        "doc_id: long, text: string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        "SELECT doc_id, t.pos, t.token "
+        "FROM udtf_docs, LATERAL tokenize(text) t"
+    )
+    want = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("pos", "token"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # 1→0 rows: null/empty text contributes nothing in either form
+    assert got.filter("doc_id >= 3").count() == 0
+
+
+def test_steps_udtf_lateral_join(spark):
+    from cmsspark_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, [{"site": "T1", "cpu": 2.0}, {"site": None, "cpu": 1.0}]),
+         (2, [])],
+        "job_id: long, steps: array<struct<site: string, cpu: double>>",
+    )
+    df.createOrReplaceTempView("udtf_jobs")
+    rows = spark.sql(
+        "SELECT job_id, s.step_idx, s.site, s.cpu "
+        "FROM udtf_jobs, LATERAL explode_steps(steps) s ORDER BY job_id, step_idx"
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 0, "T1", 2.0), (1, 1, None, 1.0),
+    ]
