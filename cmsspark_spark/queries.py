@@ -4555,3 +4555,47 @@ def semantic_dedup_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["semantic_dedup_static"] = _semantic_dedup_oracle()
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(n_name, '(all)') AS nation,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(grouping(n_name) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube,
+    A12): (nation, priority) cells plus BOTH one-dimension margins in a
+    single pass — one Expand node feeding one aggregation instead of a
+    union of three scans; ``grouping()`` bits disambiguate real nulls
+    from margin rows, coalesced to '(all)' labels on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    gs = base.groupingSets(
+        [["n_name", "o_orderpriority"], ["n_name"], ["o_orderpriority"]],
+        "n_name", "o_orderpriority",
+    ).agg(
+        (F.grouping("n_name") * 2 + F.grouping("o_orderpriority"))
+        .cast("long").alias("gid"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return gs.select(
+        F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+        "gid", "revenue", "n_orders",
+    )

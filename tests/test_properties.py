@@ -305,3 +305,40 @@ def test_approx_percentile_tracks_exact(spark):
     ).collect()[0]
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) / max(e, 1.0) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# STOMP frame codec
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_hdr_key = st.text(
+    alphabet=st.characters(blacklist_characters="\x00", codec="utf-8"),
+    min_size=1, max_size=20,
+)
+_hdr_val = st.text(
+    alphabet=st.characters(blacklist_characters="\x00", codec="utf-8"),
+    max_size=40,
+)
+
+
+@given(
+    headers=st.dictionaries(_hdr_key, _hdr_val, max_size=6),
+    body=st.binary(max_size=200).filter(lambda b: b"\x00" not in b),
+)
+@settings(max_examples=200, deadline=None)
+def test_stomp_frame_roundtrip(headers, body):
+    """build→parse is the identity for any NUL-free headers/body: the
+    1.2 escaping must protect \\n, \\r, ':' and '\\' in BOTH keys and
+    values (spec §'Value Encoding')."""
+    from cmsspark_spark.sinks.stomp import build_frame, parse_frame
+
+    frame = build_frame("SEND", headers, body)
+    assert frame.endswith(b"\x00")
+    cmd, hdrs, got_body = parse_frame(frame[:-1])
+    assert cmd == "SEND"
+    assert got_body == body
+    for k, v in headers.items():
+        assert hdrs[k] == v

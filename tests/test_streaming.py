@@ -241,3 +241,39 @@ def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path):
     )
     assert b.count() == 2
 
+
+
+def test_stream_static_broadcast_enrich(spark, tmp_path):
+    """Stream-static join: a file-source stream enriched against a
+    static dim — the dim re-resolves per micro-batch and broadcasts
+    (no state store; the streaming analogue of J3/J7)."""
+    import json as _json
+
+    dim = spark.createDataFrame(
+        [("a", "site_A"), ("b", "site_B")], "k: string, site: string"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "x.json").write_text(
+        "\n".join(
+            _json.dumps({"k": k, "v": i})
+            for i, k in enumerate(["a", "b", "a", "z"])
+        )
+    )
+    stream = spark.readStream.schema("k string, v long").json(str(src))
+    joined = stream.join(F.broadcast(dim), on="k", how="left")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_static_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        (r["k"], r["v"], r["site"])
+        for r in spark.sql("SELECT * FROM stream_static_t").collect()
+    }
+    assert rows == {
+        ("a", 0, "site_A"), ("b", 1, "site_B"),
+        ("a", 2, "site_A"), ("z", 3, None),
+    }
