@@ -4599,3 +4599,62 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
         "gid", "revenue", "n_orders",
     )
+
+
+@query(
+    "unigram_logprob_quality",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, count(*) AS tf FROM tok GROUP BY token
+    ),
+    tot AS (SELECT sum(tf) AS n FROM freq),
+    doc_scores AS (
+      SELECT t.doc_id, t.source,
+             avg(ln(tot.n / f.tf)) AS nll
+      FROM tok t JOIN freq f USING (token), tot
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nll), 4) AS avg_nll,
+           round(min(nll), 4) AS min_nll,
+           round(max(nll), 4) AS max_nll
+    FROM doc_scores GROUP BY source
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring — the CCNet-style perplexity proxy
+    (Wenzek et al. 2020 filter by LM perplexity; the unigram LM is its
+    degenerate, fully-SQL form): train token frequencies on the corpus
+    itself, score each doc by its mean negative log-likelihood
+    −avg ln p(token), roll up per source.
+
+    Plan shape at 100 TB: ONE explode of the corpus feeds both the
+    frequency table (token-keyed agg; hot tokens are exactly the AQE
+    skew-join case) and the scoring join; the grand total folds in as a
+    1-row broadcast. Scores reduce per doc then per source — floats are
+    rounded(4) on both engines, well inside cross-engine summation
+    noise."""
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(_tokens("text")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("n"))
+    doc_scores = (
+        tok.join(freq, on="token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(F.col("n") / F.col("tf"))).alias("nll"))
+    )
+    return doc_scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.round(F.min("nll"), 4).alias("min_nll"),
+        F.round(F.max("nll"), 4).alias("max_nll"),
+    )
