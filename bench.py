@@ -105,6 +105,9 @@ EXTRA = [
     "q18_large_volume_customers",   # HAVING semi-join + top-100
     "q19_discounted_revenue",       # disjunctive cross-side predicates
     "q22_global_sales_opportunity", # scalar-cut + windowed anti-join
+    "semantic_dedup_static",        # cluster-bucketed embedding dedup
+    "grouping_sets_revenue",        # explicit grouping sets + grouping()
+    "unigram_logprob_quality",      # unigram-LM NLL quality scoring
 ]
 
 
