@@ -27,6 +27,7 @@ and composes the engine's operators. Reference pipelines replicated:
 19. ``wma_agent_count``        — wma_agent_count_to_opensearch.py:54-147
 20. ``phedex_days_present``    — degraded/phedex_agg.py:37-91
 21. ``dbs_events_agg``         — degraded/dbs_events.py:40-59
+22. ``anonymize_columns``      — hdfs_an.py:23-67
 """
 
 from __future__ import annotations
@@ -891,3 +892,49 @@ def dbs_events_agg(
         .withColumnRenamed("d_creation_date", "creation_date")
         .withColumnRenamed("sum(is_file_valid)", "nfiles_valid")
     )
+
+
+def anonymize_columns(
+    df: DataFrame, attrs: list[str], impl: str = "sql"
+) -> DataFrame:
+    """Column anonymization (hdfs_an.py:23-67): each listed attribute
+    is replaced by ``<attr>_hash`` = md5 of its value and the original
+    is dropped; nulls stay null.
+
+    The reference runs a per-row Python UDF (md5 over the
+    NFKD-normalized, ASCII-ignored string). ``impl='sql'`` keeps the
+    whole job in Catalyst — ``md5(cast(col AS STRING))`` — which is
+    bit-identical to the reference for ASCII data (the NFKD fold is a
+    no-op there). For corpora with accented identifiers,
+    ``impl='arrow'`` reproduces the reference's normalize+ignore
+    semantics exactly in one vectorized Arrow batch per partition
+    (closure pickles by value: stdlib only)."""
+    out = df
+    if impl == "sql":
+        for a in attrs:
+            out = out.withColumn(
+                a + "_hash", F.md5(F.col(a).cast("string"))
+            )
+    elif impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        def _an(s):
+            import hashlib
+            import unicodedata
+
+            def one(v):
+                if v is None:
+                    return None
+                b = unicodedata.normalize("NFKD", str(v)).encode(
+                    "ASCII", "ignore"
+                )
+                return hashlib.md5(b).hexdigest()
+
+            return s.map(one)
+
+        an = pandas_udf(_an, "string")
+        for a in attrs:
+            out = out.withColumn(a + "_hash", an(F.col(a).cast("string")))
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+    return out.drop(*attrs)

@@ -847,3 +847,40 @@ def test_dbs_events_agg(fx, duck_fx):
         "dataset", "creation_date", "nfiles", "nevents", "size",
         "nfiles_valid",
     }
+
+
+def test_anonymize_columns_sql_and_arrow(spark):
+    import hashlib
+    import unicodedata
+
+    df = spark.createDataFrame(
+        [("alice@x.ch", "Zürich", 1), (None, "plain", 2)],
+        "user: string, city: string, n: int",
+    )
+    got_sql = R.anonymize_columns(df, ["user"], impl="sql")
+    assert set(got_sql.columns) == {"city", "n", "user_hash"}
+    rows = {r["n"]: r["user_hash"] for r in got_sql.collect()}
+    assert rows[1] == hashlib.md5(b"alice@x.ch").hexdigest()
+    assert rows[2] is None  # null stays null, like the reference's UDF
+    # arrow impl reproduces the NFKD+ASCII-ignore fold exactly
+    got_ar = R.anonymize_columns(df, ["user", "city"], impl="arrow")
+    rows = {r["n"]: (r["user_hash"], r["city_hash"]) for r in got_ar.collect()}
+    zur = unicodedata.normalize("NFKD", "Zürich").encode("ASCII", "ignore")
+    assert rows[1] == (
+        hashlib.md5(b"alice@x.ch").hexdigest(),
+        hashlib.md5(zur).hexdigest(),
+    )
+    # on pure-ASCII data the two impls agree bit-for-bit
+    ascii_sql = {
+        r["n"]: r["city_hash"]
+        for r in R.anonymize_columns(
+            df.filter("city = 'plain'"), ["city"], impl="sql"
+        ).collect()
+    }
+    ascii_ar = {
+        r["n"]: r["city_hash"]
+        for r in R.anonymize_columns(
+            df.filter("city = 'plain'"), ["city"], impl="arrow"
+        ).collect()
+    }
+    assert ascii_sql == ascii_ar
