@@ -28,6 +28,7 @@ and composes the engine's operators. Reference pipelines replicated:
 20. ``phedex_days_present``    — degraded/phedex_agg.py:37-91
 21. ``dbs_events_agg``         — degraded/dbs_events.py:40-59
 22. ``anonymize_columns``      — hdfs_an.py:23-67
+23. ``rucio_daily``            — rucio_daily.py:31-64
 """
 
 from __future__ import annotations
@@ -938,3 +939,52 @@ def anonymize_columns(
     else:
         raise ValueError(f"unknown impl: {impl!r}")
     return out.drop(*attrs)
+
+
+def rucio_daily(spark, rucio_paths, dbs_files: DataFrame) -> DataFrame:
+    """Daily Rucio replica dump aggregation (rucio_daily.py:31-64):
+    Avro replica records (RSE_ID, BYTES, NAME, SCOPE, CREATED_AT) read
+    with the vendored codec, tally date parsed FROM THE FILE PATH
+    (`…/rucio/<date>/replicas/…` — the snapshot date lives in the
+    layout, not the data), create_day from the ms CREATED_AT, joined to
+    DBS files on logical name and summed per (RSE_ID, f_dataset_id,
+    SCOPE, tally_day, create_day).
+
+    End-to-end source→shape parity: same substring_index parses, same
+    yyyyMMdd day rendering, same inner join and sum. The reference
+    repartitions to 3000 before a per-row UDF it no longer uses; here
+    the only shuffle is the final groupBy."""
+    from cmsspark_spark.sources.avro_io import read_avro
+
+    rucio_info = read_avro(spark, rucio_paths, with_path=True)
+    tmp1 = F.substring_index("_source_file", "/rucio/", -1)
+    rucio_df = (
+        rucio_info.withColumn("tally_date", F.substring_index(tmp1, "/", 1))
+        .withColumn(
+            "create_day",
+            F.date_format(
+                F.to_date(
+                    (F.col("CREATED_AT") / F.lit(1000))
+                    .cast("long")
+                    .cast("timestamp")
+                ),
+                "yyyyMMdd",
+            ),
+        )
+        .withColumn(
+            "tally_day",
+            F.date_format(F.to_date("tally_date", "yyyy-MM-dd"), "yyyyMMdd"),
+        )
+        .select("RSE_ID", "BYTES", "NAME", "SCOPE", "tally_day", "create_day")
+    )
+    files = dbs_files.select(
+        F.col("logical_file_name").alias("f_logical_file_name"),
+        F.col("dataset_id").alias("f_dataset_id"),
+    )
+    return (
+        rucio_df.join(
+            files, files.f_logical_file_name == rucio_df.NAME
+        )
+        .groupBy("RSE_ID", "f_dataset_id", "SCOPE", "tally_day", "create_day")
+        .agg(F.sum("BYTES").alias("rep_size"))
+    )

@@ -342,7 +342,7 @@ def spark_type_of(schema: Any):
 # ---------------------------------------------------------------------------
 
 
-def read_avro(spark, paths: list[str] | str, schema=None):
+def read_avro(spark, paths: list[str] | str, schema=None, with_path=False):
     """Read Avro container files as a DataFrame without spark-avro.
 
     ``binaryFile`` does the (distributed, glob-aware) listing; each
@@ -352,6 +352,11 @@ def read_avro(spark, paths: list[str] | str, schema=None):
     from one file driver-side (declare the schema for production —
     peeking reads a header but costs one extra open).
 
+    ``with_path=True`` appends a ``_source_file`` string column — the
+    ``input_file_name()`` provenance the reference derives its
+    tally-date from (rucio_daily.py:39-48); binaryFile's ``path``
+    column carries it through the decode.
+
     The module is registered for BY-VALUE cloudpickle so executors
     never need ``cmsspark_spark`` importable (the round-1 closure bug
     class).
@@ -359,6 +364,7 @@ def read_avro(spark, paths: list[str] | str, schema=None):
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
     from pyspark import cloudpickle
+    from pyspark.sql import types as T
 
     import cmsspark_spark.sources.avro_io as _self
 
@@ -371,20 +377,29 @@ def read_avro(spark, paths: list[str] | str, schema=None):
     binary = spark.read.format("binaryFile")
     if isinstance(paths, str):
         paths = [paths]
-    files = binary.load(paths).select("content")
+    files = binary.load(paths).select("path", "content")
+
+    out_cols = cols + (["_source_file"] if with_path else [])
+    out_schema = (
+        schema if not with_path
+        else T.StructType(
+            list(schema.fields)
+            + [T.StructField("_source_file", T.StringType())]
+        )
+    )
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            for blob in pdf["content"]:
+            for path, blob in zip(pdf["path"], pdf["content"]):
                 _, records = read_container(bytes(blob))
-                yield pd.DataFrame(
-                    {c: [r.get(c) for r in records] for c in cols},
-                    columns=cols,
-                )
+                data = {c: [r.get(c) for r in records] for c in cols}
+                if with_path:
+                    data["_source_file"] = [path] * len(records)
+                yield pd.DataFrame(data, columns=out_cols)
 
-    return files.mapInPandas(decode, schema=schema)
+    return files.mapInPandas(decode, schema=out_schema)
 
 
 def _peek_schema(spark, paths: list[str] | str):
