@@ -29,6 +29,7 @@ and composes the engine's operators. Reference pipelines replicated:
 21. ``dbs_events_agg``         — degraded/dbs_events.py:40-59
 22. ``anonymize_columns``      — hdfs_an.py:23-67
 23. ``rucio_daily``            — rucio_daily.py:31-64
+24. ``campaign_mss_report``    — reports/aggregate_campaigns.py:136-210
 """
 
 from __future__ import annotations
@@ -987,4 +988,62 @@ def rucio_daily(spark, rucio_paths, dbs_files: DataFrame) -> DataFrame:
         )
         .groupBy("RSE_ID", "f_dataset_id", "SCOPE", "tally_day", "create_day")
         .agg(F.sum("BYTES").alias("rep_size"))
+    )
+
+
+def campaign_mss_report(
+    phedex: DataFrame, dbs: DataFrame, limit: int = 100,
+    disk_only: bool = False,
+) -> DataFrame:
+    """Campaign storage report (reports/aggregate_campaigns.py:136-210):
+    per campaign — site count, largest and second-largest site by
+    PhEDEx bytes (the reference's ``mss``/``second_mss``), DBS vs
+    PhEDEx totals, top-``limit`` campaigns by PhEDEx size.
+
+    The reference pivots sites into columns and runs FIVE per-row
+    Python UDFs over the pivoted struct (count-nonzero, max,
+    max-name, second-max, second-max-name). Pivoting defeats itself at
+    scale (one column per site, rows carry every site) — here the same
+    answer is a rank-2 window over the (campaign, site) aggregate:
+    deterministic (ties break site-name ascending), no Python, no
+    pivot, one shuffle each for the agg and the window.
+
+    ``phedex``: (dataset_name, node_name, block_bytes);
+    ``dbs``: (dataset, dbs_size) already at dataset grain."""
+    if disk_only:
+        tape = (
+            F.col("node_name").endswith("_MSS")
+            | F.col("node_name").endswith("_Buffer")
+            | F.col("node_name").endswith("_Export")
+        )
+        phedex = phedex.filter(~tape)
+    campaign = F.split("dataset_name", "/").getItem(2)
+    cs = (
+        phedex.withColumn("campaign", campaign)
+        .groupBy("campaign", F.col("node_name").alias("site"))
+        .agg(F.sum("block_bytes").alias("size"))
+    )
+    w = Window.partitionBy("campaign").orderBy(
+        F.col("size").desc(), F.col("site").asc()
+    )
+    ranked = cs.withColumn("_rk", F.row_number().over(w))
+    per_campaign = ranked.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("sites"),
+        F.max(F.when(F.col("_rk") == 1, F.col("size"))).alias("mss"),
+        F.max(F.when(F.col("_rk") == 1, F.col("site"))).alias("mss_name"),
+        F.max(F.when(F.col("_rk") == 2, F.col("size"))).alias("second_mss"),
+        F.max(F.when(F.col("_rk") == 2, F.col("site"))).alias(
+            "second_mss_name"
+        ),
+        F.sum("size").alias("phedex_size"),
+    )
+    dbs_per_campaign = (
+        dbs.withColumn("campaign", F.split("dataset", "/").getItem(2))
+        .groupBy("campaign")
+        .agg(F.sum("dbs_size").alias("dbs_size"))
+    )
+    return (
+        per_campaign.join(dbs_per_campaign, on="campaign")
+        .orderBy(F.col("phedex_size").desc(), F.col("campaign"))
+        .limit(limit)
     )

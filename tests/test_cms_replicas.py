@@ -944,3 +944,63 @@ def test_rucio_daily_avro_end_to_end(fx, duck_fx, spark, tmp_path):
     assert got.agg(F.sum("rep_size")).collect()[0][0] < sum(
         r["BYTES"] for r in rows
     )
+
+
+def test_campaign_mss_report(fx, duck_fx):
+    phedex = fx["phedex_replicas"].select(
+        F.col("dataset").alias("dataset_name"),
+        F.col("node").alias("node_name"),
+        F.col("bytes").alias("block_bytes"),
+    )
+    dbs = (
+        fx["dbs_files"]
+        .join(fx["dbs_datasets"], on="dataset_id")
+        .groupBy("dataset")
+        .agg(F.sum("file_size").alias("dbs_size"))
+    )
+    got = R.campaign_mss_report(phedex, dbs, limit=100)
+    expect = duck_fx.execute(
+        """
+        WITH cs AS (
+          SELECT string_split(dataset, '/')[3] AS campaign, node AS site,
+                 sum(bytes) AS size
+          FROM phedex_replicas GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY campaign ORDER BY size DESC, site ASC) AS rk
+          FROM cs
+        ),
+        pc AS (
+          SELECT campaign,
+                 count(*)::BIGINT AS sites,
+                 max(CASE WHEN rk = 1 THEN size END) AS mss,
+                 max(CASE WHEN rk = 1 THEN site END) AS mss_name,
+                 max(CASE WHEN rk = 2 THEN size END) AS second_mss,
+                 max(CASE WHEN rk = 2 THEN site END) AS second_mss_name,
+                 sum(size) AS phedex_size
+          FROM ranked GROUP BY campaign
+        ),
+        dbs AS (
+          SELECT string_split(d.dataset, '/')[3] AS campaign,
+                 sum(f.file_size) AS dbs_size
+          FROM dbs_files f JOIN dbs_datasets d USING (dataset_id)
+          GROUP BY 1
+        )
+        SELECT pc.*, dbs.dbs_size
+        FROM pc JOIN dbs USING (campaign)
+        ORDER BY phedex_size DESC, campaign LIMIT 100
+        """
+    ).fetchall()
+    cols = ["campaign", "sites", "mss", "mss_name", "second_mss",
+            "second_mss_name", "phedex_size", "dbs_size"]
+    assert _rows(got, *cols) == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+    # disk_only drops tape endpoints entirely
+    tape_free = R.campaign_mss_report(phedex, dbs, disk_only=True)
+    assert tape_free.filter(
+        F.col("mss_name").endswith("_MSS")
+        | F.col("mss_name").endswith("_Buffer")
+        | F.col("mss_name").endswith("_Export")
+    ).count() == 0
