@@ -30,6 +30,8 @@ and composes the engine's operators. Reference pipelines replicated:
 22. ``anonymize_columns``      — hdfs_an.py:23-67
 23. ``rucio_daily``            — rucio_daily.py:31-64
 24. ``campaign_mss_report``    — reports/aggregate_campaigns.py:136-210
+25. ``fts_issuer_totals``      — fts_aso.py:41-77
+26. ``eos_dataset_totals``     — dbs_hdfs_eos.py:70-121
 """
 
 from __future__ import annotations
@@ -1046,4 +1048,61 @@ def campaign_mss_report(
         per_campaign.join(dbs_per_campaign, on="campaign")
         .orderBy(F.col("phedex_size").desc(), F.col("campaign"))
         .limit(limit)
+    )
+
+
+def fts_issuer_totals(fts: DataFrame) -> DataFrame:
+    """FTS transferred-bytes per token issuer (fts_aso.py:41-77):
+    groupBy directly on the NESTED field ``job_metadata.issuer`` — no
+    flatten/select step — summing f_size. The nested-key groupBy is
+    the one idiom here the flat replicas don't already show; Catalyst
+    prunes the struct to the single accessed leaf."""
+    return fts.groupBy(F.col("job_metadata.issuer").alias("issuer")).agg(
+        F.sum("f_size").alias("sum_f_size")
+    )
+
+
+def eos_dataset_totals(
+    eos: DataFrame, files: DataFrame, datasets: DataFrame,
+    is_cms_user: bool = True,
+) -> DataFrame:
+    """EOS access totals per (dataset, application)
+    (dbs_hdfs_eos.py:70-121): per-session pre-aggregation, then the
+    CONCAT-prefix expression join — EOS logs carry ``/eos/cms`` +
+    DBS's logical file name, so the join key is computed, not a
+    column — and the cms-user filter, rolled up to distinct sessions
+    and MB/second unit totals."""
+    per_session = eos.groupBy(
+        "session", "file_lfn", "application", "user"
+    ).agg(
+        F.sum("rb").alias("rb"),
+        F.sum("wb").alias("wb"),
+        F.sum("rt").alias("rt"),
+        F.sum("wt").alias("wt"),
+    )
+    user_ok = (
+        F.col("user").like("cms%")
+        if is_cms_user
+        else ~F.col("user").like("cms%")
+    )
+    joined = (
+        per_session.filter(user_ok)
+        .join(
+            files.select("logical_file_name", "dataset_id"),
+            per_session.file_lfn
+            == F.concat(F.lit("/eos/cms"), F.col("logical_file_name")),
+        )
+        .join(
+            broadcast_if_small(datasets.select("dataset_id", "dataset")),
+            on="dataset_id",
+        )
+    )
+    return joined.groupBy(
+        F.col("dataset").alias("d_dataset"), "application"
+    ).agg(
+        F.countDistinct("session").alias("nevents"),
+        F.round(F.sum("rb") / (1024 * 1024), 4).alias("total_rb"),
+        F.round(F.sum("wb") / (1024 * 1024), 4).alias("total_wb"),
+        F.round(F.sum("rt") / 1000, 4).alias("total_rt"),
+        F.round(F.sum("wt") / 1000, 4).alias("total_wt"),
     )

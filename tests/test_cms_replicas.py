@@ -1004,3 +1004,73 @@ def test_campaign_mss_report(fx, duck_fx):
         | F.col("mss_name").endswith("_Buffer")
         | F.col("mss_name").endswith("_Export")
     ).count() == 0
+
+
+def test_fts_issuer_totals_nested_groupby(spark, duck_fx):
+    fts = spark.createDataFrame(
+        [(i, {"issuer": f"iss{i % 3}", "q": "x"}, float((i + 1) * 10))
+         for i in range(30)],
+        "tid: long, job_metadata: struct<issuer: string, q: string>, "
+        "f_size: double",
+    )
+    got = R.fts_issuer_totals(fts)
+    want = {
+        f"iss{k}": sum((i + 1) * 10.0 for i in range(30) if i % 3 == k)
+        for k in range(3)
+    }
+    assert {r["issuer"]: r["sum_f_size"] for r in got.collect()} == want
+
+
+def test_eos_dataset_totals_concat_join(fx, duck_fx, spark):
+    from tests.cms_fixtures import _lfn
+
+    rows = [
+        (
+            f"s{i % 7}",
+            ("/eos/cms" + _lfn(i % 40)) if i % 4 else "/eos/other/file",
+            "xrootd" if i % 2 else "fuse",
+            "cmsusr" if i % 3 else "other",
+            float(i), float(i * 2), float(i * 3), float(i * 4),
+        )
+        for i in range(60)
+    ]
+    eos = spark.createDataFrame(
+        rows,
+        "session: string, file_lfn: string, application: string, "
+        "user: string, rb: double, wb: double, rt: double, wt: double",
+    )
+    got = R.eos_dataset_totals(eos, fx["dbs_files"], fx["dbs_datasets"])
+    import pandas as pd
+    duck_fx.register(
+        "eos_rows",
+        pd.DataFrame(rows, columns=["session", "file_lfn", "application",
+                                    "user", "rb", "wb", "rt", "wt"]),
+    )
+    expect = duck_fx.execute(
+        """
+        WITH per AS (
+          SELECT session, file_lfn, application, user,
+                 sum(rb) rb, sum(wb) wb, sum(rt) rt, sum(wt) wt
+          FROM eos_rows GROUP BY 1, 2, 3, 4
+        )
+        SELECT d.dataset, p.application,
+               count(DISTINCT p.session)::BIGINT,
+               round(sum(p.rb) / (1024*1024), 4),
+               round(sum(p.wb) / (1024*1024), 4),
+               round(sum(p.rt) / 1000, 4),
+               round(sum(p.wt) / 1000, 4)
+        FROM per p
+        JOIN dbs_files f
+          ON p.file_lfn = '/eos/cms' || f.logical_file_name
+        JOIN dbs_datasets d USING (dataset_id)
+        WHERE p.user LIKE 'cms%'
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    cols = ["d_dataset", "application", "nevents", "total_rb", "total_wb",
+            "total_rt", "total_wt"]
+    assert _rows(got, *cols) == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+    # the /eos/other rows can never match the concat key
+    assert got.count() > 0
