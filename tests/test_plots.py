@@ -164,3 +164,42 @@ def test_replica_core_hours_line_plot(spark, tmp_path):
     n_rows = agg.count()
     for s in series:
         assert len(s.get("points").split()) == n_rows
+
+
+def test_campaign_report_pie_composition(spark, tmp_path):
+    """The visualize_campaigns mile end-to-end: campaign_mss_report's
+    top campaigns by PhEDEx bytes rendered as the reference's pie
+    (reports/visualize_campaigns.py:105-117), slice fractions matching
+    the aggregate."""
+    from cmsspark_spark.jobs.cms_replicas import campaign_mss_report
+    from cmsspark_spark.sinks.plots import write_plot
+    from tests.cms_fixtures import phedex_df, files_df, datasets_df
+    import pyspark.sql.functions as _F
+
+    phedex = phedex_df(spark).select(
+        _F.col("dataset").alias("dataset_name"),
+        _F.col("node").alias("node_name"),
+        _F.col("bytes").alias("block_bytes"),
+    )
+    dbs = (
+        files_df(spark).join(datasets_df(spark), on="dataset_id")
+        .groupBy("dataset").agg(_F.sum("file_size").alias("dbs_size"))
+    )
+    top = campaign_mss_report(phedex, dbs, limit=6).select(
+        "campaign", "phedex_size"
+    )
+    p = write_plot(
+        top, str(tmp_path / "campaigns.svg"), kind="pie",
+        label_col="campaign", value_col="phedex_size",
+        title="Top campaigns by PhEDEx size",
+    )
+    root = ET.parse(p).getroot()
+    slices = root.findall(".//svg:*[@class='slice']", NS)
+    rows = {r["campaign"]: r["phedex_size"] for r in top.collect()}
+    assert len(slices) == len(rows)
+    total = sum(rows.values())
+    for s in slices:
+        assert math.isclose(
+            float(s.get("data-value")), rows[s.get("data-label")]
+        )
+    assert total > 0
