@@ -316,3 +316,135 @@ def mixture_resample(
     return df.join(F.broadcast(rates), on=source_col).withColumn(
         "_keep", u < thresh
     )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_freq: int = 1,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training on the corpus (Sennrich et
+    al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units"): k rounds of count-all-adjacent-symbol-pairs → merge the
+    most frequent pair everywhere.
+
+    Division of labor at scale: the corpus collapses ONCE to the
+    distinct-word frequency table (the only corpus-sized shuffle —
+    everything after is proportional to |vocab|, not corpus tokens).
+    Each round the pair counts are a distributed explode+sum over that
+    word table, the argmax pair comes back to the driver (one tiny
+    collect — the merge decision is inherently sequential), and the
+    merge applies cluster-side in an Arrow batch. Ties break (count
+    DESC, pair lexicographic ASC) so the merge sequence is a pure
+    function of the corpus.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("n"),
+            # symbols: characters + the word-end marker
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+        )
+    )
+    words = words.localCheckpoint()  # cut the scan lineage once
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        pairs = (
+            words.select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.filter(F.col("cnt") >= min_freq)
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+
+        def _merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    i, res = 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                pdf = pdf.copy()
+                pdf["syms"] = out
+                yield pdf
+
+        words = words.mapInPandas(_merge, schema="n long, syms array<string>")
+        words = words.localCheckpoint()  # merge rounds stay O(1) deep
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode text with a learned merge list: per word, apply the
+    merges in training order (the standard greedy BPE encode). One
+    Arrow batch per partition, merge list shipped by value; a narrow
+    map — the 100 TB path tokenizes in place, nothing shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    mlist = [tuple(m) for m in merges]
+
+    def _enc(s):
+        import pandas as pd
+
+        def one(text):
+            if text is None:
+                return None
+            out = []
+            for w in text.lower().split():
+                syms = list(w) + ["</w>"]
+                for l, r in mlist:
+                    i, res = 0, []
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                            res.append(l + r)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                out.extend(syms)
+            return out
+
+        return s.map(one)
+
+    enc = pandas_udf(_enc, "array<string>")
+    return df.withColumn(out_col, enc(F.lower(F.col(text_col))))

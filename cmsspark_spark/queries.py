@@ -4658,3 +4658,27 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nll"), 4).alias("min_nll"),
         F.round(F.max("nll"), 4).alias("max_nll"),
     )
+
+
+@query("bpe_vocab_merges")
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/pipeline.
+    train_bpe_merges, Sennrich et al. 2016) over the documents table:
+    the first 8 learned merges as ordered rows. No SQL oracle — the
+    trainer is an iterative driver loop (like IVF k-means) — so the
+    driver records rows-only; the merge sequence is pinned exactly
+    against a pure-Python reference trainer in
+    tests/test_pipeline.py::test_bpe_merges_match_reference, and the
+    tie-break (count DESC, pair ASC) makes it a pure function of the
+    corpus."""
+    from cmsspark_spark.operators.pipeline import train_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(d, "text", k=8)
+    rows = [
+        (i + 1, left, right, left + right)
+        for i, (left, right) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank: int, left: string, right: string, merged: string"
+    )

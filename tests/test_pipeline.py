@@ -200,3 +200,78 @@ def test_mixture_resample_nested_and_deterministic(spark):
         d, "source", alpha=0.7, budget_frac=0.3
     ).filter("_keep").select("doc_id").collect()}
     assert again == kept_lo
+
+
+def _bpe_reference(word_counts, k, min_freq=1):
+    """Pure-Python Sennrich BPE trainer — the independent twin."""
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(k):
+        pairs = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        pairs = {p: c for p, c in pairs.items() if c >= min_freq}
+        if not pairs:
+            break
+        # count DESC, pair lexicographic ASC — the operator's tie-break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = {}
+        for syms, n in vocab.items():
+            s, i, res = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    res.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    from collections import Counter
+
+    from cmsspark_spark.operators.pipeline import apply_bpe, train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cats chatter on that mat"),
+         (3, "that cat chased the rat"),
+         (4, "rats and cats chat")],
+        "doc_id: long, text: string",
+    )
+    got = train_bpe_merges(docs, "text", k=12)
+    wc = Counter(
+        w for r in docs.collect() for w in r["text"].lower().split()
+    )
+    want = _bpe_reference(wc, 12)
+    assert got == want
+    # encode round-trip: merges compress the character stream and the
+    # concatenated tokens reproduce each word exactly
+    enc = apply_bpe(docs, got, "text")
+    for r in enc.collect():
+        text = r["text"].lower()
+        toks = r["bpe_tokens"]
+        rebuilt = "".join(toks).replace("</w>", " ").strip()
+        assert rebuilt == " ".join(text.split())
+        n_chars = sum(len(w) + 1 for w in text.split())
+        assert len(toks) < n_chars  # merges actually merged
+    # 'the</w>' should become a single token after 12 merges on this corpus
+    all_toks = {t for r in enc.collect() for t in r["bpe_tokens"]}
+    assert "the</w>" in all_toks
+
+
+def test_bpe_merges_on_documents_table(spark):
+    """Trainer runs distributed over the real documents table and is
+    deterministic across invocations."""
+    from cmsspark_spark.operators.pipeline import train_bpe_merges
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = train_bpe_merges(d, "text", k=6)
+    m2 = train_bpe_merges(d, "text", k=6)
+    assert m1 == m2
+    assert len(m1) == 6
