@@ -315,3 +315,20 @@ def test_mixture_resample_single_corpus_scan(spark):
     # rate table broadcasts; the corpus side never sort-merge-joins
     assert plans.count_nodes(out, "BroadcastHashJoin") >= 1
     assert plans.count_nodes(out, "SortMergeJoin") == 0
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark):
+    """The quadratic cosine check must be keyed on the cluster id —
+    a hash/sort-merge join on _cluster, never a cartesian product."""
+    df = QUERIES["semantic_dedup_static"](spark, SF)
+    assert plans.count_nodes(df, "CartesianProduct") == 0
+    assert plans.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_unigram_quality_broadcasts_total(spark):
+    """The grand-total fold-in is a 1-row broadcast; the token join
+    carries the frequency table, not the corpus twice."""
+    df = QUERIES["unigram_logprob_quality"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plans.count_nodes(df, "CartesianProduct") == 0
