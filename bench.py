@@ -108,6 +108,9 @@ EXTRA = [
     "semantic_dedup_static",        # cluster-bucketed embedding dedup
     "grouping_sets_revenue",        # explicit grouping sets + grouping()
     "unigram_logprob_quality",      # unigram-LM NLL quality scoring
+    "q6_forecast_revenue",          # pure pushdown filter-sum
+    "q15_top_supplier",             # scalar-max view fold-back
+    "q20_promo_part_suppliers",     # nested IN as stacked semi-joins
 ]
 
 

@@ -4682,3 +4682,141 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank: int, left: string, right: string, merged: string"
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-and-sum forecast — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan, no join, no shuffle beyond the single global agg. The
+    sanity-check query for scan-level filter pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (sd >= F.lit("1997-01-01").cast("date"))
+            & (sd < F.lit("1998-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — the
+    revenue 'view' computed once, its scalar max folded back as a
+    1-row broadcast equality (revenue is rounded to 2dp on BOTH
+    engines before the max-compare, so float summation order can't
+    split the winner)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    sd = F.col("l_shipdate").cast("date")
+    revenue = (
+        li.filter(
+            (sd >= F.lit("1997-01-01").cast("date"))
+            & (sd < F.lit("1997-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    """
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+      )
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 50
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved real volume of a part-name
+    family in a year — NESTED IN subqueries realized as broadcast
+    semi-joins: part filter prunes the fact, the per-supplier HAVING
+    aggregate is ids-only, and the outer IN is a left-semi against the
+    supplier dim. Quantities are integral so the HAVING threshold is
+    exact on both engines."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    sd = F.col("l_shipdate").cast("date")
+    movers = (
+        li.filter(
+            (sd >= F.lit("1997-01-01").cast("date"))
+            & (sd < F.lit("1998-01-01").cast("date"))
+        )
+        .join(
+            F.broadcast(
+                p.filter(F.col("p_name").like("blue%")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
