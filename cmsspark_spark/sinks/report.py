@@ -43,6 +43,7 @@ table#dataframe tr:nth-child(even) {{ background-color: #f6f6f6; }}
 <body>
 <h1>{title}</h1>
 <div class="meta">{subtitle} &mdash; {nrows} rows</div>
+{plots}
 {table}
 </body>
 </html>
@@ -83,13 +84,17 @@ def write_report(
     subtitle: str = "",
     percent_cols: Mapping[str, str] | None = None,
     max_rows: int = 100_000,
+    plots: list[str] | None = None,
 ) -> pd.DataFrame:
     """Write ``{out_dir}/{name}.csv`` + ``{out_dir}/{name}.html`` from
     an aggregated DataFrame; returns the driver-side pandas frame.
 
     The CSV carries raw values (machine-facing, like the reference's
     side-channel CSVs); the HTML applies ``percent_cols`` formatting
-    (human-facing table page)."""
+    (human-facing table page). ``plots`` — SVG strings from
+    sinks/plots.py — embed inline above the table, the reference's
+    report_builder pages (plot + datatable in one artifact) without
+    separate image files."""
     pdf = df.limit(max_rows + 1).toPandas()
     if len(pdf) > max_rows:
         raise ValueError(
@@ -102,6 +107,9 @@ def write_report(
         title=_html.escape(title),
         subtitle=_html.escape(subtitle),
         nrows=len(pdf),
+        plots="\n".join(
+            f'<div class="plot">{svg}</div>' for svg in (plots or [])
+        ),
         table=render_html_table(format_pandas(pdf, percent_cols)),
     )
     with open(os.path.join(out_dir, f"{name}.html"), "w") as fh:

@@ -214,3 +214,25 @@ def test_write_report_max_rows_guard(spark, tmp_path):
     df = spark.range(50).withColumnRenamed("id", "v")
     with pytest.raises(ValueError, match="max_rows"):
         report.write_report(df, str(tmp_path), "big", "t", max_rows=10)
+
+
+def test_report_embeds_svg_plots(spark, tmp_path):
+    """The report_builder composition: one HTML artifact carrying the
+    plot AND the datatable (reports/report_builder.py shape) — SVG
+    inlined, no side image files."""
+    import pyspark.sql.functions as F
+    from cmsspark_spark.sinks.plots import bar_svg
+    from cmsspark_spark.sinks.report import write_report
+
+    agg = spark.createDataFrame(
+        [("a", 3.0), ("b", 7.0)], "k: string, v: double"
+    )
+    svg = bar_svg(agg.toPandas(), "k", ["v"], title="inline")
+    write_report(
+        agg, str(tmp_path), "rep", "Title", plots=[svg],
+    )
+    html = (tmp_path / "rep.html").read_text()
+    assert '<div class="plot"><svg' in html
+    assert 'class="bar"' in html
+    assert "table" in html  # the datatable still renders
+    assert (tmp_path / "rep.csv").exists()
