@@ -442,3 +442,44 @@ def test_kvlog_python_datasource(spark, tmp_path):
     assert sorted(tuple(r) for r in m.collect()) == got
     # file-level parallelism: one partition per file
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_kvlog_streaming_exactly_once(spark, tmp_path):
+    """Streaming kvlog source: the sorted file list is the offset log —
+    a restart from the checkpoint reads ONLY files that appeared since
+    the committed offset (file-level exactly-once through a
+    recoverable parquet sink)."""
+    from cmsspark_spark.sources.pyds import KVLogDataSource
+
+    spark.dataSource.register(KVLogDataSource)
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "day-01.log").write_text("path=/a&rb=1&ts=t1\npath=/b&rb=2&ts=t2\n")
+    (logs / "day-02.log").write_text("path=/c&rb=3&ts=t3\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("kvlog")
+            .option("path", str(logs / "*.log"))
+            .option("columns", "path,rb,ts")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_batch()
+    first = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert first == {("/a", "1", "t1"), ("/b", "2", "t2"), ("/c", "3", "t3")}
+
+    # a new day file arrives; restart from the same checkpoint
+    (logs / "day-03.log").write_text("path=/d&rb=4&ts=t4\n")
+    run_batch()
+    again = [tuple(r) for r in spark.read.parquet(out).collect()]
+    # exactly the one new row was appended, nothing replayed
+    assert sorted(again) == sorted(list(first) + [("/d", "4", "t4")])
