@@ -4820,3 +4820,121 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
     )
+
+
+@query(
+    "quality_classifier_gate",
+    f"""
+    WITH feat AS (
+      SELECT source, doc_id,
+             length(text) AS n_chars,
+             len({_TOKS_SQL}) AS n_tokens,
+             len(list_filter({_TOKS_SQL}, t -> list_contains(
+               ['the','a','an','of','and','or','is','in','to','it'], t)))
+               / greatest(len({_TOKS_SQL}), 1) AS sw_ratio,
+             length(array_to_string({_TOKS_SQL}, ''))
+               / greatest(len({_TOKS_SQL}), 1) AS mean_tok_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, doc_id,
+             round(1.0 / (1.0 + exp(-(
+               -5.1 + 0.8 * ln(1 + n_tokens) + 6.0 * sw_ratio
+               + 0.35 * mean_tok_len))), 4) AS score
+      FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE score >= 0.5) AS BIGINT) AS n_kept,
+           round(avg(score), 4) AS avg_score
+    FROM scored GROUP BY source
+    """,
+)
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier gate — the CCNet/GPT-3 pipeline shape
+    where a classifier trained OFFLINE ships as constants and scores
+    the whole corpus in one narrow pass: logistic score over cheap
+    structural features (log token count, stopword ratio, mean token
+    length — functions/text.py's feature family), docs kept at 0.5.
+    Pure Catalyst (the weights are plan literals, like the LSH planes);
+    scores round to 4dp on both engines before the threshold compare so
+    libm exp/ln ulp differences can't flip membership."""
+    toks = T.tokens("text")
+    n_tokens = F.size(toks)
+    sw = F.size(
+        F.filter(toks, lambda t: t.isin(
+            "the", "a", "an", "of", "and", "or", "is", "in", "to", "it"
+        ))
+    ) / F.greatest(n_tokens, F.lit(1))
+    mtl = F.length(F.array_join(toks, "")) / F.greatest(n_tokens, F.lit(1))
+    z = (
+        F.lit(-5.1)
+        + 0.8 * F.log(1 + n_tokens)
+        + 6.0 * sw
+        + 0.35 * mtl
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 4)
+    d = _t(spark, sf_dir, "documents").withColumn("score", score)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("score") >= 0.5).alias("n_kept"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+
+
+@query(
+    "order_rank_distribution",
+    """
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(pr), 4) AS avg_percent_rank,
+           round(max(cd), 4) AS max_cume_dist,
+           round(sum(CASE WHEN quartile = 1 THEN o_totalprice END), 2)
+             AS q1_revenue,
+           round(max(CASE WHEN pr = 0 THEN o_totalprice END), 2)
+             AS top_order_price
+    FROM (
+      SELECT n.n_name, o.o_totalprice,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             ntile(4) OVER w AS quartile
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WINDOW w AS (PARTITION BY n.n_name ORDER BY o.o_totalprice DESC,
+                   o.o_orderkey)
+    ) GROUP BY n_name
+    """,
+)
+def order_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth in one pass: percent_rank, cume_dist and
+    ntile over the same per-nation price ordering (W1's remaining
+    ranking family). Ties pinned by orderkey so every rank statistic is
+    deterministic; one window shuffle serves all three functions."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name", "o_totalprice",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+    return ranked.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("pr"), 4).alias("avg_percent_rank"),
+        F.round(F.max("cd"), 4).alias("max_cume_dist"),
+        F.round(
+            F.sum(F.when(F.col("quartile") == 1, F.col("o_totalprice"))), 2
+        ).alias("q1_revenue"),
+        F.round(
+            F.max(F.when(F.col("pr") == 0, F.col("o_totalprice"))), 2
+        ).alias("top_order_price"),
+    )
