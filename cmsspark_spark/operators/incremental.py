@@ -175,3 +175,87 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .drop("_in_old", "_in_new")
     )
+
+
+def ingest_increment_embed_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    num_planes: int = 4,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Embedding-space sibling of ``ingest_increment_dedup``: admit only
+    incoming vectors with NO near-duplicate (cosine ≥ ``threshold``)
+    in the existing corpus or earlier (lower-id) in the increment
+    itself.
+
+    Candidates come from the sign-LSH bucket join (the
+    ``cosine_near_pairs_lsh`` machinery), so the check is bucket-keyed:
+    the existing corpus contributes (id, bucket) pairs only — its
+    vectors stream into the verify join by id, never all-pairs against
+    the increment. Shuffle is proportional to bucket collisions with
+    the increment, not |existing| × |incoming| — the cross-run dedup
+    shape that stays viable while the corpus grows toward 100 TB.
+    Approximate like all LSH dedup: pairs no table co-buckets are
+    missed (recall-gated in tests).
+    """
+    import numpy as np
+
+    from cmsspark_spark.functions.vectors import dot, l2_norm
+    from cmsspark_spark.operators.similarity import _all_buckets, _dblvec
+
+    rng = np.random.default_rng(seed)
+    planes = [rng.standard_normal((num_planes, dim)) for _ in range(tables)]
+
+    def bucketize(df, side):
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.posexplode(_all_buckets(vec_col, planes, impl)).alias(
+                "_table", "_bucket"
+            ),
+        )
+
+    # existing ∪ earlier-increment both block an incoming vector; the
+    # union is ids+buckets only
+    blockers = bucketize(existing, "b").unionByName(bucketize(incoming, "b"))
+    cand = (
+        bucketize(incoming, "n")
+        .join(blockers, on=["_table", "_bucket"])
+        .filter(
+            # an increment row only blocks LATER (higher-id) increment
+            # rows; existing rows block everything (ids are globally
+            # unique across the two frames)
+            F.col("b_id") < F.col("n_id"),
+        )
+        .select("n_id", "b_id")
+        .dropDuplicates(["n_id", "b_id"])
+    )
+    unit = lambda df, side: df.select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.zip_with(
+            _dblvec(vec_col),
+            F.array_repeat(l2_norm(vec_col), dim),
+            lambda x, n: x / n,
+        ).alias(f"_{side}v"),
+    )
+    allvecs = unit(existing, "x").unionByName(
+        unit(incoming, "x").withColumnRenamed("_xv", "_xv")
+    )
+    verified = (
+        cand.join(allvecs.withColumnRenamed("x_id", "n_id")
+                  .withColumnRenamed("_xv", "_nv"), on="n_id")
+        .join(allvecs.withColumnRenamed("x_id", "b_id")
+              .withColumnRenamed("_xv", "_bv"), on="b_id")
+        .withColumn("_cos", dot("_nv", "_bv"))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select("n_id")
+        .distinct()
+    )
+    return incoming.join(
+        verified.withColumnRenamed("n_id", id_col), on=id_col, how="left_anti"
+    )

@@ -258,3 +258,41 @@ def test_semantic_dedup_recall_and_determinism(spark):
         .collect()
     }
     assert again == dropped
+
+
+def test_incremental_embed_ingest_blocks_duplicates(spark):
+    """Cross-run embedding dedup: exact re-submissions of existing
+    vectors are ALWAYS blocked (identical vectors share every sign
+    bucket), near-dups block approximately, novel vectors are
+    admitted, and the result is deterministic."""
+    import pyspark.sql.functions as F
+    from cmsspark_spark.operators.incremental import (
+        ingest_increment_embed_dedup,
+    )
+
+    emb = _emb(spark)
+    existing = emb.filter(F.col("vec_id") < 300)
+    novel = emb.filter(F.col("vec_id") >= 300).limit(50)
+    # re-submissions: 5 existing vectors under new (higher) ids
+    resub = (
+        emb.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding",
+                "label")
+    )
+    incoming = novel.unionByName(resub)
+    admitted = ingest_increment_embed_dedup(
+        existing, incoming, dim=64, threshold=0.4
+    )
+    ids = {r["vec_id"] for r in admitted.select("vec_id").collect()}
+    # every exact re-submission blocked
+    assert not any(i >= 100000 for i in ids)
+    # novel vectors overwhelmingly admitted (no planted near-dups among
+    # them at 0.4 is not guaranteed, so allow a small number of drops)
+    assert len(ids) >= 40
+    again = {
+        r["vec_id"]
+        for r in ingest_increment_embed_dedup(
+            existing, incoming, dim=64, threshold=0.4
+        ).select("vec_id").collect()
+    }
+    assert again == ids
