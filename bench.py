@@ -111,6 +111,8 @@ EXTRA = [
     "q6_forecast_revenue",          # pure pushdown filter-sum
     "q15_top_supplier",             # scalar-max view fold-back
     "q20_promo_part_suppliers",     # nested IN as stacked semi-joins
+    "quality_classifier_gate",      # static-weights logistic quality gate
+    "order_rank_distribution",      # percent_rank/cume_dist/ntile one-pass
 ]
 
 
