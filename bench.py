@@ -113,6 +113,8 @@ EXTRA = [
     "q20_promo_part_suppliers",     # nested IN as stacked semi-joins
     "quality_classifier_gate",      # static-weights logistic quality gate
     "order_rank_distribution",      # percent_rank/cume_dist/ntile one-pass
+    "variant_props_shred",          # Spark 4 VARIANT semi-structured reads
+    "session_window_native",        # built-in dynamic-gap sessions
 ]
 
 

@@ -4938,3 +4938,83 @@ def order_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("pr") == 0, F.col("o_totalprice"))), 2
         ).alias("top_order_price"),
     )
+
+
+@query(
+    "variant_props_shred",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k
+    FROM (
+      SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
+    ) GROUP BY event_type
+    """,
+)
+def variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` shreds once into the open binary encoding and every
+    downstream ``variant_get`` is a typed path read — the modern
+    replacement for per-path ``get_json_object`` string re-parsing
+    (json_props_extract keeps the legacy form for comparison). At 100
+    TB variant columns store shredded and let the reader prune paths;
+    here the plan stays a narrow map either way."""
+    ev = _t(spark, sf_dir, "events").withColumn("_v", F.parse_json("props"))
+    k = F.variant_get(F.col("_v"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+    )
+
+
+@query(
+    "session_window_native",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` sessionization (30-min gap): Spark's
+    built-in dynamic-gap session assignment, oracle-twinned against the
+    classic lag→flag→running-sum construction (the sessionize_users
+    form) — proving the two define identical sessions. The native form
+    is the streaming-ready one: the same expression works under
+    ``withWatermark`` with state cleanup for free."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

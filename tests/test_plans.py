@@ -332,3 +332,25 @@ def test_unigram_quality_broadcasts_total(spark):
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plans.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_observe_metrics_during_job(spark):
+    """df.observe: pipeline health metrics (row count, null rate,
+    value sum) collected DURING the action — no second scan — via the
+    Observation API."""
+    from pyspark.sql import Observation
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    obs = Observation("gate")
+    flagged = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity")).alias("total_qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    )
+    out = flagged.groupBy("l_returnflag").count().collect()
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert m["total_qty"] == li.agg(F.sum("l_quantity")).collect()[0][0]
+    assert 0 < m["n_discounted"] < m["n_rows"]
+    assert len(out) > 0

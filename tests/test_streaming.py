@@ -277,3 +277,50 @@ def test_stream_static_broadcast_enrich(spark, tmp_path):
         ("a", 0, "site_A"), ("b", 1, "site_B"),
         ("a", 2, "site_A"), ("z", 3, None),
     }
+
+
+def test_session_window_batch_stream_twin(spark, tmp_path):
+    """Native session_window: the streaming form (watermark + state
+    cleanup) must produce the batch form's sessions on the same data."""
+    import json as _json
+
+    rows = [
+        ("2024-01-01 00:01:00", "u1", 1.0),
+        ("2024-01-01 00:10:00", "u1", 2.0),   # same session (gap < 30m)
+        ("2024-01-01 01:10:00", "u1", 4.0),   # new session
+        ("2024-01-01 00:05:00", "u2", 8.0),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"ts": t, "u": u, "v": v}) for t, u, v in rows)
+    )
+    schema = "ts timestamp, u string, v double"
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes"), "u")
+            .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+            .select(
+                "u",
+                F.date_format("session_window.start", "HH:mm").alias("s"),
+                "sv", "n",
+            )
+        )
+
+    batch = {tuple(r) for r in sessions(spark.read.schema(schema).json(str(src))).collect()}
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        sessions(stream.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("sess_twin_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM sess_twin_t").collect()
+    }
+    assert batch == streamed
+    assert ("u1", "00:01", 3.0, 2) in batch
