@@ -259,3 +259,83 @@ def ingest_increment_embed_dedup(
     return incoming.join(
         verified.withColumnRenamed("n_id", id_col), on=id_col, how="left_anti"
     )
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list,
+    day_col: str = "day",
+) -> DataFrame:
+    """MERGE-shape upsert onto a day-partitioned parquet table (no
+    table format in this container, so this is the parquet-native
+    contract Delta/Iceberg MERGE INTO compiles to): rows matching on
+    ``key_cols`` are replaced by their update, unmatched updates
+    insert, and — the part naive rewrites get wrong — ONLY partitions
+    that appear in ``updates`` are read or rewritten; untouched history
+    is never opened.
+
+    One anti-join (old rows that survive) + union per affected
+    partition set, then dynamic overwrite. Returns the merged slice
+    written."""
+    days = [r[0] for r in updates.select(day_col).distinct().collect()]
+    if not days:
+        return updates
+    existing = read_curated(spark, table_path).filter(
+        F.col(day_col).isin(days)
+    )
+    survivors = existing.join(
+        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    write_partitioned_parquet(
+        merged, table_path, partition_by=(day_col,), mode="overwrite",
+        dynamic=True,
+    )
+    return merged
+
+
+def enforce_retention(
+    spark: SparkSession,
+    table_path: str,
+    keep_days: int,
+    as_of: str,
+    day_col: str = "day",
+) -> list:
+    """Partition-level TTL: drop partitions older than ``as_of −
+    keep_days`` by DELETING their directories — an O(partitions)
+    metadata operation that never reads data (the reference's
+    overwrite-by-delete K8 applied to retention). Returns the dropped
+    day values."""
+    import datetime as _dt
+    import os
+    import shutil
+
+    cutoff = (
+        _dt.date.fromisoformat(as_of) - _dt.timedelta(days=int(keep_days))
+    ).isoformat()
+    dropped = []
+    if not os.path.isdir(table_path):
+        return dropped
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith(f"{day_col}="):
+            continue
+        day = entry.split("=", 1)[1]
+        if day < cutoff:
+            shutil.rmtree(os.path.join(table_path, entry))
+            dropped.append(day)
+    return dropped
+
+
+def read_curated_evolved(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a curated table whose schema GREW over time:
+    ``mergeSchema`` unions per-file schemas so old partitions surface
+    the new columns as nulls — additive schema evolution without
+    rewriting history (the parquet answer to the reference's per-era
+    schema drift, spark_utils.py:550-566)."""
+    return (
+        spark.read.option("basePath", table_path)
+        .option("mergeSchema", "true")
+        .parquet(table_path)
+    )

@@ -125,3 +125,87 @@ def test_stateful_sessionization_across_batches(spark, tmp_path):
     }
     assert got[1] == 2  # 10:00-10:10 session + 12:30-12:40 session
     assert got[2] == 1
+
+
+# ---------------------------------------------------------------------------
+# Curated-table lifecycle: upsert / retention / schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_partitions_merge_semantics(spark, tmp_path):
+    from cmsspark_spark.operators.incremental import (
+        read_curated,
+        upsert_partitions,
+    )
+    from cmsspark_spark.sinks import write_partitioned_parquet
+
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "a", 10.0), ("2024-01-01", 2, "b", 20.0),
+         ("2024-01-02", 3, "c", 30.0), ("2024-01-03", 4, "d", 40.0)],
+        "day: string, k: long, name: string, v: double",
+    )
+    path = str(tmp_path / "tbl")
+    write_partitioned_parquet(base, path, partition_by=("day",))
+    # capture day-03's files: an untouched partition must not rewrite
+    import glob
+    before = set(glob.glob(f"{path}/day=2024-01-03/*.parquet"))
+
+    updates = spark.createDataFrame(
+        [("2024-01-01", 2, "B", 200.0),   # match → replace
+         ("2024-01-02", 9, "z", 90.0)],   # no match → insert
+        "day: string, k: long, name: string, v: double",
+    )
+    upsert_partitions(spark, path, updates, key_cols=["day", "k"])
+    got = {
+        (str(r["day"]), r["k"], r["name"], r["v"])
+        for r in read_curated(spark, path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1, "a", 10.0), ("2024-01-01", 2, "B", 200.0),
+        ("2024-01-02", 3, "c", 30.0), ("2024-01-02", 9, "z", 90.0),
+        ("2024-01-03", 4, "d", 40.0),
+    }
+    after = set(glob.glob(f"{path}/day=2024-01-03/*.parquet"))
+    assert before == after  # untouched partition: same physical files
+
+
+def test_enforce_retention_drops_old_partitions(spark, tmp_path):
+    from cmsspark_spark.operators.incremental import (
+        enforce_retention,
+        read_curated,
+    )
+    from cmsspark_spark.sinks import write_partitioned_parquet
+
+    df = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", d) for d in range(1, 11)],
+        "day: string, v: long",
+    )
+    path = str(tmp_path / "tbl")
+    write_partitioned_parquet(df, path, partition_by=("day",))
+    dropped = enforce_retention(
+        spark, path, keep_days=3, as_of="2024-01-10"
+    )
+    assert dropped == [f"2024-01-{d:02d}" for d in range(1, 7)]
+    left = {str(r["day"]) for r in read_curated(spark, path).collect()}
+    assert left == {f"2024-01-{d:02d}" for d in range(7, 11)}
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    from cmsspark_spark.operators.incremental import read_curated_evolved
+    from cmsspark_spark.sinks import write_partitioned_parquet
+
+    v1 = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0)], "day: string, k: long, v: double"
+    )
+    v2 = spark.createDataFrame(
+        [("2024-01-02", 2, 20.0, "new")],
+        "day: string, k: long, v: double, tag: string",
+    )
+    path = str(tmp_path / "tbl")
+    write_partitioned_parquet(v1, path, partition_by=("day",))
+    write_partitioned_parquet(v2, path, partition_by=("day",), mode="append")
+    got = read_curated_evolved(spark, path)
+    assert "tag" in got.columns
+    rows = {(str(r["day"]), r["k"], r["tag"]) for r in got.collect()}
+    # old partition surfaces the new column as null — history unrewritten
+    assert rows == {("2024-01-01", 1, None), ("2024-01-02", 2, "new")}
