@@ -339,3 +339,52 @@ def read_curated_evolved(spark: SparkSession, table_path: str) -> DataFrame:
         .option("mergeSchema", "true")
         .parquet(table_path)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    day_col: str = "day",
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction for a day-partitioned curated table: any
+    partition holding ≥ ``min_files`` parquet files is rewritten into
+    ``ceil(partition_bytes / target_bytes)`` files via dynamic
+    overwrite. Incremental ingestion fragments partitions (every
+    micro-append is a file; small files poison scan planning at scale
+    — footer-per-file, task-per-file); compaction restores the
+    one-task-per-target-split shape without touching healthy
+    partitions. Idempotent: a compacted partition has 1 file and is
+    skipped next run.
+
+    Returns {day: (files_before, files_after)} for rewritten
+    partitions."""
+    import math
+    import os
+
+    report = {}
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith(f"{day_col}="):
+            continue
+        pdir = os.path.join(table_path, entry)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if len(files) < min_files:
+            continue
+        day = entry.split("=", 1)[1]
+        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        n_out = max(1, math.ceil(nbytes / target_bytes))
+        part = (
+            spark.read.option("basePath", table_path)
+            .parquet(pdir)
+            .withColumn(day_col, F.col(day_col).cast("string"))
+        )
+        write_partitioned_parquet(
+            part.repartition(n_out), table_path, partition_by=(day_col,),
+            mode="overwrite", dynamic=True,
+        )
+        after = len(
+            [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        )
+        report[day] = (len(files), after)
+    return report

@@ -209,3 +209,39 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     rows = {(str(r["day"]), r["k"], r["tag"]) for r in got.collect()}
     # old partition surfaces the new column as null — history unrewritten
     assert rows == {("2024-01-01", 1, None), ("2024-01-02", 2, "new")}
+
+
+def test_compact_partitions_rewrites_fragmented_only(spark, tmp_path):
+    from cmsspark_spark.operators.incremental import (
+        compact_partitions,
+        read_curated,
+    )
+    from cmsspark_spark.sinks import write_partitioned_parquet
+    import glob
+
+    frag = spark.createDataFrame(
+        [("2024-01-01", i, float(i)) for i in range(100)],
+        "day: string, k: long, v: double",
+    ).repartition(8)
+    healthy = spark.createDataFrame(
+        [("2024-01-02", i, float(i)) for i in range(10)],
+        "day: string, k: long, v: double",
+    ).coalesce(1)
+    path = str(tmp_path / "tbl")
+    write_partitioned_parquet(frag, path, partition_by=("day",))
+    write_partitioned_parquet(
+        healthy, path, partition_by=("day",), mode="append"
+    )
+    assert len(glob.glob(f"{path}/day=2024-01-01/*.parquet")) == 8
+    healthy_files = set(glob.glob(f"{path}/day=2024-01-02/*.parquet"))
+
+    report = compact_partitions(spark, path, target_bytes=1 << 30)
+    assert report == {"2024-01-01": (8, 1)}
+    assert len(glob.glob(f"{path}/day=2024-01-01/*.parquet")) == 1
+    # healthy partition untouched, rows identical after compaction
+    assert set(glob.glob(f"{path}/day=2024-01-02/*.parquet")) == healthy_files
+    rows = {(str(r["day"]), r["k"], r["v"])
+            for r in read_curated(spark, path).collect()}
+    assert len(rows) == 110
+    # idempotent: second run is a no-op
+    assert compact_partitions(spark, path, target_bytes=1 << 30) == {}
