@@ -1,0 +1,125 @@
+"""Clean-corpus job: the full training-data pipeline as ONE runnable
+CLI — quality gate → exact dedup (ids-only election) → benchmark
+decontamination → deterministic mixture resampling → training-shard
+write + manifest + HTML/SVG report.
+
+This is the operational form of the `training_pipeline_e2e` /
+`clean_corpus_survivors` registry queries (queries.py): same operators,
+wired as a job a data engineer runs per corpus snapshot.
+
+Run:
+    python -m cmsspark_spark.jobs.clean_corpus \\
+        --sf-dir /root/testdata/sf0.001 --out /tmp/clean \\
+        --min-tokens 5 --budget 0.8 --shards 8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cmsspark_spark import sinks
+from cmsspark_spark.functions.text import fingerprint, token_count
+from cmsspark_spark.operators.pipeline import mixture_resample, ngram_overlap
+from cmsspark_spark.session import get_spark
+from cmsspark_spark.sinks import report
+from cmsspark_spark.sinks.plots import bar_svg
+
+
+def run(
+    spark: SparkSession,
+    sf_dir: str,
+    out: str,
+    min_tokens: int = 5,
+    max_contamination: float = 0.5,
+    budget: float = 0.8,
+    alpha: float = 0.7,
+    shards: int = 8,
+) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. structural quality gate (narrow filter, no shuffle)
+    gated = docs.filter(token_count("text") >= min_tokens)
+
+    # 2. exact dedup: min-id survivor per fingerprint — the election
+    #    shuffles (fingerprint, id) only; text re-attaches by semi-join
+    fps = gated.select("doc_id", fingerprint("text").alias("_fp"))
+    survivors = (
+        fps.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = gated.join(survivors, on="doc_id", how="left_semi")
+
+    # 3. benchmark decontamination: every-20th doc stands in for the
+    #    protected eval set (the registry queries' convention)
+    bench = deduped.filter(F.col("doc_id") % 20 == 0)
+    candidates = deduped.filter(F.col("doc_id") % 20 != 0)
+    overlap = ngram_overlap(candidates, bench, n=3)
+    clean_ids = overlap.filter(
+        F.col("hit_ratio") <= max_contamination
+    ).select("doc_id")
+    clean = candidates.join(clean_ids, on="doc_id", how="left_semi")
+
+    # 4. mixture realization: temperature-weighted deterministic
+    #    Bernoulli thinning to the token budget
+    kept = (
+        mixture_resample(
+            clean, "source", alpha=alpha, budget_frac=budget
+        )
+        .filter("_keep")
+        .drop("_rate", "_keep")
+    )
+
+    # 5. shard write (content-derived membership + manifest) + report
+    manifest = sinks.write_training_shards(
+        kept, f"{out}/shards", key_col="doc_id", num_shards=shards
+    )
+    summary = (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+    report.write_report(
+        summary,
+        f"{out}/report",
+        name="clean_corpus",
+        title="Clean corpus summary",
+        subtitle=f"min_tokens={min_tokens} budget={budget} α={alpha}",
+        plots=[
+            bar_svg(
+                summary.toPandas(), "source", ["n_tokens"],
+                title="Kept tokens by source", ylabel="tokens",
+            )
+        ],
+    )
+    sinks.write_csv(manifest, f"{out}/manifest")
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-contamination", type=float, default=0.5)
+    ap.add_argument("--budget", type=float, default=0.8)
+    ap.add_argument("--alpha", type=float, default=0.7)
+    ap.add_argument("--shards", type=int, default=8)
+    args = ap.parse_args()
+    spark = get_spark("clean-corpus")
+    run(
+        spark, args.sf_dir, args.out,
+        min_tokens=args.min_tokens,
+        max_contamination=args.max_contamination,
+        budget=args.budget, alpha=args.alpha, shards=args.shards,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -185,3 +185,34 @@ def test_scd2_intervals_compress_and_reopen(spark):
         (1, "B", "2024-01-03", "2024-01-03"),
         (2, "X", "2024-01-01", None),          # open: unchanged through last day
     ]
+
+
+def test_clean_corpus_job_end_to_end(spark, tmp_path):
+    """The training-data pipeline as a runnable job: gate → dedup →
+    decontaminate → mixture-resample → shard write + manifest + report
+    with an embedded plot, all artifacts on disk."""
+    import glob
+    import xml.etree.ElementTree as ET
+
+    from cmsspark_spark.jobs import clean_corpus
+
+    out = str(tmp_path / "clean")
+    summary = clean_corpus.run(
+        spark, SF, out, min_tokens=3, budget=0.8, shards=4
+    )
+    rows = summary.collect()
+    assert rows and all(r["n_docs"] > 0 for r in rows)
+    # shards: 4 directories, each internally ordered by content hash
+    shard_dirs = sorted(glob.glob(f"{out}/shards/_shard_id=*"))
+    assert len(shard_dirs) == 4
+    # manifest CSV written
+    assert glob.glob(f"{out}/manifest/*.csv")
+    # report page embeds the SVG bar plot
+    html = open(glob.glob(f"{out}/report/clean_corpus.html")[0]).read()
+    assert '<div class="plot"><svg' in html
+    # deterministic: rerun produces identical per-source summary
+    again = clean_corpus.run(
+        spark, SF, str(tmp_path / "clean2"), min_tokens=3, budget=0.8,
+        shards=4,
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
