@@ -5018,3 +5018,75 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "listagg_user_sources",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS event_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id % 37 = 0
+    GROUP BY user_id
+    """,
+)
+def listagg_user_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ANSI ``LISTAGG(DISTINCT
+    …) WITHIN GROUP (ORDER BY …)`` (the deterministic form; unordered
+    listagg is registry-banned for the same reason unordered
+    collect_list is) vs DuckDB's ``string_agg(DISTINCT … ORDER BY)``.
+    The A6 collect_set+sort_array+array_join construction gets the
+    same answer; this covers the built-in."""
+    ev = _t(spark, sf_dir, "events")
+    ev.where(F.col("user_id") % 37 == 0).createOrReplaceTempView(
+        "_listagg_events"
+    )
+    return spark.sql(
+        """
+        SELECT user_id,
+               listagg(DISTINCT event_type, ',')
+                 WITHIN GROUP (ORDER BY event_type) AS event_types,
+               count(*) AS n_events
+        FROM _listagg_events GROUP BY user_id
+        """
+    )
+
+
+@query(
+    "try_arith_safety",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN try_cast(substr(o_orderpriority, 1, 1)
+                              AS INT) IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_numeric_prefix,
+           round(sum(CASE WHEN o_totalprice - 1000.0 = 0 THEN NULL
+                          ELSE o_totalprice / (o_totalprice - 1000.0)
+                     END), 4) AS sum_safe_ratio
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def try_arith_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety family: ``try_cast`` (null, not error, on bad
+    input) and ``try_divide`` (null on /0) — how the engine keeps
+    ANSI-strict semantics without job-killing exceptions on dirty
+    data. The DuckDB twin spells try_divide as its NULLIF form."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.try_to_number(
+                F.substring("o_orderpriority", 1, 1), F.lit("9")
+            ).isNotNull().cast("long")
+        ).alias("n_numeric_prefix"),
+        F.round(
+            F.sum(
+                F.try_divide(
+                    F.col("o_totalprice"), F.col("o_totalprice") - 1000.0
+                )
+            ),
+            4,
+        ).alias("sum_safe_ratio"),
+    )
