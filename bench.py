@@ -115,6 +115,8 @@ EXTRA = [
     "order_rank_distribution",      # percent_rank/cume_dist/ntile one-pass
     "variant_props_shred",          # Spark 4 VARIANT semi-structured reads
     "session_window_native",        # built-in dynamic-gap sessions
+    "listagg_user_sources",         # ANSI ordered LISTAGG
+    "try_arith_safety",             # try_cast / try_divide null-on-error
 ]
 
 
