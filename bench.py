@@ -117,6 +117,7 @@ EXTRA = [
     "session_window_native",        # built-in dynamic-gap sessions
     "listagg_user_sources",         # ANSI ordered LISTAGG
     "try_arith_safety",             # try_cast / try_divide null-on-error
+    "ann_ivfpq_static_topk",        # two-level IVF-PQ residual ANN
 ]
 
 

@@ -447,7 +447,7 @@ def pq_codebook(
     return rng.standard_normal((m, k, d_sub))
 
 
-def _pq_subspace_scores(vec_col: str, codebook: np.ndarray) -> list:
+def _pq_subspace_scores(vec_col, codebook: np.ndarray) -> list:
     """Per-subspace arrays of ``k`` scores ``sub_j · C_jc − ½|C_jc|²``
     (maximizing this over c minimizes the L2 distance ‖sub_j − C_jc‖²,
     since the ‖sub_j‖² term is constant per row). Pure Catalyst folds —
@@ -455,7 +455,8 @@ def _pq_subspace_scores(vec_col: str, codebook: np.ndarray) -> list:
     ``list_dot_product``, and the ½|C|² constants are Python-computed
     literals shared by BOTH engines, so assignment is hash-exact."""
     m, k, d_sub = codebook.shape
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dvec = F.transform(vec, lambda x: x.cast("double"))
     out = []
     for j in range(m):
         sub = F.slice(dvec, j * d_sub + 1, d_sub)
@@ -685,3 +686,96 @@ def semantic_dedup(
         "_dropped", F.lit(1)
     )
     return cl.select("_cluster", id_col).join(drops, on=id_col, how="left")
+
+
+def ivfpq_static_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (Jégou et al. 2011's
+    IVFADC): a coarse quantizer routes each vector to an inverted list,
+    PQ encodes the RESIDUAL (vector − centroid), and queries scan only
+    their ``nprobe`` probed lists in code space:
+    ``‖q − x‖² ≈ ‖q − c‖² − 2(q−c)·r̂ + ‖r̂‖²``.
+
+    Index = (list id + m residual codes) per vector: at 100 TB the
+    store is ~9 bytes/vector and a query touches nprobe/n_lists of it —
+    the two-level pruning neither IVF (full vectors in lists) nor flat
+    PQ (all codes scanned) achieves alone. Everything is Catalyst:
+    centroid selection is ``element_at`` into an array-of-arrays
+    literal, residuals are exact elementwise subtraction, and the ADC
+    ranking key folds in the same left-associative order as the DuckDB
+    twin, so the static-seed form is hash-exact cross-engine. Ranking
+    maximizes ``Σⱼ s_j(code_j) − ½‖q−c‖²`` ≡ L2 ADC distance ASC."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cn]
+    )
+
+    def with_residual(df, cid_expr):
+        dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        cent = F.element_at(cents_lit, cid_expr + 1)
+        return F.zip_with(dvec, cent, lambda x, y: x - y)
+
+    m = codebook.shape[0]
+    # corpus: top-1 centroid, residual codes
+    cstar = F.element_at(_centroid_assign(vec_col, centroids, 1), 1)
+    resid = with_residual(corpus, F.col("_c"))
+    rscores = _pq_subspace_scores(resid, codebook)
+    codes = corpus.withColumn("_c", cstar).select(
+        F.col(id_col),
+        "_c",
+        *[
+            F.array_position(sj, F.array_max(sj)).cast("int").alias(f"code_{j}")
+            for j, sj in enumerate(rscores)
+        ],
+    )
+    # queries: nprobe probes, per-probe residual score tables + ‖q−c‖²
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_centroid_assign(vec_col, centroids, nprobe)).alias("_c"),
+    )
+    qresid = with_residual(probes.withColumnRenamed("_qv", vec_col), F.col("_c"))
+    qscores = _pq_subspace_scores(qresid, codebook)
+    qcn2 = F.aggregate(
+        F.zip_with(qresid, qresid, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    q = probes.withColumnRenamed("_qv", vec_col).select(
+        "query_id",
+        "_c",
+        qcn2.alias("_qcn2"),
+        *[sj.alias(f"qs_{j}") for j, sj in enumerate(qscores)],
+    )
+    joined = codes.join(F.broadcast(q), on="_c").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"qs_{j}"), F.col(f"code_{j}"))
+        adc = term if adc is None else adc + term
+    adc = adc - 0.5 * F.col("_qcn2")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("_adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round("_adc", 6).alias("adc_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -5090,3 +5090,114 @@ def try_arith_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_safe_ratio"),
     )
+
+
+def _ivfpq_oracle(nprobe: int = 2, k: int = 5) -> str:
+    import numpy as np
+
+    cents = _ivf_static_centroids()
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cent_rows = ", ".join(f"({ci}, {_plane_sql(c)})" for ci, c in enumerate(cn))
+    cb = S.pq_codebook()
+    m, kk, d_sub = cb.shape
+    cb_rows = ", ".join(
+        f"({j}, {c}, {_plane_sql(cb[j, c])}, "
+        f"{float(np.dot(cb[j, c], cb[j, c])) / 2.0:.17e})"
+        for j in range(m) for c in range(kk)
+    )
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents(c, v) AS (VALUES {cent_rows}),
+    cb(j, code, w, hn) AS (VALUES {cb_rows}),
+    cscored AS (
+      SELECT corpus.vec_id, cents.c,
+             list_dot_product(corpus.e, cents.v) AS s
+      FROM corpus, cents
+    ),
+    cranked AS (
+      SELECT vec_id, c, s, row_number() OVER (
+        PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rk
+      FROM cscored
+    ),
+    assign AS (SELECT vec_id, c AS cstar FROM cranked WHERE rk = 1),
+    resid AS (
+      SELECT a.vec_id, a.cstar,
+             list_transform(list_zip(co.e, ct.v), x -> x[1] - x[2]) AS r
+      FROM assign a
+      JOIN corpus co USING (vec_id)
+      JOIN cents ct ON ct.c = a.cstar
+    ),
+    rscored AS (
+      SELECT resid.vec_id, resid.cstar, cb.j, cb.code,
+             list_dot_product(
+               resid.r[cb.j * {d_sub} + 1 : cb.j * {d_sub} + {d_sub}],
+               cb.w) - cb.hn AS s
+      FROM resid, cb
+    ),
+    codes AS (
+      SELECT vec_id, cstar, j, code FROM (
+        SELECT vec_id, cstar, j, code, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY s DESC, code ASC) AS rk
+        FROM rscored
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM cranked
+      WHERE vec_id < 5 AND rk <= {nprobe}
+    ),
+    qresid AS (
+      SELECT p.query_id, p.c,
+             list_transform(list_zip(co.e, ct.v), x -> x[1] - x[2]) AS r
+      FROM probes p
+      JOIN corpus co ON co.vec_id = p.query_id
+      JOIN cents ct ON ct.c = p.c
+    ),
+    qnorm AS (
+      SELECT query_id, c, list_dot_product(r, r) AS qcn2 FROM qresid
+    ),
+    qscored AS (
+      SELECT q.query_id, q.c, cb.j, cb.code,
+             list_dot_product(
+               q.r[cb.j * {d_sub} + 1 : cb.j * {d_sub} + {d_sub}],
+               cb.w) - cb.hn AS s
+      FROM qresid q, cb
+    ),
+    adc AS (
+      SELECT qs.query_id, cd.vec_id,
+             list_reduce(list(qs.s ORDER BY qs.j), (x, y) -> x + y)
+               - 0.5 * any_value(qn.qcn2) AS adc
+      FROM codes cd
+      JOIN qscored qs ON qs.c = cd.cstar AND qs.j = cd.j
+                     AND qs.code = cd.code
+      JOIN qnorm qn ON qn.query_id = qs.query_id AND qn.c = cd.cstar
+      WHERE cd.vec_id <> qs.query_id
+      GROUP BY qs.query_id, cd.vec_id
+    )
+    SELECT query_id, vec_id, round(adc, 6) AS adc_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id, adc, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_ivfpq_static_topk")
+def ann_ivfpq_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/similarity.ivfpq_static_topk): the
+    two-level production ANN — coarse lists from the static IVF
+    centroids, PQ codes on residuals, queries scan nprobe=2 lists in
+    code space. Same hash-exact discipline as its single-level
+    siblings (ann_ivf_static_topk, ann_pq_static_topk): every fold,
+    tie-break and the left-associative ADC sum are mirrored in the
+    DuckDB twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.ivfpq_static_topk(
+        emb, queries_df, _ivf_static_centroids(), S.pq_codebook(),
+        k=5, nprobe=2,
+    )
+
+
+ORACLES["ann_ivfpq_static_topk"] = _ivfpq_oracle()

@@ -296,3 +296,28 @@ def test_incremental_embed_ingest_blocks_duplicates(spark):
         ).select("vec_id").collect()
     }
     assert again == ids
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ with trained coarse centroids: must beat the random floor
+    against exact top-5 (both quantization levels lose information and
+    nprobe=2 of 8 lists bounds recall — this is a sanity gate) and be
+    deterministic."""
+    import pyspark.sql.functions as F
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = S.train_ivf_centroids(emb, n_centroids=8)
+    cb = S.train_pq_codebook(emb)
+    got = S.ivfpq_static_topk(emb, queries, cents, cb, k=5, nprobe=3)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    got_set = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(got_set & exact_set) / len(exact_set) >= 0.1
+    again = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ivfpq_static_topk(
+            emb, queries, cents, cb, k=5, nprobe=3
+        ).collect()
+    }
+    assert again == got_set
