@@ -298,9 +298,13 @@ def mixture_resample(
     runs, re-shards and engines, and DOWNSTREAM-CONSISTENT (a doc kept
     at budget 0.5 is also kept at any higher rate: nested samples, like
     progressive data ablations want). Rates round to 6 decimals before
-    thresholding so the integer cut is cross-engine stable. Plan: two
-    tiny aggs for rates → broadcast join → narrow filter; the corpus
-    scans once and never shuffles.
+    thresholding so the integer cut is cross-engine stable.
+
+    Plan: the rate table is an aggregate OF the corpus, so the corpus
+    is read twice — once collapsed to per-source token sums, once
+    flagged through the broadcast rate join (a narrow map, no shuffle).
+    At 100 TB persist/checkpoint the source between the two reads, or
+    feed ``token_count_col`` from an already-materialized stats column.
 
     Returns ``df`` plus ``_rate`` and boolean ``_keep``.
     """
