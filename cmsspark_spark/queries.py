@@ -4364,8 +4364,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders — an IN subquery on a
     grouped HAVING realized as a semi-join against the qualifying
     order-key aggregate, then the enrich joins and a top-100. The
-    aggregate feeding the semi-join is ids-only (one narrow shuffle of
-    the fact, reused by AQE for the re-agg)."""
+    aggregate feeding the semi-join is ids-only. (The fact IS scanned
+    again for the final enrich — the qualifying-keys aggregate and the
+    detail pass are different subtrees, so nothing reuses; at scale the
+    tiny qualifying id list is the thing to materialize, never the
+    fact.)"""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -4632,11 +4635,15 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, score each doc by its mean negative log-likelihood
     −avg ln p(token), roll up per source.
 
-    Plan shape at 100 TB: ONE explode of the corpus feeds both the
-    frequency table (token-keyed agg; hot tokens are exactly the AQE
-    skew-join case) and the scoring join; the grand total folds in as a
-    1-row broadcast. Scores reduce per doc then per source — floats are
-    rounded(4) on both engines, well inside cross-engine summation
+    Plan shape: the exploded token table is referenced three times
+    (frequency agg, grand total, scoring join), and Spark RECOMPUTES
+    the explode for each — 3 corpus scans in this declarative form
+    (verified in the executed plan; no ReusedExchange fires because the
+    subtrees differ). At 100 TB, materialize the token table once
+    (persist/checkpoint, or a staged parquet) and all three consumers
+    read the materialization; hot tokens in the scoring join are the
+    AQE skew-join case. Scores reduce per doc then per source — floats
+    round(4) on both engines, well inside cross-engine summation
     noise."""
     from cmsspark_spark.functions.text import tokens as _tokens
 
