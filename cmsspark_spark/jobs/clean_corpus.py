@@ -40,15 +40,22 @@ def run(
 ) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # 1. structural quality gate (narrow filter, no shuffle)
-    gated = docs.filter(token_count("text") >= min_tokens)
+    # 1. structural quality gate (narrow filter, no shuffle). The gated
+    #    frame feeds four consumers (fingerprints, dedup re-attach,
+    #    bench split, final stats) — persist it so the corpus is read
+    #    once, not once per consumer (on a cluster swap for checkpoint
+    #    to a staging table, the convention the registry queries state).
+    gated = docs.filter(token_count("text") >= min_tokens).persist()
 
     # 2. exact dedup: min-id survivor per fingerprint — the election
     #    shuffles (fingerprint, id) only; text re-attaches by semi-join
     fps = gated.select("doc_id", fingerprint("text").alias("_fp"))
+    # tiny ids-only lists: eager localCheckpoint truncates their
+    # lineage so downstream joins don't re-run the election
     survivors = (
         fps.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint()
     )
     deduped = gated.join(survivors, on="doc_id", how="left_semi")
 
@@ -59,7 +66,7 @@ def run(
     overlap = ngram_overlap(candidates, bench, n=3)
     clean_ids = overlap.filter(
         F.col("hit_ratio") <= max_contamination
-    ).select("doc_id")
+    ).select("doc_id").localCheckpoint()
     clean = candidates.join(clean_ids, on="doc_id", how="left_semi")
 
     # 4. mixture realization: temperature-weighted deterministic
@@ -98,6 +105,7 @@ def run(
         ],
     )
     sinks.write_csv(manifest, f"{out}/manifest")
+    gated.unpersist()
     return summary
 
 
