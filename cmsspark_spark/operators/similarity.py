@@ -654,8 +654,10 @@ def semantic_dedup(
     check runs WITHIN clusters only — at 100 TB the all-pairs matrix is
     impossible, but per-cluster blocks are bounded by design (SemDeDup's
     own tradeoff: cross-cluster near-dups are missed; recall against
-    the exact verifier is what tests gate). Pairs carry ids + norms
-    only; vectors never join through the pair list.
+    the exact verifier is what tests gate). Each vector crosses the
+    shuffle ONCE per join side, keyed by cluster (the per-pair work is
+    then an in-partition dot); the pair OUTPUT is ids-only, and the
+    drop list re-joins the corpus by id.
 
     Returns one row per input vector: (``_cluster``, id, ``_dropped``
     flag).
