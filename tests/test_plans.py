@@ -354,3 +354,53 @@ def test_observe_metrics_during_job(spark):
     assert m["total_qty"] == li.agg(F.sum("l_quantity")).collect()[0][0]
     assert 0 < m["n_discounted"] < m["n_rows"]
     assert len(out) > 0
+
+
+def test_nested_struct_leaf_pruning(spark, tmp_path):
+    """Nested-field groupBy (fts_issuer_totals' shape): the parquet
+    ReadSchema must prune the struct to the single accessed leaf."""
+    from cmsspark_spark.jobs.cms_replicas import fts_issuer_totals
+
+    df = spark.createDataFrame(
+        [(i, {"issuer": f"i{i % 2}", "q": "unused" * 10}, float(i))
+         for i in range(20)],
+        "tid: long, job_metadata: struct<issuer: string, q: string>, "
+        "f_size: double",
+    )
+    p = str(tmp_path / "fts")
+    df.write.parquet(p)
+    out = fts_issuer_totals(spark.read.parquet(p))
+    scan = plans.scan_read_schema(out)[0]
+    assert "issuer" in scan
+    assert "q" not in scan  # sibling leaf pruned from the scan
+    assert "tid" not in scan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew handling: a join with one pathological hot key must
+    execute with skew-split sort-merge partitions (the runtime answer
+    to hot keys; the salting operator is the declarative one)."""
+    import pyspark.sql.functions as F
+
+    left = spark.range(200_000).select(
+        F.when(F.col("id") < 190_000, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(500).select(F.col("id").alias("k"))
+    joined = left.join(right.hint("merge"), on="k")
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", None)
+    with_conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    with_conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    with_conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        if old is not None:
+            with_conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                old,
+            )
