@@ -118,6 +118,7 @@ EXTRA = [
     "listagg_user_sources",         # ANSI ordered LISTAGG
     "try_arith_safety",             # try_cast / try_divide null-on-error
     "ann_ivfpq_static_topk",        # two-level IVF-PQ residual ANN
+    "hll_distinct_sketch",          # oracle-exact HyperLogLog
 ]
 
 

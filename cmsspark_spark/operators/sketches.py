@@ -156,3 +156,91 @@ def bloom_might_contain(
     return joined.groupBy("key").agg(
         F.min(hit.cast("int")).cast("boolean").alias("might_contain")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (mergeable distinct sketch, oracle-exact)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64          # registers (b = 6 bits)
+_HLL_ALPHA = 0.709   # Flajolet et al. 2007's α for m = 64
+_HLL_VBITS = 46      # 52-bit md5 value minus 6 bucket bits
+
+
+def _hll_v(key: Column) -> Column:
+    """52-bit md5-derived value — same cross-engine-exact integer coin
+    as mixture_resample (('0x'||substr(md5,1,13))::BIGINT in DuckDB)."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def hll_build(df: DataFrame, key_col: str, group_cols: list) -> DataFrame:
+    """Per-group HLL registers (Flajolet, Fusy, Gandouet, Meunier 2007):
+    bucket = low 6 hash bits, register = max leading-zero rank of the
+    remaining 46 bits. One narrow map + one groupBy whose map-side max
+    caps the shuffle at ≤64 rows per group per partition — like the
+    Count-Min build, the shuffle carries sketch cells, never rows.
+
+    The rank uses ``length(bin(w))`` (bit length) instead of float
+    log2, so registers are integer-exact and identical in DuckDB —
+    this HLL's ESTIMATES are bit-reproducible cross-engine, unlike
+    ``approx_count_distinct`` whose sketch internals are engine-
+    private. Returns (group_cols..., bucket, register); merge sketches
+    of disjoint runs by taking the per-bucket max."""
+    v = _hll_v(F.col(key_col))
+    w = (v / _HLL_M).cast("long")
+    rank = F.when(w == 0, F.lit(_HLL_VBITS + 1)).otherwise(
+        _HLL_VBITS + 1 - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, (v % _HLL_M).alias("bucket"), rank.alias("r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("register"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches of disjoint data slices: per-bucket max — the
+    property that lets daily distinct sketches roll up to monthly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("register",)]
+    return out.groupBy(*keys).agg(F.max("register").alias("register"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list) -> DataFrame:
+    """Estimate from registers: E = α·m²/Σ2^(−M_j) with the standard
+    small-range linear-counting correction (E ≤ 2.5m and empty
+    buckets → m·ln(m/zeros)). Empty buckets contribute 2⁰; the sum
+    folds in bucket order (array_sort → aggregate), mirroring the
+    twin's ``list_reduce(list(… ORDER BY bucket))`` so the float
+    estimate is cross-engine identical. 2^(−M) for integer M is a
+    power of two — exactly representable."""
+    m = _HLL_M
+    packed = registers.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "register"))
+        ).alias("_regs")
+    )
+    # full 64-bucket template: missing buckets read register 0
+    reg_map = F.map_from_entries(
+        F.transform("_regs", lambda e: F.struct(e["bucket"], e["register"]))
+    )
+    full = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda b: F.coalesce(F.element_at(reg_map, b), F.lit(0)),
+    )
+    s = F.aggregate(
+        F.transform(full, lambda r: F.pow(F.lit(2.0), -r.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    zeros = F.size(F.filter(full, lambda r: r == 0))
+    raw = F.lit(_HLL_ALPHA) * m * m / s
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        m * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return packed.select(*group_cols, F.round(est, 2).alias("hll_estimate"))

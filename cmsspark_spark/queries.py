@@ -5208,3 +5208,81 @@ def ann_ivfpq_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_ivfpq_static_topk"] = _ivfpq_oracle()
+
+
+@query(
+    "hll_distinct_sketch",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+               AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, v % 64 AS bucket,
+             max(CASE WHEN v // 64 = 0 THEN 47
+                      ELSE 47 - length(bin(v // 64)) END) AS register
+      FROM h GROUP BY event_type, bucket
+    ),
+    template AS (
+      SELECT e.event_type, g.b AS bucket
+      FROM (SELECT DISTINCT event_type FROM events) e,
+           (SELECT unnest(generate_series(0, 63)) AS b) g
+    ),
+    full_regs AS (
+      SELECT t.event_type, t.bucket,
+             coalesce(r.register, 0) AS register
+      FROM template t LEFT JOIN regs r
+        ON t.event_type = r.event_type AND t.bucket = r.bucket
+    ),
+    est AS (
+      SELECT event_type,
+             list_reduce(
+               list(pow(2.0, -register) ORDER BY bucket),
+               (x, y) -> x + y) AS s,
+             count(*) FILTER (WHERE register = 0) AS zeros
+      FROM full_regs GROUP BY event_type
+    ),
+    fin AS (
+      SELECT event_type,
+             CASE WHEN (0.709 * 64 * 64 / s) <= 160.0 AND zeros > 0
+                  THEN 64 * ln(64.0 / zeros)
+                  ELSE 0.709 * 64 * 64 / s END AS e
+      FROM est
+    )
+    SELECT f.event_type,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           round(f.e, 2) AS hll_estimate,
+           round(abs(round(f.e, 2) - x.n_exact) / x.n_exact, 4) AS rel_err
+    FROM fin f JOIN (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    ) x USING (event_type)
+    """,
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (operators/sketches.hll_build/
+    hll_estimate) vs the exact distinct count, per event type — the
+    mergeable distinct sketch completing the CM/Bloom/HLL trio. Unlike
+    `approx_distinct_users` (native approx_count_distinct, rows-only:
+    engine-private sketch), THIS estimate is bit-reproducible in
+    DuckDB — integer bit-length registers, bucket-ordered float fold —
+    so the hash gate certifies the whole sketch pipeline, and rel_err
+    is reported against the exact count in the same output."""
+    ev = _t(spark, sf_dir, "events")
+    regs = K.hll_build(ev, "user_id", ["event_type"])
+    est = K.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, on="event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -342,3 +342,43 @@ def test_stomp_frame_roundtrip(headers, body):
     assert got_body == body
     for k, v in headers.items():
         assert hdrs[k] == v
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_error_bound_and_merge(spark):
+    """m=64 HLL: relative error within ~3·(1.04/√64)≈39% on real
+    cardinalities (typical ~13%), and the merge of two disjoint
+    slices' sketches equals the sketch of the union — the mergeability
+    that makes daily→monthly rollups free."""
+    import pyspark.sql.functions as F
+    from cmsspark_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    regs = hll_build(ev, "user_id", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    for r in est.join(exact, on="event_type").collect():
+        rel = abs(r["hll_estimate"] - r["n"]) / r["n"]
+        assert rel < 0.39, (r["event_type"], rel)
+    # mergeability: sketch(A) ⊔ sketch(B) == sketch(A ∪ B), register-exact
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = hll_merge(
+        hll_build(a, "user_id", ["event_type"]),
+        hll_build(b, "user_id", ["event_type"]),
+    )
+    whole = hll_build(ev, "user_id", ["event_type"])
+    key = lambda df: {
+        (r["event_type"], r["bucket"]): r["register"] for r in df.collect()
+    }
+    assert key(merged) == key(whole)
