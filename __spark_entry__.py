@@ -75,8 +75,47 @@ _NEVER_SNAPSHOTTED = [
 _NEVER_SET = set(_NEVER_SNAPSHOTTED)
 
 
+def _recorded_names() -> set:
+    """Names with a green official CORRECTNESS row in ANY prior round
+    (rows_match true, no error — rows-only entries count as recorded)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("err") in (None, "")
+            ):
+                seen.add(name)
+    return seen
+
+
 def _snapshot_order(d: dict) -> dict:
-    """Never-snapshotted first, then new (unknown) names, then official."""
+    """SELF-ROTATING snapshot order: the driver records only the first
+    50 entries, so every name without a green official CORRECTNESS row
+    (read from this repo's CORRECTNESS_r*.json at import time) sorts
+    first, registration order preserved within each bucket. Each round
+    the freshly-recorded 50 rotate to the back automatically — no
+    manual list maintenance; the static round-3 lists below remain as
+    the fallback if the record files are unreadable."""
+    try:
+        recorded = _recorded_names()
+        if recorded:
+            ordered = [n for n in d if n not in recorded]
+            ordered += [n for n in d if n in recorded]
+            return {n: d[n] for n in ordered}
+    except Exception:
+        pass
     known = _NEVER_SET | set(_OFFICIAL)
     ordered = [n for n in _NEVER_SNAPSHOTTED if n in d]
     ordered += [n for n in d if n not in known]
