@@ -2573,8 +2573,9 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing word trigrams with
     a protected eval set (here: every 20th doc). The eval set's distinct
-    grams are BROADCAST; the corpus side never shuffles — the 100 TB
-    shape of test-set leakage detection for training corpora."""
+    grams are BROADCAST; the corpus shuffles only its per-doc gram-hit
+    re-aggregation (ids + counts, never text) — the 100 TB shape of
+    test-set leakage detection for training corpora."""
     from cmsspark_spark.operators import pipeline as PL
 
     d = _t(spark, sf_dir, "documents")
