@@ -180,3 +180,49 @@ def write_training_shards(
         )
         .orderBy("shard_id")
     )
+
+
+def read_training_shards(
+    spark,
+    path: str,
+    manifest: DataFrame | None = None,
+    shard_ids: list | None = None,
+) -> DataFrame:
+    """Loader side of ``write_training_shards``: read shards (all, or
+    the ``shard_ids`` subset — a data-parallel trainer reads only its
+    own shards, and partition pruning keeps the scan that narrow), rows
+    in the written deterministic order per file.
+
+    With ``manifest`` (the writer's return value, persisted by the
+    caller), the read VERIFIES integrity first: per-shard row counts
+    and key ranges recomputed from the files must equal the manifest —
+    a torn/partial copy fails loudly before training starts. Raises
+    ``ValueError`` on mismatch."""
+    import pyspark.sql.functions as _F
+
+    df = spark.read.option("basePath", path).parquet(path)
+    if shard_ids is not None:
+        df = df.filter(_F.col("_shard_id").isin([int(s) for s in shard_ids]))
+    if manifest is not None:
+        fresh = (
+            df.groupBy(_F.col("_shard_id").cast("int").alias("shard_id"))
+            .agg(
+                _F.count(_F.lit(1)).alias("n_rows"),
+                _F.min("_shard_key").alias("min_key"),
+                _F.max("_shard_key").alias("max_key"),
+            )
+        )
+        want = manifest
+        if shard_ids is not None:
+            want = want.filter(
+                _F.col("shard_id").isin([int(s) for s in shard_ids])
+            )
+        cols = ["shard_id", "n_rows", "min_key", "max_key"]
+        got_rows = sorted(tuple(r) for r in fresh.select(cols).collect())
+        want_rows = sorted(tuple(r) for r in want.select(cols).collect())
+        if got_rows != want_rows:
+            raise ValueError(
+                "training-shard manifest mismatch: "
+                f"expected {want_rows!r}, found {got_rows!r}"
+            )
+    return df

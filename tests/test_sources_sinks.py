@@ -483,3 +483,40 @@ def test_kvlog_streaming_exactly_once(spark, tmp_path):
     again = [tuple(r) for r in spark.read.parquet(out).collect()]
     # exactly the one new row was appended, nothing replayed
     assert sorted(again) == sorted(list(first) + [("/d", "4", "t4")])
+
+
+def test_read_training_shards_verifies_manifest(spark, tmp_path):
+    """Loader contract: subset reads prune to the requested shards and
+    a corrupted store fails the manifest check loudly."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from cmsspark_spark.sinks import read_training_shards, write_training_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, key_col="doc_id", num_shards=4)
+    manifest = manifest.localCheckpoint()
+
+    whole = read_training_shards(spark, path, manifest=manifest)
+    assert whole.count() == 200
+    sub = read_training_shards(spark, path, manifest=manifest, shard_ids=[1, 3])
+    subset_ids = {r["_shard_id"] for r in sub.select("_shard_id").collect()}
+    assert subset_ids == {1, 3}
+    assert sub.count() < 200
+
+    # corrupt one shard (drop a file) → integrity check trips
+    victim = glob.glob(f"{path}/_shard_id=2/*.parquet")[0]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        read_training_shards(spark, path, manifest=manifest)
+    # but reading only intact shards still verifies clean
+    ok = read_training_shards(
+        spark, path, manifest=manifest, shard_ids=[0, 1, 3]
+    )
+    assert ok.count() > 0
