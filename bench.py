@@ -119,6 +119,7 @@ EXTRA = [
     "try_arith_safety",             # try_cast / try_divide null-on-error
     "ann_ivfpq_static_topk",        # two-level IVF-PQ residual ANN
     "hll_distinct_sketch",          # oracle-exact HyperLogLog
+    "chunk_overlap_windows",        # sliding-window chunking, digest-pinned
 ]
 
 

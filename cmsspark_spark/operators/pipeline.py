@@ -452,3 +452,55 @@ def apply_bpe(
 
     enc = pandas_udf(_enc, "array<string>")
     return df.withColumn(out_col, enc(F.lower(F.col(text_col))))
+
+
+def chunk_overlap(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG/context-
+    window shape (stride < chunk ⇒ consecutive chunks share
+    ``chunk − stride`` tokens, so no boundary loses context). Chunks
+    never span documents, unlike ``concat_pack_chunks``.
+
+    Pure Catalyst: tokenize once, one bounded ``sequence`` → explode
+    per doc (⌈(n−overlap)/stride⌉ chunks), ``slice`` per window — a
+    narrow 1→N map with zero shuffle; at 100 TB chunking parallelizes
+    per input split with no coordination. Emits (id, chunk_idx,
+    n_tokens, chunk_text); the final short chunk is kept (standard for
+    retrieval corpora).
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    tk = tokens(text_col)
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.col("_n") - (chunk_tokens - stride)) / stride
+        ).cast("int"),
+        F.lit(1),
+    )
+    return (
+        df.select(F.col(id_col), tk.alias("_tk"), F.size(tk).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_tk",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(
+                F.col("_tk"), F.col("chunk_idx") * stride + 1, chunk_tokens
+            ).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_chunk").alias("n_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )

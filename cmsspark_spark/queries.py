@@ -5287,3 +5287,58 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+@query(
+    "chunk_overlap_windows",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ),
+    base AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             greatest(CAST(ceil((len(tk) - 16) / 48.0) AS INT), 1)
+               AS n_chunks
+      FROM tok WHERE len(tk) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, i.i AS chunk_idx,
+             tk[i.i * 48 + 1 : i.i * 48 + 64] AS chunk
+      FROM base, (SELECT unnest(generate_series(0, 127)) AS i) i
+      WHERE i.i < n_chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(len(chunk)) AS BIGINT) AS chunk_tokens,
+           md5(string_agg(array_to_string(chunk, ' '), '|'
+               ORDER BY chunk_idx)) AS chunks_digest
+    FROM chunks GROUP BY doc_id
+    """,
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (operators/pipeline.
+    chunk_overlap: 64-token windows, stride 48 ⇒ 16 shared tokens) —
+    per doc, chunk count, total chunk tokens, and an order-pinned md5
+    digest of the chunk texts, so the hash gate certifies every
+    boundary and every overlap byte-exactly. (The oracle caps its
+    synthetic series at 128 windows ≈ 6k tokens/doc — far above the
+    documents table's max; the Spark side is uncapped.)"""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    ch = PL.chunk_overlap(d, chunk_tokens=64, stride=48)
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda e: e["chunk_text"],
+                ),
+                "|",
+            )
+        ).alias("chunks_digest"),
+    )

@@ -275,3 +275,31 @@ def test_bpe_merges_on_documents_table(spark):
     m2 = train_bpe_merges(d, "text", k=6)
     assert m1 == m2
     assert len(m1) == 6
+
+
+def test_chunk_overlap_boundaries(spark):
+    from cmsspark_spark.operators.pipeline import chunk_overlap
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "one two"),                              # shorter than chunk
+         (3, "")],
+        "doc_id: long, text: string",
+    )
+    ch = chunk_overlap(docs, chunk_tokens=4, stride=3)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in ch.collect()
+    }
+    # doc1: ceil((10-1)/3)=3 chunks at starts 0,3,6; last has 4 tokens
+    assert rows[(1, 0)] == "t0 t1 t2 t3"
+    assert rows[(1, 1)] == "t3 t4 t5 t6"   # 1-token overlap (4-3)
+    assert rows[(1, 2)] == "t6 t7 t8 t9"
+    # short doc: one chunk, kept whole; empty doc: no rows
+    assert rows[(2, 0)] == "one two"
+    assert not any(k[0] == 3 for k in rows)
+    # every token of every doc appears in at least one chunk
+    covered = set()
+    for (d, _), t in rows.items():
+        if d == 1:
+            covered.update(t.split())
+    assert covered == {f"t{i}" for i in range(10)}
