@@ -75,14 +75,14 @@ _NEVER_SNAPSHOTTED = [
 _NEVER_SET = set(_NEVER_SNAPSHOTTED)
 
 
-def _recorded_names() -> set:
+def _recorded_names(record_dir: str | None = None) -> set:
     """Names with a green official CORRECTNESS row in ANY prior round
     (rows_match true, no error — rows-only entries count as recorded)."""
     import glob
     import json
     import os
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = record_dir or os.path.dirname(os.path.abspath(__file__))
     seen: set = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:

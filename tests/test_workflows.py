@@ -216,3 +216,34 @@ def test_clean_corpus_job_end_to_end(spark, tmp_path):
         shards=4,
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_snapshot_order_self_rotates(tmp_path):
+    """The driver snapshot window self-rotates: names with a green
+    CORRECTNESS row (any prior round) sort behind never-recorded ones;
+    failed or errored rows do NOT count as recorded."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "err": None},
+        "b": {"rows_match": False, "err": None},      # mismatch: not recorded
+        "c": {"rows_match": True, "err": "boom"},     # errored: not recorded
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "d": {"rows_match": True, "err": ""},
+    }))
+    recorded = m._recorded_names(str(tmp_path))
+    assert recorded == {"a", "d"}
+    # real repo: every recorded name must be a registered query
+    real = m._recorded_names()
+    assert real and real <= set(m.queries())
+    # and the live first-50 window contains no recorded names
+    first50 = list(m.queries())[:50]
+    assert not (set(first50) & real)
