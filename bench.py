@@ -120,6 +120,7 @@ EXTRA = [
     "ann_ivfpq_static_topk",        # two-level IVF-PQ residual ANN
     "hll_distinct_sketch",          # oracle-exact HyperLogLog
     "chunk_overlap_windows",        # sliding-window chunking, digest-pinned
+    "argmax_maxby_order",           # single-shuffle max_by argmax
 ]
 
 

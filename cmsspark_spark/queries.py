@@ -5342,3 +5342,38 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunks_digest"),
     )
+
+
+@query(
+    "argmax_maxby_order",
+    """
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           arg_max(o_orderkey,
+                   printf('%018.2f|%012d', o_totalprice, o_orderkey))
+             AS best_orderkey,
+           round(max(o_totalprice), 2) AS best_price
+    FROM orders
+    WHERE o_custkey % 41 = 0
+    GROUP BY o_custkey
+    """,
+)
+def argmax_maxby_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-shuffle argmax via ``max_by`` — the modern form of the
+    group-max + join-back idiom (argmax_join_max_qty_line keeps the
+    classic shape): each customer's priciest order in ONE aggregation,
+    no second scan, no join. ``max_by`` ties are engine-arbitrary, so
+    the ordering key is a fixed-width sortable string composite
+    (price|orderkey) — unique, hence deterministic, and printf-identical
+    in DuckDB's arg_max twin."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.format_string("%018.2f|%012d", "o_totalprice", "o_orderkey")
+    return (
+        o.filter(F.col("o_custkey") % 41 == 0)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max_by("o_orderkey", key).alias("best_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        )
+    )
