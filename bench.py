@@ -121,6 +121,9 @@ EXTRA = [
     "hll_distinct_sketch",          # oracle-exact HyperLogLog
     "chunk_overlap_windows",        # sliding-window chunking, digest-pinned
     "argmax_maxby_order",           # single-shuffle max_by argmax
+    "q2_min_cost_supplier",         # decorrelated per-part min + dim enrich
+    "q11_important_parts",          # global scalar threshold HAVING
+    "q21_waiting_suppliers",        # double-EXISTS decorrelated to one agg
 ]
 
 

@@ -5377,3 +5377,234 @@ def argmax_maxby_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("best_price"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.supplycost
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_brand, p.p_type, s.s_suppkey,
+           round(eu.supplycost, 2) AS supplycost
+    FROM part p
+    JOIN eu ON eu.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = eu.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15
+      AND eu.supplycost = (
+        SELECT min(e2.supplycost) FROM eu e2
+        WHERE e2.l_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — the correlated scalar-min
+    subquery (cheapest regional supplier per part) decorrelated into a
+    per-part min aggregate equality-joined back to the candidate set.
+    The schema has no partsupp table, so the part↔supplier cost
+    relation is DERIVED first: per (part, supplier) supplycost =
+    min(l_extendedprice) — min over raw doubles is summation-order-free,
+    so the decisive `cost = per-part-min` equality is bit-exact in both
+    engines (no float-sum tie risk on the join key). Region restriction
+    lands BEFORE the per-part min (both candidate and threshold sides),
+    as in the real Q2. Plan: the fact aggregates once into ps; supplier/
+    nation/region dims broadcast; the per-part min re-agg is ids+cost
+    only; final enrich joins are broadcast. Deterministic LIMIT: the
+    sort key is completed with the unique (p_partkey, s_suppkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(
+        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part_min = eu.groupBy(F.col("l_partkey").alias("_mpk")).agg(
+        F.min("supplycost").alias("_mincost")
+    )
+    return (
+        eu.join(
+            per_part_min,
+            (F.col("l_partkey") == F.col("_mpk"))
+            & (F.col("supplycost") == F.col("_mincost")),
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_size") == 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            "s_suppkey",
+            F.round("supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l.l_partkey
+    )
+    SELECT v.l_partkey AS partkey, round(v.value, 2) AS value
+    FROM val v, (SELECT sum(value) * 0.001 AS cut FROM val) t
+    WHERE round(v.value, 2) > round(t.cut, 2)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important-stock identification — a grouped
+    value aggregate HAVING-filtered against a GLOBAL scalar threshold
+    over the same aggregate (sum × 0.001). The scalar lands as a 1-row
+    broadcast cross join, so the per-part values are computed ONCE and
+    reused for both sides (Spark caches nothing here: the val subtree
+    is small — partkey+double — and AQE reuses the exchange where
+    eligible). Threshold compare is on 2dp-rounded values BOTH sides so
+    a last-ulp float-sum divergence cannot flip a borderline part.
+    Supplier→nation prunes the fact before the value agg — the only
+    fact shuffle is the per-part sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    supp = (
+        s.join(
+            F.broadcast(
+                n.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "value"
+            )
+        )
+    )
+    cut = val.agg((F.sum("value") * 0.001).alias("cut"))
+    return (
+        val.join(F.broadcast(cut))
+        .filter(F.round("value", 2) > F.round("cut", 2))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame supplier — a correlated EXISTS
+    (another supplier shipped on the order) AND NOT EXISTS (no OTHER
+    supplier also flagged) on the same fact. The schema lacks
+    commit/receipt dates, so "late" is adapted to l_returnflag='R' on a
+    finalized (o_orderstatus='F') order. The oracle keeps the literal
+    double-EXISTS; the Spark side DECORRELATES both into one per-order
+    aggregate — n_supp = distinct suppliers, n_r_supp = distinct
+    suppliers with a returned line — because for a flagged row l1:
+    EXISTS(other supplier) ⇔ n_supp ≥ 2, and NOT EXISTS(other flagged
+    supplier) ⇔ n_r_supp = 1 (l1's own supplier is already one of
+    them). One extra ids-only shuffle replaces two correlated fact
+    probes — the 100 TB-honest shape (Catalyst rewrites each EXISTS as
+    its own join; the manual fold does both in one pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    per_order = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_r_supp"),
+    )
+    supp = (
+        s.join(
+            F.broadcast(
+                n.filter(
+                    F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_r_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
