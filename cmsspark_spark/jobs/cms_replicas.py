@@ -32,6 +32,7 @@ and composes the engine's operators. Reference pipelines replicated:
 24. ``campaign_mss_report``    — reports/aggregate_campaigns.py:136-210
 25. ``fts_issuer_totals``      — fts_aso.py:41-77
 26. ``eos_dataset_totals``     — dbs_hdfs_eos.py:70-121
+27. ``rucio_ds_summary``       — rucio_ds_summary.py:210-335
 """
 
 from __future__ import annotations
@@ -776,6 +777,167 @@ def rucio_monitoring_kind_counts(monitoring: DataFrame) -> DataFrame:
         F.countDistinct("dataset").alias("n_datasets"),
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("size_bytes").alias("total_bytes"),
+    )
+
+
+#: rucio_ds_summary.py:264 — files whose dataset ownership can't be
+#: resolved through DBS keep a monitoring tag instead of a null name.
+UNKNOWN_DATASET_TAG = "UnknownDatasetNameOfFiles_MonitoringTag"
+
+
+def rucio_ds_summary(
+    replicas: DataFrame,
+    dids: DataFrame,
+    contents: DataFrame,
+    rses: DataFrame,
+    files: DataFrame,
+    datasets: DataFrame,
+    tiers: DataFrame,
+    eras: DataFrame | None = None,
+    unknown: str = "UNKNOWN",
+) -> DataFrame:
+    """Per-(RseType, dataset) summary documents for the MongoDB-backed
+    web service (rucio_ds_summary.py:210-335) — kin of
+    ``rucio_dataset_stats`` but a different output contract:
+
+    - file size ELECTION, not a plain sum: REPLICAS bytes win, DIDS
+      bytes fill the gaps (the reference's ordered when-chain, :214-221);
+      access/create times are the greatest of both sides (:222-228);
+    - unresolvable files keep ``UNKNOWN_DATASET_TAG`` as their dataset
+      instead of being dropped (:258-268);
+    - two-level fold: (rse_id, dataset) size/count cells carry RseType
+      via ``first()`` (:283-308), then re-aggregate per (RseType,
+      Dataset) into Max/Min/Avg/Sum LongType sizes (:311-328 — Avg is
+      cast-truncated exactly as the reference's ``.cast(LongType())``);
+    - DBS general info joins on AFTER the fold (RealSize = summed file
+      sizes, TotalFileCnt = distinct LFNs, tier / acquisition-era
+      names), and every string dim left null by a failed lookup is
+      replaced with 'UNKNOWN' (:58-66 STR_TYPE_COLUMNS fillna — ES
+      term queries skip null fields, so the doc must not carry them).
+
+    Plan shape: replicas⋈dids is a file-grain hash join that feeds the
+    ONE fact shuffle (the (rse_id, dataset) rollup); rses broadcast;
+    the second-level fold and the DBS info frames are dataset-grain.
+    ``eras`` is optional — absent, AcquisitionEraName is all-'UNKNOWN'.
+    """
+    f2b = contents.filter(F.col("child_type") == "FILE").select(
+        F.col("child").alias("name"), F.col("parent").alias("block")
+    )
+    b2d = contents.filter(F.col("child_type") == "BLOCK").select(
+        F.col("child").alias("block"), F.col("parent").alias("dataset")
+    )
+    f2d = f2b.join(b2d, on="block").select("name", "dataset")
+
+    did_side = dids.select(
+        "name",
+        F.col("bytes").alias("did_bytes"),
+        F.col("accessed_at").alias("did_accessed_at"),
+    )
+    file_grain = (
+        replicas.join(did_side, on="name", how="left")
+        .withColumn(
+            "f_size",
+            F.when(F.col("bytes").isNotNull(), F.col("bytes")).otherwise(
+                F.col("did_bytes")
+            ),
+        )
+        .withColumn(
+            "f_accessed", F.greatest("accessed_at", "did_accessed_at")
+        )
+        .join(f2d, on="name", how="left")
+        .fillna({"dataset": UNKNOWN_DATASET_TAG})
+    )
+
+    cells = (
+        file_grain.join(
+            F.broadcast(rses.select("rse_id", "rse_type")),
+            on="rse_id",
+            how="left",
+        )
+        .groupBy("rse_id", "dataset")
+        .agg(
+            F.sum("f_size").alias("size_in_rse"),
+            F.max("f_accessed").alias("last_access_in_rse"),
+            F.max("created_at").alias("last_create_in_rse"),
+            F.count(F.lit(1)).alias("file_cnt"),
+            conditional_count(F.col("f_accessed").isNotNull()).alias(
+                "accessed_file_cnt"
+            ),
+            F.first("rse_type").alias("rse_type"),
+        )
+    )
+
+    folded = cells.groupBy(
+        F.col("rse_type").alias("RseType"), F.col("dataset").alias("Dataset")
+    ).agg(
+        F.max("size_in_rse").cast("long").alias("Max"),
+        F.min("size_in_rse").cast("long").alias("Min"),
+        F.avg("size_in_rse").cast("long").alias("Avg"),
+        F.sum("size_in_rse").cast("long").alias("Sum"),
+        F.max("last_access_in_rse").cast("long").alias("LastAccess"),
+        F.max("last_create_in_rse").cast("long").alias("LastCreate"),
+        F.sum("file_cnt").cast("long").alias("FileCnt"),
+        F.sum("accessed_file_cnt").cast("long").alias("AccessedFileCnt"),
+    )
+
+    gen = files.groupBy("dataset_id").agg(
+        F.sum("file_size").cast("long").alias("RealSize"),
+        F.countDistinct("logical_file_name").alias("TotalFileCnt"),
+    )
+    info = (
+        datasets.join(F.broadcast(tiers), on="data_tier_id", how="left")
+        .join(gen, on="dataset_id", how="left")
+        .select(
+            F.col("dataset").alias("Dataset"),
+            F.col("dataset_id").alias("Id"),
+            F.col("is_dataset_valid").alias("IsDatasetValid"),
+            F.col("data_tier_name").alias("TierName"),
+            "acquisition_era_id",
+            "RealSize",
+            "TotalFileCnt",
+        )
+    )
+    if eras is not None:
+        info = info.join(
+            F.broadcast(
+                eras.select(
+                    F.col("era_id").alias("acquisition_era_id"),
+                    F.col("era_name").alias("AcquisitionEraName"),
+                )
+            ),
+            on="acquisition_era_id",
+            how="left",
+        )
+    else:
+        info = info.withColumn(
+            "AcquisitionEraName", F.lit(None).cast("string")
+        )
+
+    return (
+        folded.join(
+            broadcast_if_small(info.drop("acquisition_era_id")),
+            on="Dataset",
+            how="left",
+        )
+        .fillna({"TierName": unknown, "AcquisitionEraName": unknown})
+        .select(
+            "Id",
+            "RseType",
+            "Dataset",
+            "LastAccess",
+            "LastCreate",
+            "Max",
+            "Min",
+            "Avg",
+            "Sum",
+            "FileCnt",
+            "AccessedFileCnt",
+            "RealSize",
+            "TotalFileCnt",
+            "IsDatasetValid",
+            "TierName",
+            "AcquisitionEraName",
+        )
     )
 
 

@@ -1074,3 +1074,96 @@ def test_eos_dataset_totals_concat_join(fx, duck_fx, spark):
     )
     # the /eos/other rows can never match the concat key
     assert got.count() > 0
+
+
+def test_rucio_ds_summary(fx, duck_fx, spark):
+    eras = spark.createDataFrame(
+        [(i + 1, f"Era{i + 1}") for i in range(6)],
+        "era_id: int, era_name: string",
+    )
+    got = R.rucio_ds_summary(
+        fx["rucio_replicas"],
+        fx["rucio_dids"],
+        fx["rucio_contents"],
+        fx["rucio_rses"],
+        fx["dbs_files"],
+        fx["dbs_datasets"],
+        fx["dbs_data_tiers"],
+        eras=eras,
+    )
+    duck_fx.register("dbs_data_tiers", fx["dbs_data_tiers"].toPandas())
+    duck_fx.register("eras", eras.toPandas())
+    expect = duck_fx.execute(
+        """
+        WITH f2b AS (SELECT child AS name, parent AS block
+                     FROM rucio_contents WHERE child_type = 'FILE'),
+        b2d AS (SELECT child AS block, parent AS dataset
+                FROM rucio_contents WHERE child_type = 'BLOCK'),
+        f2d AS (SELECT f.name, b.dataset
+                FROM f2b f JOIN b2d b USING (block)),
+        fg AS (
+          SELECT r.name, r.rse_id, r.created_at,
+                 CASE WHEN r.bytes IS NOT NULL THEN r.bytes
+                      ELSE d.bytes END AS f_size,
+                 greatest(r.accessed_at, d.accessed_at) AS f_accessed,
+                 coalesce(m.dataset,
+                          'UnknownDatasetNameOfFiles_MonitoringTag')
+                   AS dataset
+          FROM rucio_replicas r
+          LEFT JOIN (SELECT name, bytes, accessed_at FROM rucio_dids) d
+            USING (name)
+          LEFT JOIN f2d m USING (name)
+        ),
+        cell AS (
+          SELECT fg.rse_id, fg.dataset, rs.rse_type,
+                 sum(f_size) AS sz, max(f_accessed) AS la,
+                 max(created_at) AS lc, count(*) AS fc,
+                 count(f_accessed) AS afc
+          FROM fg LEFT JOIN rucio_rses rs USING (rse_id)
+          GROUP BY 1, 2, 3
+        ),
+        folded AS (
+          SELECT rse_type AS RseType, dataset,
+                 trunc(max(sz))::BIGINT AS mx, trunc(min(sz))::BIGINT AS mn,
+                 trunc(avg(sz))::BIGINT AS av, trunc(sum(sz))::BIGINT AS sm,
+                 trunc(max(la))::BIGINT AS lastaccess,
+                 trunc(max(lc))::BIGINT AS lastcreate,
+                 sum(fc)::BIGINT AS filecnt, sum(afc)::BIGINT AS accfilecnt
+          FROM cell GROUP BY 1, 2
+        ),
+        gen AS (
+          SELECT dataset_id, trunc(sum(file_size))::BIGINT AS realsize,
+                 count(DISTINCT logical_file_name) AS totalfilecnt
+          FROM dbs_files GROUP BY 1
+        ),
+        info AS (
+          SELECT d.dataset, d.dataset_id AS id, d.is_dataset_valid,
+                 t.data_tier_name AS tiername, e.era_name AS eraname,
+                 g.realsize, g.totalfilecnt
+          FROM dbs_datasets d
+          LEFT JOIN dbs_data_tiers t USING (data_tier_id)
+          LEFT JOIN eras e ON e.era_id = d.acquisition_era_id
+          LEFT JOIN gen g USING (dataset_id)
+        )
+        SELECT f.RseType, f.dataset, i.id, f.lastaccess, f.lastcreate,
+               f.mx, f.mn, f.av, f.sm, f.filecnt, f.accfilecnt,
+               i.realsize, i.totalfilecnt, i.is_dataset_valid,
+               coalesce(i.tiername, 'UNKNOWN'),
+               coalesce(i.eraname, 'UNKNOWN')
+        FROM folded f LEFT JOIN info i ON i.dataset = f.dataset
+        """
+    ).fetchall()
+    cols = ["RseType", "Dataset", "Id", "LastAccess", "LastCreate", "Max",
+            "Min", "Avg", "Sum", "FileCnt", "AccessedFileCnt", "RealSize",
+            "TotalFileCnt", "IsDatasetValid", "TierName",
+            "AcquisitionEraName"]
+    assert _rows(got, *cols) == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+    # the size election and the unresolved-dataset tag both fire
+    tagged = got.filter(
+        F.col("Dataset") == R.UNKNOWN_DATASET_TAG
+    ).count()
+    assert tagged > 0
+    # era fillna fires: ~5% of datasets have a null era id
+    assert got.filter(F.col("AcquisitionEraName") == "UNKNOWN").count() > 0
