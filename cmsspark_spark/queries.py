@@ -1902,7 +1902,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py asserts recall vs brute force."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    cents = S.train_ivf_centroids(emb, n_centroids=8)
+    # train on the UN-widened scan: the bounded limit(sample).collect()
+    # must not pay the widening repartition (a full vector shuffle
+    # ahead of a 2048-row take — measured ~10x the sample cost).
+    cents = S.train_ivf_centroids(
+        _t(spark, sf_dir, "embeddings", widen=False), n_centroids=8
+    )
     out = S.ivf_topk(emb, queries, cents, k=5, nprobe=3)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
@@ -5570,18 +5575,24 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers with a returned line — because for a flagged row l1:
     EXISTS(other supplier) ⇔ n_supp ≥ 2, and NOT EXISTS(other flagged
     supplier) ⇔ n_r_supp = 1 (l1's own supplier is already one of
-    them). One extra ids-only shuffle replaces two correlated fact
-    probes — the 100 TB-honest shape (Catalyst rewrites each EXISTS as
-    its own join; the manual fold does both in one pass)."""
+    them). The fact shuffles ONCE to (order, supplier) grain carrying
+    its per-pair flagged-line count; both EXISTS predicates and the
+    final numwait re-derive from that grain — no expand for the two
+    distinct counts, no second line-grain scan, and the only
+    fact-to-fact join is (order,supplier)⋈(order), orders of magnitude
+    below line grain. Catalyst would instead rewrite each EXISTS as
+    its own line-grain join — the manual fold is the 100 TB-honest
+    shape."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    per_order = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("_n_r_supp"),
+    order_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("_cnt_r")
+    )
+    per_order = order_supp.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum((F.col("_cnt_r") > 0).cast("int")).alias("_n_r_supp"),
     )
     supp = (
         s.join(
@@ -5595,7 +5606,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        li.filter(F.col("l_returnflag") == "R")
+        order_supp.filter(F.col("_cnt_r") > 0)
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
@@ -5604,7 +5615,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_order, F.col("l_orderkey") == F.col("_ok"))
         .filter((F.col("_n_supp") >= 2) & (F.col("_n_r_supp") == 1))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_cnt_r").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
