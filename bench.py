@@ -124,6 +124,7 @@ EXTRA = [
     "q2_min_cost_supplier",         # decorrelated per-part min + dim enrich
     "q11_important_parts",          # global scalar threshold HAVING
     "q21_waiting_suppliers",        # double-EXISTS decorrelated to one agg
+    "dedup_repeated_spans",         # ExactSubstr-style windowed-hash spans
 ]
 
 

@@ -5619,3 +5619,43 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "dedup_repeated_spans",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, md5(array_to_string(tk[g.i:g.i+11], ' ')) AS h
+      FROM tk, LATERAL (SELECT unnest(generate_series(1,
+                        greatest(len(tk) - 11, 0))) AS i) g
+    ),
+    dup AS (
+      SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS nd
+      FROM w WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.tk) - 11, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_windows,
+           round(CASE WHEN len(t.tk) - 11 > 0
+                      THEN coalesce(p.nd, 0) / (len(t.tk) - 11.0)
+                      ELSE 0 END, 4) AS dup_ratio
+    FROM tk t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span gate (operators/dedup.
+    repeated_span_stats): 12-token sliding-window hashes; spans seen in
+    ≥2 distinct docs are duplicated text; per doc the duplicated-window
+    count and ratio. Completes the dedup ladder between line_dedup
+    (verbatim lines) and decontaminate (corpus↔benchmark): verbatim
+    RUNS inside otherwise-unique documents. Shuffles carry (hash, id)
+    pairs only."""
+    d = _t(spark, sf_dir, "documents")
+    return D.repeated_span_stats(d, window=12)

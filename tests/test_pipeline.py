@@ -303,3 +303,31 @@ def test_chunk_overlap_boundaries(spark):
         if d == 1:
             covered.update(t.split())
     assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_repeated_span_stats_finds_cross_doc_runs(spark):
+    from cmsspark_spark.operators.dedup import repeated_span_stats
+
+    shared = "one two three four"          # 4-token run shared by docs 1,2
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc"),     # 7 tokens → 4 windows, 1 dup
+            (2, f"xx {shared} yy zz"),     # 7 tokens → 4 windows, 1 dup
+            (3, "totally unique words here five"),  # no dup windows
+            (4, "short"),                  # 1 token < window → 0 windows
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repeated_span_stats(docs, window=4).collect()}
+    assert out[1]["n_windows"] == 4 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_windows"] == 4 and out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_ratio"] == 0.0
+    assert abs(out[1]["dup_ratio"] - 0.25) < 1e-9
+    # a REPEATED span inside one doc only is NOT cross-doc duplicated
+    solo = spark.createDataFrame(
+        [(1, "p q r s p q r s"), (2, "different words entirely now")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repeated_span_stats(solo, window=4).collect()}
+    assert got[1]["n_dup_windows"] == 0
