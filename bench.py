@@ -125,6 +125,7 @@ EXTRA = [
     "q11_important_parts",          # global scalar threshold HAVING
     "q21_waiting_suppliers",        # double-EXISTS decorrelated to one agg
     "dedup_repeated_spans",         # ExactSubstr-style windowed-hash spans
+    "dedup_span_strip",             # span removal w/ global survivor election
 ]
 
 

@@ -582,3 +582,112 @@ def repeated_span_stats(
             ),
         )
     )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    window: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (Lee et al. 2022 §3: every
+    duplicated substring keeps exactly ONE copy corpus-wide): windows
+    whose hash occurs ≥2 times anywhere elect a global survivor
+    occurrence (min (doc, pos) — content-deterministic); every other
+    occurrence marks its [pos, pos+window) token interval for removal;
+    per doc the intervals merge (overlapping dup windows from a long
+    repeated run collapse to one island) and the text is rebuilt from
+    the surviving tokens.
+
+    Distribution: one (hash → survivor election) aggregate and one
+    hash-keyed semi-join carry (hash, doc, pos) triples — text never
+    shuffles; interval merging, token masking and reassembly are
+    row-local higher-order array expressions (``aggregate`` fold over
+    the sorted intervals, ``exists`` mask per token). The election is
+    a fixed-width sortable string min, so ties are impossible and the
+    result is partition-count-independent.
+    """
+    w = int(window)
+    tk = tokens(F.col(text_col))
+    n_win = F.greatest(F.size(tk) - (w - 1), F.lit(0))
+    span_hashes = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        F.col(id_col), F.col(text_col), span_hashes.alias("_hs")
+    )
+    occ = base.select(
+        id_col, F.posexplode("_hs").alias("_pos", "_h")
+    )
+    okey = F.format_string("%012d|%06d", F.col(id_col), F.col("_pos"))
+    elect = (
+        occ.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min(okey).alias("_keep"))
+        .filter(F.col("_cnt") >= 2)
+    )
+    removal = (
+        occ.join(elect, on="_h")
+        .filter(okey != F.col("_keep"))
+        .select(
+            id_col,
+            F.struct(
+                F.col("_pos").alias("s"), (F.col("_pos") + w).alias("e")
+            ).alias("_iv"),
+        )
+    )
+    per_doc = removal.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_iv")).alias("_ivs")
+    )
+
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.col("_ivs"),
+        empty,
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                x["s"] <= F.element_at(acc, -1)["e"],
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], x["e"]
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+
+    joined = base.drop("_hs").join(per_doc, on=id_col, how="left").select(
+        id_col,
+        text_col,
+        F.coalesce(merged, empty).alias("_isl"),
+    )
+    idx_tokens = F.transform(
+        tokens(F.col(text_col)), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        idx_tokens,
+        lambda s: ~F.exists(
+            F.col("_isl"), lambda m: (s["i"] >= m["s"]) & (s["i"] < m["e"])
+        ),
+    )
+    removed_cnt = F.aggregate(
+        F.col("_isl"), F.lit(0), lambda a, m: a + (m["e"] - m["s"])
+    )
+    # islands are merged and clipped to the token range by construction
+    # (e ≤ len), so removed = Σ(e-s) never double-counts.
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias(text_col),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        removed_cnt.cast("long").alias("n_tokens_removed"),
+    )

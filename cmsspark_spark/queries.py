@@ -5659,3 +5659,73 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs only."""
     d = _t(spark, sf_dir, "documents")
     return D.repeated_span_stats(d, window=12)
+
+
+@query(
+    "dedup_span_strip",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, g.i - 1 AS pos,
+             md5(array_to_string(tk[g.i:g.i+11], ' ')) AS h
+      FROM tk, LATERAL (SELECT unnest(generate_series(1,
+                        greatest(len(tk) - 11, 0))) AS i) g
+    ),
+    el AS (
+      SELECT h, min(printf('%012d|%06d', doc_id, pos)) AS keep
+      FROM occ GROUP BY h HAVING count(*) >= 2
+    ),
+    rem AS (
+      SELECT o.doc_id, o.pos AS s, o.pos + 12 AS e
+      FROM occ o JOIN el ON o.h = el.h
+      WHERE printf('%012d|%06d', o.doc_id, o.pos) <> el.keep
+    ),
+    ord AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM rem
+    ),
+    grp AS (
+      SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+      FROM ord
+    ),
+    isl AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, g
+    ),
+    isll AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS isl,
+             sum(e - s) AS rem_cnt
+      FROM isl GROUP BY doc_id
+    ),
+    built AS (
+      SELECT t.doc_id,
+             [t.tk[i] for i in generate_series(1, len(t.tk))
+              if len(list_filter(coalesce(l.isl,
+                       []::STRUCT(s BIGINT, e BIGINT)[]),
+                     m -> i - 1 >= m.s AND i - 1 < m.e)) = 0] AS kept,
+             coalesce(l.rem_cnt, 0) AS removed
+      FROM tk t LEFT JOIN isll l USING (doc_id)
+    )
+    SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+           CAST(removed AS BIGINT) AS n_tokens_removed
+    FROM built
+    """,
+)
+def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (operators/dedup.
+    strip_repeated_spans): 12-token windows repeated ≥2 times anywhere
+    elect one global survivor occurrence (min (doc,pos) as a
+    fixed-width sortable string — tie-free); every other occurrence's
+    token interval is stripped, overlapping intervals merge row-locally
+    (aggregate fold ≡ the oracle's gaps-and-islands windows), and the
+    text is rebuilt byte-exactly. The hash gate certifies election,
+    island merging AND reassembly against DuckDB. Shuffles carry
+    (hash, doc, pos) triples; text never leaves its partition."""
+    d = _t(spark, sf_dir, "documents")
+    return D.strip_repeated_spans(d, window=12)

@@ -331,3 +331,32 @@ def test_repeated_span_stats_finds_cross_doc_runs(spark):
     )
     got = {r["doc_id"]: r for r in repeated_span_stats(solo, window=4).collect()}
     assert got[1]["n_dup_windows"] == 0
+
+
+def test_strip_repeated_spans_global_survivor(spark):
+    from cmsspark_spark.operators.dedup import strip_repeated_spans
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc"),        # survivor (min doc,pos)
+            (2, f"xx {shared} yy zz"),        # stripped
+            (5, f"{shared} {shared} tail"),   # both occurrences stripped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in strip_repeated_spans(docs, window=4).collect()}
+    assert out[1]["text"] == "aa bb one two three four cc"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "xx yy zz" and out[2]["n_tokens_removed"] == 4
+    # doc 5: the 8-token repeated run merges into ONE island and goes
+    assert out[5]["text"] == "tail" and out[5]["n_tokens_removed"] == 8
+    # idempotence: a second pass removes nothing further
+    again = strip_repeated_spans(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in out.values()],
+            ["doc_id", "text"],
+        ),
+        window=4,
+    ).collect()
+    assert all(r["n_tokens_removed"] == 0 for r in again)
