@@ -536,24 +536,32 @@ def repeated_span_stats(
     never text; the global span census is one hash-keyed agg
     (boilerplate heavy-hitter hashes skew it — AQE skew-join handles
     the re-join; the census itself is a partial-agg count). Window
-    hashing is row-local array expressions, zero-shuffle.
+    hashing is row-local and ORDERED AROUND THE EXPLODE deliberately:
+    the generator is a cheap index ``sequence`` and each window's
+    ``xxhash64`` over the token slice is a plain projection AFTER the
+    explode — putting the hash array itself under ``explode`` makes
+    Catalyst collapse the projection into the Generate, re-evaluating
+    the whole O(windows) expression per OUTPUT row (O(windows²) per
+    doc — measured 5x). The hash never reaches the output, so the
+    oracle groups on raw span text and agrees modulo 64-bit
+    collisions.
     """
     w = int(window)
-    tk = tokens(F.col(text_col))
+    tk = F.col("_tk")
     n_win = F.greatest(F.size(tk) - (w - 1), F.lit(0))
-    span_hashes = F.when(
-        n_win > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, w))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-    base = docs.select(
-        F.col(id_col), n_win.cast("long").alias("n_windows"),
-        span_hashes.alias("_hs"),
+    win_idx = F.explode(
+        F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
+            F.array().cast("array<int>")
+        )
     )
-    spans = base.select(id_col, F.explode("_hs").alias("_h"))
+
+    base = docs.withColumn("_tk", tokens(F.col(text_col))).select(
+        F.col(id_col), n_win.cast("long").alias("n_windows"), F.col("_tk")
+    )
+    spans = base.select(id_col, "_tk", win_idx.alias("_i")).select(
+        id_col, F.xxhash64(F.slice("_tk", F.col("_i"), w)).alias("_h")
+    )
+    base = base.drop("_tk")
     dup_hashes = (
         spans.groupBy("_h")
         .agg(F.countDistinct(id_col).alias("_nd"))
@@ -566,8 +574,7 @@ def repeated_span_stats(
         .agg(F.count(F.lit(1)).alias("n_dup_windows"))
     )
     return (
-        base.drop("_hs")
-        .join(per_doc_dups, on=id_col, how="left")
+        base.join(per_doc_dups, on=id_col, how="left")
         .withColumn(
             "n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)).cast("long")
         )
@@ -605,24 +612,29 @@ def strip_repeated_spans(
     row-local higher-order array expressions (``aggregate`` fold over
     the sorted intervals, ``exists`` mask per token). The election is
     a fixed-width sortable string min, so ties are impossible and the
-    result is partition-count-independent.
+    result is partition-count-independent. Same hash-after-explode
+    economics as ``repeated_span_stats``: the generator is a cheap
+    index sequence; the per-window ``xxhash64`` over the token slice
+    is a projection AFTER the explode, never the generator itself.
     """
     w = int(window)
-    tk = tokens(F.col(text_col))
+    tk = F.col("_tk")
     n_win = F.greatest(F.size(tk) - (w - 1), F.lit(0))
-    span_hashes = F.when(
-        n_win > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_win - 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, w))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-    base = docs.select(
-        F.col(id_col), F.col(text_col), span_hashes.alias("_hs")
+    win_idx = F.explode(
+        F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
     )
-    occ = base.select(
-        id_col, F.posexplode("_hs").alias("_pos", "_h")
+
+    base = docs.select(F.col(id_col), F.col(text_col))
+    occ = (
+        docs.withColumn("_tk", tokens(F.col(text_col)))
+        .select(F.col(id_col), F.col("_tk"), win_idx.alias("_pos"))
+        .select(
+            id_col,
+            "_pos",
+            F.xxhash64(F.slice("_tk", F.col("_pos") + 1, w)).alias("_h"),
+        )
     )
     okey = F.format_string("%012d|%06d", F.col(id_col), F.col("_pos"))
     elect = (
@@ -666,7 +678,7 @@ def strip_repeated_spans(
         ),
     )
 
-    joined = base.drop("_hs").join(per_doc, on=id_col, how="left").select(
+    joined = base.join(per_doc, on=id_col, how="left").select(
         id_col,
         text_col,
         F.coalesce(merged, empty).alias("_isl"),

@@ -5629,7 +5629,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     w AS (
-      SELECT doc_id, md5(array_to_string(tk[g.i:g.i+11], ' ')) AS h
+      SELECT doc_id, array_to_string(tk[g.i:g.i+11], ' ') AS h
       FROM tk, LATERAL (SELECT unnest(generate_series(1,
                         greatest(len(tk) - 11, 0))) AS i) g
     ),
@@ -5669,7 +5669,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     occ AS (
       SELECT doc_id, g.i - 1 AS pos,
-             md5(array_to_string(tk[g.i:g.i+11], ' ')) AS h
+             array_to_string(tk[g.i:g.i+11], ' ') AS h
       FROM tk, LATERAL (SELECT unnest(generate_series(1,
                         greatest(len(tk) - 11, 0))) AS i) g
     ),
