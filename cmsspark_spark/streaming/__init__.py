@@ -255,3 +255,96 @@ def streaming_count_min(
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
 
+
+
+def streaming_first_seen_tws(
+    df: DataFrame,
+    key_col: str = "event_id",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch first-occurrence filter on the Spark 4
+    ``transformWithStateInPandas`` API (the successor of
+    applyInPandasWithState: typed state handles, per-state TTL,
+    timers): a key's FIRST row passes through with ``n_seen = 1``;
+    repeats within the state lifetime are suppressed (emitting
+    nothing) while their count accumulates in a ``ValueState``.
+
+    Why this over ``dropDuplicates``/``WithinWatermark``: the state
+    here is TTL-BOUNDED PER KEY (``ttl_ms``) independent of event-time
+    watermarks — the production dedup contract for keyed streams with
+    no usable event-time column ("suppress re-sends for 24h"). With
+    ``ttl_ms=None`` state lives for the query's lifetime (exact
+    first-seen, state grows with distinct keys — same trade as plain
+    dropDuplicates).
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — transformWithState is
+    rejected by the default HDFS-backed store — AND the ``protobuf``
+    package (the transformWithState driver worker speaks a protobuf
+    state protocol; absent it, the worker crashes opaquely, so this
+    operator gates with a clear error instead). The processor is
+    self-contained (by-value pickling; executors never import the
+    engine package). Output: (key, n_seen) in update mode — a batch
+    DataFrame falls back to the groupBy twin (first-seen ≡ distinct,
+    n_seen ≡ count).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(key_col, LongType()), StructField("n_seen", LongType())]
+    )
+    if not df.isStreaming:
+        return (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_seen"))
+            .filter(F.col("n_seen") >= 1)
+            .withColumn("n_seen", F.lit(1).cast("long"))
+        )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(its driver worker speaks a protobuf state protocol); "
+            "install protobuf or use sessionize_stateful / "
+            "streaming_dedup_within_watermark, which run without it"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    kname = str(key_col)
+    ttl = ttl_ms
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "cnt BIGINT", ttlDurationMs=ttl
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = sum(len(pdf) for pdf in rows)
+            if self._seen.exists():
+                (prev,) = self._seen.get()
+                self._seen.update((prev + n,))
+                return iter(())
+            self._seen.update((n,))
+            return iter(
+                [pd.DataFrame({kname: [key[0]], "n_seen": [1]})]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

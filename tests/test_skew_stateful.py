@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -245,3 +246,80 @@ def test_compact_partitions_rewrites_fragmented_only(spark, tmp_path):
     assert len(rows) == 110
     # idempotent: second run is a no-op
     assert compact_partitions(spark, path, target_bytes=1 << 30) == {}
+
+
+def test_transform_with_state_first_seen_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) suppresses
+    re-sends across micro-batches: keys from batch 1 must NOT re-emit
+    when batch 2 repeats them; fresh keys pass through once. The
+    streaming path needs protobuf (the TWS driver worker protocol) —
+    absent here it must fail with the operator's clear gate error, and
+    the batch fallback twin must still run."""
+    try:
+        import google.protobuf  # noqa: F401
+        has_pb = True
+    except ImportError:
+        has_pb = False
+
+    # batch fallback twin always runs: every distinct key exactly once
+    batch = spark.createDataFrame([(1,), (1,), (2,)], ["event_id"])
+    got = {r.event_id: r.n_seen
+           for r in ST.streaming_first_seen_tws(batch).collect()}
+    assert got == {1: 1, 2: 1}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"event_id": k}) for k in [1, 1, 2])
+    )
+    stream = spark.readStream.schema(
+        StructType([StructField("event_id", LongType())])
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+
+    if not has_pb:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            ST.streaming_first_seen_tws(stream, key_col="event_id")
+        return
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = ST.streaming_first_seen_tws(stream, key_col="event_id")
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws1")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        first = {r.event_id: r.n_seen for r in spark.sql(
+            "SELECT * FROM t_tws1").collect()}
+        assert first == {1: 1, 2: 1}  # dup of key 1 inside the batch folds
+
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps({"event_id": k}) for k in [2, 3])
+        )
+        q2 = (
+            out.writeStream.format("memory")
+            .queryName("t_tws2")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        second = {r.event_id: r.n_seen for r in spark.sql(
+            "SELECT * FROM t_tws2").collect()}
+        assert second == {3: 1}  # key 2 already seen in batch 1 -> suppressed
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
