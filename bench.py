@@ -126,6 +126,7 @@ EXTRA = [
     "q21_waiting_suppliers",        # double-EXISTS decorrelated to one agg
     "dedup_repeated_spans",         # ExactSubstr-style windowed-hash spans
     "dedup_span_strip",             # span removal w/ global survivor election
+    "pack_boundary_masks",          # packed-seq attention-reset boundaries
 ]
 
 

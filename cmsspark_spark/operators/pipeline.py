@@ -83,6 +83,7 @@ def concat_pack_chunks(
     token_count_col: Column | None = None,
     order_col: str | None = None,
     partition_cols: list[str] | None = None,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in a
     deterministic order and slice the stream into fixed ``ctx_len``
@@ -90,6 +91,13 @@ def concat_pack_chunks(
     per (chunk_id, doc) overlap:
 
     (partition cols..., chunk_id, id, doc_tokens, tokens_in_chunk)
+
+    ``with_boundaries=True`` appends ``start_in_chunk`` — the doc's
+    first-token offset WITHIN the chunk when the doc starts there
+    (null for docs continuing from the previous chunk). Folding these
+    per chunk yields the attention-reset boundary mask LLM training
+    needs for packed sequences (block-diagonal attention: no token
+    attends across a document start).
 
     Pure window math: a cumsum gives each doc its token offset; each doc
     overlaps chunks floor(start/ctx) .. floor((end-1)/ctx), a bounded
@@ -127,21 +135,26 @@ def concat_pack_chunks(
     )
     first = (F.col("start_offset") / ctx_len).cast("long")
     last = ((F.col("_end") - 1) / ctx_len).cast("long")
-    return (
-        offs.select(
-            *parts,
-            id_col,
-            "doc_tokens",
-            "start_offset",
-            F.explode(F.sequence(first, last)).alias("chunk_id"),
-        )
-        .withColumn(
-            "tokens_in_chunk",
-            F.least(F.col("start_offset") + F.col("doc_tokens"), (F.col("chunk_id") + 1) * ctx_len)
-            - F.greatest(F.col("start_offset"), F.col("chunk_id") * ctx_len),
-        )
-        .drop("start_offset")
+    out = offs.select(
+        *parts,
+        id_col,
+        "doc_tokens",
+        "start_offset",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    ).withColumn(
+        "tokens_in_chunk",
+        F.least(F.col("start_offset") + F.col("doc_tokens"), (F.col("chunk_id") + 1) * ctx_len)
+        - F.greatest(F.col("start_offset"), F.col("chunk_id") * ctx_len),
     )
+    if with_boundaries:
+        out = out.withColumn(
+            "start_in_chunk",
+            F.when(
+                F.col("start_offset") >= F.col("chunk_id") * ctx_len,
+                F.col("start_offset") - F.col("chunk_id") * ctx_len,
+            ).cast("long"),
+        )
+    return out.drop("start_offset")
 
 
 def greedy_pack_bins(

@@ -5729,3 +5729,58 @@ def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash, doc, pos) triples; text never leaves its partition."""
     d = _t(spark, sf_dir, "documents")
     return D.strip_repeated_spans(d, window=12)
+
+
+@query(
+    "pack_boundary_masks",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS doc_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, source, doc_tokens,
+             CAST(coalesce(sum(doc_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, source, doc_tokens, s,
+             unnest(generate_series(s // 512, (s + doc_tokens - 1) // 512))
+               AS chunk_id
+      FROM offs WHERE doc_tokens > 0
+    )
+    SELECT source, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(s + doc_tokens, (chunk_id + 1) * 512)
+                    - greatest(s, chunk_id * 512)) AS BIGINT) AS chunk_tokens,
+           coalesce(list(s - chunk_id * 512 ORDER BY s)
+             FILTER (WHERE s >= chunk_id * 512), []::BIGINT[])
+             AS boundaries,
+           CAST(count(*) FILTER (WHERE s >= chunk_id * 512) AS INT)
+             AS n_starts
+    FROM chunks GROUP BY source, chunk_id
+    """,
+)
+def pack_boundary_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence attention-reset masks (concat_pack_chunks
+    with_boundaries): per (source shard, chunk), the sorted in-chunk
+    offsets where a document STARTS — the block-diagonal attention
+    boundary list an LLM trainer consumes with each packed window
+    (docs continuing from the previous chunk contribute no boundary).
+    Same sharded parallel-cumsum plan as pack_concat_chunks_sharded;
+    the boundary fold is the per-chunk re-agg it already does."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = PL.concat_pack_chunks(
+        d, ctx_len=512, partition_cols=["source"], with_boundaries=True
+    )
+    return chunks.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens_in_chunk").alias("chunk_tokens"),
+        F.array_sort(F.collect_list("start_in_chunk")).alias("boundaries"),
+        F.count("start_in_chunk").cast("int").alias("n_starts"),
+    )
