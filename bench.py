@@ -127,6 +127,7 @@ EXTRA = [
     "dedup_repeated_spans",         # ExactSubstr-style windowed-hash spans
     "dedup_span_strip",             # span removal w/ global survivor election
     "pack_boundary_masks",          # packed-seq attention-reset boundaries
+    "semantic_decontaminate_flags", # embedding-space bench decontamination
 ]
 
 

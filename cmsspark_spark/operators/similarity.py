@@ -781,3 +781,42 @@ def ivfpq_static_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic cousin
+    of the n-gram/Bloom decontaminators): a corpus item whose maximum
+    cosine against ANY benchmark embedding reaches ``threshold`` is
+    contamination — paraphrases and reformats that verbatim n-gram
+    matching misses. Returns every corpus row with
+    (max_bench_cosine, contaminated).
+
+    Plan: the benchmark side is tiny by definition (an eval set) — it
+    BROADCASTS and the corpus streams through one narrow
+    join+max-aggregate pass: no corpus shuffle beyond the per-id
+    re-agg, vectors never leave their scan partitions. At 100 TB the
+    prefilter for a large bench set is the same sign-LSH bucketing as
+    ``cosine_near_pairs_lsh`` (bucket both sides, compare within
+    buckets); the exact broadcast form here IS the production shape
+    whenever the bench set fits an executor (thousands of rows).
+    """
+    b = bench.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
+    )
+    scored = (
+        corpus.join(F.broadcast(b), F.col(id_col) != F.col("_bid"))
+        .withColumn("_cos", cosine_similarity(vec_col, "_bvec"))
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("max_bench_cosine"))
+    )
+    return scored.select(
+        id_col,
+        F.round("max_bench_cosine", 6).alias("max_bench_cosine"),
+        (F.col("max_bench_cosine") >= threshold).alias("contaminated"),
+    )

@@ -5784,3 +5784,38 @@ def pack_boundary_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list("start_in_chunk")).alias("boundaries"),
         F.count("start_in_chunk").cast("int").alias("n_starts"),
     )
+
+
+@query(
+    "semantic_decontaminate_flags",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bench AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+    corpus AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+    scored AS (
+      SELECT c.vec_id,
+             max(list_inner_product(c.v, b.v)
+                 / (sqrt(list_inner_product(c.v, c.v))
+                    * sqrt(list_inner_product(b.v, b.v))))
+               AS max_cos
+      FROM corpus c, bench b
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(max_cos, 6) AS max_bench_cosine,
+           max_cos >= 0.4 AS contaminated
+    FROM scored
+    """,
+)
+def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (operators/similarity.
+    semantic_decontaminate): every 20th embedding plays the benchmark
+    set; corpus rows whose max cosine against any benchmark vector
+    reaches 0.4 are flagged. The benchmark broadcasts; the corpus
+    makes one narrow pass + per-id max re-agg — the paraphrase-level
+    complement to decontaminate_ngram_overlap / bloom_decontaminate.
+    Max-of-cosines is order-free (each cosine is a deterministic
+    left-fold dot), so the 6dp rounding is cross-engine exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return S.semantic_decontaminate(corpus, bench, threshold=0.4)
