@@ -404,3 +404,46 @@ def test_aqe_splits_skewed_join(spark):
                 "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
                 old,
             )
+
+
+def test_q2_broadcasts_dims_and_min_join(spark):
+    """q2's dims (supplier/nation/region/part) broadcast; the per-part
+    min equality-join is the only fact-grain join and must not
+    SortMerge against a broadcastable side."""
+    df = QUERIES["q2_min_cost_supplier"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plans.count_nodes(df, "BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 never global-sorts
+
+
+def test_q21_single_fact_aggregate_no_line_grain_join(spark):
+    """q21's decorrelation: ONE (order, supplier) aggregate feeds both
+    EXISTS predicates — the plan re-aggregates that grain, and the only
+    joins at/below fact grain key on l_orderkey (no line-grain
+    fact-to-fact self-join)."""
+    df = QUERIES["q21_waiting_suppliers"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # supplier/nation dim side broadcast
+    assert plans.count_nodes(df, "BroadcastHashJoin") >= 1
+
+
+def test_span_ops_shuffle_hashes_not_text(spark):
+    """The span census shuffle carries (hash, id) pairs only — no text
+    or token-array column crosses an Exchange."""
+    from cmsspark_spark.operators.dedup import repeated_span_stats
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plans.formatted_plan(repeated_span_stats(d, window=12))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line and "_tk" not in line, line
+
+
+def test_semantic_decontaminate_broadcasts_bench(spark):
+    """The bench side must broadcast: the corpus never shuffles its
+    vectors, only the per-id max re-agg exchanges (id, cosine)."""
+    df = QUERIES["semantic_decontaminate_flags"](spark, SF)
+    assert plans.count_nodes(df, "BroadcastNestedLoopJoin") >= 1 or \
+        plans.count_nodes(df, "BroadcastHashJoin") >= 1
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
