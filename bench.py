@@ -128,6 +128,7 @@ EXTRA = [
     "dedup_span_strip",             # span removal w/ global survivor election
     "pack_boundary_masks",          # packed-seq attention-reset boundaries
     "semantic_decontaminate_flags", # embedding-space bench decontamination
+    "bigram_logprob_quality",       # interpolated bigram-LM perplexity proxy
 ]
 
 

@@ -5819,3 +5819,108 @@ def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = emb.filter(F.col("vec_id") % 20 == 0)
     corpus = emb.filter(F.col("vec_id") % 20 != 0)
     return S.semantic_decontaminate(corpus, bench, threshold=0.4)
+
+
+@query(
+    "bigram_logprob_quality",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(tk) AS token FROM tk
+    ),
+    uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    big AS (
+      SELECT doc_id, source, u.bg.w1 AS w1, u.bg.w2 AS w2
+      FROM tk, LATERAL (SELECT unnest(
+             [struct_pack(w1 := tk[i], w2 := tk[i+1])
+              for i in generate_series(1, len(tk) - 1)]) AS bg) u
+      WHERE len(tk) >= 2
+    ),
+    bigc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    doc_scores AS (
+      SELECT b.doc_id, b.source,
+             avg(-ln(0.7 * bc.c12 / u1.c + 0.3 * u2.c / tot.n)) AS nll
+      FROM big b
+      JOIN bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN uni u1 ON u1.token = b.w1
+      JOIN uni u2 ON u2.token = b.w2, tot
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nll), 4) AS avg_nll,
+           round(min(nll), 4) AS min_nll,
+           round(max(nll), 4) AS max_nll
+    FROM doc_scores GROUP BY source
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with interpolated backoff — one rung
+    up the perplexity-filter ladder from unigram_logprob_quality:
+    p(w2|w1) = 0.7·c(w1,w2)/c(w1) + 0.3·c(w2)/N (Jelinek-Mercer
+    smoothing), per-doc mean NLL over bigram positions, rolled up per
+    source. Bigrams come from a row-local array zip (explode stays the
+    generator directly — the fast Generate shape); the counts tables
+    are vocabulary²-bounded, far smaller than the corpus, and the
+    scoring joins are the AQE skew-join case for hot bigrams. The
+    interpolation is computed from exact integer counts in both
+    engines; per-doc averages round(4) like the unigram twin."""
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tkc = _tokens("text")
+    base = d.select("doc_id", "source", tkc.alias("_tk")).filter(
+        F.size("_tk") >= 2
+    )
+    big = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("_tk", i).alias("w1"),
+                    F.element_at("_tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+    tok = d.select(F.explode(_tokens("text")).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    bigc = big.groupBy(
+        F.col("w1").alias("_b1"), F.col("w2").alias("_b2")
+    ).agg(F.count(F.lit(1)).alias("c12"))
+    doc_scores = (
+        big.join(
+            bigc,
+            (F.col("w1") == F.col("_b1")) & (F.col("w2") == F.col("_b2")),
+        )
+        .join(
+            uni.select(F.col("token").alias("_t1"), F.col("c").alias("c1")),
+            F.col("w1") == F.col("_t1"),
+        )
+        .join(
+            uni.select(F.col("token").alias("_t2"), F.col("c").alias("c2")),
+            F.col("w2") == F.col("_t2"),
+        )
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                -F.log(
+                    0.7 * F.col("c12") / F.col("c1")
+                    + 0.3 * F.col("c2") / F.col("n")
+                )
+            ).alias("nll")
+        )
+    )
+    return doc_scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.round(F.min("nll"), 4).alias("min_nll"),
+        F.round(F.max("nll"), 4).alias("max_nll"),
+    )
