@@ -388,3 +388,89 @@ def compact_partitions(
         )
         report[day] = (len(files), after)
     return report
+
+
+def ingest_increment_span_dedup(
+    spark: SparkSession,
+    increment: DataFrame,
+    census_path: str,
+    window: int = 12,
+    max_dup_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-run span-level ingestion gate: admit only increment docs
+    whose duplicated-span ratio AGAINST THE ACCUMULATED CORPUS stays
+    under ``max_dup_ratio``, then fold the admitted docs' spans into
+    the persisted census. Completes the incremental family
+    (fingerprint → embedding → span): ``ingest_increment_dedup``
+    rejects exact re-sends, this rejects documents that are mostly
+    stitched from text the corpus already has (the cross-run analogue
+    of operators/dedup.repeated_span_stats).
+
+    The census store is (span_hash) parquet — 8 bytes per distinct
+    span ever admitted, column-pruned on read. The increment's spans
+    join against it sized by the DAILY increment (the census side is
+    the big relation; a bucketed store upgrades the probe to
+    co-located). Within-increment duplication does NOT count toward
+    the ratio here — run the batch ``repeated_span_stats`` first if
+    the increment itself needs internal dedup. Re-running the same
+    increment is idempotent-by-rejection: its spans now exist, so its
+    docs score dup_ratio 1.0 and are refused. Returns the admitted
+    docs with (n_windows, n_dup_windows, dup_ratio).
+    """
+    from pyspark.errors import AnalysisException
+
+    from cmsspark_spark.functions.text import tokens
+
+    w = int(window)
+    tk = F.col("_tk")
+    n_win = F.greatest(F.size(tk) - (w - 1), F.lit(0))
+    win_idx = F.explode(
+        F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    base = increment.withColumn("_tk", tokens(F.col(text_col))).select(
+        F.col(id_col), n_win.cast("long").alias("n_windows"), F.col("_tk")
+    )
+    spans = base.select(id_col, "_tk", win_idx.alias("_i")).select(
+        id_col, F.xxhash64(F.slice("_tk", F.col("_i"), w)).alias("_h")
+    )
+    try:
+        seen = spark.read.parquet(census_path).select("_h").distinct()
+        dup_counts = (
+            spans.join(seen, on="_h", how="left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        )
+    except AnalysisException:  # first run: empty census
+        dup_counts = spans.limit(0).groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_dup_windows")
+        )
+    scored = (
+        base.drop("_tk")
+        .join(dup_counts, on=id_col, how="left")
+        .withColumn(
+            "n_dup_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows") / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    admitted = scored.filter(F.col("dup_ratio") <= max_dup_ratio)
+    admitted = admitted.localCheckpoint(eager=True)  # pin the verdict
+    new_spans = (
+        spans.join(
+            admitted.select(id_col), on=id_col, how="left_semi"
+        )
+        .select("_h")
+        .distinct()
+    )
+    new_spans.write.mode("append").parquet(census_path)
+    return admitted

@@ -247,3 +247,39 @@ def test_snapshot_order_self_rotates(tmp_path):
     # and the live first-50 window contains no recorded names
     first50 = list(m.queries())[:50]
     assert not (set(first50) & real)
+
+
+def test_ingest_increment_span_dedup_across_runs(spark, tmp_path):
+    from cmsspark_spark.operators.incremental import ingest_increment_span_dedup
+
+    census = str(tmp_path / "census")
+    run = "alpha beta gamma delta epsilon zeta"   # 6 tokens, W=4 -> 3 windows
+
+    def inc(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # run 1: empty census admits everything
+    r1 = ingest_increment_span_dedup(
+        spark, inc([(1, run), (2, "one two three four five six")]),
+        census, window=4, max_dup_ratio=0.5,
+    )
+    assert {r["doc_id"] for r in r1.collect()} == {1, 2}
+
+    # run 2: doc 3 is doc 1's text verbatim -> dup_ratio 1.0, refused;
+    # doc 4 shares only 1 of 3 windows (prefix overlap) -> admitted
+    r2 = ingest_increment_span_dedup(
+        spark,
+        inc([(3, run), (4, "alpha beta gamma delta new words")]),
+        census, window=4, max_dup_ratio=0.5,
+    )
+    got = {r["doc_id"]: r for r in r2.collect()}
+    assert set(got) == {4}
+    assert got[4]["n_dup_windows"] == 1 and got[4]["n_windows"] == 3
+
+    # re-running run 2 refuses doc 4 too (its spans are now census)
+    r3 = ingest_increment_span_dedup(
+        spark,
+        inc([(3, run), (4, "alpha beta gamma delta new words")]),
+        census, window=4, max_dup_ratio=0.5,
+    )
+    assert r3.count() == 0
