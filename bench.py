@@ -129,6 +129,7 @@ EXTRA = [
     "pack_boundary_masks",          # packed-seq attention-reset boundaries
     "semantic_decontaminate_flags", # embedding-space bench decontamination
     "bigram_logprob_quality",       # interpolated bigram-LM perplexity proxy
+    "tfidf_top_terms",              # per-source tf-idf characteristic terms
 ]
 
 

@@ -5924,3 +5924,66 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nll"), 4).alias("min_nll"),
         F.round(F.max("nll"), 4).alias("max_nll"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    tf AS (
+      SELECT source, token, count(*) AS tf FROM tok GROUP BY source, token
+    ),
+    scored AS (
+      SELECT tf.source, tf.token,
+             tf.tf * ln(n_docs.n / df.df) AS score
+      FROM tf JOIN df USING (token), n_docs
+    ),
+    ranked AS (
+      SELECT source, token, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, token ASC) AS rk
+      FROM scored
+    )
+    SELECT source, token, round(score, 4) AS tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms by tf-idf: term frequency within
+    the source × inverse document frequency across the corpus
+    (ln(N/df)), top-3 per source with deterministic ties (score DESC,
+    token ASC). The df and tf tables are vocabulary-bounded; N is a
+    1-row broadcast; the rank window partitions by source — no global
+    sort. Integer counts keep the score product cross-engine exact
+    before the 4dp rounding."""
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(_tokens("text")).alias("token"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n"))
+    df_t = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(df_t, on="token")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source", "token", F.round("score", 4).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
