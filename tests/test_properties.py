@@ -382,3 +382,88 @@ def test_hll_error_bound_and_merge(spark):
         (r["event_type"], r["bucket"]): r["register"] for r in df.collect()
     }
     assert key(merged) == key(whole)
+
+
+def _py_span_stats(docs, w):
+    """Pure-Python reference for repeated_span_stats: windows of w
+    tokens; a span duplicated iff it occurs in >= 2 distinct docs."""
+    from collections import defaultdict
+
+    wins = {}
+    owners = defaultdict(set)
+    for did, text in docs:
+        tk = [t for t in text.lower().split() if t]
+        spans = [tuple(tk[i:i + w]) for i in range(max(len(tk) - w + 1, 0))]
+        wins[did] = spans
+        for s in spans:
+            owners[s].add(did)
+    out = {}
+    for did, spans in wins.items():
+        dup = sum(1 for s in spans if len(owners[s]) >= 2)
+        out[did] = (len(spans), dup)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 6),
+            st.lists(st.sampled_from("a b c d".split()), max_size=8).map(" ".join),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    w=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_repeated_span_stats_matches_python_reference(spark, docs, w):
+    """Window census vs a brute-force Python twin on tiny vocab text —
+    the 4-letter vocabulary makes cross-doc window collisions common,
+    exercising owner-counting, sub-window docs, and within-doc-only
+    repeats."""
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in D.repeated_span_stats(df, window=w).collect()
+    }
+    assert got == _py_span_stats(docs, w)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.lists(st.sampled_from("a b c".split()), max_size=10).map(" ".join),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    w=st.integers(2, 3),
+)
+@settings(**SETTINGS)
+def test_strip_repeated_spans_conservation(spark, docs, w):
+    """Strip invariants vs the census: kept + removed == doc tokens;
+    the global survivor occurrence per duplicated span is never
+    stripped (total removals < total duplicated occurrences whenever
+    any span is duplicated)."""
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in D.strip_repeated_spans(df, window=w).collect()}
+    for did, text in docs:
+        tk = [t for t in text.lower().split() if t]
+        r = rows[did]
+        assert r["n_tokens_kept"] + r["n_tokens_removed"] == len(tk)
+        assert r["text"] == " ".join(
+            t for t in r["text"].split() if t
+        )  # clean reassembly
+    # survivor conservation: if anything was duplicated, at least one
+    # occurrence (the elected one) survived somewhere
+    stats = _py_span_stats(docs, w)
+    any_dup = any(d for _, d in stats.values())
+    if any_dup:
+        total_removed = sum(r["n_tokens_removed"] for r in rows.values())
+        total_tokens = sum(
+            len([t for t in text.lower().split() if t]) for _, text in docs
+        )
+        assert 0 < total_removed < total_tokens
