@@ -130,6 +130,8 @@ EXTRA = [
     "semantic_decontaminate_flags", # embedding-space bench decontamination
     "bigram_logprob_quality",       # interpolated bigram-LM perplexity proxy
     "tfidf_top_terms",              # per-source tf-idf characteristic terms
+    "training_order_assign",        # reproducible (shard, position) order
+    "paragraph_dedup_within_doc",   # within-doc paragraph dedup + digest
 ]
 
 

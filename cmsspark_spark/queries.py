@@ -5987,3 +5987,127 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@query(
+    "training_order_assign",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || '|ord') AS k
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(('0x' || substring(k, 1, 8))::BIGINT % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ('0x' || substring(k, 1, 8))::BIGINT % 8
+             ORDER BY k, doc_id) AS BIGINT) AS position
+    FROM keyed
+    """,
+)
+def training_order_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order assignment: every doc gets a
+    (shard, position) from a salted content-key hash — the
+    deterministic global shuffle a training run needs so data order is
+    stable across pipeline re-runs and independent of input
+    partitioning (same property family as hash_split_assign). The
+    rank window partitions per shard (no global sort); ties are
+    impossible (md5 collisions aside, doc_id breaks them)."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ord")))
+    shard = (
+        F.conv(F.substring(k, 1, 8), 16, 10).cast("bigint") % 8
+    ).cast("int")
+    w = Window.partitionBy(shard).orderBy(k, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        "source",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+@query(
+    "paragraph_dedup_within_doc",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    posd AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(
+               0, greatest(CAST(ceil(len(tk)/2.0) AS INT) - 1, 0))) AS i
+      FROM toks
+    ),
+    para AS (
+      SELECT doc_id, i,
+             array_to_string(tk[(i*2+1):(i*2+2)], ' ') AS para
+      FROM posd
+      WHERE len(trim(array_to_string(tk[(i*2+1):(i*2+2)], ' '))) >= 1
+    ),
+    ranked AS (
+      SELECT doc_id, para, i,
+             row_number() OVER (PARTITION BY doc_id, para ORDER BY i) AS rn
+      FROM para
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+           md5(string_agg(CASE WHEN rn = 1 THEN para END, '. '
+                          ORDER BY i)) AS text_digest
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document paragraph dedup — the row-local complement to
+    the global line_dedup_corpus: repeated paragraphs inside ONE
+    document keep their first occurrence in place; later copies drop;
+    other documents' identical paragraphs are untouched (per-doc
+    window, not global). Paragraphs are derived as 2-token groups of
+    the word-soup text (same reformat trick as line_dedup's oracle —
+    the small vocabulary makes within-doc repeats common, so the gate
+    exercises real drops). The digest pins the reassembled text
+    byte-exactly. No cross-doc state; nothing shuffles beyond the
+    per-doc re-agg."""
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tk = F.col("_tk")
+    n_para = F.greatest(
+        F.ceil(F.size(tk) / 2.0).cast("int") - 1, F.lit(0)
+    )
+    para = (
+        d.withColumn("_tk", _tokens("text"))
+        .select(
+            "doc_id",
+            "_tk",
+            F.explode(F.sequence(F.lit(0), n_para)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ", F.slice("_tk", F.col("i") * 2 + 1, 2)
+            ).alias("para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) >= 1)
+    )
+    w = Window.partitionBy("doc_id", "para").orderBy("i")
+    ranked = para.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(F.col("i"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                ". ",
+            )
+        ).alias("text_digest"),
+    )
