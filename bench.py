@@ -132,6 +132,7 @@ EXTRA = [
     "tfidf_top_terms",              # per-source tf-idf characteristic terms
     "training_order_assign",        # reproducible (shard, position) order
     "paragraph_dedup_within_doc",   # within-doc paragraph dedup + digest
+    "pagerank_trade_nations",       # weighted PageRank, 3 power iterations
 ]
 
 

@@ -6111,3 +6111,116 @@ def paragraph_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("text_digest"),
     )
+
+
+@query(
+    "pagerank_trade_nations",
+    """
+    WITH edges AS (
+      SELECT ns.n_name AS src, nc.n_name AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    norm AS (
+      SELECT e.src, e.dst, e.w / o.ow AS p
+      FROM edges e JOIN outw o USING (src)
+    ),
+    nodes AS (SELECT n_name AS node FROM nation),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+    r1 AS (
+      SELECT nodes.node,
+             0.15 / nn.n + 0.85 * coalesce(sum(r0.r * norm.p), 0) AS r
+      FROM nodes
+      LEFT JOIN norm ON norm.dst = nodes.node
+      LEFT JOIN r0 ON r0.node = norm.src, nn
+      GROUP BY nodes.node, nn.n
+    ),
+    r2 AS (
+      SELECT nodes.node,
+             0.15 / nn.n + 0.85 * coalesce(sum(r1.r * norm.p), 0) AS r
+      FROM nodes
+      LEFT JOIN norm ON norm.dst = nodes.node
+      LEFT JOIN r1 ON r1.node = norm.src, nn
+      GROUP BY nodes.node, nn.n
+    ),
+    r3 AS (
+      SELECT nodes.node,
+             0.15 / nn.n + 0.85 * coalesce(sum(r2.r * norm.p), 0) AS r
+      FROM nodes
+      LEFT JOIN norm ON norm.dst = nodes.node
+      LEFT JOIN r2 ON r2.node = norm.src, nn
+      GROUP BY nodes.node, nn.n
+    )
+    SELECT node, round(r, 6) AS rank
+    FROM r3
+    """,
+)
+def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation→nation trade graph (supplier
+    nation → customer nation, edge weight = lineitem count), 3 power
+    iterations at damping 0.85 — the iterative numeric-graph idiom
+    (dedup_cluster_components is the label-propagation sibling; this
+    adds weighted numeric iteration). Per round: rank table (node
+    grain) joins the NORMALIZED edge table and re-aggregates — at
+    scale the edge table is the big side, partitioned by src, and the
+    rank table is the broadcast side; lineage is truncated by eager
+    checkpoint every few rounds (convention per dedup.py). The oracle
+    UNROLLS the same three iterations as CTEs; per-node in-degree is
+    small here so cross-engine double summation stays far inside the
+    6dp rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("_sk"),
+                              F.col("n_name").alias("src")))
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("_ck"),
+                              F.col("n_name").alias("dst")))
+    edges = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(ns, F.col("s_nationkey") == F.col("_sk"))
+        .join(nc, F.col("c_nationkey") == F.col("_ck"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    outw = edges.groupBy(F.col("src").alias("_os")).agg(
+        F.sum("w").alias("ow")
+    )
+    norm = (
+        edges.join(outw, F.col("src") == F.col("_os"))
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .localCheckpoint(eager=True)  # iterate over a pinned edge table
+    )
+    nodes = n.select(F.col("n_name").alias("node"))
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(3):
+        contrib = (
+            norm.join(
+                ranks.select(F.col("node").alias("_src"), "r"),
+                F.col("src") == F.col("_src"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") * F.col("p")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (0.15 / n_nodes
+                 + 0.85 * F.coalesce(F.col("_in"), F.lit(0.0))).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round("r", 6).alias("rank"))
