@@ -6224,3 +6224,20 @@ def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
+@query("approx_percentile_values")  # t-digest-style sketch, rows-only by design
+def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile family's scale variant: approx_percentile
+    (Greenwald-Khanna sketch — mergeable, bounded memory, single pass)
+    per event_type, beside the exact value_percentiles query. Like the
+    HLL twin, the sketch's answers are engine-specific, so the driver
+    records rows-only and tests/test_functions.py gates the
+    approximation against the exact percentiles (rank error within
+    the sketch's accuracy parameter)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias(
+            "approx_pcts"
+        )
+    )

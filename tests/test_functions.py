@@ -275,3 +275,31 @@ def test_steps_udtf_lateral_join(spark):
     assert [tuple(r) for r in rows] == [
         (1, 0, "T1", 2.0), (1, 1, None, 1.0),
     ]
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """percentile_approx(accuracy=1000) must land within ~1/1000 rank
+    error of the exact percentile: compare against exact per-group
+    percentiles and assert the approximate answer sits between the
+    neighboring exact ranks (±2/1000 of the group size in rank)."""
+    from cmsspark_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["event_type"]: r["approx_pcts"]
+        for r in QUERIES["approx_percentile_values"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    for etype, approx in got.items():
+        vals = sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == etype)
+            .select("value")
+            .collect()
+            if r["value"] is not None
+        )
+        n = len(vals)
+        for q, a in zip([0.5, 0.9, 0.99], approx):
+            lo = max(0, int(q * n) - max(2, n // 500) - 1)
+            hi = min(n - 1, int(q * n) + max(2, n // 500) + 1)
+            assert vals[lo] <= a <= vals[hi], (etype, q, a, vals[lo], vals[hi])
