@@ -1,5 +1,6 @@
 """Clean-corpus job: the full training-data pipeline as ONE runnable
-CLI — quality gate → exact dedup (ids-only election) → benchmark
+CLI — quality gate → exact dedup (ids-only election) → optional
+ExactSubstr-style span removal (--span-window) → benchmark
 decontamination → deterministic mixture resampling → training-shard
 write + manifest + HTML/SVG report.
 
@@ -37,6 +38,7 @@ def run(
     budget: float = 0.8,
     alpha: float = 0.7,
     shards: int = 8,
+    span_window: int = 0,
 ) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -58,6 +60,23 @@ def run(
         .localCheckpoint()
     )
     deduped = gated.join(survivors, on="doc_id", how="left_semi")
+
+    # 2b. optional ExactSubstr-style span removal: duplicated runs keep
+    #     one global copy, every other occurrence is stripped in place
+    #     (--span-window 0 disables; 12 is the usual ExactSubstr-scale
+    #     window at word grain). Exact dedup above already removed
+    #     whole-doc copies, so this catches partial stitching only.
+    if span_window:
+        from cmsspark_spark.operators.dedup import strip_repeated_spans
+
+        stripped = strip_repeated_spans(
+            deduped, window=span_window
+        ).select("doc_id", "text")
+        deduped = (
+            deduped.drop("text")
+            .join(stripped, on="doc_id")
+            .filter(F.length(F.trim(F.col("text"))) > 0)
+        )
 
     # 3. benchmark decontamination: every-20th doc stands in for the
     #    protected eval set (the registry queries' convention)
@@ -118,6 +137,9 @@ def main() -> None:
     ap.add_argument("--budget", type=float, default=0.8)
     ap.add_argument("--alpha", type=float, default=0.7)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--span-window", type=int, default=0,
+                    help="ExactSubstr-style span removal window "
+                         "(0 disables)")
     args = ap.parse_args()
     spark = get_spark("clean-corpus")
     run(
@@ -125,6 +147,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         max_contamination=args.max_contamination,
         budget=args.budget, alpha=args.alpha, shards=args.shards,
+        span_window=args.span_window,
     )
     spark.stop()
 

@@ -216,6 +216,30 @@ def test_clean_corpus_job_end_to_end(spark, tmp_path):
         shards=4,
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # span stage on: with the resampler disabled (budget=1.0) stripping
+    # duplicated runs can only shrink every source's kept tokens; the
+    # pipeline still lands all artifacts
+    base_full = {
+        r["source"]: r["n_tokens"]
+        for r in clean_corpus.run(
+            spark, SF, str(tmp_path / "clean3"), min_tokens=3,
+            budget=1.0, shards=4,
+        ).collect()
+    }
+    spanned = clean_corpus.run(
+        spark, SF, str(tmp_path / "clean4"), min_tokens=3, budget=1.0,
+        shards=4, span_window=6,
+    ).collect()
+    # stripping must bite somewhere…
+    assert any(r["n_tokens"] < base_full[r["source"]] for r in spanned)
+    # …but strict global monotonicity does NOT hold: removing a
+    # contaminated span can flip a doc's hit_ratio back under the
+    # decontamination cut, re-admitting it (observed +2 tokens in one
+    # source) — the stages interact by design. Bound the growth by a
+    # small slack instead.
+    for r in spanned:
+        assert r["n_tokens"] <= base_full[r["source"]] * 1.05 + 10
+    assert glob.glob(str(tmp_path / "clean4" / "shards" / "_shard_id=*"))
 
 
 def test_snapshot_order_self_rotates(tmp_path):
