@@ -133,6 +133,7 @@ EXTRA = [
     "training_order_assign",        # reproducible (shard, position) order
     "paragraph_dedup_within_doc",   # within-doc paragraph dedup + digest
     "pagerank_trade_nations",       # weighted PageRank, 3 power iterations
+    "triangle_count_trade",         # ordered-wedge triangle counting
 ]
 
 

@@ -6241,3 +6241,107 @@ def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_pcts"
         )
     )
+
+
+@query(
+    "triangle_count_trade",
+    """
+    WITH pair AS (
+      SELECT least(ns.n_name, nc.n_name) AS a,
+             greatest(ns.n_name, nc.n_name) AS b,
+             count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY 1, 2
+    ),
+    cut AS (SELECT 1.3 * avg(w) AS c FROM pair),
+    raw AS (SELECT a, b FROM pair, cut WHERE pair.w >= cut.c),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM raw e1
+      JOIN raw e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN raw e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    pernode AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS node FROM tri UNION ALL
+            SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    )
+    SELECT n.n_name AS node, coalesce(p.n_triangles, 0) AS n_triangles
+    FROM nation n LEFT JOIN pernode p ON p.node = n.n_name
+    """,
+)
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting on the undirected nation trade graph
+    (edges = pairs trading above 1.3x the mean pair volume, so the
+    graph has real structure rather than the complete clique)
+    — the standard ordered-wedge formulation: canonical a<b edges,
+    wedges (a,b)×(a,c b<c) closed by the (b,c) edge, so every triangle
+    counts exactly once. At scale the edge table self-joins twice on
+    its endpoints — the classic orientation trick (order by degree)
+    bounds wedge fan-out on skewed graphs; here nodes are nations so
+    edges broadcast. The graph-analytics sibling of
+    dedup_cluster_components (connectivity) and
+    pagerank_trade_nations (weighted rank)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("_sk"),
+                              F.col("n_name").alias("sn")))
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("_ck"),
+                              F.col("n_name").alias("cn")))
+    pair = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(ns, F.col("s_nationkey") == F.col("_sk"))
+        .join(nc, F.col("c_nationkey") == F.col("_ck"))
+        .filter(F.col("sn") != F.col("cn"))
+        .groupBy(
+            F.least("sn", "cn").alias("a"),
+            F.greatest("sn", "cn").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cut = pair.agg((1.3 * F.avg("w")).alias("c"))
+    raw = (
+        pair.join(F.broadcast(cut))
+        .filter(F.col("w") >= F.col("c"))
+        .select("a", "b")
+    )
+    e1 = raw
+    e2 = raw.select(F.col("a").alias("_a2"), F.col("b").alias("c"))
+    e3 = raw.select(F.col("a").alias("_b3"), F.col("b").alias("_c3"))
+    tri = (
+        e1.join(F.broadcast(e2),
+                (F.col("_a2") == F.col("a")) & (F.col("c") > F.col("b")))
+        .join(
+            F.broadcast(e3),
+            (F.col("_b3") == F.col("b")) & (F.col("_c3") == F.col("c")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        n.select(F.col("n_name").alias("node"))
+        .join(pernode, on="node", how="left")
+        .withColumn(
+            "n_triangles", F.coalesce("n_triangles", F.lit(0)).cast("long")
+        )
+    )
