@@ -134,6 +134,8 @@ EXTRA = [
     "paragraph_dedup_within_doc",   # within-doc paragraph dedup + digest
     "pagerank_trade_nations",       # weighted PageRank, 3 power iterations
     "triangle_count_trade",         # ordered-wedge triangle counting
+    "funnel_view_click_purchase",   # ordered-event funnel, min-after-min
+    "weekly_retention_cohorts",     # cohort week x offset retention matrix
 ]
 
 

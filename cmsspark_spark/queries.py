@@ -6345,3 +6345,196 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triangles", F.coalesce("n_triangles", F.lit(0)).cast("long")
         )
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH t1 AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id,
+             min(e.ts) FILTER (WHERE e.event_type = 'click'
+                               AND e.ts > t1.t_view) AS t_click,
+             any_value(t1.t_view) AS t_view
+      FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id,
+             min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                               AND e.ts > t2.t_click) AS t_purchase,
+             any_value(t2.t_view) AS t_view,
+             any_value(t2.t_click) AS t_click
+      FROM events e JOIN t2 USING (user_id) GROUP BY e.user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN t_purchase IS NOT NULL THEN 3
+                  WHEN t_click IS NOT NULL THEN 2
+                  WHEN t_view IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM t3
+    ),
+    counts AS (
+      SELECT s.stage,
+             CAST(count(*) FILTER (WHERE staged.stage >= s.stage)
+                  AS BIGINT) AS n_users
+      FROM staged, (SELECT unnest([1, 2, 3]) AS stage) s
+      GROUP BY s.stage
+    )
+    SELECT CASE stage WHEN 1 THEN 'view' WHEN 2 THEN 'view>click'
+                      ELSE 'view>click>purchase' END AS stage,
+           n_users,
+           round(n_users * 1.0 / (SELECT count(*) FROM staged), 4)
+             AS user_share
+    FROM counts
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: how many users did view → click →
+    purchase IN TIMESTAMP ORDER (a later click doesn't count without
+    an earlier view; the greedy earliest-match walk, standard funnel
+    semantics). Three sequential min-after-min passes — each stage's
+    threshold feeds the next stage's conditional min. Here each pass
+    is a conditional agg re-joined at user grain (ids + one timestamp
+    shuffle each); the oracle mirrors the same three passes with
+    FILTER clauses. Cumulative stage counts + share of all users."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        )
+    )
+    t2 = (
+        ev.join(t1, on="user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+            F.first("t_view").alias("t_view"),
+        )
+    )
+    t3 = (
+        ev.join(t2, on="user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+        )
+    )
+    staged = t3.select(
+        "user_id",
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .alias("stage"),
+    )
+    total = staged.count()
+    labels = spark.createDataFrame(
+        [(1, "view"), (2, "view>click"), (3, "view>click>purchase")],
+        ["s", "label"],
+    )
+    return (
+        staged.crossJoin(F.broadcast(labels))
+        .filter(F.col("stage") >= F.col("s"))
+        .groupBy(F.col("s"), F.col("label"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("label").alias("stage"),
+            "n_users",
+            F.round(F.col("n_users") / total, 4).alias("user_share"),
+        )
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7.0)
+                  AS INT) AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, count(*) AS cohort_n FROM first_seen
+      GROUP BY cohort_week
+    )
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           round(count(*) * 1.0 / any_value(c.cohort_n), 4) AS retention
+    FROM activity a JOIN cohort_sizes c USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    first event; for every later week-offset, how many of the cohort
+    were active and the retention ratio. Two user-grain aggregates
+    plus a user-grain distinct — all shuffles at user/cohort grain,
+    never event grain twice (first_seen re-joins the fact ONCE).
+    Week arithmetic is pure integer day math on date_trunc'd dates,
+    cross-engine exact."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7.0
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    return (
+        activity.join(F.broadcast(sizes), on="cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(
+                F.count(F.lit(1)) / F.first("cohort_n"), 4
+            ).alias("retention"),
+        )
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "retention",
+        )
+    )
