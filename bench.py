@@ -136,6 +136,8 @@ EXTRA = [
     "triangle_count_trade",         # ordered-wedge triangle counting
     "funnel_view_click_purchase",   # ordered-event funnel, min-after-min
     "weekly_retention_cohorts",     # cohort week x offset retention matrix
+    "basket_part_pairs_lift",       # association pairs: support/conf/lift
+    "daily_anomaly_zscores",        # per-type daily volume z-score outliers
 ]
 
 

@@ -6538,3 +6538,124 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention",
         )
     )
+
+
+@query(
+    "basket_part_pairs_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item
+      FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    supp AS (
+      SELECT item, count(*) AS s FROM items GROUP BY item
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS both_s
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, CAST(p.both_s AS BIGINT) AS pair_support,
+           round(p.both_s * 1.0 / sa.s, 4) AS confidence,
+           round(p.both_s * 1.0 * n.n / (sa.s * sb.s), 4) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.item = p.item_a
+    JOIN supp sb ON sb.item = p.item_b, n_orders n
+    WHERE p.both_s >= 20
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (orders as baskets, part
+    families as items): pair support via a per-basket ordered
+    self-join on deduped items, confidence = P(b|a), lift =
+    P(a,b)/(P(a)P(b)) with a minimum-support cut. The self-join keys
+    on the basket id (co-located at scale if the fact is bucketed by
+    order); item supports and the basket count are tiny broadcast
+    sides; min-support prunes the pair table before the dim joins.
+    Ratios come from exact integer counts — 4dp cross-engine exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    b = items.select(
+        F.col("l_orderkey").alias("_ok"), F.col("item").alias("item_b")
+    )
+    pairs = (
+        items.join(
+            b,
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("item") < F.col("item_b")),
+        )
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("both_s"))
+        .filter(F.col("both_s") >= 20)
+    )
+    sa = supp.select(F.col("item").alias("_ia"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("item").alias("_ib"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("item_a") == F.col("_ia"))
+        .join(F.broadcast(sb), F.col("item_b") == F.col("_ib"))
+        .join(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("both_s").cast("long").alias("pair_support"),
+            F.round(F.col("both_s") / F.col("sa"), 4).alias("confidence"),
+            F.round(
+                F.col("both_s") * F.col("n") / (F.col("sa") * F.col("sb")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "daily_anomaly_zscores",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n,
+           round((d.n - s.mu) / s.sigma, 4) AS z
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE abs((d.n - s.mu) / s.sigma) >= 1.5
+    """,
+)
+def daily_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: per (event type, day) counts scored
+    against the type's mean/stddev; days beyond |z| ≥ 1.5 surface.
+    The daily rollup is the only event-grain shuffle; stats are
+    type-grain (25 rows) and broadcast back. stddev_samp over the
+    SMALL daily table is the one order-sensitive float reduction —
+    30 values per type keeps cross-engine drift far inside the 4dp
+    rounding (and the 1.5 cut is on well-separated z values)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy(F.col("event_type").alias("_et")).agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), F.col("event_type") == F.col("_et"))
+        .filter(F.abs(z) >= 1.5)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            F.round(z, 4).alias("z"),
+        )
+    )
