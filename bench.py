@@ -138,6 +138,7 @@ EXTRA = [
     "weekly_retention_cohorts",     # cohort week x offset retention matrix
     "basket_part_pairs_lift",       # association pairs: support/conf/lift
     "daily_anomaly_zscores",        # per-type daily volume z-score outliers
+    "entity_match_part_names",      # blocked ER with exact edit distance
 ]
 
 

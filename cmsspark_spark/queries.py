@@ -6659,3 +6659,82 @@ def daily_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "entity_match_part_names",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS block
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.block, levenshtein(a.p_name, b.p_name) AS lev
+      FROM p a JOIN p b
+        ON a.block = b.block AND a.p_partkey < b.p_partkey
+    )
+    , parts AS (
+      SELECT block, count(DISTINCT p_partkey) AS n_parts
+      FROM p GROUP BY block
+    ),
+    stats AS (
+      SELECT block,
+             sum(CASE WHEN lev = 0 THEN 1 END) AS n_exact,
+             sum(CASE WHEN lev BETWEEN 1 AND 2 THEN 1 END) AS n_near
+      FROM pairs GROUP BY block
+    )
+    SELECT parts.block, CAST(parts.n_parts AS BIGINT) AS n_parts,
+           CAST(coalesce(stats.n_exact, 0) AS BIGINT) AS n_exact_pairs,
+           CAST(coalesce(stats.n_near, 0) AS BIGINT) AS n_near_pairs
+    FROM parts LEFT JOIN stats USING (block)
+    """,
+)
+def entity_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking: part names block on their noun
+    (the ER blocking-key discipline — candidate pairs only WITHIN a
+    block, never all-pairs) and candidates verify by exact Levenshtein
+    edit distance (JVM-side `levenshtein`, integer — cross-engine
+    exact, no float similarity). Per block: member count, exact-name
+    duplicate pairs, near-name (edit distance 1-2) pairs. At scale the
+    block is the join key (hot blocks are the skew case — AQE or a
+    second blocking attribute splits them), and the verify predicate
+    prunes before anything leaves the join."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block"),
+    )
+    b = p.select(
+        F.col("block").alias("_blk"),
+        F.col("p_partkey").alias("_pk"),
+        F.col("p_name").alias("_pn"),
+    )
+    pairs = (
+        p.join(
+            b,
+            (F.col("block") == F.col("_blk"))
+            & (F.col("p_partkey") < F.col("_pk")),
+        )
+        .select(
+            "block", F.levenshtein(F.col("p_name"), F.col("_pn")).alias("lev")
+        )
+    )
+    pair_stats = pairs.groupBy(F.col("block").alias("_b")).agg(
+        F.sum((F.col("lev") == 0).cast("long")).alias("n_exact_pairs"),
+        F.sum(F.col("lev").between(1, 2).cast("long")).alias("n_near_pairs"),
+    )
+    return (
+        p.groupBy("block")
+        .agg(F.countDistinct("p_partkey").alias("n_parts"))
+        .join(pair_stats, F.col("block") == F.col("_b"), "left")
+        .select(
+            "block",
+            "n_parts",
+            F.coalesce("n_exact_pairs", F.lit(0)).cast("long").alias(
+                "n_exact_pairs"
+            ),
+            F.coalesce("n_near_pairs", F.lit(0)).cast("long").alias(
+                "n_near_pairs"
+            ),
+        )
+    )
