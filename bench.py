@@ -139,6 +139,7 @@ EXTRA = [
     "basket_part_pairs_lift",       # association pairs: support/conf/lift
     "daily_anomaly_zscores",        # per-type daily volume z-score outliers
     "entity_match_part_names",      # blocked ER with exact edit distance
+    "weighted_sample_docs",         # Efraimidis-Spirakis weighted reservoir
 ]
 
 

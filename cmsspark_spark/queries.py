@@ -6738,3 +6738,78 @@ def entity_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS_SQL}) AS DOUBLE) AS wt,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|ws'),
+                1, 15))::BIGINT + 1) / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, wt, ln(u) / wt AS k
+      FROM w WHERE wt > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, wt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY k DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, source, CAST(wt AS BIGINT) AS n_tokens,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-Res): each
+    doc draws a deterministic uniform from a salted content hash and
+    competes on key ln(u)/weight (weight = token count — longer docs
+    proportionally likelier); the top-10 keys per source are the
+    sample. Single pass, mergeable (the top-k of a union is the top-k
+    of per-partition top-ks — the same property the distributed
+    reservoir relies on at 100 TB), reproducible under re-sharding
+    like hash_split_assign. The ln is the one libm call — keys are
+    hash-spread so a 1-ulp cross-engine difference cannot reorder the
+    rank window (tie-break on doc_id regardless)."""
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("|ws"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint")
+            + 1
+        )
+        / F.lit(1152921504606846976.0)
+    )
+    wt = F.size(_tokens("text")).cast("double")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        wt.alias("wt"),
+        (F.log(u) / wt).alias("k"),
+    ).filter(F.col("wt") > 0)
+    w = Window.partitionBy("source").orderBy(
+        F.col("k").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "doc_id",
+            "source",
+            F.col("wt").cast("long").alias("n_tokens"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
