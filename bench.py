@@ -140,6 +140,7 @@ EXTRA = [
     "daily_anomaly_zscores",        # per-type daily volume z-score outliers
     "entity_match_part_names",      # blocked ER with exact edit distance
     "weighted_sample_docs",         # Efraimidis-Spirakis weighted reservoir
+    "time_to_convert_stats",        # funnel conversion-latency order stats
 ]
 
 

@@ -6813,3 +6813,72 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@query(
+    "time_to_convert_stats",
+    """
+    WITH t1 AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id,
+             min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                               AND e.ts > t1.t_view) AS t_buy,
+             any_value(t1.t_view) AS t_view
+      FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id
+    ),
+    delays AS (
+      SELECT date_diff('second', t_view, t_buy) / 60.0 AS mins
+      FROM t2 WHERE t_buy IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(avg(mins), 4) AS avg_minutes,
+           round(quantile_cont(mins, 0.50), 4) AS p50_minutes,
+           round(quantile_cont(mins, 0.90), 4) AS p90_minutes
+    FROM delays
+    """,
+)
+def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution closing the funnel family:
+    first view → first purchase AFTER that view per user; count, mean
+    and exact interpolated p50/p90 of the delay in minutes. Same
+    min-after-min passes as the funnel; the delay math is integer
+    seconds scaled once, and F.percentile == quantile_cont keeps the
+    order statistics cross-engine exact (value_percentiles'
+    discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        )
+    )
+    t2 = (
+        ev.join(t1, on="user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_buy"),
+            F.first("t_view").alias("t_view"),
+        )
+    )
+    delays = t2.filter(F.col("t_buy").isNotNull()).select(
+        (
+            (
+                F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")
+            ) / 60.0
+        ).alias("mins")
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("mins"), 4).alias("avg_minutes"),
+        F.round(F.percentile("mins", F.lit(0.50)), 4).alias("p50_minutes"),
+        F.round(F.percentile("mins", F.lit(0.90)), 4).alias("p90_minutes"),
+    )
