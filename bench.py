@@ -141,6 +141,7 @@ EXTRA = [
     "entity_match_part_names",      # blocked ER with exact edit distance
     "weighted_sample_docs",         # Efraimidis-Spirakis weighted reservoir
     "time_to_convert_stats",        # funnel conversion-latency order stats
+    "shuffle_skew_probe",           # log2 key-size histogram skew diagnostic
 ]
 
 

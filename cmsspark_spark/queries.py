@@ -6890,3 +6890,53 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("mins", F.lit(0.50)), 4).alias("p50_minutes"),
         F.round(F.percentile("mins", F.lit(0.90)), 4).alias("p90_minutes"),
     )
+
+
+@query(
+    "shuffle_skew_probe",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT CAST(floor(ln(n) / ln(2)) AS INT) AS size_bucket,
+             count(*) AS n_keys, sum(n) AS n_rows
+      FROM per_key GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM per_key)
+    SELECT h.size_bucket,
+           CAST(h.n_keys AS BIGINT) AS n_keys,
+           CAST(h.n_rows AS BIGINT) AS n_rows,
+           round(h.n_rows * 1.0 / t.total, 4) AS row_share
+    FROM hist h, tot t
+    """,
+)
+def shuffle_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational skew diagnostics — the 'why is one task still
+    running' probe a pipeline owner fires BEFORE picking a join
+    strategy: per-key row counts folded into log2 size buckets with
+    each bucket's share of all rows. A healthy key space concentrates
+    in adjacent buckets; a heavy tail (big buckets holding large
+    row_share from few keys) says salt / AQE-skew-join / broadcast the
+    other side. One key-grain aggregate + a vocabulary-sized
+    histogram — the probe costs one shuffle of (key, count)."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    hist = per_key.groupBy(
+        F.floor(F.log(F.col("n")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("size_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+    )
+    tot = per_key.agg(F.sum("n").alias("total"))
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            "size_bucket",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("total"), 4).alias("row_share"),
+        )
+    )
