@@ -6403,47 +6403,49 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle each); the oracle mirrors the same three passes with
     FILTER clauses. Cumulative stage counts + share of all users."""
     ev = _t(spark, sf_dir, "events")
-    t1 = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "t_view"
-        )
+    # single-pass form: ONE shuffle of the stage-relevant events per
+    # user, then a row-local sorted fold (stage, threshold-ts) — the
+    # greedy earliest-match walk. Equivalent to the oracle's three
+    # min-after-min passes (greedy optimality; strict > on the
+    # threshold keeps tie semantics identical), at a third of the
+    # shuffles — the funnel shape that survives 100× event volume.
+    stage_of = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
     )
-    t2 = (
-        ev.join(t1, on="user_id")
+    walked = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
         .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click")
-                    & (F.col("ts") > F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).alias("t_click"),
-            F.first("t_view").alias("t_view"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), stage_of.alias("st")))
+            ).alias("_evs")
+        )
+        .select(
+            "user_id",
+            F.aggregate(
+                "_evs",
+                F.struct(
+                    F.lit(0).alias("stage"),
+                    F.lit(None).cast("timestamp").alias("t"),
+                ),
+                lambda acc, e: F.when(
+                    (e["st"] == acc["stage"] + 1)
+                    & (acc["t"].isNull() | (e["ts"] > acc["t"])),
+                    F.struct(
+                        (acc["stage"] + 1).alias("stage"),
+                        e["ts"].alias("t"),
+                    ),
+                ).otherwise(acc),
+            )["stage"].alias("stage"),
         )
     )
-    t3 = (
-        ev.join(t2, on="user_id")
-        .groupBy("user_id")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t_click")),
-                    F.col("ts"),
-                )
-            ).alias("t_purchase"),
-            F.first("t_view").alias("t_view"),
-            F.first("t_click").alias("t_click"),
-        )
-    )
-    staged = t3.select(
-        "user_id",
-        F.when(F.col("t_purchase").isNotNull(), 3)
-        .when(F.col("t_click").isNotNull(), 2)
-        .when(F.col("t_view").isNotNull(), 1)
-        .otherwise(0)
-        .alias("stage"),
+    # users with NO stage-relevant events still count in the base
+    all_users = ev.select("user_id").distinct()
+    staged = (
+        all_users.join(walked, on="user_id", how="left")
+        .select("user_id", F.coalesce("stage", F.lit(0)).alias("stage"))
     )
     total = staged.count()
     labels = spark.createDataFrame(
