@@ -447,3 +447,31 @@ def test_semantic_decontaminate_broadcasts_bench(spark):
     assert plans.count_nodes(df, "BroadcastNestedLoopJoin") >= 1 or \
         plans.count_nodes(df, "BroadcastHashJoin") >= 1
     assert plans.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_funnel_single_event_shuffle(spark):
+    """The single-pass funnel shuffles stage-relevant events ONCE per
+    user — no second event-grain exchange from min-after-min joins."""
+    df = QUERIES["funnel_view_click_purchase"](spark, SF)
+    plan = plans.formatted_plan(df)
+    # event-grain exchanges hash on user_id; there must be at most one
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # agg + distinct base
+    assert "SortMergeJoin" not in plan
+
+
+def test_er_probe_is_parallel_not_block_shuffled(spark):
+    """ER verify must broadcast the build side: a block-keyed shuffle
+    join would serialize the O(block²) verify on ≤#blocks tasks."""
+    df = QUERIES["entity_match_part_names"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plans.count_nodes(df, "BroadcastHashJoin") >= 1
+    assert "Exchange hashpartitioning(block" not in plan.split("Levenshtein")[0]
+
+
+def test_pagerank_iterations_join_node_grain(spark):
+    """Each PageRank round joins the node-grain rank table to the
+    pinned edge table — no event/fact-grain exchange inside the loop
+    (the edge table is checkpointed once)."""
+    df = QUERIES["pagerank_trade_nations"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan  # pinned edges
