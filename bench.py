@@ -142,6 +142,7 @@ EXTRA = [
     "weighted_sample_docs",         # Efraimidis-Spirakis weighted reservoir
     "time_to_convert_stats",        # funnel conversion-latency order stats
     "shuffle_skew_probe",           # log2 key-size histogram skew diagnostic
+    "split_balance_chisq",          # Pearson chi-sq split-balance QA gate
 ]
 
 

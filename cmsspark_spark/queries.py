@@ -6942,3 +6942,74 @@ def shuffle_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rows") / F.col("total"), 4).alias("row_share"),
         )
     )
+
+
+@query(
+    "split_balance_chisq",
+    """
+    WITH b AS (
+      SELECT source,
+             CASE WHEN (('0x' || substring(md5(text), 1, 15))::BIGINT
+                        % 2147483648 % 100) < 80 THEN 'train'
+                  WHEN (('0x' || substring(md5(text), 1, 15))::BIGINT
+                        % 2147483648 % 100) < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    obs AS (SELECT source, split, count(*) AS o FROM b GROUP BY 1, 2),
+    src_tot AS (SELECT source, sum(o) AS st FROM obs GROUP BY source),
+    spl_tot AS (SELECT split, sum(o) AS pt FROM obs GROUP BY split),
+    grand AS (SELECT sum(o) AS g FROM obs),
+    cells AS (
+      SELECT obs.source, obs.split, obs.o,
+             st.st * pt.pt * 1.0 / grand.g AS e
+      FROM obs JOIN src_tot st USING (source)
+      JOIN spl_tot pt USING (split), grand
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(o) AS BIGINT) AS n_docs,
+           round(sum((o - e) * (o - e) / e), 4) AS chisq_contrib
+    FROM cells GROUP BY split
+    """,
+)
+def split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance validation: Pearson χ² contributions of the
+    content-hash train/val/test assignment against source-independent
+    expected counts — the QA gate that catches a splitter whose key
+    correlates with a stratum (a leak-shaped bug no row count reveals;
+    contributions far above the (sources−1)(splits−1) d.o.f. scale
+    flag it). All counts integer; expectations are exact products over
+    one grand total; per-split sums round(4). Everything after the
+    per-(source, split) count is dimension-table-sized."""
+    from cmsspark_spark.functions.text import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        hash_split("text", {"train": 80, "val": 90, "test": 100}).alias(
+            "split"
+        ),
+    )
+    obs = b.groupBy("source", "split").agg(F.count(F.lit(1)).alias("o"))
+    src_tot = obs.groupBy(F.col("source").alias("_s")).agg(
+        F.sum("o").alias("st")
+    )
+    spl_tot = obs.groupBy(F.col("split").alias("_p")).agg(
+        F.sum("o").alias("pt")
+    )
+    grand = obs.agg(F.sum("o").alias("g"))
+    cells = (
+        obs.join(F.broadcast(src_tot), F.col("source") == F.col("_s"))
+        .join(F.broadcast(spl_tot), F.col("split") == F.col("_p"))
+        .join(F.broadcast(grand))
+        .withColumn("e", F.col("st") * F.col("pt") / F.col("g"))
+    )
+    return cells.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("o").cast("long").alias("n_docs"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chisq_contrib"),
+    )
