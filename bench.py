@@ -143,6 +143,7 @@ EXTRA = [
     "time_to_convert_stats",        # funnel conversion-latency order stats
     "shuffle_skew_probe",           # log2 key-size histogram skew diagnostic
     "split_balance_chisq",          # Pearson chi-sq split-balance QA gate
+    "dedup_lsh_quality_report",     # LSH precision/recall vs exact truth
 ]
 
 

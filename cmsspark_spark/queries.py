@@ -7013,3 +7013,71 @@ def split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chisq_contrib"),
     )
+
+
+def _dedup_quality_oracle() -> str:
+    """Compose the LSH-candidates and exact-Jaccard oracles into a
+    confusion-matrix query — built FROM the registered oracle strings
+    so the three can never drift apart."""
+    return f"""
+    WITH cand AS ({ORACLES["dedup_minhash_lsh"]}),
+    truth AS (SELECT id_a, id_b FROM ({ORACLES["dedup_ngram_jaccard"]})),
+    j AS (
+      SELECT c.id_a IS NOT NULL AS is_cand, t.id_a IS NOT NULL AS is_true
+      FROM cand c FULL JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) AS BIGINT)
+        AS tp,
+      CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+        AS BIGINT) AS fp,
+      CAST(sum(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+        AS BIGINT) AS fn,
+      round(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN is_cand THEN 1 ELSE 0 END), 1), 4)
+        AS lsh_precision,
+      round(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1), 4)
+        AS lsh_recall
+    FROM j
+    """
+
+
+@query("dedup_lsh_quality_report", None)
+def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximation audited INSIDE the engine: MinHash-LSH
+    candidate pairs scored against the exact Jaccard≥0.5 truth set —
+    TP/FP/FN, precision, recall as one row. This is the report a
+    pipeline owner uses to TUNE (bands, rows-per-band, threshold)
+    before trusting the approximate path at scale; both sides reuse
+    the production operators, and the oracle is COMPOSED from the two
+    registered oracle strings so the three queries can never drift.
+    The pytest recall gates check a floor; this reports the actual
+    numbers."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    ).withColumn("is_cand", F.lit(True))
+    truth = (
+        D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("is_true", F.lit(True))
+    )
+    j = cand.join(truth, on=["id_a", "id_b"], how="full").select(
+        F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+    )
+    tp = F.sum((F.col("is_cand") & F.col("is_true")).cast("long"))
+    n_cand = F.sum(F.col("is_cand").cast("long"))
+    n_true = F.sum(F.col("is_true").cast("long"))
+    return j.agg(
+        tp.alias("tp"),
+        F.sum((F.col("is_cand") & ~F.col("is_true")).cast("long")).alias("fp"),
+        F.sum((F.col("is_true") & ~F.col("is_cand")).cast("long")).alias("fn"),
+        F.round(tp / F.greatest(n_cand, F.lit(1)), 4).alias("lsh_precision"),
+        F.round(tp / F.greatest(n_true, F.lit(1)), 4).alias("lsh_recall"),
+    )
+
+
+ORACLES["dedup_lsh_quality_report"] = _dedup_quality_oracle()
