@@ -144,6 +144,7 @@ EXTRA = [
     "shuffle_skew_probe",           # log2 key-size histogram skew diagnostic
     "split_balance_chisq",          # Pearson chi-sq split-balance QA gate
     "dedup_lsh_quality_report",     # LSH precision/recall vs exact truth
+    "embed_lsh_quality_report",     # sign-LSH recall vs brute-force truth
 ]
 
 

@@ -7081,3 +7081,104 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dedup_lsh_quality_report"] = _dedup_quality_oracle()
+
+
+def _embed_lsh_quality_oracle() -> str:
+    """Sign-LSH candidates vs exact cosine truth on the %4 subset —
+    the embedding sibling of _dedup_quality_oracle, generated with the
+    SAME seeded hyperplanes as the production operator."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    all_planes = [rng.standard_normal((4, 64)) for _ in range(8)]
+    bucket_cols = ",\n             ".join(
+        f"{_bucket_sql(all_planes[t], 'e')} AS b{t}" for t in range(8)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM hashed"
+        for t in range(8)
+    )
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                    FROM embeddings WHERE vec_id % 4 = 0),
+    hashed AS (
+      SELECT vec_id, {bucket_cols}
+      FROM corpus
+    ),
+    lb AS ({unpivot}),
+    units AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM corpus
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM lb a JOIN lb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+    ),
+    cand_hit AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN units ua ON c.id_a = ua.vec_id
+      JOIN units ub ON c.id_b = ub.vec_id
+      WHERE list_dot_product(ua.u, ub.u) >= 0.3
+    ),
+    truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM units a JOIN units b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.u, b.u) >= 0.3
+    ),
+    j AS (
+      SELECT c.id_a IS NOT NULL AS is_cand, t.id_a IS NOT NULL AS is_true
+      FROM cand_hit c FULL JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) AS BIGINT)
+        AS tp,
+      CAST(sum(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+        AS BIGINT) AS missed,
+      round(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1), 4)
+        AS lsh_recall
+    FROM j
+    """
+
+
+@query("embed_lsh_quality_report", None)
+def embed_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket recall audited against brute-force cosine truth
+    (threshold 0.3) on the bounded %4 subset — the embedding sibling
+    of dedup_lsh_quality_report (post-verification precision is 1.0 by
+    construction: every candidate is exact-rescored, so only recall
+    can be lost — exactly what this reports). Both sides are the
+    production operators; the oracle regenerates the same seeded
+    hyperplanes, pinned impl='sql' for the hard bucket guarantee."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    cand = (
+        S.cosine_near_pairs_lsh(
+            emb, dim=64, threshold=0.3, num_planes=4, tables=8, impl="sql"
+        )
+        .select("id_a", "id_b")
+        .withColumn("is_cand", F.lit(True))
+    )
+    truth = (
+        S.cosine_near_pairs(emb, threshold=0.3)
+        .select("id_a", "id_b")
+        .withColumn("is_true", F.lit(True))
+    )
+    j = cand.join(truth, on=["id_a", "id_b"], how="full").select(
+        F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+    )
+    tp = F.sum((F.col("is_cand") & F.col("is_true")).cast("long"))
+    n_true = F.sum(F.col("is_true").cast("long"))
+    return j.agg(
+        tp.alias("tp"),
+        F.sum((F.col("is_true") & ~F.col("is_cand")).cast("long")).alias(
+            "missed"
+        ),
+        F.round(tp / F.greatest(n_true, F.lit(1)), 4).alias("lsh_recall"),
+    )
+
+
+ORACLES["embed_lsh_quality_report"] = _embed_lsh_quality_oracle()
