@@ -5665,7 +5665,10 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_span_strip",
     f"""
     WITH tk AS (
-      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+      SELECT doc_id, text, {_TOKS_SQL} AS tk,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+               AS rtk
+      FROM documents
     ),
     occ AS (
       SELECT doc_id, g.i - 1 AS pos,
@@ -5703,15 +5706,18 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM isl GROUP BY doc_id
     ),
     built AS (
-      SELECT t.doc_id,
-             [t.tk[i] for i in generate_series(1, len(t.tk))
+      SELECT t.doc_id, t.text,
+             [t.rtk[i] for i in generate_series(1, len(t.rtk))
               if len(list_filter(coalesce(l.isl,
                        []::STRUCT(s BIGINT, e BIGINT)[]),
                      m -> i - 1 >= m.s AND i - 1 < m.e)) = 0] AS kept,
              coalesce(l.rem_cnt, 0) AS removed
       FROM tk t LEFT JOIN isll l USING (doc_id)
     )
-    SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+    SELECT doc_id,
+           CASE WHEN removed > 0
+                THEN coalesce(array_to_string(kept, ' '), '')
+                ELSE text END AS text,
            CAST(len(kept) AS BIGINT) AS n_tokens_kept,
            CAST(removed AS BIGINT) AS n_tokens_removed
     FROM built
@@ -5724,7 +5730,9 @@ def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width sortable string — tie-free); every other occurrence's
     token interval is stripped, overlapping intervals merge row-locally
     (aggregate fold ≡ the oracle's gaps-and-islands windows), and the
-    text is rebuilt byte-exactly. The hash gate certifies election,
+    text is rebuilt from the surviving ORIGINAL-CASE tokens — matching
+    is case-insensitive, stripping never case-folds, and untouched
+    docs stay byte-exact (ADVICE r5). The hash gate certifies election,
     island merging AND reassembly against DuckDB. Shuffles carry
     (hash, doc, pos) triples; text never leaves its partition."""
     d = _t(spark, sf_dir, "documents")
@@ -6447,21 +6455,39 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_users.join(walked, on="user_id", how="left")
         .select("user_id", F.coalesce("stage", F.lit(0)).alias("stage"))
     )
-    total = staged.count()
-    labels = spark.createDataFrame(
-        [(1, "view"), (2, "view>click"), (3, "view>click>purchase")],
-        ["s", "label"],
+    # ONE global conditional aggregate over staged — the cumulative
+    # stage counts AND the denominator come out of the same partial-agg
+    # pass (map-side combine → 1 row), then a row-local explode shapes
+    # the 3 labelled rows. No eager count() at build time (the old form
+    # executed the whole event shuffle TWICE — once for a driver-side
+    # total, once in-plan), no crossJoin fan-out, and a stage with zero
+    # qualifying users still emits its n_users=0 row exactly like the
+    # oracle's FILTER counts. Empty events → 0 rows (total guard),
+    # matching the oracle's empty `staged` CTE.
+    labels = [(1, "view"), (2, "view>click"), (3, "view>click>purchase")]
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[
+            F.sum((F.col("stage") >= s).cast("long")).alias(f"_n{s}")
+            for s, _ in labels
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("stage"),
+                F.col(f"_n{s}").alias("n_users"),
+                F.round(F.col(f"_n{s}") / F.col("_total"), 4).alias(
+                    "user_share"
+                ),
+            )
+            for s, lbl in labels
+        ]
     )
     return (
-        staged.crossJoin(F.broadcast(labels))
-        .filter(F.col("stage") >= F.col("s"))
-        .groupBy(F.col("s"), F.col("label"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .select(
-            F.col("label").alias("stage"),
-            "n_users",
-            F.round(F.col("n_users") / total, 4).alias("user_share"),
-        )
+        agg.filter(F.col("_total") > 0)
+        .select(F.explode(rows).alias("_r"))
+        .select("_r.*")
     )
 
 
@@ -7018,10 +7044,22 @@ def split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_quality_oracle() -> str:
     """Compose the LSH-candidates and exact-Jaccard oracles into a
     confusion-matrix query — built FROM the registered oracle strings
-    so the three can never drift apart."""
+    so the three can never drift apart. The sampled population is
+    injected by retargeting each sub-oracle's single ``FROM
+    documents`` at a sampled CTE (asserted single — a second reference
+    appearing in a future edit fails loudly here rather than silently
+    auditing mixed populations)."""
+    sampled = {}
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        src = ORACLES[name]
+        assert src.count("FROM documents") == 1, name
+        sampled[name] = src.replace("FROM documents", "FROM documents_s")
     return f"""
-    WITH cand AS ({ORACLES["dedup_minhash_lsh"]}),
-    truth AS (SELECT id_a, id_b FROM ({ORACLES["dedup_ngram_jaccard"]})),
+    WITH documents_s AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 0
+    ),
+    cand AS ({sampled["dedup_minhash_lsh"]}),
+    truth AS (SELECT id_a, id_b FROM ({sampled["dedup_ngram_jaccard"]})),
     j AS (
       SELECT c.id_a IS NOT NULL AS is_cand, t.id_a IS NOT NULL AS is_true
       FROM cand c FULL JOIN truth t
@@ -7039,13 +7077,17 @@ def _dedup_quality_oracle() -> str:
         AS lsh_precision,
       round(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) * 1.0
             / greatest(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1), 4)
-        AS lsh_recall
+        AS lsh_recall,
+      CAST(2 AS BIGINT) AS sample_mod,
+      (SELECT count(*) FROM documents_s) AS n_docs_sampled
     FROM j
     """
 
 
 @query("dedup_lsh_quality_report", None)
-def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_quality_report(
+    spark: SparkSession, sf_dir: str, truth_sample_mod: int = 2
+) -> DataFrame:
     """The approximation audited INSIDE the engine: MinHash-LSH
     candidate pairs scored against the exact Jaccard≥0.5 truth set —
     TP/FP/FN, precision, recall as one row. This is the report a
@@ -7054,8 +7096,21 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production operators, and the oracle is COMPOSED from the two
     registered oracle strings so the three queries can never drift.
     The pytest recall gates check a floor; this reports the actual
-    numbers."""
-    d = _t(spark, sf_dir, "documents")
+    numbers.
+
+    SAMPLING SEMANTICS (the 100 TB guard): the exact-Jaccard truth
+    side is all-pairs — O(n²) on the full corpus. Both sides are
+    therefore computed on the deterministic subpopulation
+    ``doc_id % truth_sample_mod == 0`` (ids are content-independent,
+    so pair-level precision/recall on the sample are unbiased
+    estimates of the corpus rates; the estimator's population size is
+    reported as ``n_docs_sampled`` / ``sample_mod`` in the output).
+    ``truth_sample_mod=1`` runs the exhaustive audit; at scale pick a
+    mod that bounds the sample to ~10⁴-10⁵ docs. Mirrors how
+    ``embed_lsh_quality_report`` caps its brute-force truth to the
+    ``vec_id % 4`` subset."""
+    mod = int(truth_sample_mod)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % mod == 0)
     cand = D.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
     ).withColumn("is_cand", F.lit(True))
@@ -7071,12 +7126,25 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = F.sum((F.col("is_cand") & F.col("is_true")).cast("long"))
     n_cand = F.sum(F.col("is_cand").cast("long"))
     n_true = F.sum(F.col("is_true").cast("long"))
-    return j.agg(
-        tp.alias("tp"),
-        F.sum((F.col("is_cand") & ~F.col("is_true")).cast("long")).alias("fp"),
-        F.sum((F.col("is_true") & ~F.col("is_cand")).cast("long")).alias("fn"),
-        F.round(tp / F.greatest(n_cand, F.lit(1)), 4).alias("lsh_precision"),
-        F.round(tp / F.greatest(n_true, F.lit(1)), 4).alias("lsh_recall"),
+    n_sampled = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_sampled")
+    )
+    return (
+        j.agg(
+            tp.alias("tp"),
+            F.sum((F.col("is_cand") & ~F.col("is_true")).cast("long")).alias(
+                "fp"
+            ),
+            F.sum((F.col("is_true") & ~F.col("is_cand")).cast("long")).alias(
+                "fn"
+            ),
+            F.round(tp / F.greatest(n_cand, F.lit(1)), 4).alias(
+                "lsh_precision"
+            ),
+            F.round(tp / F.greatest(n_true, F.lit(1)), 4).alias("lsh_recall"),
+        )
+        .withColumn("sample_mod", F.lit(mod).cast("long"))
+        .crossJoin(F.broadcast(n_sampled))
     )
 
 
