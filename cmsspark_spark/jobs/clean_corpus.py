@@ -66,6 +66,9 @@ def run(
     #     (--span-window 0 disables; 12 is the usual ExactSubstr-scale
     #     window at word grain). Exact dedup above already removed
     #     whole-doc copies, so this catches partial stitching only.
+    #     Untouched docs keep their text byte-exact; docs that lost a
+    #     span are rebuilt from original-case tokens with single-space
+    #     joins (matching is case-insensitive, text is never folded).
     if span_window:
         from cmsspark_spark.operators.dedup import strip_repeated_spans
 

@@ -605,7 +605,11 @@ def strip_repeated_spans(
     occurrence marks its [pos, pos+window) token interval for removal;
     per doc the intervals merge (overlapping dup windows from a long
     repeated run collapse to one island) and the text is rebuilt from
-    the surviving tokens.
+    the surviving ORIGINAL-CASE tokens (matching is case-insensitive —
+    windows hash over lowercased tokens — but stripping never
+    case-folds the corpus). Documents with nothing stripped keep their
+    text byte-exact; stripped documents get single-space joins between
+    surviving tokens.
 
     Distribution: one (hash → survivor election) aggregate and one
     hash-keyed semi-join carry (hash, doc, pos) triples — text never
@@ -684,8 +688,21 @@ def strip_repeated_spans(
         text_col,
         F.coalesce(merged, empty).alias("_isl"),
     )
+    # Rebuild from ORIGINAL-CASE tokens: hashing tokenizes through
+    # ``tokens()`` (lowercased, for case-insensitive span matching),
+    # but ``lower()`` preserves whitespace, so the case-preserving
+    # split below yields positionally identical tokens — the islands
+    # index both the same way. Untouched documents (no span stripped)
+    # keep their text BYTE-EXACT; documents that lost a span are
+    # rebuilt with single-space joins between the surviving
+    # original-case tokens (inter-token whitespace is normalized for
+    # those rows only — the one deviation from a byte-exact rebuild,
+    # inherent to token-level stripping).
+    raw_tokens = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
     idx_tokens = F.transform(
-        tokens(F.col(text_col)), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        raw_tokens, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
     )
     kept = F.filter(
         idx_tokens,
@@ -700,7 +717,12 @@ def strip_repeated_spans(
     # (e ≤ len), so removed = Σ(e-s) never double-counts.
     return joined.select(
         id_col,
-        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias(text_col),
+        F.when(
+            removed_cnt > 0,
+            F.concat_ws(" ", F.transform(kept, lambda s: s["t"])),
+        )
+        .otherwise(F.col(text_col))
+        .alias(text_col),
         F.size(kept).cast("long").alias("n_tokens_kept"),
         removed_cnt.cast("long").alias("n_tokens_removed"),
     )

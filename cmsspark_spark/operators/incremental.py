@@ -390,37 +390,11 @@ def compact_partitions(
     return report
 
 
-def ingest_increment_span_dedup(
-    spark: SparkSession,
-    increment: DataFrame,
-    census_path: str,
-    window: int = 12,
-    max_dup_ratio: float = 0.5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Cross-run span-level ingestion gate: admit only increment docs
-    whose duplicated-span ratio AGAINST THE ACCUMULATED CORPUS stays
-    under ``max_dup_ratio``, then fold the admitted docs' spans into
-    the persisted census. Completes the incremental family
-    (fingerprint → embedding → span): ``ingest_increment_dedup``
-    rejects exact re-sends, this rejects documents that are mostly
-    stitched from text the corpus already has (the cross-run analogue
-    of operators/dedup.repeated_span_stats).
-
-    The census store is (span_hash) parquet — 8 bytes per distinct
-    span ever admitted, column-pruned on read. The increment's spans
-    join against it sized by the DAILY increment (the census side is
-    the big relation; a bucketed store upgrades the probe to
-    co-located). Within-increment duplication does NOT count toward
-    the ratio here — run the batch ``repeated_span_stats`` first if
-    the increment itself needs internal dedup. Re-running the same
-    increment is idempotent-by-rejection: its spans now exist, so its
-    docs score dup_ratio 1.0 and are refused. Returns the admitted
-    docs with (n_windows, n_dup_windows, dup_ratio).
-    """
-    from pyspark.errors import AnalysisException
-
+def _increment_spans(
+    increment: DataFrame, window: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, spans) for the span gate: base = (id, n_windows),
+    spans = (id, span_hash) — one explode, hash AFTER the explode."""
     from cmsspark_spark.functions.text import tokens
 
     w = int(window)
@@ -437,6 +411,40 @@ def ingest_increment_span_dedup(
     spans = base.select(id_col, "_tk", win_idx.alias("_i")).select(
         id_col, F.xxhash64(F.slice("_tk", F.col("_i"), w)).alias("_h")
     )
+    return base.drop("_tk"), spans
+
+
+def score_increment_span_dedup(
+    spark: SparkSession,
+    increment: DataFrame,
+    census_path: str,
+    window: int = 12,
+    max_dup_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SCORE step of the cross-run span-level ingestion gate: admit
+    only increment docs whose duplicated-span ratio AGAINST THE
+    ACCUMULATED CORPUS stays under ``max_dup_ratio``. Reads the census,
+    never writes it — the caller persists the admitted docs first and
+    then calls ``commit_census_spans`` (the two-step seam exists so a
+    failed downstream write can be retried: an uncommitted census
+    can't refuse its own partial run). Returns the admitted docs with
+    (n_windows, n_dup_windows, dup_ratio), pinned via localCheckpoint
+    so the verdict can't shift between the caller's write and the
+    census commit.
+
+    The census store is (span_hash) parquet — 8 bytes per distinct
+    span ever admitted, column-pruned on read. The increment's spans
+    join against it sized by the DAILY increment (the census side is
+    the big relation; a bucketed store upgrades the probe to
+    co-located). Within-increment duplication does NOT count toward
+    the ratio here — run the batch ``repeated_span_stats`` first if
+    the increment itself needs internal dedup.
+    """
+    from pyspark.errors import AnalysisException
+
+    base, spans = _increment_spans(increment, window, id_col, text_col)
     try:
         seen = spark.read.parquet(census_path).select("_h").distinct()
         dup_counts = (
@@ -449,8 +457,7 @@ def ingest_increment_span_dedup(
             F.count(F.lit(1)).alias("n_dup_windows")
         )
     scored = (
-        base.drop("_tk")
-        .join(dup_counts, on=id_col, how="left")
+        base.join(dup_counts, on=id_col, how="left")
         .withColumn(
             "n_dup_windows",
             F.coalesce("n_dup_windows", F.lit(0)).cast("long"),
@@ -464,13 +471,76 @@ def ingest_increment_span_dedup(
         )
     )
     admitted = scored.filter(F.col("dup_ratio") <= max_dup_ratio)
-    admitted = admitted.localCheckpoint(eager=True)  # pin the verdict
+    return admitted.localCheckpoint(eager=True)  # pin the verdict
+
+
+def commit_census_spans(
+    spark: SparkSession,
+    increment: DataFrame,
+    admitted: DataFrame,
+    census_path: str,
+    window: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """COMMIT step of the span gate: fold the admitted docs' spans
+    into the persisted census. Call this AFTER the caller's own write
+    of the admitted docs has succeeded — committing first would turn a
+    transient downstream failure into permanent data loss (a retry
+    would score those docs dup_ratio 1.0 against their own spans and
+    silently refuse them forever). Appending is idempotent at read
+    time (the census is read ``.distinct()``), so a crash between the
+    caller's write and this commit is safe to retry end-to-end.
+    """
+    _, spans = _increment_spans(increment, window, id_col, text_col)
     new_spans = (
-        spans.join(
-            admitted.select(id_col), on=id_col, how="left_semi"
-        )
+        spans.join(admitted.select(id_col), on=id_col, how="left_semi")
         .select("_h")
         .distinct()
     )
     new_spans.write.mode("append").parquet(census_path)
+
+
+def ingest_increment_span_dedup(
+    spark: SparkSession,
+    increment: DataFrame,
+    census_path: str,
+    window: int = 12,
+    max_dup_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-shot convenience: ``score_increment_span_dedup`` then
+    ``commit_census_spans``. Completes the incremental family
+    (fingerprint → embedding → span): ``ingest_increment_dedup``
+    rejects exact re-sends, this rejects documents that are mostly
+    stitched from text the corpus already has (the cross-run analogue
+    of operators/dedup.repeated_span_stats). Re-running the same
+    increment is idempotent-by-rejection: its spans now exist, so its
+    docs score dup_ratio 1.0 and are refused.
+
+    CAUTION (ADVICE r5): this commits the census BEFORE the caller
+    persists the admitted docs. If your pipeline writes the admitted
+    docs downstream, use the two-step form — score, write your output,
+    then commit — so a failed write can be retried. Returns the
+    admitted docs with (n_windows, n_dup_windows, dup_ratio).
+    """
+    admitted = score_increment_span_dedup(
+        spark,
+        increment,
+        census_path,
+        window=window,
+        max_dup_ratio=max_dup_ratio,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    commit_census_spans(
+        spark,
+        increment,
+        admitted,
+        census_path,
+        window=window,
+        id_col=id_col,
+        text_col=text_col,
+    )
     return admitted

@@ -806,11 +806,16 @@ def semantic_decontaminate(
     buckets); the exact broadcast form here IS the production shape
     whenever the bench set fits an executor (thousands of rows).
     """
-    b = bench.select(
-        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
-    )
+    # NO id predicate: corpus and benchmark id spaces are unrelated, so
+    # an `id != bench_id` guard would silently skip exactly the
+    # comparison that matters on a coincidental id collision (and with
+    # an inner join could drop the corpus row entirely). Every bench
+    # row is compared to every corpus row; a left broadcast join keeps
+    # all corpus rows even when ``bench`` is empty (then
+    # max_bench_cosine is null and contaminated is false).
+    b = bench.select(F.col(vec_col).alias("_bvec"))
     scored = (
-        corpus.join(F.broadcast(b), F.col(id_col) != F.col("_bid"))
+        corpus.join(F.broadcast(b), F.lit(True), "left")
         .withColumn("_cos", cosine_similarity(vec_col, "_bvec"))
         .groupBy(id_col)
         .agg(F.max("_cos").alias("max_bench_cosine"))
@@ -818,5 +823,7 @@ def semantic_decontaminate(
     return scored.select(
         id_col,
         F.round("max_bench_cosine", 6).alias("max_bench_cosine"),
-        (F.col("max_bench_cosine") >= threshold).alias("contaminated"),
+        F.coalesce(
+            F.col("max_bench_cosine") >= threshold, F.lit(False)
+        ).alias("contaminated"),
     )

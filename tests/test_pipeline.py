@@ -360,3 +360,31 @@ def test_strip_repeated_spans_global_survivor(spark):
         window=4,
     ).collect()
     assert all(r["n_tokens_removed"] == 0 for r in again)
+
+
+def test_strip_repeated_spans_preserves_case(spark):
+    """ADVICE r5 regression: span MATCHING is case-insensitive, but
+    stripping must never case-fold the corpus — stripped docs rebuild
+    from original-case tokens, untouched docs keep their text
+    byte-exact (including irregular whitespace)."""
+    from cmsspark_spark.operators.dedup import strip_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "AA bb One Two Three Four cc"),   # survivor occurrence
+            (2, "xx one two three four YY zz"),   # case-variant: stripped
+            (3, "Untouched   DOC  with   Weird spacing"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in strip_repeated_spans(docs, window=4).collect()
+    }
+    # survivor (min (doc,pos)) untouched → byte-exact original case
+    assert out[1]["text"] == "AA bb One Two Three Four cc"
+    assert out[1]["n_tokens_removed"] == 0
+    # lowercased copy matched and was stripped; surviving tokens keep case
+    assert out[2]["text"] == "xx YY zz"
+    assert out[2]["n_tokens_removed"] == 4
+    # no duplicated spans → byte-exact, irregular whitespace preserved
+    assert out[3]["text"] == "Untouched   DOC  with   Weird spacing"

@@ -321,3 +321,34 @@ def test_ivfpq_recall_and_determinism(spark):
         ).collect()
     }
     assert again == got_set
+
+
+def test_semantic_decontaminate_id_collision_and_empty_bench(spark):
+    """ADVICE r5 regression: corpus and bench id spaces are unrelated —
+    a corpus row whose id coincidentally equals a bench id must STILL
+    be compared (the old `id != bench_id` join predicate skipped
+    exactly that comparison), and an empty bench must keep every
+    corpus row with contaminated=false."""
+    schema = "vec_id: long, embedding: array<double>"
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema
+    )
+    # bench id 1 collides with corpus id 1 AND is the identical vector
+    bench = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_decontaminate(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["contaminated"] and out[1]["max_bench_cosine"] == 1.0
+    assert not out[2]["contaminated"]
+    out2 = {
+        r["vec_id"]: r
+        for r in S.semantic_decontaminate(corpus, bench.limit(0)).collect()
+    }
+    assert set(out2) == {1, 2}
+    for r in out2.values():
+        assert r["contaminated"] is False
+        assert r["max_bench_cosine"] is None

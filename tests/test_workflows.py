@@ -307,3 +307,101 @@ def test_ingest_increment_span_dedup_across_runs(spark, tmp_path):
         census, window=4, max_dup_ratio=0.5,
     )
     assert r3.count() == 0
+
+
+def test_span_gate_score_commit_seam_survives_failed_write(spark, tmp_path):
+    """ADVICE r5 regression: the two-step score/commit seam — a run
+    whose downstream write fails BEFORE commit_census_spans can be
+    retried and still admits its docs (the one-shot form would have
+    already committed their spans and refuse the retry forever)."""
+    from cmsspark_spark.operators.incremental import (
+        commit_census_spans,
+        score_increment_span_dedup,
+    )
+
+    census = str(tmp_path / "census")
+    inc = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    # attempt 1: score admits, downstream write "fails" -> NO commit
+    a1 = score_increment_span_dedup(
+        spark, inc, census, window=4, max_dup_ratio=0.5
+    )
+    assert {r["doc_id"] for r in a1.collect()} == {1}
+
+    # retry: census untouched, so the same increment is admitted again
+    a2 = score_increment_span_dedup(
+        spark, inc, census, window=4, max_dup_ratio=0.5
+    )
+    assert {r["doc_id"] for r in a2.collect()} == {1}
+
+    # this time the downstream write "succeeds" -> commit
+    commit_census_spans(spark, inc, a2, census, window=4)
+
+    # now a verbatim re-send is refused (idempotent-by-rejection)
+    a3 = score_increment_span_dedup(
+        spark, inc, census, window=4, max_dup_ratio=0.5
+    )
+    assert a3.count() == 0
+
+
+def test_rucio_summary_job_end_to_end(spark, tmp_path):
+    """SURVEY §3.1 job surface: the rucio_ds_summary CLI job —
+    parquet-dump sources → replica → curated parquet + CSV + HTML +
+    OpenSearch bulk push + AMQ doc push through injected transports."""
+    from cmsspark_spark.jobs import rucio_summary
+    from cmsspark_spark.sinks.osearch import OpenSearchSink, index_schema_body
+    from tests.cms_fixtures import all_fixtures
+
+    fx = all_fixtures(spark)
+    src = str(tmp_path / "dumps")
+    for name in rucio_summary.SOURCE_TABLES + ["dbs_acquisition_eras"]:
+        fx[name].write.parquet(f"{src}/{name}.parquet")
+
+    created, bulks, amq_docs = [], [], []
+
+    def create_index(name, body):
+        created.append((name, body))
+
+    def bulk_post(name, ndjson):
+        import json as _json
+
+        lines = [ln for ln in ndjson.split("\n") if ln]
+        bulks.append((name, [_json.loads(ln) for ln in lines[1::2]]))
+        return 0
+
+    sink = OpenSearchSink(
+        index_template="cms-rucio-summary",
+        schema_body=index_schema_body({"Dataset": {"type": "keyword"}}),
+        create_index=create_index,
+        bulk_post=bulk_post,
+        index_mod="M",
+        batch_size=500,
+    )
+    out = str(tmp_path / "out")
+    sources = rucio_summary.load_sources(spark, src)
+    df = rucio_summary.run(
+        spark, sources, out, date="2024-01-15",
+        osearch_sink=sink, amq_transport=amq_docs.extend,
+    )
+    n = df.count()
+    assert n > 0
+    # curated parquet partitioned by day
+    back = spark.read.parquet(f"{out}/parquet")
+    assert back.count() == n
+    assert {str(r.day) for r in back.select("day").distinct().collect()} == {
+        "2024-01-15"
+    }
+    # report artifacts
+    html = open(f"{out}/report/rucio_summary_2024-01-15.html").read()
+    assert "Rucio dataset summary" in html
+    # OpenSearch: one monthly index created, every doc pushed
+    assert [c[0] for c in created] == ["cms-rucio-summary-2024-01"]
+    assert sum(len(docs) for _, docs in bulks) == n
+    # batching honored
+    assert all(len(docs) <= 500 for _, docs in bulks)
+    # AMQ transport saw every doc with the summary fields
+    assert len(amq_docs) == n
+    assert {"Dataset", "RseType", "Max"} <= set(amq_docs[0])
+    # era fillna survived the job path
+    assert any(d.get("AcquisitionEraName") == "UNKNOWN" for d in amq_docs)
