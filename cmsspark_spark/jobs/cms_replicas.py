@@ -33,6 +33,10 @@ and composes the engine's operators. Reference pipelines replicated:
 25. ``fts_issuer_totals``      — fts_aso.py:41-77
 26. ``eos_dataset_totals``     — dbs_hdfs_eos.py:70-121
 27. ``rucio_ds_summary``       — rucio_ds_summary.py:210-335
+28. ``dbs_condor_agg``         — degraded/dbs_condor.py:76-190
+29. ``rucio_last_access_report`` — degraded/rucio_datasets_last_access_ts.py:184-336
+30. ``aggregate_dbs_stats``    — reports/aggregate_dbs.py:56-77
+31. ``campaign_tier_sizes``    — reports/aggregate_campaign_tier.py:84-140
 """
 
 from __future__ import annotations
@@ -802,7 +806,8 @@ def rucio_ds_summary(
 
     - file size ELECTION, not a plain sum: REPLICAS bytes win, DIDS
       bytes fill the gaps (the reference's ordered when-chain, :214-221);
-      access/create times are the greatest of both sides (:222-228);
+      access AND create times are each the greatest of both sides
+      (:211-220 — ``greatest(dids_created_at, rep_created_at)``);
     - unresolvable files keep ``UNKNOWN_DATASET_TAG`` as their dataset
       instead of being dropped (:258-268);
     - two-level fold: (rse_id, dataset) size/count cells carry RseType
@@ -814,6 +819,11 @@ def rucio_ds_summary(
       names), and every string dim left null by a failed lookup is
       replaced with 'UNKNOWN' (:58-66 STR_TYPE_COLUMNS fillna — ES
       term queries skip null fields, so the doc must not carry them).
+      DELIBERATE DEVIATION: the info join keys on the dataset NAME,
+      not the reference's dataset_id — the Rucio side only knows names
+      (contents parents), and DBS maps id↔name 1:1, so the name is the
+      natural shared key here; the reference resolves names to ids
+      first because its fold carries dataset_id end-to-end.
 
     Plan shape: replicas⋈dids is a file-grain hash join that feeds the
     ONE fact shuffle (the (rse_id, dataset) rollup); rses broadcast;
@@ -832,6 +842,7 @@ def rucio_ds_summary(
         "name",
         F.col("bytes").alias("did_bytes"),
         F.col("accessed_at").alias("did_accessed_at"),
+        F.col("created_at").alias("did_created_at"),
     )
     file_grain = (
         replicas.join(did_side, on="name", how="left")
@@ -843,6 +854,9 @@ def rucio_ds_summary(
         )
         .withColumn(
             "f_accessed", F.greatest("accessed_at", "did_accessed_at")
+        )
+        .withColumn(
+            "f_created", F.greatest("created_at", "did_created_at")
         )
         .join(f2d, on="name", how="left")
         .fillna({"dataset": UNKNOWN_DATASET_TAG})
@@ -858,7 +872,7 @@ def rucio_ds_summary(
         .agg(
             F.sum("f_size").alias("size_in_rse"),
             F.max("f_accessed").alias("last_access_in_rse"),
-            F.max("created_at").alias("last_create_in_rse"),
+            F.max("f_created").alias("last_create_in_rse"),
             F.count(F.lit(1)).alias("file_cnt"),
             conditional_count(F.col("f_accessed").isNotNull()).alias(
                 "accessed_file_cnt"
@@ -1267,4 +1281,401 @@ def eos_dataset_totals(
         F.round(F.sum("wb") / (1024 * 1024), 4).alias("total_wb"),
         F.round(F.sum("rt") / 1000, 4).alias("total_rt"),
         F.round(F.sum("wt") / 1000, 4).alias("total_wt"),
+    )
+
+
+def dbs_condor_agg(
+    condor: DataFrame,
+    datasets: DataFrame,
+    files: DataFrame,
+    access_types: DataFrame,
+    acquisition_eras: DataFrame,
+    processing_eras: DataFrame,
+    mod_configs: DataFrame,
+    output_configs: DataFrame,
+    release_versions: DataFrame,
+    date: str = "20240101",
+) -> dict[str, DataFrame]:
+    """Four-granularity DBS×Condor aggregation family
+    (degraded/dbs_condor.py:76-190): daily Condor job metrics rolled
+    up per dataset / campaign / release / acquisition-era, each keyed
+    by (user, exit code, type, task type, record time), tagged with
+    the run date, with the events-per-core-hour ``rate``.
+
+    Reference semantics kept bug-for-bug:
+
+    - the DBS pre-join (:76-85) is file grain then ``.distinct()``
+      over (dataset, …, event_count, file_size) TUPLES — two files of
+      a dataset with identical (event_count, file_size) collapse
+      before the sums;
+    - the release bridge (:96-101) multiplies a dataset with N output
+      configs into N release rows — the release/era rollups count
+      such datasets once per release, as the reference does;
+    - ``rate`` (:126-133) is the reference's truthiness UDF: -1.0
+      when either side is null OR zero — here a column expression,
+      not a UDF;
+    - dataset/campaign granularities aggregate ALL condor rows; the
+      release/era granularities aggregate only rows that joined DBS
+      with KEvents > 0 (:110-115).
+
+    Spark-first collapse: the reference splits every rollup into
+    ExitCode==0 / ExitCode!=0 branches and unions them back — its own
+    comment says this is purely an engine workaround ("reduce
+    dimensionality of the input"). ExitCode is part of every grouping
+    key, so the branch-union is exactly ONE groupBy over all rows;
+    we run the single groupBy (one shuffle per granularity instead of
+    two half-shuffles plus a union).
+
+    Plan shape at scale: the condor fact is the only big relation —
+    every DBS dim (even files after the distinct) broadcasts; the
+    four rollups share the flattened envelope projection; no UDFs.
+    """
+    env = condor.select("data.*")
+
+    fjoin = (
+        datasets.join(
+            files.select("dataset_id", "event_count", "file_size"),
+            on="dataset_id",
+        )
+        .join(F.broadcast(access_types), on="dataset_access_type_id")
+        .join(F.broadcast(acquisition_eras), on="acquisition_era_id")
+        .join(F.broadcast(processing_eras), on="processing_era_id")
+        .filter(
+            (F.col("dataset_access_type") == "VALID")
+            & (F.col("is_dataset_valid") == 1)
+        )
+        .select(
+            F.col("dataset_id").alias("d_dataset_id"),
+            F.col("dataset").alias("d_dataset"),
+            F.col("creation_date").alias("d_creation_date"),
+            "event_count",
+            "file_size",
+            "dataset_access_type",
+            "acquisition_era_name",
+            "processing_version",
+        )
+        .distinct()
+    )
+    newdf = fjoin.groupBy(
+        "d_dataset",
+        "d_dataset_id",
+        "dataset_access_type",
+        "acquisition_era_name",
+        "processing_version",
+    ).agg(
+        F.sum("event_count").alias("evts"),
+        F.sum("file_size").alias("size"),
+        F.max("d_creation_date").alias("created"),
+    )
+    agg_dbs = (
+        newdf.join(
+            F.broadcast(mod_configs),
+            F.col("d_dataset_id") == F.col("mc_dataset_id"),
+        )
+        .join(
+            F.broadcast(output_configs),
+            F.col("mc_output_mod_config_id")
+            == F.col("oc_output_mod_config_id"),
+        )
+        .join(
+            F.broadcast(release_versions),
+            F.col("oc_release_version_id") == F.col("r_release_version_id"),
+        )
+        .select(
+            "d_dataset",
+            "acquisition_era_name",
+            "r_release_version",
+        )
+    )
+    final = env.join(
+        broadcast_if_small(agg_dbs),
+        env["DESIRED_CMSDataset"] == F.col("d_dataset"),
+    ).filter(F.col("KEvents") > 0)
+
+    rate = F.when(
+        F.col("sum_evts").isNotNull()
+        & (F.col("sum_evts") != 0)
+        & F.col("sum_chr").isNotNull()
+        & (F.col("sum_chr") != 0),
+        F.col("sum_evts") / F.col("sum_chr"),
+    ).otherwise(F.lit(-1.0))
+
+    def rollup(src: DataFrame, key: str, out_name: str) -> DataFrame:
+        base = (
+            src.groupBy(
+                key, "CRAB_UserHN", "ExitCode", "Type", "TaskType",
+                "RecordTime",
+            )
+            .agg(
+                F.sum("KEvents").alias("sum_evts"),
+                F.sum("CoreHr").alias("sum_chr"),
+            )
+            .withColumn("date", F.lit(date))
+            .withColumn("rate", rate)
+            .withColumnRenamed("CRAB_UserHN", "user")
+            .withColumnRenamed("RecordTime", "rec_time")
+        )
+        return base.withColumnRenamed(key, out_name)
+
+    per_dataset = rollup(env, "DESIRED_CMSDataset", "dataset").withColumn(
+        "tier", F.split(F.col("dataset"), "/").getItem(3)
+    )
+    per_campaign = rollup(env, "Campaign", "campaign")
+    per_release = rollup(final, "r_release_version", "release")
+    per_era = rollup(final, "acquisition_era_name", "era")
+    return {
+        "dataset": per_dataset,
+        "campaign": per_campaign,
+        "release": per_release,
+        "era": per_era,
+    }
+
+
+def rucio_last_access_report(
+    replicas: DataFrame,
+    dids: DataFrame,
+    files: DataFrame,
+    datasets: DataFrame,
+    rses: DataFrame,
+    min_tb: float = 0.0,
+    not_read_since_epoch: float = 0.0,
+) -> dict[str, DataFrame]:
+    """The last-access-threshold report family
+    (degraded/rucio_datasets_last_access_ts.py:184-336): per-RSE
+    "sub" detail tables and per-dataset "main" rollups for (a)
+    datasets NEVER read and (b) datasets not read since a threshold.
+
+    File-grain base (:184-220, shared with ``rucio_ds_summary``):
+    REPLICAS bytes win, DIDS bytes fill gaps; accessed/created are the
+    greatest of both sides. Dataset names come from DBS
+    (files⋈datasets on LFN, :196-216) and files with no DBS dataset
+    are DROPPED (unlike rucio_ds_summary's UNKNOWN tag — the two
+    reference scripts disagree, both shapes are replicated
+    faithfully). Only prod RSEs participate (:100-118 excludes
+    Temp/Test name variants — here via ``rse_tags``'s kind column,
+    the same endswith cascade).
+
+    Report semantics (:223-336) kept code-for-code (the reference's
+    docstring CLAIMS a dataset with even one null-accessed file is
+    filtered from not-read-since; its code only requires max(accessed)
+    non-null — the code behavior is what's replicated):
+
+    - sub_never_read: (RSE, dataset) cells where max(accessed_at) is
+      null and size > min_tb; per-cell TB rounded to 5;
+    - main_never_read: max/min/avg/sum of the per-RSE TB sizes, last
+      create across RSEs, comma-joined RSE list;
+    - sub_not_read_since: cells with non-null last access below the
+      epoch threshold and size > min_tb, with accessed-file counts;
+    - main_not_read_since: same rollup keyed by last access.
+
+    Spark-first deviations, both documented: the RSE id→name remap is
+    a broadcast dim join, not the reference's driver-side
+    ``.replace(dict)``; the RSE(s) list is sorted before concat_ws so
+    the report is deterministic under repartitioning (the reference's
+    collect_list order is whatever the shuffle delivered).
+
+    Plan shape at scale: one file-grain hash join chain feeds ONE
+    (rse, dataset) shuffle; both "main" rollups re-aggregate the tiny
+    cell table; rses broadcast; no UDFs, no driver-side maps.
+    """
+    prod_rses = (
+        rses.withColumn("_kind", rse_tags("rse")["rse_kind"])
+        .filter(F.col("_kind") == "prod")
+        .select("rse_id", "rse")
+    )
+    f2d = files.select(
+        F.col("logical_file_name").alias("name"), "dataset_id"
+    ).join(
+        broadcast_if_small(datasets.select("dataset_id", "dataset")),
+        on="dataset_id",
+    )
+    did_side = dids.select(
+        "name",
+        F.col("bytes").alias("did_bytes"),
+        F.col("accessed_at").alias("did_accessed_at"),
+        F.col("created_at").alias("did_created_at"),
+    )
+    base = (
+        replicas.join(F.broadcast(prod_rses), on="rse_id")
+        .join(did_side, on="name", how="left")
+        .join(f2d.select("name", "dataset"), on="name", how="left")
+        .filter(F.col("dataset").isNotNull())
+        .select(
+            "rse",
+            "dataset",
+            F.when(
+                F.col("bytes").isNotNull(), F.col("bytes")
+            ).otherwise(F.col("did_bytes")).alias("f_size"),
+            F.greatest("accessed_at", "did_accessed_at").alias("f_accessed"),
+            F.greatest("created_at", "did_created_at").alias("f_created"),
+        )
+    )
+    cells = base.groupBy("rse", "dataset").agg(
+        F.round(F.sum("f_size") / 1e12, 5).alias("dataset_size_in_rse_tb"),
+        F.max("f_accessed").alias("last_access_time_of_dataset_in_rse"),
+        F.max("f_created").alias("last_create_time_of_dataset_in_rse"),
+        conditional_count(F.col("f_accessed").isNotNull()).alias(
+            "n_accessed_files_of_dataset_in_rse"
+        ),
+        F.count(F.lit(1)).alias("n_files_of_dataset_in_rse"),
+    )
+
+    sub_never = (
+        cells.filter(
+            F.col("last_access_time_of_dataset_in_rse").isNull()
+            & (F.col("dataset_size_in_rse_tb") > min_tb)
+        )
+        .select(
+            F.col("rse").alias("rse_name"),
+            "dataset",
+            "dataset_size_in_rse_tb",
+            "last_create_time_of_dataset_in_rse",
+            "n_files_of_dataset_in_rse",
+        )
+    )
+    main_never = sub_never.groupBy("dataset").agg(
+        F.max("dataset_size_in_rse_tb").alias("max_dataset_size_in_rses_tb"),
+        F.min("dataset_size_in_rse_tb").alias("min_dataset_size_in_rses_tb"),
+        F.avg("dataset_size_in_rse_tb").alias("avg_dataset_size_in_rses_tb"),
+        F.sum("dataset_size_in_rse_tb").alias("sum_dataset_size_in_rses_tb"),
+        F.max("last_create_time_of_dataset_in_rse").alias(
+            "last_create_time_of_dataset_in_all_rses"
+        ),
+        F.concat_ws(
+            ", ", F.array_sort(F.collect_list("rse_name"))
+        ).alias("rses"),
+    )
+
+    sub_since = (
+        cells.filter(
+            F.col("last_access_time_of_dataset_in_rse").isNotNull()
+            & (
+                F.col("last_access_time_of_dataset_in_rse")
+                < F.lit(not_read_since_epoch)
+            )
+            & (F.col("dataset_size_in_rse_tb") > min_tb)
+        )
+        .select(
+            F.col("rse").alias("rse_name"),
+            "dataset",
+            "dataset_size_in_rse_tb",
+            "last_access_time_of_dataset_in_rse",
+            "n_files_of_dataset_in_rse",
+            "n_accessed_files_of_dataset_in_rse",
+        )
+    )
+    main_since = sub_since.groupBy("dataset").agg(
+        F.max("dataset_size_in_rse_tb").alias("max_dataset_size_in_rses_tb"),
+        F.min("dataset_size_in_rse_tb").alias("min_dataset_size_in_rses_tb"),
+        F.avg("dataset_size_in_rse_tb").alias("avg_dataset_size_in_rses_tb"),
+        F.sum("dataset_size_in_rse_tb").alias("sum_dataset_size_in_rses_tb"),
+        F.max("last_access_time_of_dataset_in_rse").alias(
+            "last_access_time_of_dataset_in_all_rses"
+        ),
+        F.concat_ws(
+            ", ", F.array_sort(F.collect_list("rse_name"))
+        ).alias("rses"),
+    )
+    return {
+        "sub_never_read": sub_never,
+        "main_never_read": main_never,
+        "sub_not_read_since": sub_since,
+        "main_not_read_since": main_since,
+    }
+
+
+def aggregate_dbs_stats(
+    datasets: DataFrame, blocks: DataFrame, files: DataFrame
+) -> DataFrame:
+    """Per-dataset DBS totals (reports/aggregate_dbs.py:56-77): the
+    3-table ddf⋈bdf⋈fdf join rolled up per dataset into nfiles /
+    nevents / size.
+
+    Bug-for-bug: ``nfiles`` is ``sum(b_file_count)`` over FILE-grain
+    rows (the reference joins blocks to files and then sums the
+    per-BLOCK file_count once per file), so a block with N files
+    contributes N·file_count — the reference's number, not the true
+    file count. Dims broadcast; one dataset-grain shuffle."""
+    j = (
+        files.select("block_id", "event_count", "file_size")
+        .join(
+            broadcast_if_small(
+                blocks.select("block_id", "dataset_id", "file_count")
+            ),
+            on="block_id",
+        )
+        .join(
+            broadcast_if_small(datasets.select("dataset_id", "dataset")),
+            on="dataset_id",
+        )
+    )
+    return j.groupBy("dataset").agg(
+        F.sum("file_count").cast("long").alias("nfiles"),
+        F.sum("event_count").cast("long").alias("nevents"),
+        F.sum("file_size").alias("size"),
+    )
+
+
+def campaign_tier_sizes(
+    files: DataFrame,
+    datasets: DataFrame,
+    access_types: DataFrame,
+    phedex: DataFrame,
+    limit: int = 100,
+) -> DataFrame:
+    """DBS-vs-PhEDEx sizes per (campaign, tier)
+    (reports/aggregate_campaign_tier.py:84-140): VALID DBS datasets'
+    file sizes and PhEDEx replica sizes (with size_on_disk zeroed on
+    tape/staging endpoints — node name endswith _MSS/_Buffer/_Export,
+    the reference's UDF as a column expression), joined per dataset,
+    campaign = name part 2 / tier = part 3, top-``limit`` by combined
+    size. The order key (dbs_size + phedex_size) is dropped from the
+    output exactly as the reference drops its ``sum_size``."""
+    dbs = (
+        files.select("dataset_id", "file_size")
+        .join(
+            broadcast_if_small(
+                datasets.select(
+                    "dataset_id", "dataset", "dataset_access_type_id"
+                )
+            ),
+            on="dataset_id",
+        )
+        .join(F.broadcast(access_types), on="dataset_access_type_id")
+        .filter(F.col("dataset_access_type") == "VALID")
+        .groupBy("dataset")
+        .agg(F.sum("file_size").alias("dbs_size"))
+    )
+    on_disk = F.when(
+        F.col("node").endswith("_MSS")
+        | F.col("node").endswith("_Buffer")
+        | F.col("node").endswith("_Export"),
+        F.lit(0.0),
+    ).otherwise(F.col("bytes"))
+    ph = phedex.groupBy("dataset").agg(
+        F.sum("bytes").alias("phedex_size"),
+        F.sum(on_disk).alias("size_on_disk"),
+    )
+    parts = F.split(F.col("dataset"), "/")
+    return (
+        ph.join(dbs, on="dataset")
+        .select(
+            parts.getItem(2).alias("campaign"),
+            parts.getItem(3).alias("tier"),
+            "dbs_size",
+            "phedex_size",
+            "size_on_disk",
+        )
+        .groupBy("campaign", "tier")
+        .agg(
+            F.sum("dbs_size").alias("dbs_size"),
+            F.sum("phedex_size").alias("phedex_size"),
+            F.sum("size_on_disk").alias("size_on_disk"),
+        )
+        .orderBy(
+            (F.col("dbs_size") + F.col("phedex_size")).desc(),
+            "campaign",
+            "tier",
+        )
+        .limit(limit)
     )

@@ -62,6 +62,7 @@ def datasets_df(spark: SparkSession) -> DataFrame:
             (i % 8) + 1,
             (i % 4) + 1,
             None if era_null[i] else (i % 6) + 1,
+            (i % 4) + 1,
             float(DAY0 - 86400 * (i % 300)),
             f"/DC=ch/DC=cern/OU=Users/CN=user{i % 30}/CN=111/CN=First Last{i % 30}",
         )
@@ -71,7 +72,8 @@ def datasets_df(spark: SparkSession) -> DataFrame:
         rows,
         "dataset_id: long, dataset: string, is_dataset_valid: int, "
         "data_tier_id: int, dataset_access_type_id: int, "
-        "acquisition_era_id: int, creation_date: double, create_by: string",
+        "acquisition_era_id: int, processing_era_id: int, "
+        "creation_date: double, create_by: string",
     )
 
 
@@ -141,6 +143,13 @@ def rses_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "rse_id: string, rse: string, rse_type: string")
 
 
+def _never_read_file(file_idx: int) -> bool:
+    """Files of dataset index 0 (block cycle: i%600 ∈ {0,200,400}) are
+    NEVER accessed on either the replica or the DID side, so the
+    last-access report's never-read family is non-empty."""
+    return file_idx % 600 in (0, 200, 400)
+
+
 def replicas_df(spark: SparkSession) -> DataFrame:
     rng = _rng("replicas")
     accessed_null = rng.random(N_REPLICAS) < 0.40
@@ -149,13 +158,16 @@ def replicas_df(spark: SparkSession) -> DataFrame:
     for i in range(N_REPLICAS):
         resolves = i % 10 != 7  # 90% resolve
         name = _lfn(i % N_FILES) if resolves else f"/store/unknown/file_{i}.root"
+        never = resolves and _never_read_file(i % N_FILES)
         rows.append(
             (
                 "cms",
                 name,
                 f"{i % N_RSES:032x}",
                 None if bytes_null[i] else float((i % 997) * 1e6 + 1),
-                None if accessed_null[i] else float(DAY0 + (i % 7) * 86400),
+                None
+                if (never or accessed_null[i])
+                else float(DAY0 + (i % 7) * 86400),
                 float(DAY0 - 86400 * (i % 100)),
             )
         )
@@ -168,23 +180,31 @@ def replicas_df(spark: SparkSession) -> DataFrame:
 
 def dids_df(spark: SparkSession) -> DataFrame:
     # file-grain DIDs for resolvable names; 30% disagree on accessed_at
+    # and 20% carry a LATER created_at than any replica row (so the
+    # greatest(rep_created_at, dids_created_at) election is exercised)
     rows = []
     for i in range(N_FILES):
         disagree = i % 10 < 3
         base = float(DAY0 + (i % 7) * 86400)
+        created = float(DAY0 - 86400 * (i % 100)) + (
+            7200.0 if i % 5 == 0 else -3600.0
+        )
         rows.append(
             (
                 "cms",
                 _lfn(i),
                 "FILE",
-                base + (3600.0 if disagree else 0.0),
+                None
+                if _never_read_file(i)
+                else base + (3600.0 if disagree else 0.0),
+                created,
                 float((i % 997) * 1e6 + 1),
             )
         )
     return spark.createDataFrame(
         rows,
         "scope: string, name: string, did_type: string, accessed_at: double, "
-        "bytes: double",
+        "created_at: double, bytes: double",
     )
 
 
@@ -410,11 +430,16 @@ def phedex_df(spark: SparkSession) -> DataFrame:
         # 70% datasets overlap DBS; 30% are leftovers ("/Leftover...")
         overlap = i % 10 < 7
         ds = _dataset_name(i % N_DATASETS) if overlap else f"/Leftover{i % 23}/ProcX-v1/USER"
+        # ~2/7 of nodes are tape/staging endpoints (_MSS / _Buffer)
+        # so the campaign-tier report's size-on-disk zeroing fires
+        node = _site(i * 5) + (
+            "_MSS" if i % 7 == 2 else "_Buffer" if i % 7 == 5 else ""
+        )
         rows.append(
             (
                 ds,
                 f"{ds}#{i:08x}",
-                _site(i * 5),
+                node,
                 float((i % 499) * 1e9 + 1),
                 float(DAY0 - 86400 * (i % 400)),
             )
@@ -511,6 +536,102 @@ def dlocks_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def access_types_df(spark: SparkSession) -> DataFrame:
+    """DBS DATASET_ACCESS_TYPES dim (dbs_condor.py daf): ids 1-4 match
+    datasets_df's (i % 4) + 1 so ~25% of datasets are VALID."""
+    return spark.createDataFrame(
+        [(1, "VALID"), (2, "DELETED"), (3, "INVALID"), (4, "PRODUCTION")],
+        "dataset_access_type_id: int, dataset_access_type: string",
+    )
+
+
+def acquisition_eras_df(spark: SparkSession) -> DataFrame:
+    """DBS ACQUISITION_ERAS dim (dbs_condor.py aef)."""
+    return spark.createDataFrame(
+        [(e, f"Era{e}") for e in range(1, 7)],
+        "acquisition_era_id: int, acquisition_era_name: string",
+    )
+
+
+def processing_eras_df(spark: SparkSession) -> DataFrame:
+    """DBS PROCESSING_ERAS dim (dbs_condor.py pef)."""
+    return spark.createDataFrame(
+        [(p, f"v{p}") for p in range(1, 5)],
+        "processing_era_id: int, processing_version: string",
+    )
+
+
+def mod_configs_df(spark: SparkSession) -> DataFrame:
+    """DBS DATASET_OUTPUT_MOD_CONFIGS bridge (dbs_condor.py mcf):
+    every dataset has one config; every 5th has a second (two release
+    versions → the release-granularity agg double-counts that dataset,
+    exactly like the reference's 3-table bridge join does)."""
+    rows = [(d, d) for d in range(1, N_DATASETS + 1)]
+    rows += [
+        (d, N_DATASETS + d) for d in range(1, N_DATASETS + 1) if d % 5 == 0
+    ]
+    return spark.createDataFrame(
+        rows, "mc_dataset_id: long, mc_output_mod_config_id: long"
+    )
+
+
+def output_configs_df(spark: SparkSession) -> DataFrame:
+    """DBS OUTPUT_MODULE_CONFIGS bridge (dbs_condor.py ocf)."""
+    rows = [(c, (c % 10) + 1) for c in range(1, 2 * N_DATASETS + 1)]
+    return spark.createDataFrame(
+        rows, "oc_output_mod_config_id: long, oc_release_version_id: int"
+    )
+
+
+def release_versions_df(spark: SparkSession) -> DataFrame:
+    """DBS RELEASE_VERSIONS dim (dbs_condor.py rvf)."""
+    return spark.createDataFrame(
+        [(r, f"CMSSW_14_0_{r}") for r in range(1, 11)],
+        "r_release_version_id: int, r_release_version: string",
+    )
+
+
+def dbs_condor_jobs_df(spark: SparkSession) -> DataFrame:
+    """Condor envelope records with the dbs_condor.py fields
+    (DESIRED_CMSDataset / Campaign / CRAB_UserHN / ExitCode / KEvents /
+    CoreHr): 10% of datasets dangle (never join DBS), KEvents is 0
+    every 9th row and null every 13th, CoreHr 0 every 11th — the rate
+    sentinel (-1) fires on all three."""
+    n = 1500
+    rows = []
+    for i in range(n):
+        dangles = i % 10 == 7
+        ds = (
+            f"/Unknown{i}/NoProc-v0/NONE"
+            if dangles
+            else _dataset_name(i % N_DATASETS)
+        )
+        kevents = None if i % 13 == 0 else (0.0 if i % 9 == 0 else float((i % 500) + 1) * 1.5)
+        corehr = 0.0 if i % 11 == 0 else float((i % 40) + 1)
+        rows.append(
+            (
+                (
+                    ds,
+                    f"Campaign{i % 12}",
+                    f"wf_{i % 50}",
+                    f"user{i % 25}",
+                    0 if i % 4 else 8021 if i % 8 else 134,
+                    "analysis" if i % 3 else "production",
+                    "analysis" if i % 2 else "harvest",
+                    float(DAY0 + (i % 7) * 86400),
+                    kevents,
+                    corehr,
+                ),
+            )
+        )
+    schema = (
+        "data: struct<DESIRED_CMSDataset: string, Campaign: string, "
+        "Workflow: string, CRAB_UserHN: string, ExitCode: int, Type: string, "
+        "TaskType: string, RecordTime: double, KEvents: double, CoreHr: double>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
     return {
         "dbs_datasets": datasets_df(spark),
@@ -532,4 +653,11 @@ def all_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
         "dbs_file_lumis": file_lumis_df(spark),
         "phedex_daily": phedex_daily_df(spark),
         "rucio_dlocks": dlocks_df(spark),
+        "dbs_access_types": access_types_df(spark),
+        "dbs_acquisition_eras": acquisition_eras_df(spark),
+        "dbs_processing_eras": processing_eras_df(spark),
+        "dbs_mod_configs": mod_configs_df(spark),
+        "dbs_output_configs": output_configs_df(spark),
+        "dbs_release_versions": release_versions_df(spark),
+        "dbs_condor_jobs": dbs_condor_jobs_df(spark),
     }

@@ -25,10 +25,15 @@ def duck_fx(fx):
     for name in [
         "dbs_datasets", "dbs_files", "rucio_rses", "rucio_replicas",
         "rucio_dids", "rucio_contents", "access_events", "phedex_replicas",
-        "rucio_dlocks",
+        "rucio_dlocks", "dbs_access_types", "dbs_acquisition_eras",
+        "dbs_processing_eras", "dbs_mod_configs", "dbs_output_configs",
+        "dbs_release_versions",
     ]:
         con.register(name, fx[name].toPandas())
     con.register("condor_flat", fx["condor_jobs"].select("data.*").toPandas())
+    con.register(
+        "dbs_condor_flat", fx["dbs_condor_jobs"].select("data.*").toPandas()
+    )
     yield con
     con.close()
 
@@ -1102,22 +1107,24 @@ def test_rucio_ds_summary(fx, duck_fx, spark):
         f2d AS (SELECT f.name, b.dataset
                 FROM f2b f JOIN b2d b USING (block)),
         fg AS (
-          SELECT r.name, r.rse_id, r.created_at,
+          SELECT r.name, r.rse_id,
                  CASE WHEN r.bytes IS NOT NULL THEN r.bytes
                       ELSE d.bytes END AS f_size,
                  greatest(r.accessed_at, d.accessed_at) AS f_accessed,
+                 greatest(r.created_at, d.created_at) AS f_created,
                  coalesce(m.dataset,
                           'UnknownDatasetNameOfFiles_MonitoringTag')
                    AS dataset
           FROM rucio_replicas r
-          LEFT JOIN (SELECT name, bytes, accessed_at FROM rucio_dids) d
+          LEFT JOIN (SELECT name, bytes, accessed_at, created_at
+                     FROM rucio_dids) d
             USING (name)
           LEFT JOIN f2d m USING (name)
         ),
         cell AS (
           SELECT fg.rse_id, fg.dataset, rs.rse_type,
                  sum(f_size) AS sz, max(f_accessed) AS la,
-                 max(created_at) AS lc, count(*) AS fc,
+                 max(f_created) AS lc, count(*) AS fc,
                  count(f_accessed) AS afc
           FROM fg LEFT JOIN rucio_rses rs USING (rse_id)
           GROUP BY 1, 2, 3
@@ -1167,3 +1174,289 @@ def test_rucio_ds_summary(fx, duck_fx, spark):
     assert tagged > 0
     # era fillna fires: ~5% of datasets have a null era id
     assert got.filter(F.col("AcquisitionEraName") == "UNKNOWN").count() > 0
+
+
+def test_dbs_condor_agg(fx, duck_fx):
+    got = R.dbs_condor_agg(
+        fx["dbs_condor_jobs"],
+        fx["dbs_datasets"],
+        fx["dbs_files"],
+        fx["dbs_access_types"],
+        fx["dbs_acquisition_eras"],
+        fx["dbs_processing_eras"],
+        fx["dbs_mod_configs"],
+        fx["dbs_output_configs"],
+        fx["dbs_release_versions"],
+        date="20240101",
+    )
+    base_ctes = """
+        WITH fjoin AS (
+          SELECT DISTINCT d.dataset_id AS d_dataset_id,
+                 d.dataset AS d_dataset, d.creation_date,
+                 f.event_count, f.file_size,
+                 a.acquisition_era_name, p.processing_version
+          FROM dbs_datasets d
+          JOIN dbs_files f USING (dataset_id)
+          JOIN dbs_access_types t USING (dataset_access_type_id)
+          JOIN dbs_acquisition_eras a USING (acquisition_era_id)
+          JOIN dbs_processing_eras p USING (processing_era_id)
+          WHERE t.dataset_access_type = 'VALID' AND d.is_dataset_valid = 1
+        ),
+        newdf AS (
+          SELECT d_dataset, d_dataset_id, acquisition_era_name,
+                 processing_version,
+                 sum(event_count) AS evts, sum(file_size) AS size,
+                 max(creation_date) AS created
+          FROM fjoin
+          GROUP BY 1, 2, 3, 4
+        ),
+        agg_dbs AS (
+          SELECT n.d_dataset, n.acquisition_era_name, r.r_release_version
+          FROM newdf n
+          JOIN dbs_mod_configs m ON n.d_dataset_id = m.mc_dataset_id
+          JOIN dbs_output_configs o
+            ON m.mc_output_mod_config_id = o.oc_output_mod_config_id
+          JOIN dbs_release_versions r
+            ON o.oc_release_version_id = r.r_release_version_id
+        ),
+        final AS (
+          SELECT c.*, a.acquisition_era_name, a.r_release_version
+          FROM dbs_condor_flat c
+          JOIN agg_dbs a ON c.DESIRED_CMSDataset = a.d_dataset
+          WHERE c.KEvents > 0
+        )
+    """
+    rate = (
+        "CASE WHEN sum(KEvents) IS NOT NULL AND sum(KEvents) <> 0 "
+        "AND sum(CoreHr) IS NOT NULL AND sum(CoreHr) <> 0 "
+        "THEN sum(KEvents) / sum(CoreHr) ELSE -1.0 END"
+    )
+    cases = {
+        "dataset": (
+            f"""{base_ctes}
+            SELECT DESIRED_CMSDataset AS ds, CRAB_UserHN, ExitCode, Type,
+                   TaskType, RecordTime, sum(KEvents), sum(CoreHr),
+                   {rate} AS rate,
+                   string_split(DESIRED_CMSDataset, '/')[4] AS tier
+            FROM dbs_condor_flat GROUP BY 1, 2, 3, 4, 5, 6
+            """,
+            ["dataset", "user", "ExitCode", "Type", "TaskType", "rec_time",
+             "sum_evts", "sum_chr", "rate", "tier"],
+        ),
+        "campaign": (
+            f"""{base_ctes}
+            SELECT Campaign, CRAB_UserHN, ExitCode, Type, TaskType,
+                   RecordTime, sum(KEvents), sum(CoreHr), {rate} AS rate
+            FROM dbs_condor_flat GROUP BY 1, 2, 3, 4, 5, 6
+            """,
+            ["campaign", "user", "ExitCode", "Type", "TaskType", "rec_time",
+             "sum_evts", "sum_chr", "rate"],
+        ),
+        "release": (
+            f"""{base_ctes}
+            SELECT r_release_version, CRAB_UserHN, ExitCode, Type, TaskType,
+                   RecordTime, sum(KEvents), sum(CoreHr), {rate} AS rate
+            FROM final GROUP BY 1, 2, 3, 4, 5, 6
+            """,
+            ["release", "user", "ExitCode", "Type", "TaskType", "rec_time",
+             "sum_evts", "sum_chr", "rate"],
+        ),
+        "era": (
+            f"""{base_ctes}
+            SELECT acquisition_era_name, CRAB_UserHN, ExitCode, Type,
+                   TaskType, RecordTime, sum(KEvents), sum(CoreHr),
+                   {rate} AS rate
+            FROM final GROUP BY 1, 2, 3, 4, 5, 6
+            """,
+            ["era", "user", "ExitCode", "Type", "TaskType", "rec_time",
+             "sum_evts", "sum_chr", "rate"],
+        ),
+    }
+    for gran, (sql, cols) in cases.items():
+        expect = duck_fx.execute(sql).fetchall()
+        assert _rows(got[gran], *cols) == sorted(
+            (tuple(r) for r in expect), key=_nullsafe_key
+        ), gran
+        # every row carries the run-date tag
+        assert got[gran].filter(F.col("date") != "20240101").count() == 0
+    # the -1 rate sentinel fires (null/zero KEvents or CoreHr groups)
+    assert got["dataset"].filter(F.col("rate") == -1.0).count() > 0
+    # dangling datasets appear at condor granularity but never in DBS ones
+    assert got["dataset"].filter(
+        F.col("dataset").like("/Unknown%")
+    ).count() > 0
+
+
+def test_rucio_last_access_report(fx, duck_fx):
+    from tests.cms_fixtures import DAY0
+
+    # fixture access times span days 0-6 (+1h skews): a day-30
+    # threshold marks every accessed cell stale while still excluding
+    # the never-read (null) cells from the since-family
+    threshold = float(DAY0 + 30 * 86400)
+    got = R.rucio_last_access_report(
+        fx["rucio_replicas"],
+        fx["rucio_dids"],
+        fx["dbs_files"],
+        fx["dbs_datasets"],
+        fx["rucio_rses"],
+        min_tb=0.0,
+        not_read_since_epoch=threshold,
+    )
+    base = f"""
+        WITH prod AS (
+          SELECT rse_id, rse FROM rucio_rses
+          WHERE NOT (lower(rse) LIKE '%temp' OR lower(rse) LIKE '%test')
+        ),
+        f2d AS (
+          SELECT f.logical_file_name AS name, d.dataset
+          FROM dbs_files f JOIN dbs_datasets d USING (dataset_id)
+        ),
+        base AS (
+          SELECT p.rse, m.dataset,
+                 CASE WHEN r.bytes IS NOT NULL THEN r.bytes
+                      ELSE d.bytes END AS f_size,
+                 greatest(r.accessed_at, d.accessed_at) AS f_accessed,
+                 greatest(r.created_at, d.created_at) AS f_created
+          FROM rucio_replicas r
+          JOIN prod p USING (rse_id)
+          LEFT JOIN (SELECT name, bytes, accessed_at, created_at
+                     FROM rucio_dids) d USING (name)
+          LEFT JOIN f2d m USING (name)
+          WHERE m.dataset IS NOT NULL
+        ),
+        cells AS (
+          SELECT rse, dataset,
+                 round(sum(f_size) / 1e12, 5) AS tb,
+                 max(f_accessed) AS la, max(f_created) AS lc,
+                 count(f_accessed) AS afc, count(*) AS fc
+          FROM base GROUP BY 1, 2
+        )
+    """
+    sub_never_sql = f"""{base}
+        SELECT rse, dataset, tb, lc, fc FROM cells
+        WHERE la IS NULL AND tb > 0.0
+    """
+    expect = duck_fx.execute(sub_never_sql).fetchall()
+    cols = ["rse_name", "dataset", "dataset_size_in_rse_tb",
+            "last_create_time_of_dataset_in_rse", "n_files_of_dataset_in_rse"]
+    assert _rows(got["sub_never_read"], *cols) == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+
+    main_never_sql = f"""{base},
+        sub AS (SELECT rse, dataset, tb, lc FROM cells
+                WHERE la IS NULL AND tb > 0.0)
+        SELECT dataset, max(tb), min(tb), avg(tb), sum(tb), max(lc),
+               array_to_string(list_sort(list(rse)), ', ')
+        FROM sub GROUP BY 1
+    """
+    expect = duck_fx.execute(main_never_sql).fetchall()
+    cols = ["dataset", "max_dataset_size_in_rses_tb",
+            "min_dataset_size_in_rses_tb", "avg_dataset_size_in_rses_tb",
+            "sum_dataset_size_in_rses_tb",
+            "last_create_time_of_dataset_in_all_rses", "rses"]
+    assert _rows(got["main_never_read"], *cols) == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+
+    sub_since_sql = f"""{base}
+        SELECT rse, dataset, tb, la, fc, afc FROM cells
+        WHERE la IS NOT NULL AND la < {threshold} AND tb > 0.0
+    """
+    expect = duck_fx.execute(sub_since_sql).fetchall()
+    cols = ["rse_name", "dataset", "dataset_size_in_rse_tb",
+            "last_access_time_of_dataset_in_rse", "n_files_of_dataset_in_rse",
+            "n_accessed_files_of_dataset_in_rse"]
+    assert _rows(got["sub_not_read_since"], *cols) == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+
+    main_since_sql = f"""{base},
+        sub AS (SELECT rse, dataset, tb, la FROM cells
+                WHERE la IS NOT NULL AND la < {threshold} AND tb > 0.0)
+        SELECT dataset, max(tb), min(tb), avg(tb), sum(tb), max(la),
+               array_to_string(list_sort(list(rse)), ', ')
+        FROM sub GROUP BY 1
+    """
+    expect = duck_fx.execute(main_since_sql).fetchall()
+    cols = ["dataset", "max_dataset_size_in_rses_tb",
+            "min_dataset_size_in_rses_tb", "avg_dataset_size_in_rses_tb",
+            "sum_dataset_size_in_rses_tb",
+            "last_access_time_of_dataset_in_all_rses", "rses"]
+    assert _rows(got["main_not_read_since"], *cols) == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+    # both report families are non-trivial on the fixtures
+    assert got["sub_never_read"].count() > 0
+    assert got["sub_not_read_since"].count() > 0
+
+
+def test_aggregate_dbs_stats(fx, duck_fx):
+    duck_fx.register("dbs_blocks", fx["dbs_blocks"].toPandas())
+    got = R.aggregate_dbs_stats(
+        fx["dbs_datasets"], fx["dbs_blocks"], fx["dbs_files"]
+    )
+    expect = duck_fx.execute(
+        """
+        SELECT d.dataset, sum(b.file_count)::BIGINT,
+               sum(f.event_count)::BIGINT, sum(f.file_size)
+        FROM dbs_files f
+        JOIN dbs_blocks b USING (block_id)
+        JOIN dbs_datasets d ON b.dataset_id = d.dataset_id
+        GROUP BY 1
+        """
+    ).fetchall()
+    assert _rows(got, "dataset", "nfiles", "nevents", "size") == sorted(
+        (tuple(r) for r in expect), key=_nullsafe_key
+    )
+
+
+def test_campaign_tier_sizes(fx, duck_fx):
+    got = R.campaign_tier_sizes(
+        fx["dbs_files"],
+        fx["dbs_datasets"],
+        fx["dbs_access_types"],
+        fx["phedex_replicas"],
+        limit=50,
+    )
+    expect = duck_fx.execute(
+        """
+        WITH dbs AS (
+          SELECT d.dataset, sum(f.file_size) AS dbs_size
+          FROM dbs_files f
+          JOIN dbs_datasets d USING (dataset_id)
+          JOIN dbs_access_types t USING (dataset_access_type_id)
+          WHERE t.dataset_access_type = 'VALID'
+          GROUP BY 1
+        ),
+        ph AS (
+          SELECT dataset, sum(bytes) AS phedex_size,
+                 sum(CASE WHEN node LIKE '%\\_MSS' ESCAPE '\\'
+                            OR node LIKE '%\\_Buffer' ESCAPE '\\'
+                            OR node LIKE '%\\_Export' ESCAPE '\\'
+                          THEN 0.0 ELSE bytes END) AS size_on_disk
+          FROM phedex_replicas GROUP BY 1
+        ),
+        j AS (
+          SELECT string_split(p.dataset, '/')[3] AS campaign,
+                 string_split(p.dataset, '/')[4] AS tier,
+                 d.dbs_size, p.phedex_size, p.size_on_disk
+          FROM ph p JOIN dbs d USING (dataset)
+        )
+        SELECT campaign, tier, sum(dbs_size), sum(phedex_size),
+               sum(size_on_disk)
+        FROM j GROUP BY 1, 2
+        ORDER BY sum(dbs_size) + sum(phedex_size) DESC, campaign, tier
+        LIMIT 50
+        """
+    ).fetchall()
+    # ordered comparison: the replica's output IS the ranked report
+    got_rows = [
+        (r["campaign"], r["tier"], r["dbs_size"], r["phedex_size"],
+         r["size_on_disk"])
+        for r in got.collect()
+    ]
+    assert got_rows == [tuple(r) for r in expect]
+    # the tape/staging zeroing fires: some group has disk < total
+    assert any(r[4] < r[3] for r in got_rows)
