@@ -6723,56 +6723,63 @@ def entity_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     block, never all-pairs) and candidates verify by exact Levenshtein
     edit distance (JVM-side `levenshtein`, integer — cross-engine
     exact, no float similarity). Per block: member count, exact-name
-    duplicate pairs, near-name (edit distance 1-2) pairs. At scale the
-    block is the join key (hot blocks are the skew case — AQE or a
-    second blocking attribute splits them), and the verify predicate
-    prunes before anything leaves the join."""
+    duplicate pairs, near-name (edit distance 1-2) pairs.
+
+    SCALE DESIGN — verify on the CANONICAL (distinct-value) grain:
+    pair counts over rows are quadratic in block size (the r5 sf1
+    sweep measured the row-grain broadcast form at 66x on a 10x step:
+    blocks grew 10x, pairs 100x). But the verdict only depends on the
+    NAME pair, so aggregate to (block, name, multiplicity) first and
+    weight:
+
+      n_exact_pairs = Σ_names C(cnt, 2)
+      n_near_pairs  = Σ_{nameA < nameB, lev∈[1,2]} cntA · cntB
+
+    One row-grain aggregation pass (linear, combiner-friendly), then
+    the Levenshtein join runs on distinct names only — cost scales
+    with vocabulary², independent of corpus size (the ER
+    dedup-before-verify discipline). Block skew disappears with the
+    same stroke: the name-grain table is tiny and broadcasts. When
+    the vocabulary itself is huge at 100 TB, the name-grain join
+    falls back to the salted row-spread documented in git history
+    (probe tagged pk%R, build replicated xR) — but canonicalization
+    first is always the bigger lever."""
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block"),
     )
-    b = p.select(
-        F.col("block").alias("_blk"),
-        F.col("p_partkey").alias("_pk"),
-        F.col("p_name").alias("_pn"),
+    nm = p.groupBy("block", "p_name").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    # ER blocking is EXTREME skew by construction (8 giant blocks):
-    # a block-keyed shuffle join would run the O(block²) verify on ≤8
-    # tasks (measured 24s single-task at sf0.1). Broadcast the verify
-    # side and spread the probe across partkey lanes instead — every
-    # pair still evaluates exactly once, 32-way (0.9s). When neither
-    # side broadcasts at 100 TB, the same spread comes from salting:
-    # probe tagged pk%R, build replicated ×R on (block, salt).
-    pairs = (
-        p.repartition(32, "p_partkey")
-        .join(
+    exact = nm.groupBy("block").agg(
+        F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2)
+        .cast("long")
+        .alias("n_exact_pairs"),
+        F.sum("cnt").alias("n_parts"),
+    )
+    b = nm.select(
+        F.col("block").alias("_blk"),
+        F.col("p_name").alias("_pn"),
+        F.col("cnt").alias("_cnt"),
+    )
+    near = (
+        nm.join(
             F.broadcast(b),
             (F.col("block") == F.col("_blk"))
-            & (F.col("p_partkey") < F.col("_pk")),
+            & (F.col("p_name") < F.col("_pn")),
         )
-        .select(
-            "block", F.levenshtein(F.col("p_name"), F.col("_pn")).alias("lev")
-        )
+        .filter(F.levenshtein(F.col("p_name"), F.col("_pn")).between(1, 2))
+        .groupBy(F.col("block").alias("_b"))
+        .agg(F.sum(F.col("cnt") * F.col("_cnt")).alias("n_near_pairs"))
     )
-    pair_stats = pairs.groupBy(F.col("block").alias("_b")).agg(
-        F.sum((F.col("lev") == 0).cast("long")).alias("n_exact_pairs"),
-        F.sum(F.col("lev").between(1, 2).cast("long")).alias("n_near_pairs"),
-    )
-    return (
-        p.groupBy("block")
-        .agg(F.countDistinct("p_partkey").alias("n_parts"))
-        .join(pair_stats, F.col("block") == F.col("_b"), "left")
-        .select(
-            "block",
-            "n_parts",
-            F.coalesce("n_exact_pairs", F.lit(0)).cast("long").alias(
-                "n_exact_pairs"
-            ),
-            F.coalesce("n_near_pairs", F.lit(0)).cast("long").alias(
-                "n_near_pairs"
-            ),
-        )
+    return exact.join(near, F.col("block") == F.col("_b"), "left").select(
+        "block",
+        "n_parts",
+        "n_exact_pairs",
+        F.coalesce("n_near_pairs", F.lit(0)).cast("long").alias(
+            "n_near_pairs"
+        ),
     )
 
 
