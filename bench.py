@@ -177,6 +177,8 @@ EXTRA = [
     "split_balance_chisq",          # Pearson chi-sq split-balance QA gate
     "dedup_lsh_quality_report",     # LSH precision/recall vs exact truth
     "embed_lsh_quality_report",     # sign-LSH recall vs brute-force truth
+    # round 5
+    "dedup_quality_survivors",      # keep-longest election per dup cluster
 ]
 
 

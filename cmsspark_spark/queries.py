@@ -2152,6 +2152,85 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+def _quality_survivors_oracle_sql() -> str:
+    """Composed from the components oracle: per near-dup cluster, the
+    keep-longest survivor election (max tokens, ties → min doc_id)."""
+    return f"""
+    WITH comp AS ({_components_oracle_sql()}),
+    tq AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents),
+    m AS (
+      SELECT c.component, c.doc_id, t.n_tokens
+      FROM comp c JOIN tq t USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY component ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM m
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_members
+      FROM m GROUP BY 1
+    )
+    SELECT s.component, s.n_members,
+           r.doc_id AS survivor_id,
+           CAST(r.n_tokens AS BIGINT) AS survivor_tokens
+    FROM sizes s JOIN ranked r ON r.component = s.component AND r.rn = 1
+    """
+
+
+@query("dedup_quality_survivors", _quality_survivors_oracle_sql())
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor election over near-dup clusters: the
+    production dedup move AFTER clustering — instead of keeping the
+    min-id member (the component label), keep the BEST member of each
+    cluster. Here "best" is the common keep-longest policy (max token
+    count, ties → min doc_id — deterministic under repartitioning);
+    swap in any scalar quality score (Gopher gate, classifier) without
+    changing the plan shape. Per cluster: member count, survivor id,
+    survivor token count.
+
+    Plan: the LSH→verify→components machinery is the bucketed ids-only
+    path proven at scale elsewhere; the election itself is one
+    struct-max aggregate over the (tiny) cluster-membership table — a
+    single combiner-friendly shuffle, no window sort. Oracle composed
+    from the components oracle so the two can never drift."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    tq = d.select(
+        F.col("doc_id").alias("node"),
+        F.size(_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    m = comp.join(tq, on="node")
+    best = F.max(
+        F.struct(
+            F.col("n_tokens"),
+            (-F.col("node")).alias("_neg"),
+            F.col("node").alias("_id"),
+        )
+    )
+    return (
+        m.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best.alias("_b"),
+        )
+        .select(
+            "component",
+            "n_members",
+            F.col("_b._id").alias("survivor_id"),
+            F.col("_b.n_tokens").alias("survivor_tokens"),
+        )
+    )
+
+
 @query(
     "phedex_daily_fold",
     """
