@@ -1326,9 +1326,13 @@ def dbs_condor_agg(
     we run the single groupBy (one shuffle per granularity instead of
     two half-shuffles plus a union).
 
-    Plan shape at scale: the condor fact is the only big relation —
-    every DBS dim (even files after the distinct) broadcasts; the
-    four rollups share the flattened envelope projection; no UDFs.
+    Plan shape at scale: the DBS side reduces to DATASET grain
+    (newdf) before it ever meets the condor fact, so the fact join's
+    build side is catalog-dataset-sized and `broadcast_if_small`
+    upgrades it to a broadcast; datasets⋈files is the one DBS-side
+    shuffle (file grain, unavoidable — the reference does the same);
+    the tiny dims broadcast unconditionally; the four rollups share
+    the flattened envelope projection; no UDFs.
     """
     env = condor.select("data.*")
 

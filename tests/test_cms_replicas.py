@@ -1460,3 +1460,51 @@ def test_campaign_tier_sizes(fx, duck_fx):
     assert got_rows == [tuple(r) for r in expect]
     # the tape/staging zeroing fires: some group has disk < total
     assert any(r[4] < r[3] for r in got_rows)
+
+
+def test_dbs_condor_agg_plan_shape(fx):
+    """Scale invariants of the r5 replica: every tiny DBS dim
+    (access types, eras, processing eras, the 3-table release bridge)
+    joins as a broadcast; the only sort-merge joins key on the two
+    legitimately-big relations — datasets⋈files on dataset_id and the
+    condor fact join (which AQE upgrades to broadcast at runtime once
+    the dataset-grain build side's true size is known)."""
+    import re
+
+    from cmsspark_spark import plans
+
+    got = R.dbs_condor_agg(
+        fx["dbs_condor_jobs"], fx["dbs_datasets"], fx["dbs_files"],
+        fx["dbs_access_types"], fx["dbs_acquisition_eras"],
+        fx["dbs_processing_eras"], fx["dbs_mod_configs"],
+        fx["dbs_output_configs"], fx["dbs_release_versions"],
+    )
+    for gran in ("release", "era"):
+        plan = plans.formatted_plan(got[gran])
+        assert plan.count("BroadcastHashJoin") >= 3, gran
+        smj_keys = re.findall(
+            r"\(\d+\) SortMergeJoin\nLeft keys[^\n]*\nRight keys[^\n]*",
+            plan,
+        )
+        for block in smj_keys:
+            assert (
+                "dataset_id" in block or "DESIRED_CMSDataset" in block
+            ), f"{gran}: dim key shuffled instead of broadcast:\n{block}"
+
+
+def test_rucio_last_access_report_single_cell_shuffle(fx):
+    """The report family rolls the file grain into (rse, dataset)
+    cells EXACTLY once; both 'main' rollups re-agg the tiny cell
+    table, and the rses dim joins as a broadcast."""
+    from cmsspark_spark import plans
+
+    got = R.rucio_last_access_report(
+        fx["rucio_replicas"], fx["rucio_dids"], fx["dbs_files"],
+        fx["dbs_datasets"], fx["rucio_rses"], 0.0, 1e18,
+    )
+    plan = plans.formatted_plan(got["main_not_read_since"])
+    assert "BroadcastHashJoin" in plan
+    # one exchange hashes on the (rse, dataset) cell key — the single
+    # fact-grain rollup; the dataset-grain main re-agg is its own
+    # (tiny) exchange keyed on dataset alone
+    assert plan.count("hashpartitioning(rse") == 1

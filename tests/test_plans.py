@@ -430,14 +430,19 @@ def test_q21_single_fact_aggregate_no_line_grain_join(spark):
 
 def test_span_ops_shuffle_hashes_not_text(spark):
     """The span census shuffle carries (hash, id) pairs only — no text
-    or token-array column crosses an Exchange."""
+    or token-array column crosses an Exchange. (Formatted explain puts
+    an Exchange's columns on its detail block's Input line — the old
+    single-line 'Exchange hashpartitioning' match never fired there.)"""
+    import re
+
     from cmsspark_spark.operators.dedup import repeated_span_stats
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plans.formatted_plan(repeated_span_stats(d, window=12))
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "text" not in line and "_tk" not in line, line
+    blocks = re.findall(r"\(\d+\) Exchange\nInput[^\n]*", plan)
+    assert blocks, "no Exchange detail blocks parsed — format changed?"
+    for block in blocks:
+        assert "text" not in block and "_tk" not in block, block
 
 
 def test_semantic_decontaminate_broadcasts_bench(spark):
@@ -468,8 +473,10 @@ def test_funnel_single_event_shuffle(spark):
             f"build ran a multi-stage job {jid} (eager execution)"
         )
     plan = plans.formatted_plan(df)
-    # event-grain exchanges hash on user_id; there must be at most one
-    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # agg + distinct base
+    # event-grain exchanges hash on user_id: the stage-walk aggregate
+    # and the distinct user base — never a third (formatted explain
+    # spells these 'Arguments: hashpartitioning(user_id...)')
+    assert 1 <= plan.count("hashpartitioning(user_id") <= 2
     assert "SortMergeJoin" not in plan
 
 
