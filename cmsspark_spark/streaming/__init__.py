@@ -72,7 +72,17 @@ def sessionize_stateful(
     The batch twin is the lag-window sessionization in
     queries.sessionize_users; this is the streaming form: state =
     (last event time, open session count) per user, emitted on every
-    trigger, evicted by the event-time watermark. The state handler is
+    trigger. State is EVICTED via ``EventTimeTimeout`` once the
+    watermark passes ``last_event + gap`` — beyond that point no
+    surviving row can extend the session, so the entry is dead weight
+    (a watermark alone never evicts applyInPandasWithState state: with
+    ``NoTimeout`` the store grows with distinct users forever). The
+    bounded-state trade, stated plainly: ``n_sessions`` counts sessions
+    per STATE LIFETIME — a user idle past ``watermark + gap`` is
+    forgotten, and their next event restarts the count at 1 (consumers
+    wanting all-time totals sum the per-lifetime maxima downstream,
+    exactly like ``dropDuplicatesWithinWatermark`` consumers tolerate
+    re-sends older than the watermark). The state handler is
     self-contained (pickled by value — executors never import the
     engine package).
 
@@ -106,6 +116,12 @@ def sessionize_stateful(
         import pandas as pd
 
         (uid,) = key
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the session can never
+            # be extended again — drop the entry (totals were already
+            # emitted in update mode on the trigger that set them).
+            state.remove()
+            return
         last_epoch, n_sessions = state.get if state.exists else (None, 0)
         # Arrow feeds the group in multiple chunks: gap detection needs
         # ONE globally sorted pass over the trigger's rows — sorting per
@@ -118,6 +134,12 @@ def sessionize_stateful(
                 n_sessions += 1
             last_epoch = epoch
         state.update((last_epoch, n_sessions))
+        # must be strictly beyond the current watermark (API contract);
+        # the max() guard covers a group whose last event is already
+        # older than watermark - gap when it arrives.
+        state.setTimeoutTimestamp(
+            max((last_epoch + gap) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {
                 user_name: [uid],
@@ -134,7 +156,7 @@ def sessionize_stateful(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -323,3 +323,66 @@ def test_transform_with_state_first_seen_across_batches(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stateful_sessionization_evicts_idle_state(spark, tmp_path):
+    """r5 audit fix: with EventTimeTimeout the store drops a user once
+    the watermark passes last_event + gap. Observable contract: the
+    evicted user's next event restarts n_sessions at 1 (per state
+    lifetime) instead of continuing a forever-cumulative count — the
+    bounded-state trade the docstring pins. Files are fed ONE PER RUN
+    against a shared checkpoint so batch order is deterministic."""
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            StructType(
+                [
+                    StructField("ts", StringType()),
+                    StructField("user_id", LongType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = ST.sessionize_stateful(stream, gap_seconds=1800, watermark="1 hour")
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_batch(i, rows):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+        emitted.clear()
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return list(emitted)
+
+    b1 = run_batch(1, [{"ts": "2024-01-01 10:00:00", "user_id": 1},
+                       {"ts": "2024-01-01 10:00:00", "user_id": 2}])
+    assert {(r.user_id, r.n_sessions) for r in b1} == {(1, 1), (2, 1)}
+
+    # only user 2: watermark advances to 19:00 after this run
+    b2 = run_batch(2, [{"ts": "2024-01-01 20:00:00", "user_id": 2}])
+    assert {(r.user_id, r.n_sessions) for r in b2} == {(2, 2)}
+
+    # at this run's start the watermark (19:00) is past user 1's
+    # timeout (10:00 + 30min): the timeout fires, state is removed,
+    # nothing is emitted for user 1
+    b3 = run_batch(3, [{"ts": "2024-01-02 06:00:00", "user_id": 2}])
+    assert {(r.user_id, r.n_sessions) for r in b3} == {(2, 3)}
+
+    # user 1 returns after eviction: count restarts at 1 (an
+    # unevicted cumulative count would say 2)
+    b4 = run_batch(4, [{"ts": "2024-01-02 16:00:00", "user_id": 1}])
+    assert {(r.user_id, r.n_sessions) for r in b4} == {(1, 1)}
