@@ -1,8 +1,9 @@
 """Clean-corpus job: the full training-data pipeline as ONE runnable
 CLI — quality gate → exact dedup (ids-only election) → optional
-ExactSubstr-style span removal (--span-window) → benchmark
-decontamination → deterministic mixture resampling → training-shard
-write + manifest + HTML/SVG report.
+ExactSubstr-style span removal (--span-window) → optional near-dup
+clustering with a survivor policy (--near-dup-policy min_id|longest) →
+benchmark decontamination → deterministic mixture resampling →
+training-shard write + manifest + HTML/SVG report.
 
 This is the operational form of the `training_pipeline_e2e` /
 `clean_corpus_survivors` registry queries (queries.py): same operators,
@@ -39,6 +40,7 @@ def run(
     alpha: float = 0.7,
     shards: int = 8,
     span_window: int = 0,
+    near_dup_policy: str = "off",
 ) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -80,6 +82,20 @@ def run(
             .join(stripped, on="doc_id")
             .filter(F.length(F.trim(F.col("text"))) > 0)
         )
+
+    # 2c. optional NEAR-dup clustering (--near-dup-policy min_id |
+    #     longest): MinHash-LSH → verified Jaccard → connected
+    #     components → one survivor per cluster. 'longest' keeps the
+    #     most-token member (the dedup_quality_survivors policy);
+    #     'min_id' keeps the component label. Losers leave by ids-only
+    #     anti-join — text never enters the clustering shuffles.
+    if near_dup_policy != "off":
+        from cmsspark_spark.operators.dedup import near_dup_losers
+
+        losers = near_dup_losers(
+            deduped, policy=near_dup_policy
+        ).localCheckpoint()
+        deduped = deduped.join(losers, on="doc_id", how="left_anti")
 
     # 3. benchmark decontamination: every-20th doc stands in for the
     #    protected eval set (the registry queries' convention)
@@ -143,6 +159,11 @@ def main() -> None:
     ap.add_argument("--span-window", type=int, default=0,
                     help="ExactSubstr-style span removal window "
                          "(0 disables)")
+    ap.add_argument("--near-dup-policy", default="off",
+                    choices=["off", "min_id", "longest"],
+                    help="near-dup cluster survivor policy (off "
+                         "disables clustering; longest keeps the "
+                         "most-token member per cluster)")
     args = ap.parse_args()
     spark = get_spark("clean-corpus")
     run(
@@ -151,6 +172,7 @@ def main() -> None:
         max_contamination=args.max_contamination,
         budget=args.budget, alpha=args.alpha, shards=args.shards,
         span_window=args.span_window,
+        near_dup_policy=args.near_dup_policy,
     )
     spark.stop()
 

@@ -726,3 +726,66 @@ def strip_repeated_spans(
         F.size(kept).cast("long").alias("n_tokens_kept"),
         removed_cnt.cast("long").alias("n_tokens_removed"),
     )
+
+
+def near_dup_losers(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    policy: str = "min_id",
+) -> DataFrame:
+    """Ids to DROP after near-dup clustering: LSH candidates → verified
+    Jaccard pairs → connected components → one elected survivor per
+    cluster, everyone else returned as a loser list (one column,
+    ``id_col``). Anti-join it against the corpus to realize the dedup.
+
+    Survivor policies (both deterministic under repartitioning):
+
+    - ``min_id``  — the component label itself (smallest member id);
+    - ``longest`` — the member with the most tokens, ties → min id
+      (the keep-longest quality policy of ``dedup_quality_survivors``).
+
+    Shuffle economics: candidates/verification/components are the
+    bucketed ids-only path; the election is one struct-max per
+    component over the (tiny) cluster membership; the loser list is
+    ids-only. Documents outside any cluster never appear.
+    """
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    cand = minhash_lsh_pairs(
+        docs, id_col, text_col,
+        n=n, num_hashes=num_hashes, rows_per_band=rows_per_band,
+    )
+    pairs = jaccard_pairs(
+        docs, id_col, text_col, n=n, threshold=threshold, candidates=cand
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    if policy == "min_id":
+        # the component label IS the survivor
+        losers = comp.filter(F.col("node") != F.col("component"))
+        return losers.select(F.col("node").alias(id_col))
+    if policy != "longest":
+        raise ValueError(f"unknown survivor policy: {policy!r}")
+    tc = docs.select(
+        F.col(id_col).alias("node"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("_nt"),
+    )
+    m = comp.join(tc, on="node")
+    elect = m.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("_nt"),
+                (-F.col("node")).alias("_neg"),
+                F.col("node").alias("_id"),
+            )
+        )["_id"].alias("_survivor")
+    )
+    return (
+        m.join(elect, on="component")
+        .filter(F.col("node") != F.col("_survivor"))
+        .select(F.col("node").alias(id_col))
+    )

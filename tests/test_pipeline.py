@@ -388,3 +388,37 @@ def test_strip_repeated_spans_preserves_case(spark):
     assert out[2]["n_tokens_removed"] == 4
     # no duplicated spans → byte-exact, irregular whitespace preserved
     assert out[3]["text"] == "Untouched   DOC  with   Weird spacing"
+
+
+def test_near_dup_losers_policies(spark):
+    """r5: the reusable cluster-survivor election — min_id keeps the
+    component label, longest keeps the most-token member (ties → min
+    id); docs outside any cluster never appear in the loser list."""
+    from cmsspark_spark.operators.dedup import near_dup_losers
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # cluster A
+            (2, base + " extra tokens here"),  # cluster A, longest
+            (3, base + " extra"),            # cluster A
+            (7, "totally different words nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(n=3, num_hashes=8, rows_per_band=2, threshold=0.5)
+    min_id = {
+        r["doc_id"]
+        for r in near_dup_losers(docs, policy="min_id", **kw).collect()
+    }
+    assert min_id == {2, 3}  # survivor 1 (label); 7 unclustered
+    longest = {
+        r["doc_id"]
+        for r in near_dup_losers(docs, policy="longest", **kw).collect()
+    }
+    assert longest == {1, 3}  # survivor 2 (most tokens); 7 unclustered
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        near_dup_losers(docs, policy="best").collect()

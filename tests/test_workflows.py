@@ -405,3 +405,41 @@ def test_rucio_summary_job_end_to_end(spark, tmp_path):
     assert {"Dataset", "RseType", "Max"} <= set(amq_docs[0])
     # era fillna survived the job path
     assert any(d.get("AcquisitionEraName") == "UNKNOWN" for d in amq_docs)
+
+
+def test_clean_corpus_near_dup_policy(spark, tmp_path):
+    """r5: --near-dup-policy wires LSH clustering + survivor election
+    into the job. With the resampler AND decontamination disabled
+    (removing a near-dup bench doc would otherwise re-admit its
+    matches downstream), clustering can only shrink (or keep) every
+    source's doc count vs the exact-dedup-only run, and 'longest'
+    keeps at least as many tokens as 'min_id' on the same corpus (it
+    elects the most-token member per cluster)."""
+    from cmsspark_spark.jobs import clean_corpus
+
+    def counts(run_out, policy):
+        s = clean_corpus.run(
+            spark, SF, str(tmp_path / run_out), min_tokens=3,
+            budget=1.0, shards=4, near_dup_policy=policy,
+            max_contamination=1.0,
+        )
+        return {r["source"]: (r["n_docs"], r["n_tokens"]) for r in s.collect()}
+
+    off = counts("nd_off", "off")
+    longest = counts("nd_longest", "longest")
+    min_id = counts("nd_minid", "min_id")
+    assert set(longest) == set(off) == set(min_id)
+    for src in off:
+        assert longest[src][0] <= off[src][0]
+        assert min_id[src][0] <= off[src][0]
+    # clustering actually fired under both policies (the corpus has
+    # planted near-dups); exact survivor identity is pinned by the
+    # near_dup_losers unit test — here the bench/candidate id split
+    # makes aggregate counts sensitive to WHICH member survived, so
+    # only the strict-shrink claim is stable at job level
+    assert sum(v[0] for v in longest.values()) < sum(
+        v[0] for v in off.values()
+    )
+    assert sum(v[0] for v in min_id.values()) < sum(
+        v[0] for v in off.values()
+    )
