@@ -84,6 +84,7 @@ def concat_pack_chunks(
     order_col: str | None = None,
     partition_cols: list[str] | None = None,
     with_boundaries: bool = False,
+    sep_tokens: int = 0,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in a
     deterministic order and slice the stream into fixed ``ctx_len``
@@ -108,8 +109,17 @@ def concat_pack_chunks(
     (chunk_id is per-shard). With no partition cols the cumsum is one
     global total order, i.e. a single-partition sort — correct, and the
     right tool only when one global stream is genuinely required.
+
+    ``sep_tokens`` models the per-document separator overhead a real
+    trainer pays (an EOS/BOS between packed documents): each doc
+    occupies ``doc_tokens + sep_tokens`` positions in the stream, its
+    separator trailing it, and ``tokens_in_chunk`` counts the doc's
+    occupancy INCLUDING its separator (chunk budgets fill with EOS
+    exactly as on the real token stream). ``doc_tokens`` in the output
+    stays the raw document length.
     """
     parts = list(partition_cols or [])
+    sep = int(sep_tokens)
     tc = (
         token_count_col
         if token_count_col is not None
@@ -126,12 +136,14 @@ def concat_pack_chunks(
     ).withColumn(
         "start_offset",
         F.coalesce(
-            F.sum("doc_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
+            F.sum(F.col("doc_tokens") + sep).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
         ),
     )
     offs = offs.filter(F.col("doc_tokens") > 0).withColumn(
-        "_end", F.col("start_offset") + F.col("doc_tokens")
+        "_end", F.col("start_offset") + F.col("doc_tokens") + sep
     )
     first = (F.col("start_offset") / ctx_len).cast("long")
     last = ((F.col("_end") - 1) / ctx_len).cast("long")
@@ -143,7 +155,10 @@ def concat_pack_chunks(
         F.explode(F.sequence(first, last)).alias("chunk_id"),
     ).withColumn(
         "tokens_in_chunk",
-        F.least(F.col("start_offset") + F.col("doc_tokens"), (F.col("chunk_id") + 1) * ctx_len)
+        F.least(
+            F.col("start_offset") + F.col("doc_tokens") + sep,
+            (F.col("chunk_id") + 1) * ctx_len,
+        )
         - F.greatest(F.col("start_offset"), F.col("chunk_id") * ctx_len),
     )
     if with_boundaries:

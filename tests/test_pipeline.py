@@ -422,3 +422,46 @@ def test_near_dup_losers_policies(spark):
 
     with _pytest.raises(ValueError):
         near_dup_losers(docs, policy="best").collect()
+
+
+def test_concat_pack_sep_tokens_overhead(spark):
+    """r5: sep_tokens models the EOS a trainer pays between packed
+    docs — each doc occupies doc_tokens + sep positions (separator
+    trailing), chunk occupancy counts it, and sep_tokens=0 reproduces
+    the original layout exactly."""
+    from cmsspark_spark.operators.pipeline import concat_pack_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i")], ["doc_id", "text"]
+    )
+    # ctx=5, sep=1: stream = [3 +1][4 +1][2 +1] → offsets 0, 4, 9
+    out = {
+        (r["doc_id"], r["chunk_id"]): r["tokens_in_chunk"]
+        for r in concat_pack_chunks(docs, ctx_len=5, sep_tokens=1).collect()
+    }
+    # doc1 occupies [0,4) → chunk0:4; doc2 [4,9) → chunk0:1, chunk1:4
+    # doc3 [9,12) → chunk1:1, chunk2:2
+    assert out == {
+        (1, 0): 4,
+        (2, 0): 1,
+        (2, 1): 4,
+        (3, 1): 1,
+        (3, 2): 2,
+    }
+    # occupancy conserves: Σ tokens_in_chunk = Σ (doc_tokens + sep)
+    assert sum(out.values()) == (3 + 1) + (4 + 1) + (2 + 1)
+    # sep=0 reproduces the original packing
+    base = {
+        (r["doc_id"], r["chunk_id"]): r["tokens_in_chunk"]
+        for r in concat_pack_chunks(docs, ctx_len=5).collect()
+    }
+    assert base == {(1, 0): 3, (2, 0): 2, (2, 1): 2, (3, 1): 2}
+    # boundaries shift with the separator: doc2 starts at 4 in chunk 0
+    b = {
+        r["doc_id"]: (r["chunk_id"], r["start_in_chunk"])
+        for r in concat_pack_chunks(
+            docs, ctx_len=5, sep_tokens=1, with_boundaries=True
+        ).collect()
+        if r["start_in_chunk"] is not None
+    }
+    assert b == {1: (0, 0), 2: (0, 4), 3: (1, 4)}
