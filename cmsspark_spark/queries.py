@@ -6146,57 +6146,46 @@ def paragraph_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document paragraph dedup — the row-local complement to
     the global line_dedup_corpus: repeated paragraphs inside ONE
     document keep their first occurrence in place; later copies drop;
-    other documents' identical paragraphs are untouched (per-doc
-    window, not global). Paragraphs are derived as 2-token groups of
-    the word-soup text (same reformat trick as line_dedup's oracle —
-    the small vocabulary makes within-doc repeats common, so the gate
-    exercises real drops). The digest pins the reassembled text
-    byte-exactly. No cross-doc state; nothing shuffles beyond the
-    per-doc re-agg."""
+    other documents' identical paragraphs are untouched. Paragraphs
+    are derived as 2-token groups of the word-soup text (same reformat
+    trick as line_dedup's oracle — the small vocabulary makes
+    within-doc repeats common, so the gate exercises real drops). The
+    digest pins the reassembled text byte-exactly.
+
+    Row-local (r5): first-occurrence-in-order dedup within one row's
+    array IS ``array_distinct`` (Spark preserves first occurrences in
+    encounter order — certified against the oracle's window
+    formulation by the hash gate), so the whole operator is a narrow
+    map over the corpus; the plan's only exchange is the catalog's
+    widen repartition that spreads the scan. The previous formulation
+    exploded paragraphs and ran a (doc, para) row_number window — two
+    shuffles of paragraph STRINGS this plan simply doesn't have
+    (2.5 s → 0.2 s at sf0.1)."""
     from cmsspark_spark.functions.text import tokens as _tokens
 
     d = _t(spark, sf_dir, "documents")
-    tk = F.col("_tk")
-    n_para = F.greatest(
-        F.ceil(F.size(tk) / 2.0).cast("int") - 1, F.lit(0)
+    tk = _tokens("text")
+    n_para = F.greatest(F.ceil(F.size(tk) / 2.0).cast("int") - 1, F.lit(0))
+    paras = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n_para),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * 2 + 1, 2)),
+        ),
+        lambda p: F.length(F.trim(p)) >= 1,
     )
-    para = (
-        d.withColumn("_tk", _tokens("text"))
+    return (
+        d.select("doc_id", paras.alias("_ps"))
+        .filter(F.size("_ps") > 0)
         .select(
             "doc_id",
-            "_tk",
-            F.explode(F.sequence(F.lit(0), n_para)).alias("i"),
+            F.size(F.array_distinct("_ps")).cast("long").alias("n_kept"),
+            (F.size("_ps") - F.size(F.array_distinct("_ps")))
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(F.array_join(F.array_distinct("_ps"), ". ")).alias(
+                "text_digest"
+            ),
         )
-        .select(
-            "doc_id",
-            "i",
-            F.concat_ws(
-                " ", F.slice("_tk", F.col("i") * 2 + 1, 2)
-            ).alias("para"),
-        )
-        .filter(F.length(F.trim(F.col("para"))) >= 1)
-    )
-    w = Window.partitionBy("doc_id", "para").orderBy("i")
-    ranked = para.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("doc_id").agg(
-        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
-        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rn") == 1,
-                                F.struct(F.col("i"), F.col("para")),
-                            )
-                        )
-                    ),
-                    lambda s: s["para"],
-                ),
-                ". ",
-            )
-        ).alias("text_digest"),
     )
 
 
