@@ -179,6 +179,7 @@ EXTRA = [
     "embed_lsh_quality_report",     # sign-LSH recall vs brute-force truth
     # round 5
     "dedup_quality_survivors",      # keep-longest election per dup cluster
+    "pack_concat_eos_chunks",       # separator-aware (EOS) packing
 ]
 
 

@@ -2719,6 +2719,52 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_concat_eos_chunks",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS doc_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, doc_tokens,
+             CAST(coalesce(sum(doc_tokens + 1) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, doc_tokens, s,
+             unnest(generate_series(s // 512, (s + doc_tokens) // 512))
+               AS chunk_id
+      FROM offs WHERE doc_tokens > 0
+    )
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(s + doc_tokens + 1, (chunk_id + 1) * 512)
+                    - greatest(s, chunk_id * 512)) AS BIGINT) AS chunk_tokens
+    FROM chunks GROUP BY chunk_id
+    """,
+)
+def pack_concat_eos_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separator-aware packing (r5): pack_concat_chunks with
+    ``sep_tokens=1`` — every document occupies doc_tokens + 1 stream
+    positions (the trailing EOS a real trainer inserts between packed
+    docs) and chunk occupancy counts the separator, so per-chunk
+    budgets match the real token stream. Same window-cumsum +
+    bounded-explode plan; the oracle is the pack oracle with the
+    +1 threaded through offsets, spans and occupancy."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = PL.concat_pack_chunks(d, ctx_len=512, sep_tokens=1)
+    return chunks.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens_in_chunk").alias("chunk_tokens"),
+    )
+
+
+@query(
     "pack_concat_chunks_sharded",
     f"""
     WITH tok AS (
