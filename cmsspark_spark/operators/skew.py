@@ -60,7 +60,19 @@ def salted_broadcast_left(
     spreads over ``salt`` reducers. Right-side duplication costs
     |right| × salt rows: use when right is small-ish but above the
     broadcast threshold.
+
+    Supported ``how``: inner / left / left_semi / left_anti — shapes
+    where only the (salted, row-preserved) left side survives
+    unmatched. right/full outer are REJECTED: the replicated right
+    side would emit each unmatched right row once per salt value — a
+    silent ``salt``× duplication, not a join.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_broadcast_left supports inner/left/left_semi/"
+            f"left_anti, got {how!r} (the replicated right side would "
+            "emit unmatched right rows once per salt)"
+        )
     salted_left = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     replicated_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

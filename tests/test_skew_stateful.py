@@ -56,6 +56,33 @@ def test_salted_broadcast_left_equals_plain_join(spark):
         for r in skew.salted_broadcast_left(left, right, on=["k"]).collect()
     )
     assert salted == plain
+    # left-outer preserves unmatched left rows exactly once
+    lo = sorted(
+        (r.k, r.v, r.tag)
+        for r in skew.salted_broadcast_left(
+            left, right, on=["k"], how="left"
+        ).collect()
+    )
+    plain_lo = sorted(
+        (r.k, r.v, r.tag)
+        for r in left.join(right, on=["k"], how="left").collect()
+    )
+    assert lo == plain_lo
+    # anti: a left row survives iff NO right row shares its key (every
+    # right key reaches every salt via the replication)
+    anti = sorted(
+        (r.k, r.v)
+        for r in skew.salted_broadcast_left(
+            left, right, on=["k"], how="left_anti"
+        ).collect()
+    )
+    assert anti == [("miss", 2)]
+    # r5 guard: right/full outer would duplicate unmatched right rows
+    # once per salt -> rejected loudly instead
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew.salted_broadcast_left(left, right, on=["k"], how="full")
 
 
 def test_stateful_sessionization_across_batches(spark, tmp_path):
