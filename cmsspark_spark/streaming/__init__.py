@@ -370,3 +370,111 @@ def streaming_first_seen_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def funnel_stateful(
+    df: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    horizon_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Streaming form of the ordered-event funnel walk
+    (queries.funnel_view_click_purchase is the batch twin): per-user
+    state = (stage reached, threshold event time); each trigger
+    processes the user's new rows in event-time order and advances
+    greedily — an event counts only if it matches the NEXT stage and
+    is strictly later than the previous stage's event. Emits
+    (user, stage, stage_ts) in update mode on every trigger that
+    touches the user.
+
+    Semantics vs the batch walk: identical whenever events arrive in
+    watermark order — an event that crosses micro-batches later than
+    the watermark allows is dropped by Spark before the operator runs,
+    and an in-watermark straggler OLDER than the current threshold is
+    ignored (the batch walk, seeing all events at once, might have
+    used it). The funnel HORIZON doubles as state eviction
+    (EventTimeTimeout): a user idle past last_progress + horizon can
+    no longer convert inside the window, so the entry is dropped — the
+    same bounded-state contract as ``sessionize_stateful``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField("stage", IntegerType()),
+            StructField("stage_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("stage", IntegerType()),
+            StructField("t_epoch", LongType()),
+        ]
+    )
+    stage_list = list(stages)
+    ts_name, type_name, user_name = ts_col, type_col, user_col
+    horizon = int(horizon_seconds)
+
+    def handle(key, pdf_iter, state):
+        import pandas as pd
+
+        (uid,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stage, t_epoch = state.get if state.exists else (0, None)
+        events: list[tuple[int, str]] = []
+        for pdf in pdf_iter:
+            events.extend(
+                (int(pd.Timestamp(ts).timestamp()), et)
+                for ts, et in zip(pdf[ts_name], pdf[type_name])
+            )
+        for epoch, et in sorted(events):
+            if (
+                stage < len(stage_list)
+                and et == stage_list[stage]
+                and (t_epoch is None or epoch > t_epoch)
+            ):
+                stage += 1
+                t_epoch = epoch
+        state.update((stage, t_epoch))
+        anchor = t_epoch if t_epoch is not None else (
+            min(e for e, _ in events) if events else 0
+        )
+        state.setTimeoutTimestamp(
+            max((anchor + horizon) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                user_name: [uid],
+                "stage": [stage],
+                "stage_ts": [
+                    pd.Timestamp(t_epoch, unit="s")
+                    if t_epoch is not None
+                    else pd.NaT
+                ],
+            }
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -413,3 +413,79 @@ def test_stateful_sessionization_evicts_idle_state(spark, tmp_path):
     # unevicted cumulative count would say 2)
     b4 = run_batch(4, [{"ts": "2024-01-02 16:00:00", "user_id": 1}])
     assert {(r.user_id, r.n_sessions) for r in b4} == {(1, 1)}
+
+
+def test_stateful_funnel_matches_batch_walk(spark, tmp_path):
+    """r5: funnel_stateful is the streaming twin of the batch funnel
+    walk — greedy earliest-match stage advance per user across
+    micro-batches, with the funnel horizon doubling as state eviction
+    (an idle user past last_progress + horizon restarts at stage 0)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            StructType(
+                [
+                    StructField("ts", StringType()),
+                    StructField("user_id", LongType()),
+                    StructField("event_type", StringType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = ST.funnel_stateful(
+        stream, watermark="1 hour", horizon_seconds=1800
+    )
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run_batch(i, rows):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+        emitted.clear()
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r.user_id: r.stage for r in emitted}
+
+    b1 = run_batch(1, [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "view"},
+        # u2: click BEFORE view never counts; view then opens stage 1
+        {"ts": "2024-01-01 10:00:00", "user_id": 2, "event_type": "click"},
+        {"ts": "2024-01-01 10:05:00", "user_id": 2, "event_type": "view"},
+        {"ts": "2024-01-01 10:00:00", "user_id": 4, "event_type": "view"},
+    ])
+    assert b1 == {1: 1, 2: 1, 4: 1}
+
+    b2 = run_batch(2, [
+        {"ts": "2024-01-01 10:30:00", "user_id": 1, "event_type": "click"},
+        # u2: purchase at stage 1 is ignored; click advances to 2
+        {"ts": "2024-01-01 10:10:00", "user_id": 2, "event_type": "purchase"},
+        {"ts": "2024-01-01 10:15:00", "user_id": 2, "event_type": "click"},
+    ])
+    assert b2 == {1: 2, 2: 2}
+
+    # advances the watermark past u4's horizon (10:00 + 30min)
+    b3 = run_batch(3, [
+        {"ts": "2024-01-01 14:00:00", "user_id": 1, "event_type": "purchase"},
+    ])
+    assert b3 == {1: 3}
+
+    # u4 was evicted (timeout fired once wm passed 10:30): its click
+    # arrives on a FRESH walk and cannot advance past the missing view
+    b4 = run_batch(4, [
+        {"ts": "2024-01-01 14:30:00", "user_id": 4, "event_type": "click"},
+        {"ts": "2024-01-01 14:20:00", "user_id": 3, "event_type": "purchase"},
+    ])
+    assert b4 == {4: 0, 3: 0}
