@@ -5889,8 +5889,8 @@ def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(least(s + doc_tokens, (chunk_id + 1) * 512)
                     - greatest(s, chunk_id * 512)) AS BIGINT) AS chunk_tokens,
-           coalesce(list(s - chunk_id * 512 ORDER BY s)
-             FILTER (WHERE s >= chunk_id * 512), []::BIGINT[])
+           coalesce(array_to_string(list(s - chunk_id * 512 ORDER BY s)
+             FILTER (WHERE s >= chunk_id * 512), ','), '')
              AS boundaries,
            CAST(count(*) FILTER (WHERE s >= chunk_id * 512) AS INT)
              AS n_starts
@@ -5904,7 +5904,9 @@ def pack_boundary_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary list an LLM trainer consumes with each packed window
     (docs continuing from the previous chunk contribute no boundary).
     Same sharded parallel-cumsum plan as pack_concat_chunks_sharded;
-    the boundary fold is the per-chunk re-agg it already does."""
+    the boundary fold is the per-chunk re-agg it already does. The
+    boundary list is serialized comma-joined (like collect_set_sources)
+    so the cross-engine hash gate can canonicalize it."""
     from cmsspark_spark.operators import pipeline as PL
 
     d = _t(spark, sf_dir, "documents")
@@ -5914,7 +5916,13 @@ def pack_boundary_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.groupBy("source", "chunk_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens_in_chunk").alias("chunk_tokens"),
-        F.array_sort(F.collect_list("start_in_chunk")).alias("boundaries"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("start_in_chunk")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("boundaries"),
         F.count("start_in_chunk").cast("int").alias("n_starts"),
     )
 

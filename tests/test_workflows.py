@@ -268,9 +268,29 @@ def test_snapshot_order_self_rotates(tmp_path):
     # real repo: every recorded name must be a registered query
     real = m._recorded_names()
     assert real and real <= set(m.queries())
-    # and the live first-50 window contains no recorded names
-    first50 = list(m.queries())[:50]
-    assert not (set(first50) & real)
+    # Ordering invariant (NOT an empty-intersection claim — once nearly
+    # every scorable name is recorded, the first-50 window must backfill
+    # with recorded names): no recorded name may appear BEFORE any
+    # unrecorded scorable name, and rows-only names sort dead last.
+    order = list(m.queries())
+    rows_only = m._rows_only_names()
+    unrec_scorable = [
+        n for n in order if n not in real and n not in rows_only
+    ]
+    if unrec_scorable:
+        last_unrec = max(order.index(n) for n in unrec_scorable)
+        first_rec = min(
+            (order.index(n) for n in order if n in real), default=len(order)
+        )
+        assert last_unrec < first_rec
+    first_rows_only = min(
+        (order.index(n) for n in order if n in rows_only), default=len(order)
+    )
+    scorable_max = max(
+        (order.index(n) for n in order if n not in rows_only),
+        default=-1,
+    )
+    assert first_rows_only > scorable_max
 
 
 def test_ingest_increment_span_dedup_across_runs(spark, tmp_path):
