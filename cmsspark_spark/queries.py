@@ -7184,8 +7184,12 @@ def _dedup_quality_oracle() -> str:
         assert src.count("FROM documents") == 1, name
         sampled[name] = src.replace("FROM documents", "FROM documents_s")
     return f"""
-    WITH documents_s AS (
-      SELECT * FROM documents WHERE doc_id % 2 = 0
+    WITH nmod AS (
+      SELECT greatest(CAST(ceil(count(*) / 2000.0) AS BIGINT), 1) AS m
+      FROM documents
+    ),
+    documents_s AS (
+      SELECT d.* FROM documents d, nmod WHERE d.doc_id % nmod.m = 0
     ),
     cand AS ({sampled["dedup_minhash_lsh"]}),
     truth AS (SELECT id_a, id_b FROM ({sampled["dedup_ngram_jaccard"]})),
@@ -7207,7 +7211,7 @@ def _dedup_quality_oracle() -> str:
       round(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) * 1.0
             / greatest(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1), 4)
         AS lsh_recall,
-      CAST(2 AS BIGINT) AS sample_mod,
+      (SELECT m FROM nmod) AS sample_mod,
       (SELECT count(*) FROM documents_s) AS n_docs_sampled
     FROM j
     """
@@ -7215,7 +7219,10 @@ def _dedup_quality_oracle() -> str:
 
 @query("dedup_lsh_quality_report", None)
 def dedup_lsh_quality_report(
-    spark: SparkSession, sf_dir: str, truth_sample_mod: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    truth_sample_mod: int | None = None,
+    truth_target: int = 2000,
 ) -> DataFrame:
     """The approximation audited INSIDE the engine: MinHash-LSH
     candidate pairs scored against the exact Jaccard≥0.5 truth set —
@@ -7230,16 +7237,25 @@ def dedup_lsh_quality_report(
     SAMPLING SEMANTICS (the 100 TB guard): the exact-Jaccard truth
     side is all-pairs — O(n²) on the full corpus. Both sides are
     therefore computed on the deterministic subpopulation
-    ``doc_id % truth_sample_mod == 0`` (ids are content-independent,
-    so pair-level precision/recall on the sample are unbiased
-    estimates of the corpus rates; the estimator's population size is
-    reported as ``n_docs_sampled`` / ``sample_mod`` in the output).
-    ``truth_sample_mod=1`` runs the exhaustive audit; at scale pick a
-    mod that bounds the sample to ~10⁴-10⁵ docs. Mirrors how
-    ``embed_lsh_quality_report`` caps its brute-force truth to the
-    ``vec_id % 4`` subset."""
-    mod = int(truth_sample_mod)
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % mod == 0)
+    ``doc_id % mod == 0`` where ``mod = ceil(n_docs / truth_target)``
+    is derived from an ABSOLUTE target sample size (one cheap
+    ``count()``), so the quadratic truth side is bounded at
+    ~``truth_target²`` pairs no matter how large the corpus grows —
+    a fixed-mod default would silently go quadratic on a 100 TB
+    corpus (ADVICE r5). Ids are content-independent, so pair-level
+    precision/recall on the sample are unbiased estimates of the
+    corpus rates; the realized ``sample_mod`` / ``n_docs_sampled``
+    are reported in the output. Pass ``truth_sample_mod`` explicitly
+    to pin the mod (1 = exhaustive audit); the oracle computes the
+    identical ``ceil(count/2000)`` inside SQL so the two sides can
+    never disagree on the population."""
+    d0 = _t(spark, sf_dir, "documents")
+    if truth_sample_mod is not None:
+        mod = int(truth_sample_mod)
+    else:
+        n_docs = d0.count()
+        mod = max(-(-n_docs // int(truth_target)), 1)
+    d = d0.filter(F.col("doc_id") % mod == 0)
     cand = D.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
     ).withColumn("is_cand", F.lit(True))
@@ -7296,8 +7312,12 @@ def _embed_lsh_quality_oracle() -> str:
         for t in range(8)
     )
     return f"""
-    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                    FROM embeddings WHERE vec_id % 4 = 0),
+    WITH nmod AS (
+      SELECT greatest(CAST(ceil(count(*) / 500.0) AS BIGINT), 1) AS m
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e
+               FROM embeddings, nmod WHERE vec_id % nmod.m = 0),
     hashed AS (
       SELECT vec_id, {bucket_cols}
       FROM corpus
@@ -7336,21 +7356,34 @@ def _embed_lsh_quality_oracle() -> str:
         AS BIGINT) AS missed,
       round(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) * 1.0
             / greatest(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1), 4)
-        AS lsh_recall
+        AS lsh_recall,
+      (SELECT m FROM nmod) AS sample_mod,
+      (SELECT count(*) FROM corpus) AS n_vecs_sampled
     FROM j
     """
 
 
 @query("embed_lsh_quality_report", None)
-def embed_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_lsh_quality_report(
+    spark: SparkSession, sf_dir: str, truth_target: int = 500
+) -> DataFrame:
     """Sign-LSH bucket recall audited against brute-force cosine truth
-    (threshold 0.3) on the bounded %4 subset — the embedding sibling
-    of dedup_lsh_quality_report (post-verification precision is 1.0 by
-    construction: every candidate is exact-rescored, so only recall
-    can be lost — exactly what this reports). Both sides are the
-    production operators; the oracle regenerates the same seeded
-    hyperplanes, pinned impl='sql' for the hard bucket guarantee."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    (threshold 0.3) on a subset bounded to an ABSOLUTE target size —
+    the embedding sibling of dedup_lsh_quality_report
+    (post-verification precision is 1.0 by construction: every
+    candidate is exact-rescored, so only recall can be lost — exactly
+    what this reports). The brute-force truth is O(n²): the audit
+    population is ``vec_id % mod == 0`` with
+    ``mod = ceil(n_vecs / truth_target)`` from one cheap count, so
+    truth cost is ~``truth_target²`` pairs at any corpus size
+    (ADVICE r5 — the old fixed ``% 4`` went quadratic with n). Both
+    sides are the production operators; the oracle regenerates the
+    same seeded hyperplanes AND the same ceil(count/500) mod in SQL,
+    pinned impl='sql' for the hard bucket guarantee."""
+    emb0 = _t(spark, sf_dir, "embeddings")
+    n_vecs = emb0.count()
+    mod = max(-(-n_vecs // int(truth_target)), 1)
+    emb = emb0.filter(F.col("vec_id") % mod == 0)
     cand = (
         S.cosine_near_pairs_lsh(
             emb, dim=64, threshold=0.3, num_planes=4, tables=8, impl="sql"
@@ -7369,12 +7402,19 @@ def embed_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tp = F.sum((F.col("is_cand") & F.col("is_true")).cast("long"))
     n_true = F.sum(F.col("is_true").cast("long"))
-    return j.agg(
-        tp.alias("tp"),
-        F.sum((F.col("is_true") & ~F.col("is_cand")).cast("long")).alias(
-            "missed"
-        ),
-        F.round(tp / F.greatest(n_true, F.lit(1)), 4).alias("lsh_recall"),
+    n_sampled = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs_sampled")
+    )
+    return (
+        j.agg(
+            tp.alias("tp"),
+            F.sum((F.col("is_true") & ~F.col("is_cand")).cast("long")).alias(
+                "missed"
+            ),
+            F.round(tp / F.greatest(n_true, F.lit(1)), 4).alias("lsh_recall"),
+        )
+        .withColumn("sample_mod", F.lit(mod).cast("long"))
+        .crossJoin(F.broadcast(n_sampled))
     )
 
 
