@@ -6213,8 +6213,11 @@ def paragraph_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the corpus; the plan's only exchange is the catalog's
     widen repartition that spreads the scan. The previous formulation
     exploded paragraphs and ran a (doc, para) row_number window — two
-    shuffles of paragraph STRINGS this plan simply doesn't have
-    (2.5 s → 0.2 s at sf0.1)."""
+    shuffles of paragraph STRINGS this plan simply doesn't have.
+    Measured at sf0.1/local[32]: windowed form 1.6 s; first row-local
+    form 2.2 s (the size(_ps)>0 filter was substituted below the widen
+    Exchange, serializing the heavy build on one core — see the
+    comment below); raw-text filter form ~0.65 s warm."""
     from cmsspark_spark.functions.text import tokens as _tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -6227,9 +6230,17 @@ def paragraph_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda p: F.length(F.trim(p)) >= 1,
     )
+    # A doc has >=1 non-empty paragraph IFF its trimmed text is
+    # non-empty (every token produces a non-empty 2-token group).
+    # Stating the row filter on the RAW text matters for the plan:
+    # `filter(size(_ps) > 0)` gets pushed below the widen Exchange
+    # with the whole tokenize+build expression substituted in, so the
+    # heavy compute would run twice — once single-threaded on the
+    # pre-shuffle scan partition (the r5 regression: 2.2 s vs 1.6 s),
+    # once post-shuffle. The cheap predicate pushes down for free.
     return (
-        d.select("doc_id", paras.alias("_ps"))
-        .filter(F.size("_ps") > 0)
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", paras.alias("_ps"))
         .select(
             "doc_id",
             F.size(F.array_distinct("_ps")).cast("long").alias("n_kept"),
