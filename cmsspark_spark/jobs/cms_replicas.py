@@ -1443,6 +1443,7 @@ def rucio_last_access_report(
     rses: DataFrame,
     min_tb: float = 0.0,
     not_read_since_epoch: float = 0.0,
+    mode: str = "disk",
 ) -> dict[str, DataFrame]:
     """The last-access-threshold report family
     (degraded/rucio_datasets_last_access_ts.py:184-336): per-RSE
@@ -1455,9 +1456,20 @@ def rucio_last_access_report(
     (files⋈datasets on LFN, :196-216) and files with no DBS dataset
     are DROPPED (unlike rucio_ds_summary's UNKNOWN tag — the two
     reference scripts disagree, both shapes are replicated
-    faithfully). Only prod RSEs participate (:100-118 excludes
-    Temp/Test name variants — here via ``rse_tags``'s kind column,
-    the same endswith cascade).
+    faithfully).
+
+    RSE population (``mode``, reference :60-71 ``get_rse_ids``): the
+    reference partitions the namespace into two separate runs —
+    ``mode='disk'`` (default) drops any RSE whose name CONTAINS
+    'Tape', 'Test' or 'Temp' (case-sensitive containment, exactly the
+    pickle filter); ``mode='tape'`` keeps only names ending '_Tape'.
+    ``mode='all'`` is an engine EXTENSION (a merged report using
+    ``rse_tags``'s case-insensitive endswith prod cascade) — it has
+    no reference twin and its numbers match neither reference run;
+    earlier rounds shipped it as the only behavior, which this mode
+    parameter corrects (r5 ADVICE). All modes drop
+    ``/store/backfill/`` LFNs before any join, as the reference does
+    unconditionally (:46 BACKFILL_PREFIX, :124).
 
     Report semantics (:223-336) kept code-for-code (the reference's
     docstring CLAIMS a dataset with even one null-accessed file is
@@ -1482,10 +1494,21 @@ def rucio_last_access_report(
     (rse, dataset) shuffle; both "main" rollups re-aggregate the tiny
     cell table; rses broadcast; no UDFs, no driver-side maps.
     """
-    prod_rses = (
-        rses.withColumn("_kind", rse_tags("rse")["rse_kind"])
-        .filter(F.col("_kind") == "prod")
-        .select("rse_id", "rse")
+    if mode == "disk":
+        rse_pick = ~(
+            F.col("rse").contains("Tape")
+            | F.col("rse").contains("Test")
+            | F.col("rse").contains("Temp")
+        )
+    elif mode == "tape":
+        rse_pick = F.col("rse").endswith("_Tape")
+    elif mode == "all":
+        rse_pick = rse_tags("rse")["rse_kind"] == F.lit("prod")
+    else:
+        raise ValueError(f"mode must be disk|tape|all, got {mode!r}")
+    prod_rses = rses.filter(rse_pick).select("rse_id", "rse")
+    replicas = replicas.filter(
+        ~F.col("name").startswith("/store/backfill/")
     )
     f2d = files.select(
         F.col("logical_file_name").alias("name"), "dataset_id"

@@ -775,12 +775,15 @@ def near_dup_losers(
         F.size(_tokens(F.col(text_col))).cast("long").alias("_nt"),
     )
     m = comp.join(tc, on="node")
+    # Election: most tokens, ties -> min id. min(struct(-tokens, id))
+    # negates only the NUMERIC token count, so ids merely need to be
+    # orderable — the earlier max(struct(tokens, -id, id)) form
+    # applied unary minus to the id itself and broke (null election /
+    # AnalysisException) on string doc ids (r5 ADVICE).
     elect = m.groupBy("component").agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col("_nt"),
-                (-F.col("node")).alias("_neg"),
-                F.col("node").alias("_id"),
+                (-F.col("_nt")).alias("_k"), F.col("node").alias("_id")
             )
         )["_id"].alias("_survivor")
     )

@@ -131,19 +131,26 @@ def concat_pack_chunks(
         if parts
         else Window.orderBy("_ord")
     )
-    offs = docs.select(
-        *parts, F.col(id_col), tc, F.col(order).alias("_ord")
-    ).withColumn(
-        "start_offset",
-        F.coalesce(
-            F.sum(F.col("doc_tokens") + sep).over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
+    # Zero-token docs are dropped BEFORE the cumsum: they emit no
+    # chunk rows, so they must not consume stream positions either —
+    # with the filter after the window a dropped empty doc would still
+    # pay its sep_tokens separator and shift every later doc's chunk
+    # assignment by a phantom slot (r5 ADVICE).
+    offs = (
+        docs.select(*parts, F.col(id_col), tc, F.col(order).alias("_ord"))
+        .filter(F.col("doc_tokens") > 0)
+        .withColumn(
+            "start_offset",
+            F.coalesce(
+                F.sum(F.col("doc_tokens") + sep).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
             ),
-            F.lit(0).cast("long"),
-        ),
-    )
-    offs = offs.filter(F.col("doc_tokens") > 0).withColumn(
-        "_end", F.col("start_offset") + F.col("doc_tokens") + sep
+        )
+        .withColumn(
+            "_end", F.col("start_offset") + F.col("doc_tokens") + sep
+        )
     )
     first = (F.col("start_offset") / ctx_len).cast("long")
     last = ((F.col("_end") - 1) / ctx_len).cast("long")

@@ -2726,18 +2726,20 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     offs AS (
+      -- zero-token docs are dropped BEFORE the cumsum (they emit no
+      -- chunk rows so they must not consume separator slots either)
       SELECT doc_id, doc_tokens,
              CAST(coalesce(sum(doc_tokens + 1) OVER (
                ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS s
-      FROM tok
+      FROM tok WHERE doc_tokens > 0
     ),
     chunks AS (
       SELECT doc_id, doc_tokens, s,
              unnest(generate_series(s // 512, (s + doc_tokens) // 512))
                AS chunk_id
-      FROM offs WHERE doc_tokens > 0
+      FROM offs
     )
     SELECT chunk_id,
            CAST(count(*) AS BIGINT) AS n_docs,

@@ -149,7 +149,12 @@ def sessionize_stateful(
         )
 
     return (
-        df.withWatermark(ts_col, watermark)
+        # Null event-time rows are NOT dropped by the watermark before
+        # applyInPandasWithState reaches the handler, and NaT raises in
+        # the epoch conversion — one malformed event must not kill the
+        # whole streaming query (r5 ADVICE).
+        df.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             handle,
@@ -468,7 +473,12 @@ def funnel_stateful(
         )
 
     return (
-        df.withWatermark(ts_col, watermark)
+        # Null event-time rows are NOT dropped by the watermark before
+        # applyInPandasWithState reaches the handler, and NaT raises in
+        # the epoch conversion — one malformed event must not kill the
+        # whole streaming query (r5 ADVICE).
+        df.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             handle,

@@ -1302,6 +1302,7 @@ def test_rucio_last_access_report(fx, duck_fx):
         fx["rucio_rses"],
         min_tb=0.0,
         not_read_since_epoch=threshold,
+        mode="all",
     )
     base = f"""
         WITH prod AS (
@@ -1490,6 +1491,78 @@ def test_dbs_condor_agg_plan_shape(fx):
             assert (
                 "dataset_id" in block or "DESIRED_CMSDataset" in block
             ), f"{gran}: dim key shuffled instead of broadcast:\n{block}"
+
+
+def test_rucio_last_access_report_disk_tape_modes(spark):
+    """Reference get_rse_ids semantics (degraded/
+    rucio_datasets_last_access_ts.py:60-71): disk mode drops RSEs
+    whose name CONTAINS Tape/Test/Temp (case-SENSITIVE containment —
+    an all-caps '_TEST' suffix survives, bug-for-bug), tape mode keeps
+    only '_Tape'-suffixed names; /store/backfill/ LFNs are dropped in
+    every mode (:46,:124)."""
+    rses = spark.createDataFrame(
+        [
+            ("01", "T1_US_X_Disk"),
+            ("02", "T1_US_X_Tape"),
+            ("03", "T2_DE_Y_Temp"),
+            ("04", "T2_DE_Y_TEST"),
+            ("05", "T3_FR_Z"),
+        ],
+        "rse_id: string, rse: string",
+    )
+    tb = 1.0e12
+    replicas = spark.createDataFrame(
+        [
+            ("01", "/store/data/f1.root", tb, None, 10.0),
+            ("02", "/store/data/f2.root", tb, None, 10.0),
+            ("05", "/store/data/f3.root", tb, 100.0, 10.0),
+            ("04", "/store/data/f4.root", tb, None, 10.0),
+            ("01", "/store/backfill/f5.root", tb, None, 10.0),
+            ("03", "/store/data/f6.root", tb, None, 10.0),
+        ],
+        "rse_id: string, name: string, bytes: double, "
+        "accessed_at: double, created_at: double",
+    )
+    dids = spark.createDataFrame(
+        [], "name: string, bytes: double, accessed_at: double, "
+        "created_at: double"
+    )
+    files = spark.createDataFrame(
+        [(f"/store/data/f{i}.root", 1) for i in range(1, 7)]
+        + [("/store/backfill/f5.root", 1)],
+        "logical_file_name: string, dataset_id: long",
+    )
+    datasets = spark.createDataFrame(
+        [(1, "/P/Q/R")], "dataset_id: long, dataset: string"
+    )
+
+    disk = R.rucio_last_access_report(
+        replicas, dids, files, datasets, rses,
+        not_read_since_epoch=1000.0, mode="disk",
+    )
+    never_rses = {
+        r.rse_name for r in disk["sub_never_read"].collect()
+    }
+    # Tape + Temp excluded; case-mismatched '_TEST' kept; backfill
+    # LFN gone so rse 01's only cell is f1
+    assert never_rses == {"T1_US_X_Disk", "T2_DE_Y_TEST"}
+    assert {
+        r.rse_name for r in disk["sub_not_read_since"].collect()
+    } == {"T3_FR_Z"}
+
+    tape = R.rucio_last_access_report(
+        replicas, dids, files, datasets, rses,
+        not_read_since_epoch=1000.0, mode="tape",
+    )
+    assert {
+        r.rse_name for r in tape["sub_never_read"].collect()
+    } == {"T1_US_X_Tape"}
+    assert tape["sub_not_read_since"].count() == 0
+
+    with pytest.raises(ValueError, match="disk|tape|all"):
+        R.rucio_last_access_report(
+            replicas, dids, files, datasets, rses, mode="bogus"
+        )
 
 
 def test_rucio_last_access_report_single_cell_shuffle(fx):

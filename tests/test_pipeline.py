@@ -423,6 +423,23 @@ def test_near_dup_losers_policies(spark):
     with _pytest.raises(ValueError):
         near_dup_losers(docs, policy="best").collect()
 
+    # r5 ADVICE: 'longest' must work with STRING doc ids (the generic
+    # id_col the signature advertises) — the old tie-break negated the
+    # id arithmetically. Ties on token count -> lexicographic min id.
+    sdocs = spark.createDataFrame(
+        [
+            ("doc-b", base),
+            ("doc-a", base + " pad"),   # same cluster, longest is tie-free
+            ("doc-c", base + " pad"),   # ties doc-a on tokens -> min id wins
+        ],
+        ["doc_id", "text"],
+    )
+    s_longest = {
+        r["doc_id"]
+        for r in near_dup_losers(sdocs, policy="longest", **kw).collect()
+    }
+    assert s_longest == {"doc-b", "doc-c"}  # survivor doc-a
+
 
 def test_concat_pack_sep_tokens_overhead(spark):
     """r5: sep_tokens models the EOS a trainer pays between packed
@@ -465,3 +482,30 @@ def test_concat_pack_sep_tokens_overhead(spark):
         if r["start_in_chunk"] is not None
     }
     assert b == {1: (0, 0), 2: (0, 4), 3: (1, 4)}
+
+
+def test_concat_pack_sep_tokens_empty_doc_no_phantom_slot(spark):
+    """r5 ADVICE: a zero-token doc emits no chunk rows, so it must not
+    consume a separator slot either — with the doc_tokens>0 filter
+    after the cumsum, an empty doc between docs 1 and 2 would shift
+    every later doc's offsets by sep (phantom EOS)."""
+    from cmsspark_spark.operators.pipeline import concat_pack_chunks
+
+    with_empty = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "d e f g"), (4, "h i")],
+        ["doc_id", "text"],
+    )
+    without = spark.createDataFrame(
+        [(1, "a b c"), (3, "d e f g"), (4, "h i")], ["doc_id", "text"]
+    )
+
+    def layout(docs):
+        return {
+            (r["doc_id"], r["chunk_id"]): r["tokens_in_chunk"]
+            for r in concat_pack_chunks(
+                docs, ctx_len=5, sep_tokens=1
+            ).collect()
+        }
+
+    # empty doc_id 2 sits mid-stream; its presence must be invisible
+    assert layout(with_empty) == layout(without)

@@ -399,8 +399,10 @@ def test_stateful_sessionization_evicts_idle_state(spark, tmp_path):
                        {"ts": "2024-01-01 10:00:00", "user_id": 2}])
     assert {(r.user_id, r.n_sessions) for r in b1} == {(1, 1), (2, 1)}
 
-    # only user 2: watermark advances to 19:00 after this run
-    b2 = run_batch(2, [{"ts": "2024-01-01 20:00:00", "user_id": 2}])
+    # only user 2: watermark advances to 19:00 after this run (the
+    # null-ts row must be filtered, not NaT-crash the handler)
+    b2 = run_batch(2, [{"ts": "2024-01-01 20:00:00", "user_id": 2},
+                       {"ts": None, "user_id": 9}])
     assert {(r.user_id, r.n_sessions) for r in b2} == {(2, 2)}
 
     # at this run's start the watermark (19:00) is past user 1's
@@ -473,6 +475,10 @@ def test_stateful_funnel_matches_batch_walk(spark, tmp_path):
         # u2: purchase at stage 1 is ignored; click advances to 2
         {"ts": "2024-01-01 10:10:00", "user_id": 2, "event_type": "purchase"},
         {"ts": "2024-01-01 10:15:00", "user_id": 2, "event_type": "click"},
+        # r5 ADVICE: a null event-time row (watermark does NOT drop it)
+        # must not NaT-crash the handler and kill the query — it is
+        # filtered before the stateful groupBy, so u9 emits nothing
+        {"ts": None, "user_id": 9, "event_type": "view"},
     ])
     assert b2 == {1: 2, 2: 2}
 
