@@ -324,3 +324,122 @@ def test_session_window_batch_stream_twin(spark, tmp_path):
     }
     assert batch == streamed
     assert ("u1", "00:01", 3.0, 2) in batch
+
+
+def test_funnel_stream_to_osearch_sink_exactly_once(spark, tmp_path):
+    """Streaming surface meets the sink adapters (r5 verdict #8):
+    funnel_stateful → foreachBatch → OpenSearchSink through the
+    recording transport, with an INDUCED crash after the sink push but
+    before the batch commits. foreachBatch is at-least-once: the
+    restarted query replays the batch (observable as duplicate bulk
+    posts), and content-keyed upserts at the index — the deterministic
+    doc-id idiom real OpenSearch loads use — make the composition
+    effectively exactly-once. A fresh writeStream object on the same
+    checkpoint is the restart; state (u1's stage walk) survives it."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cmsspark_spark.sinks.osearch import OpenSearchSink, index_schema_body
+
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            StructType(
+                [
+                    StructField("ts", StringType()),
+                    StructField("user_id", LongType()),
+                    StructField("event_type", StringType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = ST.funnel_stateful(stream, watermark="1 hour", horizon_seconds=7200)
+    ckpt = str(tmp_path / "ckpt")
+
+    created: list[str] = []
+    bulk_calls: list[str] = []
+    # the "index": content-keyed docs — replays upsert, not duplicate
+    server: dict[tuple, dict] = {}
+
+    def bulk_post(name, ndjson):
+        bulk_calls.append(name)
+        lines = [ln for ln in ndjson.split("\n") if ln]
+        for doc_line in lines[1::2]:
+            doc = json.loads(doc_line)
+            server[(name, doc["user_id"], doc["stage"])] = doc
+        return 0
+
+    sink = OpenSearchSink(
+        index_template="cms-funnel",
+        schema_body=index_schema_body({"stage": {"type": "integer"}}),
+        create_index=lambda n, b: created.append(n),
+        bulk_post=bulk_post,
+        index_mod="D",
+        batch_size=1,  # force chunking: >1 bulk post per micro-batch
+    )
+    crash = {"armed": False}
+
+    def push(bdf, bid):
+        rows = (
+            bdf.withColumn(
+                "timestamp", F.unix_timestamp("stage_ts").cast("double")
+            )
+            .filter(F.col("stage") > 0)
+            .select("user_id", "stage", "timestamp")
+        )
+        docs = [r.asDict() for r in rows.collect()]
+        if docs:
+            assert sink.send(docs) == 0
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("induced crash after push, before commit")
+
+    def run(expect_error=False):
+        q = (
+            out.writeStream.foreachBatch(push)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            assert expect_error, "unexpected streaming failure"
+            return
+        assert not expect_error, "induced crash did not surface"
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01 10:00:00", "user_id": 1,
+                 "event_type": "view"},
+                {"ts": "2024-01-01 10:00:00", "user_id": 2,
+                 "event_type": "view"},
+            ]
+        )
+    )
+    crash["armed"] = True
+    run(expect_error=True)  # sink got the docs, batch never committed
+    n_calls_after_crash = len(bulk_calls)
+    assert n_calls_after_crash >= 2  # batch_size=1 → one post per doc
+
+    run()  # restart on the same checkpoint: the batch REPLAYS
+    assert len(bulk_calls) > n_calls_after_crash  # at-least-once visible
+    idx = "cms-funnel-2024-01-01"
+    assert created and set(created) == {idx}
+    assert set(server) == {(idx, 1, 1), (idx, 2, 1)}  # exactly-once content
+
+    # state survived the crash/restart cycle: u1 advances, not restarts
+    (src / "b2.json").write_text(
+        json.dumps(
+            {"ts": "2024-01-01 10:30:00", "user_id": 1,
+             "event_type": "click"}
+        )
+    )
+    run()
+    assert set(server) == {(idx, 1, 1), (idx, 2, 1), (idx, 1, 2)}
