@@ -7266,7 +7266,10 @@ def dedup_lsh_quality_report(
     if truth_sample_mod is not None:
         mod = int(truth_sample_mod)
     else:
-        n_docs = d0.count()
+        # size the mod from an UNWIDENED scan: count(*) on the bare
+        # parquet collapses to a metadata-only job, while counting the
+        # catalog frame would pay its widen repartition first
+        n_docs = _t(spark, sf_dir, "documents", widen=False).count()
         mod = max(-(-n_docs // int(truth_target)), 1)
     d = d0.filter(F.col("doc_id") % mod == 0)
     cand = D.minhash_lsh_pairs(
@@ -7394,7 +7397,8 @@ def embed_lsh_quality_report(
     same seeded hyperplanes AND the same ceil(count/500) mod in SQL,
     pinned impl='sql' for the hard bucket guarantee."""
     emb0 = _t(spark, sf_dir, "embeddings")
-    n_vecs = emb0.count()
+    # metadata-only count (unwidened scan) — see dedup_lsh_quality_report
+    n_vecs = _t(spark, sf_dir, "embeddings", widen=False).count()
     mod = max(-(-n_vecs // int(truth_target)), 1)
     emb = emb0.filter(F.col("vec_id") % mod == 0)
     cand = (
