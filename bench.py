@@ -180,6 +180,9 @@ EXTRA = [
     # round 5
     "dedup_quality_survivors",      # keep-longest election per dup cluster
     "pack_concat_eos_chunks",       # separator-aware (EOS) packing
+    # round 6
+    "contamination_attribution",    # which benchmark doc leaked, per doc
+    "near_dup_survivor_map",        # loser -> survivor dedup provenance
 ]
 
 

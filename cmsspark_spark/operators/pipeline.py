@@ -76,6 +76,65 @@ def ngram_overlap(
     )
 
 
+def ngram_overlap_attribution(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Contamination ATTRIBUTION: for every corpus document sharing at
+    least one distinct word n-gram with the protected eval set, WHICH
+    benchmark document it leaks from — (id, top_bench_id, n_shared,
+    n_bench_docs_hit). ``ngram_overlap`` answers "how contaminated";
+    this answers "by what", the report a pipeline owner needs to
+    decide whether to drop the doc or retire the benchmark item.
+
+    ``top_bench_id`` is the benchmark doc sharing the most distinct
+    grams (ties → min bench id, deterministic under repartitioning);
+    ``n_shared`` is that winning overlap size; ``n_bench_docs_hit``
+    counts how many distinct benchmark docs were touched at all.
+
+    Join discipline: distinct (bench_id, gram) pairs broadcast (eval
+    sets are tiny); the corpus explodes its distinct grams once, the
+    inner gram join emits only contaminated (doc, bench) id pairs, and
+    two combiner-friendly aggregations — (doc, bench) counts, then the
+    per-doc argmax — finish it. Text never shuffles.
+    """
+    bench_id = bench_id_col or id_col
+    bench_grams = benchmark.select(
+        F.col(bench_id).alias("_bench_id"),
+        F.explode(
+            F.array_distinct(raw_ngrams(tokens(bench_text_col), n))
+        ).alias("_gram"),
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(raw_ngrams(tokens(text_col), n))
+        ).alias("_gram"),
+    )
+    pair_counts = (
+        doc_grams.join(F.broadcast(bench_grams), on="_gram")
+        .groupBy(id_col, "_bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # argmax bench per doc: min(struct(-count, id)) — ids only need to
+    # be orderable (same election form as dedup.near_dup_losers)
+    return pair_counts.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("n_shared")).alias("_k"),
+                F.col("_bench_id").alias("_id"),
+            )
+        )["_id"].alias("top_bench_id"),
+        F.max("n_shared").alias("n_shared"),
+        F.count(F.lit(1)).cast("long").alias("n_bench_docs_hit"),
+    )
+
+
 def concat_pack_chunks(
     docs: DataFrame,
     ctx_len: int,

@@ -7436,3 +7436,129 @@ def embed_lsh_quality_report(
 
 
 ORACLES["embed_lsh_quality_report"] = _embed_lsh_quality_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round 6: contamination attribution + dedup provenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_attribution",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    grams AS (SELECT doc_id, {_SHINGLES_SQL} AS gs FROM tok),
+    bg AS (
+      SELECT DISTINCT doc_id AS bench_id, unnest(gs) AS g
+      FROM grams WHERE doc_id % 20 = 0
+    ),
+    dg AS (
+      SELECT doc_id, unnest(gs) AS g
+      FROM grams WHERE doc_id % 20 <> 0
+    ),
+    pairs AS (
+      SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM dg d JOIN bg b USING (g) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY n_shared DESC, bench_id) AS rn
+      FROM pairs
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_docs_hit,
+             max(n_shared) AS n_shared
+      FROM pairs GROUP BY 1
+    )
+    SELECT a.doc_id, r.bench_id AS top_bench_id, a.n_shared,
+           a.n_bench_docs_hit
+    FROM agg a JOIN ranked r ON r.doc_id = a.doc_id AND r.rn = 1
+    """,
+)
+def contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leak ATTRIBUTION (operators/pipeline.
+    ngram_overlap_attribution): decontaminate_ngram_overlap says how
+    contaminated each corpus doc is; this names the benchmark doc it
+    leaks from (most shared distinct trigrams, ties → min bench id)
+    plus how many benchmark docs it touched — the evidence for
+    drop-the-doc vs retire-the-benchmark-item decisions. Same
+    protected set convention (every 20th doc). Broadcast (bench_id,
+    gram) pairs; shuffles carry (doc, bench) id pairs and counts,
+    never text — the 100 TB shape of leak forensics."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    rest = d.filter(F.col("doc_id") % 20 != 0)
+    return PL.ngram_overlap_attribution(rest, bench, n=3)
+
+
+@query(
+    "near_dup_survivor_map",
+    f"""
+    WITH comp AS ({_components_oracle_sql()}),
+    tq AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents),
+    m AS (
+      SELECT c.component, c.doc_id, t.n_tokens
+      FROM comp c JOIN tq t USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY component ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM m
+    ),
+    surv AS (SELECT component, doc_id AS survivor_id FROM ranked
+             WHERE rn = 1),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+              FROM m GROUP BY 1)
+    SELECT m.doc_id, s.survivor_id, m.component, z.n_members
+    FROM m
+    JOIN surv s USING (component)
+    JOIN sizes z ON z.component = m.component
+    WHERE m.doc_id <> s.survivor_id
+    """,
+)
+def near_dup_survivor_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup PROVENANCE: every dropped near-dup doc mapped to the
+    survivor that replaced it (keep-longest election, ties → min id)
+    with its cluster label and size — the attribution record a
+    pipeline keeps so a removed document is explainable and
+    reversible (dedup_quality_survivors reports the winners; this
+    reports the losers and who beat them).
+
+    Plan: the bucketed ids-only LSH→verify→components path; the
+    election is one min(struct(-tokens, id)) aggregate (string-id
+    safe, same form as near_dup_losers); the loser map is a join-back
+    on the tiny cluster-membership table. Oracle composed from the
+    components oracle so the three cluster queries can never drift."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    tq = d.select(
+        F.col("doc_id").alias("node"),
+        F.size(_tokens("text")).cast("long").alias("_nt"),
+    )
+    m = comp.join(tq, on="node")
+    elect = m.groupBy("component").agg(
+        F.min(
+            F.struct((-F.col("_nt")).alias("_k"), F.col("node").alias("_id"))
+        )["_id"].alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        m.join(elect, on="component")
+        .filter(F.col("node") != F.col("survivor_id"))
+        .select(
+            F.col("node").alias("doc_id"),
+            "survivor_id",
+            "component",
+            "n_members",
+        )
+    )

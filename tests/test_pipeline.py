@@ -509,3 +509,52 @@ def test_concat_pack_sep_tokens_empty_doc_no_phantom_slot(spark):
 
     # empty doc_id 2 sits mid-stream; its presence must be invisible
     assert layout(with_empty) == layout(without)
+
+
+def test_ngram_overlap_attribution_planted_leak(spark):
+    """r6: attribution names the benchmark doc a corpus doc leaks from
+    (most shared distinct trigrams, ties -> min bench id) and counts
+    distinct benchmark docs touched; clean docs emit nothing."""
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.operators.pipeline import ngram_overlap_attribution
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (200, "pack my box with five dozen liquor jugs"),
+            (300, "the quick brown fox sleeps all day long"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares 3 trigrams with 100, 1 with 300 ("the quick brown")
+            (1, "the quick brown fox jumps over a fence"),
+            # verbatim copy of 200 -> all 7 trigrams shared
+            (2, "pack my box with five dozen liquor jugs"),
+            # clean
+            (3, "completely unrelated words appear here only"),
+            # ties 100 and 300 on exactly one shared trigram -> min id
+            (4, "something something the quick brown something"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_overlap_attribution(docs, bench, n=3).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1]["top_bench_id"] == 100
+    assert got[1]["n_shared"] == 4  # quick-brown-fox chain: 4 trigrams
+    assert got[1]["n_bench_docs_hit"] == 2
+    assert got[2]["top_bench_id"] == 200 and got[2]["n_shared"] == 6
+    assert got[2]["n_bench_docs_hit"] == 1
+    assert got[4]["top_bench_id"] == 100  # tie with 300 -> min id
+    assert got[4]["n_shared"] == 1 and got[4]["n_bench_docs_hit"] == 2
+
+    # plan: the benchmark side broadcasts; no sort-merge on grams
+    from cmsspark_spark import plans
+
+    plan = plans.formatted_plan(ngram_overlap_attribution(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan
