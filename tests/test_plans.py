@@ -508,3 +508,37 @@ def test_pagerank_iterations_join_node_grain(spark):
     df = QUERIES["pagerank_trade_nations"](spark, SF)
     plan = plans.formatted_plan(df)
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan  # pinned edges
+
+
+def test_paragraph_dedup_heavy_build_stays_post_exchange(spark):
+    """r6 regression guard: the row filter must be the cheap raw-text
+    predicate. The earlier size(_ps)>0 form was substituted below the
+    widen Exchange with the full tokenize+paragraph-build expression,
+    serializing the heavy compute on the lone pre-shuffle scan
+    partition (2.2 s vs 0.65 s at sf0.1). Invariant: no Filter below
+    the Exchange mentions the array build; exactly one exchange total
+    (the widen repartition)."""
+    df = QUERIES["paragraph_dedup_within_doc"](spark, SF)
+    plan = plans.formatted_plan(df)
+    # one exchange: the round-robin widen
+    assert plans.count_nodes(df, "Exchange") == 1
+    # the Filter's condition must not rebuild paragraphs (no lambda
+    # transform / array_distinct in any Filter detail block)
+    import re
+
+    for m in re.finditer(r"\(\d+\) Filter\n(?:.+\n)+?", plan):
+        block = m.group(0)
+        assert "transform(" not in block and "array_distinct" not in block, (
+            "heavy paragraph build leaked into a pre-exchange Filter:\n"
+            + block
+        )
+
+
+def test_contamination_attribution_two_agg_broadcast_shape(spark):
+    """r6: attribution = broadcast gram join + (doc,bench) count agg +
+    per-doc argmax agg — no sort-merge join, no window sort."""
+    df = QUERIES["contamination_attribution"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plans.count_nodes(df, "BroadcastHashJoin") >= 1
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
+    assert "Window" not in plan
