@@ -42,7 +42,14 @@ def run(
     span_window: int = 0,
     near_dup_policy: str = "off",
 ) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Widened catalog scan: every phase before the first shuffle is
+    # map-heavy (token gate, fingerprints, span hashing, gram explode)
+    # — a raw single-file read runs all of it on ONE core (measured:
+    # gate 5.2 s / span-strip 4.8 s / decontam 4.3 s single-task at
+    # sf0.1; the widen spreads them across the cluster).
+    from cmsspark_spark import catalog
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
 
     # 1. structural quality gate (narrow filter, no shuffle). The gated
     #    frame feeds four consumers (fingerprints, dedup re-attach,
@@ -81,7 +88,13 @@ def run(
             deduped.drop("text")
             .join(stripped, on="doc_id")
             .filter(F.length(F.trim(F.col("text"))) > 0)
-        )
+        ).persist()
+        # the stripped corpus feeds 3+ consumers (bench split,
+        # candidate grams, final join-backs): without pinning it the
+        # whole span-hash census recomputes per consumer (measured
+        # ~1.6x on the job wall at sf0.1; on a cluster swap for a
+        # checkpoint to a staging table, like the gate above)
+        _pinned_strip = deduped
 
     # 2c. optional NEAR-dup clustering (--near-dup-policy min_id |
     #     longest): MinHash-LSH → verified Jaccard → connected
@@ -144,6 +157,8 @@ def run(
     )
     sinks.write_csv(manifest, f"{out}/manifest")
     gated.unpersist()
+    if span_window:
+        _pinned_strip.unpersist()
     return summary
 
 
