@@ -252,23 +252,24 @@ def main() -> None:
     import shutil
     import tempfile
 
-    def timed_job(name, fn):
+    def timed_job(name, fn, setup=None):
         tmp = tempfile.mkdtemp(prefix=f"bench_{name}_")
-        t0 = time.perf_counter()
         try:
-            fn(tmp)
+            state = setup(tmp) if setup else None
+            t0 = time.perf_counter()  # clock starts AFTER input staging
+            fn(tmp, state)
             jobs[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def _clean_corpus(tmp):
+    def _clean_corpus(tmp, _state):
         from cmsspark_spark.jobs import clean_corpus
 
         clean_corpus.run(spark, sf_dir, f"{tmp}/out", span_window=12)
 
-    def _rucio_summary(tmp):
+    def _rucio_setup(tmp):
         from cmsspark_spark.jobs import rucio_summary
         from tests.cms_fixtures import all_fixtures
 
@@ -276,11 +277,15 @@ def main() -> None:
         src = f"{tmp}/dumps"
         for name in rucio_summary.SOURCE_TABLES + ["dbs_acquisition_eras"]:
             fx[name].write.parquet(f"{src}/{name}.parquet")
-        sources = rucio_summary.load_sources(spark, src)
+        return rucio_summary.load_sources(spark, src)
+
+    def _rucio_summary(tmp, sources):
+        from cmsspark_spark.jobs import rucio_summary
+
         rucio_summary.run(spark, sources, f"{tmp}/out", date="2024-01-15")
 
     timed_job("job_clean_corpus", _clean_corpus)
-    timed_job("job_rucio_summary", _rucio_summary)
+    timed_job("job_rucio_summary", _rucio_summary, setup=_rucio_setup)
 
     total = round(sum(timings.values()), 3)
     total_v2 = round(sum(v2.values()), 3)
