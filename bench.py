@@ -183,6 +183,7 @@ EXTRA = [
     # round 6
     "contamination_attribution",    # which benchmark doc leaked, per doc
     "near_dup_survivor_map",        # loser -> survivor dedup provenance
+    "inverted_index_postings",      # token -> df + capped posting list
 ]
 
 

@@ -135,6 +135,54 @@ def ngram_overlap_attribution(
     )
 
 
+def inverted_index_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 64,
+) -> DataFrame:
+    """Distributed inverted-index build: (token, df, postings) where
+    ``df`` is the token's full document frequency and ``postings`` is
+    the comma-joined sorted list of the first ``max_postings`` doc ids
+    containing it — the corpus-search/debug sidecar a dedup or
+    decontamination investigation reaches for ("which docs contain
+    this leaked phrase?") without rescanning 100 TB of text.
+
+    Posting lists are CAPPED deterministically (smallest ids win) so a
+    stop-word's row stays bounded; ``df`` still reports the true
+    frequency, so consumers know the list is a prefix. The cap is the
+    no-silent-truncation contract: df > max_postings ⇒ prefix.
+
+    One shuffle total: per-doc DISTINCT tokens explode (narrow), then
+    a single hash partition by token computes rank and full count in
+    the same window pass, the cap filter drops the tail, and the
+    posting fold groups on the SAME key — Catalyst reuses the window's
+    partitioning, so no second exchange. Ids-and-tokens only; text
+    never shuffles.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    w = Window.partitionBy("token")
+    ranked = tok.select(
+        "token",
+        F.col(id_col),
+        F.row_number().over(w.orderBy(id_col)).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("_df"),
+    ).filter(F.col("_rn") <= int(max_postings))
+    return ranked.groupBy("token").agg(
+        F.first("_df").cast("long").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(id_col)),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
 def concat_pack_chunks(
     docs: DataFrame,
     ctx_len: int,

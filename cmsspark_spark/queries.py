@@ -7562,3 +7562,35 @@ def near_dup_survivor_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@query(
+    "inverted_index_postings",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    td AS (SELECT DISTINCT doc_id, unnest(tk) AS token FROM tok),
+    ranked AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY token) AS df
+      FROM td
+    )
+    SELECT token, CAST(df AS BIGINT) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM ranked WHERE rn <= 64
+    GROUP BY token, df
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index (operators/pipeline.
+    inverted_index_postings): per token, true document frequency plus
+    the sorted doc-id posting list capped at 64 (smallest ids —
+    deterministic prefix; df > 64 tells the consumer it IS a prefix).
+    The search/debug sidecar for leak forensics and dedup
+    investigations. One token-hash shuffle computes rank + df in the
+    same window pass and the posting fold reuses its partitioning —
+    ids and tokens shuffle, text never does."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    return PL.inverted_index_postings(d, max_postings=64)

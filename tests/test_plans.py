@@ -542,3 +542,14 @@ def test_contamination_attribution_two_agg_broadcast_shape(spark):
     assert plans.count_nodes(df, "BroadcastHashJoin") >= 1
     assert plans.count_nodes(df, "SortMergeJoin") == 0
     assert "Window" not in plan
+
+
+def test_inverted_index_single_token_shuffle(spark):
+    """r6: the posting fold must reuse the window's token-hash
+    partitioning — exactly two exchanges total (the documents widen
+    round-robin + ONE token hash), no extra exchange between the
+    window pass and the groupBy."""
+    df = QUERIES["inverted_index_postings"](spark, SF)
+    assert plans.count_nodes(df, "Exchange") == 2
+    plan = plans.formatted_plan(df)
+    assert "hashpartitioning(token" in plan
