@@ -558,3 +558,22 @@ def test_ngram_overlap_attribution_planted_leak(spark):
 
     plan = plans.formatted_plan(ngram_overlap_attribution(docs, bench, n=3))
     assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_cap_and_distinct(spark):
+    """r6: posting lists cap at max_postings with the SMALLEST ids
+    (deterministic prefix) while df reports the true frequency;
+    repeated tokens within one doc post once."""
+    from cmsspark_spark.operators.pipeline import inverted_index_postings
+
+    docs = spark.createDataFrame(
+        [(i, "common common rare" if i == 5 else "common") for i in range(1, 9)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["token"]: r
+        for r in inverted_index_postings(docs, max_postings=3).collect()
+    }
+    assert got["common"]["df"] == 8              # true df, not the cap
+    assert got["common"]["postings"] == "1,2,3"  # smallest-id prefix
+    assert got["rare"]["df"] == 1 and got["rare"]["postings"] == "5"
