@@ -184,6 +184,7 @@ EXTRA = [
     "contamination_attribution",    # which benchmark doc leaked, per doc
     "near_dup_survivor_map",        # loser -> survivor dedup provenance
     "inverted_index_postings",      # token -> df + capped posting list
+    "dedup_cluster_size_histogram", # cluster-size log2 tuning diagnostic
 ]
 
 

@@ -7594,3 +7594,47 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return PL.inverted_index_postings(d, max_postings=64)
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH comp AS ({_components_oracle_sql()}),
+    sizes AS (
+      SELECT component, count(*) AS n_members
+      FROM comp GROUP BY component
+    )
+    SELECT CAST(floor(log2(n_members)) AS BIGINT) AS size_log2_bin,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members) AS BIGINT) AS n_docs,
+           CAST(sum(n_members - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (log2 bins): the dedup
+    TUNING diagnostic — how much corpus mass sits in clusters of each
+    size and how many docs a one-survivor policy would remove
+    (``n_removable`` = Σ(size−1) per bin). A heavy tail here says the
+    LSH threshold is too loose (or the corpus has template spam)
+    BEFORE anyone runs the expensive election. Same bucketed ids-only
+    machinery as dedup_cluster_components; the histogram is two tiny
+    re-aggs over the membership table."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.groupBy(
+        F.floor(F.log2("n_members")).cast("long").alias("size_log2_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_members").alias("n_docs"),
+        F.sum(F.col("n_members") - 1).alias("n_removable"),
+    )

@@ -443,3 +443,58 @@ def test_funnel_stream_to_osearch_sink_exactly_once(spark, tmp_path):
     )
     run()
     assert set(server) == {(idx, 1, 1), (idx, 2, 1), (idx, 1, 2)}
+
+
+def test_stream_events_job_cron_drain_and_state_carryover(spark, tmp_path):
+    """r6: the stream_events CLI job in its cron shape — each
+    available-now run drains new files, state carries across runs via
+    the checkpoint, every micro-batch lands in an idempotent
+    batch_id=N parquet dir, and the injected transport sees the same
+    updates."""
+    from cmsspark_spark.jobs import stream_events as SE
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pushed: list[dict] = []
+
+    def drain():
+        stream = SE.build_stream(
+            spark, str(src), "sessionize", gap_seconds=1800
+        )
+        SE.run(spark, stream, out, ckpt, transport=pushed.extend)
+
+    (src / "b1.json").write_text(
+        json.dumps({"ts": "2024-01-01 10:00:00", "user_id": 1,
+                    "event_type": "view", "value": 1.0})
+    )
+    drain()
+    assert [(d["user_id"], d["n_sessions"]) for d in pushed] == [(1, 1)]
+
+    # second cron invocation: NEW query object, same checkpoint — the
+    # 2h gap means a SECOND session only if state survived the restart
+    (src / "b2.json").write_text(
+        json.dumps({"ts": "2024-01-01 12:30:00", "user_id": 1,
+                    "event_type": "view", "value": 1.0})
+    )
+    pushed.clear()
+    drain()
+    assert [(d["user_id"], d["n_sessions"]) for d in pushed] == [(1, 2)]
+
+    # parquet landing area: batch-id dirs, rows match the pushes
+    import glob as _glob
+
+    dirs = sorted(_glob.glob(f"{out}/batch_id=*"))
+    assert len(dirs) >= 2
+    back = spark.read.option("basePath", out).parquet(*dirs)
+    per_batch = {
+        (r.user_id, r.n_sessions) for r in back.collect()
+    }
+    assert (1, 1) in per_batch and (1, 2) in per_batch
+
+    # op dispatch: unknown op fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SE.build_stream(spark, str(src), "bogus")
