@@ -493,6 +493,21 @@ def test_stream_events_job_cron_drain_and_state_carryover(spark, tmp_path):
     }
     assert (1, 1) in per_batch and (1, 2) in per_batch
 
+    # tumbling dispatch drains through the same runner
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    SE.run(
+        spark,
+        SE.build_stream(spark, str(src), "tumbling", window="15 minutes"),
+        out2,
+        ckpt2,
+    )
+    import glob as _glob2
+
+    tdirs = _glob2.glob(f"{out2}/batch_id=*")
+    assert tdirs
+    trows = spark.read.option("basePath", out2).parquet(*tdirs).collect()
+    assert any(r.event_type == "view" and r.n_events >= 1 for r in trows)
+
     # op dispatch: unknown op fails loudly
     import pytest as _pytest
 
