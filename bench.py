@@ -185,6 +185,7 @@ EXTRA = [
     "near_dup_survivor_map",        # loser -> survivor dedup provenance
     "inverted_index_postings",      # token -> df + capped posting list
     "dedup_cluster_size_histogram", # cluster-size log2 tuning diagnostic
+    "chunk_dedup_rate",             # RAG chunk-level redundancy report
 ]
 
 

@@ -602,6 +602,7 @@ def chunk_overlap(
     stride: int = 48,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding-window document chunking with overlap — the RAG/context-
     window shape (stride < chunk ⇒ consecutive chunks share
@@ -611,9 +612,11 @@ def chunk_overlap(
     Pure Catalyst: tokenize once, one bounded ``sequence`` → explode
     per doc (⌈(n−overlap)/stride⌉ chunks), ``slice`` per window — a
     narrow 1→N map with zero shuffle; at 100 TB chunking parallelizes
-    per input split with no coordination. Emits (id, chunk_idx,
-    n_tokens, chunk_text); the final short chunk is kept (standard for
-    retrieval corpora).
+    per input split with no coordination. Emits (id, carry cols...,
+    chunk_idx, n_tokens, chunk_text); the final short chunk is kept
+    (standard for retrieval corpora). ``carry_cols`` threads metadata
+    columns (source, lang, ...) through the explode so consumers
+    don't pay a join-back to re-attach them.
     """
     if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
         raise ValueError("need 0 < stride <= chunk_tokens")
@@ -624,16 +627,21 @@ def chunk_overlap(
         ).cast("int"),
         F.lit(1),
     )
+    carry = list(carry_cols)
     return (
-        df.select(F.col(id_col), tk.alias("_tk"), F.size(tk).alias("_n"))
+        df.select(
+            F.col(id_col), *carry, tk.alias("_tk"), F.size(tk).alias("_n")
+        )
         .filter(F.col("_n") > 0)
         .select(
             id_col,
+            *carry,
             "_tk",
             F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
         )
         .select(
             id_col,
+            *carry,
             "chunk_idx",
             F.slice(
                 F.col("_tk"), F.col("chunk_idx") * stride + 1, chunk_tokens
@@ -641,6 +649,7 @@ def chunk_overlap(
         )
         .select(
             id_col,
+            *carry,
             "chunk_idx",
             F.size("_chunk").alias("n_tokens"),
             F.array_join("_chunk", " ").alias("chunk_text"),

@@ -7638,3 +7638,69 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_members").alias("n_docs"),
         F.sum(F.col("n_members") - 1).alias("n_removable"),
     )
+
+
+@query(
+    "chunk_dedup_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source, tk, len(tk) AS n,
+             greatest(CAST(ceil((len(tk) - 16) / 48.0) AS INT), 1)
+               AS n_chunks
+      FROM tok WHERE len(tk) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(array_to_string(tk[i.i * 48 + 1 : i.i * 48 + 64], ' '))
+               AS h
+      FROM base, (SELECT unnest(generate_series(0, 127)) AS i) i
+      WHERE i.i < n_chunks
+    ),
+    per_hash AS (
+      SELECT source, h, count(*) AS c,
+             count(DISTINCT doc_id) AS nd
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           round(1 - count(*) * 1.0 / sum(c), 6) AS dup_rate,
+           CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT)
+             AS n_cross_doc
+    FROM per_hash GROUP BY source
+    """,
+)
+def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level redundancy report — the RAG-indexing twin of the
+    document dedup family: slide the retrieval chunking
+    (chunk_overlap, 64/48) over the corpus, fingerprint each chunk,
+    and report per source how much of the chunk stream is duplicated
+    (``dup_rate``) and how many distinct chunk texts recur across
+    DIFFERENT documents (``n_cross_doc`` — boilerplate the retriever
+    will surface repeatedly unless chunk-deduped). Chunking is the
+    zero-shuffle narrow map; ``carry_cols`` threads ``source``
+    through the explode so no join-back is needed; the only shuffles
+    carry (source, md5) cells, never chunk text beyond the md5."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    ch = PL.chunk_overlap(
+        d, chunk_tokens=64, stride=48, carry_cols=("source",)
+    )
+    per_hash = ch.groupBy(
+        "source", F.md5("chunk_text").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    total = F.sum("c")
+    uniq = F.count(F.lit(1))
+    return per_hash.groupBy("source").agg(
+        total.cast("long").alias("n_chunks"),
+        uniq.cast("long").alias("n_unique"),
+        F.round(F.lit(1) - uniq / total, 6).alias("dup_rate"),
+        F.sum((F.col("nd") > 1).cast("long")).alias("n_cross_doc"),
+    )
