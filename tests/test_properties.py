@@ -470,3 +470,42 @@ def test_strip_repeated_spans_conservation(spark, docs, w):
             len([t for t in text.lower().split() if t]) for _, text in docs
         )
         assert 0 < total_removed < total_tokens
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    cap=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_inverted_index_matches_brute_force(spark, texts, cap):
+    """r6 property: for arbitrary corpora and caps, df equals the
+    brute-force document frequency and postings is exactly the sorted
+    id-prefix of the containing set; docs with no tokens index
+    nothing."""
+    from cmsspark_spark.operators.pipeline import inverted_index_postings
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        r["token"]: (r["df"], r["postings"])
+        for r in inverted_index_postings(docs, max_postings=cap).collect()
+    }
+    containing: dict = {}
+    for i, t in enumerate(texts):
+        for tok in set(t.split()):
+            containing.setdefault(tok, []).append(i)
+    expect = {
+        tok: (
+            len(ids),
+            ",".join(str(i) for i in sorted(ids)[:cap]),
+        )
+        for tok, ids in containing.items()
+    }
+    assert got == expect

@@ -508,6 +508,19 @@ def test_stream_events_job_cron_drain_and_state_carryover(spark, tmp_path):
     trows = spark.read.option("basePath", out2).parquet(*tdirs).collect()
     assert any(r.event_type == "view" and r.n_events >= 1 for r in trows)
 
+    # funnel dispatch: the view events walk users to stage 1
+    out3, ckpt3 = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    SE.run(
+        spark,
+        SE.build_stream(spark, str(src), "funnel", horizon_seconds=86400),
+        out3,
+        ckpt3,
+    )
+    fdirs = _glob2.glob(f"{out3}/batch_id=*")
+    assert fdirs
+    frows = spark.read.option("basePath", out3).parquet(*fdirs).collect()
+    assert any(r.user_id == 1 and r.stage == 1 for r in frows)
+
     # op dispatch: unknown op fails loudly
     import pytest as _pytest
 
