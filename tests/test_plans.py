@@ -553,3 +553,18 @@ def test_inverted_index_single_token_shuffle(spark):
     assert plans.count_nodes(df, "Exchange") == 2
     plan = plans.formatted_plan(df)
     assert "hashpartitioning(token" in plan
+
+
+def test_chunk_dedup_rate_shuffles_cells_not_text(spark):
+    """r6: chunking is the zero-shuffle narrow map; the only shuffles
+    carry (source, md5) cells — no window, no sort-merge join, and no
+    raw chunk_text column in any Exchange's input."""
+    df = QUERIES["chunk_dedup_rate"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?(?=\n)", plan):
+        assert "chunk_text" not in m.group(0), (
+            "raw chunk text entered a shuffle:\n" + m.group(0)
+        )
