@@ -186,6 +186,7 @@ EXTRA = [
     "inverted_index_postings",      # token -> df + capped posting list
     "dedup_cluster_size_histogram", # cluster-size log2 tuning diagnostic
     "chunk_dedup_rate",             # RAG chunk-level redundancy report
+    "ann_ladder_recall_report",     # recall@5 of every static ANN rung
 ]
 
 

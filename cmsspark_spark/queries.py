@@ -7704,3 +7704,84 @@ def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1) - uniq / total, 6).alias("dup_rate"),
         F.sum((F.col("nd") > 1).cast("long")).alias("n_cross_doc"),
     )
+
+
+def _ann_ladder_oracle() -> str:
+    """Composed from the four registered method oracles plus the brute
+    truth oracle, so the report can never drift from the queries it
+    audits (same build discipline as _dedup_quality_oracle)."""
+    methods = [
+        ("lsh", "ann_lsh_topk"),
+        ("ivf_static", "ann_ivf_static_topk"),
+        ("pq_static", "ann_pq_static_topk"),
+        ("ivfpq_static", "ann_ivfpq_static_topk"),
+    ]
+    for _, qname in methods:
+        assert ORACLES.get(qname), qname
+    ctes = ",\n    ".join(
+        f"m_{label} AS ({ORACLES[qname]})" for label, qname in methods
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS method,
+           (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM m_{label} m
+             JOIN truth t ON m.query_id = t.query_id
+                         AND m.vec_id = t.vec_id) AS n_hit,
+           round((SELECT count(*) FROM m_{label} m
+                   JOIN truth t ON m.query_id = t.query_id
+                               AND m.vec_id = t.vec_id) * 1.0
+                 / (SELECT count(*) FROM truth), 4) AS recall_at_5"""
+        for label, _ in methods
+    )
+    return f"""
+    WITH truth AS ({ORACLES["ann_cosine_topk"]}),
+    {ctes}
+    {arms}
+    """
+
+
+@query("ann_ladder_recall_report", None)
+def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN approximation ladder audited in ONE report: recall@5 of
+    every SQL-reproducible method (sign-LSH buckets, static IVF,
+    static PQ ADC, static IVF-PQ) against the brute-force cosine truth
+    on the shared 5-query set — the embedding sibling of
+    dedup_lsh_quality_report, and the table an operator reads to pick
+    a rung of the ladder before trusting it at scale. Each method's
+    result comes FROM the registered query (parameters in lockstep by
+    construction); the oracle composes the same five registered oracle
+    strings, so the report and the queries it audits can never drift.
+    All sides are id-pair joins over top-5 lists — driver-light, 4
+    output rows."""
+    from functools import reduce
+
+    truth = QUERIES["ann_cosine_topk"](spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    t_agg = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    frames = []
+    for label, qname in [
+        ("lsh", "ann_lsh_topk"),
+        ("ivf_static", "ann_ivf_static_topk"),
+        ("pq_static", "ann_pq_static_topk"),
+        ("ivfpq_static", "ann_ivfpq_static_topk"),
+    ]:
+        got = QUERIES[qname](spark, sf_dir).select("query_id", "vec_id")
+        hits = got.join(truth, on=["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit")
+        )
+        frames.append(
+            hits.crossJoin(F.broadcast(t_agg)).select(
+                F.lit(label).alias("method"),
+                "n_truth",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_truth"), 4).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+ORACLES["ann_ladder_recall_report"] = _ann_ladder_oracle()
