@@ -187,6 +187,8 @@ EXTRA = [
     "dedup_cluster_size_histogram", # cluster-size log2 tuning diagnostic
     "chunk_dedup_rate",             # RAG chunk-level redundancy report
     "ann_ladder_recall_report",     # recall@5 of every static ANN rung
+    "doc_length_profile_by_source", # exact token-length percentiles
+    "packing_efficiency_report",    # concat-pack utilization per shard
 ]
 
 

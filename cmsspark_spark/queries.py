@@ -7785,3 +7785,105 @@ def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_ladder_recall_report"] = _ann_ladder_oracle()
+
+
+@query(
+    "doc_length_profile_by_source",
+    f"""
+    WITH tok AS (
+      SELECT source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n, 0.50), 2) AS p50_tokens,
+           round(quantile_cont(n, 0.90), 2) AS p90_tokens,
+           round(quantile_cont(n, 0.99), 2) AS p99_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens
+    FROM tok GROUP BY source
+    """,
+)
+def doc_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length profile per source — the table a trainer reads
+    to pick context length, packing strategy and truncation budget
+    (how much of each source's mass survives a ctx cut is read
+    straight off p90/p99). Exact percentiles via ``F.percentile`` ≡
+    DuckDB ``quantile_cont``; one token-count narrow map + one
+    source-grain agg. At 100 TB swap for approx_percentile — same
+    plan, sketch-mergeable."""
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.size(_tokens("text")).cast("long").alias("n")
+    )
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.round(F.expr("percentile(n, 0.50D)"), 2).alias("p50_tokens"),
+        F.round(F.expr("percentile(n, 0.90D)"), 2).alias("p90_tokens"),
+        F.round(F.expr("percentile(n, 0.99D)"), 2).alias("p99_tokens"),
+        F.max("n").alias("max_tokens"),
+    )
+
+
+@query(
+    "packing_efficiency_report",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS doc_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, source, doc_tokens,
+             CAST(coalesce(sum(doc_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM tok
+    ),
+    chunks AS (
+      SELECT source,
+             unnest(generate_series(s // 512, (s + doc_tokens - 1) // 512))
+               AS chunk_id,
+             doc_id, doc_tokens, s
+      FROM offs WHERE doc_tokens > 0
+    ),
+    occ AS (
+      SELECT source, chunk_id,
+             CAST(sum(least(s + doc_tokens, (chunk_id + 1) * 512)
+                      - greatest(s, chunk_id * 512)) AS BIGINT) AS fill
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE fill = 512) AS BIGINT)
+             AS n_full_chunks,
+           CAST(sum(fill) AS BIGINT) AS packed_tokens,
+           round(sum(fill) * 1.0 / (count(*) * 512), 6) AS utilization
+    FROM occ GROUP BY source
+    """,
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA per source shard: chunks produced by the sharded
+    concat packer, how many are exactly full, token occupancy and
+    utilization (concat packing wastes only each shard's final partial
+    chunk, so utilization is the bound bin-packing strategies are
+    judged against). Same sharded parallel-cumsum plan as
+    pack_concat_chunks_sharded; the report is one extra (source,
+    chunk) re-agg of occupancy cells."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = PL.concat_pack_chunks(d, ctx_len=512, partition_cols=["source"])
+    occ = chunks.groupBy("source", "chunk_id").agg(
+        F.sum("tokens_in_chunk").alias("fill")
+    )
+    return occ.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("fill") == 512).cast("long")).alias("n_full_chunks"),
+        F.sum("fill").alias("packed_tokens"),
+        F.round(
+            F.sum("fill") / (F.count(F.lit(1)) * 512), 6
+        ).alias("utilization"),
+    )
