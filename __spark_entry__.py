@@ -75,16 +75,24 @@ _NEVER_SNAPSHOTTED = [
 _NEVER_SET = set(_NEVER_SNAPSHOTTED)
 
 
-def _recorded_names(record_dir: str | None = None) -> set:
-    """Names with a green official CORRECTNESS row in ANY prior round
-    (rows_match true, no error — rows-only entries count as recorded)."""
+def _record_vintage(record_dir: str | None = None) -> dict:
+    """name → LATEST round number with a green official CORRECTNESS row
+    (rows_match true, no error — rows-only entries count as recorded).
+    The vintage drives the freshness rotation: once every scorable name
+    is recorded (round 6 state), the 50 snapshot slots go to the names
+    whose most recent green proof is OLDEST, so every row is re-proven
+    every ~⌈160/50⌉ rounds and a silent regression can hide for at most
+    that long (VERDICT r6 item 1)."""
     import glob
     import json
     import os
+    import re
 
     here = record_dir or os.path.dirname(os.path.abspath(__file__))
-    seen: set = set()
+    vintage: dict = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -96,8 +104,13 @@ def _recorded_names(record_dir: str | None = None) -> set:
                 and row.get("rows_match")
                 and row.get("err") in (None, "")
             ):
-                seen.add(name)
-    return seen
+                vintage[name] = max(vintage.get(name, 0), rnd)
+    return vintage
+
+
+def _recorded_names(record_dir: str | None = None) -> set:
+    """Names with a green official CORRECTNESS row in ANY prior round."""
+    return set(_record_vintage(record_dir))
 
 
 def _rows_only_names() -> set:
@@ -114,22 +127,30 @@ def _snapshot_order(d: dict) -> dict:
     50 entries, so every SCORABLE name (oracle-backed) without a green
     official CORRECTNESS row (read from this repo's CORRECTNESS_r*.json
     at import time) sorts first, registration order preserved within
-    each bucket. Each round the freshly-recorded 50 rotate to the back
-    automatically. Rows-only queries (no oracle → the driver scores
-    them ``no_oracle``, a permanent red) sort dead LAST so official
-    slots only ever go to queries that can turn green; the static
-    round-3 lists below remain as the fallback if the record files are
-    unreadable."""
+    each bucket. The recorded bucket then sorts OLDEST-vintage-first
+    (latest green round ascending, ties: registration order): with all
+    160 scorable names recorded by round 6, this re-proves the ~50
+    stalest records every round instead of re-snapshotting the same
+    registration-order prefix forever, so a regression in any query
+    surfaces within ~3 rounds (VERDICT r6 item 1). Rows-only queries
+    (no oracle → the driver scores them ``no_oracle``, a permanent
+    red) sort dead LAST so official slots only ever go to queries that
+    can turn green; the static round-3 lists below remain as the
+    fallback if the record files are unreadable."""
     rows_only = _rows_only_names()
     try:
-        recorded = _recorded_names()
-        if recorded:
+        vintage = _record_vintage()
+        if vintage:
+            reg_idx = {n: i for i, n in enumerate(d)}
             ordered = [
-                n for n in d if n not in recorded and n not in rows_only
+                n for n in d if n not in vintage and n not in rows_only
             ]
-            ordered += [n for n in d if n in recorded]
+            ordered += sorted(
+                (n for n in d if n in vintage),
+                key=lambda n: (vintage[n], reg_idx[n]),
+            )
             ordered += [
-                n for n in d if n not in recorded and n in rows_only
+                n for n in d if n not in vintage and n in rows_only
             ]
             return {n: d[n] for n in ordered}
     except Exception:

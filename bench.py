@@ -295,6 +295,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_v2 = round(sum(v2.values()), 3)
+    try:
+        # 1-min load average at measurement time: the r6 record had two
+        # irreconcilable numbers for the same round purely from host
+        # load swings (0.2→5.4 observed); stamping the load makes every
+        # cross-run delta machine-attributable (VERDICT r6 item 3).
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
     payload = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -307,6 +315,7 @@ def main() -> None:
             "jobs": jobs,
             "errors": errors,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "load_1m": load_1m,
         }
     )
     print(payload)
@@ -326,7 +335,16 @@ def main() -> None:
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         n = (max(rounds) if rounds else 0) + 1
-        with open(os.path.join(here, f"BENCH_SELF_r{n:02d}.json"), "w") as fh:
+        # NEVER clobber an earlier measurement (the driver's post-round
+        # run overwrote the builder's committed BENCH_SELF_r06.json —
+        # VERDICT r6 item 3): suffix repeated runs -2, -3, … so every
+        # run survives on disk.
+        path = os.path.join(here, f"BENCH_SELF_r{n:02d}.json")
+        k = 2
+        while os.path.exists(path):
+            path = os.path.join(here, f"BENCH_SELF_r{n:02d}-{k}.json")
+            k += 1
+        with open(path, "w") as fh:
             fh.write(payload + "\n")
     except Exception as exc:  # noqa: BLE001 — self-record must never fail bench
         print(f"warn: BENCH_SELF write failed: {exc}", file=sys.stderr)

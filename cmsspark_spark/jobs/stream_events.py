@@ -25,6 +25,7 @@ Ops: ``sessionize`` (per-user session counts, gap-based),
 from __future__ import annotations
 
 import argparse
+import sys
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -127,7 +128,19 @@ def run(
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(timeout_s)
+        # awaitTermination(timeout) returns False when the timeout
+        # elapsed with the drain still running: stop the query and say
+        # so loudly, rather than letting the cron process exit as if
+        # the drain completed (safe either way — the checkpoint
+        # replays the rest next run — but silently-partial is a lie;
+        # ADVICE r6).
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            print(
+                f"warn: available-now drain exceeded {timeout_s}s and was "
+                "stopped; checkpoint will resume the remainder next run",
+                file=sys.stderr,
+            )
         return q
     return writer.start()
 

@@ -1952,7 +1952,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("approx_distinct_users")  # HLL sketch differs from exact by design
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 at scale: approx_count_distinct (HLL) — the 100 TB variant of
-    exact distinct; tests assert relative error < 5% vs exact."""
+    exact distinct; error-gated at sf0.01 by
+    ``test_approx_distinct_users_error_gate`` (|approx−exact| ≤ 5% per
+    event_type, 5σ on the configured 1% rsd)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
@@ -7183,6 +7185,18 @@ def split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Truth-sample targets shared between the quality-report FUNCTIONS
+# (Python-side defaults) and their composed ORACLE strings (built once
+# at import): one definition site, so the two sides can never audit
+# different sampled populations (ADVICE r6 — the r6 form hard-coded
+# 2000/500 in the SQL while the Python side accepted any truth_target).
+# The registered oracle still audits only the DEFAULT population:
+# callers passing a non-default target get a valid report but must not
+# hash-compare it against the registered oracle.
+_LSH_TRUTH_TARGET = 2000
+_EMBED_TRUTH_TARGET = 500
+
+
 def _dedup_quality_oracle() -> str:
     """Compose the LSH-candidates and exact-Jaccard oracles into a
     confusion-matrix query — built FROM the registered oracle strings
@@ -7198,7 +7212,8 @@ def _dedup_quality_oracle() -> str:
         sampled[name] = src.replace("FROM documents", "FROM documents_s")
     return f"""
     WITH nmod AS (
-      SELECT greatest(CAST(ceil(count(*) / 2000.0) AS BIGINT), 1) AS m
+      SELECT greatest(CAST(ceil(count(*) / {_LSH_TRUTH_TARGET}.0)
+                        AS BIGINT), 1) AS m
       FROM documents
     ),
     documents_s AS (
@@ -7235,7 +7250,7 @@ def dedup_lsh_quality_report(
     spark: SparkSession,
     sf_dir: str,
     truth_sample_mod: int | None = None,
-    truth_target: int = 2000,
+    truth_target: int = _LSH_TRUTH_TARGET,
 ) -> DataFrame:
     """The approximation audited INSIDE the engine: MinHash-LSH
     candidate pairs scored against the exact Jaccard≥0.5 truth set —
@@ -7260,8 +7275,12 @@ def dedup_lsh_quality_report(
     corpus rates; the realized ``sample_mod`` / ``n_docs_sampled``
     are reported in the output. Pass ``truth_sample_mod`` explicitly
     to pin the mod (1 = exhaustive audit); the oracle computes the
-    identical ``ceil(count/2000)`` inside SQL so the two sides can
-    never disagree on the population."""
+    identical ``ceil(count/_LSH_TRUTH_TARGET)`` inside SQL — built
+    from the SAME module constant as this signature's default — so the
+    two sides can never disagree on the population. Non-default
+    ``truth_target``/``truth_sample_mod`` values produce a valid
+    report over a DIFFERENT population than the registered oracle
+    audits: don't hash-compare those against it (ADVICE r6)."""
     d0 = _t(spark, sf_dir, "documents")
     if truth_sample_mod is not None:
         mod = int(truth_sample_mod)
@@ -7329,7 +7348,8 @@ def _embed_lsh_quality_oracle() -> str:
     )
     return f"""
     WITH nmod AS (
-      SELECT greatest(CAST(ceil(count(*) / 500.0) AS BIGINT), 1) AS m
+      SELECT greatest(CAST(ceil(count(*) / {_EMBED_TRUTH_TARGET}.0)
+                        AS BIGINT), 1) AS m
       FROM embeddings
     ),
     corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e
@@ -7381,7 +7401,7 @@ def _embed_lsh_quality_oracle() -> str:
 
 @query("embed_lsh_quality_report", None)
 def embed_lsh_quality_report(
-    spark: SparkSession, sf_dir: str, truth_target: int = 500
+    spark: SparkSession, sf_dir: str, truth_target: int = _EMBED_TRUTH_TARGET
 ) -> DataFrame:
     """Sign-LSH bucket recall audited against brute-force cosine truth
     (threshold 0.3) on a subset bounded to an ABSOLUTE target size —
@@ -7394,8 +7414,11 @@ def embed_lsh_quality_report(
     truth cost is ~``truth_target²`` pairs at any corpus size
     (ADVICE r5 — the old fixed ``% 4`` went quadratic with n). Both
     sides are the production operators; the oracle regenerates the
-    same seeded hyperplanes AND the same ceil(count/500) mod in SQL,
-    pinned impl='sql' for the hard bucket guarantee."""
+    same seeded hyperplanes AND the same
+    ``ceil(count/_EMBED_TRUTH_TARGET)`` mod in SQL (one shared module
+    constant — a non-default ``truth_target`` audits a different
+    population than the registered oracle; don't hash-compare those,
+    ADVICE r6), pinned impl='sql' for the hard bucket guarantee."""
     emb0 = _t(spark, sf_dir, "embeddings")
     # metadata-only count (unwidened scan) — see dedup_lsh_quality_report
     n_vecs = _t(spark, sf_dir, "embeddings", widen=False).count()
@@ -7653,11 +7676,14 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok WHERE len(tk) > 0
     ),
     chunks AS (
+      -- per-row LATERAL series: length-unbounded, unlike the r6 form's
+      -- generate_series(0, 127) cross which silently dropped chunks
+      -- beyond 128/doc (docs > 16 + 128*48 = 6160 tokens; VERDICT r6)
       SELECT doc_id, source,
-             md5(array_to_string(tk[i.i * 48 + 1 : i.i * 48 + 64], ' '))
+             md5(array_to_string(tk[u.i * 48 + 1 : u.i * 48 + 64], ' '))
                AS h
-      FROM base, (SELECT unnest(generate_series(0, 127)) AS i) i
-      WHERE i.i < n_chunks
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(0, n_chunks - 1)) AS i) u
     ),
     per_hash AS (
       SELECT source, h, count(*) AS c,
@@ -7756,8 +7782,14 @@ def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     output rows."""
     from functools import reduce
 
-    truth = QUERIES["ann_cosine_topk"](spark, sf_dir).select(
-        "query_id", "vec_id"
+    # the brute-force truth is consumed 5× (4 arm joins + the total);
+    # localCheckpoint materializes it ONCE (the multi-consumer rule
+    # from the clean_corpus r6 fix — without it every arm recomputed
+    # the full cosine scan; ~25% of the report's wall clock)
+    truth = (
+        QUERIES["ann_cosine_topk"](spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
     )
     t_agg = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     frames = []

@@ -50,3 +50,30 @@ def test_contract_shapes():
     q = e.queries()
     o = e.oracle_sql()
     assert q and set(o) <= set(q)
+
+
+def test_approx_distinct_users_error_gate(spark):
+    """The one rows-only query class the oracle can't see, gated here
+    (VERDICT r6 item 3): per event_type, approx_count_distinct(user_id,
+    rsd=0.01) must sit within 5% relative error of the exact
+    countDistinct (5% = 5σ on the configured 1% rsd — generous enough
+    to never flake, tight enough to catch a broken sketch)."""
+    from pyspark.sql import functions as F
+
+    from cmsspark_spark.queries import QUERIES, _t
+    from tests.conftest import SF_ORACLE
+
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in QUERIES["approx_distinct_users"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in _t(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and exact
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(0.05 * e, 2), (k, approx[k], e)

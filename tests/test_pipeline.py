@@ -577,3 +577,48 @@ def test_inverted_index_cap_and_distinct(spark):
     assert got["common"]["df"] == 8              # true df, not the cap
     assert got["common"]["postings"] == "1,2,3"  # smallest-id prefix
     assert got["rare"]["df"] == 1 and got["rare"]["postings"] == "5"
+
+
+def test_chunk_dedup_rate_oracle_unbounded(spark, tmp_path):
+    """The r6 chunk_dedup_rate oracle capped chunks/doc at 128
+    (generate_series(0,127)), silently truncating any doc over
+    16 + 128*48 = 6160 tokens (VERDICT r6 item 1 / ADVICE). The r7
+    per-row LATERAL series must stay hash-exact on a 7,000-token doc
+    (146 chunks) — including cross-doc duplicate counting."""
+    import duckdb
+
+    from cmsspark_spark.queries import ORACLES, QUERIES
+    from tests.conftest import canonical_rows
+
+    long_text = " ".join(f"tok{i}" for i in range(7000))  # 146 chunks
+    docs = spark.createDataFrame(
+        [
+            (1, "web", long_text),
+            (2, "web", long_text),          # same-source duplicate: nd > 1
+            (3, "web", "alpha beta gamma"),
+            (4, "books", "alpha beta gamma delta"),
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    sdf = QUERIES["chunk_dedup_rate"](spark, str(tmp_path))
+    s_rows = [tuple(r) for r in sdf.collect()]
+    # sanity: the long docs alone contribute 2*146 chunks — far past
+    # the old 128 cap — and every long-doc chunk is duplicated
+    web = next(r for r in s_rows if r[sdf.columns.index("source")] == "web")
+    assert web[sdf.columns.index("n_chunks")] == 2 * 146 + 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES["chunk_dedup_rate"])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+    sc, sr = canonical_rows(sdf.columns, s_rows)
+    dc, dr = canonical_rows(d_cols, d_rows)
+    assert sc == dc
+    assert sr == dr

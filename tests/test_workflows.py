@@ -262,9 +262,12 @@ def test_snapshot_order_self_rotates(tmp_path):
     }))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
         "d": {"rows_match": True, "err": ""},
+        "a": {"rows_match": True, "err": None},   # re-recorded: vintage 2
     }))
     recorded = m._recorded_names(str(tmp_path))
     assert recorded == {"a", "d"}
+    # vintage = LATEST green round per name ("a" green in r1 AND r2 → 2)
+    assert m._record_vintage(str(tmp_path)) == {"a": 2, "d": 2}
     # real repo: every recorded name must be a registered query
     real = m._recorded_names()
     assert real and real <= set(m.queries())
@@ -291,6 +294,21 @@ def test_snapshot_order_self_rotates(tmp_path):
         default=-1,
     )
     assert first_rows_only > scorable_max
+    # Freshness rotation (r7): within the recorded bucket, vintages
+    # (latest green round per name) must be non-decreasing, so the
+    # 50-slot snapshot window always re-proves the STALEST records.
+    vintage = m._record_vintage()
+    rec_order = [n for n in order if n in vintage]
+    vints = [vintage[n] for n in rec_order]
+    assert vints == sorted(vints)
+    # and the snapshot window (first 50) must contain no name whose
+    # record is fresher than any name left outside it
+    if len(rec_order) > 50 and not unrec_scorable:
+        window_max = max(vintage[n] for n in order[:50] if n in vintage)
+        outside_min = min(
+            vintage[n] for n in order[50:] if n in vintage
+        )
+        assert window_max <= outside_min
 
 
 def test_ingest_increment_span_dedup_across_runs(spark, tmp_path):
