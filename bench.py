@@ -189,6 +189,9 @@ EXTRA = [
     "ann_ladder_recall_report",     # recall@5 of every static ANN rung
     "doc_length_profile_by_source", # exact token-length percentiles
     "packing_efficiency_report",    # concat-pack utilization per shard
+    # round 7
+    "domain_boilerplate_report",    # per-domain template-text election
+    "curriculum_length_quality_cells",  # quantile-binned curriculum cells
 ]
 
 

@@ -792,3 +792,180 @@ def near_dup_losers(
         .filter(F.col("node") != F.col("_survivor"))
         .select(F.col("node").alias(id_col))
     )
+
+
+def explode_paragraphs(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_split: str = r"\n{2,}",
+    min_para_chars: int = 1,
+) -> DataFrame:
+    """Paragraph instance stream for domain-grain dedup: one row per
+    (domain, doc, position, paragraph), paragraphs split on
+    ``para_split`` (blank lines by default — the web-corpus
+    convention) and trimmed-empty ones dropped. A narrow 1→N map —
+    zero shuffle; every consumer hashes the paragraph immediately so
+    paragraph TEXT never travels through an exchange."""
+    return df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), para_split)).alias(
+            "pos", "para"
+        ),
+    ).filter(F.length(F.trim(F.col("para"))) >= min_para_chars)
+
+
+def _paragraph_hash_counts(paragraphs: DataFrame) -> DataFrame:
+    """(domain, para_hash, n_docs, n_occurrences) over the paragraph
+    instance stream. ONE shuffle, keyed (domain, md5(para)) — ids and
+    hashes move, paragraph text never does; both counts are map-side-
+    combinable."""
+    return (
+        paragraphs.select(
+            "domain", "id", F.md5(F.col("para")).alias("para_hash")
+        )
+        .groupBy("domain", "para_hash")
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+def domain_boilerplate_droplist(
+    paragraphs: DataFrame, min_docs: int = 3
+) -> DataFrame:
+    """The RefinedWeb/CCNet boilerplate ELECTION at domain grain: a
+    paragraph is boilerplate within a domain when it recurs in >=
+    ``min_docs`` DISTINCT documents of that domain (nav bars, cookie
+    banners, license footers — template text that per-document dedup
+    can't see because each copy appears once per doc). Input is the
+    ``explode_paragraphs`` stream (domain, id, pos, para); output is
+    the drop-list (domain, para_hash, n_docs, n_occurrences).
+
+    The drop-list is template-text-sized (bounded by distinct
+    boilerplate per domain, not by corpus rows), so applying it is a
+    broadcastable semi-join at any corpus size.
+    """
+    return _paragraph_hash_counts(paragraphs).filter(
+        F.col("n_docs") >= min_docs
+    )
+
+
+def domain_boilerplate_report(
+    paragraphs: DataFrame, min_docs: int = 3, checkpoint: bool = True
+) -> DataFrame:
+    """Per-domain boilerplate fractions — the table a corpus owner
+    reads to decide which domains need template stripping before
+    training: paragraph instances, distinct paragraphs, elected
+    boilerplate groups (>= ``min_docs`` distinct docs), the fraction
+    of the domain's paragraph stream that is boilerplate, and how
+    many documents carry at least one elected paragraph.
+
+    The (domain, hash) count table feeds BOTH the per-domain rollup
+    and the docs-affected semi-join, so it is localCheckpoint'ed
+    (lazily) per the multi-consumer rule — without it the corpus-wide
+    hash aggregation would recompute once per consumer. The
+    docs-affected join reuses the (domain, para_hash) key the counts
+    are already partitioned on.
+    Returns (domain, n_para_instances, n_distinct_paras,
+    n_boiler_paras, boiler_instances, boilerplate_frac,
+    n_docs_affected).
+    """
+    ph = _paragraph_hash_counts(paragraphs)
+    if checkpoint:
+        ph = ph.localCheckpoint(eager=False)
+    boiler = F.col("n_docs") >= min_docs
+    agg = ph.groupBy("domain").agg(
+        F.sum("n_occurrences").cast("long").alias("n_para_instances"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_paras"),
+        F.sum(boiler.cast("long")).cast("long").alias("n_boiler_paras"),
+        F.coalesce(
+            F.sum(F.when(boiler, F.col("n_occurrences"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("boiler_instances"),
+    )
+    aff = (
+        paragraphs.select(
+            "domain", "id", F.md5(F.col("para")).alias("para_hash")
+        )
+        .join(
+            ph.filter(boiler).select("domain", "para_hash"),
+            on=["domain", "para_hash"],
+            how="left_semi",
+        )
+        .groupBy("domain")
+        .agg(F.countDistinct("id").cast("long").alias("n_docs_affected"))
+    )
+    return agg.join(aff, on="domain", how="left").select(
+        "domain",
+        "n_para_instances",
+        "n_distinct_paras",
+        "n_boiler_paras",
+        "boiler_instances",
+        F.round(
+            F.col("boiler_instances") / F.col("n_para_instances"), 6
+        ).alias("boilerplate_frac"),
+        F.coalesce("n_docs_affected", F.lit(0))
+        .cast("long")
+        .alias("n_docs_affected"),
+    )
+
+
+def domain_boilerplate_strip(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    para_split: str = r"\n{2,}",
+    para_join: str = "\n\n",
+) -> DataFrame:
+    """Apply the domain boilerplate election: drop EVERY occurrence of
+    an elected paragraph (unlike line_dedup's keep-first — template
+    text carries no information in any copy) and reassemble each doc
+    from its surviving paragraphs in original order. Docs reduced to
+    nothing come back with text '' — the caller decides drop policy.
+
+    Two shuffles beyond the election: the left_anti against the
+    drop-list reuses the (domain, para_hash) key (and the drop-list
+    side is auto-broadcast when small), then one doc-grain re-fold.
+    Returns (domain, id, text, n_paras_kept, n_paras_dropped).
+    """
+    paras = explode_paragraphs(
+        df, domain_col, id_col, text_col, para_split
+    ).withColumn("para_hash", F.md5(F.col("para")))
+    drop = domain_boilerplate_droplist(paras, min_docs=min_docs).select(
+        "domain", "para_hash"
+    )
+    marked = paras.join(drop, on=["domain", "para_hash"], how="left_anti")
+    kept = marked.groupBy("domain", "id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                ),
+                lambda s: s["para"],
+            ),
+            para_join,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_paras_kept"),
+    )
+    totals = paras.groupBy("domain", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_total")
+    )
+    return (
+        totals.join(kept, on=["domain", "id"], how="left")
+        .select(
+            F.col("domain").alias(domain_col),
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+            (F.col("_n_total") - F.coalesce("n_paras_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_paras_dropped"),
+        )
+    )

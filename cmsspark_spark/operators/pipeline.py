@@ -655,3 +655,82 @@ def chunk_overlap(
             F.array_join("_chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def curriculum_cells(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    length_qs: tuple[float, float] = (0.5, 0.9),
+    quality_qs: tuple[float, float] = (0.25, 0.75),
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Quantile-binned (length, quality) curriculum cells — the table
+    a curriculum sampler consumes: every document is assigned a
+    length bin (short/mid/long against its SOURCE's token-count
+    quantiles, so a 'long' code file and a 'long' tweet are judged
+    against their own populations) and a quality bin (low/mid/high
+    against the GLOBAL stopword-ratio quantiles), and each (source,
+    length_bin, quality_bin) cell reports its doc count, token mass
+    and share of the corpus token budget.
+
+    Scale shape: tokenize ONCE into a (source, n_tokens, quality)
+    frame — two doubles per doc — and lazily localCheckpoint it (the
+    multi-consumer rule: three consumers — per-source percentiles,
+    global percentiles, binning — would each re-tokenize the corpus
+    otherwise). Both percentile frames are dimension-sized and
+    broadcast back onto the scored frame; the only corpus-grain
+    shuffle is the final cell groupBy. ``token_share`` normalizes via
+    a window over the cells frame itself (|sources| x 9 rows —
+    driver-light)."""
+    from cmsspark_spark.functions.text import stopword_ratio, token_count
+
+    lo_q, hi_q = quality_qs
+    lo_l, hi_l = length_qs
+    scored = df.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).cast("long").alias("n"),
+        stopword_ratio(text_col).alias("q"),
+    )
+    if checkpoint:
+        scored = scored.localCheckpoint(eager=False)
+    lp = scored.groupBy("source").agg(
+        F.percentile("n", F.lit(lo_l)).alias("_p_lo"),
+        F.percentile("n", F.lit(hi_l)).alias("_p_hi"),
+    )
+    qp = scored.agg(
+        F.percentile("q", F.lit(lo_q)).alias("_q_lo"),
+        F.percentile("q", F.lit(hi_q)).alias("_q_hi"),
+    )
+    binned = (
+        scored.join(F.broadcast(lp), on="source")
+        .crossJoin(F.broadcast(qp))
+        .select(
+            "source",
+            F.when(F.col("n") <= F.col("_p_lo"), "short")
+            .when(F.col("n") <= F.col("_p_hi"), "mid")
+            .otherwise("long")
+            .alias("length_bin"),
+            F.when(F.col("q") <= F.col("_q_lo"), "low")
+            .when(F.col("q") <= F.col("_q_hi"), "mid")
+            .otherwise("high")
+            .alias("quality_bin"),
+            "n",
+        )
+    )
+    cells = binned.groupBy("source", "length_bin", "quality_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("cell_tokens"),
+    )
+    return cells.select(
+        "source",
+        "length_bin",
+        "quality_bin",
+        "n_docs",
+        "cell_tokens",
+        F.round(
+            F.col("cell_tokens")
+            / F.sum("cell_tokens").over(Window.partitionBy()),
+            6,
+        ).alias("token_share"),
+    )

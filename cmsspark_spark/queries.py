@@ -7919,3 +7919,158 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fill") / (F.count(F.lit(1)) * 512), 6
         ).alias("utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: domain-grain boilerplate + curriculum export
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "domain_boilerplate_report",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+    p AS (
+      SELECT doc_id, source,
+             array_to_string(tk[(i*2+1):(i*2+2)], ' ') AS para
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(
+          0, greatest(CAST(ceil(len(tk)/2.0) AS INT) - 1, 0))) AS i) u
+      WHERE len(trim(array_to_string(tk[(i*2+1):(i*2+2)], ' '))) >= 1
+    ),
+    ph AS (
+      SELECT source, md5(para) AS h,
+             count(DISTINCT doc_id) AS nd, count(*) AS c
+      FROM p GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_para_instances,
+             CAST(count(*) AS BIGINT) AS n_distinct_paras,
+             CAST(count(*) FILTER (WHERE nd >= 3) AS BIGINT)
+               AS n_boiler_paras,
+             CAST(coalesce(sum(c) FILTER (WHERE nd >= 3), 0) AS BIGINT)
+               AS boiler_instances
+      FROM ph GROUP BY source
+    ),
+    aff AS (
+      SELECT p.source, count(DISTINCT p.doc_id) AS n_docs_affected
+      FROM p JOIN ph ON ph.source = p.source AND ph.h = md5(p.para)
+      WHERE ph.nd >= 3
+      GROUP BY p.source
+    )
+    SELECT a.source, a.n_para_instances, a.n_distinct_paras,
+           a.n_boiler_paras, a.boiler_instances,
+           round(a.boiler_instances * 1.0 / a.n_para_instances, 6)
+             AS boilerplate_frac,
+           CAST(coalesce(f.n_docs_affected, 0) AS BIGINT)
+             AS n_docs_affected
+    FROM agg a LEFT JOIN aff f ON f.source = a.source
+    """,
+)
+def domain_boilerplate_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/template-grain dedup (operators/dedup.
+    domain_boilerplate_report) — the RefinedWeb/CCNet boilerplate
+    family: a paragraph recurring in >= 3 DISTINCT documents of the
+    SAME source is template text (nav bars, footers, cookie banners)
+    that per-document dedup cannot see. Per source: paragraph
+    instances, distinct paragraphs, elected boilerplate groups, the
+    boilerplate fraction of the paragraph stream, and the documents
+    carrying >= 1 elected paragraph. Paragraphs are the word-soup
+    corpus's 2-token groups (the paragraph_dedup_within_doc reformat
+    trick — the small vocabulary makes cross-doc template repeats
+    common, so the gate exercises real elections: 635 boilerplate
+    groups at sf0.01). Shuffles carry (source, md5, id) cells only —
+    paragraph text never crosses an exchange (plan-asserted); the
+    hash-count table is checkpointed once for its two consumers."""
+    d = _t(spark, sf_dir, "documents")
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    tk = _tokens("text")
+    n_para = F.greatest(F.ceil(F.size(tk) / 2.0).cast("int") - 1, F.lit(0))
+    paras_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n_para),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * 2 + 1, 2)),
+        ),
+        lambda p: F.length(F.trim(p)) >= 1,
+    )
+    # cheap raw-text row filter (the paragraph_dedup plan lesson:
+    # filtering on the computed array would re-run the build below the
+    # widen Exchange)
+    paras = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.col("source").alias("domain"),
+            F.col("doc_id").alias("id"),
+            F.posexplode(paras_arr).alias("pos", "para"),
+        )
+    )
+    return D.domain_boilerplate_report(paras, min_docs=3).withColumnRenamed(
+        "domain", "source"
+    )
+
+
+_STOP_SQL = "['the','a','an','of','and','or','is','in','to','it']"
+
+
+@query(
+    "curriculum_length_quality_cells",
+    f"""
+    WITH scored AS (
+      SELECT source, CAST(len(tk) AS BIGINT) AS n,
+             len(list_filter(tk, t -> list_contains({_STOP_SQL}, t)))
+               * 1.0 / greatest(len(tk), 1) AS q
+      FROM (SELECT source, {_TOKS_SQL} AS tk FROM documents)
+    ),
+    lp AS (
+      SELECT source, quantile_cont(n, 0.50) AS p_lo,
+             quantile_cont(n, 0.90) AS p_hi
+      FROM scored GROUP BY source
+    ),
+    qp AS (
+      SELECT quantile_cont(q, 0.25) AS q_lo,
+             quantile_cont(q, 0.75) AS q_hi
+      FROM scored
+    ),
+    binned AS (
+      SELECT s.source,
+             CASE WHEN s.n <= lp.p_lo THEN 'short'
+                  WHEN s.n <= lp.p_hi THEN 'mid'
+                  ELSE 'long' END AS length_bin,
+             CASE WHEN s.q <= qp.q_lo THEN 'low'
+                  WHEN s.q <= qp.q_hi THEN 'mid'
+                  ELSE 'high' END AS quality_bin,
+             s.n
+      FROM scored s JOIN lp USING (source), qp
+    ),
+    cells AS (
+      SELECT source, length_bin, quality_bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS cell_tokens
+      FROM binned GROUP BY 1, 2, 3
+    )
+    SELECT source, length_bin, quality_bin, n_docs, cell_tokens,
+           round(cell_tokens * 1.0 / sum(cell_tokens) OVER (), 6)
+             AS token_share
+    FROM cells
+    """,
+)
+def curriculum_length_quality_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum export (operators/pipeline.curriculum_cells): join
+    each source's token-count quantiles (p50/p90 — the
+    doc_length_profile_by_source percentiles) and the global
+    stopword-ratio quantiles (p25/p75) back onto the corpus to assign
+    every document a (length_bin, quality_bin) cell, then emit the
+    per-(source, cell) doc count, token mass and corpus token share —
+    the table a curriculum/mixture sampler consumes to schedule
+    training data from short-clean to long-hard. Exercises the
+    broadcast of two tiny percentile frames onto a once-tokenized,
+    checkpointed (source, n, q) frame; the only corpus-grain shuffle
+    is the final cell groupBy."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    return PL.curriculum_cells(d)

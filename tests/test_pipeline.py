@@ -622,3 +622,111 @@ def test_chunk_dedup_rate_oracle_unbounded(spark, tmp_path):
     dc, dr = canonical_rows(d_cols, d_rows)
     assert sc == dc
     assert sr == dr
+
+
+def test_domain_boilerplate_planted(spark):
+    """Planted template text: a footer recurring in 3 docs of domain A
+    is elected; the SAME footer in only 1 doc of domain B is not (the
+    election is per-domain); stripping drops EVERY occurrence and
+    reassembles surviving paragraphs in order."""
+    from cmsspark_spark.operators.dedup import (
+        domain_boilerplate_droplist,
+        domain_boilerplate_strip,
+        explode_paragraphs,
+    )
+
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            ("A", 1, f"alpha body one\n\n{footer}"),
+            ("A", 2, f"{footer}\n\nbeta body two"),
+            ("A", 3, f"gamma body three\n\n{footer}\n\ndelta tail"),
+            ("A", 4, "unrelated text"),
+            ("B", 5, f"other domain\n\n{footer}"),
+            ("A", 6, footer),  # ONLY boilerplate -> strips to empty
+        ],
+        "source: string, doc_id: long, text: string",
+    )
+    paras = explode_paragraphs(docs)
+    drop = domain_boilerplate_droplist(paras, min_docs=3).collect()
+    # exactly one elected (domain, paragraph): the footer in A —
+    # 4 docs x 1 occurrence each
+    assert len(drop) == 1
+    assert (drop[0]["domain"], drop[0]["n_docs"], drop[0]["n_occurrences"]) \
+        == ("A", 4, 4)
+
+    out = {
+        r["doc_id"]: r
+        for r in domain_boilerplate_strip(docs, min_docs=3).collect()
+    }
+    assert out[1]["text"] == "alpha body one"
+    assert out[2]["text"] == "beta body two"
+    assert out[3]["text"] == "gamma body three\n\ndelta tail"
+    assert out[4]["text"] == "unrelated text"
+    assert out[5]["text"] == f"other domain\n\n{footer}"  # B untouched
+    assert out[6]["text"] == "" and out[6]["n_paras_kept"] == 0
+    assert out[3]["n_paras_dropped"] == 1 and out[4]["n_paras_dropped"] == 0
+
+
+def test_domain_boilerplate_report_matches_droplist(spark):
+    """The report's per-domain numbers must agree with the drop-list
+    it elects from."""
+    from cmsspark_spark.operators.dedup import (
+        domain_boilerplate_droplist,
+        domain_boilerplate_report,
+        explode_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("A", 1, "x\n\nfoot"), ("A", 2, "y\n\nfoot"),
+            ("A", 3, "z\n\nfoot"), ("B", 4, "q\n\nr"),
+        ],
+        "source: string, doc_id: long, text: string",
+    )
+    paras = explode_paragraphs(docs)
+    rep = {r["domain"]: r for r in
+           domain_boilerplate_report(paras, min_docs=3).collect()}
+    assert rep["A"]["n_boiler_paras"] == 1
+    assert rep["A"]["boiler_instances"] == 3
+    assert rep["A"]["n_para_instances"] == 6
+    assert rep["A"]["boilerplate_frac"] == 0.5
+    assert rep["A"]["n_docs_affected"] == 3
+    assert rep["B"]["n_boiler_paras"] == 0
+    assert rep["B"]["boilerplate_frac"] == 0.0
+    assert rep["B"]["n_docs_affected"] == 0
+    n_drop = domain_boilerplate_droplist(paras, min_docs=3).count()
+    assert n_drop == rep["A"]["n_boiler_paras"] + rep["B"]["n_boiler_paras"]
+
+
+def test_curriculum_cells_bins_and_shares(spark):
+    """Per-source length quantiles and global quality quantiles drive
+    the cell assignment; shares sum to 1 and token mass is conserved."""
+    from cmsspark_spark.operators.pipeline import curriculum_cells
+
+    mk = lambda n, stop: " ".join(  # noqa: E731
+        (["the"] * stop) + ["w%d" % i for i in range(n - stop)]
+    )
+    docs = spark.createDataFrame(
+        [
+            ("A", 1, mk(4, 0)), ("A", 2, mk(6, 0)), ("A", 3, mk(8, 4)),
+            ("A", 4, mk(40, 0)),
+            ("B", 5, mk(100, 0)), ("B", 6, mk(120, 60)),
+            ("B", 7, mk(140, 0)), ("B", 8, mk(400, 0)),
+        ],
+        "source: string, doc_id: long, text: string",
+    )
+    rows = curriculum_cells(docs).collect()
+    cells = {(r["source"], r["length_bin"], r["quality_bin"]): r for r in rows}
+    # per-source binning: doc 4 (40 tokens) is 'long' FOR A even though
+    # every B doc is longer; doc 8 (400) is long for B
+    assert ("A", "long", "low") in cells
+    assert cells[("A", "long", "low")]["n_docs"] == 1
+    assert ("B", "long", "low") in cells
+    # stopword-heavy docs land in the high-quality-ratio bin
+    assert any(k[0] == "A" and k[2] == "high" for k in cells)
+    assert any(k[0] == "B" and k[2] == "high" for k in cells)
+    # conservation: doc counts and token shares
+    assert sum(r["n_docs"] for r in rows) == 8
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["cell_tokens"] for r in rows) == 4+6+8+40+100+120+140+400

@@ -568,3 +568,19 @@ def test_chunk_dedup_rate_shuffles_cells_not_text(spark):
         assert "chunk_text" not in m.group(0), (
             "raw chunk text entered a shuffle:\n" + m.group(0)
         )
+
+
+def test_domain_boilerplate_shuffles_hashes_not_text(spark):
+    """r7: domain boilerplate election shuffles (source, md5, id)
+    cells only — the raw `para` column must never enter an Exchange
+    (the paragraph build is a narrow explode; everything downstream
+    works on hashes)."""
+    df = QUERIES["domain_boilerplate_report"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?(?=\n)", plan):
+        assert "para#" not in m.group(0) and ", para" not in m.group(0), (
+            "raw paragraph text entered a shuffle:\n" + m.group(0)
+        )
