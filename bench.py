@@ -192,6 +192,8 @@ EXTRA = [
     # round 7
     "domain_boilerplate_report",    # per-domain template-text election
     "curriculum_length_quality_cells",  # quantile-binned curriculum cells
+    "kmeans_embedding_clusters",    # full-corpus distributed Lloyd's
+    "kmeans_cluster_quality",       # per-cluster inertia/purity audit
 ]
 
 

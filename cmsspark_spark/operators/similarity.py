@@ -827,3 +827,107 @@ def semantic_decontaminate(
             F.col("max_bench_cosine") >= threshold, F.lit(False)
         ).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (full-corpus, engine-exact)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_quantize(vec_col: str, scale: int) -> F.Column:
+    """Integer-quantize a float vector: ``round(x * scale)`` per
+    component, as BIGINT. All downstream k-means arithmetic stays in
+    exact integer domain (sums, squared distances), so results are
+    bit-identical across engines and partition orders — the property
+    that makes full Lloyd's oracle-checkable, unlike float-mean
+    updates whose partial-aggregation order perturbs the centroid."""
+    return F.expr(
+        f"transform(`{vec_col}`, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT))"
+    )
+
+
+def _kmeans_best(q_col: str, cents: list[list[int]]) -> F.Column:
+    """argmin_j ||q - c_j||^2 as ONE SQL expression: per-centroid exact
+    integer squared distance (zip_with fold), array_min over (d2,
+    cluster) structs — ties break to the lowest cluster index via
+    struct ordering. Narrow: no shuffle, no UDF, centroids are plan
+    literals (same single-py4j-call rationale as ``_centroid_assign``)."""
+    scored = []
+    for ci, c in enumerate(cents):
+        arr = ", ".join(f"{int(v)}L" for v in c)
+        d = (
+            f"aggregate(zip_with(`{q_col}`, array({arr}), "
+            f"(x, p) -> (x - p) * (x - p)), 0L, (a, x) -> a + x)"
+        )
+        scored.append(f"named_struct('d', {d}, 'c', {ci})")
+    return F.expr(f"array_min(array({', '.join(scored)}))")
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Full-corpus distributed Lloyd's k-means, deterministic and
+    engine-exact (beyond-reference; complements ``train_ivf_centroids``
+    which trains on a bounded driver sample — this one assigns and
+    updates over ALL rows cluster-side, the corpus-clustering step of
+    SemDeDup-style pipelines and offline IVF builds).
+
+    Design for 100 TB:
+    - vectors are integer-quantized once (``round(x*scale)``) and
+      persisted; each iteration re-reads the quantized cache, never the
+      raw corpus;
+    - assignment is a NARROW map (centroids are broadcast as plan
+      literals — k*dim ints), zero shuffle;
+    - the update is ONE shuffle per iteration producing k rows (per-dim
+      BIGINT sums + count — map-side combined), collected to the driver
+      like MLlib's KMeans does: O(k*dim) bounded, never data-sized;
+    - new centroid component = floor((2*s+n)/(2n)) — round-half-up of
+      the exact mean, computed as IEEE double floor so Spark, Python
+      and the DuckDB oracle agree bit-for-bit; empty clusters keep
+      their previous centroid;
+    - seeds are the ``k`` smallest-id vectors (TakeOrdered, k rows) —
+      fully reproducible, no RNG.
+
+    Returns the final assignment: (id_col, cluster int, d2 bigint) with
+    d2 the exact squared distance in quantized space.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    q = corpus.select(
+        F.col(id_col).alias("_id"), _kmeans_quantize(vec_col, scale).alias("_q")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    seed_rows = q.orderBy("_id").limit(k).collect()
+    cents = [list(r["_q"]) for r in seed_rows]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = q.select(
+            F.col("_q"), _kmeans_best("_q", cents)["c"].alias("_cl")
+        )
+        sums = (
+            assigned.groupBy("_cl")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("_q")[i]).alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in sums:
+            n = r["_n"]
+            cents[r["_cl"]] = [
+                int(math.floor((2 * r[f"_s{i}"] + n) / (2.0 * n)))
+                for i in range(dim)
+            ]
+    best = _kmeans_best("_q", cents)
+    return q.select(
+        F.col("_id").alias(id_col),
+        best["c"].alias("cluster"),
+        best["d"].alias("d2"),
+    )

@@ -8074,3 +8074,177 @@ def curriculum_length_quality_cells(
 
     d = _t(spark, sf_dir, "documents")
     return PL.curriculum_cells(d)
+
+
+# ---------------------------------------------------------------------------
+# Round 7 additions: distributed k-means, soft dedup, containment, PSI drift
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE = 10, 2, 64, 1000
+
+
+def _kmeans_oracle_cte(k: int, iters: int, dim: int, scale: int) -> str:
+    """CTE chain replicating operators/similarity.kmeans_lloyd step for
+    step in DuckDB: integer quantization, k-smallest-id seeds, per-
+    iteration exact-integer assignment (all intermediates < 2^53, so
+    the double dot products are exact) and floor((2s+n)/2n) centroid
+    update with empty-cluster fallback. Ends at CTE ``af`` (final
+    assignment: _id, cluster, d2). Single-sourced so the two k-means
+    oracles can never drift."""
+    sum_list = ", ".join(f"SUM(q[{i + 1}]) AS s{i}" for i in range(dim))
+    cent_list = ", ".join(
+        f"CAST(floor((2*s{i} + n)/(2.0*n)) AS BIGINT)" for i in range(dim)
+    )
+
+    def assign(cents: str) -> str:
+        d2 = (
+            "list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[]) "
+            "- 2*list_dot_product(q.q::DOUBLE[], c.c::DOUBLE[]) "
+            "+ list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[])"
+        )
+        return f"""
+      SELECT _id, cluster, d2 FROM (
+        SELECT q._id, c.cluster, CAST({d2} AS BIGINT) AS d2,
+               row_number() OVER (PARTITION BY q._id
+                 ORDER BY {d2}, c.cluster) AS rk
+        FROM q, {cents} c
+      ) WHERE rk = 1
+    """
+
+    parts = [
+        f"""q AS (
+      SELECT vec_id AS _id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x*{scale}) AS BIGINT)) AS q
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY _id) - 1 AS cluster, q AS c
+      FROM q ORDER BY _id LIMIT {k}
+    )""",
+    ]
+    for it in range(iters):
+        parts.append(f"a{it + 1} AS ({assign(f'c{it}')})")
+        parts.append(
+            f"""u{it + 1} AS (
+      SELECT a{it + 1}.cluster, count(*) AS n, {sum_list}
+      FROM a{it + 1} JOIN q USING (_id) GROUP BY a{it + 1}.cluster
+    )"""
+        )
+        parts.append(
+            f"""c{it + 1} AS (
+      SELECT c{it}.cluster,
+             CASE WHEN u{it + 1}.n IS NULL THEN c{it}.c
+                  ELSE list_value({cent_list}) END AS c
+      FROM c{it} LEFT JOIN u{it + 1}
+        ON c{it}.cluster = u{it + 1}.cluster
+    )"""
+        )
+    parts.append(f"af AS ({assign(f'c{iters}')})")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "kmeans_embedding_clusters",
+    f"""
+    WITH {_kmeans_oracle_cte(_KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE)},
+    sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+              FROM af GROUP BY 1)
+    SELECT af._id AS vec_id, af.cluster, sizes.n_members, af.d2
+    FROM af JOIN sizes USING (cluster)
+    """,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the FULL embedding corpus
+    (operators/similarity.kmeans_lloyd): k-smallest-id seeds, 2 exact
+    integer-quantized iterations, final per-vector assignment with its
+    exact squared distance and cluster size. The corpus-clustering
+    step a SemDeDup pipeline or an offline IVF build runs at scale —
+    unlike train_ivf_centroids' bounded driver sample, every row
+    participates in every update. Per iteration: one NARROW assignment
+    pass (centroids are plan literals) + one k-row shuffle; the only
+    extra shuffle here is the size join-back. Engine-exact by integer
+    quantization, so the DuckDB oracle reproduces it bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = S.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return assign.join(sizes, "cluster").select(
+        "vec_id", "cluster", "n_members", "d2"
+    )
+
+
+@query(
+    "kmeans_cluster_quality",
+    f"""
+    WITH {_kmeans_oracle_cte(_KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE)},
+    m AS (
+      SELECT af.cluster, af.d2, e.label
+      FROM af JOIN embeddings e ON af._id = e.vec_id
+    ),
+    per_label AS (
+      SELECT cluster, label, count(*) AS cnt FROM m GROUP BY 1, 2
+    ),
+    maj AS (
+      SELECT cluster, label AS majority_label, cnt AS n_majority
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster
+                    ORDER BY cnt DESC, label) AS rk
+        FROM per_label
+      ) WHERE rk = 1
+    )
+    SELECT m.cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(m.d2) AS BIGINT) AS inertia,
+           CAST(max(maj.majority_label) AS INT) AS majority_label,
+           CAST(max(maj.n_majority) AS BIGINT) AS n_majority,
+           round(max(maj.n_majority) * 1.0 / count(*), 4) AS purity
+    FROM m JOIN maj USING (cluster)
+    GROUP BY m.cluster
+    """,
+)
+def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit for the k-means assignment: per-cluster
+    size, exact inertia (sum of quantized squared distances) and label
+    purity against the embeddings table's ground-truth ``label`` — the
+    table you read to decide whether k/iters are adequate before
+    using the clustering for SemDeDup bucketing or IVF lists. Composed
+    from the same oracle CTE as kmeans_embedding_clusters so the two
+    can never drift. Plan: assignment is narrow; the label join is a
+    join on vec_id; majority election is the standard count→window
+    rank at cluster grain (k rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = S.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    m = assign.join(emb.select("vec_id", "label"), "vec_id")
+    per_label = m.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wr = Window.partitionBy("cluster").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    maj = (
+        per_label.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("cnt").alias("n_majority"),
+        )
+    )
+    stats = m.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia"),
+    )
+    return stats.join(maj, "cluster").select(
+        "cluster",
+        "n_members",
+        "inertia",
+        F.col("majority_label").cast("int").alias("majority_label"),
+        "n_majority",
+        F.round(F.col("n_majority") / F.col("n_members"), 4).alias("purity"),
+    )

@@ -584,3 +584,19 @@ def test_domain_boilerplate_shuffles_hashes_not_text(spark):
         assert "para#" not in m.group(0) and ", para" not in m.group(0), (
             "raw paragraph text entered a shuffle:\n" + m.group(0)
         )
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """r7: kmeans_lloyd's returned assignment must be a NARROW map over
+    the persisted quantized cache — centroids live in the plan as
+    literals, so the final pass has zero Exchange and no Python eval
+    (the only shuffles in the whole algorithm are the k-row per-
+    iteration update aggs, which have already executed eagerly)."""
+    from cmsspark_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assign = S.kmeans_lloyd(emb, k=4, iters=1)
+    plan = plans.formatted_plan(assign)
+    assert plans.count_nodes(assign, "Exchange") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # reads the quantized cache

@@ -352,3 +352,65 @@ def test_semantic_decontaminate_id_collision_and_empty_bench(spark):
     for r in out2.values():
         assert r["contaminated"] is False
         assert r["max_bench_cosine"] is None
+
+
+def test_kmeans_lloyd_planted_clusters(spark):
+    """Two well-separated planted clusters: every point lands with its
+    own group, d2 is the exact quantized squared distance, and the
+    assignment is invariant to input row order (engine-exact claim)."""
+    rows = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]),  # seeds (k smallest ids)
+        (2, [0.1, -0.1]), (3, [0.2, 0.1]),
+        (4, [10.1, 9.9]), (5, [9.8, 10.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cluster for r in S.kmeans_lloyd(
+        df, k=2, iters=2, scale=1000).collect()}
+    assert out[0] == out[2] == out[3]
+    assert out[1] == out[4] == out[5]
+    assert out[0] != out[1]
+    shuffled = df.orderBy(F.rand(7))
+    out2 = {r.vec_id: (r.cluster, r.d2) for r in S.kmeans_lloyd(
+        shuffled, k=2, iters=2, scale=1000).collect()}
+    full = {r.vec_id: (r.cluster, r.d2) for r in S.kmeans_lloyd(
+        df, k=2, iters=2, scale=1000).collect()}
+    assert out2 == full
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_seed(spark):
+    """k exceeds the number of distinct points: the starved cluster
+    keeps its previous centroid and every point still gets exactly one
+    assignment (no crash, no dropped rows)."""
+    rows = [(i, [float(i % 2), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.kmeans_lloyd(df, k=4, iters=2, scale=10).collect()
+    assert len(out) == 6
+    assert {r.vec_id for r in out} == set(range(6))
+    # two distinct point values -> at most 2 clusters ever win a point
+    assert len({r.cluster for r in out}) <= 2
+
+
+def test_kmeans_lloyd_inertia_not_worse_than_seeds(spark):
+    """Lloyd's with exact-mean (rounded) updates should not end with a
+    higher inertia than the seed assignment on real data."""
+    emb = _emb(spark)
+    seed_only = S.kmeans_lloyd(emb, k=10, iters=0)
+    trained = S.kmeans_lloyd(emb, k=10, iters=2)
+    i0 = seed_only.agg(F.sum("d2")).collect()[0][0]
+    i2 = trained.agg(F.sum("d2")).collect()[0][0]
+    assert i2 <= i0, f"inertia grew: {i0} -> {i2}"
+
+
+def test_kmeans_lloyd_inertia_monotone_in_iters(spark):
+    """Each Lloyd iteration (assignment then exact-mean update) is
+    non-increasing in total inertia; integer-rounded centroids keep
+    that true to within quantization noise on real data. The
+    embeddings table's labels are NOT geometrically meaningful (near-
+    random unit vectors), so the gate is the optimization invariant,
+    not label recovery."""
+    emb = _emb(spark)
+    inertias = [
+        S.kmeans_lloyd(emb, k=10, iters=i).agg(F.sum("d2")).collect()[0][0]
+        for i in (0, 1, 2)
+    ]
+    assert inertias[1] <= inertias[0] and inertias[2] <= inertias[1], inertias
