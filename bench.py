@@ -194,6 +194,7 @@ EXTRA = [
     "curriculum_length_quality_cells",  # quantile-binned curriculum cells
     "kmeans_embedding_clusters",    # full-corpus distributed Lloyd's
     "kmeans_cluster_quality",       # per-cluster inertia/purity audit
+    "soft_dedup_downsample",        # 1/cluster-size stochastic dedup coin
 ]
 
 

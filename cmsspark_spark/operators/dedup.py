@@ -969,3 +969,54 @@ def domain_boilerplate_strip(
             .alias("n_paras_dropped"),
         )
     )
+
+
+def soft_dedup_keep(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    coin_mod: int = 10000,
+) -> DataFrame:
+    """Soft (frequency-weighted) dedup: instead of hard-dropping every
+    non-survivor, keep each member of a near-dup cluster with
+    probability 1/cluster_size — one expected survivor per cluster,
+    but WHICH copy survives varies per cluster, removing the frequency
+    skew duplicates induce in a training mix while keeping the
+    survivor choice unbiased (the soft variant of the cluster election
+    in ``near_dup_losers``; cf. the duplication-aware downsampling
+    line of work around "Deduplicating Training Data Makes Language
+    Models Better" / D4).
+
+    The coin is the deterministic content-keyed hash used everywhere
+    else in this package (``functions/text.int_base_hash`` of the id):
+    keep iff ``hash(id) % coin_mod < floor(coin_mod / n_members)`` —
+    reproducible across engines, re-shards and reruns, and
+    oracle-checkable, unlike ``df.sample``.
+
+    ``components`` is a (node, component) frame from
+    ``connected_components``; rows of ``df`` absent from it are
+    singletons (n_members = 1, always kept).
+
+    Plan: cluster sizes are a component-grain aggregate of the (tiny)
+    membership table; the corpus sees ONE left broadcast-able join on
+    id and a narrow filter — no corpus shuffle beyond that join when
+    the membership frame is broadcast.
+
+    Returns (id_col, n_members, kept).
+    """
+    from cmsspark_spark.functions.text import int_base_hash
+
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    membership = components.join(sizes, "component").select(
+        F.col("node").alias(id_col), F.col("_n")
+    )
+    out = df.select(id_col).join(F.broadcast(membership), id_col, "left")
+    n = F.coalesce(F.col("_n"), F.lit(1)).cast("long")
+    coin = int_base_hash(F.col(id_col).cast("string")) % coin_mod
+    return out.select(
+        id_col,
+        n.alias("n_members"),
+        (coin < F.floor(F.lit(float(coin_mod)) / n)).alias("kept"),
+    )

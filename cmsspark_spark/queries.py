@@ -8248,3 +8248,42 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_majority",
         F.round(F.col("n_majority") / F.col("n_members"), 4).alias("purity"),
     )
+
+
+@query(
+    "soft_dedup_downsample",
+    f"""
+    WITH comp AS ({_components_oracle_sql()}),
+    sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY 1),
+    m AS (
+      SELECT comp.doc_id, sizes.n
+      FROM comp JOIN sizes USING (component)
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(m.n, 1) AS BIGINT) AS n_members,
+           ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 2147483648 % 10000
+             < floor(10000.0 / coalesce(m.n, 1)) AS kept
+    FROM documents d LEFT JOIN m USING (doc_id)
+    """,
+)
+def soft_dedup_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (operators/dedup.soft_dedup_keep): every doc keeps a
+    deterministic hash coin with keep-probability 1/near-dup-cluster-
+    size — one EXPECTED survivor per cluster instead of a hard
+    election, so duplicated content is frequency-corrected in the
+    training mix without biasing which copy survives. Clusters come
+    from the standard LSH→Jaccard→connected-components path;
+    singletons are always kept. The coin is content-keyed
+    (int_base_hash of the id), so the kept set is identical across
+    engines and re-shards — the oracle replays it bit-for-bit on the
+    composed components CTE."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return D.soft_dedup_keep(d, comp, "doc_id")

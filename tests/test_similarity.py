@@ -414,3 +414,49 @@ def test_kmeans_lloyd_inertia_monotone_in_iters(spark):
         for i in (0, 1, 2)
     ]
     assert inertias[1] <= inertias[0] and inertias[2] <= inertias[1], inertias
+
+
+def _md5_coin(key: str, mod: int = 10000) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 2147483648 % mod
+
+
+def test_soft_dedup_keep_matches_formula_and_keeps_singletons(spark):
+    """Per-row kept flag must equal the documented coin formula
+    (hash(id) % 10000 < floor(10000/n)); docs absent from the
+    component frame are singletons and always kept."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    comp = spark.createDataFrame(
+        # one cluster of 4 (ids 0-3), one of 2 (ids 10-11)
+        [(0, 0), (1, 0), (2, 0), (3, 0), (10, 10), (11, 10)],
+        "node long, component long",
+    )
+    out = {r.doc_id: r for r in D.soft_dedup_keep(docs, comp).collect()}
+    assert len(out) == 20
+    import math
+
+    for i in range(20):
+        n = 4 if i < 4 else (2 if i in (10, 11) else 1)
+        assert out[i].n_members == n
+        expect = _md5_coin(str(i)) < math.floor(10000.0 / n)
+        assert out[i].kept == expect, (i, n)
+    for i in range(20):
+        if out[i].n_members == 1:
+            assert out[i].kept
+
+
+def test_soft_dedup_expected_survivor_rate(spark):
+    """Statistical sanity (deterministic, so stable forever): a large
+    planted cluster of size 5 keeps ~1/5 of its members."""
+    n_docs, csize = 500, 5
+    docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+    comp = spark.createDataFrame(
+        [(i, (i // csize) * csize) for i in range(n_docs)],
+        "node long, component long",
+    )
+    out = D.soft_dedup_keep(docs, comp).collect()
+    kept = sum(1 for r in out if r.kept)
+    assert abs(kept / n_docs - 1 / csize) < 0.05, kept
