@@ -195,6 +195,7 @@ EXTRA = [
     "kmeans_embedding_clusters",    # full-corpus distributed Lloyd's
     "kmeans_cluster_quality",       # per-cluster inertia/purity audit
     "soft_dedup_downsample",        # 1/cluster-size stochastic dedup coin
+    "containment_nested_pairs",     # asymmetric doc-in-doc containment
 ]
 
 

@@ -1020,3 +1020,90 @@ def soft_dedup_keep(
         n.alias("n_members"),
         (coin < F.floor(F.lit(float(coin_mod)) / n)).alias("kept"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    min_df: int = 2,
+    max_df: int = 5,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment: |A∩B| / |A| per direction — the
+    doc-nested-in-doc detector. A short document quoted wholesale
+    inside a much larger one has Jaccard ≈ |A|/|B| (tiny) but
+    containment ≈ 1, so the symmetric MinHash/Jaccard dedup path
+    structurally misses it; this operator is the complement that
+    catches quotes, boilerplate wrappers and subset re-posts.
+
+    Candidate generation is RARE-SHINGLE BLOCKING, not LSH (MinHash
+    band collision probability tracks Jaccard, so it also misses
+    low-Jaccard/high-containment pairs): two docs become a candidate
+    iff they share a shingle with document frequency in
+    [``min_df``, ``max_df``]. Shingles rarer than ``min_df`` pair
+    nothing; more frequent than ``max_df`` are blocked from pairing
+    (but still counted in the exact verification), which caps the
+    per-shingle self-join at ``max_df²`` pairs — the standard
+    blocking bound that keeps the join linear-ish at corpus scale.
+    Trade-off (documented, tested): a pair whose ONLY shared shingles
+    are ubiquitous (df > max_df) is not discovered.
+
+    Shuffle economics mirror ``jaccard_pairs``: shingles travel as
+    xxhash64 cells carrying their doc's set size — ids and 8-byte
+    hashes shuffle, text never does. Verification is restricted to
+    candidates (join on id_a's shingles, match on (id_b, shingle)).
+
+    Returns (id_a, id_b, n_common, n_a, n_b, containment_a,
+    containment_b, direction) with id_a < id_b and
+    max(containment) ≥ threshold; containment_a = |A∩B|/|A|
+    ("how much of A is inside B"), direction = which doc is the
+    (mostly) contained one.
+    """
+    from pyspark import StorageLevel
+
+    sh = (
+        df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_arr"))
+        .select("_id", F.size("_arr").alias("n_sh"), F.explode("_arr").alias("shingle"))
+        .select("_id", "n_sh", F.xxhash64("shingle").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= min_df) & (F.col("_df") <= max_df))
+        .select("shingle")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    cand = (
+        a.join(rare, "shingle")
+        .join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(a, "id_a").join(b, ["id_b", "shingle"])
+    common = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    ca = F.col("n_common") / F.col("n_a")
+    cb = F.col("n_common") / F.col("n_b")
+    return (
+        common.filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(ca, 4).alias("containment_a"),
+            F.round(cb, 4).alias("containment_b"),
+            F.when(ca >= cb, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+    )

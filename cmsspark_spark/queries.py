@@ -8287,3 +8287,50 @@ def soft_dedup_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = D.connected_components(pairs, "id_a", "id_b")
     return D.soft_dedup_keep(d, comp, "doc_id")
+
+
+@query(
+    "containment_nested_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+           FROM toks),
+    dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT shingle FROM dfc WHERE df BETWEEN 2 AND 5),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(nc AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           round(nc * 1.0 / sa.n, 4) AS containment_a,
+           round(nc * 1.0 / sb.n, 4) AS containment_b,
+           CASE WHEN nc * 1.0 / sa.n >= nc * 1.0 / sb.n
+                THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+    FROM common JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(nc * 1.0 / sa.n, nc * 1.0 / sb.n) >= 0.8
+    """,
+)
+def containment_nested_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-nested-in-doc detection (operators/dedup.containment_pairs):
+    directed n-gram containment |A∩B|/|A| over rare-shingle-blocked
+    candidates. Complements the MinHash/Jaccard path, which
+    structurally misses a short doc quoted inside a long one (Jaccard
+    ≈ |A|/|B| even when containment = 1): band collision probability
+    tracks Jaccard, so the blocking here keys on shared RARE shingles
+    (df ∈ [2,5]) instead — ≤ df² pairs per shingle, ids and hashed
+    shingles shuffle, text never. Emits both directions' containment
+    and which side is the contained one."""
+    d = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, min_df=2, max_df=5
+    )

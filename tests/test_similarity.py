@@ -460,3 +460,55 @@ def test_soft_dedup_expected_survivor_rate(spark):
     out = D.soft_dedup_keep(docs, comp).collect()
     kept = sum(1 for r in out if r.kept)
     assert abs(kept / n_docs - 1 / csize) < 0.05, kept
+
+
+def test_containment_finds_nested_doc_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment
+    flags it as a_in_b with containment_a = 1.0 even though its
+    Jaccard is far below the usual 0.5 dedup threshold."""
+    small = " ".join(f"tok{i}" for i in range(10))
+    big = small + " " + " ".join(f"pad{i}" for i in range(60))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], ["doc_id", "text"]
+    )
+    out = {(r.id_a, r.id_b): r for r in D.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.8, max_df=5).collect()}
+    assert (1, 2) in out and len(out) == 1
+    r = out[(1, 2)]
+    assert r.direction == "a_in_b" and r.containment_a == 1.0
+    # Jaccard on the same pair is small — the symmetric path misses it
+    jac = D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert not [x for x in jac.collect() if (x.id_a, x.id_b) == (1, 2)]
+
+
+def test_containment_blocking_tradeoff_ubiquitous_shingles(spark):
+    """Documented blocking bound: a pair whose only shared shingles
+    exceed max_df everywhere is NOT discovered (every shared shingle
+    appears in all docs, so none is 'rare')."""
+    shared = " ".join(f"com{i}" for i in range(12))
+    rows = [(i, shared + f" uniq{i}a uniq{i}b uniq{i}c") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, min_df=2, max_df=5
+    ).collect()
+    assert out == []  # all shared shingles have df=8 > max_df
+
+
+def test_containment_counts_all_common_shingles_not_just_rare(spark):
+    """Verification must count EVERY common shingle, including ones
+    too frequent to pair on — only candidate generation is blocked."""
+    shared = " ".join(f"com{i}" for i in range(12))   # df=3 shingles
+    rare = "rareone raretwo rarethree rarefour"        # df=2 shingles
+    df = spark.createDataFrame(
+        [(1, shared + " " + rare), (2, shared + " " + rare),
+         (3, shared + " different tail here")],
+        ["doc_id", "text"],
+    )
+    out = {(r.id_a, r.id_b): r for r in D.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, min_df=2, max_df=2
+    ).collect()}
+    # pair (1,2) blocked-in via the rare tail, but n_common includes
+    # the df=3 'com' shingles too -> containment 1.0 both ways
+    assert (1, 2) in out
+    assert out[(1, 2)].containment_a == 1.0 == out[(1, 2)].containment_b
