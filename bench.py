@@ -196,6 +196,7 @@ EXTRA = [
     "kmeans_cluster_quality",       # per-cluster inertia/purity audit
     "soft_dedup_downsample",        # 1/cluster-size stochastic dedup coin
     "containment_nested_pairs",     # asymmetric doc-in-doc containment
+    "snapshot_drift_psi",           # PSI drift gate between snapshots
 ]
 
 

@@ -734,3 +734,77 @@ def curriculum_cells(
             6,
         ).alias("token_share"),
     )
+
+
+def snapshot_psi(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    is_ref_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a corpus —
+    the standard drift gate a training pipeline runs when a new ingest
+    lands: did the per-source distribution of some metric (token
+    length, quality score, ...) shift enough that mixtures and
+    curricula need re-tuning? Rule of thumb: PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 action needed.
+
+    Bins are the REFERENCE snapshot's exact per-group quantiles
+    (``probs`` → len(probs)+1 bins), so the reference lands ~uniformly
+    and drift shows as current-side mass imbalance. Laplace-smoothed
+    shares (+0.5 per bin) keep ln() finite for empty bins.
+
+    Plan shape: the bound frame is one tiny per-group aggregate
+    (exact ``F.percentile`` — swap for approx_percentile at 100 TB,
+    same shape) BROADCAST back onto the corpus; binning is a narrow
+    array fold; the count table is one (group, bin) shuffle. Only
+    observed (group, bin) cells are emitted — absent cells are absent
+    from both engines by construction.
+
+    Returns one row per (group, bin): counts, smoothed shares, the
+    bin's PSI term and the group's total PSI.
+    """
+    nbins = len(probs) + 1
+    ref = df.filter(F.col(is_ref_col))
+    plist = ", ".join(str(p) for p in probs)
+    bounds = ref.groupBy(group_col).agg(
+        F.expr(f"percentile(`{value_col}`, array({plist}))").alias("_bs")
+    )
+    binned = df.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        F.col(is_ref_col).alias("_r"),
+        (
+            1
+            + F.aggregate(
+                F.col("_bs"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(value_col) > b, 1).otherwise(0),
+            )
+        ).alias("bin"),
+    )
+    counts = binned.groupBy(group_col, "bin").agg(
+        F.sum(F.when(F.col("_r"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("_r"), 0).otherwise(1)).alias("n_cur"),
+    )
+    w = Window.partitionBy(group_col)
+    tot = counts.withColumn("_Nr", F.sum("n_ref").over(w)).withColumn(
+        "_Nc", F.sum("n_cur").over(w)
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("_Nr") + 0.5 * nbins)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("_Nc") + 0.5 * nbins)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    scored = tot.select(
+        group_col,
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+        term.alias("_t"),
+    )
+    return scored.withColumn(
+        "psi", F.round(F.sum("_t").over(w), 6)
+    ).drop("_t")

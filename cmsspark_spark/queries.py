@@ -8334,3 +8334,69 @@ def containment_nested_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         d, "doc_id", "text", n=3, threshold=0.8, min_df=2, max_df=5
     )
+
+
+@query(
+    "snapshot_drift_psi",
+    f"""
+    WITH scored AS (
+      SELECT source, doc_id % 2 = 0 AS is_ref,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+      FROM documents
+    ),
+    bounds AS (
+      SELECT source, quantile_cont(n, [0.25, 0.50, 0.75]) AS bs
+      FROM scored WHERE is_ref GROUP BY source
+    ),
+    binned AS (
+      SELECT s.source, s.is_ref,
+             1 + len(list_filter(b.bs, x -> s.n > x)) AS bin
+      FROM scored s JOIN bounds b USING (source)
+    ),
+    counts AS (
+      SELECT source, bin,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT *, sum(n_ref) OVER (PARTITION BY source) AS Nr,
+                sum(n_cur) OVER (PARTITION BY source) AS Nc
+      FROM counts
+    ),
+    terms AS (
+      SELECT source, bin, n_ref, n_cur,
+             (n_ref + 0.5) / (Nr + 2.0) AS pr,
+             (n_cur + 0.5) / (Nc + 2.0) AS pc
+      FROM tot
+    )
+    SELECT source, bin, n_ref, n_cur,
+           round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+           round((pc - pr) * ln(pc / pr), 6) AS psi_term,
+           round(sum((pc - pr) * ln(pc / pr))
+                   OVER (PARTITION BY source), 6) AS psi
+    FROM terms
+    """,
+)
+def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift QA (operators/pipeline.snapshot_psi): Population
+    Stability Index of per-source token-length distributions between
+    the even-id half (the 'reference' snapshot) and the odd-id half
+    (the 'current' ingest) — the gate a pipeline runs when new data
+    lands to decide whether mixtures/curricula need re-tuning
+    (PSI < 0.1 stable, > 0.25 action). Bins are the reference half's
+    exact per-source quartiles broadcast back onto the corpus
+    (approx_percentile at 100 TB, same shape); Laplace +0.5 smoothing
+    keeps empty bins finite. One corpus shuffle (the (source, bin)
+    count) after a narrow binning fold."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    scored = d.select(
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        F.size(_tokens("text")).cast("long").alias("n"),
+    )
+    return PL.snapshot_psi(scored, "source", "n", "is_ref")

@@ -730,3 +730,46 @@ def test_curriculum_cells_bins_and_shares(spark):
     assert sum(r["n_docs"] for r in rows) == 8
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
     assert sum(r["cell_tokens"] for r in rows) == 4+6+8+40+100+120+140+400
+
+
+def test_snapshot_psi_zero_on_identical_halves(spark):
+    """Identical ref/cur distributions (same values, same counts) give
+    p_ref == p_cur in every bin and PSI exactly 0."""
+    rows = [("s", v, ref) for v in (1, 2, 3, 4, 5, 6, 7, 8)
+            for ref in (True, False)]
+    df = spark.createDataFrame(rows, "source string, n long, is_ref boolean")
+    out = PL.snapshot_psi(df, "source", "n", "is_ref").collect()
+    assert out and all(r.psi == 0.0 and r.psi_term == 0.0 for r in out)
+    assert {r.bin for r in out} == {1, 2, 3, 4}
+
+
+def test_snapshot_psi_detects_planted_shift(spark):
+    """Current snapshot shifted far above the reference quantiles:
+    all current mass lands in the top bin and PSI clears the 0.25
+    action threshold."""
+    ref = [("s", v, True) for v in range(1, 21)]
+    cur = [("s", v, False) for v in range(100, 120)]
+    df = spark.createDataFrame(
+        ref + cur, "source string, n long, is_ref boolean"
+    )
+    out = PL.snapshot_psi(df, "source", "n", "is_ref").collect()
+    psi = out[0].psi
+    assert psi > 0.25, psi
+    top = [r for r in out if r.bin == 4][0]
+    assert top.n_cur == 20 and top.n_ref <= 5
+
+
+def test_snapshot_psi_empty_side_bins_stay_finite(spark):
+    """Laplace smoothing: bins where one side has zero rows produce
+    finite terms (no inf/nan from ln of 0)."""
+    import math
+
+    ref = [("s", v, True) for v in (1, 2, 3, 4, 5, 6, 7, 8)]
+    cur = [("s", 1, False)] * 6  # all current mass in the bottom bin
+    df = spark.createDataFrame(
+        ref + cur, "source string, n long, is_ref boolean"
+    )
+    out = PL.snapshot_psi(df, "source", "n", "is_ref").collect()
+    for r in out:
+        assert math.isfinite(r.psi_term) and math.isfinite(r.psi)
+    assert sum(r.n_cur for r in out) == 6
