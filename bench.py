@@ -197,6 +197,7 @@ EXTRA = [
     "soft_dedup_downsample",        # 1/cluster-size stochastic dedup coin
     "containment_nested_pairs",     # asymmetric doc-in-doc containment
     "snapshot_drift_psi",           # PSI drift gate between snapshots
+    "ann_pq_refine_topk",           # compressed shortlist + exact refine
 ]
 
 

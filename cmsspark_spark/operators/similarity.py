@@ -931,3 +931,40 @@ def kmeans_lloyd(
         best["c"].alias("cluster"),
         best["d"].alias("d2"),
     )
+
+
+def pq_adc_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: np.ndarray,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC-with-refine: the standard two-phase production ANN shape —
+    scan the corpus in COMPRESSED domain (``pq_adc_topk``, ~m bytes
+    per vector) to build a per-query ``shortlist``, then fetch raw
+    vectors for shortlist members ONLY and re-rank by exact cosine.
+    Refine repairs most of PQ's quantization error at the cost of one
+    id-join touching ``shortlist`` vectors per query instead of the
+    whole corpus — at 100 TB the exact vectors live in a separate
+    store keyed by id and this join IS the fetch.
+
+    Deterministic end-to-end: the ADC shortlist cut is the
+    (adc DESC, id) order the PQ oracle reproduces, and the rescore is
+    the shared exact-cosine tail, so the composed result is
+    hash-exact against a composed oracle.
+
+    Returns (query_id, vec_id, cosine, rank) with rank ≤ k.
+    """
+    cand = pq_adc_topk(
+        corpus, queries, codebook, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", id_col)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    withv = cand.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(qv), "query_id"
+    )
+    return _rescore_topk(withv, k, id_col, vec_col, "query_id")

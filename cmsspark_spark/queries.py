@@ -4089,7 +4089,7 @@ ORACLES["near_dup_pipeline_e2e"] = ORACLES["near_dup_pipeline_e2e"].replace(
 # ---------------------------------------------------------------------------
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(topk: int = 5) -> str:
     import numpy as np
 
     cb = S.pq_codebook()
@@ -4133,7 +4133,7 @@ def _pq_oracle() -> str:
              row_number() OVER (
                PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rank
       FROM adc
-    ) WHERE rank <= 5
+    ) WHERE rank <= {topk}
     """
 
 
@@ -7732,16 +7732,24 @@ def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The SQL-reproducible ANN rungs audited by ann_ladder_recall_report.
+#: ONE list consumed by BOTH the Spark report and its composed oracle
+#: so an arm can never exist on one side only; extended in place (and
+#: the oracle rebuilt) when a later-registered rung joins the ladder
+#: (r7: pq_refine, registered at the end of this module).
+_ANN_LADDER_METHODS = [
+    ("lsh", "ann_lsh_topk"),
+    ("ivf_static", "ann_ivf_static_topk"),
+    ("pq_static", "ann_pq_static_topk"),
+    ("ivfpq_static", "ann_ivfpq_static_topk"),
+]
+
+
 def _ann_ladder_oracle() -> str:
-    """Composed from the four registered method oracles plus the brute
+    """Composed from the registered method oracles plus the brute
     truth oracle, so the report can never drift from the queries it
     audits (same build discipline as _dedup_quality_oracle)."""
-    methods = [
-        ("lsh", "ann_lsh_topk"),
-        ("ivf_static", "ann_ivf_static_topk"),
-        ("pq_static", "ann_pq_static_topk"),
-        ("ivfpq_static", "ann_ivfpq_static_topk"),
-    ]
+    methods = _ANN_LADDER_METHODS
     for _, qname in methods:
         assert ORACLES.get(qname), qname
     ctes = ",\n    ".join(
@@ -7771,14 +7779,16 @@ def _ann_ladder_oracle() -> str:
 def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN approximation ladder audited in ONE report: recall@5 of
     every SQL-reproducible method (sign-LSH buckets, static IVF,
-    static PQ ADC, static IVF-PQ) against the brute-force cosine truth
+    static PQ ADC, PQ ADC + exact refine, static IVF-PQ) against the
+    brute-force cosine truth
     on the shared 5-query set — the embedding sibling of
     dedup_lsh_quality_report, and the table an operator reads to pick
     a rung of the ladder before trusting it at scale. Each method's
     result comes FROM the registered query (parameters in lockstep by
-    construction); the oracle composes the same five registered oracle
-    strings, so the report and the queries it audits can never drift.
-    All sides are id-pair joins over top-5 lists — driver-light, 4
+    construction; the shared _ANN_LADDER_METHODS list feeds both this
+    report and the composed oracle,
+    so the report and the queries it audits can never drift).
+    All sides are id-pair joins over top-5 lists — driver-light, 5
     output rows."""
     from functools import reduce
 
@@ -7793,12 +7803,7 @@ def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t_agg = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     frames = []
-    for label, qname in [
-        ("lsh", "ann_lsh_topk"),
-        ("ivf_static", "ann_ivf_static_topk"),
-        ("pq_static", "ann_pq_static_topk"),
-        ("ivfpq_static", "ann_ivfpq_static_topk"),
-    ]:
+    for label, qname in _ANN_LADDER_METHODS:
         got = QUERIES[qname](spark, sf_dir).select("query_id", "vec_id")
         hits = got.join(truth, on=["query_id", "vec_id"]).agg(
             F.count(F.lit(1)).cast("long").alias("n_hit")
@@ -8400,3 +8405,61 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_tokens("text")).cast("long").alias("n"),
     )
     return PL.snapshot_psi(scored, "source", "n", "is_ref")
+
+
+def _pq_refine_oracle(k: int = 5, shortlist: int = 20) -> str:
+    """Composed: the parameterized PQ-ADC oracle (rank ≤ shortlist) as
+    the candidate CTE, then the exact-cosine re-rank — mirroring
+    pq_adc_refine_topk's two phases, so shortlist cut and refine can
+    never drift from the registered PQ machinery."""
+    return f"""
+    WITH short AS ({_pq_oracle(shortlist)}),
+    cv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    rescored AS (
+      SELECT s.query_id, s.vec_id,
+             list_dot_product(ce.e, qe.e)
+               / (sqrt(list_dot_product(ce.e, ce.e))
+                  * sqrt(list_dot_product(qe.e, qe.e))) AS cos
+      FROM short s
+      JOIN cv ce ON s.vec_id = ce.vec_id
+      JOIN cv qe ON s.query_id = qe.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_pq_refine_topk")
+def ann_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC + exact refine (operators/similarity.pq_adc_refine_topk):
+    compressed-domain shortlist of 20 per query, raw vectors fetched
+    for shortlist members only, exact-cosine re-rank to top-5 — the
+    two-phase shape production PQ systems run (IVFADC + refine). The
+    missing rung between ann_pq_static_topk (pure compressed ranking)
+    and ann_cosine_topk (full exact scan) on the ANN ladder; audited
+    alongside the others in ann_ladder_recall_report. Hash-exact: the
+    ADC order is cross-engine deterministic and the refine is the
+    shared exact-cosine tail."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = S.pq_adc_refine_topk(
+        emb, queries_df, S.pq_codebook(), k=5, shortlist=20
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+ORACLES["ann_pq_refine_topk"] = _pq_refine_oracle()
+
+# r7: the refine rung joins the recall ladder — extend the shared
+# method list and rebuild the composed ladder oracle (the Spark report
+# reads the same list at call time, so both sides pick it up together).
+_ANN_LADDER_METHODS.append(("pq_refine", "ann_pq_refine_topk"))
+ORACLES["ann_ladder_recall_report"] = _ann_ladder_oracle()

@@ -512,3 +512,37 @@ def test_containment_counts_all_common_shingles_not_just_rare(spark):
     # the df=3 'com' shingles too -> containment 1.0 both ways
     assert (1, 2) in out
     assert out[(1, 2)].containment_a == 1.0 == out[(1, 2)].containment_b
+
+
+def test_pq_refine_recall_not_worse_than_adc(spark):
+    """Exact refine on the ADC shortlist can only improve recall@5 vs
+    ranking by the compressed-domain score alone (both deterministic
+    on real data)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = S.pq_codebook()
+    exact = {(r.query_id, r.vec_id)
+             for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    adc = {(r.query_id, r.vec_id)
+           for r in S.pq_adc_topk(emb, queries, cb, k=5).collect()}
+    ref = {(r.query_id, r.vec_id)
+           for r in S.pq_adc_refine_topk(
+               emb, queries, cb, k=5, shortlist=20).collect()}
+    assert len(ref & exact) >= len(adc & exact)
+    # refine output is a subset of its own shortlist
+    short = {(r.query_id, r.vec_id)
+             for r in S.pq_adc_topk(emb, queries, cb, k=20).collect()}
+    assert ref <= short
+
+
+def test_pq_refine_full_shortlist_is_exact(spark):
+    """shortlist == corpus size degrades refine to exact brute force."""
+    emb = _emb(spark).filter(F.col("vec_id") < 40)
+    queries = emb.filter(F.col("vec_id") < 3)
+    cb = S.pq_codebook()
+    exact = sorted((r.query_id, r.vec_id, r.rank)
+                   for r in S.brute_force_topk(emb, queries, k=5).collect())
+    ref = sorted((r.query_id, r.vec_id, r.rank)
+                 for r in S.pq_adc_refine_topk(
+                     emb, queries, cb, k=5, shortlist=40).collect())
+    assert ref == exact
