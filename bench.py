@@ -198,6 +198,7 @@ EXTRA = [
     "containment_nested_pairs",     # asymmetric doc-in-doc containment
     "snapshot_drift_psi",           # PSI drift gate between snapshots
     "ann_pq_refine_topk",           # compressed shortlist + exact refine
+    "semantic_dedup_kmeans",        # SemDeDup over trained k-means buckets
 ]
 
 

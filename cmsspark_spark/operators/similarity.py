@@ -670,6 +670,17 @@ def semantic_dedup(
             "_cluster"
         ),
     )
+    return _cluster_leader_drops(cl, threshold, id_col)
+
+
+def _cluster_leader_drops(
+    cl: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Shared SemDeDup tail: within each ``_cluster``, drop every
+    vector that has a LOWER-id neighbor with cosine ≥ threshold.
+    ``cl`` carries (_cluster, id, _v double-vec, _n norm); each vector
+    crosses the shuffle once per join side keyed by cluster, the pair
+    output is ids-only."""
     a = cl.select(
         "_cluster", F.col(id_col).alias("_ida"),
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
@@ -968,3 +979,31 @@ def pq_adc_refine_topk(
         F.broadcast(qv), "query_id"
     )
     return _rescore_topk(withv, k, id_col, vec_col, "query_id")
+
+
+def semantic_dedup_assigned(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with an EXTERNAL cluster assignment — the paper's own
+    shape (Abbas et al. 2023 run k-means first, then dedup within
+    clusters): ``clusters`` is any (id, cluster) frame, e.g.
+    ``kmeans_lloyd``'s output, so the bucketing quality and the dedup
+    rule are independently tunable/auditable. Same deterministic
+    leader rule and per-cluster-quadratic-only cost as
+    ``semantic_dedup`` (shared tail); the assignment join is one
+    id-keyed join before the cluster-keyed pair shuffle.
+
+    Returns one row per input vector: (``_cluster``, id, ``_dropped``).
+    """
+    cl = corpus.select(
+        F.col(id_col),
+        _dblvec(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+    ).join(
+        clusters.select(id_col, F.col("cluster").alias("_cluster")), id_col
+    )
+    return _cluster_leader_drops(cl, threshold, id_col)

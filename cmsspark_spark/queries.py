@@ -8463,3 +8463,52 @@ ORACLES["ann_pq_refine_topk"] = _pq_refine_oracle()
 # reads the same list at call time, so both sides pick it up together).
 _ANN_LADDER_METHODS.append(("pq_refine", "ann_pq_refine_topk"))
 ORACLES["ann_ladder_recall_report"] = _ann_ladder_oracle()
+
+
+@query(
+    "semantic_dedup_kmeans",
+    f"""
+    WITH {_kmeans_oracle_cte(_KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE)},
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    normed AS (
+      SELECT af.cluster, co.vec_id, co.e,
+             sqrt(list_dot_product(co.e, co.e)) AS n
+      FROM corpus co JOIN af ON co.vec_id = af._id
+    ),
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS ia, b.vec_id AS ib
+      FROM normed a JOIN normed b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    ),
+    drops AS (SELECT DISTINCT ib FROM pairs)
+    SELECT nm.cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(d.ib) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.ib) AS BIGINT) AS n_kept
+    FROM normed nm LEFT JOIN drops d ON nm.vec_id = d.ib
+    GROUP BY nm.cluster
+    """,
+)
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in the paper's own two-phase shape (operators/
+    similarity.semantic_dedup_assigned over similarity.kmeans_lloyd):
+    k-means FIRST buckets the corpus, then the deterministic lower-id
+    leader rule drops near-duplicates WITHIN each cluster — the
+    quadratic check never leaves a bucket. Where semantic_dedup_static
+    buckets by seeded random centroids (proving the machinery), this
+    rung uses the trained full-corpus clustering, and because
+    kmeans_lloyd is engine-exact the whole composition stays
+    hash-exact: the oracle chains the k-means CTE into the same
+    per-cluster leader SQL. Per-cluster summary output (sizes, drops,
+    keeps)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = S.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    flags = S.semantic_dedup_assigned(emb, assign, threshold=0.4)
+    return flags.groupBy(F.col("_cluster").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count("_dropped").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.count("_dropped")).alias("n_kept"),
+    )

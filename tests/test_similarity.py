@@ -546,3 +546,46 @@ def test_pq_refine_full_shortlist_is_exact(spark):
                  for r in S.pq_adc_refine_topk(
                      emb, queries, cb, k=5, shortlist=40).collect())
     assert ref == exact
+
+
+def test_semantic_dedup_assigned_matches_manual_leader_rule(spark):
+    """External-assignment SemDeDup: with a hand-built clustering, the
+    drop set must be exactly 'has a lower-id same-cluster neighbor
+    with cosine >= threshold' — cross-cluster near-dups are missed by
+    design."""
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.999, 0.01], 0),   # near-dup pair, cl 0
+        (2, [0.0, 1.0], 0),                           # same cluster, far
+        (3, [1.0, 0.001], 1),                         # near-dup of 0, but
+                                                      # OTHER cluster -> kept
+        (4, [0.0, -1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    clusters = spark.createDataFrame(
+        [(i, c) for i, _, c in rows], "vec_id long, cluster int"
+    )
+    out = {r.vec_id: r._dropped for r in S.semantic_dedup_assigned(
+        emb, clusters, threshold=0.9).collect()}
+    assert out[1] == 1           # dropped: lower-id near neighbor 0
+    assert out[0] is None and out[2] is None
+    assert out[3] is None and out[4] is None  # cluster boundary protects 3
+
+
+def test_semantic_dedup_assigned_agrees_with_static_on_same_buckets(spark):
+    """Feeding semantic_dedup's own centroid assignment through the
+    external-assignment form reproduces semantic_dedup exactly (the
+    shared-tail refactor cannot change results)."""
+    emb = _emb(spark).filter(F.col("vec_id") < 120)
+    from cmsspark_spark.queries import _ivf_static_centroids
+
+    cents = _ivf_static_centroids()
+    base = {(r.vec_id, r._cluster, r._dropped)
+            for r in S.semantic_dedup(emb, cents, threshold=0.4).collect()}
+    assign = S.semantic_dedup(emb, cents, threshold=0.4).select(
+        "vec_id", F.col("_cluster").alias("cluster"))
+    ext = {(r.vec_id, r._cluster, r._dropped)
+           for r in S.semantic_dedup_assigned(
+               emb, assign, threshold=0.4).collect()}
+    assert ext == base
