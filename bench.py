@@ -199,6 +199,7 @@ EXTRA = [
     "snapshot_drift_psi",           # PSI drift gate between snapshots
     "ann_pq_refine_topk",           # compressed shortlist + exact refine
     "semantic_dedup_kmeans",        # SemDeDup over trained k-means buckets
+    "doc_novelty_scores",           # first-occurrence n-gram novelty
 ]
 
 

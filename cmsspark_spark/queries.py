@@ -8512,3 +8512,56 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_dropped").alias("n_dropped"),
         (F.count(F.lit(1)) - F.count("_dropped")).alias("n_kept"),
     )
+
+
+@query(
+    "doc_novelty_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(gs) AS g
+      FROM (SELECT doc_id, {_SHINGLES_SQL} AS gs FROM tok)
+    ),
+    gh AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT % 2147483648 AS h
+      FROM grams
+    ),
+    firsts AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS fd FROM gh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+                   * 1.0 / count(*), 6) AS novelty_frac
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the dataset-curation contribution
+    metric: how many of a doc's distinct trigrams appear here for the
+    FIRST time in ingest order (min doc_id owns the gram)? A doc with
+    near-zero novelty is redundant with the corpus prefix even when no
+    single near-dup pair flags it (it is stitched from many seen
+    fragments) — the complement of pairwise dedup, and the score
+    greedy data-selection orderings maximize. Grams travel as the
+    md5-based 31-bit hash (identical in the oracle, so even the rare
+    hash-merge is reproduced bit-for-bit): one gram-hash shuffle for
+    the first-occurrence window, one doc-grain re-agg — ids and hashes
+    shuffle, text never."""
+    from cmsspark_spark.functions.text import int_base_hash, shingles
+
+    d = _t(spark, sf_dir, "documents")
+    gh = d.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("_g")
+    ).select("doc_id", int_base_hash(F.col("_g")).alias("_h"))
+    w = Window.partitionBy("_h")
+    firsts = gh.select("doc_id", F.min("doc_id").over(w).alias("_fd"))
+    novel = (F.col("_fd") == F.col("doc_id")).cast("long")
+    return firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(novel).alias("n_novel"),
+        F.round(F.sum(novel) / F.count(F.lit(1)), 6).alias("novelty_frac"),
+    )

@@ -773,3 +773,28 @@ def test_snapshot_psi_empty_side_bins_stay_finite(spark):
     for r in out:
         assert math.isfinite(r.psi_term) and math.isfinite(r.psi)
     assert sum(r.n_cur for r in out) == 6
+
+
+def test_doc_novelty_first_owner_wins(spark):
+    """Planted ingest order: the first doc owns all its grams, an exact
+    copy later has zero novelty, a half-recycled doc scores ~0.5."""
+    from cmsspark_spark.queries import QUERIES
+    import tempfile, os
+
+    base = " ".join(f"tok{i}" for i in range(12))       # 10 trigrams
+    fresh = " ".join(f"new{i}" for i in range(12))
+    half = " ".join(f"tok{i}" for i in range(7)) + " " + \
+        " ".join(f"only{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, base, "en", "s", 1),
+         (3, fresh, "en", "s", 1), (4, half, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r for r in
+               QUERIES["doc_novelty_scores"](spark, td).collect()}
+    assert out[1].novelty_frac == 1.0
+    assert out[2].novelty_frac == 0.0 and out[2].n_novel == 0
+    assert out[3].novelty_frac == 1.0
+    assert 0.0 < out[4].novelty_frac < 1.0

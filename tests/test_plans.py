@@ -600,3 +600,18 @@ def test_kmeans_assignment_is_narrow(spark):
     assert plans.count_nodes(assign, "Exchange") == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "InMemoryTableScan" in plan  # reads the quantized cache
+
+
+def test_doc_novelty_shuffles_hashes_not_text(spark):
+    """r7: novelty's two shuffles carry (doc_id, gram-hash) cells and
+    per-doc counts — no raw gram string in any Exchange, and the
+    doc-grain re-agg must not add a third corpus exchange."""
+    df = QUERIES["doc_novelty_scores"](spark, SF)
+    plan = plans.formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", plan):
+        assert "_g#" not in m.group(0), (
+            "raw gram text entered a shuffle:\n" + m.group(0)
+        )
+    assert plans.count_nodes(df, "Exchange") <= 3  # widen + hash + doc
