@@ -161,6 +161,50 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    wide: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    with_sig: bool = False,
+) -> DataFrame:
+    """(_id, band, band_sig[, sig]) rows from a WIDE signature frame —
+    the banding step of MinHash-LSH as a reusable piece: each band's
+    signature is the '|'-joined sorted concat of its ``rows_per_band``
+    consecutive minhashes, derived by a NARROW array explode (no
+    shuffle). ``with_sig=True`` additionally carries the full
+    h0..h{k-1} signature as one array column — what a cross-run census
+    store persists so later increments can both bucket-join (band,
+    band_sig) AND estimate Jaccard from component agreement without
+    ever re-reading corpus text."""
+    nbands = num_hashes // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.array(
+                            *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+                        )
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    cols = ["_id", "bs.band", "bs.band_sig"]
+    out = wide.select(
+        "_id",
+        *([F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")]
+          if with_sig else []),
+        F.explode(band_structs).alias("bs"),
+    )
+    if with_sig:
+        return out.select("_id", "bs.band", "bs.band_sig", "sig")
+    return out.select(*cols)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -192,26 +236,7 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
-    nbands = num_hashes // rows_per_band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("bigint").alias("band"),
-                F.concat_ws(
-                    "|",
-                    F.sort_array(
-                        F.array(
-                            *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
-                        )
-                    ),
-                ).alias("band_sig"),
-            )
-            for b in range(nbands)
-        ]
-    )
-    bands = wide.select("_id", F.explode(band_structs).alias("bs")).select(
-        "_id", "bs.band", "bs.band_sig"
-    )
+    bands = minhash_band_rows(wide, num_hashes, rows_per_band)
     a = bands.select(F.col("_id").alias("id_a"), "band", "band_sig")
     b = bands.select(F.col("_id").alias("id_b"), "band", "band_sig")
     pairs = a.join(b, on=["band", "band_sig"]).filter(F.col("id_a") < F.col("id_b"))

@@ -544,3 +544,158 @@ def ingest_increment_span_dedup(
         text_col=text_col,
     )
     return admitted
+
+
+def _increment_minhash_bands(
+    increment: DataFrame,
+    n: int,
+    num_hashes: int,
+    rows_per_band: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Band rows (+ full signature) for the MinHash census gate: the
+    narrow signature pipeline from operators/dedup, renamed to the
+    census column contract (doc id first)."""
+    from cmsspark_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signatures_wide,
+    )
+
+    wide = minhash_signatures_wide(increment, id_col, text_col, n, num_hashes)
+    return minhash_band_rows(
+        wide, num_hashes, rows_per_band, with_sig=True
+    ).withColumnRenamed("_id", id_col)
+
+
+def score_increment_minhash_dedup(
+    spark: SparkSession,
+    increment: DataFrame,
+    census_path: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_est_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SCORE step of the cross-run NEAR-dup ingestion gate — the
+    MinHash rung of the incremental family (fingerprint rejects exact
+    re-sends, span rejects stitched text, this rejects whole-document
+    near-duplicates of anything ever admitted). The census stores
+    (id, band, band_sig, sig) — ~num_hashes longs per admitted doc,
+    never text — so an increment is checked by (band, band_sig)
+    bucket join + the MinHash similarity ESTIMATOR (fraction of
+    agreeing signature components), the textbook sketch estimate of
+    Jaccard. No corpus re-read, no shingle recompute for old docs:
+    the probe cost is proportional to the DAILY increment and its
+    bucket collisions, the shape that stays viable as the admitted
+    corpus grows toward 100 TB.
+
+    Within-increment blocking: a lower-id increment doc blocks
+    higher-id near-dups in the same batch (same rule as
+    ``ingest_increment_embed_dedup``).
+
+    Approximate in BOTH stages (banding recall, estimator variance) —
+    planted-case behavior and estimator parity are pytest-gated; the
+    exact verifier remains the batch LSH→Jaccard path.
+
+    Returns admitted docs with (n_candidates, max_est_jaccard),
+    pinned via localCheckpoint (the score/commit seam of the span
+    gate: commit only after the caller's own write succeeds).
+    """
+    from pyspark.errors import AnalysisException
+
+    inc = _increment_minhash_bands(
+        increment, n, num_hashes, rows_per_band, id_col, text_col
+    ).localCheckpoint(eager=True)  # consumed by probe + self-join + commit
+    try:
+        census = spark.read.parquet(census_path).select(
+            F.col(id_col).alias("_bid"),
+            "band",
+            "band_sig",
+            F.col("sig").alias("_bsig"),
+            F.lit(True).alias("_prior"),
+        )
+    except AnalysisException:  # first run: empty census
+        census = inc.limit(0).select(
+            F.col(id_col).alias("_bid"),
+            "band",
+            "band_sig",
+            F.col("sig").alias("_bsig"),
+            F.lit(True).alias("_prior"),
+        )
+    blockers = census.unionByName(
+        inc.select(
+            F.col(id_col).alias("_bid"),
+            "band",
+            "band_sig",
+            F.col("sig").alias("_bsig"),
+            F.lit(False).alias("_prior"),
+        )
+    )
+    # A census row blocks UNCONDITIONALLY (the admitted corpus is prior
+    # by definition — including a re-send carrying the SAME id, which
+    # must match its own stored signature and be refused); within the
+    # increment only a lower id blocks, as in the embed gate.
+    cand = (
+        inc.select(
+            F.col(id_col).alias("_nid"), "band", "band_sig",
+            F.col("sig").alias("_nsig"),
+        )
+        .join(blockers, on=["band", "band_sig"])
+        .filter(F.col("_prior") | (F.col("_bid") < F.col("_nid")))
+        .dropDuplicates(["_nid", "_bid"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_nsig"),
+                F.col("_bsig"),
+                lambda a, b: F.when(a == b, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes))
+    )
+    stats = (
+        cand.withColumn("_est", est)
+        .groupBy(F.col("_nid").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("_est").alias("max_est_jaccard"),
+        )
+    )
+    scored = (
+        increment.join(stats, on=id_col, how="left")
+        .withColumn(
+            "n_candidates", F.coalesce("n_candidates", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "max_est_jaccard", F.coalesce("max_est_jaccard", F.lit(0.0))
+        )
+    )
+    admitted = scored.filter(F.col("max_est_jaccard") < max_est_jaccard)
+    return admitted.localCheckpoint(eager=True)  # pin the verdict
+
+
+def commit_census_minhash(
+    spark: SparkSession,
+    admitted: DataFrame,
+    census_path: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """COMMIT step of the MinHash gate: fold the ADMITTED docs' band
+    rows (+signatures) into the census. Same ordering contract as
+    ``commit_census_spans``: call after the caller's own write
+    succeeds. Re-sending an already-admitted doc is then
+    idempotent-by-rejection (its own signature blocks it at estimated
+    Jaccard 1.0)."""
+    _increment_minhash_bands(
+        admitted, n, num_hashes, rows_per_band, id_col, text_col
+    ).write.mode("append").parquet(census_path)

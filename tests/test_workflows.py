@@ -481,3 +481,81 @@ def test_clean_corpus_near_dup_policy(spark, tmp_path):
     assert sum(v[0] for v in min_id.values()) < sum(
         v[0] for v in off.values()
     )
+
+
+def test_minhash_gate_blocks_near_dup_across_runs(spark, tmp_path):
+    """The MinHash census gate: run 1 admits a doc and commits its
+    signature; run 2's near-duplicate (1 token changed) is refused by
+    the signature ESTIMATE alone — the census holds no text — while an
+    unrelated doc passes. Within-increment: a lower-id doc blocks its
+    higher-id near-dup in the same batch."""
+    from cmsspark_spark.operators.incremental import (
+        commit_census_minhash,
+        score_increment_minhash_dedup,
+    )
+
+    census = str(tmp_path / "mh_census")
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    far = " ".join(f"other{i}" for i in range(40))
+
+    inc1 = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    a1 = score_increment_minhash_dedup(spark, inc1, census)
+    assert {r.doc_id for r in a1.collect()} == {1}
+    commit_census_minhash(spark, a1, census)
+
+    inc2 = spark.createDataFrame([(2, near), (3, far)], ["doc_id", "text"])
+    a2 = {r.doc_id: r for r in
+          score_increment_minhash_dedup(spark, inc2, census).collect()}
+    assert set(a2) == {3}
+    assert a2[3].n_candidates == 0 and a2[3].max_est_jaccard == 0.0
+
+    # within-increment: 10 blocks its identical twin 11 in one batch
+    inc3 = spark.createDataFrame(
+        [(10, far), (11, far)], ["doc_id", "text"]
+    )
+    a3 = {r.doc_id: r for r in
+          score_increment_minhash_dedup(spark, inc3, census).collect()}
+    # 10 itself is ALSO refused: 'far' was admitted as doc 3... only if
+    # committed — it was not, so 10 passes and 11 is blocked by 10.
+    assert set(a3) == {10}
+
+
+def test_minhash_gate_resend_idempotent_by_rejection(spark, tmp_path):
+    """After commit, a verbatim re-send estimates Jaccard 1.0 against
+    its own stored signature and is refused."""
+    from cmsspark_spark.operators.incremental import (
+        commit_census_minhash,
+        score_increment_minhash_dedup,
+    )
+
+    census = str(tmp_path / "mh_census")
+    doc = " ".join(f"w{i}" for i in range(30))
+    inc = spark.createDataFrame([(7, doc)], ["doc_id", "text"])
+    a = score_increment_minhash_dedup(spark, inc, census)
+    commit_census_minhash(spark, a, census)
+    again = score_increment_minhash_dedup(spark, inc, census)
+    assert again.count() == 0
+
+
+def test_minhash_gate_estimator_matches_true_jaccard_direction(spark, tmp_path):
+    """Estimator sanity: the component-agreement estimate for a planted
+    high-Jaccard pair is high (>= 0.5) and for a disjoint pair no
+    candidate is even generated."""
+    from cmsspark_spark.operators.incremental import (
+        commit_census_minhash,
+        score_increment_minhash_dedup,
+    )
+
+    census = str(tmp_path / "mh_census")
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    inc1 = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    commit_census_minhash(
+        spark, score_increment_minhash_dedup(spark, inc1, census), census
+    )
+    inc2 = spark.createDataFrame([(2, near)], ["doc_id", "text"])
+    scored = score_increment_minhash_dedup(
+        spark, inc2, census, max_est_jaccard=1.01  # admit all, read stats
+    ).collect()
+    assert scored[0].max_est_jaccard >= 0.5
