@@ -615,3 +615,42 @@ def test_doc_novelty_shuffles_hashes_not_text(spark):
             "raw gram text entered a shuffle:\n" + m.group(0)
         )
     assert plans.count_nodes(df, "Exchange") <= 3  # widen + hash + doc
+
+
+def test_containment_shuffles_hashed_shingles_not_text(spark):
+    """r7: containment's candidate and verify joins key on xxhash64
+    shingle cells — no raw shingle/text column in any Exchange."""
+    df = QUERIES["containment_nested_pairs"](spark, SF)
+    plan = plans.formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", plan):
+        blk = m.group(0)
+        # the widen round-robin may carry raw text INTO the shingle
+        # map; no key-partitioned shuffle may carry text or the
+        # shingle array
+        assert "_arr#" not in blk, "shingle array entered a shuffle:\n" + blk
+        if "hashpartitioning" in blk:
+            assert "text#" not in blk, (
+                "raw text entered a keyed shuffle:\n" + blk
+            )
+
+
+def test_soft_dedup_membership_broadcast(spark):
+    """r7: the corpus-side join of soft dedup must broadcast the (tiny)
+    cluster-membership frame — the corpus never shuffles for it."""
+    df = QUERIES["soft_dedup_downsample"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the membership join is a LEFT outer broadcast
+    assert "BuildRight" in plan
+
+
+def test_snapshot_psi_bounds_broadcast_and_single_corpus_shuffle(spark):
+    """r7: PSI's quantile frame is broadcast back onto the corpus; the
+    only corpus-grain exchanges are the (source, bin) count and the
+    tiny per-source window — binning itself is a narrow fold."""
+    df = QUERIES["snapshot_drift_psi"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
