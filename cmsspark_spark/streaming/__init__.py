@@ -488,3 +488,81 @@ def funnel_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def minhash_gate_batch_fn(
+    census_path: str,
+    out_path: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_est_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch adapter for the cross-run MinHash near-dup gate
+    (operators/incremental.score_increment_minhash_dedup) with
+    EXACTLY-ONCE output under foreachBatch's at-least-once replay.
+
+    Both the admitted-docs output and the census are parquet
+    partitioned by ``ingest_batch`` and written with DYNAMIC overwrite,
+    so every step is per-batch idempotent. Per micro-batch:
+
+    1. if the census already holds partition ingest_batch=N, the batch
+       fully completed before a crash — skip (replaying the score
+       would refuse the batch's own committed signatures and overwrite
+       its output with nothing: the data-loss window this marker
+       closes);
+    2. score the batch against the full census;
+    3. overwrite out_path/ingest_batch=N with the admitted docs;
+    4. overwrite census_path/ingest_batch=N with their band rows — the
+       score/commit seam ordering (output before census) means a crash
+       between 3 and 4 replays to the identical admitted set.
+    """
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from cmsspark_spark.operators.incremental import (
+            _increment_minhash_bands,
+            score_increment_minhash_dedup,
+        )
+        from cmsspark_spark.sinks import write_partitioned_parquet
+
+        spark = bdf.sparkSession
+        try:
+            done = (
+                spark.read.parquet(census_path)
+                .filter(F.col("ingest_batch") == batch_id)
+                .limit(1)
+                .count()
+            )
+        except AnalysisException:
+            done = 0
+        if done:
+            return  # fully committed before a crash; replay is a no-op
+        admitted = score_increment_minhash_dedup(
+            spark,
+            bdf,
+            census_path,
+            n=n,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            max_est_jaccard=max_est_jaccard,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        write_partitioned_parquet(
+            admitted.withColumn("ingest_batch", F.lit(batch_id)),
+            out_path,
+            partition_by=("ingest_batch",),
+        )
+        write_partitioned_parquet(
+            _increment_minhash_bands(
+                admitted, n, num_hashes, rows_per_band, id_col, text_col
+            ).withColumn("ingest_batch", F.lit(batch_id)),
+            census_path,
+            partition_by=("ingest_batch",),
+        )
+
+    return _batch

@@ -526,3 +526,108 @@ def test_stream_events_job_cron_drain_and_state_carryover(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         SE.build_stream(spark, str(src), "bogus")
+
+
+def test_minhash_gate_stream_exactly_once_output(spark, tmp_path):
+    """r7: the streaming MinHash ingest gate — file-source stream
+    through foreachBatch(minhash_gate_batch_fn) with batch-partitioned
+    dynamic-overwrite output. Crash matrix: (a) crash after the output
+    write but before the census commit replays to the IDENTICAL
+    admitted set (same partition overwritten, no dups, no loss);
+    (b) replay of a fully committed batch is a no-op (the census
+    partition marker closes the self-refusal data-loss window);
+    (c) across batches the census blocks near-dups of admitted docs."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    far = " ".join(f"zzz{i}" for i in range(40))
+
+    census = str(tmp_path / "census")
+    out = str(tmp_path / "admitted")
+    fn = ST.minhash_gate_batch_fn(census, out)
+
+    b0 = spark.createDataFrame([(1, base), (2, far)], ["doc_id", "text"])
+    fn(b0, 0)
+    got0 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got0 == {1, 2}
+
+    # (b) replay of the committed batch 0: no-op, output unchanged
+    fn(b0, 0)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # (c) batch 1 carries a near-dup of doc 1 and a fresh doc
+    fresh = " ".join(f"new{i}" for i in range(40))
+    b1 = spark.createDataFrame([(3, near), (4, fresh)], ["doc_id", "text"])
+
+    # (a) induced crash AFTER output write, BEFORE census commit: a
+    # clone of the adapter's body that dies before writing the census
+    def crashing_batch(bdf, bid):
+        from cmsspark_spark.operators.incremental import (
+            score_increment_minhash_dedup,
+        )
+        from cmsspark_spark.sinks import write_partitioned_parquet
+        import pyspark.sql.functions as F
+
+        admitted = score_increment_minhash_dedup(spark, bdf, census)
+        write_partitioned_parquet(
+            admitted.withColumn("ingest_batch", F.lit(bid)),
+            out,
+            partition_by=("ingest_batch",),
+        )
+        raise RuntimeError("induced crash before census commit")
+
+    try:
+        crashing_batch(b1, 1)
+    except RuntimeError:
+        pass
+    # replay through the real fn: census has no batch-1 partition, so
+    # it re-scores (identical verdict) and overwrites the partition
+    fn(b1, 1)
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 4}          # near-dup 3 refused, no dups
+    assert rows[4].ingest_batch == 1
+    # census now blocks a batch-2 near-dup of batch-1's doc 4
+    b2 = spark.createDataFrame([(5, fresh)], ["doc_id", "text"])
+    fn(b2, 2)
+    assert 5 not in {r.doc_id for r in spark.read.parquet(out).collect()}
+
+
+def test_minhash_gate_stream_via_writestream(spark, tmp_path):
+    """The adapter on a real file-source availableNow stream: two doc
+    files drain as micro-batches; the second file's near-dup of the
+    first is refused by the census committed between batches."""
+    import json as _json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    (src / "a.json").write_text(
+        _json.dumps({"doc_id": 1, "text": base}) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    census = str(tmp_path / "census")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(
+                ST.minhash_gate_batch_fn(census, out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+    (src / "b.json").write_text(
+        _json.dumps({"doc_id": 2, "text": near}) + "\n"
+    )
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
