@@ -509,3 +509,78 @@ def test_inverted_index_matches_brute_force(spark, texts, cap):
         for tok, ids in containing.items()
     }
     assert got == expect
+
+
+@given(
+    ref=st.lists(st.integers(1, 50), min_size=4, max_size=25),
+    cur=st.lists(st.integers(1, 50), min_size=0, max_size=25),
+)
+@settings(**SETTINGS)
+def test_snapshot_psi_nonnegative_and_zero_iff_identical(spark, ref, cur):
+    """r7 property: every PSI term (p_cur - p_ref)·ln(p_cur/p_ref) is
+    ≥ 0, so the per-group PSI is ≥ 0 for arbitrary snapshots; feeding
+    the reference half as its own current snapshot gives exactly 0."""
+    from cmsspark_spark.operators.pipeline import snapshot_psi
+
+    rows = [("g", v, True) for v in ref] + [("g", v, False) for v in cur]
+    df = spark.createDataFrame(rows, "source string, n long, is_ref boolean")
+    out = snapshot_psi(df, "source", "n", "is_ref").collect()
+    assert out
+    for r in out:
+        assert r.psi_term >= 0.0 and r.psi >= 0.0
+    mirror = [("g", v, f) for v in ref for f in (True, False)]
+    dfm = spark.createDataFrame(
+        mirror, "source string, n long, is_ref boolean"
+    )
+    for r in snapshot_psi(dfm, "source", "n", "is_ref").collect():
+        assert r.psi == 0.0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=20),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_containment_bounds_and_exact_counts(spark, texts):
+    """r7 property: for arbitrary corpora, every emitted containment
+    pair matches brute-force shingle-set algebra — n_common =
+    |A∩B|, containment_a = |A∩B|/|A| ≤ 1 — and is only emitted when
+    the pair shares a shingle with df in [min_df, max_df]."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in D.containment_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.0,
+            min_df=2, max_df=3,
+        ).collect()
+    }
+
+    def sh(t):
+        toks = [x for x in t.split() if x]
+        if len(toks) < 2:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    dfreq: dict = {}
+    for s in sets.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    for (a, b), r in got.items():
+        inter = sets[a] & sets[b]
+        assert r.n_common == len(inter)
+        assert r.n_a == len(sets[a]) and r.n_b == len(sets[b])
+        assert r.containment_a <= 1.0 and r.containment_b <= 1.0
+        assert any(2 <= dfreq[g] <= 3 for g in inter)
+    # completeness: every blocked-in overlapping pair is present
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = sets[a] & sets[b]
+                if any(2 <= dfreq[g] <= 3 for g in inter):
+                    assert (a, b) in got
