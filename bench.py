@@ -200,6 +200,7 @@ EXTRA = [
     "ann_pq_refine_topk",           # compressed shortlist + exact refine
     "semantic_dedup_kmeans",        # SemDeDup over trained k-means buckets
     "doc_novelty_scores",           # first-occurrence n-gram novelty
+    "ann_ivf_kmeans_topk",          # IVF trained+served from dist. k-means
 ]
 
 

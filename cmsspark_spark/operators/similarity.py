@@ -908,13 +908,35 @@ def kmeans_lloyd(
     Returns the final assignment: (id_col, cluster int, d2 bigint) with
     d2 the exact squared distance in quantized space.
     """
-    import math
+    q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
+    cents = _kmeans_train(q, k, iters)
+    best = _kmeans_best("_q", cents)
+    return q.select(
+        F.col("_id").alias(id_col),
+        best["c"].alias("cluster"),
+        best["d"].alias("d2"),
+    )
 
+
+def _kmeans_quantized_frame(
+    corpus: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """(_id, _q) integer-quantized vectors, persisted: the frame every
+    k-means iteration (and the final assignment) re-reads."""
     from pyspark import StorageLevel
 
-    q = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("_id"), _kmeans_quantize(vec_col, scale).alias("_q")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _kmeans_train(q: DataFrame, k: int, iters: int) -> list:
+    """The Lloyd loop over a quantized frame: k-smallest-id seeds,
+    ``iters`` rounds of narrow assignment + one k-row update shuffle
+    collected O(k*dim) to the driver. Returns the integer centroid
+    list (cluster index = position)."""
+    import math
+
     seed_rows = q.orderBy("_id").limit(k).collect()
     cents = [list(r["_q"]) for r in seed_rows]
     dim = len(cents[0])
@@ -936,12 +958,27 @@ def kmeans_lloyd(
                 int(math.floor((2 * r[f"_s{i}"] + n) / (2.0 * n)))
                 for i in range(dim)
             ]
-    best = _kmeans_best("_q", cents)
-    return q.select(
-        F.col("_id").alias(id_col),
-        best["c"].alias("cluster"),
-        best["d"].alias("d2"),
-    )
+    return cents
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 2,
+    scale: int = 1000,
+) -> np.ndarray:
+    """Train-only entry point: the deterministic full-corpus Lloyd
+    centroids, de-quantized back to original units (float array,
+    k x dim) — the distributed alternative to the driver-sampled
+    ``train_ivf_centroids`` for seeding an IVF coarse quantizer. Same
+    loop as ``kmeans_lloyd`` (shared ``_kmeans_train``), so the values
+    an oracle recomputes from the k-means CTE divide by ``scale`` to
+    exactly these doubles."""
+    q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
+    cents = _kmeans_train(q, k, iters)
+    return np.array(cents, dtype=np.float64) / float(scale)
 
 
 def pq_adc_refine_topk(
@@ -1007,3 +1044,78 @@ def semantic_dedup_assigned(
         clusters.select(id_col, F.col("cluster").alias("_cluster")), id_col
     )
     return _cluster_leader_drops(cl, threshold, id_col)
+
+
+def _kmeans_probes(q_col: str, cents: list, nprobe: int) -> "F.Column":
+    """Top-``nprobe`` k-means clusters for one quantized vector by
+    EXACT integer squared L2 (ascending, ties → lower cluster index):
+    sort the (d2, cluster) struct array, slice, project the ids — one
+    SQL expression, same single-call rationale as ``_kmeans_best``."""
+    scored = []
+    for ci, c in enumerate(cents):
+        arr = ", ".join(f"{int(v)}L" for v in c)
+        d = (
+            f"aggregate(zip_with(`{q_col}`, array({arr}), "
+            f"(x, p) -> (x - p) * (x - p)), 0L, (a, x) -> a + x)"
+        )
+        scored.append(f"named_struct('d', {d}, 'c', {ci})")
+    return F.expr(
+        f"transform(slice(array_sort(array({', '.join(scored)})), "
+        f"1, {nprobe}), e -> e.c)"
+    )
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    km_k: int = 10,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF served from the DISTRIBUTED k-means trainer — train and
+    serve in one deterministic composition: ``_kmeans_train`` builds
+    the coarse quantizer over the full corpus (not a driver sample),
+    inverted lists are the exact integer-L2 assignment, probes rank
+    clusters by the same exact metric (so routing matches the k-means
+    objective — no cosine/normalization mismatch), and candidates get
+    the shared exact-cosine rescore. Integer routing keeps every
+    routing decision bit-identical cross-engine, so unlike the
+    driver-sampled ``train_ivf_centroids`` path this trained form IS
+    hash-exact against a composed oracle.
+
+    Plan: quantize+persist once; assignment and probing are narrow
+    maps over it (centroids = plan literals); the candidate join keys
+    on the cluster id; vectors attach to candidates by id join for the
+    rescore — ids and clusters shuffle, full vectors only for
+    candidates.
+    """
+    q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
+    cents = _kmeans_train(q, km_k, iters)
+    assign = q.select(
+        F.col("_id").alias(id_col),
+        _kmeans_best("_q", cents)["c"].alias("_cluster"),
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        _kmeans_quantize(vec_col, scale).alias("_q"),
+    )
+    probes = qq.select(
+        "query_id", F.explode(_kmeans_probes("_q", cents, nprobe)).alias("_cluster")
+    )
+    cand = (
+        probes.join(assign, on="_cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    withv = cand.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(qv), "query_id"
+    )
+    return _rescore_topk(withv, k, id_col, vec_col, "query_id")

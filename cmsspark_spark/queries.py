@@ -8565,3 +8565,80 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(novel).alias("n_novel"),
         F.round(F.sum(novel) / F.count(F.lit(1)), 6).alias("novelty_frac"),
     )
+
+
+def _ivf_kmeans_oracle(k: int = 5, nprobe: int = 3) -> str:
+    """Composed: the k-means CTE supplies both the inverted lists
+    (``af``) and the final centroids (``c2``); probes rank clusters by
+    the SAME exact integer d2; candidates rescore by exact cosine —
+    mirroring ivf_kmeans_topk phase for phase."""
+    d2 = (
+        "list_dot_product(qq.q::DOUBLE[], qq.q::DOUBLE[]) "
+        "- 2*list_dot_product(qq.q::DOUBLE[], c.c::DOUBLE[]) "
+        "+ list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[])"
+    )
+    return f"""
+    WITH {_kmeans_oracle_cte(_KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE)},
+    qq AS (SELECT _id AS query_id, q FROM q WHERE _id < 5),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT qq.query_id, c.cluster,
+               row_number() OVER (PARTITION BY qq.query_id
+                 ORDER BY {d2}, c.cluster) AS rk
+        FROM qq, c{_KM_ITERS} c
+      ) WHERE rk <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a._id AS vec_id
+      FROM probes p JOIN af a ON p.cluster = a.cluster
+      WHERE a._id <> p.query_id
+    ),
+    cv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    rescored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_dot_product(ce.e, qe.e)
+               / (sqrt(list_dot_product(ce.e, ce.e))
+                  * sqrt(list_dot_product(qe.e, qe.e))) AS cos
+      FROM cand
+      JOIN cv ce ON cand.vec_id = ce.vec_id
+      JOIN cv qe ON cand.query_id = qe.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF trained AND served from the distributed k-means
+    (operators/similarity.ivf_kmeans_topk): the full-corpus Lloyd
+    centroids are the coarse quantizer, inverted lists + probe routing
+    use the exact integer L2 the trainer optimizes, candidates get the
+    exact-cosine rescore. The trained sibling of ann_ivf_static_topk —
+    and unlike the driver-sampled ann_ivf_topk (rows-only), this
+    trained form is hash-exact: integer routing makes every list and
+    probe decision reproducible, so the oracle composes the k-means
+    CTE straight into the probe/rescore SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_kmeans_topk(
+        emb, queries_df, k=5, nprobe=3,
+        km_k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+ORACLES["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle()
+
+# r7: the trained-IVF rung joins the recall ladder (same in-lockstep
+# list + oracle rebuild as pq_refine above).
+_ANN_LADDER_METHODS.append(("ivf_kmeans", "ann_ivf_kmeans_topk"))
+ORACLES["ann_ladder_recall_report"] = _ann_ladder_oracle()

@@ -589,3 +589,30 @@ def test_semantic_dedup_assigned_agrees_with_static_on_same_buckets(spark):
            for r in S.semantic_dedup_assigned(
                emb, assign, threshold=0.4).collect()}
     assert ext == base
+
+
+def test_ivf_kmeans_full_probe_is_exact(spark):
+    """nprobe == number of clusters degrades the trained-IVF serve
+    path to exact brute force."""
+    emb = _emb(spark).filter(F.col("vec_id") < 60)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = sorted((r.query_id, r.vec_id, r.rank)
+                   for r in S.brute_force_topk(emb, queries, k=5).collect())
+    got = sorted((r.query_id, r.vec_id, r.rank)
+                 for r in S.ivf_kmeans_topk(
+                     emb, queries, k=5, nprobe=4, km_k=4, iters=1
+                 ).collect())
+    assert got == exact
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """Trained coarse quantizer + nprobe=3 of 10 lists keeps decent
+    recall on real data (deterministic, stable forever)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id)
+             for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    got = {(r.query_id, r.vec_id)
+           for r in S.ivf_kmeans_topk(emb, queries, k=5, nprobe=3).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.4, f"trained-IVF recall {recall:.2f} < 0.4"
