@@ -616,3 +616,19 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
            for r in S.ivf_kmeans_topk(emb, queries, k=5, nprobe=3).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.4, f"trained-IVF recall {recall:.2f} < 0.4"
+
+
+def test_kmeans_centroids_dequantized_shape_and_values(spark):
+    """kmeans_centroids = _kmeans_train ints / scale, k x dim floats;
+    with iters=0 they are exactly the k smallest-id vectors quantized
+    and de-quantized (round-trip to 1e-3 of the originals)."""
+    import numpy as np
+
+    emb = _emb(spark)
+    cents = S.kmeans_centroids(emb, k=4, iters=0, scale=1000)
+    assert cents.shape == (4, 64)
+    seeds = np.array(
+        [r.embedding for r in
+         emb.orderBy("vec_id").limit(4).collect()], dtype=np.float64
+    )
+    assert np.abs(cents - seeds).max() <= 0.0005 + 1e-12
