@@ -201,6 +201,7 @@ EXTRA = [
     "semantic_dedup_kmeans",        # SemDeDup over trained k-means buckets
     "doc_novelty_scores",           # first-occurrence n-gram novelty
     "ann_ivf_kmeans_topk",          # IVF trained+served from dist. k-means
+    "cluster_balanced_mixture",     # metadata-free cluster mixture weights
 ]
 
 

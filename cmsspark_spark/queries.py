@@ -8642,3 +8642,54 @@ ORACLES["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle()
 # list + oracle rebuild as pq_refine above).
 _ANN_LADDER_METHODS.append(("ivf_kmeans", "ann_ivf_kmeans_topk"))
 ORACLES["ann_ladder_recall_report"] = _ann_ladder_oracle()
+
+
+@query(
+    "cluster_balanced_mixture",
+    f"""
+    WITH {_kmeans_oracle_cte(_KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE)},
+    per AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM af
+      GROUP BY cluster
+    ),
+    shares AS (
+      SELECT cluster, n_vecs,
+             n_vecs / sum(n_vecs) OVER () AS share
+      FROM per
+    )
+    SELECT cluster, n_vecs,
+           round(share, 6) AS share,
+           round(pow(share, 0.5) / sum(pow(share, 0.5)) OVER (), 6)
+             AS weight,
+           round((pow(share, 0.5) / sum(pow(share, 0.5)) OVER ()) / share,
+                 6) AS boost
+    FROM shares
+    """,
+)
+def cluster_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling weights — the metadata-free mixture:
+    when a corpus has no trustworthy domain labels, k-means clusters
+    over embeddings stand in for domains, and temperature α=0.5
+    up-weights small clusters so the sampler doesn't let a few dense
+    modes dominate (the embedding-space analogue of
+    mixture_weights_temperature's per-source rebalancing; reuses
+    operators/pipeline.mixture_weights verbatim with the cluster id as
+    the grouping key and unit mass per vector). Deterministic because
+    the clustering is engine-exact; the oracle composes the k-means
+    CTE into the share/temperature SQL."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = S.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    out = PL.mixture_weights(
+        assign, "cluster", alpha=0.5, token_count_col=F.lit(1)
+    )
+    return out.select(
+        "cluster",
+        F.col("n_tokens").alias("n_vecs"),
+        F.round("token_share", 6).alias("share"),
+        F.round("weight", 6).alias("weight"),
+        F.round("boost", 6).alias("boost"),
+    )
