@@ -632,3 +632,18 @@ def test_kmeans_centroids_dequantized_shape_and_values(spark):
          emb.orderBy("vec_id").limit(4).collect()], dtype=np.float64
     )
     assert np.abs(cents - seeds).max() <= 0.0005 + 1e-12
+
+
+def test_kmeans_lloyd_k_exceeding_corpus_degrades_to_n_clusters(spark):
+    """k larger than the corpus: seeds collapse to every point
+    (k_eff = n), each point is its own exact-zero-distance cluster —
+    no crash, no empty output."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0]), (2, [0.1, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = sorted(
+        (r.vec_id, r.cluster, r.d2)
+        for r in S.kmeans_lloyd(df, k=10, iters=2, scale=100).collect()
+    )
+    assert out == [(0, 0, 0), (1, 1, 0), (2, 2, 0)]
