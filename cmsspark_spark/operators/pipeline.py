@@ -808,3 +808,103 @@ def snapshot_psi(
     return scored.withColumn(
         "psi", F.round(F.sum("_t").over(w), 6)
     ).drop("_t")
+
+
+def psi_reference(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """The stored half of the drift monitor: per (group, bin) —
+    quantile bounds (the same array on every row of a group), the
+    reference count and its Laplace-smoothed share. Persist this ONCE
+    from a trusted snapshot; ``psi_against_reference`` then scores any
+    later batch against it without re-reading the reference corpus.
+    Bins cover the whole real line (len(probs)+1 buckets from the
+    group's own quantiles), so every future value lands in exactly one
+    stored row's bin."""
+    nbins = len(probs) + 1
+    plist = ", ".join(str(p) for p in probs)
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile(`{value_col}`, array({plist}))").alias("bs")
+    )
+    binned = df.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        "bs",
+        (
+            1
+            + F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(value_col) > b, 1).otherwise(0),
+            )
+        ).alias("bin"),
+    )
+    counts = binned.groupBy(group_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_ref"), F.first("bs").alias("bs")
+    )
+    w = Window.partitionBy(group_col)
+    return counts.select(
+        group_col,
+        "bin",
+        "bs",
+        "n_ref",
+        (
+            (F.col("n_ref") + 0.5)
+            / (F.sum("n_ref").over(w) + 0.5 * nbins)
+        ).alias("p_ref"),
+    )
+
+
+def psi_against_reference(
+    batch: DataFrame,
+    ref: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Score a batch against a stored ``psi_reference`` table: bin the
+    batch with the REFERENCE bounds (broadcast, narrow fold), count per
+    (group, bin), then fold PSI over ALL reference bins — a bin the
+    batch never hits still contributes its term (that absence IS
+    drift), which is why this outer-joins the reference rather than
+    emitting only observed cells like snapshot_psi. Returns one row
+    per group: (group, n_cur, psi, max_bin_shift)."""
+    nbins_df = ref.groupBy(group_col).agg(
+        F.max("bin").cast("int").alias("_nbins"),
+        F.first("bs").alias("bs"),
+    )
+    binned = batch.join(F.broadcast(nbins_df), group_col).select(
+        group_col,
+        (
+            1
+            + F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(value_col) > b, 1).otherwise(0),
+            )
+        ).alias("bin"),
+    )
+    cur = binned.groupBy(group_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    cells = (
+        ref.join(cur, [group_col, "bin"], "left")
+        .join(F.broadcast(nbins_df.select(group_col, "_nbins")), group_col)
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+    )
+    w = Window.partitionBy(group_col)
+    p_cur = (F.col("n_cur") + 0.5) / (
+        F.sum("n_cur").over(w) + 0.5 * F.col("_nbins")
+    )
+    term = (p_cur - F.col("p_ref")) * F.log(p_cur / F.col("p_ref"))
+    scored = cells.withColumn("_t", term).withColumn(
+        "_shift", F.abs(p_cur - F.col("p_ref"))
+    )
+    return scored.groupBy(group_col).agg(
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum("_t"), 6).alias("psi"),
+        F.round(F.max("_shift"), 6).alias("max_bin_shift"),
+    )

@@ -566,3 +566,37 @@ def minhash_gate_batch_fn(
         )
 
     return _batch
+
+
+def psi_drift_batch_fn(
+    ref_path: str,
+    out_path: str,
+    group_col: str,
+    value_col: str,
+    threshold: float = 0.25,
+):
+    """foreachBatch adapter for the PSI drift monitor: each micro-batch
+    is scored against the parquet'd ``psi_reference`` table
+    (operators/pipeline.psi_against_reference — reference bins that
+    the batch misses still count toward drift) and one row per group
+    is APPENDED to ``out_path`` with the batch id and a ``drifted``
+    flag (psi > threshold). Append is the right mode for a monitor
+    ledger: replays add duplicate rows for the replayed batch id,
+    which readers dedupe on (batch_id, group) — the monitor is
+    advisory, not the exactly-once data path (that's the ingest
+    gate)."""
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        from cmsspark_spark.operators.pipeline import psi_against_reference
+
+        spark = bdf.sparkSession
+        ref = spark.read.parquet(ref_path)
+        out = psi_against_reference(bdf, ref, group_col, value_col)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("drifted", F.col("psi") > threshold)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return _batch

@@ -631,3 +631,69 @@ def test_minhash_gate_stream_via_writestream(spark, tmp_path):
     )
     run()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_psi_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """r7: the streaming drift monitor — a reference histogram is
+    persisted once; a same-distribution micro-batch scores tiny PSI,
+    a shifted batch (all mass above the reference quantiles) clears
+    the 0.25 threshold and is flagged; a bin the batch never hits
+    still contributes (absence is drift)."""
+    from cmsspark_spark.operators.pipeline import psi_reference
+
+    ref_rows = [("s", v, ) for v in range(1, 41)]
+    ref = spark.createDataFrame(ref_rows, "source string, n long")
+    ref_path = str(tmp_path / "psi_ref")
+    psi_reference(ref, "source", "n").write.parquet(ref_path)
+
+    out = str(tmp_path / "drift")
+    fn = ST.psi_drift_batch_fn(ref_path, out, "source", "n")
+
+    same = spark.createDataFrame(
+        [("s", v) for v in range(1, 41)], "source string, n long"
+    )
+    fn(same, 0)
+    shifted = spark.createDataFrame(
+        [("s", v) for v in range(100, 140)], "source string, n long"
+    )
+    fn(shifted, 1)
+
+    rows = {r.batch_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[0].psi < 0.05 and not rows[0].drifted
+    assert rows[1].psi > 0.25 and rows[1].drifted
+    assert rows[1].n_cur == 40
+
+
+def test_psi_drift_monitor_on_availablenow_stream(spark, tmp_path):
+    """The adapter on a real file-source stream: one drift row per
+    micro-batch lands in the ledger."""
+    import json as _json
+
+    from cmsspark_spark.operators.pipeline import psi_reference
+
+    ref = spark.createDataFrame(
+        [("s", v) for v in range(1, 21)], "source string, n long"
+    )
+    ref_path = str(tmp_path / "ref")
+    psi_reference(ref, "source", "n").write.parquet(ref_path)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"source": "s", "n": v}) for v in range(1, 21))
+    )
+    stream = spark.readStream.schema("source string, n long").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    out = str(tmp_path / "ledger")
+    q = (
+        stream.writeStream.foreachBatch(
+            ST.psi_drift_batch_fn(ref_path, out, "source", "n")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].source == "s" and not rows[0].drifted
