@@ -288,6 +288,11 @@ def main() -> None:
 
         clean_corpus.run(spark, sf_dir, f"{tmp}/out", span_window=12)
 
+    def _corpus_qa(tmp, _state):
+        from cmsspark_spark.jobs import corpus_qa
+
+        corpus_qa.run(spark, sf_dir, f"{tmp}/out")
+
     def _rucio_setup(tmp):
         from cmsspark_spark.jobs import rucio_summary
         from tests.cms_fixtures import all_fixtures
@@ -304,6 +309,7 @@ def main() -> None:
         rucio_summary.run(spark, sources, f"{tmp}/out", date="2024-01-15")
 
     timed_job("job_clean_corpus", _clean_corpus)
+    timed_job("job_corpus_qa", _corpus_qa)
     timed_job("job_rucio_summary", _rucio_summary, setup=_rucio_setup)
 
     total = round(sum(timings.values()), 3)

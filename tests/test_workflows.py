@@ -559,3 +559,34 @@ def test_minhash_gate_estimator_matches_true_jaccard_direction(spark, tmp_path):
         spark, inc2, census, max_est_jaccard=1.01  # admit all, read stats
     ).collect()
     assert scored[0].max_est_jaccard >= 0.5
+
+
+def test_corpus_qa_job_end_to_end(spark, tmp_path):
+    """r7 capstone: the read-only corpus audit CLI — quality, drift
+    (even/odd split), boilerplate, novelty, optional near-dup rate —
+    writes all five report pages plus the combined summary and returns
+    one row per source with every QA column populated."""
+    from cmsspark_spark.jobs import corpus_qa
+
+    out = str(tmp_path / "qa")
+    summary = corpus_qa.run(
+        spark, "/root/testdata/sf0.001", out, near_dup=True
+    )
+    rows = summary.collect()
+    assert rows
+    cols = set(summary.columns)
+    assert {
+        "source", "n_docs", "n_tokens", "psi", "drifted",
+        "novelty_frac", "n_near_dup_docs",
+    } <= cols
+    for r in rows:
+        assert r.n_docs > 0 and r.psi is not None
+        assert 0.0 <= r.novelty_frac <= 1.0
+    import os
+
+    for page in (
+        "qa_quality", "qa_drift", "qa_boilerplate", "qa_novelty",
+        "qa_summary",
+    ):
+        assert os.path.exists(f"{out}/report/{page}.html")
+        assert os.path.exists(f"{out}/report/{page}.csv")
