@@ -8693,3 +8693,81 @@ def cluster_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("weight", 6).alias("weight"),
         F.round("boost", 6).alias("boost"),
     )
+
+
+@query(
+    "split_distribution_psi",
+    f"""
+    WITH scored AS (
+      SELECT 'corpus' AS grp,
+             ('0x' || substring(md5(text), 1, 15))::BIGINT
+               % 2147483648 % 100 < 80 AS is_ref,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+      FROM documents
+    ),
+    bounds AS (
+      SELECT grp, quantile_cont(n, [0.25, 0.50, 0.75]) AS bs
+      FROM scored WHERE is_ref GROUP BY grp
+    ),
+    binned AS (
+      SELECT s.grp, s.is_ref,
+             1 + len(list_filter(b.bs, x -> s.n > x)) AS bin
+      FROM scored s JOIN bounds b USING (grp)
+    ),
+    counts AS (
+      SELECT grp, bin,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT *, sum(n_ref) OVER (PARTITION BY grp) AS Nr,
+                sum(n_cur) OVER (PARTITION BY grp) AS Nc
+      FROM counts
+    ),
+    terms AS (
+      SELECT grp, bin, n_ref, n_cur,
+             (n_ref + 0.5) / (Nr + 2.0) AS pr,
+             (n_cur + 0.5) / (Nc + 2.0) AS pc
+      FROM tot
+    )
+    SELECT grp, bin, n_ref AS n_train, n_cur AS n_holdout,
+           round(pr, 6) AS p_train, round(pc, 6) AS p_holdout,
+           round((pc - pr) * ln(pc / pr), 6) AS psi_term,
+           round(sum((pc - pr) * ln(pc / pr))
+                   OVER (PARTITION BY grp), 6) AS psi
+    FROM terms
+    """,
+)
+def split_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-QA, distribution shape: PSI of token-length distributions
+    between the content-keyed train split (md5 bucket < 80, the same
+    coin as hash_split_assign) and its 20% holdout — the partner of
+    split_balance_chisq, which checks COUNT balance per cell; this
+    checks the SHAPE a leak-free split must also preserve (a split
+    keyed on content hash should be distribution-neutral; PSI near 0
+    is the acceptance gate before the split ships). Reuses
+    operators/pipeline.snapshot_psi verbatim with the split coin as
+    the reference flag and one global group."""
+    from cmsspark_spark.functions.text import tokens as _tokens
+
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    split = T.hash_split("text", {"train": 80, "holdout": 100})
+    scored = d.select(
+        F.lit("corpus").alias("grp"),
+        (split == "train").alias("is_ref"),
+        F.size(_tokens("text")).cast("long").alias("n"),
+    )
+    out = PL.snapshot_psi(scored, "grp", "n", "is_ref")
+    return out.select(
+        "grp",
+        "bin",
+        F.col("n_ref").alias("n_train"),
+        F.col("n_cur").alias("n_holdout"),
+        F.col("p_ref").alias("p_train"),
+        F.col("p_cur").alias("p_holdout"),
+        "psi_term",
+        "psi",
+    )

@@ -775,6 +775,23 @@ def test_snapshot_psi_empty_side_bins_stay_finite(spark):
     assert sum(r.n_cur for r in out) == 6
 
 
+def test_split_distribution_psi_neutral_on_hash_split(spark):
+    """Content-hash splits are distribution-neutral by construction:
+    the PSI between the train split and its holdout over token-length
+    bins stays well under the 0.1 'investigate' threshold, and the
+    per-bin counts conserve the corpus."""
+    from cmsspark_spark.queries import QUERIES
+
+    rows = QUERIES["split_distribution_psi"](spark, SF).collect()
+    assert rows
+    psi = rows[0]["psi"]
+    assert all(r["psi"] == psi for r in rows)
+    assert 0.0 <= psi < 0.1, psi
+    n_total = sum(r["n_train"] + r["n_holdout"] for r in rows)
+    n_docs = catalog.load_table(spark, SF, "documents").count()
+    assert n_total == n_docs
+
+
 def test_doc_novelty_first_owner_wins(spark):
     """Planted ingest order: the first doc owns all its grams, an exact
     copy later has zero novelty, a half-recycled doc scores ~0.5."""
