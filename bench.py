@@ -202,6 +202,8 @@ EXTRA = [
     "doc_novelty_scores",           # first-occurrence n-gram novelty
     "ann_ivf_kmeans_topk",          # IVF trained+served from dist. k-means
     "cluster_balanced_mixture",     # metadata-free cluster mixture weights
+    "split_distribution_psi",       # split distribution-shape QA gate
+    "dsir_target_selection",        # hashed-ngram importance selection
 ]
 
 

@@ -464,6 +464,85 @@ def mixture_resample(
     )
 
 
+def dsir_logratio_weights(
+    df: DataFrame,
+    target_flag: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Hashed n-gram importance weights for target-domain data
+    selection (the DSIR recipe: "Data Selection for Language Models
+    via Importance Resampling", Xie et al., NeurIPS 2023 — public).
+
+    Features are the bag of word unigrams+bigrams hashed into
+    ``n_buckets`` buckets; two smoothed bucket distributions are fit in
+    one pass — p̂ over docs where ``target_flag`` is true (the small
+    exemplar set of the domain you want more of) and q̂ over the rest
+    (the raw pool) — and every pool doc is scored with its hashed-gram
+    log likelihood ratio ``log w(x) = Σ_grams λ[bucket(gram)]`` where
+    ``λ[b] = ln((c_t[b]+α)/(N_t+αB)) − ln((c_q[b]+α)/(N_q+αB))``.
+    High-scoring docs look like the target under a bag-of-hashed-ngrams
+    model; select by top-k or Gumbel-resample on ``log_weight``.
+
+    Plan shape (100 TB): the corpus is scanned twice (bucket-count fit,
+    then per-doc scoring — persist upstream if the scan is expensive,
+    same note as ``mixture_resample``). The fit collapses map-side to
+    ≤``n_buckets`` rows per partition before a tiny bucket shuffle; the
+    per-bucket λ table (≤``n_buckets`` rows) is broadcast into the
+    scoring pass, which shuffles (id, gram-count) cells only — one
+    doc-grain aggregation, text never shuffles. The smoothing
+    normalizer uses the full ``N + αB`` mass regardless of which
+    buckets materialize, so results are independent of bucket
+    sparsity. Gram hashing is ``int_base_hash % n_buckets`` — the
+    md5-fold formula shared with the MinHash/novelty family, so the
+    oracle reproduces bucket collisions bit-for-bit.
+
+    Returns one row per pool doc: (``id_col``, n_grams, log_weight,
+    avg_gram_logw).
+    """
+    from cmsspark_spark.functions.text import int_base_hash
+
+    toks = tokens(text_col)
+    grams = F.concat(raw_ngrams(toks, 1), raw_ngrams(toks, 2))
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        target_flag.alias("_is_t"),
+        F.explode(grams).alias("_g"),
+    ).select(
+        "_id",
+        "_is_t",
+        (int_base_hash(F.col("_g")) % n_buckets).alias("_b"),
+    )
+    per_b = g.groupBy("_b").agg(
+        F.sum(F.col("_is_t").cast("long")).alias("_ct"),
+        F.sum((~F.col("_is_t")).cast("long")).alias("_cq"),
+    )
+    wall = Window.partitionBy()  # ≤ n_buckets rows: single-partition OK
+    sm = float(alpha) * n_buckets
+    lam = (
+        F.log((F.col("_ct") + F.lit(float(alpha))) / (F.sum("_ct").over(wall) + F.lit(sm)))
+        - F.log((F.col("_cq") + F.lit(float(alpha))) / (F.sum("_cq").over(wall) + F.lit(sm)))
+    )
+    lam_tab = per_b.select("_b", lam.alias("_lam"))
+    return (
+        g.filter(~F.col("_is_t"))
+        .join(F.broadcast(lam_tab), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_lam").alias("log_weight"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "log_weight",
+            (F.col("log_weight") / F.col("n_grams")).alias("avg_gram_logw"),
+        )
+    )
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str = "text",

@@ -8771,3 +8771,81 @@ def split_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_term",
         "psi",
     )
+
+
+_DSIR_B = 4096  # hashed-ngram buckets; smoothing mass = 0.5 * B
+_DSIR_K = 200
+
+
+@query(
+    "dsir_target_selection",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, is_t,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT
+               % 2147483648 % {_DSIR_B} AS b
+      FROM (
+        SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+               unnest(list_concat(
+                 [array_to_string(tk[i:i+0], ' ')
+                  for i in generate_series(1, greatest(len(tk), 1))],
+                 [array_to_string(tk[i:i+1], ' ')
+                  for i in generate_series(1, greatest(len(tk) - 1, 1))]
+               )) AS g
+        FROM tok)
+    ),
+    lam AS (
+      SELECT b,
+             ln((sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 0.5)
+                / (sum(sum(CASE WHEN is_t THEN 1 ELSE 0 END)) OVER ()
+                   + {0.5 * _DSIR_B}))
+           - ln((sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 0.5)
+                / (sum(sum(CASE WHEN is_t THEN 0 ELSE 1 END)) OVER ()
+                   + {0.5 * _DSIR_B})) AS lam
+      FROM grams GROUP BY b
+    ),
+    scored AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             sum(l.lam) AS logw
+      FROM grams g JOIN lam l USING (b)
+      WHERE NOT g.is_t GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, round(logw, 6) AS log_weight,
+           round(logw / n_grams, 6) AS avg_gram_logw,
+           CAST(row_number() OVER (ORDER BY round(logw, 6) DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_DSIR_K}
+    """,
+)
+def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-domain data selection via hashed n-gram importance
+    weights — the DSIR recipe (Xie et al., NeurIPS 2023): treat
+    sources src0/src1 as the target-domain exemplar set, fit smoothed
+    hashed unigram+bigram bucket distributions over target vs pool in
+    one pass, score every pool doc with its log likelihood ratio, and
+    keep the top-k most target-like docs (deterministic ties on
+    doc_id). The quality-classifier gate's corpus-statistics twin: no
+    trained model, just two count tables and a broadcast λ lookup.
+
+    Plan: fit shuffle is ≤4096 bucket rows after map-side combine; λ
+    broadcasts into the scoring pass (one doc-grain shuffle of id
+    cells, text never shuffles); top-k is orderBy+limit
+    (TakeOrderedAndProject — no global window over the pool), with
+    row_number assigned on the 200 survivors only."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    scored = PL.dsir_logratio_weights(
+        d, F.col("source").isin("src0", "src1"), n_buckets=_DSIR_B
+    )
+    sc2 = scored.select(
+        "doc_id",
+        "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("avg_gram_logw", 6).alias("avg_gram_logw"),
+    )
+    top = sc2.orderBy(F.col("log_weight").desc(), "doc_id").limit(_DSIR_K)
+    w = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -792,6 +792,27 @@ def test_split_distribution_psi_neutral_on_hash_split(spark):
     assert n_total == n_docs
 
 
+def test_dsir_weights_rank_target_like_docs_first(spark):
+    """Planted domains: target docs speak 'alpha beta gamma ...';
+    pool docs that reuse that vocabulary must out-score pool docs
+    drawn from a disjoint vocabulary, and only pool docs are scored."""
+    tgt = ["alpha beta gamma delta epsilon zeta", "beta gamma alpha zeta"]
+    like = "alpha beta gamma delta"  # target vocabulary
+    unlike = "xray yankee zulu quebec"  # disjoint vocabulary
+    rows = (
+        [(i, t, True) for i, t in enumerate(tgt)]
+        + [(10, like, False), (11, unlike, False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = PL.dsir_logratio_weights(df, F.col("is_t"), n_buckets=512)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {10, 11}  # target docs are never scored
+    assert got[10].log_weight > got[11].log_weight
+    assert got[10].avg_gram_logw > 0 > got[11].avg_gram_logw
+    # n_grams = unigrams + bigrams of a 4-token doc
+    assert got[10].n_grams == 4 + 3
+
+
 def test_doc_novelty_first_owner_wins(spark):
     """Planted ingest order: the first doc owns all its grams, an exact
     copy later has zero novelty, a half-recycled doc scores ~0.5."""
