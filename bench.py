@@ -204,6 +204,7 @@ EXTRA = [
     "cluster_balanced_mixture",     # metadata-free cluster mixture weights
     "split_distribution_psi",       # split distribution-shape QA gate
     "dsir_target_selection",        # hashed-ngram importance selection
+    "dsir_gumbel_resample",         # weight-proportional Gumbel top-k
 ]
 
 

