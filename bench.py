@@ -205,6 +205,8 @@ EXTRA = [
     "split_distribution_psi",       # split distribution-shape QA gate
     "dsir_target_selection",        # hashed-ngram importance selection
     "dsir_gumbel_resample",         # weight-proportional Gumbel top-k
+    "quality_logreg_weights",       # trained hashed-feature classifier fit
+    "quality_logreg_scores",        # trained classifier inference pass
 ]
 
 

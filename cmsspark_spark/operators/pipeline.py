@@ -543,6 +543,151 @@ def dsir_logratio_weights(
     )
 
 
+def logreg_hashed_features(
+    df: DataFrame,
+    label_flag: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-(doc, bucket) hashed unigram+bigram count features for the
+    trained quality classifier, with the binary label CARRIED ON EVERY
+    FEATURE ROW (``_y``) and an explicit intercept bucket
+    ``b = n_buckets`` (count 1 per doc) — so the entire GD loop needs
+    no separate labels join. Returned frame is (_id, _b, _c, _y),
+    hash-partitioned on ``_id`` and persisted: every training
+    iteration and the final scoring pass re-read this cache, and
+    because both the per-doc margin aggregation and the
+    feature×residual join key on ``_id``, the co-partitioning is
+    reused — no corpus-grain exchange after the one repartition."""
+    from pyspark import StorageLevel
+
+    from cmsspark_spark.functions.text import int_base_hash
+
+    toks = tokens(text_col)
+    grams = F.concat(raw_ngrams(toks, 1), raw_ngrams(toks, 2))
+    counts = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            label_flag.cast("double").alias("_y"),
+            F.explode(grams).alias("_g"),
+        )
+        .select(
+            "_id", "_y", (int_base_hash(F.col("_g")) % n_buckets).alias("_b")
+        )
+        .groupBy("_id", "_b")
+        .agg(F.first("_y").alias("_y"), F.count(F.lit(1)).alias("_c"))
+    )
+    intercept = df.select(
+        F.col(id_col).alias("_id"),
+        F.lit(n_buckets).alias("_b"),
+        label_flag.cast("double").alias("_y"),
+        F.lit(1).cast("long").alias("_c"),
+    )
+    return (
+        counts.select("_id", "_b", "_y", "_c")
+        .unionByName(intercept)
+        .repartition("_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _grid6(x: float) -> float:
+    """Round-half-up onto the 1e-6 grid — ``floor(x*1e6 + 0.5)/1e6``,
+    the weight quantizer. Deterministic and engine-identical (DuckDB
+    evaluates the same floor formula; no banker's-rounding ambiguity),
+    the float-domain analogue of k-means' integer centroid floor."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def logreg_hashed_train(
+    feat: DataFrame,
+    n_buckets: int = 256,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> list:
+    """Distributed full-batch gradient descent for the hashed-feature
+    logistic quality classifier (the trainable form of the fixed-
+    weight ``quality_classifier_gate`` — the fastText-style
+    quality-filter rung of RefinedWeb/GPT-3-style pipelines, built
+    from scratch on DataFrame ops so the whole fit is reproducible
+    and oracle-checkable; no MLlib dependency).
+
+    Loop shape per iteration (the MLlib-GD shape, but cheaper):
+    broadcast the (n_buckets+1)-row weight table into the feature
+    cache, aggregate per-doc margins ``z = Σ c·w`` (no exchange —
+    ``feat`` is already partitioned on ``_id``), compute residuals
+    ``y − σ(z)`` narrowly, join back to features on ``_id``
+    (co-partitioned, no exchange) and aggregate the per-bucket
+    gradient — a ≤257-row map-side-combined shuffle collected to the
+    driver, O(buckets) like k-means' O(k·dim). Weights update as
+    ``w_b ← grid6(w_b + lr·g_b/N)`` — quantized to the 1e-6 grid
+    every iteration so Spark, Python and the DuckDB oracle can never
+    drift more than a rounding cliff apart.
+
+    Returns the final weight list (index = bucket, last = intercept).
+    """
+    n_docs = feat.select("_id").distinct().count()
+    w = [0.0] * (n_buckets + 1)
+    spark = feat.sparkSession
+    for _ in range(iters):
+        w_df = spark.createDataFrame(
+            [(b, float(wv)) for b, wv in enumerate(w)], "_b long, _w double"
+        )
+        z = (
+            feat.join(F.broadcast(w_df), "_b")
+            .groupBy("_id")
+            .agg(
+                F.sum(F.col("_c") * F.col("_w")).alias("_z"),
+                F.first("_y").alias("_y"),
+            )
+        )
+        r = z.select(
+            "_id",
+            (F.col("_y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))).alias(
+                "_r"
+            ),
+        )
+        grad = (
+            feat.join(r, "_id")
+            .groupBy("_b")
+            .agg(F.sum(F.col("_c") * F.col("_r")).alias("_g"))
+            .collect()
+        )
+        g = {row["_b"]: row["_g"] for row in grad}
+        w = [
+            _grid6(w[b] + lr * g.get(b, 0.0) / n_docs)
+            for b in range(n_buckets + 1)
+        ]
+    return w
+
+
+def logreg_hashed_score(feat: DataFrame, weights: list) -> DataFrame:
+    """Score every doc in a ``logreg_hashed_features`` frame with a
+    trained weight list: one broadcast join + the same no-exchange
+    per-doc aggregation as training. Returns (_id, _y, p) with
+    ``p = σ(Σ c·w)`` un-rounded (callers round for display/parity)."""
+    spark = feat.sparkSession
+    w_df = spark.createDataFrame(
+        [(b, float(wv)) for b, wv in enumerate(weights)], "_b long, _w double"
+    )
+    return (
+        feat.join(F.broadcast(w_df), "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("_c") * F.col("_w")).alias("_z"),
+            F.first("_y").alias("_y"),
+        )
+        .select(
+            "_id",
+            "_y",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))).alias("p"),
+        )
+    )
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str = "text",

@@ -8934,3 +8934,147 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = sc2.orderBy(F.col("gumbel_key").desc(), "doc_id").limit(_DSIR_K)
     w = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+_LOGREG_B, _LOGREG_ITERS, _LOGREG_LR = 256, 3, 0.5
+
+
+def _logreg_oracle_cte(B: int, iters: int, lr: float) -> str:
+    """CTE chain replicating pipeline.logreg_hashed_train step for
+    step in DuckDB: hashed unigram+bigram count features + intercept
+    bucket, zero-init weights, per-iteration per-doc margin → sigmoid
+    residual → per-bucket gradient → ``floor((w + lr·g/N)·1e6 +
+    0.5)/1e6`` grid update (the exact Python-side quantizer, so the
+    engines can only diverge by a rounding cliff). Ends at CTEs
+    ``w{iters}`` (trained weights) / ``feat`` / ``lab``. Single-sourced
+    for the two classifier oracles."""
+    parts = [
+        f"tok AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents)",
+        f"""grams AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT
+               % 2147483648 % {B} AS b
+      FROM (
+        SELECT doc_id,
+               unnest(list_concat(
+                 [array_to_string(tk[i:i+0], ' ')
+                  for i in generate_series(1, greatest(len(tk), 1))],
+                 [array_to_string(tk[i:i+1], ' ')
+                  for i in generate_series(1, greatest(len(tk) - 1, 1))]
+               )) AS g
+        FROM tok)
+    )""",
+        f"""feat AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, {B} AS b, CAST(1 AS BIGINT) AS c FROM documents
+    )""",
+        """lab AS (
+      SELECT doc_id, CASE WHEN source IN ('src0', 'src1')
+             THEN 1.0 ELSE 0.0 END AS y FROM documents
+    )""",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM documents)",
+        f"w0 AS (SELECT i AS b, 0.0 AS w FROM range({B + 1}) t(i))",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""z{it + 1} AS (
+      SELECT f.doc_id, sum(f.c * w.w) AS z
+      FROM feat f JOIN w{it} w USING (b) GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""r{it + 1} AS (
+      SELECT z.doc_id, l.y - 1.0 / (1.0 + exp(-z.z)) AS r
+      FROM z{it + 1} z JOIN lab l USING (doc_id)
+    )"""
+        )
+        parts.append(
+            f"""g{it + 1} AS (
+      SELECT f.b, sum(f.c * r.r) AS g
+      FROM feat f JOIN r{it + 1} r USING (doc_id) GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""w{it + 1} AS (
+      SELECT w.b,
+             floor((w.w + {lr} * coalesce(g.g, 0.0)
+                    / (SELECT n FROM nn)) * 1e6 + 0.5) / 1e6 AS w
+      FROM w{it} w LEFT JOIN g{it + 1} g USING (b)
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "quality_logreg_weights",
+    f"""
+    WITH {_logreg_oracle_cte(_LOGREG_B, _LOGREG_ITERS, _LOGREG_LR)}
+    SELECT b, round(w, 6) AS weight FROM w{_LOGREG_ITERS}
+    """,
+)
+def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier, weights view: distributed full-batch
+    GD logistic regression over hashed unigram+bigram count features
+    (pipeline.logreg_hashed_train) with src0/src1 as the weak 'quality
+    exemplar' label — the trainable form of the fixed-weight
+    quality_classifier_gate and the fastText-style quality-filter rung
+    of RefinedWeb/GPT-3-style pipelines, built on DataFrame ops with
+    no MLlib. Engine-exact by the k-means discipline transplanted to
+    float space: weights quantize to the 1e-6 grid (floor(x·1e6+0.5))
+    after every iteration in BOTH engines. Per iteration the corpus
+    sees one broadcast-weight join + two co-partitioned aggregations;
+    only a ≤257-row gradient ever reaches the driver."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    feat = PL.logreg_hashed_features(
+        d, F.col("source").isin("src0", "src1"), n_buckets=_LOGREG_B
+    )
+    w = PL.logreg_hashed_train(
+        feat, n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    )
+    return spark.createDataFrame(
+        [(b, float(v)) for b, v in enumerate(w)], "b long, weight double"
+    ).select("b", F.round("weight", 6).alias("weight"))
+
+
+@query(
+    "quality_logreg_scores",
+    f"""
+    WITH {_logreg_oracle_cte(_LOGREG_B, _LOGREG_ITERS, _LOGREG_LR)},
+    zf AS (
+      SELECT f.doc_id, sum(f.c * w.w) AS z
+      FROM feat f JOIN w{_LOGREG_ITERS} w USING (b) GROUP BY 1
+    )
+    SELECT z.doc_id, CAST(l.y AS BIGINT) AS label,
+           round(1.0 / (1.0 + exp(-z.z)), 6) AS p_quality,
+           round(1.0 / (1.0 + exp(-z.z)), 6) >= 0.5 AS predicted
+    FROM zf z JOIN lab l USING (doc_id)
+    """,
+)
+def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier, inference view: every doc scored
+    with the GD-fitted hashed-feature logistic model (same fit as
+    quality_logreg_weights — shared trainer, shared oracle CTE), one
+    broadcast join + one no-exchange per-doc aggregation. The
+    keep/drop decision thresholds the ROUNDED probability in both
+    engines so the boolean can't straddle a float cliff."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    feat = PL.logreg_hashed_features(
+        d, F.col("source").isin("src0", "src1"), n_buckets=_LOGREG_B
+    )
+    w = PL.logreg_hashed_train(
+        feat, n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    )
+    scores = PL.logreg_hashed_score(feat, w)
+    p6 = F.round("p", 6)
+    return scores.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_y").cast("long").alias("label"),
+        p6.alias("p_quality"),
+        (p6 >= 0.5).alias("predicted"),
+    )

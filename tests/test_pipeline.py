@@ -835,6 +835,57 @@ def test_dsir_gumbel_resample_reorders_margin_only(spark):
         assert r.gumbel_key is not None and r.log_weight is not None
 
 
+def test_logreg_hashed_learns_planted_separation(spark):
+    """Linearly separable planted vocabularies: after 8 GD rounds the
+    trained model ranks every positive doc above every negative one
+    and classifies all correctly at the 0.5 threshold; the zero-init
+    model (all p = 0.5) provably improved."""
+    pos = ["good clean prose here", "clean good text prose", "prose good here"]
+    neg = ["junk spam noise garble", "garble spam junk", "noise junk garble spam"]
+    rows = [(i, t, True) for i, t in enumerate(pos)] + [
+        (10 + i, t, False) for i, t in enumerate(neg)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_q boolean")
+    feat = PL.logreg_hashed_features(df, F.col("is_q"), n_buckets=64)
+    w = PL.logreg_hashed_train(feat, n_buckets=64, iters=8, lr=1.0)
+    assert any(abs(v) > 1e-4 for v in w)  # training moved the weights
+    assert all(v == PL._grid6(v) for v in w)  # stays on the 1e-6 grid
+    got = {r._id: r.p for r in PL.logreg_hashed_score(feat, w).collect()}
+    p_pos = [got[i] for i in (0, 1, 2)]
+    p_neg = [got[i] for i in (10, 11, 12)]
+    assert min(p_pos) > 0.5 > max(p_neg)
+    feat.unpersist()
+
+
+def test_logreg_scoring_plan_reuses_doc_partitioning(spark):
+    """The scoring pass (same shape as every training iteration) must
+    be: broadcast weight join + per-doc agg with NO corpus-grain
+    exchange beyond the one cached repartition — the invariant that
+    keeps each GD iteration a single narrow pass at 100 TB."""
+    from cmsspark_spark import plans
+
+    df = spark.createDataFrame(
+        [(1, "a b c", True), (2, "c d e", False)],
+        "doc_id long, text string, is_q boolean",
+    )
+    feat = PL.logreg_hashed_features(df, F.col("is_q"), n_buckets=64)
+    scored = PL.logreg_hashed_score(feat, [0.0] * 65)
+    plan = plans.formatted_plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert plans.count_nodes(scored, "SortMergeJoin") == 0
+    # the only hashpartitioning exchange is the cached repartition on
+    # _id; the groupBy rides it
+    import re
+
+    keyed = [
+        m.group(0)
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", plan)
+        if "hashpartitioning" in m.group(0)
+    ]
+    assert len(keyed) <= 1, plan
+    feat.unpersist()
+
+
 def test_doc_novelty_first_owner_wins(spark):
     """Planted ingest order: the first doc owns all its grams, an exact
     copy later has zero novelty, a half-recycled doc scores ~0.5."""
