@@ -207,6 +207,7 @@ EXTRA = [
     "dsir_gumbel_resample",         # weight-proportional Gumbel top-k
     "quality_logreg_weights",       # trained hashed-feature classifier fit
     "quality_logreg_scores",        # trained classifier inference pass
+    "quality_logreg_threshold_sweep",  # confusion/PR table per cut
 ]
 
 

@@ -9078,3 +9078,82 @@ def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         p6.alias("p_quality"),
         (p6 >= 0.5).alias("predicted"),
     )
+
+
+@query(
+    "quality_logreg_threshold_sweep",
+    f"""
+    WITH {_logreg_oracle_cte(_LOGREG_B, _LOGREG_ITERS, _LOGREG_LR)},
+    zf AS (
+      SELECT f.doc_id, sum(f.c * w.w) AS z
+      FROM feat f JOIN w{_LOGREG_ITERS} w USING (b) GROUP BY 1
+    ),
+    sc AS (
+      SELECT z.doc_id, l.y,
+             round(1.0 / (1.0 + exp(-z.z)), 6) AS p
+      FROM zf z JOIN lab l USING (doc_id)
+    ),
+    th AS (SELECT i / 10.0 AS t FROM generate_series(1, 9) s(i)),
+    ev AS (
+      SELECT t,
+        CAST(sum(CASE WHEN p >= t AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN p >= t AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN p < t AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN p < t AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM sc, th GROUP BY t
+    )
+    SELECT round(t, 1) AS threshold, tp, fp, fn, tn,
+           round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+           round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM ev
+    """,
+)
+def quality_logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rung: confusion counts and
+    accuracy/precision/recall/F1 for the trained hashed-feature
+    quality model at thresholds 0.1…0.9 against the weak source
+    label — the table you read before choosing the production cut
+    (the quality-gate twin of the ANN ladder's recall report). F1 is
+    computed as 2·tp/(2·tp+fp+fn) — the harmonic-mean identity — so
+    both engines divide the same integers. The 9× threshold fan-out
+    is a broadcast cross join over already-scored docs (narrow),
+    collapsing straight into a 9-row aggregate."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    feat = PL.logreg_hashed_features(
+        d, F.col("source").isin("src0", "src1"), n_buckets=_LOGREG_B
+    )
+    w = PL.logreg_hashed_train(
+        feat, n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    )
+    sc = PL.logreg_hashed_score(feat, w).select(
+        "_y", F.round("p", 6).alias("p")
+    )
+    th = spark.range(1, 10).select((F.col("id") / F.lit(10.0)).alias("t"))
+    hit = F.col("p") >= F.col("t")
+    pos = F.col("_y") == 1.0
+    ev = (
+        sc.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum((hit & pos).cast("long")).alias("tp"),
+            F.sum((hit & ~pos).cast("long")).alias("fp"),
+            F.sum((~hit & pos).cast("long")).alias("fn"),
+            F.sum((~hit & ~pos).cast("long")).alias("tn"),
+        )
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return ev.select(
+        F.round("t", 1).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6).alias("accuracy"),
+        F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+        F.round(2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
+    )
