@@ -183,6 +183,92 @@ def inverted_index_postings(
     )
 
 
+def bm25_more_like_this(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_max_id: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k1_plus_1: float = 2.2,
+    one_minus_b: float = 0.25,
+) -> DataFrame:
+    """Exact BM25 ranked retrieval (the Lucene/Okapi form), run as
+    more-like-this: every doc with id < ``query_max_id`` is a query
+    whose terms retrieve the corpus' top-``k`` best-matching other
+    docs. The classic IR scoring rung over the inverted-index family:
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf = ln(1 + (N−df+0.5)/(df+0.5))`` — every input an exact
+    integer (tf, df, N, dl) so the float expression is a pure function
+    both engines evaluate identically (additive constants are passed
+    in as single literals, never re-derived as constant sums, to dodge
+    round-to-even midpoints).
+
+    Plan shape: one (doc, term) shuffle builds tf+dl postings
+    (persisted — reused for the query-term df count and the candidate
+    join); query terms and their df table are tiny and broadcast, so
+    the corpus-side candidate join is narrow; the only other exchange
+    is the (query, doc) score aggregation. At true scale the
+    correctness-identical pruning path is WAND/max-score (skip
+    postings whose max contribution can't reach the current top-k) —
+    here every matching posting is scored, which IS the exact
+    semantics the oracle checks.
+    """
+    from pyspark import StorageLevel
+
+    base = docs.select(F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk"))
+    post = (
+        base.select("_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t"))
+        .groupBy("_doc", "_t")
+        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs, sum_dl = base.select(
+        F.count(F.lit(1)), F.sum(F.size("_tk"))
+    ).first()
+    avgdl = sum_dl / n_docs
+    qterms = (
+        post.filter(F.col("_doc") < query_max_id)
+        .select(F.col("_doc").alias("_qid"), "_t")
+    )
+    df_tab = (
+        post.join(F.broadcast(qterms.select("_t").distinct()), "_t", "left_semi")
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    tf_part = (F.col("_tf") * F.lit(k1_plus_1)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(one_minus_b) + F.lit(b) * F.col("_dl") / F.lit(avgdl))
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "_t")
+        .filter(F.col("_doc") != F.col("_qid"))
+        .join(F.broadcast(df_tab), "_t")
+        .groupBy("_qid", "_doc")
+        .agg(F.sum(idf * tf_part).alias("_score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.round("_score", 6).desc(), F.col("_doc")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_doc").alias(id_col),
+            F.round("_score", 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
 def concat_pack_chunks(
     docs: DataFrame,
     ctx_len: int,

@@ -9157,3 +9157,54 @@ def quality_logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
         F.round(2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
     )
+
+
+@query(
+    "bm25_more_like_this",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS dl, t,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS t FROM tok) GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sdl
+              FROM tok),
+    q AS (SELECT DISTINCT doc AS qid, t FROM post WHERE doc < 5),
+    dfb AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM post
+      WHERE t IN (SELECT t FROM q) GROUP BY 1
+    ),
+    cand AS (
+      SELECT q.qid, p.doc,
+             ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5)))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n)))))
+               AS sc
+      FROM q JOIN post p USING (t) JOIN dfb d USING (t), stats s
+      WHERE p.doc <> q.qid
+    ),
+    scored AS (SELECT qid, doc, sum(sc) AS score FROM cand GROUP BY 1, 2)
+    SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY round(score, 6) DESC, doc) AS rank FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Okapi/Lucene BM25 ranked retrieval as more-like-this
+    (pipeline.bm25_more_like_this): docs 0-4 are queries, each
+    retrieving its top-10 best-matching other docs over shared terms
+    — the IR-scoring rung the inverted-index sidecar feeds. Postings
+    (tf, dl) build in one (doc, term) shuffle and persist; query
+    terms and their df table broadcast, so candidate generation is a
+    narrow corpus pass and only (query, doc) score cells shuffle.
+    Float parity: all score inputs are exact integers and the
+    multiplicative constants enter as single literals on both sides
+    (never re-derived constant sums — k1+1 as a sum lands on a
+    round-to-even midpoint), with identical parenthesization."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    return PL.bm25_more_like_this(d, query_max_id=5, k=10)

@@ -886,6 +886,26 @@ def test_logreg_scoring_plan_reuses_doc_partitioning(spark):
     feat.unpersist()
 
 
+def test_bm25_ranks_rare_term_match_first(spark):
+    """Planted relevance: the query doc shares a RARE term (df=2) with
+    doc 10 and a ubiquitous term (df=4 of 5) with docs 11-13 — idf
+    must rank 10 first, the equal-scored common-term docs tie-break
+    by id, and the query doc never retrieves itself."""
+    rows = [
+        (0, "zyzzyva filler"),                  # the query
+        (10, "zyzzyva aardvark banana"),         # rare-term match (df=2)
+        (11, "filler something else"),           # common-term match (df=4)
+        (12, "filler disjoint vocabulary"),      # common term, padding df
+        (13, "filler more padding text"),        # common term, padding df
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = PL.bm25_more_like_this(df, query_max_id=1, k=2).collect()
+    got = {r.doc_id: r for r in out}
+    assert set(got) == {10, 11}  # top-2 cut; 0 never retrieves itself
+    assert got[10].rank == 1 and got[11].rank == 2
+    assert got[10].bm25 > got[11].bm25 > 0
+
+
 def test_doc_novelty_first_owner_wins(spark):
     """Planted ingest order: the first doc owns all its grams, an exact
     copy later has zero novelty, a half-recycled doc scores ~0.5."""
