@@ -674,3 +674,20 @@ def test_dsir_scoring_broadcasts_lambda_and_takeordered_topk(spark):
             assert "text#" not in blk and "_g#" not in blk, (
                 "raw text/grams entered a keyed shuffle:\n" + blk
             )
+
+def test_bm25_no_sortmerge_joins_broadcast_everywhere(spark):
+    """r7 late: BM25's query-term and df joins must broadcast — the
+    corpus-side postings never sort-merge-join, and raw text stays
+    out of keyed shuffles (only (doc, term) cells travel)."""
+    df = QUERIES["bm25_more_like_this"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", plan):
+        blk = m.group(0)
+        if "hashpartitioning" in blk:
+            assert "text#" not in blk, (
+                "raw text entered a keyed shuffle:\n" + blk
+            )
