@@ -600,3 +600,54 @@ def psi_drift_batch_fn(
         )
 
     return _batch
+
+def quality_score_batch_fn(
+    weights_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    threshold: float = 0.5,
+):
+    """foreachBatch adapter for the TRAINED hashed-feature quality
+    classifier (train once offline with
+    operators/pipeline.logreg_hashed_train, persist the (b, weight)
+    table, serve forever): each micro-batch is featurized and scored
+    with the stored weights — a ≤(n_buckets+1)-row parquet read +
+    broadcast join per batch, the same narrow inference pass as the
+    batch query — and every doc is APPENDED to ``out_path`` as
+    (id, p_quality, keep, batch_id). Append + downstream dedupe on
+    (batch_id, id) is the monitor-ledger contract shared with
+    psi_drift_batch_fn; route through the ingest gate instead when
+    exactly-once admission is required."""
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        from cmsspark_spark.operators.pipeline import (
+            logreg_hashed_features,
+            logreg_hashed_score,
+        )
+
+        spark = bdf.sparkSession
+        weights = [0.0] * (n_buckets + 1)
+        for r in spark.read.parquet(weights_path).collect():
+            weights[int(r["b"])] = float(r["weight"])
+        feat = logreg_hashed_features(
+            bdf, F.lit(False), text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets,
+        )
+        try:
+            (
+                logreg_hashed_score(feat, weights)
+                .select(
+                    F.col("_id").alias(id_col),
+                    F.round("p", 6).alias("p_quality"),
+                    (F.round("p", 6) >= threshold).alias("keep"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                .write.mode("append")
+                .parquet(out_path)
+            )
+        finally:
+            feat.unpersist()
+
+    return _batch

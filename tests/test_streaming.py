@@ -697,3 +697,53 @@ def test_psi_drift_monitor_on_availablenow_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0].source == "s" and not rows[0].drifted
+
+def test_quality_score_stream_serves_trained_weights(spark, tmp_path):
+    """Train-once/serve-streaming for the quality classifier: weights
+    fitted on planted separable vocab are persisted; an availableNow
+    stream of new docs is scored per micro-batch and the keep flags
+    reproduce the offline decision boundary."""
+    import json as _json
+
+    from cmsspark_spark.operators.pipeline import (
+        logreg_hashed_features,
+        logreg_hashed_train,
+    )
+    import pyspark.sql.functions as F
+
+    pos = ["good clean prose here", "clean good text prose", "prose good here"]
+    neg = ["junk spam noise garble", "garble spam junk", "noise junk spam"]
+    train = spark.createDataFrame(
+        [(i, t, True) for i, t in enumerate(pos)]
+        + [(10 + i, t, False) for i, t in enumerate(neg)],
+        "doc_id long, text string, is_q boolean",
+    )
+    feat = logreg_hashed_features(train, F.col("is_q"), n_buckets=64)
+    w = logreg_hashed_train(feat, n_buckets=64, iters=8, lr=1.0)
+    feat.unpersist()
+    wpath = str(tmp_path / "weights")
+    spark.createDataFrame(
+        [(b, float(v)) for b, v in enumerate(w)], "b long, weight double"
+    ).write.parquet(wpath)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        _json.dumps({"doc_id": 100, "text": "good clean prose"}) + "\n"
+        + _json.dumps({"doc_id": 101, "text": "junk spam garble"}) + "\n"
+    )
+    out = str(tmp_path / "scored")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+        .writeStream.foreachBatch(
+            ST.quality_score_batch_fn(wpath, out, n_buckets=64)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[100].keep and not rows[101].keep
+    assert rows[100].p_quality > 0.5 > rows[101].p_quality
