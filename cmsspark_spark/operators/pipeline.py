@@ -572,38 +572,49 @@ def dsir_logratio_weights(
     High-scoring docs look like the target under a bag-of-hashed-ngrams
     model; select by top-k or Gumbel-resample on ``log_weight``.
 
-    Plan shape (100 TB): the corpus is scanned twice (bucket-count fit,
-    then per-doc scoring — persist upstream if the scan is expensive,
-    same note as ``mixture_resample``). The fit collapses map-side to
-    ≤``n_buckets`` rows per partition before a tiny bucket shuffle; the
-    per-bucket λ table (≤``n_buckets`` rows) is broadcast into the
-    scoring pass, which shuffles (id, gram-count) cells only — one
-    doc-grain aggregation, text never shuffles. The smoothing
-    normalizer uses the full ``N + αB`` mass regardless of which
-    buckets materialize, so results are independent of bucket
-    sparsity. Gram hashing is ``int_base_hash % n_buckets`` — the
-    md5-fold formula shared with the MinHash/novelty family, so the
-    oracle reproduces bucket collisions bit-for-bit.
+    Plan shape (100 TB): the corpus is tokenized+hashed ONCE into a
+    per-(doc, bucket) count frame (≤min(grams, n_buckets) rows per
+    doc, far smaller than raw gram rows) which is persisted and feeds
+    both the fit and the scoring pass. The fit collapses map-side to
+    ≤``n_buckets`` rows per partition before a tiny bucket shuffle;
+    the per-bucket λ table (≤``n_buckets`` rows) is broadcast into the
+    scoring pass, which re-aggregates (id, count) cells only — text
+    never shuffles. Scores are ``Σ_b c_b·λ_b`` (count-then-multiply;
+    the oracle uses the identical formulation so the float sums have
+    the same ≤``n_buckets``-term shape). The smoothing normalizer
+    uses the full ``N + αB`` mass regardless of which buckets
+    materialize, so results are independent of bucket sparsity. Gram
+    hashing is ``int_base_hash % n_buckets`` — the md5-fold formula
+    shared with the MinHash/novelty family, so the oracle reproduces
+    bucket collisions bit-for-bit.
 
     Returns one row per pool doc: (``id_col``, n_grams, log_weight,
     avg_gram_logw).
     """
+    from pyspark import StorageLevel
+
     from cmsspark_spark.functions.text import int_base_hash
 
     toks = tokens(text_col)
     grams = F.concat(raw_ngrams(toks, 1), raw_ngrams(toks, 2))
-    g = df.select(
-        F.col(id_col).alias("_id"),
-        target_flag.alias("_is_t"),
-        F.explode(grams).alias("_g"),
-    ).select(
-        "_id",
-        "_is_t",
-        (int_base_hash(F.col("_g")) % n_buckets).alias("_b"),
+    g = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            target_flag.alias("_is_t"),
+            F.explode(grams).alias("_g"),
+        )
+        .select(
+            "_id",
+            "_is_t",
+            (int_base_hash(F.col("_g")) % n_buckets).alias("_b"),
+        )
+        .groupBy("_id", "_b")
+        .agg(F.first("_is_t").alias("_is_t"), F.count(F.lit(1)).alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_b = g.groupBy("_b").agg(
-        F.sum(F.col("_is_t").cast("long")).alias("_ct"),
-        F.sum((~F.col("_is_t")).cast("long")).alias("_cq"),
+        F.sum(F.when(F.col("_is_t"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
+        F.sum(F.when(F.col("_is_t"), F.lit(0)).otherwise(F.col("_c"))).alias("_cq"),
     )
     wall = Window.partitionBy()  # ≤ n_buckets rows: single-partition OK
     sm = float(alpha) * n_buckets
@@ -617,8 +628,8 @@ def dsir_logratio_weights(
         .join(F.broadcast(lam_tab), "_b")
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("_lam").alias("log_weight"),
+            F.sum("_c").alias("n_grams"),
+            F.sum(F.col("_c") * F.col("_lam")).alias("log_weight"),
         )
         .select(
             F.col("_id").alias(id_col),

@@ -8777,14 +8777,19 @@ _DSIR_B = 4096  # hashed-ngram buckets; smoothing mass = 0.5 * B
 _DSIR_K = 200
 
 
-@query(
-    "dsir_target_selection",
-    f"""
-    WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+def _dsir_oracle_cte(B: int) -> str:
+    """Shared DSIR oracle CTE chain, count-then-multiply formulation
+    mirroring pipeline.dsir_logratio_weights exactly: per-(doc,
+    bucket) counts ``fb`` (the engine's persisted feature frame), the
+    smoothed log-ratio table ``lam``, and per-pool-doc scores
+    ``scored`` as ``Σ_b c_b·λ_b`` — so both engines sum the same
+    ≤B-term float series. Single-sourced for the top-k and Gumbel
+    resampling oracles."""
+    return f"""tok AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
     grams AS (
       SELECT doc_id, is_t,
              ('0x' || substring(md5(g), 1, 15))::BIGINT
-               % 2147483648 % {_DSIR_B} AS b
+               % 2147483648 % {B} AS b
       FROM (
         SELECT doc_id, source IN ('src0', 'src1') AS is_t,
                unnest(list_concat(
@@ -8795,22 +8800,32 @@ _DSIR_K = 200
                )) AS g
         FROM tok)
     ),
+    fb AS (
+      SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ),
     lam AS (
       SELECT b,
-             ln((sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 0.5)
-                / (sum(sum(CASE WHEN is_t THEN 1 ELSE 0 END)) OVER ()
-                   + {0.5 * _DSIR_B}))
-           - ln((sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 0.5)
-                / (sum(sum(CASE WHEN is_t THEN 0 ELSE 1 END)) OVER ()
-                   + {0.5 * _DSIR_B})) AS lam
-      FROM grams GROUP BY b
+             ln((sum(CASE WHEN is_t THEN c ELSE 0 END) + 0.5)
+                / (sum(sum(CASE WHEN is_t THEN c ELSE 0 END)) OVER ()
+                   + {0.5 * B}))
+           - ln((sum(CASE WHEN is_t THEN 0 ELSE c END) + 0.5)
+                / (sum(sum(CASE WHEN is_t THEN 0 ELSE c END)) OVER ()
+                   + {0.5 * B})) AS lam
+      FROM fb GROUP BY b
     ),
     scored AS (
-      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-             sum(l.lam) AS logw
-      FROM grams g JOIN lam l USING (b)
-      WHERE NOT g.is_t GROUP BY g.doc_id
-    )
+      SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_grams,
+             sum(f.c * l.lam) AS logw
+      FROM fb f JOIN lam l USING (b)
+      WHERE NOT f.is_t GROUP BY f.doc_id
+    )"""
+
+
+@query(
+    "dsir_target_selection",
+    f"""
+    WITH {_dsir_oracle_cte(_DSIR_B)}
     SELECT doc_id, n_grams, round(logw, 6) AS log_weight,
            round(logw / n_grams, 6) AS avg_gram_logw,
            CAST(row_number() OVER (ORDER BY round(logw, 6) DESC, doc_id)
@@ -8854,36 +8869,7 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dsir_gumbel_resample",
     f"""
-    WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
-    grams AS (
-      SELECT doc_id, is_t,
-             ('0x' || substring(md5(g), 1, 15))::BIGINT
-               % 2147483648 % {_DSIR_B} AS b
-      FROM (
-        SELECT doc_id, source IN ('src0', 'src1') AS is_t,
-               unnest(list_concat(
-                 [array_to_string(tk[i:i+0], ' ')
-                  for i in generate_series(1, greatest(len(tk), 1))],
-                 [array_to_string(tk[i:i+1], ' ')
-                  for i in generate_series(1, greatest(len(tk) - 1, 1))]
-               )) AS g
-        FROM tok)
-    ),
-    lam AS (
-      SELECT b,
-             ln((sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 0.5)
-                / (sum(sum(CASE WHEN is_t THEN 1 ELSE 0 END)) OVER ()
-                   + {0.5 * _DSIR_B}))
-           - ln((sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 0.5)
-                / (sum(sum(CASE WHEN is_t THEN 0 ELSE 1 END)) OVER ()
-                   + {0.5 * _DSIR_B})) AS lam
-      FROM grams GROUP BY b
-    ),
-    scored AS (
-      SELECT g.doc_id, sum(l.lam) AS logw
-      FROM grams g JOIN lam l USING (b)
-      WHERE NOT g.is_t GROUP BY g.doc_id
-    ),
+    WITH {_dsir_oracle_cte(_DSIR_B)},
     keyed AS (
       SELECT doc_id, logw,
              logw - ln(-ln(
