@@ -5436,10 +5436,13 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok WHERE len(tk) > 0
     ),
     chunks AS (
-      SELECT doc_id, i.i AS chunk_idx,
-             tk[i.i * 48 + 1 : i.i * 48 + 64] AS chunk
-      FROM base, (SELECT unnest(generate_series(0, 127)) AS i) i
-      WHERE i.i < n_chunks
+      -- per-row LATERAL series: length-unbounded (same fix as
+      -- chunk_dedup_rate; the old generate_series(0, 127) cross
+      -- silently capped docs > 16 + 128*48 = 6160 tokens)
+      SELECT doc_id, u.i AS chunk_idx,
+             tk[u.i * 48 + 1 : u.i * 48 + 64] AS chunk
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(0, n_chunks - 1)) AS i) u
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_chunks,

@@ -579,8 +579,11 @@ def test_inverted_index_cap_and_distinct(spark):
     assert got["rare"]["df"] == 1 and got["rare"]["postings"] == "5"
 
 
-def test_chunk_dedup_rate_oracle_unbounded(spark, tmp_path):
-    """The r6 chunk_dedup_rate oracle capped chunks/doc at 128
+@pytest.mark.parametrize(
+    "qname", ["chunk_dedup_rate", "chunk_overlap_windows"]
+)
+def test_chunk_oracles_length_unbounded(spark, tmp_path, qname):
+    """The r6 chunk oracles capped chunks/doc at 128
     (generate_series(0,127)), silently truncating any doc over
     16 + 128*48 = 6160 tokens (VERDICT r6 item 1 / ADVICE). The r7
     per-row LATERAL series must stay hash-exact on a 7,000-token doc
@@ -602,19 +605,27 @@ def test_chunk_dedup_rate_oracle_unbounded(spark, tmp_path):
     )
     docs.write.parquet(str(tmp_path / "documents.parquet"))
 
-    sdf = QUERIES["chunk_dedup_rate"](spark, str(tmp_path))
+    sdf = QUERIES[qname](spark, str(tmp_path))
     s_rows = [tuple(r) for r in sdf.collect()]
-    # sanity: the long docs alone contribute 2*146 chunks — far past
-    # the old 128 cap — and every long-doc chunk is duplicated
-    web = next(r for r in s_rows if r[sdf.columns.index("source")] == "web")
-    assert web[sdf.columns.index("n_chunks")] == 2 * 146 + 1
+    if qname == "chunk_dedup_rate":
+        # sanity: the long docs alone contribute 2*146 chunks — far
+        # past the old 128 cap — and every long-doc chunk duplicates
+        web = next(
+            r for r in s_rows if r[sdf.columns.index("source")] == "web"
+        )
+        assert web[sdf.columns.index("n_chunks")] == 2 * 146 + 1
+    else:
+        d1 = next(
+            r for r in s_rows if r[sdf.columns.index("doc_id")] == 1
+        )
+        assert d1[sdf.columns.index("n_chunks")] == 146
 
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
     )
-    res = con.execute(ORACLES["chunk_dedup_rate"])
+    res = con.execute(ORACLES[qname])
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     con.close()
