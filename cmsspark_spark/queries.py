@@ -9197,3 +9197,138 @@ def bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return PL.bm25_more_like_this(d, query_max_id=5, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Data-layout quality (scan pruning at 100 TB; operators/layout.py)
+# ---------------------------------------------------------------------------
+
+from cmsspark_spark.operators import layout as LAY  # noqa: E402
+
+_LAY_PK = "CAST(l_partkey AS BIGINT)"
+_LAY_SK = "CAST(l_suppkey AS BIGINT)"
+_LAY_NF = 32  # simulated file count
+_LAY_HASH_SQL = (
+    "(('0x'||substring(md5(l_orderkey || '-' || l_linenumber),1,15))"
+    "::BIGINT % 2147483648)"
+)
+
+
+def _layout_sql() -> str:
+    bpk = LAY.bucket_expr(_LAY_PK, "_pkmin", "_pkmax", 256, "duck")
+    bsk = LAY.bucket_expr(_LAY_SK, "_skmin", "_skmax", 256, "duck")
+    f_sort = LAY.bucket_expr(_LAY_PK, "_pkmin", "_pkmax", _LAY_NF, "duck")
+    zkey = LAY.interleave_expr(bpk, bsk)
+    return f"""
+    WITH mm AS (
+      SELECT min(l_partkey) AS _pkmin, max(l_partkey) AS _pkmax,
+             min(l_suppkey) AS _skmin, max(l_suppkey) AS _skmax
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             {_LAY_HASH_SQL} % {_LAY_NF} AS f_hash,
+             {f_sort} AS f_sort,
+             ({zkey}) // {65536 // _LAY_NF} AS f_z
+      FROM lineitem, mm
+    ),
+    cells AS (
+      SELECT pk, sk, 'hash' AS layout, f_hash AS file_id FROM b
+      UNION ALL SELECT pk, sk, 'sort', f_sort FROM b
+      UNION ALL SELECT pk, sk, 'zorder', f_z FROM b
+    ),
+    files AS (
+      SELECT layout, file_id, min(pk) AS minpk, max(pk) AS maxpk,
+             min(sk) AS minsk, max(sk) AS maxsk, count(*) AS n
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           round(sum((maxpk - minpk + 1) * 1.0
+                     / (_pkmax - _pkmin + 1)), 4) AS exp_files_pk,
+           round(sum((maxsk - minsk + 1) * 1.0
+                     / (_skmax - _skmin + 1)), 4) AS exp_files_sk,
+           round(sum(((maxpk - minpk + 1) * 1.0 / (_pkmax - _pkmin + 1))
+                   * ((maxsk - minsk + 1) * 1.0
+                      / (_skmax - _skmin + 1))), 4) AS exp_files_both
+    FROM files, mm
+    GROUP BY layout, _pkmin, _pkmax, _skmin, _skmax
+    """
+
+
+@query("layout_skipping_report", _layout_sql())
+def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantify how the WRITE layout governs scan pruning (the 100 TB
+    lever: parquet footer min/max stats skip whole files only when the
+    layout keeps per-file ranges tight). Simulates writing lineitem as
+    32 files under three policies — hash-scatter, linear sort on
+    l_partkey, and a Morton z-order of (l_partkey, l_suppkey) via
+    operators/layout.py — then reports, per layout, the expected
+    number of files a point predicate touches on each dimension
+    (``sum`` over files of the per-file key-span fraction) and on both
+    at once. Hash ≈ all files on every dim; sort ≈ 1 file on partkey
+    but all on suppkey; z-order ≈ sqrt(n_files) on each. File ids are
+    VALUE-range buckets (pure integer arithmetic), not rank buckets —
+    a narrow codegen map with zero windows; the only shuffles carry
+    (layout, file_id) stat cells, never rows. The z-key expression
+    string is generated once and parsed by BOTH engines, so the oracle
+    cannot drift on the interleave itself. The real write path
+    (repartitionByRange + sortWithinPartitions) and footer-stats
+    manifest are exercised against actual parquet files in
+    tests/test_layout.py."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    mm = li.agg(
+        F.min("l_partkey").alias("_pkmin"),
+        F.max("l_partkey").alias("_pkmax"),
+        F.min("l_suppkey").alias("_skmin"),
+        F.max("l_suppkey").alias("_skmax"),
+    )
+    bpk = LAY.bucket_expr(_LAY_PK, "_pkmin", "_pkmax", 256, "spark")
+    bsk = LAY.bucket_expr(_LAY_SK, "_skmin", "_skmax", 256, "spark")
+    f_sort = LAY.bucket_expr(_LAY_PK, "_pkmin", "_pkmax", _LAY_NF, "spark")
+    zkey = LAY.interleave_expr(bpk, bsk)
+    b = li.crossJoin(F.broadcast(mm)).select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        (
+            T.int_base_hash(
+                F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+            )
+            % _LAY_NF
+        ).alias("f_hash"),
+        F.expr(f_sort).alias("f_sort"),
+        F.expr(f"({zkey}) div {65536 // _LAY_NF}").alias("f_z"),
+    )
+    cells = b.selectExpr(
+        "pk",
+        "sk",
+        f"stack(3, 'hash', f_hash, 'sort', f_sort, 'zorder', f_z)"
+        " AS (layout, file_id)",
+    )
+    files = cells.groupBy("layout", "file_id").agg(
+        F.min("pk").alias("minpk"),
+        F.max("pk").alias("maxpk"),
+        F.min("sk").alias("minsk"),
+        F.max("sk").alias("maxsk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pk_span = (F.col("maxpk") - F.col("minpk") + 1) / (
+        F.col("_pkmax") - F.col("_pkmin") + 1
+    )
+    sk_span = (F.col("maxsk") - F.col("minsk") + 1) / (
+        F.col("_skmax") - F.col("_skmin") + 1
+    )
+    return (
+        files.crossJoin(F.broadcast(mm))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n").alias("n_rows"),
+            F.round(F.sum(pk_span), 4).alias("exp_files_pk"),
+            F.round(F.sum(sk_span), 4).alias("exp_files_sk"),
+            F.round(F.sum(pk_span * sk_span), 4).alias("exp_files_both"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Data-layout operators (operators/layout.py): z-order keys, real
+clustered parquet writes, footer-stats manifests, split pruning."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from cmsspark_spark import plans
+from cmsspark_spark.operators import layout as L
+
+
+def _morton_py(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_interleave_expr_matches_python_reference(spark):
+    """The generated SQL Morton key equals a bit-twiddling Python
+    reference for random pairs, in BOTH engines (the same string is
+    embedded in the Spark query and the DuckDB oracle)."""
+    rng = random.Random(7)
+    pairs = [(rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+    pairs += [(0, 0), (255, 255), (255, 0), (0, 255), (1, 2)]
+    expr = L.interleave_expr("x", "y")
+    con = duckdb.connect()
+    for x, y in pairs:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()[0]
+        assert got == _morton_py(x, y), (x, y)
+    con.close()
+    sdf = spark.createDataFrame(pairs, "x: long, y: long").select(
+        "x", "y", F.expr(expr).alias("z")
+    )
+    for r in sdf.collect():
+        assert r.z == _morton_py(r.x, r.y), (r.x, r.y)
+
+
+def test_bucket_expr_never_reaches_n(spark):
+    """Equi-width integer buckets stay in [0, n) for every value in
+    [min, max] — including max itself (the (d*n) div (d+1) bound)."""
+    con = duckdb.connect()
+    for cmin, cmax in [(0, 0), (0, 1), (3, 17), (0, 255), (100, 1000)]:
+        lo, hi = con.execute(
+            f"SELECT min(b), max(b) FROM (SELECT "
+            f"{L.bucket_expr('v', str(cmin), str(cmax), 16, 'duck')} AS b "
+            f"FROM (SELECT unnest(generate_series({cmin}, {cmax})) AS v))"
+        ).fetchone()
+        assert lo == 0 and hi <= 15, (cmin, cmax, lo, hi)
+    con.close()
+
+
+def test_zorder_write_real_file_pruning(spark, tmp_path):
+    """The write path against REAL parquet: z-order a 64x64 key grid
+    into 16 files, rebuild the footer-stats manifest from
+    input_file_name, and show (a) every file bounds BOTH dimensions
+    (vs a linear sort whose second dim spans everything), (b) a range
+    predicate on either dimension prunes most files via stats alone,
+    (c) the pruned read returns exactly the right rows."""
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a: long, b: long, payload: long")
+
+    zpath = str(tmp_path / "zorder")
+    L.zorder_write(df, zpath, "a", "b", n_files=16)
+    spath = str(tmp_path / "sorted")
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(spath)
+    )
+
+    zman = L.file_stats_manifest(spark.read.parquet(zpath), ["a", "b"])
+    sman = L.file_stats_manifest(spark.read.parquet(spath), ["a", "b"])
+    z = zman.collect()
+    s = sman.collect()
+    assert len(z) == 16 and sum(r.n_rows for r in z) == 64 * 64
+
+    def avg_span(rows, d):
+        return sum(
+            (r[f"max_{d}"] - r[f"min_{d}"] + 1) / 64.0 for r in rows
+        ) / len(rows)
+
+    # z-order bounds both dims (ideal tile = 0.25; range-partition
+    # sampling wobble can merge neighbouring tiles, hence the slack);
+    # the linear sort is tight on `a` but spans ~all of `b`.
+    assert avg_span(z, "a") <= 0.45 and avg_span(z, "b") <= 0.45
+    assert avg_span(s, "a") <= 0.2
+    assert avg_span(s, "b") >= 0.9
+
+    # stats-only split pruning on the NON-sort dim: z-order keeps a
+    # minority of files; the sorted layout cannot skip any.
+    zkeep = L.pruned_files(zman, "b", 0, 15).count()
+    skeep = L.pruned_files(sman, "b", 0, 15).count()
+    assert zkeep <= 8 < skeep == 16
+
+    # and the pruned set is CORRECT: reading only surviving files
+    # yields exactly the predicate's rows.
+    keep_files = [r.file for r in L.pruned_files(zman, "b", 0, 15).collect()]
+    got = (
+        spark.read.parquet(zpath)
+        .withColumn("f", F.substring_index(F.input_file_name(), "/", -1))
+        .filter(F.col("f").isin(keep_files))
+        .filter(F.col("b") <= 15)
+        .count()
+    )
+    assert got == 64 * 16
+
+
+def test_layout_report_plan_is_narrow(spark):
+    """The skipping report is zero-window: file ids are value-range
+    arithmetic (narrow map over the scan), the min/max frame enters
+    via a 1-row broadcast, and the only exchanges carry (layout,
+    file_id) stat cells. The scan reads just the 4 key columns."""
+    from cmsspark_spark.queries import QUERIES
+
+    df = QUERIES["layout_skipping_report"](spark, "/root/testdata/sf0.001")
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row min/max frame
+    for col in ("l_comment", "l_extendedprice", "l_shipdate"):
+        assert col not in plan
