@@ -210,6 +210,7 @@ EXTRA = [
     "quality_logreg_threshold_sweep",  # confusion/PR table per cut
     "bm25_more_like_this",          # exact Okapi BM25 retrieval top-k
     "layout_skipping_report",       # z-order vs sort vs hash file pruning
+    "split_leakage_audit",          # near-dup pairs straddling splits
 ]
 
 

@@ -9332,3 +9332,109 @@ def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(pk_span * sk_span), 4).alias("exp_files_both"),
         )
     )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+    WITH pairs AS ({_lsh_verified_oracle_sql()}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substring(md5(text), 1, 15))::BIGINT
+                     % 2147483648 % 100 AS bucket
+            FROM documents)
+    ),
+    lab AS (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b,
+             p.id_a, p.id_b, p.jaccard
+      FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
+                   JOIN sp sb ON sb.doc_id = p.id_b
+    ),
+    docs AS (
+      SELECT split_a, split_b, count(DISTINCT id) AS n_docs
+      FROM (SELECT split_a, split_b, id_a AS id FROM lab
+            UNION ALL SELECT split_a, split_b, id_b FROM lab)
+      GROUP BY 1, 2
+    )
+    SELECT a.split_a, a.split_b,
+           CAST(a.n_pairs AS BIGINT) AS n_pairs,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           a.avg_jaccard,
+           CASE WHEN a.split_a <> a.split_b THEN 1 ELSE 0 END AS is_leak
+    FROM (SELECT split_a, split_b, count(*) AS n_pairs,
+                 round(avg(jaccard), 4) AS avg_jaccard
+          FROM lab GROUP BY 1, 2) a
+    JOIN docs d USING (split_a, split_b)
+    """
+
+
+@query("split_leakage_audit", _split_leakage_sql())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit — the QA gate that runs AFTER
+    split assignment: near-duplicate pairs (MinHash-LSH candidates
+    verified at Jaccard >= 0.5, the dedup_lsh_verified path) labeled
+    with each member's deterministic hash split (train/val/test,
+    80/10/10), grouped by the ordered label pair. Any ``is_leak = 1``
+    row means an eval document has a near-duplicate in training —
+    exactly the leakage a content-keyed split is supposed to prevent
+    for EXACT duplicates but cannot for near-duplicates, which is why
+    the audit exists. Scale shape: candidates come from the band
+    bucket join (ids only), verification is candidate-pruned, split
+    labels are a narrow map over the corpus, and the label join
+    attaches to the (small) verified-pair set by id — text never
+    shuffles past tokenization. Within-split rows stay in the output
+    as the context baseline."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    sp = d.select(
+        "doc_id",
+        T.hash_split(
+            "text", {"train": 80, "val": 90, "test": 100}
+        ).alias("split"),
+    )
+    sa = sp.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("s_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("s_b")
+    )
+    lab = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("s_a", "s_b").alias("split_a"),
+            F.greatest("s_a", "s_b").alias("split_b"),
+            "id_a",
+            "id_b",
+            "jaccard",
+        )
+    )
+    agg = lab.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+    )
+    docs = (
+        lab.selectExpr(
+            "split_a", "split_b", "stack(2, id_a, id_b) AS (id)"
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.countDistinct("id").alias("n_docs"))
+    )
+    return agg.join(docs, ["split_a", "split_b"]).select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        "n_docs",
+        "avg_jaccard",
+        F.when(F.col("split_a") != F.col("split_b"), 1)
+        .otherwise(0)
+        .alias("is_leak"),
+    )

@@ -940,3 +940,85 @@ def test_doc_novelty_first_owner_wins(spark):
     assert out[2].novelty_frac == 0.0 and out[2].n_novel == 0
     assert out[3].novelty_frac == 1.0
     assert 0.0 < out[4].novelty_frac < 1.0
+
+
+def test_split_leakage_audit_planted(spark, tmp_path):
+    """Plant a near-duplicate pair straddling the train/test hash
+    split and prove the audit reports it as a leak, hash-exact vs the
+    DuckDB oracle. The plant is found deterministically by replicating
+    the md5 split bucket AND the MinHash band signatures in pure
+    Python, so the pair is guaranteed to be (a) cross-split, (b) an
+    LSH candidate, (c) Jaccard >= 0.5."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from cmsspark_spark.operators.dedup import MINHASH_PRIME, minhash_params
+    from cmsspark_spark.queries import ORACLES, QUERIES
+    from tests.conftest import canonical_rows
+
+    def bucket(text):
+        h = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+        return h % 2147483648 % 100
+
+    params = minhash_params(8)
+
+    def bands(text):
+        tk = [t for t in re.split(r"\s+", text.lower()) if t]
+        grams = {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+        bases = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 2147483648
+            for g in grams
+        ]
+        sig = [min((a * x + b) % MINHASH_PRIME for x in bases)
+               for a, b in params]
+        return {(i, tuple(sorted(sig[i * 2 : i * 2 + 2])))
+                for i in range(4)}
+
+    base = " ".join(f"w{i}" for i in range(48))
+    plant = None
+    for i in range(200):
+        a = f"{base} leaka{i}"
+        if bucket(a) >= 80:
+            continue
+        for j in range(200):
+            b = f"{base} leakb{j}"
+            if bucket(b) < 90:
+                continue
+            if bands(a) & bands(b):  # at least one LSH band collides
+                plant = (a, b)
+                break
+        if plant:
+            break
+    assert plant, "no deterministic plant found in the search budget"
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", plant[0]),                      # train
+            (2, "web", plant[1]),                      # test
+            (3, "web", "alpha beta gamma delta one"),
+            (4, "books", "totally unrelated content here"),
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    sdf = QUERIES["split_leakage_audit"](spark, str(tmp_path))
+    rows = {(r.split_a, r.split_b): r for r in sdf.collect()}
+    leak = rows[("test", "train")]  # lexical least/greatest ordering
+    assert leak.is_leak == 1 and leak.n_pairs >= 1 and leak.n_docs >= 2
+    assert leak.avg_jaccard >= 0.5
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES["split_leakage_audit"])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+    sc, sr = canonical_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dc, dr = canonical_rows(d_cols, d_rows)
+    assert sc == dc and sr == dr
