@@ -211,6 +211,8 @@ EXTRA = [
     "bm25_more_like_this",          # exact Okapi BM25 retrieval top-k
     "layout_skipping_report",       # z-order vs sort vs hash file pruning
     "split_leakage_audit",          # near-dup pairs straddling splits
+    "time_decay_user_scores",       # half-life recency weighting
+    "join_size_estimate",           # CBO-style cardinality estimates
 ]
 
 

@@ -9438,3 +9438,153 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_leak"),
     )
+
+
+@query(
+    "time_decay_user_scores",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events)
+    SELECT user_id,
+           ((sum(CAST(round(value * 100) AS BIGINT)
+                 * (1024 >> ((d0 - CAST(ts AS DATE)) // 7)))
+             * 10000 + 51200) // 102400) / 10000.0 AS decayed_value,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS raw_value,
+           count(*) AS n_events
+    FROM events, mx
+    GROUP BY user_id
+    """,
+)
+def time_decay_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay (half-life) scoring — the recency
+    weighting every feature store / engagement ranker applies:
+    ``value * 0.5^(age_weeks)`` summed per user, with a 7-day
+    half-life anchored at the corpus max date (one metadata-cheap
+    scalar agg, broadcast as a 1-row frame). Float parity by
+    construction (the iterative-trainer quantization rule): never
+    ``exp(-λΔt)`` (libm tail bits differ across engines), and never a
+    float SUM (accumulation order differs across engines — the naive
+    ``sum(value * 0.5^k)`` form diverged at the 4th decimal). Instead
+    each term is an INTEGER — cents × the weight ``1024 >> weeks``
+    (exact powers of two down to 2^-10; older than ~10 half-lives
+    decays to exactly 0) — summed exactly, and the final 4-decimal
+    rounding happens on the INTEGER grid (``(S*10^4 + half) intdiv
+    scale``), because the exact sum can land on a true decimal
+    midpoint where Spark rounds half-up and DuckDB half-even.
+    Narrow map + one (user) shuffle; at 100 TB the anchor comes from
+    partition metadata and nothing else changes."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .withColumn("_cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumn(
+            "_w",
+            F.expr(
+                "shiftright(1024,"
+                " CAST(datediff(d0, to_date(ts)) AS INT) div 7)"
+            ).cast("long"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                F.expr(
+                    "(sum(_cents * _w) * 10000 + 51200) div 102400"
+                )
+                / 10000.0
+            ).alias("decayed_value"),
+            F.round(F.sum("_cents") / 100.0, 2).alias("raw_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "join_size_estimate",
+    """
+    WITH ha AS (
+      SELECT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               ::BIGINT % 2147483648 % 1024 AS b, count(*) AS ca
+      FROM orders GROUP BY 1
+    ),
+    hb AS (
+      SELECT ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+               ::BIGINT % 2147483648 % 1024 AS b, count(*) AS cb
+      FROM lineitem GROUP BY 1
+    ),
+    sides AS (
+      SELECT (SELECT count(*) FROM orders) AS n_a,
+             (SELECT count(*) FROM lineitem) AS n_b,
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_a,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_b
+    ),
+    est AS (SELECT sum(ca * cb) AS est_hist FROM ha JOIN hb USING (b)),
+    tru AS (
+      SELECT count(*) AS true_rows
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(ndv_a AS BIGINT) AS ndv_a, CAST(ndv_b AS BIGINT) AS ndv_b,
+           CAST((n_a * n_b) // greatest(ndv_a, ndv_b) AS BIGINT)
+             AS est_ndv_rows,
+           CAST(est_hist AS BIGINT) AS est_hist_rows,
+           CAST(true_rows AS BIGINT) AS true_rows,
+           round(est_hist * 1.0 / true_rows, 4) AS hist_over_factor
+    FROM sides, est, tru
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation — the statistic a cost-based
+    planner (and AQE's runtime re-plan) lives on, made inspectable:
+    (a) the classic NDV formula ``|A|*|B| / max(ndv_A, ndv_B)`` and
+    (b) a 1024-bucket hashed key histogram whose estimate is
+    ``Σ_b cnt_A(b)*cnt_B(b)`` — exact when buckets are collision-free
+    and a quantified OVERestimate otherwise (the reported
+    ``hist_over_factor``; fk-pk joins with ndv >> buckets collide
+    heavily, which is exactly why real planners size histograms to
+    key cardinality). Everything is integer arithmetic on count
+    cells: two per-side bucket aggs (map-side combined to ≤1024 rows
+    each), one tiny bucket join, one true-count join for the audit.
+    At 100 TB only the truth column is expensive — the estimates
+    read nothing but sketch-sized state."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    ha = o.groupBy(
+        (T.int_base_hash(F.col("o_orderkey").cast("string")) % 1024).alias("b")
+    ).agg(F.count(F.lit(1)).alias("ca"))
+    hb = li.groupBy(
+        (T.int_base_hash(F.col("l_orderkey").cast("string")) % 1024).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cb"))
+    est = ha.join(hb, "b").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("est_hist")
+    )
+    sides = o.agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.countDistinct("o_orderkey").alias("ndv_a"),
+    ).crossJoin(
+        li.agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.countDistinct("l_orderkey").alias("ndv_b"),
+        )
+    )
+    tru = o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).alias("true_rows")
+    )
+    return (
+        sides.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tru))
+        .select(
+            "n_a",
+            "n_b",
+            "ndv_a",
+            "ndv_b",
+            F.expr("(n_a * n_b) div greatest(ndv_a, ndv_b)").alias(
+                "est_ndv_rows"
+            ),
+            F.col("est_hist").alias("est_hist_rows"),
+            "true_rows",
+            F.round(F.col("est_hist") * 1.0 / F.col("true_rows"), 4).alias(
+                "hist_over_factor"
+            ),
+        )
+    )

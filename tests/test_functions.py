@@ -303,3 +303,35 @@ def test_approx_percentile_within_rank_error(spark):
             lo = max(0, int(q * n) - max(2, n // 500) - 1)
             hi = min(n - 1, int(q * n) + max(2, n // 500) + 1)
             assert vals[lo] <= a <= vals[hi], (etype, q, a, vals[lo], vals[hi])
+
+
+def test_time_decay_half_life_semantics(spark, tmp_path):
+    """Planted events: weights are exact powers of two per 7-day age
+    step anchored at the max date — 10.00 at age 0 counts 10.0, at
+    age 7-13 counts 5.0, at 70+ days counts exactly 0."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from cmsspark_spark.queries import QUERIES
+
+    rows = [
+        (1, "2024-03-01 12:00:00", 7, "click", 10.0, "{}"),
+        (2, "2024-02-23 12:00:00", 7, "click", 10.0, "{}"),  # 7d -> /2
+        (3, "2024-02-16 12:00:00", 7, "click", 10.0, "{}"),  # 14d -> /4
+        (4, "2023-12-01 12:00:00", 7, "click", 10.0, "{}"),  # 91d -> 0
+        (5, "2024-03-01 00:00:00", 8, "view", 2.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: string, user_id: long,"
+        " event_type: string, value: double, props: string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r.user_id: r
+        for r in QUERIES["time_decay_user_scores"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[7].decayed_value == 10.0 + 5.0 + 2.5 + 0.0
+    assert out[7].raw_value == 40.0 and out[7].n_events == 4
+    assert out[8].decayed_value == 2.5
