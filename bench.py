@@ -213,6 +213,7 @@ EXTRA = [
     "split_leakage_audit",          # near-dup pairs straddling splits
     "time_decay_user_scores",       # half-life recency weighting
     "join_size_estimate",           # CBO-style cardinality estimates
+    "collapse_repeated_tokens",     # adjacent-stutter cleanup audit
 ]
 
 

@@ -287,3 +287,24 @@ def strip_markup(text: Column | str) -> Column:
     for pat, repl in MARKUP_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def collapse_token_runs(text: Column | str) -> Column:
+    """Collapse each run of consecutively repeated tokens to a single
+    occurrence ("the the the" -> "the") — the stutter/generation-loop
+    cleanup that global line dedup cannot express (it removes lines
+    repeated ANYWHERE; this removes only ADJACENT repeats, preserving
+    legitimate reuse elsewhere in the document). Pure row-local array
+    expression: an index-aware ``filter`` keeping token i iff it is
+    the first token or differs from token i-1 — codegen'd, zero
+    shuffle, no UDF."""
+    tk = tokens(text)
+    # element_at is 1-based, so tk[i] is the PREVIOUS token for the
+    # 0-based lambda index i; greatest(i, 1) keeps the index legal at
+    # i = 0 (OR does not short-circuit inside codegen) — the i == 0
+    # disjunct already decides that row.
+    return F.filter(
+        tk,
+        lambda t, i: (i == F.lit(0))
+        | (t != F.element_at(tk, F.greatest(i, F.lit(1)))),
+    )

@@ -9588,3 +9588,57 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "collapse_repeated_tokens",
+    f"""
+    WITH tok AS (SELECT source, {_TOKS_SQL} AS tk FROM documents),
+    c AS (
+      SELECT source, len(tk) AS n_in,
+             len(list_filter(generate_series(1, len(tk)),
+                 i -> i = 1 OR tk[i] <> tk[i-1])) AS n_out
+      FROM tok
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_out < n_in THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_touched,
+           CAST(sum(n_in) AS BIGINT) AS tokens_in,
+           CAST(sum(n_out) AS BIGINT) AS tokens_out,
+           round(1 - sum(n_out) * 1.0 / greatest(sum(n_in), 1), 6)
+             AS stutter_rate
+    FROM c GROUP BY source
+    """,
+)
+def collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stutter / generation-loop cleanup: collapse each run of
+    consecutively repeated tokens to one occurrence
+    (functions.text.collapse_token_runs — an index-aware array filter,
+    row-local and codegen'd, no UDF) and audit per source how much of
+    the token stream it removes. The ADJACENT-repeat grain is what
+    global line dedup and Gopher repetition ratios cannot express:
+    they see "the the the" and "the ... the ... the" identically,
+    but only the former is a degenerate loop. Zero-shuffle except the
+    final per-source stat cells; at 100 TB this runs inside the same
+    narrow cleaning pass as markup strip / PII redaction."""
+    d = _t(spark, sf_dir, "documents")
+    n_in = F.size(T.tokens("text"))
+    n_out = F.size(T.collapse_token_runs("text"))
+    per = d.select(
+        "source", n_in.alias("n_in"), n_out.alias("n_out")
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_out") < F.col("n_in"), 1).otherwise(0)
+        ).alias("n_docs_touched"),
+        F.sum("n_in").alias("tokens_in"),
+        F.sum("n_out").alias("tokens_out"),
+        F.round(
+            1
+            - F.sum("n_out")
+            * 1.0
+            / F.greatest(F.sum("n_in"), F.lit(1)),
+            6,
+        ).alias("stutter_rate"),
+    )

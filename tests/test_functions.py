@@ -335,3 +335,29 @@ def test_time_decay_half_life_semantics(spark, tmp_path):
     assert out[7].decayed_value == 10.0 + 5.0 + 2.5 + 0.0
     assert out[7].raw_value == 40.0 and out[7].n_events == 4
     assert out[8].decayed_value == 2.5
+
+
+def test_collapse_token_runs_semantics(spark):
+    """Adjacent repeats collapse; non-adjacent reuse survives; empty
+    and single-token docs pass through untouched."""
+    from cmsspark_spark.functions.text import collapse_token_runs
+
+    rows = [
+        ("a a a b b c",),
+        ("the cat the cat",),   # non-adjacent reuse: untouched
+        ("x",),
+        ("",),
+        ("loop loop loop loop loop",),
+    ]
+    df = spark.createDataFrame(rows, "text: string")
+    got = [
+        list(r.c)
+        for r in df.select(collapse_token_runs("text").alias("c")).collect()
+    ]
+    assert got == [
+        ["a", "b", "c"],
+        ["the", "cat", "the", "cat"],
+        ["x"],
+        [],
+        ["loop"],
+    ]
