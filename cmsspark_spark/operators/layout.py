@@ -53,57 +53,64 @@ def bucket_expr(
     return f"((({col} - {cmin}) * {n}) {intdiv} ({cmax} - {cmin} + 1))"
 
 
-def interleave_expr(bx: str, by: str, bits: int = ZORDER_BITS) -> str:
-    """SQL for the Morton interleave of two ``bits``-bit non-negative
-    ints: bit ``i`` of ``bx`` lands at position ``2i``, of ``by`` at
-    ``2i + 1``. Built from ``>>``, ``&``, ``*`` and ``+`` only — the
-    identical string parses in Spark SQL and DuckDB, so the oracle
-    can never drift from the engine on the key itself."""
+def interleave_expr(*cols: str, bits: int = ZORDER_BITS) -> str:
+    """SQL for the Morton interleave of N ``bits``-bit non-negative
+    ints: bit ``i`` of column ``j`` lands at position ``i*N + j`` —
+    for two columns the classic z-order (x→2i, y→2i+1). Built from
+    ``>>``, ``&``, ``*`` and ``+`` only — the identical string parses
+    in Spark SQL and DuckDB, so the oracle can never drift from the
+    engine on the key itself. Key width is ``bits*N`` bits; the
+    assert keeps it inside a signed 64-bit integer in both engines."""
+    n = len(cols)
+    assert n >= 1 and bits * n <= 62, "z-key must fit a signed BIGINT"
     terms = []
     for i in range(bits):
-        terms.append(f"((({bx} >> {i}) & 1) * {1 << (2 * i)})")
-        terms.append(f"((({by} >> {i}) & 1) * {1 << (2 * i + 1)})")
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) * {1 << (i * n + j)})")
     return "(" + " + ".join(terms) + ")"
 
 
 def zorder_key(
-    df: DataFrame, x: str, y: str, bits: int = ZORDER_BITS
+    df: DataFrame, *cols: str, bits: int = ZORDER_BITS
 ) -> DataFrame:
-    """Attach ``_zkey``: the z-order key of integer columns ``x`` and
-    ``y``, equi-width-bucketed to ``bits`` bits each from their global
-    min/max. The min/max pass is one scalar aggregate (at scale the
-    reader answers it from parquet footers without touching row
-    groups); the key itself is a narrow, codegen'd map — no window,
-    no rank, no extra shuffle."""
-    mm = df.agg(
-        F.min(x).alias("_xmin"),
-        F.max(x).alias("_xmax"),
-        F.min(y).alias("_ymin"),
-        F.max(y).alias("_ymax"),
-    )
-    bx = bucket_expr(x, "_xmin", "_xmax", 1 << bits)
-    by = bucket_expr(y, "_ymin", "_ymax", 1 << bits)
+    """Attach ``_zkey``: the z-order key of N integer columns, each
+    equi-width-bucketed to ``bits`` bits from its global min/max. The
+    min/max pass is one scalar aggregate (at scale the reader answers
+    it from parquet footers without touching row groups); the key
+    itself is a narrow, codegen'd map — no window, no rank, no extra
+    shuffle."""
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"_min{j}"))
+        aggs.append(F.max(c).alias(f"_max{j}"))
+    mm = df.agg(*aggs)
+    buckets = [
+        bucket_expr(c, f"_min{j}", f"_max{j}", 1 << bits)
+        for j, c in enumerate(cols)
+    ]
+    drop = [f"_min{j}" for j in range(len(cols))] + [
+        f"_max{j}" for j in range(len(cols))
+    ]
     return (
         df.crossJoin(F.broadcast(mm))
-        .withColumn("_zkey", F.expr(interleave_expr(bx, by, bits)))
-        .drop("_xmin", "_xmax", "_ymin", "_ymax")
+        .withColumn("_zkey", F.expr(interleave_expr(*buckets, bits=bits)))
+        .drop(*drop)
     )
 
 
 def zorder_write(
     df: DataFrame,
     path: str,
-    x: str,
-    y: str,
+    *cols: str,
     n_files: int,
     bits: int = ZORDER_BITS,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the
-    z-order of ``(x, y)``: ``repartitionByRange`` over the z-key (the
+    z-order of ``cols``: ``repartitionByRange`` over the z-key (the
     one shuffle any clustered write needs) + ``sortWithinPartitions``
     so row groups inside each file are also z-contiguous, then drop
     the key — layout is physical, not schema."""
-    keyed = zorder_key(df, x, y, bits=bits)
+    keyed = zorder_key(df, *cols, bits=bits)
     (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")

@@ -126,3 +126,29 @@ def test_layout_report_plan_is_narrow(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row min/max frame
     for col in ("l_comment", "l_extendedprice", "l_shipdate"):
         assert col not in plan
+
+
+def test_interleave_expr_n_dims():
+    """The N-dim generalization round-robins bit i of column j to
+    position i*N + j — checked against a Python reference for 3
+    dims, plus the BIGINT-width guard."""
+    def morton3(x, y, z, bits=8):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (3 * i)
+            out |= ((y >> i) & 1) << (3 * i + 1)
+            out |= ((z >> i) & 1) << (3 * i + 2)
+        return out
+
+    expr = L.interleave_expr("x", "y", "z")
+    con = duckdb.connect()
+    rng = random.Random(3)
+    for _ in range(32):
+        x, y, z = (rng.randrange(256) for _ in range(3))
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT {x} AS x, {y} AS y, {z} AS z)"
+        ).fetchone()[0]
+        assert got == morton3(x, y, z)
+    con.close()
+    with pytest.raises(AssertionError):
+        L.interleave_expr(*"abcdefgh", bits=8)  # 64 bits > signed 62
