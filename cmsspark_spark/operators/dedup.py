@@ -288,7 +288,14 @@ def jaccard_pairs(
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        df = df.join(members, on=id_col, how="left_semi")
+        # Broadcast the member-id set: without the hint the semi-join
+        # sort-merges and the CORPUS side shuffles (doc_id, text) —
+        # megabytes of text per row through an exchange just to test
+        # id membership (caught by test_split_leakage_shuffles_ids_
+        # not_text). The member set is ids-only and candidate-sized;
+        # if a corpus ever has too many candidates to broadcast, the
+        # right fix is tighter LSH bands, not a text shuffle.
+        df = df.join(F.broadcast(members), on=id_col, how="left_semi")
 
     # Two-step projection ON PURPOSE: naming the shingle array before
     # size()+explode() reference it keeps the (large) shingle expression

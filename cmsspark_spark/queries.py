@@ -9383,10 +9383,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for EXACT duplicates but cannot for near-duplicates, which is why
     the audit exists. Scale shape: candidates come from the band
     bucket join (ids only), verification is candidate-pruned, split
-    labels are a narrow map over the corpus, and the label join
-    attaches to the (small) verified-pair set by id — text never
-    shuffles past tokenization. Within-split rows stay in the output
-    as the context baseline."""
+    labels are a narrow map over the corpus, and the verified-pair
+    set (small by construction: it survived LSH + Jaccard≥0.5)
+    BROADCASTS into both label joins, so the corpus-side label frame
+    never shuffles — without the hint, CollapseProject merges the
+    split projection above the join and the id exchange ships RAW
+    TEXT (caught by the plan test; the r6 paragraph-dedup lesson
+    again). Within-split rows stay in the output as the context
+    baseline."""
     d = _t(spark, sf_dir, "documents")
     cand = D.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
@@ -9407,7 +9411,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("split").alias("s_b")
     )
     lab = (
-        pairs.join(sa, "id_a")
+        F.broadcast(pairs)
+        .join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             F.least("s_a", "s_b").alias("split_a"),

@@ -691,3 +691,74 @@ def test_bm25_no_sortmerge_joins_broadcast_everywhere(spark):
             assert "text#" not in blk, (
                 "raw text entered a keyed shuffle:\n" + blk
             )
+
+
+def test_time_decay_single_shuffle_no_window(spark):
+    """r7 late: the half-life score is a narrow map (anchor via 1-row
+    broadcast nested loop) + ONE user-grain exchange; the only other
+    exchange is the anchor aggregate's SinglePartition gather, which
+    carries one partial-max row per input partition — metadata-sized
+    at any scale. No Window, no Python eval node (pure integer column
+    arithmetic)."""
+    df = QUERIES["time_decay_user_scores"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plans.count_exchanges(df) == 2
+    assert "SinglePartition" in plan  # the 1-row anchor gather
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_collapse_repeated_tokens_plan_is_narrow(spark):
+    """r7 late: stutter collapse is join-free and UDF-free — ONE
+    source-grain stat-cell hash exchange in the whole query (the only
+    other exchange is the catalog's widen RoundRobin that spreads the
+    scan, which carries text by design on the local harness); text
+    never crosses a KEYED shuffle (sizes computed below it)."""
+    import re
+
+    df = QUERIES["collapse_repeated_tokens"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    hashed = [
+        m.group(0)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput[^\n]*\nArguments: hashpartitioning"
+            r"[^\n]*",
+            plan,
+        )
+    ]
+    assert len(hashed) == 1, plan
+    assert "text#" not in hashed[0], hashed[0]
+
+
+def test_join_size_estimate_scans_keys_only(spark):
+    """r7 late: the CBO-estimate query must read ONLY the two join-key
+    columns — the whole point is planning from sketch-sized state."""
+    for line in plans.scan_read_schema(
+        QUERIES["join_size_estimate"](spark, SF)
+    ):
+        assert "o_orderkey" in line or "l_orderkey" in line, line
+        assert "comment" not in line and "extendedprice" not in line
+
+
+def test_split_leakage_shuffles_ids_not_text(spark):
+    """r7 late: the leakage audit's KEYED exchanges carry ids, hashes
+    and split labels — document text never crosses a hash shuffle
+    (the verified-pair side broadcasts into both label joins; without
+    that hint CollapseProject merges the split projection above the
+    join and raw text ships through the id exchange — this test
+    caught exactly that). Widen RoundRobins are exempt by design."""
+    import re
+
+    df = QUERIES["split_leakage_audit"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput[^\n]*\nArguments: hashpartitioning"
+        r"[^\n]*",
+        plan,
+    ):
+        blk = m.group(0)
+        assert "text#" not in blk, blk
