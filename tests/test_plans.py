@@ -762,3 +762,32 @@ def test_split_leakage_shuffles_ids_not_text(spark):
     ):
         blk = m.group(0)
         assert "text#" not in blk, blk
+
+
+def test_no_query_shuffles_raw_text(spark):
+    """GLOBAL scale invariant, enforced over the ENTIRE registry: no
+    registered query's physical plan ships a raw document/text or
+    binary payload column through a keyed (hashpartitioning)
+    exchange. Tokenize/hash/size projections must evaluate BELOW the
+    shuffle; widen RoundRobins (scan spreading on the local harness)
+    are exempt. This is the invariant that caught the jaccard-verify
+    semi-join shuffling (doc_id, text) for an id membership test."""
+    import re
+
+    from cmsspark_spark.queries import QUERIES as ALL_QUERIES
+
+    flagged = {}
+    for name, fn in sorted(ALL_QUERIES.items()):
+        plan = plans.formatted_plan(fn(spark, SF))
+        bad = [
+            m.group(0).splitlines()[1][:120]
+            for m in re.finditer(
+                r"\(\d+\) Exchange\nInput[^\n]*\nArguments: "
+                r"hashpartitioning[^\n]*",
+                plan,
+            )
+            if "text#" in m.group(0) or "payload#" in m.group(0)
+        ]
+        if bad:
+            flagged[name] = bad
+    assert not flagged, flagged
