@@ -765,13 +765,20 @@ def test_split_leakage_shuffles_ids_not_text(spark):
 
 
 def test_no_query_shuffles_raw_text(spark):
-    """GLOBAL scale invariant, enforced over the ENTIRE registry: no
-    registered query's physical plan ships a raw document/text or
-    binary payload column through a keyed (hashpartitioning)
-    exchange. Tokenize/hash/size projections must evaluate BELOW the
-    shuffle; widen RoundRobins (scan spreading on the local harness)
-    are exempt. This is the invariant that caught the jaccard-verify
-    semi-join shuffling (doc_id, text) for an id membership test."""
+    """GLOBAL scale invariants, enforced over the ENTIRE registry in
+    one plan pass per query:
+
+    1. no plan ships a raw document/text or binary payload column
+       through a keyed (hashpartitioning) exchange — tokenize/hash/
+       size projections must evaluate BELOW the shuffle; widen
+       RoundRobins (scan spreading on the local harness) are exempt.
+       This caught the jaccard-verify semi-join shuffling
+       (doc_id, text) for an id membership test;
+    2. no plan contains a row-at-a-time Python UDF node
+       (BatchEvalPython) — Python crosses the boundary only through
+       Arrow nodes (MapInPandas / FlatMapGroupsInPandas / grouped-agg);
+    3. no plan contains a CartesianProduct — 1-row scalar frames must
+       enter via BroadcastNestedLoopJoin, never an N×M product."""
     import re
 
     from cmsspark_spark.queries import QUERIES as ALL_QUERIES
@@ -788,6 +795,10 @@ def test_no_query_shuffles_raw_text(spark):
             )
             if "text#" in m.group(0) or "payload#" in m.group(0)
         ]
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython node (row-at-a-time Python UDF)")
+        if re.search(r"^\(\d+\) CartesianProduct", plan, re.M):
+            bad.append("CartesianProduct node")
         if bad:
             flagged[name] = bad
     assert not flagged, flagged
