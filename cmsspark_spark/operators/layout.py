@@ -31,7 +31,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 #: bits per dimension in the z-order key (two dims -> 2*BITS-bit key)
 ZORDER_BITS = 8

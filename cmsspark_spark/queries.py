@@ -9451,7 +9451,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events)
     SELECT user_id,
            ((sum(CAST(round(value * 100) AS BIGINT)
-                 * (1024 >> ((d0 - CAST(ts AS DATE)) // 7)))
+                 * (1024 >> least((d0 - CAST(ts AS DATE)) // 7, 16)))
              * 10000 + 51200) // 102400) / 10000.0 AS decayed_value,
            round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
              AS raw_value,
@@ -9484,10 +9484,15 @@ def time_decay_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(mx))
         .withColumn("_cents", F.round(F.col("value") * 100).cast("long"))
         .withColumn(
+            # shift CAPPED at 16: Java shift counts wrap mod 64
+            # (shiftright(1024, 64) == 1024 in Spark!) while DuckDB
+            # returns 0 past the bit width — uncapped, any event
+            # older than 64 weeks resurrects at FULL weight on the
+            # Spark side only. >=11 weeks is already exactly 0.
             "_w",
             F.expr(
-                "shiftright(1024,"
-                " CAST(datediff(d0, to_date(ts)) AS INT) div 7)"
+                "shiftright(1024, least("
+                "CAST(datediff(d0, to_date(ts)) AS INT) div 7, 16))"
             ).cast("long"),
         )
         .groupBy("user_id")

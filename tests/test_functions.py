@@ -319,6 +319,11 @@ def test_time_decay_half_life_semantics(spark, tmp_path):
         (3, "2024-02-16 12:00:00", 7, "click", 10.0, "{}"),  # 14d -> /4
         (4, "2023-12-01 12:00:00", 7, "click", 10.0, "{}"),  # 91d -> 0
         (5, "2024-03-01 00:00:00", 8, "view", 2.5, "{}"),
+        # >64 WEEKS old: Java shift counts wrap mod 64, so an uncapped
+        # shiftright resurrects this event at FULL weight on the Spark
+        # side while DuckDB zeroes it — the least(weeks, 16) cap must
+        # keep both engines at exactly 0.
+        (6, "2022-06-01 12:00:00", 7, "click", 10.0, "{}"),
     ]
     df = spark.createDataFrame(
         rows, "event_id: long, ts: string, user_id: long,"
@@ -332,9 +337,30 @@ def test_time_decay_half_life_semantics(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     }
-    assert out[7].decayed_value == 10.0 + 5.0 + 2.5 + 0.0
-    assert out[7].raw_value == 40.0 and out[7].n_events == 4
+    assert out[7].decayed_value == 10.0 + 5.0 + 2.5 + 0.0 + 0.0
+    assert out[7].raw_value == 50.0 and out[7].n_events == 5
     assert out[8].decayed_value == 2.5
+
+    # full oracle parity on the planted frame (the sf0.01 gate never
+    # exercises >64-week ages — this pins the shift-cap cross-engine)
+    import duckdb
+
+    from cmsspark_spark.queries import ORACLES
+    from tests.conftest import canonical_rows
+
+    sdf = QUERIES["time_decay_user_scores"](spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES["time_decay_user_scores"])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+    sc, sr = canonical_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dc, dr = canonical_rows(d_cols, d_rows)
+    assert sc == dc and sr == dr
 
 
 def test_collapse_token_runs_semantics(spark):
