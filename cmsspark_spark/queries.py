@@ -9245,13 +9245,14 @@ def _layout_sql() -> str:
     SELECT layout,
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(sum(n) AS BIGINT) AS n_rows,
-           round(sum((maxpk - minpk + 1) * 1.0
-                     / (_pkmax - _pkmin + 1)), 4) AS exp_files_pk,
-           round(sum((maxsk - minsk + 1) * 1.0
-                     / (_skmax - _skmin + 1)), 4) AS exp_files_sk,
-           round(sum(((maxpk - minpk + 1) * 1.0 / (_pkmax - _pkmin + 1))
-                   * ((maxsk - minsk + 1) * 1.0
-                      / (_skmax - _skmin + 1))), 4) AS exp_files_both
+           ((sum(maxpk - minpk + 1) * 20000 + (_pkmax - _pkmin + 1))
+             // (2 * (_pkmax - _pkmin + 1))) / 10000.0 AS exp_files_pk,
+           ((sum(maxsk - minsk + 1) * 20000 + (_skmax - _skmin + 1))
+             // (2 * (_skmax - _skmin + 1))) / 10000.0 AS exp_files_sk,
+           ((sum((maxpk - minpk + 1) * (maxsk - minsk + 1)) * 20000
+             + (_pkmax - _pkmin + 1) * (_skmax - _skmin + 1))
+             // (2 * (_pkmax - _pkmin + 1) * (_skmax - _skmin + 1)))
+             / 10000.0 AS exp_files_both
     FROM files, mm
     GROUP BY layout, _pkmin, _pkmax, _skmin, _skmax
     """
@@ -9315,21 +9316,43 @@ def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sk").alias("maxsk"),
         F.count(F.lit(1)).alias("n"),
     )
-    pk_span = (F.col("maxpk") - F.col("minpk") + 1) / (
-        F.col("_pkmax") - F.col("_pkmin") + 1
-    )
-    sk_span = (F.col("maxsk") - F.col("minsk") + 1) / (
-        F.col("_skmax") - F.col("_skmin") + 1
-    )
+    # Exact-integer form (the decay-query lesson): spans are integers,
+    # so sum them exactly and divide ONCE at the end, rounding on the
+    # integer grid — never sum double fractions (accumulation order
+    # differs across engines) and never round() a true decimal
+    # midpoint (Spark half-up vs DuckDB half-even).
     return (
         files.crossJoin(F.broadcast(mm))
         .groupBy("layout")
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.sum("n").alias("n_rows"),
-            F.round(F.sum(pk_span), 4).alias("exp_files_pk"),
-            F.round(F.sum(sk_span), 4).alias("exp_files_sk"),
-            F.round(F.sum(pk_span * sk_span), 4).alias("exp_files_both"),
+            (
+                F.expr(
+                    "(sum(maxpk - minpk + 1) * 20000"
+                    " + (first(_pkmax) - first(_pkmin) + 1))"
+                    " div (2 * (first(_pkmax) - first(_pkmin) + 1))"
+                )
+                / 10000.0
+            ).alias("exp_files_pk"),
+            (
+                F.expr(
+                    "(sum(maxsk - minsk + 1) * 20000"
+                    " + (first(_skmax) - first(_skmin) + 1))"
+                    " div (2 * (first(_skmax) - first(_skmin) + 1))"
+                )
+                / 10000.0
+            ).alias("exp_files_sk"),
+            (
+                F.expr(
+                    "(sum((maxpk - minpk + 1) * (maxsk - minsk + 1))"
+                    " * 20000 + (first(_pkmax) - first(_pkmin) + 1)"
+                    " * (first(_skmax) - first(_skmin) + 1))"
+                    " div (2 * (first(_pkmax) - first(_pkmin) + 1)"
+                    " * (first(_skmax) - first(_skmin) + 1))"
+                )
+                / 10000.0
+            ).alias("exp_files_both"),
         )
     )
 
@@ -9539,7 +9562,8 @@ def time_decay_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS est_ndv_rows,
            CAST(est_hist AS BIGINT) AS est_hist_rows,
            CAST(true_rows AS BIGINT) AS true_rows,
-           round(est_hist * 1.0 / true_rows, 4) AS hist_over_factor
+           ((est_hist * 20000 + true_rows) // (2 * true_rows))
+             / 10000.0 AS hist_over_factor
     FROM sides, est, tru
     """,
 )
@@ -9593,9 +9617,12 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("est_hist").alias("est_hist_rows"),
             "true_rows",
-            F.round(F.col("est_hist") * 1.0 / F.col("true_rows"), 4).alias(
-                "hist_over_factor"
-            ),
+            (
+                F.expr(
+                    "(est_hist * 20000 + true_rows) div (2 * true_rows)"
+                )
+                / 10000.0
+            ).alias("hist_over_factor"),
         )
     )
 
