@@ -9388,7 +9388,12 @@ def _split_leakage_sql() -> str:
            a.avg_jaccard,
            CASE WHEN a.split_a <> a.split_b THEN 1 ELSE 0 END AS is_leak
     FROM (SELECT split_a, split_b, count(*) AS n_pairs,
-                 round(avg(jaccard), 4) AS avg_jaccard
+                 -- exact-integer mean: jaccard sits on a 1e-4 grid, so
+                 -- sum it in e4 units and grid-round once (float avg()
+                 -- accumulates in engine-specific order)
+                 ((sum(CAST(round(jaccard * 10000) AS BIGINT)) * 2
+                   + count(*)) // (2 * count(*))) / 10000.0
+                   AS avg_jaccard
           FROM lab GROUP BY 1, 2) a
     JOIN docs d USING (split_a, split_b)
     """
@@ -9447,7 +9452,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = lab.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        (
+            F.expr(
+                "(sum(CAST(round(jaccard * 10000) AS BIGINT)) * 2"
+                " + count(1)) div (2 * count(1))"
+            )
+            / 10000.0
+        ).alias("avg_jaccard"),
     )
     docs = (
         lab.selectExpr(
