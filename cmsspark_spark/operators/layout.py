@@ -152,3 +152,137 @@ def pruned_files(
         (F.col(f"max_{dim}") >= F.lit(lo))
         & (F.col(f"min_{dim}") <= F.lit(hi))
     )
+
+
+#: Hilbert grid side for the 2-D index (8 bits/dim, like ZORDER_BITS)
+HILBERT_N = 1 << ZORDER_BITS
+
+
+def hilbert_level_exprs(
+    s: int,
+    n: int = HILBERT_N,
+    x: str = "_hx",
+    y: str = "_hy",
+    d: str = "_hd",
+) -> dict[str, str]:
+    """One level of the iterative Hilbert xy→d transform (the
+    Wikipedia n-rotation variant, chosen because every intermediate
+    stays in ``[0, n)`` — no negative values, so the SQL needs no
+    signed-bit care) as THREE portable SQL expressions over the
+    previous level's (x, y, d) columns. XOR-free: with rx ∈ {0,1},
+    ``(3*rx) ^ ry`` is ``3-ry`` when rx=1 else ``ry`` (DuckDB's ``^``
+    is exponentiation — never use it in shared SQL). The expressions
+    reference their inputs more than once, so each level MUST be
+    materialized as its own projection (withColumns / CTE), never
+    substituted into the next level's string — nesting grows the
+    expression tree exponentially."""
+    rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+    return {
+        d: f"({d} + {s * s} * (CASE WHEN {rx} = 1"
+           f" THEN 3 - {ry} ELSE {ry} END))",
+        x: f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+           f" THEN {n - 1} - {y} ELSE {y} END) ELSE {x} END)",
+        y: f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+           f" THEN {n - 1} - {x} ELSE {x} END) ELSE {y} END)",
+    }
+
+
+def hilbert_index(
+    df: DataFrame, x: str, y: str, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Attach ``_hd``: the Hilbert-curve distance of bucketed integer
+    columns ``x``, ``y`` (each already in ``[0, 2^bits)``). Hilbert
+    beats Morton for range locality — consecutive index values are
+    always grid NEIGHBORS (no Morton 'seam jumps'), so equal index
+    ranges cover more compact rectangles and clustered files skip
+    better on conjunctive range predicates. One projection per bit
+    level (levels must materialize — see hilbert_level_exprs), all
+    narrow and codegen'd; no shuffle, no UDF."""
+    n = 1 << bits
+    out = df.withColumns(
+        {
+            "_hx": F.col(x).cast("long"),
+            "_hy": F.col(y).cast("long"),
+            "_hd": F.lit(0).cast("long"),
+        }
+    )
+    s = n // 2
+    while s > 0:
+        exprs = hilbert_level_exprs(s, n=n)
+        out = out.withColumns({c: F.expr(e) for c, e in exprs.items()})
+        s //= 2
+    return out.drop("_hx", "_hy")
+
+
+def hilbert_cte_chain(
+    base: str,
+    carry: Sequence[str],
+    x: str,
+    y: str,
+    bits: int = ZORDER_BITS,
+) -> tuple[str, str]:
+    """DuckDB oracle twin of :func:`hilbert_index`: a chain of CTEs
+    (one per bit level, materializing each projection — same
+    anti-blowup rule) transforming (``x``, ``y``) from CTE ``base``
+    into the Hilbert distance. Returns (cte_fragment, final_cte_name);
+    the fragment starts with a comma, ready to splice after an
+    existing WITH list. ``carry`` columns pass through untouched."""
+    n = 1 << bits
+    cols = ", ".join(carry)
+    parts = [
+        f"h0 AS (SELECT {cols}, CAST({x} AS BIGINT) AS _hx,"
+        f" CAST({y} AS BIGINT) AS _hy, CAST(0 AS BIGINT) AS _hd"
+        f" FROM {base})"
+    ]
+    k = 0
+    s = n // 2
+    while s > 0:
+        e = hilbert_level_exprs(s, n=n)
+        parts.append(
+            f"h{k + 1} AS (SELECT {cols}, {e['_hx']} AS _hx,"
+            f" {e['_hy']} AS _hy, {e['_hd']} AS _hd FROM h{k})"
+        )
+        k += 1
+        s //= 2
+    return ",\n    " + ",\n    ".join(parts), f"h{k}"
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    n_files: int,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the
+    Hilbert distance of ``(x, y)`` — same shape as :func:`zorder_write`
+    (one min/max scalar agg, narrow key map, one range exchange) with
+    the better-locality curve: Hilbert file footprints are compact
+    rectangles with no Morton seam jumps, so conjunctive range
+    predicates prune more files at equal file counts."""
+    aggs = [
+        F.min(x).alias("_min0"),
+        F.max(x).alias("_max0"),
+        F.min(y).alias("_min1"),
+        F.max(y).alias("_max1"),
+    ]
+    mm = df.agg(*aggs)
+    bx = bucket_expr(x, "_min0", "_max0", 1 << bits)
+    by = bucket_expr(y, "_min1", "_max1", 1 << bits)
+    keyed = hilbert_index(
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("_bx", F.expr(bx))
+        .withColumn("_by", F.expr(by)),
+        "_bx",
+        "_by",
+        bits=bits,
+    )
+    (
+        keyed.repartitionByRange(n_files, "_hd")
+        .sortWithinPartitions("_hd")
+        .drop("_hd", "_bx", "_by", "_min0", "_max0", "_min1", "_max1")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -9219,6 +9219,9 @@ def _layout_sql() -> str:
     bsk = LAY.bucket_expr(_LAY_SK, "_skmin", "_skmax", 256, "duck")
     f_sort = LAY.bucket_expr(_LAY_PK, "_pkmin", "_pkmax", _LAY_NF, "duck")
     zkey = LAY.interleave_expr(bpk, bsk)
+    hchain, hfinal = LAY.hilbert_cte_chain(
+        "b", ["pk", "sk", "f_hash", "f_sort", "f_z"], "_bpk", "_bsk"
+    )
     return f"""
     WITH mm AS (
       SELECT min(l_partkey) AS _pkmin, max(l_partkey) AS _pkmax,
@@ -9227,15 +9230,18 @@ def _layout_sql() -> str:
     ),
     b AS (
       SELECT l_partkey AS pk, l_suppkey AS sk,
+             {bpk} AS _bpk, {bsk} AS _bsk,
              {_LAY_HASH_SQL} % {_LAY_NF} AS f_hash,
              {f_sort} AS f_sort,
              ({zkey}) // {65536 // _LAY_NF} AS f_z
       FROM lineitem, mm
-    ),
+    ){hchain},
     cells AS (
       SELECT pk, sk, 'hash' AS layout, f_hash AS file_id FROM b
       UNION ALL SELECT pk, sk, 'sort', f_sort FROM b
       UNION ALL SELECT pk, sk, 'zorder', f_z FROM b
+      UNION ALL SELECT pk, sk, 'hilbert', _hd // {65536 // _LAY_NF}
+        FROM {hfinal}
     ),
     files AS (
       SELECT layout, file_id, min(pk) AS minpk, max(pk) AS maxpk,
@@ -9263,21 +9269,25 @@ def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantify how the WRITE layout governs scan pruning (the 100 TB
     lever: parquet footer min/max stats skip whole files only when the
     layout keeps per-file ranges tight). Simulates writing lineitem as
-    32 files under three policies — hash-scatter, linear sort on
-    l_partkey, and a Morton z-order of (l_partkey, l_suppkey) via
-    operators/layout.py — then reports, per layout, the expected
-    number of files a point predicate touches on each dimension
-    (``sum`` over files of the per-file key-span fraction) and on both
-    at once. Hash ≈ all files on every dim; sort ≈ 1 file on partkey
-    but all on suppkey; z-order ≈ sqrt(n_files) on each. File ids are
-    VALUE-range buckets (pure integer arithmetic), not rank buckets —
-    a narrow codegen map with zero windows; the only shuffles carry
-    (layout, file_id) stat cells, never rows. The z-key expression
-    string is generated once and parsed by BOTH engines, so the oracle
-    cannot drift on the interleave itself. The real write path
-    (repartitionByRange + sortWithinPartitions) and footer-stats
-    manifest are exercised against actual parquet files in
-    tests/test_layout.py."""
+    32 files under four policies — hash-scatter, linear sort on
+    l_partkey, a Morton z-order and a Hilbert-curve index of
+    (l_partkey, l_suppkey), both via operators/layout.py — then
+    reports, per layout, the expected number of files a point
+    predicate touches on each dimension (``sum`` over files of the
+    per-file key-span fraction) and on both at once. Hash ≈ all files
+    on every dim; sort ≈ 1 file on partkey but all on suppkey;
+    z-order/Hilbert ≈ sqrt(n_files) on each (Hilbert additionally
+    guarantees consecutive index values are grid neighbors — no
+    Morton seam jumps — so its file rectangles are more compact).
+    File ids are VALUE-range buckets (pure integer arithmetic), not
+    rank buckets — a narrow codegen map with zero windows; the only
+    shuffles carry (layout, file_id) stat cells, never rows. The
+    z-key expression string is generated once and parsed by BOTH
+    engines, and the Hilbert per-level expressions come from the same
+    generator on both sides, so the oracle cannot drift on either
+    index. The real write path (repartitionByRange +
+    sortWithinPartitions) and footer-stats manifest are exercised
+    against actual parquet files in tests/test_layout.py."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
@@ -9294,6 +9304,8 @@ def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.crossJoin(F.broadcast(mm)).select(
         F.col("l_partkey").alias("pk"),
         F.col("l_suppkey").alias("sk"),
+        F.expr(bpk).alias("_bpk"),
+        F.expr(bsk).alias("_bsk"),
         (
             T.int_base_hash(
                 F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
@@ -9303,11 +9315,14 @@ def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f_sort).alias("f_sort"),
         F.expr(f"({zkey}) div {65536 // _LAY_NF}").alias("f_z"),
     )
-    cells = b.selectExpr(
+    hil = LAY.hilbert_index(b, "_bpk", "_bsk").withColumn(
+        "f_hil", F.expr(f"_hd div {65536 // _LAY_NF}")
+    )
+    cells = hil.selectExpr(
         "pk",
         "sk",
-        f"stack(3, 'hash', f_hash, 'sort', f_sort, 'zorder', f_z)"
-        " AS (layout, file_id)",
+        "stack(4, 'hash', f_hash, 'sort', f_sort, 'zorder', f_z,"
+        " 'hilbert', f_hil) AS (layout, file_id)",
     )
     files = cells.groupBy("layout", "file_id").agg(
         F.min("pk").alias("minpk"),

@@ -152,3 +152,70 @@ def test_interleave_expr_n_dims():
     con.close()
     with pytest.raises(AssertionError):
         L.interleave_expr(*"abcdefgh", bits=8)  # 64 bits > signed 62
+
+
+def _hilbert_py(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_python_reference(spark):
+    """Spark hilbert_index equals the bit-level Python reference (the
+    same xy2d loop the SQL levels are generated from) on random and
+    corner points; the DuckDB chain is exercised by the registered
+    oracle, so both engines pin to the same curve."""
+    rng = random.Random(13)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+    pts += [(0, 0), (255, 255), (0, 255), (255, 0)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    out = L.hilbert_index(df, "x", "y").collect()
+    for r in out:
+        assert r._hd == _hilbert_py(256, r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_adjacency_locality(spark):
+    """The definitive Hilbert property on a full 32x32 grid: the index
+    is a bijection onto [0, 1024) and CONSECUTIVE index values are
+    always grid neighbors (Manhattan distance exactly 1) — the
+    locality guarantee Morton does not have (z-order has seam jumps)."""
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    rows = L.hilbert_index(df, "x", "y", bits=5).collect()
+    pos = {r._hd: (r.x, r.y) for r in rows}
+    assert len(pos) == 1024 and set(pos) == set(range(1024))
+    assert all(
+        abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+        for d in range(1023)
+    )
+
+
+def test_hilbert_write_real_file_pruning(spark, tmp_path):
+    """hilbert_write against real parquet: both dims bounded per file
+    (like z-order) and stats-only pruning keeps a minority of files on
+    the non-sort dim."""
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a: long, b: long, payload: long")
+    hpath = str(tmp_path / "hilbert")
+    L.hilbert_write(df, hpath, "a", "b", n_files=16)
+    man = L.file_stats_manifest(spark.read.parquet(hpath), ["a", "b"])
+    rows = man.collect()
+    assert len(rows) == 16 and sum(r.n_rows for r in rows) == 64 * 64
+
+    def avg_span(rs, dcol):
+        return sum(
+            (r[f"max_{dcol}"] - r[f"min_{dcol}"] + 1) / 64.0 for r in rs
+        ) / len(rs)
+
+    assert avg_span(rows, "a") <= 0.45 and avg_span(rows, "b") <= 0.45
+    assert L.pruned_files(man, "b", 0, 15).count() <= 8
