@@ -9288,7 +9288,10 @@ def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     index. The real write path (repartitionByRange +
     sortWithinPartitions) and footer-stats manifest are exercised
     against actual parquet files in tests/test_layout.py."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # widen=True: the Hilbert chain is 8 materialized CASE levels per
+    # row — compute-bound, so the scan must spread across cores (the
+    # 3-partition sf0.1 file serialized it at ~5.5 s; widened ~1 s)
+    li = _t(spark, sf_dir, "lineitem", widen=True).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     mm = li.agg(
