@@ -347,6 +347,8 @@ def compact_partitions(
     target_bytes: int = 128 * 1024 * 1024,
     day_col: str = "day",
     min_files: int = 2,
+    cluster_by: tuple[str, str] | None = None,
+    curve: str = "hilbert",
 ) -> dict:
     """Small-file compaction for a day-partitioned curated table: any
     partition holding ≥ ``min_files`` parquet files is rewritten into
@@ -357,6 +359,15 @@ def compact_partitions(
     one-task-per-target-split shape without touching healthy
     partitions. Idempotent: a compacted partition has 1 file and is
     skipped next run.
+
+    ``cluster_by=(x, y)`` additionally CLUSTERS each rewrite on a
+    space-filling curve of the two columns (``curve``: "hilbert"
+    default, or "zorder" — operators/layout.py): the Delta
+    ``OPTIMIZE ZORDER BY`` move, fused into the same rewrite
+    compaction already pays for, so the curated table's footer stats
+    bound BOTH predicate columns per file from then on. Appends
+    re-fragment and de-cluster a partition; the next compaction pass
+    restores both properties in one pass.
 
     Returns {day: (files_before, files_after)} for rewritten
     partitions."""
@@ -379,8 +390,21 @@ def compact_partitions(
             .parquet(pdir)
             .withColumn(day_col, F.col(day_col).cast("string"))
         )
+        if cluster_by is not None:
+            from cmsspark_spark.operators.layout import curve_key
+
+            keyed, key = curve_key(
+                part, cluster_by[0], cluster_by[1], curve=curve
+            )
+            out = (
+                keyed.repartitionByRange(n_out, key)
+                .sortWithinPartitions(key)
+                .drop(key)
+            )
+        else:
+            out = part.repartition(n_out)
         write_partitioned_parquet(
-            part.repartition(n_out), table_path, partition_by=(day_col,),
+            out, table_path, partition_by=(day_col,),
             mode="overwrite", dynamic=True,
         )
         after = len(

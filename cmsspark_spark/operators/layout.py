@@ -262,13 +262,40 @@ def hilbert_write(
     the better-locality curve: Hilbert file footprints are compact
     rectangles with no Morton seam jumps, so conjunctive range
     predicates prune more files at equal file counts."""
-    aggs = [
+    keyed, key = curve_key(df, x, y, curve="hilbert", bits=bits)
+    (
+        keyed.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def curve_key(
+    df: DataFrame,
+    x: str,
+    y: str,
+    curve: str = "hilbert",
+    bits: int = ZORDER_BITS,
+) -> tuple[DataFrame, str]:
+    """Attach a space-filling-curve key over ``(x, y)`` — ``"zorder"``
+    (Morton) or ``"hilbert"`` — bucketing each column to ``bits`` bits
+    from its global min/max first. Returns ``(df_with_key, key_col)``
+    with every intermediate column dropped, so callers can feed the
+    result straight into ``repartitionByRange(key)`` (clustered
+    writes, compaction). Same cost shape as :func:`zorder_key`: one
+    scalar min/max agg broadcast + a narrow key map."""
+    if curve == "zorder":
+        return zorder_key(df, x, y, bits=bits), "_zkey"
+    if curve != "hilbert":
+        raise ValueError(f"unknown curve {curve!r}")
+    mm = df.agg(
         F.min(x).alias("_min0"),
         F.max(x).alias("_max0"),
         F.min(y).alias("_min1"),
         F.max(y).alias("_max1"),
-    ]
-    mm = df.agg(*aggs)
+    )
     bx = bucket_expr(x, "_min0", "_max0", 1 << bits)
     by = bucket_expr(y, "_min1", "_max1", 1 << bits)
     keyed = hilbert_index(
@@ -279,10 +306,7 @@ def hilbert_write(
         "_by",
         bits=bits,
     )
-    (
-        keyed.repartitionByRange(n_files, "_hd")
-        .sortWithinPartitions("_hd")
-        .drop("_hd", "_bx", "_by", "_min0", "_max0", "_min1", "_max1")
-        .write.mode("overwrite")
-        .parquet(path)
+    return (
+        keyed.drop("_bx", "_by", "_min0", "_max0", "_min1", "_max1"),
+        "_hd",
     )

@@ -495,3 +495,52 @@ def test_stateful_funnel_matches_batch_walk(spark, tmp_path):
         {"ts": "2024-01-01 14:20:00", "user_id": 3, "event_type": "purchase"},
     ])
     assert b4 == {4: 0, 3: 0}
+
+
+def test_compact_partitions_clusters_on_curve(spark, tmp_path):
+    """cluster_by compaction = OPTIMIZE ZORDER fused into the rewrite:
+    a fragmented partition written as random small files comes back
+    as N files whose footer stats bound BOTH cluster columns (every
+    file's (a, b) span a compact tile), while plain compaction leaves
+    each output file spanning ~the whole key space. Rows survive
+    byte-identically and the healthy partition stays untouched."""
+    import glob
+
+    from cmsspark_spark.operators.incremental import (
+        compact_partitions,
+        read_curated,
+    )
+    from cmsspark_spark.operators.layout import file_stats_manifest
+    from cmsspark_spark.sinks import write_partitioned_parquet
+
+    rows = [("2024-01-01", x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    frag = spark.createDataFrame(
+        rows, "day: string, a: long, b: long, payload: long"
+    ).repartition(8)  # random fragmentation: every file spans ~everything
+    path = str(tmp_path / "tbl")
+    write_partitioned_parquet(frag, path, partition_by=("day",))
+    assert len(glob.glob(f"{path}/day=2024-01-01/*.parquet")) == 8
+
+    # force 4 output files so per-file spans are measurable
+    pbytes = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(f"{path}/day=2024-01-01/*.parquet")
+    )
+    report = compact_partitions(
+        spark, path, target_bytes=pbytes // 4 + 1,
+        cluster_by=("a", "b"), curve="hilbert",
+    )
+    (before, after), = report.values()
+    assert before == 8 and 2 <= after <= 5
+
+    man = file_stats_manifest(
+        spark.read.parquet(f"{path}/day=2024-01-01"), ["a", "b"]
+    ).collect()
+    # every clustered file bounds BOTH dims (compact Hilbert tiles;
+    # 4 files ideal span 0.5/0.5 — slack for range-sampling wobble)
+    for r in man:
+        assert (r.max_a - r.min_a + 1) / 64.0 <= 0.75, r
+        assert (r.max_b - r.min_b + 1) / 64.0 <= 0.75, r
+    # rows byte-identical
+    got = {(r.a, r.b, r.payload) for r in read_curated(spark, path).collect()}
+    assert got == {(x, y, x * 64 + y) for x in range(64) for y in range(64)}
