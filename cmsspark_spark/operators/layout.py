@@ -1,5 +1,6 @@
-"""Data-layout operators: z-order clustering keys, per-file statistics
-manifests, and a skipping-quality report.
+"""Data-layout operators: Morton (z-order) and Hilbert clustering
+keys, clustered parquet writes, file- and row-group-grain statistics
+manifests, split pruning, and a skipping-quality report.
 
 At 100 TB the scan IS the query: what the engine reads is governed by
 file-level min/max statistics (parquet footers, lakehouse manifests)
@@ -310,3 +311,64 @@ def curve_key(
         keyed.drop("_bx", "_by", "_min0", "_max0", "_min1", "_max1"),
         "_hd",
     )
+
+
+def rowgroup_stats_manifest(
+    spark, path: str, dims: Sequence[str]
+) -> DataFrame:
+    """Row-group-grain min/max/rowcount manifest — one level below
+    :func:`file_stats_manifest`, matching what parquet readers
+    actually prune with (a file whose span looks useless can still
+    skip most of its ROW GROUPS when rows are sorted/clustered within
+    it — exactly what ``sortWithinPartitions`` in the clustered write
+    paths buys). ``binaryFile`` does the distributed listing; each
+    task parses its files' parquet FOOTERS with pyarrow — metadata
+    only, no row group is ever decompressed. ``dims`` must be integer
+    columns (the manifest schema types them long). At 100 TB you'd
+    maintain this table at write time or use ranged footer reads
+    instead of whole-file ``binaryFile`` content; this operator is
+    the audit/backfill path."""
+    dims = tuple(dims)
+    schema = (
+        "file string, row_group int, n_rows long, "
+        + ", ".join(f"min_{d} long, max_{d} long" for d in dims)
+    )
+    cols = ["file", "row_group", "n_rows"] + [
+        f"{m}_{d}" for d in dims for m in ("min", "max")
+    ]
+
+    def parse(batches):
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for pth, content in zip(pdf["path"], pdf["content"]):
+                md = pq.ParquetFile(pa.BufferReader(content)).metadata
+                names = {
+                    md.schema.column(j).name: j
+                    for j in range(md.num_columns)
+                }
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    rec = {
+                        "file": os.path.basename(pth),
+                        "row_group": i,
+                        "n_rows": rg.num_rows,
+                    }
+                    for d in dims:
+                        st = rg.column(names[d]).statistics
+                        rec[f"min_{d}"] = st.min
+                        rec[f"max_{d}"] = st.max
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/*.parquet")
+        .select("path", "content")
+    )
+    return files.mapInPandas(parse, schema=schema)

@@ -219,3 +219,42 @@ def test_hilbert_write_real_file_pruning(spark, tmp_path):
 
     assert avg_span(rows, "a") <= 0.45 and avg_span(rows, "b") <= 0.45
     assert L.pruned_files(man, "b", 0, 15).count() <= 8
+
+
+def test_rowgroup_stats_manifest_sub_file_pruning(spark, tmp_path):
+    """Row-group grain beats file grain when rows are sorted WITHIN
+    the file: one pyarrow-written file with 4 row groups sorted on
+    `a` has file-level span 1.0 but tight per-row-group spans — the
+    pruning sortWithinPartitions buys inside each clustered file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(
+        ((x, y) for x in range(64) for y in range(64)),
+        key=lambda t: (t[0], t[1]),
+    )
+    tbl = pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "t")
+    import os
+
+    os.makedirs(path)
+    pq.write_table(tbl, f"{path}/part-0.parquet", row_group_size=1024)
+
+    man = L.rowgroup_stats_manifest(spark, path, ["a", "b"]).collect()
+    assert len(man) == 4 and sum(r.n_rows for r in man) == 4096
+    # file grain: spans everything on `a`
+    fstats = L.file_stats_manifest(
+        spark.read.parquet(path), ["a", "b"]
+    ).collect()
+    assert (fstats[0].max_a - fstats[0].min_a + 1) == 64
+    # row-group grain: each covers exactly a quarter of `a`
+    for r in sorted(man, key=lambda r: r.row_group):
+        assert r.max_a - r.min_a + 1 == 16, r
+    # predicate a in [0, 15] -> exactly ONE of four row groups survives
+    keep = [r for r in man if r.max_a >= 0 and r.min_a <= 15]
+    assert len(keep) == 1 and keep[0].row_group == 0
