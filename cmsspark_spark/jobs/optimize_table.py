@@ -1,0 +1,140 @@
+"""Table-layout optimization job: the OPTIMIZE-style CLI for a parquet
+table — rewrite it clustered on a space-filling curve of two predicate
+columns (Hilbert default, Morton via ``--curve zorder``;
+operators/layout.py) and emit the skipping evidence an operator acts
+on: before/after per-file stats manifests and the expected number of
+files a point predicate touches on each dimension.
+
+The operational form of the ``layout_skipping_report`` registry query:
+same operators, wired as one runnable rewrite + report. The rewrite
+goes to ``--dest`` (default ``<table>_optimized``) — never in place,
+so the original stays readable until the caller swaps paths; for the
+in-place day-partitioned variant fused into small-file compaction see
+``incremental.compact_partitions(cluster_by=...)``.
+
+Run:
+    python -m cmsspark_spark.jobs.optimize_table \\
+        --table /data/events --x user_id --y value_bucket \\
+        --out /tmp/layout_report
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import math
+import os
+
+from pyspark.sql import SparkSession
+
+from cmsspark_spark.operators.layout import (
+    curve_key,
+    file_stats_manifest,
+)
+from cmsspark_spark.session import get_spark
+from cmsspark_spark.sinks import report
+
+
+def _span_summary(manifest_pdf, x: str, y: str) -> dict:
+    """Expected files touched by a point predicate per dimension:
+    sum over files of the per-file key-span fraction (driver-side —
+    the manifest is one row per file)."""
+    span_x = manifest_pdf[f"max_{x}"] - manifest_pdf[f"min_{x}"] + 1
+    span_y = manifest_pdf[f"max_{y}"] - manifest_pdf[f"min_{y}"] + 1
+    range_x = manifest_pdf[f"max_{x}"].max() - manifest_pdf[f"min_{x}"].min() + 1
+    range_y = manifest_pdf[f"max_{y}"].max() - manifest_pdf[f"min_{y}"].min() + 1
+    return {
+        "n_files": len(manifest_pdf),
+        "n_rows": int(manifest_pdf["n_rows"].sum()),
+        f"exp_files_{x}": round(float((span_x / range_x).sum()), 4),
+        f"exp_files_{y}": round(float((span_y / range_y).sum()), 4),
+        "exp_files_both": round(
+            float(((span_x / range_x) * (span_y / range_y)).sum()), 4
+        ),
+    }
+
+
+def run(
+    spark: SparkSession,
+    table: str,
+    out: str,
+    x: str,
+    y: str,
+    dest: str | None = None,
+    curve: str = "hilbert",
+    n_files: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    dry_run: bool = False,
+) -> dict:
+    dest = dest or table.rstrip("/") + "_optimized"
+    df = spark.read.parquet(table)
+    before_man = file_stats_manifest(df, [x, y]).toPandas()
+    before = _span_summary(before_man, x, y)
+
+    if n_files is None:
+        nbytes = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(table, "*.parquet"))
+        )
+        n_files = max(1, math.ceil(nbytes / target_bytes))
+
+    summary = {"table": table, "dest": dest, "curve": curve,
+               "before": before}
+    if not dry_run:
+        keyed, key = curve_key(df, x, y, curve=curve)
+        (
+            keyed.repartitionByRange(n_files, key)
+            .sortWithinPartitions(key)
+            .drop(key)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        after_man = file_stats_manifest(
+            spark.read.parquet(dest), [x, y]
+        ).toPandas()
+        after = _span_summary(after_man, x, y)
+        summary["after"] = after
+        report.write_report(
+            spark.createDataFrame(after_man),
+            out,
+            "manifest_after",
+            f"Per-file stats after {curve} clustering",
+            subtitle=f"{dest} — {after['n_files']} files",
+        )
+    report.write_report(
+        spark.createDataFrame(before_man),
+        out,
+        "manifest_before",
+        "Per-file stats before clustering",
+        subtitle=f"{table} — {before['n_files']} files",
+    )
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--x", required=True, help="first cluster column")
+    ap.add_argument("--y", required=True, help="second cluster column")
+    ap.add_argument("--dest", default=None)
+    ap.add_argument("--curve", choices=("hilbert", "zorder"),
+                    default="hilbert")
+    ap.add_argument("--n-files", type=int, default=None)
+    ap.add_argument("--target-bytes", type=int,
+                    default=128 * 1024 * 1024)
+    ap.add_argument("--dry-run", action="store_true",
+                    help="report the current layout only, no rewrite")
+    args = ap.parse_args()
+    spark = get_spark("optimize-table")
+    summary = run(
+        spark, args.table, args.out, args.x, args.y,
+        dest=args.dest, curve=args.curve, n_files=args.n_files,
+        target_bytes=args.target_bytes, dry_run=args.dry_run,
+    )
+    print(summary)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -590,3 +590,49 @@ def test_corpus_qa_job_end_to_end(spark, tmp_path):
     ):
         assert os.path.exists(f"{out}/report/{page}.html")
         assert os.path.exists(f"{out}/report/{page}.csv")
+
+
+def test_optimize_table_job_end_to_end(spark, tmp_path):
+    """The OPTIMIZE CLI against a real unclustered table: the rewrite
+    lands at --dest with the requested file count, both predicate
+    dimensions' expected-files drop versus the before manifest, rows
+    survive byte-identically, and the report pages exist. --dry-run
+    reports without writing."""
+    import glob
+    import os
+
+    from cmsspark_spark.jobs import optimize_table
+
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a: long, b: long, payload: long")
+    table = str(tmp_path / "tbl")
+    df.repartition(8).write.parquet(table)  # random scatter: worst case
+    out = str(tmp_path / "report")
+
+    summary = optimize_table.run(
+        spark, table, out, "a", "b", n_files=16, curve="hilbert"
+    )
+    dest = summary["dest"]
+    assert os.path.isdir(dest)
+    assert len(glob.glob(f"{dest}/*.parquet")) == 16
+    # scatter touches ~all files on every dim; the clustered layout
+    # bounds both (16 Hilbert tiles -> ~4 expected files per dim)
+    assert summary["before"]["exp_files_a"] >= 6
+    assert summary["after"]["exp_files_a"] <= 6
+    assert summary["after"]["exp_files_b"] <= 6
+    assert summary["after"]["exp_files_both"] <= 1.5
+    got = {(r.a, r.b, r.payload)
+           for r in spark.read.parquet(dest).collect()}
+    assert got == set(rows)
+    assert os.path.exists(f"{out}/manifest_before.csv")
+    assert os.path.exists(f"{out}/manifest_after.html")
+
+    # dry-run: report only, no rewrite
+    out2 = str(tmp_path / "report2")
+    s2 = optimize_table.run(
+        spark, table, out2, "a", "b", dry_run=True,
+        dest=str(tmp_path / "never"),
+    )
+    assert "after" not in s2
+    assert not os.path.exists(str(tmp_path / "never"))
+    assert os.path.exists(f"{out2}/manifest_before.csv")
