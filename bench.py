@@ -320,9 +320,28 @@ def main() -> None:
 
         rucio_summary.run(spark, sources, f"{tmp}/out", date="2024-01-15")
 
+    def _optimize_setup(tmp):
+        # stage an unclustered copy of lineitem as the rewrite input
+        # (staging outside the clock, like the rucio fixture stage)
+        src = f"{tmp}/tbl"
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        ).repartition(8).write.parquet(src)
+        return src
+
+    def _optimize_table(tmp, src):
+        from cmsspark_spark.jobs import optimize_table
+
+        optimize_table.run(
+            spark, src, f"{tmp}/report", "l_partkey", "l_suppkey",
+            n_files=16,
+        )
+
     timed_job("job_clean_corpus", _clean_corpus)
     timed_job("job_corpus_qa", _corpus_qa)
     timed_job("job_rucio_summary", _rucio_summary, setup=_rucio_setup)
+    timed_job("job_optimize_table", _optimize_table,
+              setup=_optimize_setup)
 
     total = round(sum(timings.values()), 3)
     total_v2 = round(sum(v2.values()), 3)
