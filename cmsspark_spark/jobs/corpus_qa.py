@@ -92,17 +92,24 @@ def run(
         cur_scored = scored.select("source", "n_tokens")
         subtitle = f"reference: {ref_dir}"
     else:
-        ref_scored = scored.filter(F.col("doc_id") % 2 == 0).select(
-            "source", "n_tokens"
-        )
-        cur_scored = scored.filter(F.col("doc_id") % 2 == 1).select(
-            "source", "n_tokens"
-        )
-        subtitle = "reference: even-doc_id half of this snapshot"
+        # hash split, NOT doc_id parity: sequential ids often encode
+        # the source (round-robin assignment), so a parity split would
+        # put whole sources on one side and score them as brand-new.
+        half = int_base_hash(F.col("doc_id").cast("string")) % 2
+        ref_scored = scored.filter(half == 0).select("source", "n_tokens")
+        cur_scored = scored.filter(half == 1).select("source", "n_tokens")
+        subtitle = "reference: doc_id-hash half of this snapshot"
     ref_tbl = psi_reference(ref_scored, "source", "n_tokens")
     drift = (
         psi_against_reference(cur_scored, ref_tbl, "source", "n_tokens")
-        .withColumn("drifted", F.col("psi") > psi_threshold)
+        .withColumn(
+            # a source the reference never saw is the strongest drift
+            # signal there is — flag it rather than dropping the row
+            "drifted",
+            F.when(F.col("new_group"), F.lit(True)).otherwise(
+                F.col("psi") > psi_threshold
+            ),
+        )
         .orderBy("source")
     )
     report.write_report(
@@ -180,14 +187,28 @@ def run(
         dup_cols = [dup_by_src]
 
     # combined summary page
+    # left-join the drift/novelty facets: a source present only in the
+    # current snapshot (brand-new — the strongest drift signal) must
+    # still get a summary row; null psi + drifted=true marks it.
     summary = (
-        quality.join(drift.select("source", "psi", "drifted"), "source")
+        quality.join(
+            drift.select("source", "psi", "drifted", "new_group"),
+            "source",
+            "left",
+        )
+        .withColumn(
+            "drifted",
+            F.coalesce(F.col("drifted"), F.lit(True)),
+        )
+        .withColumn(
+            "new_group", F.coalesce(F.col("new_group"), F.lit(True))
+        )
         .join(
             boiler.select("source", "boilerplate_frac", "n_docs_affected"),
             "source",
             "left",
         )
-        .join(novelty.select("source", "novelty_frac"), "source")
+        .join(novelty.select("source", "novelty_frac"), "source", "left")
     )
     for extra in dup_cols:
         summary = summary.join(extra, "source", "left").withColumn(

@@ -1144,7 +1144,14 @@ def psi_reference(
     later batch against it without re-reading the reference corpus.
     Bins cover the whole real line (len(probs)+1 buckets from the
     group's own quantiles), so every future value lands in exactly one
-    stored row's bin."""
+    stored row's bin.
+
+    ALL len(probs)+1 bins are materialized per group, with n_ref=0 and
+    the Laplace-smoothed floor share for bins the reference never hit.
+    A tied/skewed reference (duplicate quantile bounds — e.g. a
+    near-constant metric) piles its mass into one bin; without the
+    empty rows a later batch landing in the other bins would be
+    silently unscoreable, reporting ~0 PSI for extreme drift."""
     nbins = len(probs) + 1
     plist = ", ".join(str(p) for p in probs)
     bounds = df.groupBy(group_col).agg(
@@ -1152,7 +1159,6 @@ def psi_reference(
     )
     binned = df.join(F.broadcast(bounds), group_col).select(
         group_col,
-        "bs",
         (
             1
             + F.aggregate(
@@ -1164,10 +1170,20 @@ def psi_reference(
         ).alias("bin"),
     )
     counts = binned.groupBy(group_col, "bin").agg(
-        F.count(F.lit(1)).alias("n_ref"), F.first("bs").alias("bs")
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    # group × [1..nbins] skeleton (one row per group in `bounds`, tiny)
+    # left-joined with observed counts so empty bins persist explicitly.
+    skeleton = bounds.select(
+        group_col,
+        "bs",
+        F.explode(F.sequence(F.lit(1), F.lit(nbins))).alias("bin"),
+    )
+    full = skeleton.join(counts, [group_col, "bin"], "left").withColumn(
+        "n_ref", F.coalesce(F.col("n_ref"), F.lit(0)).cast("long")
     )
     w = Window.partitionBy(group_col)
-    return counts.select(
+    return full.select(
         group_col,
         "bin",
         "bs",
@@ -1190,13 +1206,25 @@ def psi_against_reference(
     (group, bin), then fold PSI over ALL reference bins — a bin the
     batch never hits still contributes its term (that absence IS
     drift), which is why this outer-joins the reference rather than
-    emitting only observed cells like snapshot_psi. Returns one row
-    per group: (group, n_cur, psi, max_bin_shift)."""
+    emitting only observed cells like snapshot_psi. The bin count is
+    carried explicitly as size(bs)+1 (never inferred from max(bin), so
+    a legacy reference table that stored only observed cells still
+    smooths correctly), and batch cells landing in bins the reference
+    never hit are kept by the full-outer cell join — the smoothed
+    p_ref floor prices them as drift instead of dropping them.
+
+    Groups present in the batch but ABSENT from the reference (a
+    brand-new source — the strongest drift signal there is) cannot be
+    binned, so they are emitted with psi/max_bin_shift NULL and
+    ``new_group`` = true rather than silently dropped; stored groups
+    score ``new_group`` = false. Returns one row per group:
+    (group, n_cur, psi, max_bin_shift, new_group)."""
     nbins_df = ref.groupBy(group_col).agg(
-        F.max("bin").cast("int").alias("_nbins"),
+        (F.size(F.first("bs")) + 1).cast("int").alias("_nbins"),
         F.first("bs").alias("bs"),
     )
-    binned = batch.join(F.broadcast(nbins_df), group_col).select(
+    joined = batch.join(F.broadcast(nbins_df), group_col, "left")
+    binned = joined.filter(F.col("bs").isNotNull()).select(
         group_col,
         (
             1
@@ -1212,7 +1240,8 @@ def psi_against_reference(
         F.count(F.lit(1)).alias("n_cur")
     )
     cells = (
-        ref.join(cur, [group_col, "bin"], "left")
+        ref.select(group_col, "bin", "p_ref")
+        .join(cur, [group_col, "bin"], "full_outer")
         .join(F.broadcast(nbins_df.select(group_col, "_nbins")), group_col)
         .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
     )
@@ -1220,12 +1249,33 @@ def psi_against_reference(
     p_cur = (F.col("n_cur") + 0.5) / (
         F.sum("n_cur").over(w) + 0.5 * F.col("_nbins")
     )
-    term = (p_cur - F.col("p_ref")) * F.log(p_cur / F.col("p_ref"))
-    scored = cells.withColumn("_t", term).withColumn(
-        "_shift", F.abs(p_cur - F.col("p_ref"))
+    # legacy ref tables may lack a stored row for an empty bin the
+    # batch hit: price it at the same Laplace floor the full table
+    # would have stored (0.5 / (N_ref + 0.5·nbins) is unrecoverable
+    # without N_ref, so use the batch-side smoothing denominator —
+    # conservative and finite).
+    p_ref = F.coalesce(
+        F.col("p_ref"),
+        F.lit(0.5) / (F.sum("n_cur").over(w) + 0.5 * F.col("_nbins")),
     )
-    return scored.groupBy(group_col).agg(
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    scored = cells.withColumn("_t", term).withColumn(
+        "_shift", F.abs(p_cur - p_ref)
+    )
+    known = scored.groupBy(group_col).agg(
         F.sum("n_cur").alias("n_cur"),
         F.round(F.sum("_t"), 6).alias("psi"),
         F.round(F.max("_shift"), 6).alias("max_bin_shift"),
+        F.lit(False).alias("new_group"),
     )
+    unknown = (
+        joined.filter(F.col("bs").isNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_cur"),
+            F.lit(None).cast("double").alias("psi"),
+            F.lit(None).cast("double").alias("max_bin_shift"),
+            F.lit(True).alias("new_group"),
+        )
+    )
+    return known.unionByName(unknown)

@@ -580,7 +580,9 @@ def psi_drift_batch_fn(
     (operators/pipeline.psi_against_reference — reference bins that
     the batch misses still count toward drift) and one row per group
     is APPENDED to ``out_path`` with the batch id and a ``drifted``
-    flag (psi > threshold). Append is the right mode for a monitor
+    flag (psi > threshold; a group absent from the reference has no
+    psi but IS drift — ``new_group`` rows flag drifted=true). Append
+    is the right mode for a monitor
     ledger: replays add duplicate rows for the replayed batch id,
     which readers dedupe on (batch_id, group) — the monitor is
     advisory, not the exactly-once data path (that's the ingest
@@ -594,7 +596,12 @@ def psi_drift_batch_fn(
         out = psi_against_reference(bdf, ref, group_col, value_col)
         (
             out.withColumn("batch_id", F.lit(batch_id))
-            .withColumn("drifted", F.col("psi") > threshold)
+            .withColumn(
+                "drifted",
+                F.when(F.col("new_group"), F.lit(True)).otherwise(
+                    F.col("psi") > threshold
+                ),
+            )
             .write.mode("append")
             .parquet(out_path)
         )

@@ -786,6 +786,54 @@ def test_snapshot_psi_empty_side_bins_stay_finite(spark):
     assert sum(r.n_cur for r in out) == 6
 
 
+def test_psi_reference_materializes_empty_bins(spark):
+    """A tied/near-constant reference metric piles all its mass into
+    one bin (duplicate quantile bounds). The stored table must still
+    carry ALL nbins rows per group — with n_ref=0 and the smoothed
+    floor share — so a later batch landing in the other bins scores
+    as drift instead of being silently dropped."""
+    ref = spark.createDataFrame(
+        [("s", 5)] * 40, "source string, n long"
+    )
+    tbl = PL.psi_reference(ref, "source", "n").collect()
+    assert {r.bin for r in tbl} == {1, 2, 3, 4}
+    by_bin = {r.bin: r for r in tbl}
+    assert by_bin[1].n_ref == 40
+    for b in (2, 3, 4):
+        assert by_bin[b].n_ref == 0 and by_bin[b].p_ref > 0
+
+    # extreme drift: every batch value above the (constant) bound
+    batch = spark.createDataFrame(
+        [("s", v) for v in range(100, 140)], "source string, n long"
+    )
+    ref_df = spark.createDataFrame(tbl)
+    out = PL.psi_against_reference(batch, ref_df, "source", "n").collect()
+    assert len(out) == 1
+    assert out[0].psi > 0.25 and not out[0].new_group
+    assert out[0].n_cur == 40
+
+
+def test_psi_against_reference_flags_new_group(spark):
+    """A group present only in the batch (a brand-new source) cannot
+    be binned against the stored reference — it must surface with
+    new_group=true and null psi, not vanish."""
+    ref = spark.createDataFrame(
+        [("old", v) for v in range(1, 41)], "source string, n long"
+    )
+    tbl = PL.psi_reference(ref, "source", "n")
+    batch = spark.createDataFrame(
+        [("old", v) for v in range(1, 41)]
+        + [("brand_new", v) for v in range(5)],
+        "source string, n long",
+    )
+    out = {r.source: r for r in
+           PL.psi_against_reference(batch, tbl, "source", "n").collect()}
+    assert set(out) == {"old", "brand_new"}
+    assert not out["old"].new_group and out["old"].psi < 0.05
+    ng = out["brand_new"]
+    assert ng.new_group and ng.psi is None and ng.n_cur == 5
+
+
 def test_split_distribution_psi_neutral_on_hash_split(spark):
     """Content-hash splits are distribution-neutral by construction:
     the PSI between the train split and its holdout over token-length

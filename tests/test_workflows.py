@@ -563,9 +563,11 @@ def test_minhash_gate_estimator_matches_true_jaccard_direction(spark, tmp_path):
 
 def test_corpus_qa_job_end_to_end(spark, tmp_path):
     """r7 capstone: the read-only corpus audit CLI — quality, drift
-    (even/odd split), boilerplate, novelty, optional near-dup rate —
-    writes all five report pages plus the combined summary and returns
-    one row per source with every QA column populated."""
+    (doc_id-hash split), boilerplate, novelty, optional near-dup rate
+    — writes all five report pages plus the combined summary and
+    returns one row per source with every QA column populated. The
+    split is a HASH split: sf0.001 assigns source = f(doc_id % 20), so
+    a doc_id-parity split would score every odd source as brand-new."""
     from cmsspark_spark.jobs import corpus_qa
 
     out = str(tmp_path / "qa")
@@ -576,11 +578,12 @@ def test_corpus_qa_job_end_to_end(spark, tmp_path):
     assert rows
     cols = set(summary.columns)
     assert {
-        "source", "n_docs", "n_tokens", "psi", "drifted",
+        "source", "n_docs", "n_tokens", "psi", "drifted", "new_group",
         "novelty_frac", "n_near_dup_docs",
     } <= cols
     for r in rows:
         assert r.n_docs > 0 and r.psi is not None
+        assert not r.new_group  # hash split: every source on both sides
         assert 0.0 <= r.novelty_frac <= 1.0
     import os
 
@@ -590,6 +593,31 @@ def test_corpus_qa_job_end_to_end(spark, tmp_path):
     ):
         assert os.path.exists(f"{out}/report/{page}.html")
         assert os.path.exists(f"{out}/report/{page}.csv")
+
+
+def test_corpus_qa_retains_brand_new_source(spark, tmp_path):
+    """r8 (ADVICE): with --ref-dir, a source present only in the
+    current snapshot is the strongest drift signal — the summary must
+    keep its row flagged (new_group=true, drifted=true, psi null)
+    instead of silently inner-joining it away."""
+    from cmsspark_spark.jobs import corpus_qa
+
+    ref_dir = str(tmp_path / "refsnap")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("source") != "src1")
+        .write.parquet(f"{ref_dir}/documents.parquet")
+    )
+    out = str(tmp_path / "qa")
+    summary = corpus_qa.run(
+        spark, "/root/testdata/sf0.001", out, ref_dir=ref_dir
+    )
+    rows = {r.source: r for r in summary.collect()}
+    assert "src1" in rows
+    new = rows["src1"]
+    assert new.new_group and new.drifted and new.psi is None
+    old = rows["src2"]
+    assert not old.new_group and old.psi is not None
 
 
 def test_optimize_table_job_end_to_end(spark, tmp_path):
