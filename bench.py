@@ -236,14 +236,26 @@ def main() -> None:
 
     def timed(name: str, runs: int = 2) -> float | None:
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            try:
-                QUERIES[name](spark, sf_dir).collect()
-            except Exception as exc:  # noqa: BLE001 — record and move on
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                return None
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                try:
+                    QUERIES[name](spark, sf_dir).collect()
+                except Exception as exc:  # noqa: BLE001 — record, move on
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    return None
+                best = min(best, time.perf_counter() - t0)
+        finally:
+            # centralized cache eviction (r7 advice): operators persist
+            # corpus-sized frames their lazy results depend on
+            # (postings, shingle explosions, quantized vectors) and
+            # cannot unpersist them before returning; a session running
+            # the full registry would otherwise accumulate them all.
+            # Clearing AFTER each query's runs keeps the 2-run-min
+            # within-query reuse intact while bounding peak storage to
+            # one query's working set. (Driver-side memos — k-means
+            # centroids — survive; their frames re-persist on demand.)
+            spark.catalog.clearCache()
         return round(best, 3)
 
     timings: dict[str, float] = {}
@@ -293,6 +305,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         finally:
+            spark.catalog.clearCache()
             shutil.rmtree(tmp, ignore_errors=True)
 
     def _clean_corpus(tmp, _state):

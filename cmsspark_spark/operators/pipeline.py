@@ -209,11 +209,16 @@ def bm25_more_like_this(
     (persisted — reused for the query-term df count and the candidate
     join); query terms and their df table are tiny and broadcast, so
     the corpus-side candidate join is narrow; the only other exchange
-    is the (query, doc) score aggregation. At true scale the
-    correctness-identical pruning path is WAND/max-score (skip
-    postings whose max contribution can't reach the current top-k) —
-    here every matching posting is scored, which IS the exact
-    semantics the oracle checks.
+    is the (query, doc) score aggregation. The corpus is tokenized
+    exactly ONCE: the scalar stats come from the persisted postings
+    (``sum_dl`` — a zero-token doc has no postings row but also
+    contributes 0 to the sum) plus a column-pruned count-star on the
+    raw input for N (parquet row-group metadata, never reads text —
+    N must include zero-token docs to match the classic idf). At true
+    scale the correctness-identical pruning path is WAND/max-score
+    (skip postings whose max contribution can't reach the current
+    top-k) — here every matching posting is scored, which IS the
+    exact semantics the oracle checks.
     """
     from pyspark import StorageLevel
 
@@ -224,9 +229,16 @@ def bm25_more_like_this(
         .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_docs, sum_dl = base.select(
-        F.count(F.lit(1)), F.sum(F.size("_tk"))
-    ).first()
+    # this action materializes the persisted postings; every later
+    # consumer (df table, candidate join) reads the cache, so the
+    # tokenize+explode pass runs exactly once
+    sum_dl = (
+        post.groupBy("_doc")
+        .agg(F.first("_dl").alias("_dl"))
+        .select(F.sum("_dl"))
+        .first()[0]
+    ) or 0
+    n_docs = docs.count()
     avgdl = sum_dl / n_docs
     qterms = (
         post.filter(F.col("_doc") < query_max_id)

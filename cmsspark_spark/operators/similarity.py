@@ -908,8 +908,7 @@ def kmeans_lloyd(
     Returns the final assignment: (id_col, cluster int, d2 bigint) with
     d2 the exact squared distance in quantized space.
     """
-    q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
-    cents = _kmeans_train(q, k, iters)
+    q, cents = _kmeans_shared(corpus, id_col, vec_col, scale, k, iters)
     best = _kmeans_best("_q", cents)
     return q.select(
         F.col("_id").alias(id_col),
@@ -928,6 +927,51 @@ def _kmeans_quantized_frame(
     return corpus.select(
         F.col(id_col).alias("_id"), _kmeans_quantize(vec_col, scale).alias("_q")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+#: Session-scoped train-once memo: Lloyd's loop here is fully
+#: deterministic (k-smallest-id seeds, integer quantization, no RNG),
+#: so for a given (corpus plan, params) the centroids are a pure
+#: function — every consumer (assignment query, SemDeDup bucketing,
+#: trained IVF, the ladder audit, a mixture sampler) can share ONE
+#: training run and ONE persisted quantized frame instead of each
+#: re-running the full-corpus iterations. Keyed weakly by session so
+#: dead sessions' entries are collectable; the quantized frame's
+#: persist is also deduped here (one cache per corpus, not one per
+#: consumer — the cache-accumulation fix from the r7 advice).
+_KMEANS_MEMO: "object" = None
+
+
+def _kmeans_shared(
+    corpus: DataFrame, id_col: str, vec_col: str, scale: int, k: int, iters: int
+) -> tuple[DataFrame, list]:
+    """(quantized frame, trained centroids) memoized per
+    (session, corpus semanticHash, id/vec cols, scale, k, iters).
+    A memo miss trains exactly as before; a hit skips the seed scan
+    and every iteration action. Falls back to untracked training if
+    semanticHash is unavailable for the plan."""
+    global _KMEANS_MEMO
+    if _KMEANS_MEMO is None:
+        import weakref
+
+        _KMEANS_MEMO = weakref.WeakKeyDictionary()
+    try:
+        phash = corpus.semanticHash()
+    except Exception:
+        q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
+        return q, _kmeans_train(q, k, iters)
+    sess = corpus.sparkSession
+    per_sess = _KMEANS_MEMO.setdefault(sess, {})
+    fkey = ("frame", phash, id_col, vec_col, scale)
+    if fkey not in per_sess:
+        per_sess[fkey] = _kmeans_quantized_frame(
+            corpus, id_col, vec_col, scale
+        )
+    q = per_sess[fkey]
+    tkey = ("cents", phash, id_col, vec_col, scale, k, iters)
+    if tkey not in per_sess:
+        per_sess[tkey] = _kmeans_train(q, k, iters)
+    return q, per_sess[tkey]
 
 
 def _kmeans_train(q: DataFrame, k: int, iters: int) -> list:
@@ -976,8 +1020,7 @@ def kmeans_centroids(
     loop as ``kmeans_lloyd`` (shared ``_kmeans_train``), so the values
     an oracle recomputes from the k-means CTE divide by ``scale`` to
     exactly these doubles."""
-    q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
-    cents = _kmeans_train(q, k, iters)
+    _, cents = _kmeans_shared(corpus, id_col, vec_col, scale, k, iters)
     return np.array(cents, dtype=np.float64) / float(scale)
 
 
@@ -1093,8 +1136,7 @@ def ivf_kmeans_topk(
     rescore — ids and clusters shuffle, full vectors only for
     candidates.
     """
-    q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
-    cents = _kmeans_train(q, km_k, iters)
+    q, cents = _kmeans_shared(corpus, id_col, vec_col, scale, km_k, iters)
     assign = q.select(
         F.col("_id").alias(id_col),
         _kmeans_best("_q", cents)["c"].alias("_cluster"),
