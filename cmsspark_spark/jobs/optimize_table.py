@@ -21,15 +21,14 @@ Run:
 from __future__ import annotations
 
 import argparse
-import glob
 import math
-import os
 
 from pyspark.sql import SparkSession
 
 from cmsspark_spark.operators.layout import (
     curve_key,
     file_stats_manifest,
+    write_file_manifest,
 )
 from cmsspark_spark.session import get_spark
 from cmsspark_spark.sinks import report
@@ -54,6 +53,18 @@ def _span_summary(manifest_pdf, x: str, y: str) -> dict:
     }
 
 
+def table_bytes(spark: SparkSession, table: str) -> int:
+    """Total on-disk bytes of a table through the Hadoop FileSystem
+    API — resolves whatever scheme the path carries (HDFS, s3a,
+    file:). A driver-local ``glob``+``getsize`` would silently see
+    nothing on a cluster filesystem and undersize the rewrite to one
+    file; this asks the same FS the executors will read."""
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(table)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(path).getLength())
+
+
 def run(
     spark: SparkSession,
     table: str,
@@ -72,11 +83,7 @@ def run(
     before = _span_summary(before_man, x, y)
 
     if n_files is None:
-        nbytes = sum(
-            os.path.getsize(f)
-            for f in glob.glob(os.path.join(table, "*.parquet"))
-        )
-        n_files = max(1, math.ceil(nbytes / target_bytes))
+        n_files = max(1, math.ceil(table_bytes(spark, table) / target_bytes))
 
     summary = {"table": table, "dest": dest, "curve": curve,
                "before": before}
@@ -89,9 +96,11 @@ def run(
             .write.mode("overwrite")
             .parquet(dest)
         )
-        after_man = file_stats_manifest(
-            spark.read.parquet(dest), [x, y]
-        ).toPandas()
+        # write-time manifest maintenance: the sidecar is built from
+        # the rewritten files' FOOTERS (ranged reads, no data re-scan)
+        # and doubles as the report's after-stats
+        man_path = write_file_manifest(spark, dest, (x, y))
+        after_man = spark.read.parquet(man_path).toPandas()
         after = _span_summary(after_man, x, y)
         summary["after"] = after
         report.write_report(

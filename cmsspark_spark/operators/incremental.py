@@ -349,6 +349,7 @@ def compact_partitions(
     min_files: int = 2,
     cluster_by: tuple[str, str] | None = None,
     curve: str = "hilbert",
+    manifest_dims: tuple[str, ...] | None = None,
 ) -> dict:
     """Small-file compaction for a day-partitioned curated table: any
     partition holding ≥ ``min_files`` parquet files is rewritten into
@@ -369,11 +370,23 @@ def compact_partitions(
     re-fragment and de-cluster a partition; the next compaction pass
     restores both properties in one pass.
 
+    ``manifest_dims`` (defaults to ``cluster_by`` when clustering)
+    additionally maintains the file-grain stats-manifest sidecar at
+    ``layout.manifest_location(table_path)``, partitioned by
+    ``day_col`` and updated by DYNAMIC overwrite — only the rewritten
+    partitions' manifest rows change, untouched days' rows stand, and
+    the stats come from footers of just the rewritten files (never a
+    table scan). This is the incremental form the r7 row-group
+    docstring promised: appends de-cluster a partition, compaction
+    re-clusters it, and the manifest says so partition by partition.
+
     Returns {day: (files_before, files_after)} for rewritten
     partitions."""
     import math
     import os
 
+    if manifest_dims is None and cluster_by is not None:
+        manifest_dims = tuple(cluster_by)
     report = {}
     for entry in sorted(os.listdir(table_path)):
         if not entry.startswith(f"{day_col}="):
@@ -411,6 +424,22 @@ def compact_partitions(
             [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         )
         report[day] = (len(files), after)
+        if manifest_dims:
+            from cmsspark_spark.operators.layout import (
+                _list_parquet_files,
+                write_file_manifest,
+            )
+
+            # footer-parse ONLY this partition's rewritten files and
+            # dynamic-overwrite its manifest rows; other days stand
+            write_file_manifest(
+                spark,
+                table_path,
+                manifest_dims,
+                files=_list_parquet_files(spark, pdir),
+                literals={day_col: day},
+                partition_by=(day_col,),
+            )
     return report
 
 

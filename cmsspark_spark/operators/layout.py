@@ -49,9 +49,31 @@ def bucket_expr(
     ``(d * n) intdiv (d + 1) <= n - 1`` for every span ``d >= 0``.
     ``engine`` picks the integer-division spelling (Spark ``div``,
     DuckDB ``//``); everything else is shared syntax.
+
+    The multiply-first form overflows int64 when ``span * n > 2^63``
+    (a bigint column of nanosecond epochs spans ~2^60) — Spark wraps
+    silently, corrupting every curve key and file assignment. Since
+    min/max are runtime columns, the guard is a SQL CASE: spans past
+    ``2^62 / n`` switch to the divide-first form
+    ``(col - min) intdiv (span intdiv n + 1)`` — overflow-free (the
+    width form never adds to the span, which can be 2^63-1 itself),
+    same ``[0, n)`` range (``d intdiv (d intdiv n + 1) <= n - 1`` by
+    ``qn + r < (q+1)n``), equally monotone, merely up to one bucket
+    off the exact cut at astronomic spans (irrelevant for layout:
+    buckets only need to be a deterministic monotone partition of the
+    domain). Both branches parse identically in Spark SQL and DuckDB,
+    so engine and oracle can never disagree on the key.
     """
     intdiv = "div" if engine == "spark" else "//"
-    return f"((({col} - {cmin}) * {n}) {intdiv} ({cmax} - {cmin} + 1))"
+    span1 = f"({cmax} - {cmin} + 1)"
+    small = f"((({col} - {cmin}) * {n}) {intdiv} {span1})"
+    width = f"((({cmax} - {cmin}) {intdiv} {n}) + 1)"
+    large = f"((({col} - {cmin})) {intdiv} {width})"
+    cutoff = (1 << 62) // n
+    return (
+        f"(CASE WHEN ({cmax} - {cmin}) < {cutoff} "
+        f"THEN {small} ELSE {large} END)"
+    )
 
 
 def interleave_expr(*cols: str, bits: int = ZORDER_BITS) -> str:
@@ -105,12 +127,18 @@ def zorder_write(
     *cols: str,
     n_files: int,
     bits: int = ZORDER_BITS,
+    manifest: bool = True,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the
     z-order of ``cols``: ``repartitionByRange`` over the z-key (the
     one shuffle any clustered write needs) + ``sortWithinPartitions``
     so row groups inside each file are also z-contiguous, then drop
-    the key — layout is physical, not schema."""
+    the key — layout is physical, not schema. The file-grain stats
+    manifest is maintained AT WRITE TIME (``manifest=True``): footers
+    of exactly the files just written are parsed into the
+    :func:`manifest_location` sidecar — cost ∝ files written, so a
+    planner reads :func:`pruned_files` off the sidecar without ever
+    backfill-scanning the table."""
     keyed = zorder_key(df, *cols, bits=bits)
     (
         keyed.repartitionByRange(n_files, "_zkey")
@@ -119,6 +147,8 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if manifest:
+        write_file_manifest(df.sparkSession, path, cols)
 
 
 def file_stats_manifest(
@@ -256,13 +286,15 @@ def hilbert_write(
     y: str,
     n_files: int,
     bits: int = ZORDER_BITS,
+    manifest: bool = True,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the
     Hilbert distance of ``(x, y)`` — same shape as :func:`zorder_write`
     (one min/max scalar agg, narrow key map, one range exchange) with
     the better-locality curve: Hilbert file footprints are compact
     rectangles with no Morton seam jumps, so conjunctive range
-    predicates prune more files at equal file counts."""
+    predicates prune more files at equal file counts. Maintains the
+    write-time stats-manifest sidecar like :func:`zorder_write`."""
     keyed, key = curve_key(df, x, y, curve="hilbert", bits=bits)
     (
         keyed.repartitionByRange(n_files, key)
@@ -271,6 +303,8 @@ def hilbert_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if manifest:
+        write_file_manifest(df.sparkSession, path, (x, y))
 
 
 def curve_key(
@@ -313,21 +347,88 @@ def curve_key(
     )
 
 
+def manifest_location(path: str) -> str:
+    """Canonical sidecar location for a table's file-stats manifest:
+    ``<table>_manifest`` — beside the data, never inside it (a reader
+    globbing ``<table>/*.parquet`` must not pick up manifest rows)."""
+    return path.rstrip("/") + "_manifest"
+
+
+def write_file_manifest(
+    spark,
+    data_path: str,
+    dims: Sequence[str],
+    files: Sequence[str] | None = None,
+    literals: dict | None = None,
+    partition_by: Sequence[str] = (),
+) -> str:
+    """Materialize the FILE-grain stats manifest of ``data_path`` as a
+    parquet sidecar at :func:`manifest_location` and return that path
+    — the write-time half of the manifest family. Stats come from
+    parquet FOOTERS (ranged reads, cost ∝ number of files touched —
+    see :func:`rowgroup_stats_manifest`), so a write path can refresh
+    the manifest for exactly the files it just wrote without a data
+    scan. ``literals`` attaches constant columns (e.g. the partition
+    value a compaction just rewrote); with ``partition_by`` the
+    sidecar is itself partitioned and updated by DYNAMIC overwrite, so
+    an incremental writer replaces only the touched partitions' rows
+    and the rest of the manifest stands."""
+    rg = rowgroup_stats_manifest(spark, data_path, dims, files=files)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for d in dims:
+        aggs.append(F.min(f"min_{d}").alias(f"min_{d}"))
+        aggs.append(F.max(f"max_{d}").alias(f"max_{d}"))
+    man = rg.groupBy("file").agg(*aggs)
+    for c, v in (literals or {}).items():
+        man = man.withColumn(c, F.lit(v))
+    dest = manifest_location(data_path)
+    if partition_by:
+        from cmsspark_spark.sinks import write_partitioned_parquet
+
+        write_partitioned_parquet(
+            man, dest, partition_by=tuple(partition_by),
+            mode="overwrite", dynamic=True,
+        )
+    else:
+        man.write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def _list_parquet_files(spark, path: str) -> list[str]:
+    """Recursive parquet-file listing through the Hadoop FileSystem
+    API (driver-side, metadata-only) — works on any scheme the
+    executors can read, unlike an os-level glob."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append(p)
+    return sorted(out)
+
+
 def rowgroup_stats_manifest(
-    spark, path: str, dims: Sequence[str]
+    spark, path: str, dims: Sequence[str], files: Sequence[str] | None = None
 ) -> DataFrame:
     """Row-group-grain min/max/rowcount manifest — one level below
     :func:`file_stats_manifest`, matching what parquet readers
     actually prune with (a file whose span looks useless can still
     skip most of its ROW GROUPS when rows are sorted/clustered within
     it — exactly what ``sortWithinPartitions`` in the clustered write
-    paths buys). ``binaryFile`` does the distributed listing; each
-    task parses its files' parquet FOOTERS with pyarrow — metadata
-    only, no row group is ever decompressed. ``dims`` must be integer
-    columns (the manifest schema types them long). At 100 TB you'd
-    maintain this table at write time or use ranged footer reads
-    instead of whole-file ``binaryFile`` content; this operator is
-    the audit/backfill path."""
+    paths buys). The driver lists file PATHS (Hadoop FS metadata
+    call); tasks receive paths, not contents, and pyarrow's
+    ParquetFile does a RANGED read of each FOOTER — a few KB per file
+    regardless of file size, never a row group (the r7 form shipped
+    whole files through ``binaryFile`` just to parse their tails).
+    ``dims`` must be integer columns (the manifest schema types them
+    long). ``files`` narrows the parse to an explicit subset — the
+    write paths pass exactly the files they just wrote, which is what
+    makes write-time manifest maintenance cost ∝ increment, not
+    table size."""
     dims = tuple(dims)
     schema = (
         "file string, row_group int, n_rows long, "
@@ -336,18 +437,26 @@ def rowgroup_stats_manifest(
     cols = ["file", "row_group", "n_rows"] + [
         f"{m}_{d}" for d in dims for m in ("min", "max")
     ]
+    paths = list(files) if files is not None else _list_parquet_files(
+        spark, path
+    )
 
     def parse(batches):
-        import os
-
         import pandas as pd
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         for pdf in batches:
             rows = []
-            for pth, content in zip(pdf["path"], pdf["content"]):
-                md = pq.ParquetFile(pa.BufferReader(content)).metadata
+            for pth in pdf["path"]:
+                # Hadoop lists local files as file:/... URIs; pyarrow
+                # wants the bare OS path (remote schemes pass through
+                # to pyarrow's own filesystem inference)
+                loc = pth
+                if loc.startswith("file://"):
+                    loc = loc[7:]
+                elif loc.startswith("file:"):
+                    loc = loc[5:]
+                md = pq.ParquetFile(loc).metadata
                 names = {
                     md.schema.column(j).name: j
                     for j in range(md.num_columns)
@@ -355,7 +464,7 @@ def rowgroup_stats_manifest(
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
                     rec = {
-                        "file": os.path.basename(pth),
+                        "file": loc.rsplit("/", 1)[-1],
                         "row_group": i,
                         "n_rows": rg.num_rows,
                     }
@@ -366,9 +475,7 @@ def rowgroup_stats_manifest(
                     rows.append(rec)
             yield pd.DataFrame(rows, columns=cols)
 
-    files = (
-        spark.read.format("binaryFile")
-        .load(f"{path}/*.parquet")
-        .select("path", "content")
-    )
-    return files.mapInPandas(parse, schema=schema)
+    files_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(1, min(len(paths), 32)))
+    return files_df.mapInPandas(parse, schema=schema)

@@ -57,6 +57,37 @@ def test_bucket_expr_never_reaches_n(spark):
     con.close()
 
 
+def test_bucket_expr_survives_nanosecond_epoch_spans(spark):
+    """r8 (ADVICE): spans past 2^62/n used to overflow the
+    multiply-first int64 form, silently corrupting buckets (Spark
+    wraps). The SQL CASE guard switches to divide-first: buckets stay
+    in [0, n), are monotone in the value, and Spark and DuckDB agree
+    on every one."""
+    # nanosecond-epoch-like bigints: span ~1.7e18 >> 2^62/16
+    vals = [
+        0, 1, 10**9, 1_700_000_000_000_000_000,
+        1_700_000_000_000_000_001, 2**63 - 2, 2**63 - 1,
+    ]
+    cmin, cmax = str(min(vals)), str(2**63 - 1)
+    sexpr = L.bucket_expr("v", cmin, cmax, 16, "spark")
+    sdf = spark.createDataFrame(
+        [(v,) for v in vals], "v long"
+    ).selectExpr("v", f"{sexpr} AS b").orderBy("v")
+    srows = [(r.v, r.b) for r in sdf.collect()]
+    con = duckdb.connect()
+    dexpr = L.bucket_expr("v", cmin, cmax, 16, "duck")
+    drows = con.execute(
+        f"SELECT v, {dexpr} AS b FROM (SELECT unnest(?::BIGINT[]) AS v) "
+        f"ORDER BY v", [vals]
+    ).fetchall()
+    con.close()
+    assert srows == [(v, b) for v, b in drows]
+    buckets = [b for _, b in srows]
+    assert all(0 <= b < 16 for b in buckets), buckets
+    assert buckets == sorted(buckets)  # monotone
+    assert buckets[0] == 0 and buckets[-1] == 15  # spans the range
+
+
 def test_zorder_write_real_file_pruning(spark, tmp_path):
     """The write path against REAL parquet: z-order a 64x64 key grid
     into 16 files, rebuild the footer-stats manifest from
@@ -168,6 +199,34 @@ def _hilbert_py(n, x, y):
             x, y = y, x
         s //= 2
     return d
+
+
+def test_clustered_writes_maintain_manifest_sidecar(spark, tmp_path):
+    """r8 (verdict #3): zorder_write/hilbert_write emit the file-grain
+    stats manifest at write time (footer reads of just-written files,
+    no table scan). The sidecar must agree exactly with a scan-derived
+    file_stats_manifest, and pruned_files over the sidecar must make
+    the same keep/skip decisions."""
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a: long, b: long, payload: long")
+    for writer, args in (
+        (L.zorder_write, ("a", "b")),
+        (L.hilbert_write, ("a", "b")),
+    ):
+        path = str(tmp_path / writer.__name__)
+        if writer is L.zorder_write:
+            writer(df, path, *args, n_files=16)
+        else:
+            writer(df, path, args[0], args[1], n_files=16)
+        side = spark.read.parquet(L.manifest_location(path))
+        scan = L.file_stats_manifest(spark.read.parquet(path), ["a", "b"])
+        cols = ["file", "n_rows", "min_a", "max_a", "min_b", "max_b"]
+        assert sorted(map(tuple, side.select(cols).collect())) == sorted(
+            map(tuple, scan.select(cols).collect())
+        )
+        assert L.pruned_files(side, "b", 0, 15).count() == L.pruned_files(
+            scan, "b", 0, 15
+        ).count()
 
 
 def test_hilbert_index_matches_python_reference(spark):

@@ -544,3 +544,83 @@ def test_compact_partitions_clusters_on_curve(spark, tmp_path):
     # rows byte-identical
     got = {(r.a, r.b, r.payload) for r in read_curated(spark, path).collect()}
     assert got == {(x, y, x * 64 + y) for x in range(64) for y in range(64)}
+
+
+def test_compact_partitions_updates_manifest_per_partition(spark, tmp_path):
+    """r8 (verdict #3): clustered compaction maintains the stats
+    manifest sidecar incrementally — each rewritten day's manifest
+    rows are replaced by dynamic overwrite from the rewritten files'
+    footers; days compacted earlier keep their rows untouched."""
+    import glob
+    import os
+
+    from cmsspark_spark.operators.incremental import compact_partitions
+    from cmsspark_spark.operators.layout import manifest_location
+    from cmsspark_spark.sinks import write_partitioned_parquet
+
+    path = str(tmp_path / "tbl")
+    for day in ("2024-01-01", "2024-01-02"):
+        rows = [(day, x, y, x + y) for x in range(32) for y in range(32)]
+        write_partitioned_parquet(
+            spark.createDataFrame(
+                rows, "day: string, a: long, b: long, payload: long"
+            ).repartition(6),
+            path,
+            partition_by=("day",),
+            mode="append",
+            dynamic=False,
+        )
+
+    compact_partitions(
+        spark, path, target_bytes=1 << 30, cluster_by=("a", "b")
+    )
+    mpath = manifest_location(path)
+    man1 = spark.read.parquet(mpath)
+    assert set(man1.columns) >= {
+        "file", "n_rows", "min_a", "max_a", "min_b", "max_b", "day"
+    }
+    by_day1 = {
+        d: sorted(r.file for r in man1.filter(F.col("day") == d).collect())
+        for d in ("2024-01-01", "2024-01-02")
+    }
+    # manifest lists exactly the live files of each day
+    for d, files in by_day1.items():
+        on_disk = sorted(
+            os.path.basename(f)
+            for f in glob.glob(f"{path}/day={d}/*.parquet")
+        )
+        assert files == on_disk, d
+
+    # re-fragment ONE day; recompact; only that day's rows change
+    rows = [("2024-01-02", x, y, x + y) for x in range(32) for y in range(32)]
+    write_partitioned_parquet(
+        spark.createDataFrame(
+            rows, "day: string, a: long, b: long, payload: long"
+        ).repartition(5),
+        path,
+        partition_by=("day",),
+        mode="append",
+        dynamic=False,
+    )
+    compact_partitions(
+        spark, path, target_bytes=1 << 30, cluster_by=("a", "b")
+    )
+    man2 = spark.read.parquet(mpath)
+    by_day2 = {
+        d: sorted(r.file for r in man2.filter(F.col("day") == d).collect())
+        for d in ("2024-01-01", "2024-01-02")
+    }
+    assert by_day2["2024-01-01"] == by_day1["2024-01-01"]  # untouched
+    assert by_day2["2024-01-02"] == sorted(
+        os.path.basename(f)
+        for f in glob.glob(f"{path}/day=2024-01-02/*.parquet")
+    )
+    # row counts in the manifest match the data (initial load + the
+    # re-fragmenting append doubled the day's rows)
+    n_man = sum(
+        r.n_rows for r in man2.filter(F.col("day") == "2024-01-02").collect()
+    )
+    assert n_man == 2 * 32 * 32
+    assert spark.read.parquet(path).filter(
+        F.col("day") == "2024-01-02"
+    ).count() == n_man

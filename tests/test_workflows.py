@@ -620,6 +620,31 @@ def test_corpus_qa_retains_brand_new_source(spark, tmp_path):
     assert not old.new_group and old.psi is not None
 
 
+def test_optimize_table_sizes_via_hadoop_fs(spark, tmp_path):
+    """r8 (verdict #5): default file sizing goes through the Hadoop
+    FileSystem API (works on any scheme), not a driver-local glob —
+    the byte total must match the real on-disk size including files
+    in subdirectories a flat glob would miss."""
+    import os
+
+    from cmsspark_spark.jobs.optimize_table import table_bytes
+
+    t = str(tmp_path / "t")
+    spark.range(10_000).selectExpr(
+        "id", "id % 7 AS p"
+    ).write.partitionBy("p").parquet(t)
+    expect = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(t)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    got = table_bytes(spark, t)
+    # content summary counts data files; success markers are
+    # zero-length so equality holds either way
+    assert got == expect and got > 0
+
+
 def test_optimize_table_job_end_to_end(spark, tmp_path):
     """The OPTIMIZE CLI against a real unclustered table: the rewrite
     lands at --dest with the requested file count, both predicate
