@@ -214,6 +214,10 @@ EXTRA = [
     "time_decay_user_scores",       # half-life recency weighting
     "join_size_estimate",           # CBO-style cardinality estimates
     "collapse_repeated_tokens",     # adjacent-stutter cleanup audit
+    # round 8
+    "kmeans_assign_increment",      # train-once assign-only serving
+    "bpe_length_profile_by_source", # real-tokenizer length profile
+    "bpe_packing_efficiency",       # packing budgeted in BPE tokens
 ]
 
 

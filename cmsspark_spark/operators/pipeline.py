@@ -290,6 +290,8 @@ def concat_pack_chunks(
     partition_cols: list[str] | None = None,
     with_boundaries: bool = False,
     sep_tokens: int = 0,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in a
     deterministic order and slice the stream into fixed ``ctx_len``
@@ -322,9 +324,22 @@ def concat_pack_chunks(
     occupancy INCLUDING its separator (chunk budgets fill with EOS
     exactly as on the real token stream). ``doc_tokens`` in the output
     stays the raw document length.
+
+    ``merges`` switches length accounting to REAL-TOKENIZER units: the
+    trained BPE merge list (``train_bpe_merges`` /
+    ``bpe_merges_shared``) is applied to ``text_col`` and every budget
+    (chunk assignment, occupancy, separators) is counted in BPE
+    tokens instead of whitespace words — what the trainer actually
+    packs. Mutually exclusive with ``token_count_col`` (which remains
+    the fully general hook for any precomputed counter).
     """
     parts = list(partition_cols or [])
     sep = int(sep_tokens)
+    if merges is not None:
+        if token_count_col is not None:
+            raise ValueError("pass merges OR token_count_col, not both")
+        docs = apply_bpe(docs, merges, text_col=text_col, out_col="_bpe")
+        token_count_col = F.size("_bpe")
     tc = (
         token_count_col
         if token_count_col is not None
@@ -885,6 +900,38 @@ def train_bpe_merges(
         words = words.mapInPandas(_merge, schema="n long, syms array<string>")
         words = words.localCheckpoint()  # merge rounds stay O(1) deep
     return merges
+
+
+#: Session-scoped train-once memo for BPE merges — the merge sequence
+#: is a pure function of (corpus plan, text_col, k, min_freq) (count
+#: argmax with total tie-break, no RNG), so every tokenizer-aware
+#: consumer (length profiles, packing, curricula) shares ONE training
+#: run per session instead of re-running the k sequential rounds.
+#: Same weak-keyed design as similarity._KMEANS_MEMO.
+_BPE_MEMO: "object" = None
+
+
+def bpe_merges_shared(
+    df: DataFrame, text_col: str = "text", k: int = 20, min_freq: int = 1
+) -> list[tuple[str, str]]:
+    """Memoized :func:`train_bpe_merges` — a hit skips all k training
+    rounds; a miss trains exactly as before. Falls back to untracked
+    training when the plan has no semanticHash."""
+    global _BPE_MEMO
+    if _BPE_MEMO is None:
+        import weakref
+
+        _BPE_MEMO = weakref.WeakKeyDictionary()
+    try:
+        key = (df.semanticHash(), text_col, k, min_freq)
+    except Exception:
+        return train_bpe_merges(df, text_col, k=k, min_freq=min_freq)
+    per_sess = _BPE_MEMO.setdefault(df.sparkSession, {})
+    if key not in per_sess:
+        per_sess[key] = train_bpe_merges(
+            df, text_col, k=k, min_freq=min_freq
+        )
+    return per_sess[key]
 
 
 def apply_bpe(

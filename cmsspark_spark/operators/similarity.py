@@ -1024,6 +1024,82 @@ def kmeans_centroids(
     return np.array(cents, dtype=np.float64) / float(scale)
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    cents: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """ASSIGN-ONLY k-means serving: score a corpus (or an ingest
+    increment) against already-trained integer centroids — no seed
+    scan, no iterations, no state. The serving half of the
+    train-once/assign-forever loop: ``kmeans_lloyd`` (or the memoized
+    ``_kmeans_shared``) trains; ``save_kmeans_model`` persists the
+    centroids; every later increment runs only this narrow map
+    (centroids are plan literals, quantization is row-local — zero
+    shuffle, zero driver traffic). Deterministic and engine-exact
+    like the trainer, so assignments of the same vector NEVER flap
+    between batches. Returns (id_col, cluster int, d2 bigint)."""
+    q = corpus.select(
+        F.col(id_col), _kmeans_quantize(vec_col, scale).alias("_q")
+    )
+    best = _kmeans_best("_q", cents)
+    return q.select(
+        F.col(id_col),
+        best["c"].alias("cluster"),
+        best["d"].alias("d2"),
+    )
+
+
+def save_kmeans_model(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 2,
+    scale: int = 1000,
+) -> None:
+    """Train (via the session memo) and PERSIST a k-means model as a
+    tiny parquet table: one row per cluster with the integer centroid,
+    the quantization scale, and the cluster's training-time member
+    SHARE — the reference distribution the streaming drift gate
+    compares serving batches against (a healthy increment lands in
+    clusters roughly proportionally; a drifted one piles into few).
+    k rows on disk — the census-gate pattern applied to clustering."""
+    q, cents = _kmeans_shared(corpus, id_col, vec_col, scale, k, iters)
+    assign = q.select(_kmeans_best("_q", cents)["c"].alias("cluster"))
+    shares = {
+        r["cluster"]: r["n"]
+        for r in assign.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    total = sum(shares.values()) or 1
+    spark = corpus.sparkSession
+    rows = [
+        (ci, list(map(int, c)), int(scale), shares.get(ci, 0) / total)
+        for ci, c in enumerate(cents)
+    ]
+    spark.createDataFrame(
+        rows,
+        "cluster int, centroid array<bigint>, scale int, train_share double",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_kmeans_model(spark, path: str) -> tuple[list[list[int]], int, dict]:
+    """(centroids, scale, {cluster: train_share}) from a stored model
+    — a k-row parquet read, the only driver traffic serving needs."""
+    rows = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["cluster"]
+    )
+    cents = [list(r["centroid"]) for r in rows]
+    scale = int(rows[0]["scale"]) if rows else 1000
+    shares = {int(r["cluster"]): float(r["train_share"]) for r in rows}
+    return cents, scale, shares
+
+
 def pq_adc_refine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -8116,14 +8116,18 @@ def curriculum_length_quality_cells(
 _KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE = 10, 2, 64, 1000
 
 
-def _kmeans_oracle_cte(k: int, iters: int, dim: int, scale: int) -> str:
+def _kmeans_oracle_cte(
+    k: int, iters: int, dim: int, scale: int, where: str = ""
+) -> str:
     """CTE chain replicating operators/similarity.kmeans_lloyd step for
     step in DuckDB: integer quantization, k-smallest-id seeds, per-
     iteration exact-integer assignment (all intermediates < 2^53, so
     the double dot products are exact) and floor((2s+n)/2n) centroid
     update with empty-cluster fallback. Ends at CTE ``af`` (final
-    assignment: _id, cluster, d2). Single-sourced so the two k-means
-    oracles can never drift."""
+    assignment: _id, cluster, d2). ``where`` filters the TRAINING
+    corpus (the incremental-serving oracle trains on a base snapshot
+    and assigns the increment against ``c{iters}``). Single-sourced so
+    the k-means oracles can never drift."""
     sum_list = ", ".join(f"SUM(q[{i + 1}]) AS s{i}" for i in range(dim))
     cent_list = ", ".join(
         f"CAST(floor((2*s{i} + n)/(2.0*n)) AS BIGINT)" for i in range(dim)
@@ -8149,7 +8153,7 @@ def _kmeans_oracle_cte(k: int, iters: int, dim: int, scale: int) -> str:
       SELECT vec_id AS _id,
              list_transform(embedding::DOUBLE[],
                             x -> CAST(round(x*{scale}) AS BIGINT)) AS q
-      FROM embeddings
+      FROM embeddings {where}
     )""",
         f"""c0 AS (
       SELECT row_number() OVER (ORDER BY _id) - 1 AS cluster, q AS c
@@ -8670,6 +8674,226 @@ ORACLES["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle()
 # list + oracle rebuild as pq_refine above).
 _ANN_LADDER_METHODS.append(("ivf_kmeans", "ann_ivf_kmeans_topk"))
 ORACLES["ann_ladder_recall_report"] = _ann_ladder_oracle()
+
+
+_KM_ASSIGN_D2 = (
+    "list_dot_product(inc.q::DOUBLE[], inc.q::DOUBLE[]) "
+    "- 2*list_dot_product(inc.q::DOUBLE[], c.c::DOUBLE[]) "
+    "+ list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[])"
+)
+
+
+@query(
+    "kmeans_assign_increment",
+    f"""
+    WITH {_kmeans_oracle_cte(_KM_K, _KM_ITERS, _KM_DIM, _KM_SCALE,
+                             where="WHERE vec_id % 2 = 0")},
+    inc AS (
+      SELECT vec_id AS _id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x*{_KM_SCALE}) AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id % 2 = 1
+    )
+    SELECT _id AS vec_id, cluster, d2 FROM (
+      SELECT inc._id, c.cluster, CAST({_KM_ASSIGN_D2} AS BIGINT) AS d2,
+             row_number() OVER (PARTITION BY inc._id
+               ORDER BY {_KM_ASSIGN_D2}, c.cluster) AS rk
+      FROM inc, c{_KM_ITERS} c
+    ) WHERE rk = 1
+    """,
+)
+def kmeans_assign_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL k-means — train once, assign the increment without
+    retraining (similarity.kmeans_assign over similarity's memoized
+    trainer; the persisted form is save_kmeans_model +
+    kmeans_serve_batch_fn in streaming). The base snapshot (even
+    vec_ids) trains the model; the ingest increment (odd vec_ids) is
+    ASSIGNED with the stored centroids — a narrow plan-literal map,
+    zero shuffle, no iteration, cost ∝ increment. The closing piece of
+    the cluster-bucketed family's serve loop: SemDeDup buckets,
+    cluster mixtures and trained IVF lists stay valid for new data
+    without re-running Lloyd's, and the PSI drift gate
+    (kmeans_serve_batch_fn's ledger) decides when a retrain is due.
+    Hash-exact: integer quantization makes train AND assign
+    bit-reproducible, so the oracle composes the k-means CTE (train
+    half) with a literal assignment of the serve half."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    inc = emb.filter(F.col("vec_id") % 2 == 1)
+    _, cents = S._kmeans_shared(
+        base, "vec_id", "embedding", _KM_SCALE, _KM_K, _KM_ITERS
+    )
+    return S.kmeans_assign(inc, cents, scale=_KM_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: tokenizer-aware length accounting — the trained BPE applied
+# to the length/packing family, in REAL-tokenizer units
+# ---------------------------------------------------------------------------
+
+#: merge rounds for the tokenizer-aware queries (small enough that the
+#: oracle unrolls the training loop as CTEs; the memo makes the Spark
+#: side train once per session regardless of how many queries consume it)
+_BPE_K = 6
+
+
+def _bpe_doc_counts_cte(k: int) -> str:
+    """DuckDB CTE chain that TRAINS the same BPE the Spark side trains
+    (train_bpe_merges: k rounds of weighted pair-count argmax with
+    (count DESC, l, r) tie-break) and ENCODES every doc, ending at CTE
+    ``dcnt`` (doc_id, source, n = BPE token count). Training unrolls
+    as k CTE triples: pair counts over the vocab's symbol strings, a
+    1-row argmax merge pick, then a replace() merge application —
+    symbols live in a chr(31)-delimited string where each symbol is
+    wrapped in separators, so replace(SEP·l·SEP·SEP·r·SEP → SEP·lr·SEP)
+    is exactly the greedy non-overlapping left-to-right merge pass the
+    Python encoder runs (proven merge-for-merge and count-for-count
+    against apply_bpe at sf0.01). CTEs are MATERIALIZED: DuckDB
+    otherwise inlines the chain and re-evaluates it exponentially."""
+    sep = "chr(31)"
+    parts = [
+        f"tok AS MATERIALIZED (SELECT doc_id, source, unnest({_TOKS_SQL})"
+        " AS w FROM documents)",
+        "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok"
+        " GROUP BY w)",
+        f"w0 AS MATERIALIZED (SELECT w, n, {sep} ||"
+        f" array_to_string(string_split(w, ''), {sep}||{sep}) || {sep}"
+        f" || {sep} || '</w>' || {sep} AS s FROM wf)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"p{i} AS (SELECT pr[1] AS l, pr[2] AS r,"
+            " CAST(sum(n) AS BIGINT) AS cnt FROM (SELECT n,"
+            " unnest([ [sy[j], sy[j+1]] for j in"
+            " generate_series(1, len(sy)-1) ]) AS pr FROM"
+            f" (SELECT n, string_split(s[2:len(s)-1], {sep}||{sep})"
+            f" AS sy FROM w{i})) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT l, r FROM p{i}"
+            " ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w, n, replace(s,"
+            f" {sep}||(SELECT l FROM m{i})||{sep}||{sep}||"
+            f"(SELECT r FROM m{i})||{sep},"
+            f" {sep}||(SELECT l||r FROM m{i})||{sep}) AS s FROM w{i})"
+        )
+    parts.append(
+        f"wcnt AS (SELECT w, CAST((len(s) - len(replace(s, {sep}, '')))/2"
+        f" AS BIGINT) AS c FROM w{k})"
+    )
+    parts.append(
+        "dcnt AS (SELECT d.doc_id, d.source,"
+        " CAST(coalesce(sum(wcnt.c), 0) AS BIGINT) AS n"
+        " FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id"
+        " LEFT JOIN wcnt ON tok.w = wcnt.w GROUP BY d.doc_id, d.source)"
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "bpe_length_profile_by_source",
+    f"""
+    WITH {_bpe_doc_counts_cte(_BPE_K)}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_bpe_tokens,
+           round(quantile_cont(n, 0.50), 2) AS p50_bpe,
+           round(quantile_cont(n, 0.90), 2) AS p90_bpe,
+           round(quantile_cont(n, 0.99), 2) AS p99_bpe,
+           CAST(max(n) AS BIGINT) AS max_bpe
+    FROM dcnt GROUP BY source
+    """,
+)
+def bpe_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length profile in REAL-TOKENIZER units: train BPE on
+    the corpus (pipeline.bpe_merges_shared — memoized, so the packing
+    twin reuses the same merges), encode every doc (apply_bpe — an
+    Arrow-batched narrow map), and profile per-source BPE lengths.
+    Whitespace counts (doc_length_profile_by_source) misprice context
+    budgets — subword inflation varies by source (rare-word-heavy
+    sources inflate most), and THIS table is the one a trainer should
+    read before picking ctx_len/truncation. Hash-exact against a
+    DuckDB oracle that replays the full BPE train+encode in SQL."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    merges = PL.bpe_merges_shared(d, "text", k=_BPE_K)
+    enc = PL.apply_bpe(d, merges).select(
+        "source", F.size("bpe_tokens").cast("long").alias("n")
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_bpe_tokens"),
+        F.round(F.expr("percentile(n, 0.50D)"), 2).alias("p50_bpe"),
+        F.round(F.expr("percentile(n, 0.90D)"), 2).alias("p90_bpe"),
+        F.round(F.expr("percentile(n, 0.99D)"), 2).alias("p99_bpe"),
+        F.max("n").alias("max_bpe"),
+    )
+
+
+@query(
+    "bpe_packing_efficiency",
+    f"""
+    WITH {_bpe_doc_counts_cte(_BPE_K)},
+    offs AS (
+      SELECT doc_id, source, n AS doc_tokens,
+             CAST(coalesce(sum(n) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM dcnt
+    ),
+    chunks AS (
+      SELECT source,
+             unnest(generate_series(s // 512, (s + doc_tokens - 1) // 512))
+               AS chunk_id,
+             doc_id, doc_tokens, s
+      FROM offs WHERE doc_tokens > 0
+    ),
+    occ AS (
+      SELECT source, chunk_id,
+             CAST(sum(least(s + doc_tokens, (chunk_id + 1) * 512)
+                      - greatest(s, chunk_id * 512)) AS BIGINT) AS fill
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE fill = 512) AS BIGINT)
+             AS n_full_chunks,
+           CAST(sum(fill) AS BIGINT) AS packed_tokens,
+           round(sum(fill) * 1.0 / (count(*) * 512), 6) AS utilization
+    FROM occ GROUP BY source
+    """,
+)
+def bpe_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA in REAL-TOKENIZER units: the sharded concat packer
+    budgeted by trained-BPE token counts (concat_pack_chunks's
+    ``merges`` hook) instead of whitespace words — chunk counts and
+    utilization as the trainer's data loader would actually see them.
+    Same sharded parallel-cumsum plan as packing_efficiency_report;
+    the only addition is the Arrow encode map supplying the counter.
+    The memoized merges are shared with bpe_length_profile_by_source,
+    so a session pays for BPE training once."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    merges = PL.bpe_merges_shared(d, "text", k=_BPE_K)
+    chunks = PL.concat_pack_chunks(
+        d, ctx_len=512, partition_cols=["source"], merges=merges
+    )
+    occ = chunks.groupBy("source", "chunk_id").agg(
+        F.sum("tokens_in_chunk").alias("fill")
+    )
+    return occ.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("fill") == 512).cast("long")).alias("n_full_chunks"),
+        F.sum("fill").alias("packed_tokens"),
+        F.round(
+            F.sum("fill") / (F.count(F.lit(1)) * 512), 6
+        ).alias("utilization"),
+    )
 
 
 @query(

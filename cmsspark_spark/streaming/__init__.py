@@ -658,3 +658,77 @@ def quality_score_batch_fn(
             feat.unpersist()
 
     return _batch
+
+
+def kmeans_serve_batch_fn(
+    model_path: str,
+    out_path: str,
+    drift_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    psi_threshold: float = 0.25,
+):
+    """foreachBatch adapter for INCREMENTAL k-means serving — the
+    census-gate pattern applied to clustering (train once offline
+    with similarity.save_kmeans_model, assign forever here, retrain
+    only when the gate says so):
+
+    - each micro-batch is ASSIGNED with the stored centroids
+      (similarity.kmeans_assign — a k-row parquet read + a narrow
+      plan-literal map, zero shuffle, deterministic so assignments
+      never flap across replays) and APPENDED to ``out_path`` as
+      (id, cluster, d2, batch_id);
+    - the batch's cluster-share distribution is PSI-scored against the
+      model's training-time shares (a k-row collect — bounded driver
+      traffic) and one ledger row
+      (batch_id, n_vecs, psi, retrain) is APPENDED to ``drift_path``.
+      ``retrain=true`` (psi > threshold) is the signal to re-run
+      save_kmeans_model on the accumulated corpus; serving itself
+      never retrains, so the hot path stays narrow.
+
+    Append + downstream dedupe on (batch_id, id) is the same
+    monitor-ledger contract as psi_drift_batch_fn; Laplace smoothing
+    (+0.5 per cluster on both sides) keeps the PSI finite when a batch
+    or the training run left a cluster empty."""
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        import math
+
+        from cmsspark_spark.operators.similarity import (
+            kmeans_assign,
+            load_kmeans_model,
+        )
+
+        spark = bdf.sparkSession
+        cents, scale, shares = load_kmeans_model(spark, model_path)
+        assigned = kmeans_assign(
+            bdf, cents, id_col=id_col, vec_col=vec_col, scale=scale
+        )
+        counts = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        (
+            assigned.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        k = len(cents)
+        n = sum(counts.values())
+        psi = 0.0
+        for ci in range(k):
+            p_cur = (counts.get(ci, 0) + 0.5) / (n + 0.5 * k)
+            p_ref = (shares.get(ci, 0.0) * n + 0.5) / (n + 0.5 * k)
+            psi += (p_cur - p_ref) * math.log(p_cur / p_ref)
+        (
+            spark.createDataFrame(
+                [(batch_id, n, round(psi, 6), psi > psi_threshold)],
+                "batch_id long, n_vecs long, psi double, retrain boolean",
+            )
+            .write.mode("append")
+            .parquet(drift_path)
+        )
+
+    return _batch

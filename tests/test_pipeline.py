@@ -277,6 +277,42 @@ def test_bpe_merges_on_documents_table(spark):
     assert len(m1) == 6
 
 
+def test_bpe_merges_shared_trains_once(spark):
+    """r8: the session memo returns the identical merge list object
+    for a repeated (corpus, params) request — training runs once and
+    every tokenizer-aware consumer shares it."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = PL.bpe_merges_shared(d, "text", k=4)
+    m2 = PL.bpe_merges_shared(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "text",
+        k=4,
+    )
+    assert m1 is m2  # same cached object, not just equal
+    assert PL.bpe_merges_shared(d, "text", k=3) is not m1  # params matter
+
+
+def test_concat_pack_chunks_bpe_budgeting(spark):
+    """r8: packing with a merges table budgets chunks in BPE tokens.
+    'aaaa bbbb' = 2 whitespace tokens but (untrained-merge) 10 BPE
+    symbols per doc, so the same ctx_len packs far fewer docs per
+    chunk; totals must equal the BPE token sum exactly. Passing both
+    counters is an error."""
+    docs = spark.createDataFrame(
+        [(i, "aaaa bbbb") for i in range(8)], "doc_id long, text string"
+    )
+    # no merges apply -> each word is chars + </w> = 5 symbols, 10/doc
+    plain = PL.concat_pack_chunks(docs, ctx_len=20)
+    bpe = PL.concat_pack_chunks(docs, ctx_len=20, merges=[])
+    assert plain.agg(F.sum("tokens_in_chunk")).first()[0] == 16
+    assert bpe.agg(F.sum("tokens_in_chunk")).first()[0] == 80
+    assert bpe.agg(F.max("chunk_id")).first()[0] == 3  # 80/20 chunks
+    with pytest.raises(ValueError):
+        PL.concat_pack_chunks(
+            docs, ctx_len=20, merges=[], token_count_col=F.lit(1)
+        )
+
+
 def test_chunk_overlap_boundaries(spark):
     from cmsspark_spark.operators.pipeline import chunk_overlap
 

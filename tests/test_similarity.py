@@ -377,6 +377,29 @@ def test_kmeans_lloyd_planted_clusters(spark):
     assert out2 == full
 
 
+def test_kmeans_assign_matches_lloyd_and_model_roundtrips(spark, tmp_path):
+    """r8: assign-only serving — save_kmeans_model persists (centroid,
+    scale, train_share); load + kmeans_assign reproduces the trainer's
+    own final assignment exactly (no flap between train-time and
+    serve-time labels), and shares sum to 1."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "model")
+    S.save_kmeans_model(emb, path, k=5, iters=2, scale=1000)
+    cents, scale, shares = S.load_kmeans_model(spark, path)
+    assert len(cents) == 5 and scale == 1000
+    assert abs(sum(shares.values()) - 1.0) < 1e-9
+
+    served = {
+        (r.vec_id, r.cluster, r.d2)
+        for r in S.kmeans_assign(emb, cents, scale=scale).collect()
+    }
+    trained = {
+        (r.vec_id, r.cluster, r.d2)
+        for r in S.kmeans_lloyd(emb, k=5, iters=2, scale=1000).collect()
+    }
+    assert served == trained
+
+
 def test_kmeans_lloyd_empty_cluster_keeps_seed(spark):
     """k exceeds the number of distinct points: the starved cluster
     keeps its previous centroid and every point still gets exactly one

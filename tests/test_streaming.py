@@ -664,6 +664,101 @@ def test_psi_drift_monitor_flags_shifted_batch(spark, tmp_path):
     assert rows[1].n_cur == 40
 
 
+def test_kmeans_serve_assigns_and_gates_retrain(spark, tmp_path):
+    """r8: incremental k-means serving — a stored model assigns
+    micro-batches without retraining; a same-distribution batch scores
+    tiny cluster-share PSI (retrain=false), a shifted batch piles into
+    one cluster and trips the retrain gate. Assignments must be
+    byte-identical to the batch operator's."""
+    import numpy as np
+
+    from cmsspark_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    # two tight planted clusters around +/- 1
+    vecs = [
+        (i, (rng.normal(1.0 if i % 2 else -1.0, 0.05, 4)).tolist())
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    model = str(tmp_path / "model")
+    S.save_kmeans_model(corpus, model, k=2, iters=2, scale=1000)
+    stored = spark.read.parquet(model).collect()
+    assert len(stored) == 2
+    assert abs(sum(r.train_share for r in stored) - 1.0) < 1e-9
+
+    out, drift = str(tmp_path / "assign"), str(tmp_path / "drift")
+    fn = ST.kmeans_serve_batch_fn(model, out, drift, psi_threshold=0.25)
+    fn(corpus, 0)  # same distribution
+    shifted = spark.createDataFrame(
+        [(100 + i, (rng.normal(1.0, 0.05, 4)).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    fn(shifted, 1)  # all mass in one cluster
+
+    ledger = {r.batch_id: r for r in spark.read.parquet(drift).collect()}
+    assert ledger[0].n_vecs == 40 and not ledger[0].retrain
+    assert ledger[1].n_vecs == 20 and ledger[1].retrain
+    assert ledger[1].psi > 0.25 >= ledger[0].psi
+
+    # serving assignments == batch operator assignments (no flap)
+    cents, scale, _ = S.load_kmeans_model(spark, model)
+    want = {
+        (r.vec_id, r.cluster, r.d2)
+        for r in S.kmeans_assign(corpus, cents, scale=scale).collect()
+    }
+    got = {
+        (r.vec_id, r.cluster, r.d2)
+        for r in spark.read.parquet(out).filter(
+            F.col("batch_id") == 0
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_serve_on_availablenow_stream(spark, tmp_path):
+    """The serve adapter on a real file-source stream: assignments and
+    one drift ledger row per micro-batch."""
+    import json as _json
+
+    from cmsspark_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0 - (i % 2)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    model = str(tmp_path / "model")
+    S.save_kmeans_model(corpus, model, k=2, iters=1, scale=10)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            _json.dumps({"vec_id": 100 + i, "embedding": [1.0, 0.0]})
+            for i in range(5)
+        )
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(src))
+    out, drift = str(tmp_path / "assign"), str(tmp_path / "drift")
+    q = (
+        stream.writeStream.foreachBatch(
+            ST.kmeans_serve_batch_fn(model, out, drift)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5
+    assert len({r.cluster for r in rows}) == 1  # identical vecs agree
+    assert spark.read.parquet(drift).count() == 1
+
+
 def test_psi_drift_monitor_on_availablenow_stream(spark, tmp_path):
     """The adapter on a real file-source stream: one drift row per
     micro-batch lands in the ledger."""
