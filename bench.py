@@ -218,6 +218,7 @@ EXTRA = [
     "kmeans_assign_increment",      # train-once assign-only serving
     "bpe_length_profile_by_source", # real-tokenizer length profile
     "bpe_packing_efficiency",       # packing budgeted in BPE tokens
+    "bm25_champion_more_like_this", # champion-list pruned retrieval
 ]
 
 

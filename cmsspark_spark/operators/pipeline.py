@@ -281,6 +281,118 @@ def bm25_more_like_this(
     )
 
 
+def bm25_champion_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_max_id: int = 5,
+    k: int = 10,
+    champions: int = 16,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k1_plus_1: float = 2.2,
+    one_minus_b: float = 0.25,
+) -> DataFrame:
+    """BM25 with CHAMPION-LIST candidate pruning — the at-scale sibling
+    of :func:`bm25_more_like_this` (the max-score/WAND family member
+    that maps naturally onto a batch engine; classic champion lists:
+    Manning/Raghavan/Schütze IIR §7.1.3). Scoring every posting of
+    every query term is exact but costs Σ df(t) — at 100 TB a common
+    term's posting list alone is corpus-sized. Champion lists bound
+    it: per query term keep only the top-``champions`` docs by the
+    term's tf-part (its actual per-doc BM25 contribution modulo idf),
+    union them into the candidate set, then score candidates EXACTLY
+    over all their matched query terms. Per-query cost becomes
+    O(|terms| · champions) candidates regardless of document
+    frequency — the index-time half of max-score pruning, trading
+    bounded recall (a doc outside every champion list is missed; with
+    c ≥ k per term the top-k is usually intact — standard IR result)
+    for a hard cost ceiling.
+
+    Deterministic end-to-end (tf-part ranked on the round-6 grid with
+    doc-id ties, exact scoring = the shared BM25 tail), so unlike most
+    pruned retrieval this variant is hash-exact against a composed
+    DuckDB oracle. Plan shape: postings persist once; the champion cut
+    is one window over query-term postings (query terms broadcast);
+    candidate scoring joins candidates (ids only) back to postings —
+    text never shuffles.
+    """
+    from pyspark import StorageLevel
+
+    base = docs.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk")
+    )
+    post = (
+        base.select(
+            "_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t")
+        )
+        .groupBy("_doc", "_t")
+        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sum_dl = (
+        post.groupBy("_doc")
+        .agg(F.first("_dl").alias("_dl"))
+        .select(F.sum("_dl"))
+        .first()[0]
+    ) or 0
+    n_docs = docs.count()
+    avgdl = sum_dl / n_docs
+    qterms = post.filter(F.col("_doc") < query_max_id).select(
+        F.col("_doc").alias("_qid"), "_t"
+    )
+    tf_part = (F.col("_tf") * F.lit(k1_plus_1)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(one_minus_b) + F.lit(b) * F.col("_dl") / F.lit(avgdl))
+    )
+    # champion cut: top-c docs per query term by tf-part (idf is
+    # constant within a term, so tf-part order IS contribution order)
+    term_posts = post.join(
+        F.broadcast(qterms.select("_t").distinct()), "_t", "left_semi"
+    )
+    w_champ = Window.partitionBy("_t").orderBy(
+        F.round(tf_part, 6).desc(), F.col("_doc")
+    )
+    champ = (
+        term_posts.withColumn("_rk", F.row_number().over(w_champ))
+        .filter(F.col("_rk") <= int(champions))
+        .select("_t", "_doc")
+    )
+    cand = (
+        qterms.join(champ, "_t")
+        .filter(F.col("_doc") != F.col("_qid"))
+        .select("_qid", "_doc")
+        .distinct()
+    )
+    df_tab = term_posts.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    scored = (
+        cand.join(post, "_doc")
+        .join(F.broadcast(qterms), ["_qid", "_t"], "left_semi")
+        .join(F.broadcast(df_tab), "_t")
+        .groupBy("_qid", "_doc")
+        .agg(F.sum(idf * tf_part).alias("_score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.round("_score", 6).desc(), F.col("_doc")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_doc").alias(id_col),
+            F.round("_score", 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
 def concat_pack_chunks(
     docs: DataFrame,
     ctx_len: int,

@@ -9448,6 +9448,75 @@ def bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.bm25_more_like_this(d, query_max_id=5, k=10)
 
 
+@query(
+    "bm25_champion_more_like_this",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS dl, t,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS t FROM tok) GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sdl
+              FROM tok),
+    q AS (SELECT DISTINCT doc AS qid, t FROM post WHERE doc < 5),
+    tp AS (
+      SELECT p.t, p.doc, p.tf, p.dl,
+             (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n))))
+               AS tfp
+      FROM post p, stats s
+      WHERE p.t IN (SELECT t FROM q)
+    ),
+    champ AS (
+      SELECT t, doc FROM (
+        SELECT t, doc, row_number() OVER (PARTITION BY t
+                 ORDER BY round(tfp, 6) DESC, doc) AS rk
+        FROM tp
+      ) WHERE rk <= 16
+    ),
+    cand AS (
+      SELECT DISTINCT q.qid, c.doc
+      FROM q JOIN champ c USING (t)
+      WHERE c.doc <> q.qid
+    ),
+    dfb AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM tp GROUP BY 1
+    ),
+    scored AS (
+      SELECT cand.qid, cand.doc,
+             sum(ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5))) * tp.tfp)
+               AS score
+      FROM cand
+      JOIN tp ON tp.doc = cand.doc
+      JOIN q ON q.qid = cand.qid AND q.t = tp.t
+      JOIN dfb d ON d.t = tp.t, stats s
+      GROUP BY 1, 2
+    )
+    SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY round(score, 6) DESC, doc) AS rank FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def bm25_champion_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 more-like-this through CHAMPION-LIST pruning
+    (pipeline.bm25_champion_topk) — the at-scale rung the exact query
+    names as its pruning path: per query term only the top-16 docs by
+    tf-part enter the candidate set, candidates get the full exact
+    score over all their matched query terms. Per-query cost is
+    O(|terms|·16) candidates no matter how common a term is (the
+    exact form pays Σ df(t)). Deterministic cut (round-6 tf-part grid,
+    doc-id ties) + the shared exact tail ⇒ hash-exact against the
+    composed oracle — a pruned retrieval rung the driver can verify
+    value-for-value, like the trained ANN arms."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    return PL.bm25_champion_topk(d, query_max_id=5, k=10, champions=16)
+
+
 # ---------------------------------------------------------------------------
 # Data-layout quality (scan pruning at 100 TB; operators/layout.py)
 # ---------------------------------------------------------------------------

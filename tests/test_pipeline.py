@@ -277,6 +277,38 @@ def test_bpe_merges_on_documents_table(spark):
     assert len(m1) == 6
 
 
+def test_bm25_champion_exactness_and_monotone_recall(spark):
+    """r8: champion-list pruning properties — (a) candidates are
+    scored EXACTLY (any (query, doc) both rungs rank carries an
+    identical score), (b) recall is monotone in the champion width c,
+    (c) with c ≥ corpus size every posting survives the cut and the
+    pruned result IS the exact result, row for row."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run(c):
+        return {
+            (r.query_id, r.doc_id): (r.bm25, r.rank)
+            for r in PL.bm25_champion_topk(
+                d, query_max_id=3, k=10, champions=c
+            ).collect()
+        }
+
+    exact = {
+        (r.query_id, r.doc_id): (r.bm25, r.rank)
+        for r in PL.bm25_more_like_this(d, query_max_id=3, k=10).collect()
+    }
+    full = run(1000)  # c >= n_docs: no posting pruned
+    assert full == exact
+
+    small, mid = run(8), run(64)
+    r_small = len(set(small) & set(exact))
+    r_mid = len(set(mid) & set(exact))
+    assert r_small <= r_mid <= len(exact)
+    assert r_mid >= 0.5 * len(exact), (r_mid, len(exact))
+    for key in set(small) & set(exact):  # exact scoring on hits
+        assert small[key][0] == exact[key][0], key
+
+
 def test_bpe_merges_shared_trains_once(spark):
     """r8: the session memo returns the identical merge list object
     for a repeated (corpus, params) request — training runs once and
