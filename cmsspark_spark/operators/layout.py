@@ -361,6 +361,7 @@ def write_file_manifest(
     files: Sequence[str] | None = None,
     literals: dict | None = None,
     partition_by: Sequence[str] = (),
+    rowgroups: bool = False,
 ) -> str:
     """Materialize the FILE-grain stats manifest of ``data_path`` as a
     parquet sidecar at :func:`manifest_location` and return that path
@@ -372,8 +373,14 @@ def write_file_manifest(
     value a compaction just rewrote); with ``partition_by`` the
     sidecar is itself partitioned and updated by DYNAMIC overwrite, so
     an incremental writer replaces only the touched partitions' rows
-    and the rest of the manifest stands."""
+    and the rest of the manifest stands. ``rowgroups=True``
+    additionally writes the ROW-GROUP-grain table (what readers
+    actually prune with inside clustered files) to
+    ``<manifest>_rowgroups`` from the SAME footer parse — the parse
+    runs once, localCheckpointed, feeding both grains."""
     rg = rowgroup_stats_manifest(spark, data_path, dims, files=files)
+    if rowgroups:
+        rg = rg.localCheckpoint(eager=True)  # one parse, two consumers
     aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
     for d in dims:
         aggs.append(F.min(f"min_{d}").alias(f"min_{d}"))
@@ -381,16 +388,24 @@ def write_file_manifest(
     man = rg.groupBy("file").agg(*aggs)
     for c, v in (literals or {}).items():
         man = man.withColumn(c, F.lit(v))
+        if rowgroups:
+            rg = rg.withColumn(c, F.lit(v))
     dest = manifest_location(data_path)
-    if partition_by:
-        from cmsspark_spark.sinks import write_partitioned_parquet
 
-        write_partitioned_parquet(
-            man, dest, partition_by=tuple(partition_by),
-            mode="overwrite", dynamic=True,
-        )
-    else:
-        man.write.mode("overwrite").parquet(dest)
+    def _write(df, path):
+        if partition_by:
+            from cmsspark_spark.sinks import write_partitioned_parquet
+
+            write_partitioned_parquet(
+                df, path, partition_by=tuple(partition_by),
+                mode="overwrite", dynamic=True,
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    _write(man, dest)
+    if rowgroups:
+        _write(rg, dest + "_rowgroups")
     return dest
 
 

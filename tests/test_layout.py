@@ -229,6 +229,38 @@ def test_clustered_writes_maintain_manifest_sidecar(spark, tmp_path):
         ).count()
 
 
+def test_write_file_manifest_rowgroup_sidecar(spark, tmp_path):
+    """rowgroups=True writes the row-group-grain table beside the
+    file-grain one from a single footer parse; its per-file rollup
+    must equal the file-grain rows exactly."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(x, x * 2) for x in range(4096)], "a: long, b: long"
+    )
+    (
+        df.repartitionByRange(4, "a")
+        .sortWithinPartitions("a")
+        .write.option("parquet.block.size", 32 * 1024)
+        .parquet(path)
+    )
+    dest = L.write_file_manifest(spark, path, ["a", "b"], rowgroups=True)
+    fileg = spark.read.parquet(dest)
+    rg = spark.read.parquet(dest + "_rowgroups")
+    assert rg.count() >= fileg.count()
+    roll = rg.groupBy("file").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("min_a").alias("min_a"),
+        F.max("max_a").alias("max_a"),
+        F.min("min_b").alias("min_b"),
+        F.max("max_b").alias("max_b"),
+    )
+    cols = ["file", "n_rows", "min_a", "max_a", "min_b", "max_b"]
+    assert sorted(map(tuple, roll.select(cols).collect())) == sorted(
+        map(tuple, fileg.select(cols).collect())
+    )
+    assert sum(r.n_rows for r in fileg.collect()) == 4096
+
+
 def test_hilbert_index_matches_python_reference(spark):
     """Spark hilbert_index equals the bit-level Python reference (the
     same xy2d loop the SQL levels are generated from) on random and
