@@ -409,6 +409,43 @@ def write_file_manifest(
     return dest
 
 
+def append_with_manifest(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[str],
+    rowgroups: bool = False,
+) -> list[str]:
+    """APPEND an increment to an (unpartitioned) table and extend its
+    stats-manifest sidecar by footer-parsing ONLY the files the append
+    created (before/after listing diff — a metadata call, never a
+    scan). The incremental complement of the clustered write paths:
+    appends de-cluster a table — new files span wide key ranges — and
+    after this call the manifest SAYS so, so a planner's
+    :func:`pruned_files` stays correct (it keeps the sloppy new files
+    for most predicates) and an OPTIMIZE/compaction pass can be
+    triggered off the manifest's span degradation without ever
+    re-scanning the data. Returns the appended file paths."""
+    spark = df.sparkSession
+    before = set(_list_parquet_files(spark, path))
+    df.write.mode("append").parquet(path)
+    new_files = [
+        f for f in _list_parquet_files(spark, path) if f not in before
+    ]
+    rg = rowgroup_stats_manifest(spark, path, dims, files=new_files)
+    if rowgroups:
+        rg = rg.localCheckpoint(eager=True)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for d in dims:
+        aggs.append(F.min(f"min_{d}").alias(f"min_{d}"))
+        aggs.append(F.max(f"max_{d}").alias(f"max_{d}"))
+    man = rg.groupBy("file").agg(*aggs)
+    dest = manifest_location(path)
+    man.write.mode("append").parquet(dest)
+    if rowgroups:
+        rg.write.mode("append").parquet(dest + "_rowgroups")
+    return new_files
+
+
 def _list_parquet_files(spark, path: str) -> list[str]:
     """Recursive parquet-file listing through the Hadoop FileSystem
     API (driver-side, metadata-only) — works on any scheme the

@@ -229,6 +229,49 @@ def test_clustered_writes_maintain_manifest_sidecar(spark, tmp_path):
         ).count()
 
 
+def test_append_with_manifest_extends_sidecar_incrementally(spark, tmp_path):
+    """r8: appending an increment extends the manifest by parsing ONLY
+    the new files' footers — prior rows survive byte-identically, the
+    union always lists exactly the live files, and the de-clustered
+    appended files show their (wide) true spans so pruned_files stays
+    correct."""
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a: long, b: long, payload: long")
+    path = str(tmp_path / "t")
+    L.zorder_write(df, path, "a", "b", n_files=8)
+    man1 = {
+        r.file: tuple(r)
+        for r in spark.read.parquet(L.manifest_location(path)).collect()
+    }
+
+    inc = spark.createDataFrame(
+        [(x, y, -1) for x in range(64) for y in range(64) if (x + y) % 31 == 0],
+        "a: long, b: long, payload: long",
+    ).coalesce(1)
+    new_files = L.append_with_manifest(inc, path, ["a", "b"])
+    assert len(new_files) == 1
+
+    man2 = {
+        r.file: tuple(r)
+        for r in spark.read.parquet(L.manifest_location(path)).collect()
+    }
+    for f, row in man1.items():  # old rows untouched
+        assert man2[f] == row
+    on_disk = {p.rsplit("/", 1)[-1] for p in L._list_parquet_files(spark, path)}
+    assert set(man2) == on_disk
+    # the appended file is de-clustered: spans ~the whole key space
+    new_name = new_files[0].rsplit("/", 1)[-1]
+    nf = [r for r in spark.read.parquet(L.manifest_location(path)).collect()
+          if r.file == new_name][0]
+    assert nf.max_a - nf.min_a > 32 and nf.max_b - nf.min_b > 32
+    # pruning over the updated manifest matches a scan-derived one
+    scan = L.file_stats_manifest(spark.read.parquet(path), ["a", "b"])
+    side = spark.read.parquet(L.manifest_location(path))
+    assert L.pruned_files(side, "b", 0, 7).count() == L.pruned_files(
+        scan, "b", 0, 7
+    ).count()
+
+
 def test_write_file_manifest_rowgroup_sidecar(spark, tmp_path):
     """rowgroups=True writes the row-group-grain table beside the
     file-grain one from a single footer parse; its per-file rollup
