@@ -7817,22 +7817,17 @@ def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_truth = truth.count()
 
-    # the trained arm's k-means is memoized per (session, corpus,
-    # params); train it before the fan-out so concurrent arms never
-    # race the memo fill (any other arm arriving later reuses it)
+    # the trained arm's k-means runs INSIDE its thread: with a single
+    # trained arm there is nothing to race, and training then overlaps
+    # the other arms' scans instead of serializing ahead of the
+    # fan-out (a memoized session skips it entirely); if two trained
+    # arms ever both miss the memo they'd train the same deterministic
+    # centroids redundantly — wasted work, never wrong answers
     def _n_hit(qname: str) -> int:
         got = QUERIES[qname](spark, sf_dir).select("query_id", "vec_id")
         return got.join(truth, on=["query_id", "vec_id"]).count()
 
     methods = list(_ANN_LADDER_METHODS)
-    trained = [q for _, q in methods if "kmeans" in q]
-    if trained:
-        from cmsspark_spark.operators import similarity as _S
-
-        emb = _t(spark, sf_dir, "embeddings")
-        _S.kmeans_centroids(
-            emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
-        )
     with ThreadPoolExecutor(max_workers=len(methods)) as pool:
         hits = list(pool.map(_n_hit, [q for _, q in methods]))
     rows = [
