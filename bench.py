@@ -219,6 +219,7 @@ EXTRA = [
     "bpe_length_profile_by_source", # real-tokenizer length profile
     "bpe_packing_efficiency",       # packing budgeted in BPE tokens
     "bm25_champion_more_like_this", # champion-list pruned retrieval
+    "bm25_pruning_quality_report",  # champion recall@10 vs exact
 ]
 
 

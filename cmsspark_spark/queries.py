@@ -9512,6 +9512,69 @@ def bm25_champion_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.bm25_champion_topk(d, query_max_id=5, k=10, champions=16)
 
 
+def _bm25_pruning_oracle() -> str:
+    """Composed from the two registered BM25 oracles (exact + champion)
+    — same build discipline as the ANN ladder's oracle, so the report
+    can never drift from the rungs it audits."""
+    assert ORACLES.get("bm25_more_like_this")
+    assert ORACLES.get("bm25_champion_more_like_this")
+    return f"""
+    WITH exact AS ({ORACLES["bm25_more_like_this"]}),
+    pruned AS ({ORACLES["bm25_champion_more_like_this"]}),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact e JOIN pruned p
+        ON e.query_id = p.query_id AND e.doc_id = p.doc_id
+      GROUP BY e.query_id
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+           round(coalesce(max(h.n_hit), 0) * 1.0 / count(*), 4)
+             AS recall_at_10
+    FROM exact e LEFT JOIN hits h ON e.query_id = h.query_id
+    GROUP BY e.query_id
+    """
+
+
+@query("bm25_pruning_quality_report", None)
+def bm25_pruning_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruning-quality audit for champion-list BM25: per query, how
+    much of the EXACT top-10 the pruned rung recovers (recall@10) —
+    the retrieval sibling of ann_ladder_recall_report, read before
+    trusting the bounded-cost rung at scale. Both sides come FROM the
+    registered queries and the oracle composes their registered
+    oracles, so report and rungs can never drift. Id-pair joins over
+    top-10 lists — driver-light, one row per query."""
+    exact = QUERIES["bm25_more_like_this"](spark, sf_dir).select(
+        "query_id", "doc_id"
+    )
+    pruned = QUERIES["bm25_champion_more_like_this"](spark, sf_dir).select(
+        "query_id", "doc_id"
+    )
+    hits = exact.join(pruned, ["query_id", "doc_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)).cast("long"))
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+ORACLES["bm25_pruning_quality_report"] = _bm25_pruning_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Data-layout quality (scan pruning at 100 TB; operators/layout.py)
 # ---------------------------------------------------------------------------
