@@ -54,24 +54,34 @@ def bucket_expr(
     (a bigint column of nanosecond epochs spans ~2^60) — Spark wraps
     silently, corrupting every curve key and file assignment. Since
     min/max are runtime columns, the guard is a SQL CASE: spans past
-    ``2^62 / n`` switch to the divide-first form
-    ``(col - min) intdiv (span intdiv n + 1)`` — overflow-free (the
-    width form never adds to the span, which can be 2^63-1 itself),
-    same ``[0, n)`` range (``d intdiv (d intdiv n + 1) <= n - 1`` by
-    ``qn + r < (q+1)n``), equally monotone, merely up to one bucket
-    off the exact cut at astronomic spans (irrelevant for layout:
-    buckets only need to be a deterministic monotone partition of the
-    domain). Both branches parse identically in Spark SQL and DuckDB,
-    so engine and oracle can never disagree on the key.
+    ``2^62 / n`` switch to an IEEE-DOUBLE form
+    ``least(floor((col-min)*n / (span+1)), n-1)`` computed on casts.
+    Doubles, not wider integers, because (a) the span computation
+    ``max - min`` itself overflows int64 when the domain straddles the
+    full range, and (b) integer division DISAGREES between engines on
+    negatives (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors) — IEEE +,-,*,/ and floor are correctly-rounded and
+    bit-identical in both engines, and every step is monotone, so the
+    bucketing stays a deterministic monotone partition of the domain
+    (merely fuzzier than exact at spans past 2^53 — irrelevant for
+    layout). The guard predicate uses the same double subtraction, so
+    it can never overflow either. Both branches parse identically in
+    Spark SQL and DuckDB, so engine and oracle can never disagree on
+    the key.
     """
     intdiv = "div" if engine == "spark" else "//"
     span1 = f"({cmax} - {cmin} + 1)"
     small = f"((({col} - {cmin}) * {n}) {intdiv} {span1})"
-    width = f"((({cmax} - {cmin}) {intdiv} {n}) + 1)"
-    large = f"((({col} - {cmin})) {intdiv} {width})"
+    cd = f"CAST({col} AS DOUBLE)"
+    lod = f"CAST({cmin} AS DOUBLE)"
+    hid = f"CAST({cmax} AS DOUBLE)"
+    large = (
+        f"least(CAST(floor((({cd} - {lod}) * {n}.0)"
+        f" / (({hid} - {lod}) + 1.0)) AS BIGINT), {n - 1})"
+    )
     cutoff = (1 << 62) // n
     return (
-        f"(CASE WHEN ({cmax} - {cmin}) < {cutoff} "
+        f"(CASE WHEN ({hid} - {lod}) < {cutoff}.0 "
         f"THEN {small} ELSE {large} END)"
     )
 

@@ -732,3 +732,53 @@ def kmeans_serve_batch_fn(
         )
 
     return _batch
+
+
+def kmeans_retrain_if_drifted(
+    spark,
+    model_path: str,
+    drift_path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 2,
+    scale: int = 1000,
+) -> bool:
+    """The retrain half of the incremental-k-means loop: read the
+    drift ledger's LATEST row (max batch_id — replays append duplicate
+    rows for the same id, which max() absorbs) and, if it flags
+    retrain, re-run ``similarity.save_kmeans_model`` over ``corpus``
+    (the accumulated base + admitted increments — the caller owns what
+    'current corpus' means) and overwrite the stored model. Serving
+    keeps using the old model until this completes — the model table
+    is a single k-row parquet overwrite, so the swap is atomic at the
+    read level Spark provides (new readers see the new snapshot).
+    Returns True iff a retrain ran. Run it from the batch/cron side,
+    never inside the serving hot path."""
+    from pyspark.sql import functions as SF
+
+    from cmsspark_spark.operators.similarity import save_kmeans_model
+
+    ledger = spark.read.parquet(drift_path)
+    last = (
+        ledger.orderBy(SF.col("batch_id").desc()).limit(1).collect()
+    )
+    if not last or not last[0]["retrain"]:
+        return False
+    # the train-once memo keys on the corpus PLAN; a path that gained
+    # files since the last training has the same plan hash but new
+    # data — evict this session's memo AND the SQL cache (Spark's
+    # CacheManager also matches by plan and would serve the stale
+    # quantized frame) so the retrain really reads the current corpus.
+    # Retrains are rare batch-side events; the blunt clear is fine.
+    from cmsspark_spark.operators import similarity as _S
+
+    if _S._KMEANS_MEMO is not None:
+        _S._KMEANS_MEMO.pop(spark, None)
+    spark.catalog.clearCache()
+    save_kmeans_model(
+        corpus, model_path, id_col=id_col, vec_col=vec_col,
+        k=k, iters=iters, scale=scale,
+    )
+    return True

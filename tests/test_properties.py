@@ -584,3 +584,43 @@ def test_containment_bounds_and_exact_counts(spark, texts):
                 inter = sets[a] & sets[b]
                 if any(2 <= dfreq[g] <= 3 for g in inter):
                     assert (a, b) in got
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    cmin=st.integers(-(2**62), 2**62),
+    span=st.integers(0, 2**63 - 1),
+    n=st.sampled_from([2, 16, 256]),
+    picks=st.lists(st.floats(0.0, 1.0), min_size=1, max_size=8),
+)
+def test_bucket_expr_range_and_monotonicity_any_span(cmin, span, n, picks):
+    """r8 property: for ANY [cmin, cmax] (including nanosecond-epoch
+    spans past the old multiply-first int64 overflow), sampled values
+    bucket into [0, n), monotone in the value, min->0 and max->n-1 is
+    not required (divide-first branch may leave the top bucket short)
+    but min maps to 0. DuckDB evaluates the generated SQL directly."""
+    import duckdb
+
+    from cmsspark_spark.operators import layout as L
+
+    cmax = cmin + span
+    if cmax > 2**63 - 1:
+        cmax = 2**63 - 1
+        span = cmax - cmin
+    # float scaling can overshoot cmax (1.0*span rounds up past int64)
+    vals = sorted(
+        {min(cmax, max(cmin, cmin + int(p * span))) for p in picks}
+        | {cmin, cmax}
+    )
+    con = duckdb.connect()
+    expr = L.bucket_expr("v", str(cmin), str(cmax), n, "duck")
+    got = con.execute(
+        f"SELECT v, {expr} AS b FROM (SELECT unnest(?::BIGINT[]) AS v) "
+        f"ORDER BY v",
+        [vals],
+    ).fetchall()
+    con.close()
+    buckets = [b for _, b in got]
+    assert all(0 <= b < n for b in buckets), (cmin, span, n, buckets)
+    assert buckets == sorted(buckets)
+    assert buckets[0] == 0

@@ -718,6 +718,72 @@ def test_kmeans_serve_assigns_and_gates_retrain(spark, tmp_path):
     assert got == want
 
 
+def test_kmeans_retrain_if_drifted_closes_the_loop(spark, tmp_path):
+    """r8: the full train-once / serve / drift-gate / retrain cycle —
+    a shifted batch trips the gate; kmeans_retrain_if_drifted re-fits
+    on the accumulated corpus and overwrites the model; serving the
+    SAME shifted distribution against the new model scores quiet. A
+    quiet ledger must NOT retrain."""
+    import numpy as np
+
+    from cmsspark_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    base = spark.createDataFrame(
+        [(i, rng.normal(-1.0, 0.05, 4).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    model = str(tmp_path / "model")
+    S.save_kmeans_model(base, model, k=2, iters=2, scale=1000)
+
+    out, drift = str(tmp_path / "assign"), str(tmp_path / "drift")
+    fn = ST.kmeans_serve_batch_fn(model, out, drift, psi_threshold=0.25)
+    shifted_rows = [
+        (100 + i, rng.normal(3.0, 0.05, 4).tolist()) for i in range(40)
+    ]
+    shifted = spark.createDataFrame(
+        shifted_rows, "vec_id long, embedding array<double>"
+    )
+    fn(shifted, 0)
+    assert spark.read.parquet(drift).collect()[0].retrain
+
+    # retrain over base + admitted increment; model swaps in place
+    retrained = ST.kmeans_retrain_if_drifted(
+        spark, model, drift, base.unionByName(shifted), k=2, iters=2
+    )
+    assert retrained
+    tr = {r.cluster: r.train_share
+          for r in spark.read.parquet(model).collect()}
+    assert sorted(tr.values()) == [0.5, 0.5]  # new 50/50 mixture stored
+
+    # a batch matching the RETRAINED mixture scores quiet (the gate
+    # compares batch cluster shares to the trained mixture — a
+    # homogeneous batch is still drift, by design)
+    mixed = spark.createDataFrame(
+        [(200 + i, rng.normal(-1.0, 0.05, 4).tolist()) for i in range(20)]
+        + [(300 + i, rng.normal(3.0, 0.05, 4).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    fn(mixed, 1)
+    rows = {r.batch_id: r for r in spark.read.parquet(drift).collect()}
+    assert rows[1].psi < 0.05 and not rows[1].retrain
+
+    # quiet ledger -> no retrain (and the model file is untouched)
+    import os
+
+    mtimes = sorted(
+        os.path.getmtime(os.path.join(model, f))
+        for f in os.listdir(model)
+    )
+    assert not ST.kmeans_retrain_if_drifted(
+        spark, model, drift, base, k=2, iters=2
+    )
+    assert mtimes == sorted(
+        os.path.getmtime(os.path.join(model, f))
+        for f in os.listdir(model)
+    )
+
+
 def test_kmeans_serve_on_availablenow_stream(spark, tmp_path):
     """The serve adapter on a real file-source stream: assignments and
     one drift ledger row per micro-batch."""
