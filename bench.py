@@ -220,6 +220,7 @@ EXTRA = [
     "bpe_packing_efficiency",       # packing budgeted in BPE tokens
     "bm25_champion_more_like_this", # champion-list pruned retrieval
     "bm25_pruning_quality_report",  # champion recall@10 vs exact
+    "cluster_consistent_split",     # leakage-fixing cluster split
 ]
 
 

@@ -281,6 +281,72 @@ def bm25_more_like_this(
     )
 
 
+def cluster_split_assign(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundaries: dict[str, int] | None = None,
+) -> DataFrame:
+    """LEAKAGE-FIXING split assignment: every document inherits the
+    split of its near-dup cluster's REPRESENTATIVE (the component
+    label — the min-id member), so a near-duplicate pair can never
+    straddle train/eval. The constructive complement of
+    split_leakage_audit: the audit DETECTS cross-split near-dups that
+    a per-doc content hash cannot prevent (near-dups hash
+    differently); this operator removes them by construction —
+    cluster-consistent splitting is the standard fix (same move as
+    URL/domain-keyed splits, but at the verified-near-dup grain).
+
+    ``components`` is any (node, component) frame —
+    ``dedup.connected_components`` over LSH-verified pairs.
+    Unclustered docs keep their own content-hash split, so the split
+    stays stable under re-sharding AND under incremental appends that
+    don't touch a cluster.
+
+    Plan shape: the component frame is small by construction (only
+    docs with a verified near-dup) and BROADCASTS twice — once to
+    fetch each representative's split label (ids + labels only), once
+    onto the corpus-grain assignment; the corpus side is one narrow
+    hash map, never shuffled. Returns one row per doc:
+    (id, split, clustered, moved) where ``moved`` marks docs whose
+    cluster split differs from their own-content split."""
+    from cmsspark_spark.functions.text import hash_split
+
+    bounds = boundaries or {"train": 80, "val": 90, "test": 100}
+    sp = docs.select(
+        F.col(id_col), hash_split(text_col, bounds).alias("_own")
+    )
+    # representative's split: broadcast the (tiny) label set onto the
+    # corpus-grain split frame, then attach to every cluster member
+    rep_split = sp.join(
+        F.broadcast(
+            components.select(
+                F.col("component").alias(id_col)
+            ).distinct()
+        ),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("component"), F.col("_own").alias("_rep_split")
+    )
+    rep = components.join(F.broadcast(rep_split), "component").select(
+        F.col("node").alias(id_col), "_rep_split"
+    )
+    return (
+        sp.join(F.broadcast(rep), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_rep_split", "_own").alias("split"),
+            F.col("_rep_split").isNotNull().alias("clustered"),
+            (
+                F.col("_rep_split").isNotNull()
+                & (F.col("_rep_split") != F.col("_own"))
+            ).alias("moved"),
+        )
+    )
+
+
 def bm25_champion_topk(
     docs: DataFrame,
     id_col: str = "doc_id",

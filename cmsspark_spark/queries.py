@@ -9575,6 +9575,74 @@ def bm25_pruning_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bm25_pruning_quality_report"] = _bm25_pruning_oracle()
 
 
+def _cluster_split_oracle() -> str:
+    """Composed from the components oracle + the shared md5 hash-split
+    coin (same expression as hash_split_assign), so the query and the
+    machinery it fixes can never drift."""
+    return f"""
+    WITH comp AS ({_components_oracle_sql()}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS own
+      FROM (
+        SELECT doc_id,
+               ('0x' || substring(md5(text), 1, 15))::BIGINT
+                 % 2147483648 % 100 AS b
+        FROM documents
+      )
+    ),
+    rep AS (
+      SELECT c.doc_id, s.own AS rep_split
+      FROM comp c JOIN sp s ON s.doc_id = c.component
+    ),
+    fin AS (
+      SELECT s.doc_id,
+             coalesce(r.rep_split, s.own) AS split,
+             (r.rep_split IS NOT NULL) AS clustered,
+             (r.rep_split IS NOT NULL AND r.rep_split <> s.own) AS moved
+      FROM sp s LEFT JOIN rep r ON r.doc_id = s.doc_id
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE clustered) AS BIGINT)
+             AS n_clustered,
+           CAST(count(*) FILTER (WHERE moved) AS BIGINT) AS n_moved
+    FROM fin GROUP BY split
+    """
+
+
+@query("cluster_consistent_split", _cluster_split_oracle())
+def cluster_consistent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FIXING split (pipeline.cluster_split_assign): every doc
+    inherits the split of its near-dup cluster's representative, so a
+    verified near-duplicate pair CANNOT straddle train/eval — the
+    constructive fix for exactly what split_leakage_audit detects
+    (content-hash splits prevent leakage only for exact duplicates;
+    near-dups hash differently). Unclustered docs keep their own
+    content-hash split, preserving stability under re-sharding and
+    appends. Summary per split: docs, clustered docs, docs MOVED off
+    their own-content split (the leakage that was fixed). Components
+    come from the proven LSH→verify→min-label machinery; the oracle
+    composes the components closure with the shared md5 split coin."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    from cmsspark_spark.operators import pipeline as PL
+
+    assign = PL.cluster_split_assign(d, comp)
+    return assign.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("clustered").cast("long")).alias("n_clustered"),
+        F.sum(F.col("moved").cast("long")).alias("n_moved"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data-layout quality (scan pruning at 100 TB; operators/layout.py)
 # ---------------------------------------------------------------------------

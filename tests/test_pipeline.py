@@ -277,6 +277,59 @@ def test_bpe_merges_on_documents_table(spark):
     assert len(m1) == 6
 
 
+def test_cluster_split_assign_eliminates_leakage(spark):
+    """r8: cluster-consistent splitting — after assignment, NO
+    verified near-dup pair straddles splits (zero by construction);
+    unclustered docs keep their own content-hash split; every doc is
+    assigned exactly once."""
+    from cmsspark_spark.functions.text import hash_split
+    from cmsspark_spark.operators import dedup as D
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cand = D.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8,
+                               rows_per_band=2)
+    pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5,
+                            candidates=cand)
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    assign = PL.cluster_split_assign(d, comp).cache()
+
+    assert assign.count() == d.count()
+    assert assign.select("doc_id").distinct().count() == d.count()
+
+    # zero cross-split near-dup pairs under the new assignment
+    sa = assign.select(F.col("doc_id").alias("id_a"),
+                       F.col("split").alias("s_a"))
+    sb = assign.select(F.col("doc_id").alias("id_b"),
+                       F.col("split").alias("s_b"))
+    crossing = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("s_a") != F.col("s_b"))
+        .count()
+    )
+    assert crossing == 0
+    # the plain content split DOES leak on this corpus (the fix is
+    # non-vacuous): at least one verified pair straddles hash splits
+    own = d.select(
+        "doc_id",
+        hash_split("text", {"train": 80, "val": 90, "test": 100})
+        .alias("s"),
+    )
+    oa = own.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    ob = own.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    raw_crossing = (
+        pairs.join(oa, "id_a").join(ob, "id_b")
+        .filter(F.col("s_a") != F.col("s_b"))
+        .count()
+    )
+    assert raw_crossing > 0
+    # unclustered docs keep their own-content split
+    unc = assign.filter(~F.col("clustered"))
+    both = unc.join(own, "doc_id")
+    assert both.filter(F.col("split") != F.col("s")).count() == 0
+    assert unc.filter(F.col("moved")).count() == 0
+    assign.unpersist()
+
+
 def test_bm25_champion_exactness_and_monotone_recall(spark):
     """r8: champion-list pruning properties — (a) candidates are
     scored EXACTLY (any (query, doc) both rungs rank carries an
