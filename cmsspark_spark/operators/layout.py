@@ -32,7 +32,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 #: bits per dimension in the z-order key (two dims -> 2*BITS-bit key)
 ZORDER_BITS = 8
@@ -355,6 +355,63 @@ def curve_key(
         keyed.drop("_bx", "_by", "_min0", "_max0", "_min1", "_max1"),
         "_hd",
     )
+
+
+def clustering_health(
+    manifest: DataFrame,
+    dims: Sequence[str],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Layout health off the STATS MANIFEST alone (no data, no footer
+    reads — driver-sized input): per partition (or whole table) the
+    file count and, per dimension, the mean fraction of the partition's
+    key range a single file spans. A freshly curve-clustered partition
+    scores small fractions on every dimension; appends push them
+    toward 1.0 (each appended file spans ~everything) — exactly the
+    degradation signal the write-time manifest exists to expose.
+    Returns one row per partition: (partition?, n_files, n_rows,
+    span_frac_<dim>...)."""
+    keys = [partition_col] if partition_col else []
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    cols = list(keys) + [
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    ]
+    fracs = []
+    base = manifest
+    for d in dims:
+        lo = F.min(f"min_{d}").over(w)
+        hi = F.max(f"max_{d}").over(w)
+        frac = (F.col(f"max_{d}") - F.col(f"min_{d}") + 1) / (
+            hi - lo + 1
+        )
+        base = base.withColumn(f"_frac_{d}", frac)
+        fracs.append(
+            F.round(F.avg(f"_frac_{d}"), 4).alias(f"span_frac_{d}")
+        )
+    grouped = base.groupBy(*keys) if keys else base.groupBy()
+    return grouped.agg(*(cols[len(keys):] + fracs))
+
+
+def compaction_candidates(
+    manifest: DataFrame,
+    dims: Sequence[str],
+    partition_col: str | None = None,
+    max_files: int = 8,
+    max_span_frac: float = 0.5,
+) -> DataFrame:
+    """The OPTIMIZE trigger: partitions whose manifest says they need
+    re-clustering — too many files (small-file fragmentation) or mean
+    per-file span fraction past ``max_span_frac`` on ANY cluster
+    dimension (de-clustered by appends). Feed the result to
+    ``incremental.compact_partitions(cluster_by=dims)`` or the
+    OPTIMIZE CLI; at 100 TB this decision reads k rows per partition
+    from the sidecar instead of scanning anything."""
+    health = clustering_health(manifest, dims, partition_col)
+    cond = F.col("n_files") > int(max_files)
+    for d in dims:
+        cond = cond | (F.col(f"span_frac_{d}") > float(max_span_frac))
+    return health.filter(cond)
 
 
 def manifest_location(path: str) -> str:

@@ -272,6 +272,42 @@ def test_append_with_manifest_extends_sidecar_incrementally(spark, tmp_path):
     ).count()
 
 
+def test_compaction_candidates_flag_declustered_appends(spark, tmp_path):
+    """r8: the manifest-only OPTIMIZE trigger — a freshly clustered
+    table is healthy (not flagged); after an append the manifest
+    shows the new file's wide span and the table becomes a compaction
+    candidate, decided without reading any data."""
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a: long, b: long, payload: long")
+    path = str(tmp_path / "t")
+    L.hilbert_write(df, path, "a", "b", n_files=16)
+    man = spark.read.parquet(L.manifest_location(path))
+    health = L.clustering_health(man, ["a", "b"]).collect()[0]
+    assert health.n_files == 16 and health.n_rows == 64 * 64
+    assert health.span_frac_a <= 0.5 and health.span_frac_b <= 0.5
+    assert L.compaction_candidates(man, ["a", "b"], max_files=20).count() == 0
+
+    # de-clustering append: wide-span files land, manifest extends
+    inc = spark.createDataFrame(
+        [(x, y, -1) for x in range(64) for y in range(64)
+         if (x * 64 + y) % 7 == 0],
+        "a: long, b: long, payload: long",
+    ).repartition(6)
+    L.append_with_manifest(inc, path, ["a", "b"])
+    man2 = spark.read.parquet(L.manifest_location(path))
+    # mean span fraction rises from the ~0.3 clustered level toward
+    # 1.0 as wide appended files dilute the tiles; a 0.4 gate catches
+    # it while the pre-append layout stayed comfortably below
+    pre = L.compaction_candidates(
+        man, ["a", "b"], max_files=50, max_span_frac=0.4
+    )
+    assert pre.count() == 0
+    flagged = L.compaction_candidates(
+        man2, ["a", "b"], max_files=50, max_span_frac=0.4
+    )
+    assert flagged.count() == 1  # span degradation alone trips it
+
+
 def test_write_file_manifest_rowgroup_sidecar(spark, tmp_path):
     """rowgroups=True writes the row-group-grain table beside the
     file-grain one from a single footer parse; its per-file rollup
