@@ -26,8 +26,10 @@ import math
 from pyspark.sql import SparkSession
 
 from cmsspark_spark.operators.layout import (
+    compaction_candidates,
     curve_key,
     file_stats_manifest,
+    manifest_location,
     write_file_manifest,
 )
 from cmsspark_spark.session import get_spark
@@ -76,8 +78,28 @@ def run(
     n_files: int | None = None,
     target_bytes: int = 128 * 1024 * 1024,
     dry_run: bool = False,
+    if_needed: bool = False,
+    max_span_frac: float = 0.5,
+    max_files: int = 64,
 ) -> dict:
     dest = dest or table.rstrip("/") + "_optimized"
+    if if_needed:
+        # consult the write-time manifest sidecar BEFORE touching any
+        # data: a table whose clustering is still healthy (file count
+        # and per-dim span fractions inside the gates) skips the
+        # rewrite entirely — the steady-state OPTIMIZE loop is
+        # manifest-read cheap, not scan cheap
+        mpath = manifest_location(table)
+        try:
+            man = spark.read.parquet(mpath)
+        except Exception:
+            man = None  # no sidecar yet: proceed (first optimize)
+        if man is not None and not compaction_candidates(
+            man, [x, y], max_files=max_files,
+            max_span_frac=max_span_frac,
+        ).take(1):
+            return {"table": table, "dest": dest, "curve": curve,
+                    "skipped": "healthy layout per manifest"}
     df = spark.read.parquet(table)
     before_man = file_stats_manifest(df, [x, y]).toPandas()
     before = _span_summary(before_man, x, y)
@@ -134,12 +156,19 @@ def main() -> None:
                     default=128 * 1024 * 1024)
     ap.add_argument("--dry-run", action="store_true",
                     help="report the current layout only, no rewrite")
+    ap.add_argument("--if-needed", action="store_true",
+                    help="skip the rewrite when the manifest sidecar "
+                         "says the layout is still healthy")
+    ap.add_argument("--max-span-frac", type=float, default=0.5)
+    ap.add_argument("--max-files", type=int, default=64)
     args = ap.parse_args()
     spark = get_spark("optimize-table")
     summary = run(
         spark, args.table, args.out, args.x, args.y,
         dest=args.dest, curve=args.curve, n_files=args.n_files,
         target_bytes=args.target_bytes, dry_run=args.dry_run,
+        if_needed=args.if_needed, max_span_frac=args.max_span_frac,
+        max_files=args.max_files,
     )
     print(summary)
     spark.stop()

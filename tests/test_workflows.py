@@ -620,6 +620,45 @@ def test_corpus_qa_retains_brand_new_source(spark, tmp_path):
     assert not old.new_group and old.psi is not None
 
 
+def test_optimize_table_if_needed_skips_healthy_layout(spark, tmp_path):
+    """r8: --if-needed consults the manifest sidecar before touching
+    data — a freshly clustered table (its own write emitted the
+    sidecar) skips the rewrite; after a de-clustering append extends
+    the manifest, the same call proceeds."""
+    from cmsspark_spark.jobs import optimize_table
+    from cmsspark_spark.operators import layout as L
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a: long, b: long")
+    t = str(tmp_path / "t")
+    L.hilbert_write(df, t, "a", "b", n_files=16)
+
+    out = str(tmp_path / "rep")
+    s1 = optimize_table.run(
+        spark, t, out, "a", "b", dest=str(tmp_path / "d1"),
+        n_files=16, if_needed=True, max_span_frac=0.4,
+    )
+    assert "skipped" in s1
+    import os
+
+    assert not os.path.exists(str(tmp_path / "d1"))
+
+    # six wide-span files: enough to drag the mean span fraction past
+    # the 0.4 gate (one lone append hides in the mean of 16 tiles)
+    inc = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)
+         if (x + y) % 5 == 0],
+        "a: long, b: long",
+    ).repartition(6)
+    L.append_with_manifest(inc, t, ["a", "b"])
+    s2 = optimize_table.run(
+        spark, t, out, "a", "b", dest=str(tmp_path / "d2"),
+        n_files=8, if_needed=True, max_span_frac=0.4,
+    )
+    assert "skipped" not in s2 and "after" in s2
+    assert os.path.exists(str(tmp_path / "d2"))
+
+
 def test_optimize_table_sizes_via_hadoop_fs(spark, tmp_path):
     """r8 (verdict #5): default file sizing goes through the Hadoop
     FileSystem API (works on any scheme), not a driver-local glob —
