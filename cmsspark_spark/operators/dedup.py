@@ -376,35 +376,43 @@ def simhash(
     return voted.select("_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "_id",
+    hash_col: str = "simhash",
+    bits: int = 16,
+    max_hamming: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
-
-    Candidate generation by block-splitting (pigeonhole: distance ≤ d ⇒
-    some block of d+1 equal) — a self-join per block on the block value,
-    never all-pairs. Returns (id_a, id_b, hamming).
+    """Near-dup pairs among ANY per-item bit fingerprints by Hamming
+    distance — the block-split (pigeonhole) candidate generator shared
+    by text SimHash and perceptual image hashes: distance ≤ d ⇒ at
+    least one of d+1 disjoint bit blocks is equal, so candidates come
+    from a self-join per block on the block value, never all-pairs.
+    Works on signed 64-bit fingerprints (shifts/xor/bit_count operate
+    on the two's-complement pattern). Returns (id_a, id_b, hamming).
     """
-    s = simhash(df, id_col, text_col, bits)
+    s = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
     blocks = []
     for bi in range(nblocks):
         width = block_bits if bi < nblocks - 1 else bits - block_bits * (nblocks - 1)
-        val = F.shiftright(F.col("simhash"), bi * block_bits).bitwiseAND(
-            F.lit((1 << width) - 1)
+        val = F.shiftrightunsigned(F.col("_h"), bi * block_bits).bitwiseAND(
+            F.lit((1 << width) - 1) if width < 63 else F.lit(2**63 - 1)
         )
         blocks.append(
-            s.select("_id", "simhash", F.lit(bi).alias("block"), val.alias("bval"))
+            s.select("_id", "_h", F.lit(bi).alias("block"), val.alias("bval"))
         )
     stacked = blocks[0]
     for other in blocks[1:]:
         stacked = stacked.unionByName(other)
     a = stacked.select(
-        F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "bval"
+        F.col("_id").alias("id_a"), F.col("_h").alias("sh_a"), "block", "bval"
     )
     b = stacked.select(
-        F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "bval"
+        F.col("_id").alias("id_b"), F.col("_h").alias("sh_b"), "block", "bval"
     )
     cand = (
         a.join(b, on=["block", "bval"])
@@ -417,6 +425,18 @@ def simhash_near_pairs(
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the text instance
+    of :func:`hamming_near_pairs` (same pigeonhole block join).
+    Returns (id_a, id_b, hamming)."""
+    s = simhash(df, id_col, text_col, bits)
+    return hamming_near_pairs(
+        s, "_id", "simhash", bits=bits, max_hamming=max_hamming
     )
 
 

@@ -327,6 +327,111 @@ def resize_images(
     return narrow.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+    max_parallelism: int | None = None,
+) -> DataFrame:
+    """Perceptual AVERAGE-HASH of image payloads — the multimodal
+    rung of the dedup family: downscale to ``grid``×``grid``,
+    grayscale, threshold each cell at the image mean, pack the bits
+    into one signed BIGINT. Re-encodes, crops, small watermarks and
+    format round-trips perturb only a few cells, so near-duplicate
+    images sit within a small Hamming distance — feed the output to
+    ``dedup.hamming_near_pairs`` exactly like text SimHash
+    fingerprints (same pigeonhole block join, never all-pairs).
+
+    BMP payloads (24-bit — the pure-Python-decodable format) are
+    REALLY decoded and resampled through the shared codec; anything
+    else hashes a deterministic fake raster (bytes tiled to the grid —
+    the stand-in contract every stub here follows: plumbing, schema
+    and distribution shape real, codec swappable for PIL/opencv at
+    deployment). One Arrow ``mapInPandas`` pass, zero shuffle; the
+    hash is 8 bytes per image no matter the payload size — the ONLY
+    thing the pair stage ever shuffles.
+    Returns (id_col, ahash bigint)."""
+    g = int(grid)
+    nbits = g * g
+    assert nbits <= 64, "grid*grid must fit one BIGINT"
+    bmp_decode, _, bmp_resize = _make_bmp_codec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def gray_cells(b) -> list:
+            if b is None or len(b) == 0:
+                return [0] * nbits
+            raw = bytes(b)
+            if raw[:2] == b"BM":
+                try:
+                    w, h, rows = bmp_decode(raw)
+                    small = bmp_resize(w, h, rows, g, g)
+                    return [
+                        (
+                            small[y][x * 3]
+                            + small[y][x * 3 + 1]
+                            + small[y][x * 3 + 2]
+                        )
+                        for y in range(g)
+                        for x in range(g)
+                    ]
+                except ValueError:
+                    pass
+            reps = -(-nbits // len(raw))
+            tiled = (raw * reps)[:nbits]
+            return [3 * v for v in tiled]
+
+        def one(b) -> int:
+            cells = gray_cells(b)
+            mean = sum(cells) / len(cells)
+            v = 0
+            for i, c in enumerate(cells):
+                if c > mean:
+                    v |= 1 << i
+            if v >= 1 << 63:
+                v -= 1 << 64
+            return v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "ahash": pdf[payload_col].map(one).astype("int64"),
+                }
+            )
+
+    narrow = df.select(id_col, payload_col)
+    if max_parallelism is not None:
+        narrow = narrow.coalesce(max_parallelism)
+    return narrow.mapInPandas(run, schema="doc_id long, ahash long")
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+    max_hamming: int = 5,
+    max_parallelism: int | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: :func:`image_ahash` fingerprints +
+    the shared Hamming pigeonhole block join
+    (``dedup.hamming_near_pairs``). Payload bytes never shuffle — only
+    (id, 8-byte hash) cells enter the exchange, so a 100 TB image
+    corpus pairs at the cost of its id space. Returns
+    (id_a, id_b, hamming)."""
+    from cmsspark_spark.operators.dedup import hamming_near_pairs
+
+    hashes = image_ahash(
+        df, id_col=id_col, payload_col=payload_col, grid=grid,
+        max_parallelism=max_parallelism,
+    )
+    return hamming_near_pairs(
+        hashes, "doc_id", "ahash",
+        bits=int(grid) * int(grid), max_hamming=max_hamming,
+    )
+
+
 #: Frame sampling output: 1→N rows (frame_idx within each video).
 FRAME_SCHEMA = StructType(
     [

@@ -131,3 +131,68 @@ def test_resize_images_real_bmp_payload(spark):
     assert rows[0] == bytes((255, 0, 0)) + bytes((0, 0, 255))
     assert rows[1] == bytes((1, 2, 3)) + bytes((7, 8, 9))
     assert r["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_image_ahash_perceptual_properties(spark):
+    """r8: the average-hash is stable under re-encode, nearly stable
+    under a small perturbation, and far from a structurally different
+    image — the contract that makes Hamming near-dup work on images."""
+    from cmsspark_spark.operators.multimodal import image_ahash
+
+    # 16x16 half-dark / half-bright gradient
+    def px(grad):
+        return [
+            [grad(x, y) for x in range(16)] for y in range(16)
+        ]
+
+    base = _make_bmp(16, 16, px(lambda x, y: (x * 16, x * 16, x * 16)))
+    tweak_px = px(lambda x, y: (x * 16, x * 16, x * 16))
+    tweak_px[3][3] = (255, 255, 255)  # one bright pixel in the dark half
+    tweaked = _make_bmp(16, 16, tweak_px)
+    inverted = _make_bmp(
+        16, 16, px(lambda x, y: (255 - x * 16,) * 3)
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(base)),
+         (2, bytearray(tweaked)), (3, bytearray(inverted))],
+        "doc_id long, payload binary",
+    )
+    h = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert h[0] == h[1]  # identical bytes, identical hash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[0], h[2]) <= 4          # small perturbation
+    assert ham(h[0], h[3]) >= 20         # structural difference
+
+
+def test_image_near_dup_pairs_blocked_join(spark):
+    """r8: near-dup image pairs via the shared Hamming pigeonhole
+    join — the planted near-identical pair is found, the inverted
+    image pairs with nothing, and non-BMP payloads flow through the
+    deterministic fake-raster path (identical bytes → hamming 0)."""
+    from cmsspark_spark.operators.multimodal import image_near_dup_pairs
+
+    def px(grad):
+        return [[grad(x, y) for x in range(16)] for y in range(16)]
+
+    base = _make_bmp(16, 16, px(lambda x, y: (x * 16, x * 16, x * 16)))
+    tweak_px = px(lambda x, y: (x * 16, x * 16, x * 16))
+    tweak_px[3][3] = (255, 255, 255)
+    tweaked = _make_bmp(16, 16, tweak_px)
+    inverted = _make_bmp(16, 16, px(lambda x, y: (255 - x * 16,) * 3))
+    fake = b"not-a-bmp-payload" * 5
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(tweaked)),
+         (2, bytearray(inverted)),
+         (10, bytearray(fake)), (11, bytearray(fake))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(df, max_hamming=5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 4
+    assert (10, 11) in pairs and pairs[(10, 11)] == 0
+    assert not any(2 in p for p in pairs)  # inverted image unpaired
