@@ -432,6 +432,109 @@ def image_near_dup_pairs(
     )
 
 
+def audio_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    windows: int = 64,
+    max_parallelism: int | None = None,
+) -> DataFrame:
+    """ENERGY-ENVELOPE hash of audio payloads — the audio twin of
+    :func:`image_ahash`: split the sample stream into ``windows``
+    equal chunks, mean-absolute amplitude per chunk, threshold at the
+    clip's overall mean, pack the bits into one signed BIGINT. Level
+    changes, re-encodes and small edits perturb few envelope bits, so
+    near-duplicate clips sit within a small Hamming distance — pair
+    with ``dedup.hamming_near_pairs`` like every other fingerprint
+    here. 16-bit PCM WAV (the pure-Python-decodable format) is REALLY
+    decoded (first channel); other payloads hash their raw bytes as a
+    deterministic fake sample stream (the shared stub contract). One
+    Arrow pass, zero shuffle, 8 bytes out per clip.
+    Returns (id_col, ahash bigint)."""
+    import struct
+
+    nw = int(windows)
+    assert nw <= 64, "windows must fit one BIGINT"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def samples(raw: bytes) -> list:
+            if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                pos, n_ch, bits, data = 12, 1, 16, None
+                ok = True
+                while pos + 8 <= len(raw):
+                    cid = raw[pos : pos + 4]
+                    size = struct.unpack_from("<I", raw, pos + 4)[0]
+                    if cid == b"fmt ":
+                        fmt_, n_ch, _rate = struct.unpack_from(
+                            "<HHI", raw, pos + 8
+                        )
+                        bits = struct.unpack_from("<H", raw, pos + 22)[0]
+                        ok = fmt_ == 1 and bits == 16
+                    elif cid == b"data":
+                        data = raw[pos + 8 : pos + 8 + size]
+                    pos += 8 + size + (size & 1)
+                if ok and data:
+                    step = 2 * max(n_ch, 1)
+                    return [
+                        struct.unpack_from("<h", data, i)[0]
+                        for i in range(0, len(data) - 1, step)
+                    ]
+            return list(raw)  # fake stream: bytes as amplitudes
+
+        def one(b) -> int:
+            raw = bytes(b) if b else b"\x00"
+            s = samples(raw) or [0]
+            k = max(1, len(s) // nw)
+            energies = [
+                sum(abs(v) for v in s[i * k : (i + 1) * k]) / k
+                for i in range(nw)
+            ]
+            mean = sum(energies) / nw
+            v = 0
+            for i, e in enumerate(energies):
+                if e > mean:
+                    v |= 1 << i
+            if v >= 1 << 63:
+                v -= 1 << 64
+            return v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "ahash": pdf[payload_col].map(one).astype("int64"),
+                }
+            )
+
+    narrow = df.select(id_col, payload_col)
+    if max_parallelism is not None:
+        narrow = narrow.coalesce(max_parallelism)
+    return narrow.mapInPandas(run, schema="doc_id long, ahash long")
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    windows: int = 64,
+    max_hamming: int = 5,
+    max_parallelism: int | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: envelope hashes + the shared
+    Hamming pigeonhole block join — payload bytes never shuffle.
+    Returns (id_a, id_b, hamming)."""
+    from cmsspark_spark.operators.dedup import hamming_near_pairs
+
+    hashes = audio_ahash(
+        df, id_col=id_col, payload_col=payload_col, windows=windows,
+        max_parallelism=max_parallelism,
+    )
+    return hamming_near_pairs(
+        hashes, "doc_id", "ahash", bits=int(windows),
+        max_hamming=max_hamming,
+    )
+
+
 #: Frame sampling output: 1→N rows (frame_idx within each video).
 FRAME_SCHEMA = StructType(
     [

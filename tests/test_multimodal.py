@@ -196,3 +196,64 @@ def test_image_near_dup_pairs_blocked_join(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] <= 4
     assert (10, 11) in pairs and pairs[(10, 11)] == 0
     assert not any(2 in p for p in pairs)  # inverted image unpaired
+
+
+def _make_wav(pattern, n_per=200):
+    """16-bit mono PCM WAV whose loudness follows `pattern` (list of
+    amplitudes, one block of n_per samples each)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        frames = b"".join(
+            struct.pack("<h", amp if i % 2 == 0 else -amp)
+            for amp in pattern
+            for i in range(n_per)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_ahash_envelope_properties(spark):
+    """r8: the energy-envelope hash — stable on identical clips,
+    near-stable under small amplitude noise, far from a clip with the
+    opposite loudness pattern; non-WAV payloads go through the fake
+    byte-stream path deterministically."""
+    from cmsspark_spark.operators.multimodal import (
+        audio_ahash,
+        audio_near_dup_pairs,
+    )
+
+    loud_quiet = [20000 if (i // 8) % 2 == 0 else 100 for i in range(64)]
+    noisy = [v + 50 for v in loud_quiet]
+    quiet_loud = [100 if (i // 8) % 2 == 0 else 20000 for i in range(64)]
+    base = _make_wav(loud_quiet)
+    near = _make_wav(noisy)
+    diff = _make_wav(quiet_loud)
+    fake = b"definitely-not-audio" * 7
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(base)),
+         (2, bytearray(near)), (3, bytearray(diff)),
+         (10, bytearray(fake)), (11, bytearray(fake))],
+        "doc_id long, payload binary",
+    )
+    h = {r.doc_id: r.ahash for r in audio_ahash(df).collect()}
+    assert h[0] == h[1]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[0], h[2]) <= 4
+    assert ham(h[0], h[3]) >= 20
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_dup_pairs(df, max_hamming=5).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (10, 11) in pairs
+    assert not any(3 in p for p in pairs)
