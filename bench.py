@@ -221,6 +221,7 @@ EXTRA = [
     "bm25_champion_more_like_this", # champion-list pruned retrieval
     "bm25_pruning_quality_report",  # champion recall@10 vs exact
     "cluster_consistent_split",     # leakage-fixing cluster split
+    "image_near_dup_ahash",         # perceptual hash + Hamming blocks
 ]
 
 

@@ -9575,6 +9575,61 @@ def bm25_pruning_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bm25_pruning_quality_report"] = _bm25_pruning_oracle()
 
 
+@query(
+    "image_near_dup_ahash",
+    """
+    WITH p AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    cells AS (
+      SELECT doc_id, g.i,
+             CASE WHEN L = 0 THEN 0
+                  ELSE 3 * ascii(substring(repeat(text,
+                         CAST(ceil(64.0 / L) AS INT)), g.i + 1, 1)) END AS c
+      FROM p, (SELECT unnest(generate_series(0, 63)) AS i) g
+    ),
+    m AS (SELECT doc_id, sum(c) / 64.0 AS mean FROM cells GROUP BY doc_id),
+    v AS (
+      SELECT cells.doc_id,
+             sum(CASE WHEN c > mean THEN (1::HUGEINT << i) ELSE 0 END) AS hv
+      FROM cells JOIN m USING (doc_id) GROUP BY cells.doc_id
+    ),
+    h AS (SELECT doc_id,
+                 CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                      THEN hv - 18446744073709551616::HUGEINT
+                      ELSE hv END AS BIGINT) AS ahash FROM v)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 5
+    """,
+)
+def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs
+    (multimodal.image_near_dup_pairs): average-hash fingerprints over
+    binary payloads + the shared Hamming pigeonhole block join —
+    payload bytes never shuffle, only (id, 8-byte hash) cells. The
+    demo payloads are the corpus' UTF-8 bytes (attach_binary_payload,
+    same stand-in as multimodal_frame_sample), which exercise the
+    FAKE-RASTER path end-to-end: tile bytes to the 8×8 grid, threshold
+    at the mean, pack 64 bits signed. The corpus is ASCII, so DuckDB
+    reproduces the whole fingerprint char-for-byte (repeat+ascii) and
+    the pair set by brute-force xor/bit_count (pigeonhole makes the
+    blocked join EXACTLY the ≤d pair set, so the all-pairs oracle is
+    the same relation); the real-BMP decode rung of the same hash is
+    pinned by pytest on planted images."""
+    from cmsspark_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_near_dup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = image_near_dup_pairs(
+        attach_binary_payload(d), max_hamming=5, max_parallelism=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _cluster_split_oracle() -> str:
     """Composed from the components oracle + the shared md5 hash-split
     coin (same expression as hash_split_assign), so the query and the
