@@ -222,6 +222,7 @@ EXTRA = [
     "bm25_pruning_quality_report",  # champion recall@10 vs exact
     "cluster_consistent_split",     # leakage-fixing cluster split
     "image_near_dup_ahash",         # perceptual hash + Hamming blocks
+    "audio_near_dup_envelope",      # energy-envelope hash near-dup
 ]
 
 

@@ -9630,6 +9630,63 @@ def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "audio_near_dup_envelope",
+    """
+    WITH p AS (SELECT doc_id,
+                      CASE WHEN length(text) = 0 THEN chr(0)
+                           ELSE text END AS t
+               FROM documents),
+    k AS (SELECT doc_id, t, greatest(1, length(t) // 64) AS kk FROM p),
+    wins AS (
+      SELECT doc_id, g.i,
+             (SELECT coalesce(sum(ascii(substring(t, j + 1, 1))), 0)
+              FROM unnest(generate_series(g.i * kk, (g.i + 1) * kk - 1))
+                AS u(j)
+              WHERE j < length(t)) / (kk * 1.0) AS e
+      FROM k, (SELECT unnest(generate_series(0, 63)) AS i) g
+    ),
+    m AS (SELECT doc_id, sum(e) / 64.0 AS mean FROM wins
+          GROUP BY doc_id),
+    v AS (SELECT wins.doc_id,
+                 sum(CASE WHEN e > mean THEN (1::HUGEINT << i)
+                     ELSE 0 END) AS hv
+          FROM wins JOIN m USING (doc_id) GROUP BY wins.doc_id),
+    h AS (SELECT doc_id,
+                 CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                      THEN hv - 18446744073709551616::HUGEINT
+                      ELSE hv END AS BIGINT) AS ahash FROM v)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 5
+    """,
+)
+def audio_near_dup_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (multimodal.audio_near_dup_pairs): the
+    energy-envelope fingerprint + the shared Hamming block join, on
+    the same demo payloads as the image rung — exercising the
+    FAKE-STREAM path end-to-end (raw bytes as amplitudes, 64 exact
+    windows of len//64 samples, mean-threshold, signed bit packing).
+    ASCII corpus ⇒ DuckDB replays the fingerprint byte-for-byte
+    (ascii over substring windows, HUGEINT packing) and the bounded
+    pair set by brute-force xor/bit_count — the pigeonhole-blocked
+    engine join IS that relation. The real 16-bit PCM WAV decode rung
+    of the same hash is pinned by pytest on planted clips."""
+    from cmsspark_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_near_dup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = audio_near_dup_pairs(
+        attach_binary_payload(d), max_hamming=5, max_parallelism=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _cluster_split_oracle() -> str:
     """Composed from the components oracle + the shared md5 hash-split
     coin (same expression as hash_split_assign), so the query and the
