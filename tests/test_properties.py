@@ -624,3 +624,35 @@ def test_bucket_expr_range_and_monotonicity_any_span(cmin, span, n, picks):
     assert all(0 <= b < n for b in buckets), (cmin, span, n, buckets)
     assert buckets == sorted(buckets)
     assert buckets[0] == 0
+
+
+@given(
+    hashes=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=16,
+        unique=True,
+    ),
+    max_hamming=st.integers(0, 6),
+)
+@settings(**SETTINGS)
+def test_hamming_near_pairs_equals_brute_force(spark, hashes, max_hamming):
+    """r8 property: the pigeonhole block join returns EXACTLY the
+    Hamming-bounded pair relation a brute-force scan computes — the
+    correctness argument the multimodal near-dup oracles rest on
+    (their all-pairs SQL is only a valid oracle because blocking is
+    lossless for distance <= d). Signed 64-bit fingerprints included."""
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "id long, h long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.hamming_near_pairs(
+            df, "id", "h", bits=64, max_hamming=max_hamming
+        ).collect()
+    }
+    want = set()
+    for i, a in enumerate(hashes):
+        for j in range(i + 1, len(hashes)):
+            d = bin((a ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                want.add((i, j, d))
+    assert got == want
