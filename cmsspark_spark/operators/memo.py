@@ -1,0 +1,167 @@
+"""Session-scoped train-once memos for deterministic sub-pipelines.
+
+Several operators here are pure functions of (input plan, params) —
+Lloyd's k-means (integer-quantized, k-smallest-id seeds), BPE merge
+training (count argmax with total tie-break), connected components
+over a near-dup pair graph (min-label fixpoint). Registry queries
+compose them freely, so without sharing, seven consumers of the same
+LSH→verify→components pipeline each pay a full propagation run. A
+:class:`SessionMemo` lets every consumer of the same (plan, params)
+share ONE run per SparkSession.
+
+Key design (the r8 advice fix): ``DataFrame.semanticHash()`` alone is
+a 32-bit PLAN hash — re-reading the same path after files were
+appended/overwritten yields the same key and would silently serve
+stale results, and two distinct plans can collide. The memo key here
+folds in:
+
+- the semantic hash (plan identity — stable across separately-built
+  identical plans, which is what lets sibling queries share),
+- the schema string (cheap collision guard),
+- a DATA FINGERPRINT: every leaf file's (path, size, mtime) from the
+  analyzed plan's file-source leaves, fetched with one Hadoop
+  ``listStatus`` per parent directory (driver-side metadata calls, no
+  scan). Appends change the file list; overwrites change names/sizes/
+  mtimes — either way the key changes and the memo retrains.
+
+``LocalRelation`` leaves (``createDataFrame`` literals) carry their
+data inside the plan, so ``semanticHash`` already distinguishes them
+(verified: same-schema different-data local frames hash differently);
+they contribute nothing to the fingerprint. Any OTHER leaf kind
+(JDBC, Range, streaming sources) is not fingerprintable — ``key_for``
+returns None and the caller runs UNMEMOIZED, trading speed for
+guaranteed freshness.
+
+Eviction: memos are weak-keyed per session (dead sessions collect);
+``invalidate_session_memos`` clears every registered memo explicitly
+— the hook for any path that knows the underlying files changed
+(``streaming.kmeans_retrain_if_drifted`` uses it; ``tools/
+bench_scale`` clears before timed runs so sweeps measure train+serve,
+never the memoized serve path).
+"""
+
+from __future__ import annotations
+
+import weakref
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+
+def plan_data_fingerprint(df: DataFrame) -> tuple | None:
+    """(path, size, mtime) for every file-source leaf of the analyzed
+    plan, sorted — or None if any leaf is not fingerprintable.
+
+    Driver-side metadata only: ``collectLeaves`` on the analyzed plan,
+    then one Hadoop ``listStatus`` per distinct parent directory (not
+    one RPC per file), so the cost is O(directories), fine even for
+    wide multi-file tables. ``DataFrame.inputFiles()`` is NOT usable
+    here — it returns [] for any plan with joins/aggregates."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        sc = df.sparkSession.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        jvm = sc._jvm
+        files: set[str] = set()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            if cls in (
+                "LocalRelation",   # literal rows live in the plan
+                "OneRowRelation",
+                "LogicalRDD",      # createDataFrame: hash keys the RDD id
+                "Range",           # fully described by (start, end, step)
+            ):
+                continue  # semanticHash already identifies the data
+            try:
+                for f in leaf.relation().location().inputFiles():
+                    files.add(f)
+            except Exception:
+                return None  # non-file leaf: not fingerprintable
+        by_dir: dict[str, set[str]] = {}
+        for f in files:
+            d, _, name = f.rpartition("/")
+            by_dir.setdefault(d, set()).add(name)
+        stats: list[tuple[str, int, int]] = []
+        for d, names in sorted(by_dir.items()):
+            jp = jvm.org.apache.hadoop.fs.Path(d)
+            fs = jp.getFileSystem(hconf)
+            for st in fs.listStatus(jp):
+                p = st.getPath()
+                if p.getName() in names:
+                    stats.append(
+                        (p.toString(), st.getLen(), st.getModificationTime())
+                    )
+        return tuple(sorted(stats))
+    except Exception:
+        return None
+
+
+#: Every SessionMemo ever constructed, for blanket invalidation.
+_REGISTRY: list["SessionMemo"] = []
+
+
+class SessionMemo:
+    """A per-SparkSession (weak-keyed) memo with fresh-data keys."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._store: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+        _REGISTRY.append(self)
+
+    @staticmethod
+    def key_for(df: DataFrame, *params: Any) -> tuple | None:
+        """Memo key for (frame, params), or None when memoization
+        would be unsafe (no semanticHash, or un-fingerprintable
+        source)."""
+        try:
+            phash = df.semanticHash()
+        except Exception:
+            return None
+        fp = plan_data_fingerprint(df)
+        if fp is None:
+            return None
+        return (phash, str(df.schema), fp) + params
+
+    def per_session(self, spark) -> dict:
+        """The session's raw entry dict — for callers that memoize
+        several dependent artifacts under related keys (k-means keeps
+        both the quantized frame and the centroids)."""
+        return self._store.setdefault(spark, {})
+
+    def get_or(
+        self, df: DataFrame, params: tuple, builder: Callable[[], Any]
+    ) -> Any:
+        """Memoized ``builder()`` — a hit skips it entirely; an unsafe
+        key runs it unmemoized."""
+        key = self.key_for(df, *params)
+        if key is None:
+            return builder()
+        per = self.per_session(df.sparkSession)
+        if key not in per:
+            per[key] = builder()
+        return per[key]
+
+    def invalidate(self, spark=None) -> None:
+        """Drop one session's entries (or all sessions')."""
+        if spark is None:
+            self._store.clear()
+        else:
+            self._store.pop(spark, None)
+
+    # bench_scale's reset loop calls .clear() on whatever memo objects
+    # the operator modules expose — keep that spelling working.
+    def clear(self) -> None:
+        self.invalidate()
+
+    def pop(self, spark, default=None):
+        """WeakKeyDictionary-compatible eviction of one session."""
+        return self._store.pop(spark, default)
+
+
+def invalidate_session_memos(spark=None) -> None:
+    """Clear EVERY registered train-once memo (k-means, BPE,
+    connected components, …) for one session or all — the explicit
+    hook for code that knows underlying data changed out-of-band."""
+    for memo in _REGISTRY:
+        memo.invalidate(spark)

@@ -1081,12 +1081,16 @@ def train_bpe_merges(
 
 
 #: Session-scoped train-once memo for BPE merges — the merge sequence
-#: is a pure function of (corpus plan, text_col, k, min_freq) (count
-#: argmax with total tie-break, no RNG), so every tokenizer-aware
-#: consumer (length profiles, packing, curricula) shares ONE training
-#: run per session instead of re-running the k sequential rounds.
-#: Same weak-keyed design as similarity._KMEANS_MEMO.
-_BPE_MEMO: "object" = None
+#: is a pure function of (corpus plan + data fingerprint, text_col, k,
+#: min_freq) (count argmax with total tie-break, no RNG), so every
+#: tokenizer-aware consumer (length profiles, packing, curricula)
+#: shares ONE training run per session instead of re-running the k
+#: sequential rounds. Same fresh-data key design as
+#: similarity._KMEANS_MEMO (operators/memo.py): appended/overwritten
+#: leaf files change the key, so stale merges are never served.
+from cmsspark_spark.operators.memo import SessionMemo as _SessionMemo
+
+_BPE_MEMO = _SessionMemo("bpe")
 
 
 def bpe_merges_shared(
@@ -1094,22 +1098,12 @@ def bpe_merges_shared(
 ) -> list[tuple[str, str]]:
     """Memoized :func:`train_bpe_merges` — a hit skips all k training
     rounds; a miss trains exactly as before. Falls back to untracked
-    training when the plan has no semanticHash."""
-    global _BPE_MEMO
-    if _BPE_MEMO is None:
-        import weakref
-
-        _BPE_MEMO = weakref.WeakKeyDictionary()
-    try:
-        key = (df.semanticHash(), text_col, k, min_freq)
-    except Exception:
-        return train_bpe_merges(df, text_col, k=k, min_freq=min_freq)
-    per_sess = _BPE_MEMO.setdefault(df.sparkSession, {})
-    if key not in per_sess:
-        per_sess[key] = train_bpe_merges(
-            df, text_col, k=k, min_freq=min_freq
-        )
-    return per_sess[key]
+    training when the plan has no safe memo key."""
+    return _BPE_MEMO.get_or(
+        df,
+        (text_col, k, min_freq),
+        lambda: train_bpe_merges(df, text_col, k=k, min_freq=min_freq),
+    )
 
 
 def apply_bpe(

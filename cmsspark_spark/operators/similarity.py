@@ -931,44 +931,43 @@ def _kmeans_quantized_frame(
 
 #: Session-scoped train-once memo: Lloyd's loop here is fully
 #: deterministic (k-smallest-id seeds, integer quantization, no RNG),
-#: so for a given (corpus plan, params) the centroids are a pure
-#: function — every consumer (assignment query, SemDeDup bucketing,
-#: trained IVF, the ladder audit, a mixture sampler) can share ONE
-#: training run and ONE persisted quantized frame instead of each
-#: re-running the full-corpus iterations. Keyed weakly by session so
-#: dead sessions' entries are collectable; the quantized frame's
+#: so for a given (corpus plan + data fingerprint, params) the
+#: centroids are a pure function — every consumer (assignment query,
+#: SemDeDup bucketing, trained IVF, the ladder audit, a mixture
+#: sampler) can share ONE training run and ONE persisted quantized
+#: frame instead of each re-running the full-corpus iterations. Keyed
+#: weakly by session so dead sessions' entries are collectable; the
+#: key folds in the leaf files' (path, size, mtime) so appends and
+#: overwrites retrain instead of silently serving stale centroids
+#: (operators/memo.py — the r8 advice fix); the quantized frame's
 #: persist is also deduped here (one cache per corpus, not one per
 #: consumer — the cache-accumulation fix from the r7 advice).
-_KMEANS_MEMO: "object" = None
+from cmsspark_spark.operators.memo import SessionMemo as _SessionMemo
+
+_KMEANS_MEMO = _SessionMemo("kmeans")
 
 
 def _kmeans_shared(
     corpus: DataFrame, id_col: str, vec_col: str, scale: int, k: int, iters: int
 ) -> tuple[DataFrame, list]:
     """(quantized frame, trained centroids) memoized per
-    (session, corpus semanticHash, id/vec cols, scale, k, iters).
-    A memo miss trains exactly as before; a hit skips the seed scan
-    and every iteration action. Falls back to untracked training if
-    semanticHash is unavailable for the plan."""
-    global _KMEANS_MEMO
-    if _KMEANS_MEMO is None:
-        import weakref
-
-        _KMEANS_MEMO = weakref.WeakKeyDictionary()
-    try:
-        phash = corpus.semanticHash()
-    except Exception:
+    (session, corpus plan hash + data fingerprint, id/vec cols, scale,
+    k, iters). A memo miss trains exactly as before; a hit skips the
+    seed scan and every iteration action. Falls back to untracked
+    training if the plan has no safe memo key (no semanticHash, or a
+    non-fingerprintable source)."""
+    base_key = _KMEANS_MEMO.key_for(corpus, id_col, vec_col, scale)
+    if base_key is None:
         q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
         return q, _kmeans_train(q, k, iters)
-    sess = corpus.sparkSession
-    per_sess = _KMEANS_MEMO.setdefault(sess, {})
-    fkey = ("frame", phash, id_col, vec_col, scale)
+    per_sess = _KMEANS_MEMO.per_session(corpus.sparkSession)
+    fkey = ("frame",) + base_key
     if fkey not in per_sess:
         per_sess[fkey] = _kmeans_quantized_frame(
             corpus, id_col, vec_col, scale
         )
     q = per_sess[fkey]
-    tkey = ("cents", phash, id_col, vec_col, scale, k, iters)
+    tkey = ("cents",) + base_key + (k, iters)
     if tkey not in per_sess:
         per_sess[tkey] = _kmeans_train(q, k, iters)
     return q, per_sess[tkey]

@@ -766,16 +766,15 @@ def kmeans_retrain_if_drifted(
     )
     if not last or not last[0]["retrain"]:
         return False
-    # the train-once memo keys on the corpus PLAN; a path that gained
-    # files since the last training has the same plan hash but new
-    # data — evict this session's memo AND the SQL cache (Spark's
-    # CacheManager also matches by plan and would serve the stale
-    # quantized frame) so the retrain really reads the current corpus.
+    # the train-once memo keys fold in the leaf files' fingerprint, so
+    # a grown corpus path would miss on its own — but evict this
+    # session's memos AND the SQL cache anyway (Spark's CacheManager
+    # matches by plan only and would serve the stale quantized frame;
+    # the blanket memo clear also covers non-fingerprintable sources).
     # Retrains are rare batch-side events; the blunt clear is fine.
-    from cmsspark_spark.operators import similarity as _S
+    from cmsspark_spark.operators.memo import invalidate_session_memos
 
-    if _S._KMEANS_MEMO is not None:
-        _S._KMEANS_MEMO.pop(spark, None)
+    invalidate_session_memos(spark)
     spark.catalog.clearCache()
     save_kmeans_model(
         corpus, model_path, id_col=id_col, vec_col=vec_col,

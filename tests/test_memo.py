@@ -1,0 +1,131 @@
+"""Session train-once memos (operators/memo.py): fresh-data keys.
+
+The r8 advice hazard: keys built from ``semanticHash()`` alone are
+PLAN hashes — re-reading a path after its files changed yields the
+same key and would serve stale results. The memo key now folds in the
+leaf files' (path, size, mtime), so these tests prove both halves:
+repeated identical requests share one run (hit), and a changed corpus
+at the SAME path retrains/re-propagates (invalidation).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import cmsspark_spark.operators.dedup as D
+import cmsspark_spark.operators.similarity as S
+from cmsspark_spark.operators.memo import (
+    SessionMemo,
+    invalidate_session_memos,
+    plan_data_fingerprint,
+)
+
+
+def _labels(df):
+    return {(r["node"], r["component"]) for r in df.collect()}
+
+
+def test_plan_data_fingerprint_shapes(spark, tmp_path):
+    # local relations: data is in the plan (semanticHash covers it) →
+    # empty-but-usable fingerprint
+    local = spark.createDataFrame([(1,)], "x long")
+    assert plan_data_fingerprint(local) == ()
+    # file-backed: one (path, size, mtime) per leaf file
+    p = str(tmp_path / "t")
+    local.write.parquet(p)
+    fp = plan_data_fingerprint(spark.read.parquet(p))
+    assert fp and all(len(e) == 3 for e in fp)
+    # Range is fully described by its plan → fingerprintable, empty
+    assert plan_data_fingerprint(spark.range(3)) == ()
+    # a leaf kind the allowlist doesn't know (streaming source) →
+    # None → callers run unmemoized
+    stream = spark.readStream.format("rate").load()
+    assert plan_data_fingerprint(stream) is None
+
+
+def test_connected_components_memo_hit_and_invalidation(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(D, "_CC_MEMO", SessionMemo("cc-test"))
+    calls = {"n": 0}
+    real = D._connected_components_run
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(D, "_connected_components_run", counting)
+    p = str(tmp_path / "pairs")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    ).write.parquet(p)
+
+    r1 = _labels(D.connected_components(spark.read.parquet(p)))
+    # a SEPARATELY BUILT identical plan (what sibling registry queries
+    # produce) must hit the memo — semanticHash is plan-stable
+    r2 = _labels(D.connected_components(spark.read.parquet(p)))
+    assert r1 == r2 == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert calls["n"] == 1
+
+    # different params → different key → fresh run
+    D.connected_components(spark.read.parquet(p), max_iters=7).collect()
+    assert calls["n"] == 2
+
+    # SAME path, new data → fingerprint changes → re-propagates (the
+    # staleness the advice flagged with plan-hash-only keys)
+    spark.createDataFrame(
+        [(1, 3), (7, 8)], "id_a long, id_b long"
+    ).write.mode("overwrite").parquet(p)
+    r3 = _labels(D.connected_components(spark.read.parquet(p)))
+    assert calls["n"] == 3
+    assert r3 == {(1, 1), (3, 1), (7, 7), (8, 7)}
+
+
+def test_connected_components_local_pairs_still_memoized(spark, monkeypatch):
+    """Local-relation pair frames carry their data in the plan hash
+    (verified distinct for distinct data), so they memoize too — and
+    two DIFFERENT local pair lists never collide."""
+    monkeypatch.setattr(D, "_CC_MEMO", SessionMemo("cc-local-test"))
+    a = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    b = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    assert _labels(D.connected_components(a)) == {(1, 1), (2, 1)}
+    assert _labels(D.connected_components(b)) == {(5, 5), (6, 5)}
+
+
+def test_kmeans_memo_invalidates_on_changed_corpus(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(S, "_KMEANS_MEMO", SessionMemo("kmeans-test"))
+    calls = {"n": 0}
+    real = S._kmeans_train
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "_kmeans_train", counting)
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(p)
+    c1 = S.kmeans_centroids(spark.read.parquet(p), k=2, iters=1)
+    c2 = S.kmeans_centroids(spark.read.parquet(p), k=2, iters=1)
+    assert calls["n"] == 1 and (c1 == c2).all()
+    # appended file at the same path → new fingerprint → retrain
+    spark.createDataFrame(
+        [(100, [50.0, 1.0])], "vec_id long, embedding array<double>"
+    ).write.mode("append").parquet(p)
+    S.kmeans_centroids(spark.read.parquet(p), k=2, iters=1)
+    assert calls["n"] == 2
+
+
+def test_invalidate_session_memos_clears_everything(spark, tmp_path):
+    p = str(tmp_path / "pairs")
+    spark.createDataFrame([(1, 2)], "id_a long, id_b long").write.parquet(p)
+    pairs = spark.read.parquet(p)
+    out1 = D.connected_components(pairs)
+    key = D._CC_MEMO.key_for(pairs, "id_a", "id_b", 25)
+    assert key is not None and key in D._CC_MEMO.per_session(spark)
+    invalidate_session_memos(spark)
+    assert key not in D._CC_MEMO.per_session(spark)
+    # and the recomputed answer is unchanged
+    assert _labels(D.connected_components(pairs)) == _labels(out1)
