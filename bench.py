@@ -391,6 +391,25 @@ def main() -> None:
         }
     )
     print(payload)
+    # The full payload is ~6 KB and the driver's stdout tail-capture
+    # clips its FRONT (BENCH_r08 recorded parsed:null) — follow it with
+    # a compact (<200 byte) summary line so the captured tail always
+    # ends with one complete JSON object. Same metric/value contract;
+    # the full per-query detail lives in the line above and in the
+    # self-written BENCH_SELF record below.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "value_v2": total_v2,
+                "n_errors": len(errors),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_1m": load_1m,
+            }
+        )
+    )
     # Also persist the full payload at the repo root: the driver's
     # stdout capture truncated BENCH_r05.json's tail, losing the legacy
     # headline dict — the self-written file is the canonical record.

@@ -437,8 +437,13 @@ def bm25_champion_topk(
         + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
         / (F.col("_df") + F.lit(0.5))
     )
+    # the candidate set is O(queries · terms · champions) ids BY
+    # CONSTRUCTION — pin the broadcast instead of leaving it to AQE's
+    # size estimate (an under-threshold misestimate at scale would
+    # sort-merge the corpus postings by doc; the explicit hint is the
+    # contract, plan-asserted in tests like every sibling operator)
     scored = (
-        cand.join(post, "_doc")
+        post.join(F.broadcast(cand), "_doc")
         .join(F.broadcast(qterms), ["_qid", "_t"], "left_semi")
         .join(F.broadcast(df_tab), "_t")
         .groupBy("_qid", "_doc")

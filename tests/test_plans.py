@@ -693,6 +693,18 @@ def test_bm25_no_sortmerge_joins_broadcast_everywhere(spark):
             )
 
 
+def test_bm25_champion_candidate_join_broadcasts(spark):
+    """r9: the champion candidate set is O(queries·terms·c) ids BY
+    CONSTRUCTION, so its join back onto the corpus postings must be a
+    pinned broadcast — not left to AQE's size estimate, which at scale
+    could misestimate under threshold and sort-merge the postings by
+    doc. The whole plan stays sort-merge-free."""
+    df = QUERIES["bm25_champion_more_like_this"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plans.count_nodes(df, "SortMergeJoin") == 0
+
+
 def test_time_decay_single_shuffle_no_window(spark):
     """r7 late: the half-life score is a narrow map (anchor via 1-row
     broadcast nested loop) + ONE user-grain exchange; the only other
