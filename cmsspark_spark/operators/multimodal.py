@@ -81,6 +81,12 @@ def _make_bmp_codec():
             raise ValueError("only 24-bit uncompressed BMP is supported")
         bottom_up = height > 0
         height = abs(height)
+        if width <= 0 or height == 0:
+            # a header can claim degenerate dims that pass the size
+            # check but blow up resize/cell indexing downstream —
+            # surface them as the ValueError every caller's fallback
+            # path already handles (r8 advice)
+            raise ValueError("degenerate BMP dimensions")
         stride = (width * 3 + 3) & ~3
         if data_off + stride * height > len(raw):
             raise ValueError("truncated BMP pixel data")
@@ -291,6 +297,8 @@ def resize_images(
     raster). Closure pickles by value; executors never import the
     package.
     """
+    import struct
+
     w, h = int(width), int(height)
     target = w * h
     bmp_decode, bmp_encode, bmp_resize = _make_bmp_codec()
@@ -304,8 +312,8 @@ def resize_images(
                 try:
                     ow, oh, rows = bmp_decode(raw)
                     return bmp_encode(w, h, bmp_resize(ow, oh, rows, w, h))
-                except ValueError:
-                    pass  # malformed/odd-bpp BMP → fake raster below
+                except (ValueError, IndexError, struct.error):
+                    pass  # malformed/degenerate BMP → fake raster below
             reps = -(-target // len(raw))  # ceil-div tile then crop
             return (raw * reps)[:target]
 
@@ -333,6 +341,7 @@ def image_ahash(
     payload_col: str = "payload",
     grid: int = 8,
     max_parallelism: int | None = None,
+    decoder: Callable[[bytes], tuple[int, int, list]] | None = None,
 ) -> DataFrame:
     """Perceptual AVERAGE-HASH of image payloads — the multimodal
     rung of the dedup family: downscale to ``grid``×``grid``,
@@ -343,40 +352,47 @@ def image_ahash(
     ``dedup.hamming_near_pairs`` exactly like text SimHash
     fingerprints (same pigeonhole block join, never all-pairs).
 
-    BMP payloads (24-bit — the pure-Python-decodable format) are
-    REALLY decoded and resampled through the shared codec; anything
-    else hashes a deterministic fake raster (bytes tiled to the grid —
-    the stand-in contract every stub here follows: plumbing, schema
-    and distribution shape real, codec swappable for PIL/opencv at
-    deployment). One Arrow ``mapInPandas`` pass, zero shuffle; the
-    hash is 8 bytes per image no matter the payload size — the ONLY
-    thing the pair stage ever shuffles.
+    The CODEC IS INJECTABLE: ``decoder`` takes raw bytes and returns
+    (width, height, top-down rows of BGR byte-triples) or raises on
+    formats it can't read — the executable deployment seam for
+    PIL/opencv (``lambda b: pil_to_bgr_rows(Image.open(...))``). The
+    default is the vendored pure-Python 24-bit BMP codec; any payload
+    the decoder rejects (ValueError/struct.error/IndexError — malformed
+    headers included, never a job-killing escape) hashes a
+    deterministic fake raster (bytes tiled to the grid — the stand-in
+    contract every stub here follows: plumbing, schema and
+    distribution shape real). One Arrow ``mapInPandas`` pass, zero
+    shuffle; the hash is 8 bytes per image no matter the payload size
+    — the ONLY thing the pair stage ever shuffles. A custom
+    ``decoder`` must be by-value picklable or importable on executors.
     Returns (id_col, ahash bigint)."""
+    import struct
+
     g = int(grid)
     nbits = g * g
     assert nbits <= 64, "grid*grid must fit one BIGINT"
     bmp_decode, _, bmp_resize = _make_bmp_codec()
+    dec = decoder if decoder is not None else bmp_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def gray_cells(b) -> list:
             if b is None or len(b) == 0:
                 return [0] * nbits
             raw = bytes(b)
-            if raw[:2] == b"BM":
-                try:
-                    w, h, rows = bmp_decode(raw)
-                    small = bmp_resize(w, h, rows, g, g)
-                    return [
-                        (
-                            small[y][x * 3]
-                            + small[y][x * 3 + 1]
-                            + small[y][x * 3 + 2]
-                        )
-                        for y in range(g)
-                        for x in range(g)
-                    ]
-                except ValueError:
-                    pass
+            try:
+                w, h, rows = dec(raw)
+                small = bmp_resize(w, h, rows, g, g)
+                return [
+                    (
+                        small[y][x * 3]
+                        + small[y][x * 3 + 1]
+                        + small[y][x * 3 + 2]
+                    )
+                    for y in range(g)
+                    for x in range(g)
+                ]
+            except (ValueError, IndexError, struct.error):
+                pass
             reps = -(-nbits // len(raw))
             tiled = (raw * reps)[:nbits]
             return [3 * v for v in tiled]
@@ -413,18 +429,20 @@ def image_near_dup_pairs(
     grid: int = 8,
     max_hamming: int = 5,
     max_parallelism: int | None = None,
+    decoder: Callable[[bytes], tuple[int, int, list]] | None = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs: :func:`image_ahash` fingerprints +
     the shared Hamming pigeonhole block join
     (``dedup.hamming_near_pairs``). Payload bytes never shuffle — only
     (id, 8-byte hash) cells enter the exchange, so a 100 TB image
-    corpus pairs at the cost of its id space. Returns
-    (id_a, id_b, hamming)."""
+    corpus pairs at the cost of its id space. ``decoder`` swaps the
+    image codec (see :func:`image_ahash`) without touching the pair
+    machinery. Returns (id_a, id_b, hamming)."""
     from cmsspark_spark.operators.dedup import hamming_near_pairs
 
     hashes = image_ahash(
         df, id_col=id_col, payload_col=payload_col, grid=grid,
-        max_parallelism=max_parallelism,
+        max_parallelism=max_parallelism, decoder=decoder,
     )
     return hamming_near_pairs(
         hashes, "doc_id", "ahash",
@@ -438,6 +456,7 @@ def audio_ahash(
     payload_col: str = "payload",
     windows: int = 64,
     max_parallelism: int | None = None,
+    decoder: Callable[[bytes], list] | None = None,
 ) -> DataFrame:
     """ENERGY-ENVELOPE hash of audio payloads — the audio twin of
     :func:`image_ahash`: split the sample stream into ``windows``
@@ -446,40 +465,53 @@ def audio_ahash(
     changes, re-encodes and small edits perturb few envelope bits, so
     near-duplicate clips sit within a small Hamming distance — pair
     with ``dedup.hamming_near_pairs`` like every other fingerprint
-    here. 16-bit PCM WAV (the pure-Python-decodable format) is REALLY
-    decoded (first channel); other payloads hash their raw bytes as a
-    deterministic fake sample stream (the shared stub contract). One
-    Arrow pass, zero shuffle, 8 bytes out per clip.
+    here. The CODEC IS INJECTABLE: ``decoder`` takes raw bytes and
+    returns the sample amplitude list or raises on formats it can't
+    read — the executable deployment seam for ffmpeg/torchaudio. The
+    default really decodes 16-bit PCM WAV (first channel); payloads
+    the decoder rejects (ValueError/struct.error/IndexError — a WAV
+    truncated inside its fmt chunk included, never a job-killing
+    escape) hash their raw bytes as a deterministic fake sample
+    stream (the shared stub contract). One Arrow pass, zero shuffle,
+    8 bytes out per clip. A custom ``decoder`` must be by-value
+    picklable or importable on executors.
     Returns (id_col, ahash bigint)."""
     import struct
 
     nw = int(windows)
     assert nw <= 64, "windows must fit one BIGINT"
 
+    def wav_samples(raw: bytes) -> list:
+        if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, n_ch, bits, data = 12, 1, 16, None
+        ok = True
+        while pos + 8 <= len(raw):
+            cid = raw[pos : pos + 4]
+            size = struct.unpack_from("<I", raw, pos + 4)[0]
+            if cid == b"fmt ":
+                fmt_, n_ch, _rate = struct.unpack_from("<HHI", raw, pos + 8)
+                bits = struct.unpack_from("<H", raw, pos + 22)[0]
+                ok = fmt_ == 1 and bits == 16
+            elif cid == b"data":
+                data = raw[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        if not ok or not data:
+            raise ValueError("unsupported or chunk-incomplete WAV")
+        step = 2 * max(n_ch, 1)
+        return [
+            struct.unpack_from("<h", data, i)[0]
+            for i in range(0, len(data) - 1, step)
+        ]
+
+    dec = decoder if decoder is not None else wav_samples
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def samples(raw: bytes) -> list:
-            if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-                pos, n_ch, bits, data = 12, 1, 16, None
-                ok = True
-                while pos + 8 <= len(raw):
-                    cid = raw[pos : pos + 4]
-                    size = struct.unpack_from("<I", raw, pos + 4)[0]
-                    if cid == b"fmt ":
-                        fmt_, n_ch, _rate = struct.unpack_from(
-                            "<HHI", raw, pos + 8
-                        )
-                        bits = struct.unpack_from("<H", raw, pos + 22)[0]
-                        ok = fmt_ == 1 and bits == 16
-                    elif cid == b"data":
-                        data = raw[pos + 8 : pos + 8 + size]
-                    pos += 8 + size + (size & 1)
-                if ok and data:
-                    step = 2 * max(n_ch, 1)
-                    return [
-                        struct.unpack_from("<h", data, i)[0]
-                        for i in range(0, len(data) - 1, step)
-                    ]
-            return list(raw)  # fake stream: bytes as amplitudes
+            try:
+                return dec(raw)
+            except (ValueError, IndexError, struct.error):
+                return list(raw)  # fake stream: bytes as amplitudes
 
         def one(b) -> int:
             raw = bytes(b) if b else b"\x00"
@@ -519,15 +551,18 @@ def audio_near_dup_pairs(
     windows: int = 64,
     max_hamming: int = 5,
     max_parallelism: int | None = None,
+    decoder: Callable[[bytes], list] | None = None,
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs: envelope hashes + the shared
     Hamming pigeonhole block join — payload bytes never shuffle.
+    ``decoder`` swaps the audio codec (see :func:`audio_ahash`)
+    without touching the pair machinery.
     Returns (id_a, id_b, hamming)."""
     from cmsspark_spark.operators.dedup import hamming_near_pairs
 
     hashes = audio_ahash(
         df, id_col=id_col, payload_col=payload_col, windows=windows,
-        max_parallelism=max_parallelism,
+        max_parallelism=max_parallelism, decoder=decoder,
     )
     return hamming_near_pairs(
         hashes, "doc_id", "ahash", bits=int(windows),

@@ -257,3 +257,109 @@ def test_audio_ahash_envelope_properties(spark):
     }
     assert (0, 1) in pairs and (0, 2) in pairs and (10, 11) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_image_ahash_decoder_injection_flows_through_pairs(spark):
+    """r9: the codec seam is EXECUTABLE — a swapped-in decoder (stand-in
+    for PIL/opencv) feeds image_ahash → hamming_near_pairs unchanged.
+    The toy decoder reads a 1-byte 'format': payloads the default BMP
+    codec would reject become valid 2x2 rasters keyed by that byte."""
+    from cmsspark_spark.operators.multimodal import (
+        image_ahash,
+        image_near_dup_pairs,
+    )
+
+    def toy_decoder(raw: bytes):
+        if raw[:1] != b"T":  # toy magic
+            raise ValueError("not a toy image")
+        v = raw[1]
+        row = bytes([v, v, v, 255 - v, 255 - v, 255 - v])
+        return 2, 2, [row, row]
+
+    payload_a = b"T" + bytes([10]) + b"junk-tail-a"
+    payload_b = b"T" + bytes([10]) + b"different-tail"  # same raster
+    payload_c = b"T" + bytes([200]) + b"x"
+    df = spark.createDataFrame(
+        [(0, bytearray(payload_a)), (1, bytearray(payload_b)),
+         (2, bytearray(payload_c))],
+        "doc_id long, payload binary",
+    )
+    h = {r.doc_id: r.ahash for r in
+         image_ahash(df, grid=4, decoder=toy_decoder).collect()}
+    assert h[0] == h[1]  # decoder output, not raw bytes, drives the hash
+    h_default = {r.doc_id: r.ahash for r in image_ahash(df, grid=4).collect()}
+    assert h_default[0] != h_default[1]  # default codec saw only bytes
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(
+            df, grid=4, max_hamming=2, decoder=toy_decoder
+        ).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_audio_ahash_decoder_injection_flows_through_pairs(spark):
+    """r9: audio twin of the decoder-injection seam."""
+    from cmsspark_spark.operators.multimodal import (
+        audio_ahash,
+        audio_near_dup_pairs,
+    )
+
+    def toy_decoder(raw: bytes):
+        if raw[:1] != b"S":
+            raise ValueError("not a toy stream")
+        # loud/quiet envelope selected by the second byte, ignore tail
+        loud = [1000] * 256 + [10] * 256
+        quiet = [10] * 256 + [1000] * 256
+        return loud if raw[1] == 0 else quiet
+
+    a = b"S" + bytes([0]) + b"tail-one"
+    b_ = b"S" + bytes([0]) + b"tail-two"
+    c = b"S" + bytes([1]) + b"z"
+    df = spark.createDataFrame(
+        [(0, bytearray(a)), (1, bytearray(b_)), (2, bytearray(c))],
+        "doc_id long, payload binary",
+    )
+    h = {r.doc_id: r.ahash for r in
+         audio_ahash(df, windows=16, decoder=toy_decoder).collect()}
+    assert h[0] == h[1] and h[0] != h[2]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in audio_near_dup_pairs(
+            df, windows=16, max_hamming=2, decoder=toy_decoder
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_malformed_media_payloads_fall_back_not_crash(spark):
+    """r8 advice: a BMP whose header claims height=0 (passes the size
+    check, used to IndexError in resize) or negative width, and a WAV
+    truncated inside its fmt chunk (used to escape as struct.error),
+    must all take the deterministic fallback hash instead of killing
+    the job."""
+    import struct
+
+    from cmsspark_spark.operators.multimodal import (
+        audio_ahash,
+        image_ahash,
+        resize_images,
+    )
+
+    zero_h = _make_bmp(4, 1, [[(1, 2, 3)] * 4])
+    zero_h = zero_h[:22] + struct.pack("<i", 0) + zero_h[26:]  # height := 0
+    neg_w = _make_bmp(4, 1, [[(1, 2, 3)] * 4])
+    neg_w = neg_w[:18] + struct.pack("<i", -4) + neg_w[22:]  # width := -4
+    bad_wav = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt " + \
+        struct.pack("<I", 16) + b"\x01\x00"  # fmt chunk cut short
+    df = spark.createDataFrame(
+        [(0, bytearray(zero_h)), (1, bytearray(neg_w)),
+         (2, bytearray(bad_wav))],
+        "doc_id long, payload binary",
+    )
+    img = {r.doc_id: r.ahash for r in image_ahash(df, grid=4).collect()}
+    assert set(img) == {0, 1, 2}  # every row hashed, nothing raised
+    aud = {r.doc_id: r.ahash for r in audio_ahash(df, windows=8).collect()}
+    assert set(aud) == {0, 1, 2}
+    rs = resize_images(df, 4, 4).collect()
+    assert all(r.n_bytes == 16 for r in rs)  # fake-raster fallback size
