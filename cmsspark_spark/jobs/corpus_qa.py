@@ -187,9 +187,14 @@ def run(
         dup_cols = [dup_by_src]
 
     # combined summary page
-    # left-join the drift/novelty facets: a source present only in the
-    # current snapshot (brand-new — the strongest drift signal) must
-    # still get a summary row; null psi + drifted=true marks it.
+    # left-join the drift/novelty facets. Brand-new sources (current
+    # half only) are already IN the drift frame with new_group=true —
+    # the PSI gate materializes batch-only groups. A source missing
+    # from the drift frame is therefore the opposite case: present
+    # only in the REFERENCE half (it vanished from current) — that is
+    # drift (drifted=true) but NOT 'brand-new'; coalescing new_group
+    # to true here inverted the column's meaning for report readers
+    # (r8 advice).
     summary = (
         quality.join(
             drift.select("source", "psi", "drifted", "new_group"),
@@ -201,7 +206,7 @@ def run(
             F.coalesce(F.col("drifted"), F.lit(True)),
         )
         .withColumn(
-            "new_group", F.coalesce(F.col("new_group"), F.lit(True))
+            "new_group", F.coalesce(F.col("new_group"), F.lit(False))
         )
         .join(
             boiler.select("source", "boilerplate_frac", "n_docs_affected"),

@@ -530,6 +530,60 @@ def _list_parquet_files(spark, path: str) -> list[str]:
     return sorted(out)
 
 
+def _make_footer_reader():
+    """Parquet-footer metadata reader keyed on the path's URI scheme,
+    returned as a NESTED function so executor closures pickle it BY
+    VALUE (the package is never imported on executors).
+
+    Scheme map (the r8 advice fix — bare ``pq.ParquetFile(path)``
+    relied on pyarrow's path inference, which does not recognize
+    Hadoop's ``s3a://`` and needs libhdfs for ``hdfs://``):
+
+    - ``file:`` / bare paths → local OS path.
+    - ``s3a/s3n/s3`` → ``pyarrow.fs.S3FileSystem`` (credentials from
+      the standard AWS env/instance chain on each executor).
+    - ``gs/gcs`` → ``pyarrow.fs.GcsFileSystem``.
+    - ``hdfs/viewfs`` → ``pyarrow.fs.HadoopFileSystem`` — requires
+      libhdfs + Hadoop client config on every executor.
+    - anything else (abfs, wasb, …) → ValueError naming the scheme
+      and this map, instead of a confusing pyarrow traceback.
+
+    Reads stay RANGED either way: ParquetFile over a filesystem handle
+    fetches the footer tail, never row-group bytes."""
+
+    def footer_metadata(pth: str):
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        u = urlparse(pth)
+        scheme = u.scheme
+        if scheme in ("", "file"):
+            return pq.ParquetFile(u.path if scheme else pth).metadata
+        import pyarrow.fs as pafs
+
+        if scheme in ("s3", "s3a", "s3n"):
+            fs = pafs.S3FileSystem()
+            inner = u.netloc + u.path
+        elif scheme in ("gs", "gcs"):
+            fs = pafs.GcsFileSystem()
+            inner = u.netloc + u.path
+        elif scheme in ("hdfs", "viewfs"):
+            fs = pafs.HadoopFileSystem(u.hostname or "default", u.port or 0)
+            inner = u.path
+        else:
+            raise ValueError(
+                f"rowgroup_stats_manifest: unsupported filesystem scheme "
+                f"{scheme!r} in {pth!r}; mapped schemes: file, s3/s3a/s3n, "
+                f"gs/gcs, hdfs/viewfs — extend _make_footer_reader or "
+                f"re-list with a supported URI"
+            )
+        with fs.open_input_file(inner) as f:
+            return pq.ParquetFile(f).metadata
+
+    return footer_metadata
+
+
 def rowgroup_stats_manifest(
     spark, path: str, dims: Sequence[str], files: Sequence[str] | None = None
 ) -> DataFrame:
@@ -547,7 +601,10 @@ def rowgroup_stats_manifest(
     long). ``files`` narrows the parse to an explicit subset — the
     write paths pass exactly the files they just wrote, which is what
     makes write-time manifest maintenance cost ∝ increment, not
-    table size."""
+    table size. Remote filesystems go through an explicit scheme map
+    (``_make_footer_reader``: file/s3a/gs/hdfs; unknown schemes raise
+    a clear ValueError) rather than pyarrow path inference — hdfs
+    additionally needs libhdfs on executors."""
     dims = tuple(dims)
     schema = (
         "file string, row_group int, n_rows long, "
@@ -559,23 +616,15 @@ def rowgroup_stats_manifest(
     paths = list(files) if files is not None else _list_parquet_files(
         spark, path
     )
+    footer_metadata = _make_footer_reader()
 
     def parse(batches):
         import pandas as pd
-        import pyarrow.parquet as pq
 
         for pdf in batches:
             rows = []
             for pth in pdf["path"]:
-                # Hadoop lists local files as file:/... URIs; pyarrow
-                # wants the bare OS path (remote schemes pass through
-                # to pyarrow's own filesystem inference)
-                loc = pth
-                if loc.startswith("file://"):
-                    loc = loc[7:]
-                elif loc.startswith("file:"):
-                    loc = loc[5:]
-                md = pq.ParquetFile(loc).metadata
+                md = footer_metadata(pth)
                 names = {
                     md.schema.column(j).name: j
                     for j in range(md.num_columns)
@@ -583,7 +632,7 @@ def rowgroup_stats_manifest(
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
                     rec = {
-                        "file": loc.rsplit("/", 1)[-1],
+                        "file": pth.rsplit("/", 1)[-1],
                         "row_group": i,
                         "n_rows": rg.num_rows,
                     }

@@ -428,3 +428,24 @@ def test_rowgroup_stats_manifest_sub_file_pruning(spark, tmp_path):
     # predicate a in [0, 15] -> exactly ONE of four row groups survives
     keep = [r for r in man if r.max_a >= 0 and r.min_a <= 15]
     assert len(keep) == 1 and keep[0].row_group == 0
+
+
+def test_footer_reader_scheme_map(spark, tmp_path):
+    """r9: remote-scheme handling is explicit — local file:/ URIs and
+    bare paths read footers; an unmapped scheme (abfs) raises a clear
+    ValueError naming the scheme instead of a pyarrow traceback."""
+    import pytest as _pytest
+
+    from cmsspark_spark.operators.layout import _make_footer_reader
+
+    reader = _make_footer_reader()
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1,), (2,)], "x long").coalesce(1).write.parquet(p)
+    import glob
+
+    f = glob.glob(f"{p}/*.parquet")[0]
+    assert reader(f).num_rows == 2           # bare OS path
+    assert reader("file://" + f).num_rows == 2   # file:// URI
+    assert reader("file:" + f).num_rows == 2     # Hadoop file:/ form
+    with _pytest.raises(ValueError, match="abfs"):
+        reader("abfs://container@acct.dfs.core.windows.net/x.parquet")

@@ -620,6 +620,34 @@ def test_corpus_qa_retains_brand_new_source(spark, tmp_path):
     assert not old.new_group and old.psi is not None
 
 
+def test_corpus_qa_reference_only_source_is_not_brand_new(spark, tmp_path):
+    """r9 (r8 ADVICE): in hash-split mode, a source whose every doc
+    lands in the REFERENCE half has a quality row (quality is
+    whole-corpus) but no drift row — coalescing its null new_group to
+    true reported the exact opposite of brand-new. It must read
+    drifted=true (vanished-from-current IS drift) with
+    new_group=false."""
+    from cmsspark_spark.jobs import corpus_qa
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # doc_id 900004 hashes to half 0 (the reference half) under the
+    # shared md5 coin — 'lonelysrc' therefore exists only in reference
+    lonely = spark.createDataFrame(
+        [(900004, "a lonely reference only document", "en",
+          "lonelysrc", 32)],
+        base.schema,
+    )
+    cur_dir = str(tmp_path / "cursnap")
+    base.unionByName(lonely).write.parquet(f"{cur_dir}/documents.parquet")
+    summary = corpus_qa.run(spark, cur_dir, str(tmp_path / "qa"))
+    rows = {r.source: r for r in summary.collect()}
+    row = rows["lonelysrc"]
+    # the PSI gate materializes the vanished group (all its mass in
+    # the reference bins → high psi), and the summary must never
+    # re-label it brand-new
+    assert row.drifted and not row.new_group
+
+
 def test_optimize_table_if_needed_skips_healthy_layout(spark, tmp_path):
     """r8: --if-needed consults the manifest sidecar before touching
     data — a freshly clustered table (its own write emitted the
