@@ -223,6 +223,9 @@ EXTRA = [
     "cluster_consistent_split",     # leakage-fixing cluster split
     "image_near_dup_ahash",         # perceptual hash + Hamming blocks
     "audio_near_dup_envelope",      # energy-envelope hash near-dup
+    # round 9
+    "bm25_maxscore_more_like_this",  # exact top-k w/ max-score pruning
+    "bm25_maxscore_pruning_report",  # posting-mass saved at zero loss
 ]
 
 

@@ -464,6 +464,230 @@ def bm25_champion_topk(
     )
 
 
+def bm25_maxscore_parts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_max_id: int = 5,
+    k: int = 10,
+    seed_champions: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k1_plus_1: float = 2.2,
+    one_minus_b: float = 0.25,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT top-k BM25 with MAX-SCORE pruning — the remaining member
+    of the pruned-retrieval family the exact rung's docstring names
+    (Turtle/Flood max-score; the index-ordered sibling of WAND):
+    unlike champion lists (bounded recall), this provably returns the
+    SAME top-k as :func:`bm25_more_like_this`, skipping posting lists
+    that cannot change it.
+
+    Batch formulation, three phases:
+
+    1. SEED: champion candidates (top-``seed_champions`` per query
+       term by tf-part) scored exactly → the k-th best seed score is
+       an entry THRESHOLD θ (a lower bound on the final k-th score).
+    2. TERM SPLIT: each query term gets an admissible upper bound
+       ``ub = floor(idf·max_tf_part·1e6)+1`` micro-units (integer, ≥
+       any doc's true contribution). Per query, terms sorted by
+       ascending ub accumulate; the maximal prefix whose cumulative
+       ub stays BELOW θ is non-essential — a doc matching ONLY those
+       terms scores < θ and can never enter the top-k (θ is the k-th
+       best of ≥k already-scored docs). Remaining terms are essential.
+    3. CANDIDATES: docs matching ≥1 essential term, plus the seeds,
+       scored exactly (the shared BM25 tail); final rank over those.
+
+    Exactness argument (micro-grid): θ = k-th largest
+    ``floor(score·1e6+0.5)`` over seeds; a pruned doc's true score
+    satisfies s·1e6 ≤ Σ_noness ub ≤ θ−1, so its rounded-6dp score is
+    strictly below the k-th seed's — it cannot displace anything,
+    even via doc-id tie-breaks. All bound arithmetic is integer
+    micro-units (order-independent sums), the float factors are the
+    same expression shapes both engines evaluate identically, and the
+    +1 in ub makes the bound admissible despite the floor.
+
+    Scale shape: postings persist once; seed/θ/ub/essential tables
+    are query-grain (tiny, broadcast). The corpus-side cost is
+    Σ df(essential terms) — high-idf rare terms stay essential while
+    common terms' corpus-sized lists are skipped, which is exactly
+    the max-score economics; the report (second return value)
+    audits it per query: n_terms, n_essential, postings_total,
+    postings_scanned, n_candidates, pruned_frac (half-up on the
+    integer micro grid — never a float-division round). Candidate
+    ids broadcast like the champion rung; a deployment with huge
+    essential posting mass should raise ``seed_champions`` (a better
+    θ prunes more). Returns ``(ranked, report)`` — ranked has the
+    exact rung's schema (query_id, id_col, bm25, rank).
+    """
+    from pyspark import StorageLevel
+
+    c = int(seed_champions or k)
+    base = docs.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk")
+    )
+    post = (
+        base.select(
+            "_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t")
+        )
+        .groupBy("_doc", "_t")
+        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sum_dl = (
+        post.groupBy("_doc")
+        .agg(F.first("_dl").alias("_dl"))
+        .select(F.sum("_dl"))
+        .first()[0]
+    ) or 0
+    n_docs = docs.count()
+    avgdl = sum_dl / n_docs
+    qterms = post.filter(F.col("_doc") < query_max_id).select(
+        F.col("_doc").alias("_qid"), "_t"
+    )
+    tf_part = (F.col("_tf") * F.lit(k1_plus_1)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(one_minus_b) + F.lit(b) * F.col("_dl") / F.lit(avgdl))
+    )
+    term_posts = post.join(
+        F.broadcast(qterms.select("_t").distinct()), "_t", "left_semi"
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    # one aggregate yields the df table AND each term's max tf-part;
+    # ub = floor(idf·maxtf·1e6)+1 is integer micro-units, admissible
+    # (floor(x)+1 > x) — the grid both engines replay bit-for-bit
+    tstats = (
+        term_posts.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"), F.max(tf_part).alias("_maxtf"))
+        .withColumn(
+            "_ub",
+            (
+                F.floor(idf * F.col("_maxtf") * F.lit(1000000.0)) + F.lit(1)
+            ).cast("long"),
+        )
+    )
+    df_tab = tstats.select("_t", "_df")
+
+    def exact_scores(cand: DataFrame) -> DataFrame:
+        return (
+            post.join(F.broadcast(cand), "_doc")
+            .join(F.broadcast(qterms), ["_qid", "_t"], "left_semi")
+            .join(F.broadcast(df_tab), "_t")
+            .groupBy("_qid", "_doc")
+            .agg(F.sum(idf * tf_part).alias("_score"))
+        )
+
+    w_champ = Window.partitionBy("_t").orderBy(
+        F.round(tf_part, 6).desc(), F.col("_doc")
+    )
+    champ = (
+        term_posts.withColumn("_rk", F.row_number().over(w_champ))
+        .filter(F.col("_rk") <= c)
+        .select("_t", "_doc")
+    )
+    seed = (
+        qterms.join(champ, "_t")
+        .filter(F.col("_doc") != F.col("_qid"))
+        .select("_qid", "_doc")
+        .distinct()
+    )
+    s_micro = F.floor(
+        F.col("_score") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    w_seed = Window.partitionBy("_qid").orderBy(
+        F.col("_smicro").desc(), F.col("_doc")
+    )
+    theta = (
+        exact_scores(seed)
+        .withColumn("_smicro", s_micro)
+        .withColumn("_rk", F.row_number().over(w_seed))
+        .filter(F.col("_rk") == int(k))
+        .select("_qid", F.col("_smicro").alias("_theta"))
+    )
+    # ascending-ub running sum per query: the weakest-terms prefix
+    # that cannot jointly reach θ is non-essential. A query with
+    # fewer than k seed candidates has no θ row → every term stays
+    # essential (no pruning, trivially exact).
+    w_cum = Window.partitionBy("_qid").orderBy(
+        F.col("_ub").asc(), F.col("_t").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = (
+        qterms.join(F.broadcast(tstats.select("_t", "_df", "_ub")), "_t")
+        .join(F.broadcast(theta), "_qid", "left")
+        .withColumn("_cum", F.sum("_ub").over(w_cum))
+        .withColumn(
+            "_essential",
+            F.col("_theta").isNull() | (F.col("_cum") >= F.col("_theta")),
+        )
+    )
+    cand_all = (
+        term_posts.join(
+            F.broadcast(
+                flagged.filter(F.col("_essential")).select("_qid", "_t")
+            ),
+            "_t",
+        )
+        .filter(F.col("_doc") != F.col("_qid"))
+        .select("_qid", "_doc")
+        .unionByName(seed)
+        .distinct()
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.round("_score", 6).desc(), F.col("_doc")
+    )
+    ranked = (
+        exact_scores(cand_all)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_doc").alias(id_col),
+            F.round("_score", 6).alias("bm25"),
+            "rank",
+        )
+    )
+    n_cand = cand_all.groupBy("_qid").agg(
+        F.countDistinct("_doc").alias("n_candidates")
+    )
+    # half-up ratio on the integer micro grid, quotient-then-remainder
+    # so nothing exceeds S*1e6 (no *2e6 blowup on huge posting masses)
+    s6 = "(postings_total - postings_scanned) * 1000000"
+    # divide by a DOUBLE, not 1000000.0 — Spark parses that literal
+    # as DECIMAL and the whole column would come out decimal-typed
+    frac = (
+        f"(({s6}) div postings_total + (CASE WHEN "
+        f"2 * (({s6}) % postings_total) >= postings_total "
+        f"THEN 1 ELSE 0 END)) / CAST(1000000 AS DOUBLE)"
+    )
+    report = (
+        flagged.groupBy("_qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("_essential").cast("long")).alias("n_essential"),
+            F.sum("_df").alias("postings_total"),
+            F.sum(
+                F.when(F.col("_essential"), F.col("_df")).otherwise(F.lit(0))
+            ).alias("postings_scanned"),
+        )
+        .join(n_cand, "_qid")
+        .select(
+            F.col("_qid").alias("query_id"),
+            "n_terms",
+            "n_essential",
+            "postings_total",
+            "postings_scanned",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.expr(frac).alias("pruned_frac"),
+        )
+    )
+    return ranked, report
+
+
 def concat_pack_chunks(
     docs: DataFrame,
     ctx_len: int,

@@ -9575,6 +9575,148 @@ def bm25_pruning_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bm25_pruning_quality_report"] = _bm25_pruning_oracle()
 
 
+@query("bm25_maxscore_more_like_this", None)
+def bm25_maxscore_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k BM25 through MAX-SCORE pruning
+    (pipeline.bm25_maxscore_parts) — the family member the exact
+    rung's docstring names: champion lists bound cost with bounded
+    recall; max-score bounds cost with NO recall loss. Seed champions
+    establish a k-th-score threshold, each query term gets an integer
+    micro-grid upper bound (floor(idf·max tf-part·1e6)+1, admissible
+    by construction), and terms whose ascending-bound prefix sum
+    stays below the threshold are skipped — docs matching only those
+    terms provably cannot enter the top-k, id tie-breaks included.
+    The oracle IS the exact rung's oracle, assigned verbatim below:
+    equality with unpruned BM25 is the contract the driver checks,
+    not a recall target."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    ranked, _ = PL.bm25_maxscore_parts(d, query_max_id=5, k=10)
+    return ranked
+
+
+# equal-to-exact BY CONSTRUCTION ⇒ the exact oracle, verbatim
+ORACLES["bm25_maxscore_more_like_this"] = ORACLES["bm25_more_like_this"]
+
+
+@query(
+    "bm25_maxscore_pruning_report",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS dl, t,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS t FROM tok) GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sdl
+              FROM tok),
+    q AS (SELECT DISTINCT doc AS qid, t FROM post WHERE doc < 5),
+    tp AS (
+      SELECT p.t, p.doc, p.tf, p.dl,
+             (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n))))
+               AS tfp
+      FROM post p, stats s
+      WHERE p.t IN (SELECT t FROM q)
+    ),
+    tstat AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df, max(tfp) AS maxtf
+      FROM tp GROUP BY 1
+    ),
+    ub AS (
+      SELECT t, df,
+             CAST(floor(ln(1.0 + ((s.n - df + 0.5) / (df + 0.5)))
+                        * maxtf * 1000000.0) AS BIGINT) + 1 AS ubm
+      FROM tstat, stats s
+    ),
+    champ AS (
+      SELECT t, doc FROM (
+        SELECT t, doc, row_number() OVER (PARTITION BY t
+                 ORDER BY round(tfp, 6) DESC, doc) AS rk
+        FROM tp
+      ) WHERE rk <= 10
+    ),
+    seed AS (
+      SELECT DISTINCT q.qid, c.doc FROM q JOIN champ c USING (t)
+      WHERE c.doc <> q.qid
+    ),
+    seed_sc AS (
+      SELECT seed.qid, seed.doc,
+             sum(ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5))) * tp.tfp)
+               AS score
+      FROM seed
+      JOIN tp ON tp.doc = seed.doc
+      JOIN q ON q.qid = seed.qid AND q.t = tp.t
+      JOIN tstat d ON d.t = tp.t, stats s
+      GROUP BY 1, 2
+    ),
+    theta AS (
+      SELECT qid, smicro AS theta FROM (
+        SELECT qid, doc,
+               CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS smicro,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)
+                   DESC, doc) AS rk
+        FROM seed_sc
+      ) WHERE rk = 10
+    ),
+    fl AS (
+      SELECT q.qid, q.t, u.df, u.ubm, th.theta,
+             sum(u.ubm) OVER (PARTITION BY q.qid ORDER BY u.ubm, q.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q JOIN ub u USING (t)
+      LEFT JOIN theta th ON th.qid = q.qid
+    ),
+    fl2 AS (
+      SELECT *, (theta IS NULL OR cum >= theta) AS essential FROM fl
+    ),
+    cand AS (
+      SELECT f.qid, tp.doc FROM fl2 f JOIN tp ON tp.t = f.t
+      WHERE f.essential AND tp.doc <> f.qid
+      UNION
+      SELECT qid, doc FROM seed
+    ),
+    rep AS (
+      SELECT qid,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(CASE WHEN essential THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_essential,
+             CAST(sum(df) AS BIGINT) AS postings_total,
+             CAST(sum(CASE WHEN essential THEN df ELSE 0 END) AS BIGINT)
+               AS postings_scanned
+      FROM fl2 GROUP BY 1
+    ),
+    nc AS (SELECT qid, CAST(count(DISTINCT doc) AS BIGINT)
+             AS n_candidates FROM cand GROUP BY 1)
+    SELECT rep.qid AS query_id, n_terms, n_essential,
+           postings_total, postings_scanned, n_candidates,
+           (((postings_total - postings_scanned) * 1000000)
+              // postings_total
+            + (CASE WHEN 2 * (((postings_total - postings_scanned)
+                 * 1000000) % postings_total) >= postings_total
+               THEN 1 ELSE 0 END)) / 1000000.0 AS pruned_frac
+    FROM rep JOIN nc USING (qid)
+    """,
+)
+def bm25_maxscore_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruning-RATE audit for the max-score rung: per query — terms,
+    essential terms, total vs scanned posting mass (Σ df), candidate
+    count, pruned fraction (half-up on the integer micro grid, never
+    a float-division round). Where the champion report measures
+    recall lost, this one measures cost saved at zero recall loss:
+    the number a capacity planner reads before turning the rung on
+    at 100 TB. The oracle replays seed scoring, θ election, the
+    integer upper bounds and the ascending-bound prefix split
+    merge-for-merge with the Spark side (shared micro grid, window
+    cumsum, half-up integer ratio)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    _, report = PL.bm25_maxscore_parts(d, query_max_id=5, k=10)
+    return report
+
+
 @query(
     "image_near_dup_ahash",
     """

@@ -656,3 +656,39 @@ def test_hamming_near_pairs_equals_brute_force(spark, hashes, max_hamming):
             if d <= max_hamming:
                 want.add((i, j, d))
     assert got == want
+
+
+# vocab skewed common-vs-rare so max-score actually prunes terms
+_ms_word = st.sampled_from(
+    ["the", "the", "of", "data", "spark", "query", "rare1", "rare2",
+     "zx9", "qq7"]
+)
+_ms_doc = st.lists(_ms_word, min_size=1, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_ms_doc, min_size=6, max_size=20))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bm25_maxscore_equals_exact_topk(spark, texts):
+    """r9: max-score pruning is EXACT — for any corpus, the pruned
+    rung's (query, doc, rank, score) set equals unpruned BM25's,
+    id tie-breaks included (champion lists only promise recall;
+    this rung promises identity)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in PL.bm25_more_like_this(df, query_max_id=3, k=4).collect()
+    }
+    ranked, report = PL.bm25_maxscore_parts(df, query_max_id=3, k=4)
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.bm25) for r in ranked.collect()
+    }
+    assert got == exact
+    for r in report.collect():  # the audit is internally consistent
+        assert 0 < r.n_essential <= r.n_terms
+        assert 0 < r.postings_scanned <= r.postings_total
+        assert 0.0 <= r.pruned_frac <= 1.0
