@@ -226,6 +226,7 @@ EXTRA = [
     # round 9
     "bm25_maxscore_more_like_this",  # exact top-k w/ max-score pruning
     "bm25_maxscore_pruning_report",  # posting-mass saved at zero loss
+    "split_assign_increment",        # increment inherits cluster splits
 ]
 
 

@@ -733,6 +733,165 @@ def score_increment_minhash_dedup(
     return admitted.localCheckpoint(eager=True)  # pin the verdict
 
 
+def split_assign_increment(
+    increment: DataFrame,
+    census: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    min_est_jaccard: float = 0.5,
+    boundaries: dict[str, int] | None = None,
+) -> DataFrame:
+    """INCREMENTAL cluster-consistent split assignment — the
+    ingest-gate treatment for :func:`pipeline.cluster_split_assign`:
+    an increment's docs inherit the split of the near-dup cluster
+    they join WITHOUT recomputing the corpus closure. The batch
+    operator fixes train/eval leakage constructively; this keeps it
+    fixed as data arrives — an appended near-duplicate of a train doc
+    must land in train, not wherever its own content hash falls.
+
+    Inputs are the state a batch run already maintains: ``census`` is
+    the committed MinHash band store (id, band, band_sig, sig — ~8
+    longs per admitted doc, the ``commit_census_minhash`` contract;
+    pass ``spark.read.parquet(census_path)``), ``splits`` is the
+    persisted (id, split) assignment of the admitted corpus (the
+    batch operator's output — cluster-consistent, so ANY matched
+    member's split equals its cluster representative's).
+
+    Mechanics, all integer and deterministic:
+
+    1. The increment's band rows probe the census by (band, band_sig)
+       bucket join; a match is near-dup when ≥
+       ``ceil(min_est_jaccard·num_hashes)`` signature components
+       agree (the sketch Jaccard estimator on an integer grid).
+    2. Increment-INTERNAL near-dup pairs (same banding + estimator,
+       ids ordered) feed ``connected_components`` — increment-sized,
+       so the closure cost is ∝ the increment, never the corpus.
+    3. Per increment component (singletons = own id), the match with
+       (max agreement, min census id) is elected; the whole component
+       inherits that doc's stored split. Unmatched components fall
+       back to the content-hash coin of their representative's text
+       (= the min-id member — exactly what the batch operator would
+       elect), so batch and incremental agree on brand-new clusters.
+
+    Replays are idempotent: a re-sent doc matches its own census
+    signature (agreement = num_hashes) and re-inherits its committed
+    split. Plan shape: the census join is keyed by the increment's
+    band rows; ``splits`` is probed with a broadcast of the elected
+    (tiny) match set; nothing corpus-sized shuffles. Returns one row
+    per increment doc: (id, split, inherited, clustered).
+    """
+    import math
+
+    from cmsspark_spark.functions.text import hash_split
+    from cmsspark_spark.operators.dedup import connected_components
+
+    bounds = boundaries or {"train": 80, "val": 90, "test": 100}
+    min_agree = int(math.ceil(min_est_jaccard * num_hashes))
+    inc = _increment_minhash_bands(
+        increment, n, num_hashes, rows_per_band, id_col, text_col
+    ).localCheckpoint(eager=True)  # consumed by probe + self-join
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("_nsig"),
+            F.col("_bsig"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # the increment's band rows BROADCAST onto the (corpus-sized)
+    # census, which therefore never shuffles — probe cost ∝ increment
+    matches = (
+        F.broadcast(
+            inc.select(
+                F.col(id_col).alias("_nid"), "band", "band_sig",
+                F.col("sig").alias("_nsig"),
+            )
+        )
+        .join(
+            census.select(
+                F.col(id_col).alias("_bid"), "band", "band_sig",
+                F.col("sig").alias("_bsig"),
+            ),
+            on=["band", "band_sig"],
+        )
+        .dropDuplicates(["_nid", "_bid"])
+        .withColumn("_agree", agree)
+        .filter(F.col("_agree") >= min_agree)
+        .select("_nid", "_bid", "_agree")
+    )
+    pairs = (
+        inc.select(
+            F.col(id_col).alias("_nid"), "band", "band_sig",
+            F.col("sig").alias("_nsig"),
+        )
+        .join(
+            inc.select(
+                F.col(id_col).alias("_bid"), "band", "band_sig",
+                F.col("sig").alias("_bsig"),
+            ),
+            on=["band", "band_sig"],
+        )
+        .filter(F.col("_nid") < F.col("_bid"))
+        .dropDuplicates(["_nid", "_bid"])
+        .withColumn("_agree", agree)
+        .filter(F.col("_agree") >= min_agree)
+        .select(F.col("_nid").alias("id_a"), F.col("_bid").alias("id_b"))
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = increment.select(
+        F.col(id_col), hash_split(text_col, bounds).alias("_own")
+    ).join(
+        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
+    ).withColumn("_label", F.coalesce("component", F.col(id_col)))
+    # component-grain election: best census match = (max agreement,
+    # min admitted id) — integer struct-min, engine-stable
+    elected = (
+        matches.join(
+            F.broadcast(
+                labeled.select(F.col(id_col).alias("_nid"), "_label")
+            ),
+            "_nid",
+        )
+        .groupBy("_label")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_agree")).alias("_na"),
+                    F.col("_bid").alias("_id"),
+                )
+            )["_id"].alias("_matched_id")
+        )
+    )
+    inherited = elected.join(
+        splits.select(
+            F.col(id_col).alias("_matched_id"), F.col("split").alias("_inh")
+        ),
+        "_matched_id",
+    ).select("_label", "_inh")
+    # fallback representative = the component label itself (min member
+    # id — the batch election), whose own coin is already in _own
+    rep_own = labeled.filter(F.col(id_col) == F.col("_label")).select(
+        F.col("_label"), F.col("_own").alias("_rep_own")
+    )
+    return (
+        labeled.join(F.broadcast(inherited), "_label", "left")
+        .join(F.broadcast(rep_own), "_label", "left")
+        .select(
+            id_col,
+            F.coalesce("_inh", "_rep_own", "_own").alias("split"),
+            F.col("_inh").isNotNull().alias("inherited"),
+            (
+                F.col("_inh").isNotNull() | F.col("component").isNotNull()
+            ).alias("clustered"),
+        )
+    )
+
+
 def commit_census_minhash(
     spark: SparkSession,
     admitted: DataFrame,

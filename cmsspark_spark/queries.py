@@ -10406,3 +10406,173 @@ def collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stutter_rate"),
     )
+
+
+def _split_inc_oracle_sql(num_hashes: int = 8, rows_per_band: int = 2,
+                          min_agree: int = 4) -> str:
+    """Oracle twin of incremental.split_assign_increment over an
+    id-coin base/increment partition of the corpus: MinHash census
+    probe (signature-agreement estimator on the integer grid),
+    increment-internal closure (recursive CTE), (max agree, min id)
+    election, inherited vs representative-coin splits — generated
+    from the SAME permutation constants as the Spark plan."""
+    from cmsspark_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b_}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b_) in enumerate(params)
+    )
+    nbands = num_hashes // rows_per_band
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, array_to_string(list_sort([{cols}]), '|')"
+        " AS band_sig FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(nbands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN na.h{i} = ba.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    id_coin = (
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        " % 2147483648 % 5"
+    )
+    text_coin = (
+        "(CASE WHEN ('0x' || substring(md5(d.text), 1, 15))::BIGINT"
+        " % 2147483648 % 100 < 80 THEN 'train'"
+        " WHEN ('0x' || substring(md5(d.text), 1, 15))::BIGINT"
+        " % 2147483648 % 100 < 90 THEN 'val' ELSE 'test' END)"
+    )
+    return f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+    based AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483648 AS b
+      FROM sh
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {mins}
+      FROM based GROUP BY doc_id
+    ),
+    half AS MATERIALIZED (
+      SELECT doc_id, ({id_coin}) = 0 AS is_inc FROM documents
+    ),
+    bands AS MATERIALIZED ({band_rows}),
+    probe AS (
+      SELECT n.doc_id AS nid, b.doc_id AS bid
+      FROM bands n
+      JOIN half hn ON hn.doc_id = n.doc_id AND hn.is_inc
+      JOIN bands b ON b.band = n.band AND b.band_sig = n.band_sig
+      JOIN half hb ON hb.doc_id = b.doc_id AND NOT hb.is_inc
+      GROUP BY 1, 2
+    ),
+    matches AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT p.nid, p.bid, {agree} AS agree
+        FROM probe p
+        JOIN sigs na ON na.doc_id = p.nid
+        JOIN sigs ba ON ba.doc_id = p.bid
+      ) WHERE agree >= {min_agree}
+    ),
+    ipair0 AS (
+      SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+      FROM bands a
+      JOIN half ha ON ha.doc_id = a.doc_id AND ha.is_inc
+      JOIN bands bb ON bb.band = a.band AND bb.band_sig = a.band_sig
+        AND a.doc_id < bb.doc_id
+      JOIN half hb2 ON hb2.doc_id = bb.doc_id AND hb2.is_inc
+      GROUP BY 1, 2
+    ),
+    ipairs AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT p.id_a, p.id_b, {agree} AS agree
+        FROM ipair0 p
+        JOIN sigs na ON na.doc_id = p.id_a
+        JOIN sigs ba ON ba.doc_id = p.id_b
+      ) WHERE agree >= {min_agree}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM ipairs
+      UNION SELECT id_b, id_a FROM ipairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS MATERIALIZED (
+      SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    ),
+    lab AS MATERIALIZED (
+      SELECT h.doc_id, coalesce(c.component, h.doc_id) AS label
+      FROM half h LEFT JOIN comp c ON c.doc_id = h.doc_id
+      WHERE h.is_inc
+    ),
+    elect AS (
+      SELECT label, bid FROM (
+        SELECT l.label, m.bid,
+               row_number() OVER (PARTITION BY l.label
+                 ORDER BY m.agree DESC, m.bid) AS rk
+        FROM matches m JOIN lab l ON l.doc_id = m.nid
+      ) WHERE rk = 1
+    ),
+    inh AS (
+      SELECT e.label, {text_coin} AS inh_split
+      FROM elect e JOIN documents d ON d.doc_id = e.bid
+    ),
+    rep AS (
+      SELECT l.label, {text_coin} AS rep_split
+      FROM lab l JOIN documents d ON d.doc_id = l.label
+      WHERE l.doc_id = l.label
+    )
+    SELECT l.doc_id,
+           coalesce(i.inh_split, r.rep_split) AS split,
+           (i.inh_split IS NOT NULL) AS inherited,
+           (i.inh_split IS NOT NULL OR c.component IS NOT NULL) AS clustered
+    FROM lab l
+    LEFT JOIN inh i ON i.label = l.label
+    LEFT JOIN rep r ON r.label = l.label
+    LEFT JOIN comp c ON c.doc_id = l.doc_id
+    """
+
+
+@query("split_assign_increment", _split_inc_oracle_sql())
+def split_assign_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cluster-consistent split
+    (incremental.split_assign_increment): the ingest-gate treatment
+    for what cluster_consistent_split does in batch. An id-coin fifth
+    of the corpus plays the ARRIVING increment; the rest is the
+    admitted corpus whose MinHash census (band rows + signatures, ~8
+    longs/doc, never text) and per-doc splits are the only state
+    probed. Increment docs inherit the split of the near-dup cluster
+    they join (census bucket probe + integer signature-agreement
+    estimator, component-grain (max agree, min id) election);
+    brand-new increment-internal clusters share their
+    representative's content-hash coin; singletons keep their own.
+    Cost ∝ increment: the census side never shuffles (the increment's
+    band rows broadcast onto it), the closure runs over
+    increment-internal pairs only, and the splits table is probed by
+    a broadcast of the elected matches. The oracle replays signatures,
+    probe, estimator grid, recursive closure, election and both split
+    coins from the same constants."""
+    from cmsspark_spark.operators import incremental as I
+    from cmsspark_spark.operators.incremental import _increment_minhash_bands
+
+    d = _t(spark, sf_dir, "documents")
+    coin5 = T.int_base_hash(F.col("doc_id").cast("string")) % 5
+    base = d.filter(coin5 != 0)
+    inc = d.filter(coin5 == 0)
+    census = _increment_minhash_bands(base, 3, 8, 2, "doc_id", "text")
+    splits = base.select(
+        "doc_id",
+        T.hash_split(
+            "text", {"train": 80, "val": 90, "test": 100}
+        ).alias("split"),
+    )
+    return I.split_assign_increment(inc, census, splits)

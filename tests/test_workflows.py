@@ -756,3 +756,88 @@ def test_optimize_table_job_end_to_end(spark, tmp_path):
     assert "after" not in s2
     assert not os.path.exists(str(tmp_path / "never"))
     assert os.path.exists(f"{out2}/manifest_before.csv")
+
+
+def test_split_assign_increment_inherits_cluster_split(spark, tmp_path):
+    """r9: the ingest-gate treatment for cluster-consistent splits —
+    an appended near-dup inherits its cluster's split via the MinHash
+    census (no corpus closure recompute), a brand-new near-dup pair
+    inside the increment shares its representative's content-hash
+    split, singletons keep their own coin, and a committed replay is
+    idempotent (every doc then self-matches and re-inherits)."""
+    from cmsspark_spark.functions.text import hash_split
+    from cmsspark_spark.operators import dedup as D
+    from cmsspark_spark.operators import pipeline as PL
+    from cmsspark_spark.operators.incremental import (
+        commit_census_minhash,
+        split_assign_increment,
+    )
+
+    base_a = " ".join(f"tok{i}" for i in range(40))
+    base_b = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    base_c = " ".join(f"other{i}" for i in range(40))
+    base = spark.createDataFrame(
+        [(1, base_a), (2, base_b), (3, base_c)], ["doc_id", "text"]
+    )
+    cand = D.minhash_lsh_pairs(base, "doc_id", "text")
+    pairs = D.jaccard_pairs(
+        base, "doc_id", "text", threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    splits = PL.cluster_split_assign(base, comp).select("doc_id", "split")
+    split_of = {r.doc_id: r.split for r in splits.collect()}
+    assert split_of[1] == split_of[2]  # batch is cluster-consistent
+
+    census_path = str(tmp_path / "census")
+    commit_census_minhash(spark, base, census_path)
+    census = spark.read.parquet(census_path)
+
+    inc = spark.createDataFrame(
+        [
+            (10, " ".join(f"tok{i}" for i in range(38)) + " tokY tokZ"),
+            (11, " ".join(f"new{i}" for i in range(40))),
+            (12, " ".join(f"new{i}" for i in range(39)) + " newX"),
+            (13, " ".join(f"solo{i}" for i in range(40))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in split_assign_increment(inc, census, splits).collect()
+    }
+    # near-dup of the (1,2) cluster → inherits ITS split, not its coin
+    assert out[10].inherited and out[10].clustered
+    assert out[10].split == split_of[1]
+    # brand-new pair (11,12): one shared split = the rep's (11) coin
+    assert not out[11].inherited and out[11].clustered
+    assert out[11].split == out[12].split
+    bounds = {"train": 80, "val": 90, "test": 100}
+    rep_coin = (
+        inc.filter("doc_id = 11")
+        .select(hash_split("text", bounds).alias("s"))
+        .first()
+        .s
+    )
+    assert out[11].split == rep_coin
+    # unmatched singleton keeps its own coin, unflagged
+    assert not out[13].inherited and not out[13].clustered
+
+    # commit the increment, extend the splits table, replay: same
+    # splits, now all self-matched (inherited)
+    commit_census_minhash(spark, inc, census_path)
+    splits2 = splits.unionByName(
+        spark.createDataFrame(
+            [(i, out[i].split) for i in (10, 11, 12, 13)],
+            ["doc_id", "split"],
+        )
+    )
+    out2 = {
+        r.doc_id: r
+        for r in split_assign_increment(
+            inc, spark.read.parquet(census_path), splits2
+        ).collect()
+    }
+    assert {i: r.split for i, r in out2.items()} == {
+        i: r.split for i, r in out.items()
+    }
+    assert all(r.inherited for r in out2.values())
