@@ -227,6 +227,8 @@ EXTRA = [
     "bm25_maxscore_more_like_this",  # exact top-k w/ max-score pruning
     "bm25_maxscore_pruning_report",  # posting-mass saved at zero loss
     "split_assign_increment",        # increment inherits cluster splits
+    "bm25_blockmax_more_like_this",  # exact top-k w/ block-max pruning
+    "bm25_blockmax_pruning_report",  # block-grain posting-mass audit
 ]
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 import random
 
 from cmsspark_spark.functions.text import int_base_hash, shingles, tokens
+from cmsspark_spark.operators.memo import SessionMemo as _SessionMemo
 
 #: Modulus for permutation-based MinHash (2^31 - 1, prime). Products
 #: a*base stay < 2^62 so the arithmetic never overflows signed 64-bit —
@@ -243,6 +244,16 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b").distinct()
 
 
+#: Session memo for VERIFIED pair lists: LSH → exact-Jaccard verify is
+#: the single most recomputed sub-pipeline in the registry — the seven
+#: components consumers share one propagation run via ``_CC_MEMO``,
+#: but pair-grain consumers (the split-leakage audit) re-paid the full
+#: LSH+verify cost (~9 s at sf0.1). The memoized value is the verified
+#: pair frame, eagerly localCheckpointed — ids + one double, tiny —
+#: keyed on BOTH input plans' fresh-data keys (corpus and candidates).
+_JACCARD_MEMO = _SessionMemo("jaccard_pairs")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -267,7 +278,42 @@ def jaccard_pairs(
     operator is two identical map branches + one self-join + one
     groupBy. ``shingles()`` is per-document distinct already, so no
     distinct shuffle either.
+
+    The verified pair list is memoized per session on fresh-data keys
+    of BOTH inputs (``_JACCARD_MEMO``): every consumer of the same
+    (corpus, candidates, params) shares one eagerly-materialized run —
+    a memo hit replays a tiny checkpointed ids frame. Unsafe keys
+    (non-fingerprintable sources) run unmemoized and lazy as before.
     """
+    k_df = _JACCARD_MEMO.key_for(df, id_col, text_col, n, threshold)
+    k_cand = (
+        _JACCARD_MEMO.key_for(candidates)
+        if candidates is not None
+        else ("nocand",)
+    )
+    if k_df is None or k_cand is None:
+        return _jaccard_pairs_run(
+            df, id_col, text_col, n, threshold, candidates, cache
+        )
+    per = _JACCARD_MEMO.per_session(df.sparkSession)
+    key = (k_df, k_cand)
+    if key not in per:
+        per[key] = _jaccard_pairs_run(
+            df, id_col, text_col, n, threshold, candidates, cache
+        ).localCheckpoint(eager=True)
+    return per[key]
+
+
+def _jaccard_pairs_run(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    candidates: DataFrame | None,
+    cache: bool,
+) -> DataFrame:
+    """The un-memoized verify pipeline (see jaccard_pairs)."""
     if candidates is not None:
         # Prune the corpus to candidate MEMBERS before any shingling:
         # verification compute must be ∝ Σ|shingles(candidate docs)|,
@@ -439,8 +485,6 @@ def simhash_near_pairs(
         s, "_id", "simhash", bits=bits, max_hamming=max_hamming
     )
 
-
-from cmsspark_spark.operators.memo import SessionMemo as _SessionMemo
 
 #: Session-scoped memo for the propagation fixpoint: min-label
 #: propagation is a pure function of the pair list, and SEVEN registry

@@ -464,65 +464,28 @@ def bm25_champion_topk(
     )
 
 
-def bm25_maxscore_parts(
+def _bm25_prune_state(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    query_max_id: int = 5,
-    k: int = 10,
-    seed_champions: int | None = None,
-    k1: float = 1.2,
-    b: float = 0.75,
-    k1_plus_1: float = 2.2,
-    one_minus_b: float = 0.25,
-) -> tuple[DataFrame, DataFrame]:
-    """EXACT top-k BM25 with MAX-SCORE pruning — the remaining member
-    of the pruned-retrieval family the exact rung's docstring names
-    (Turtle/Flood max-score; the index-ordered sibling of WAND):
-    unlike champion lists (bounded recall), this provably returns the
-    SAME top-k as :func:`bm25_more_like_this`, skipping posting lists
-    that cannot change it.
-
-    Batch formulation, three phases:
-
-    1. SEED: champion candidates (top-``seed_champions`` per query
-       term by tf-part) scored exactly → the k-th best seed score is
-       an entry THRESHOLD θ (a lower bound on the final k-th score).
-    2. TERM SPLIT: each query term gets an admissible upper bound
-       ``ub = floor(idf·max_tf_part·1e6)+1`` micro-units (integer, ≥
-       any doc's true contribution). Per query, terms sorted by
-       ascending ub accumulate; the maximal prefix whose cumulative
-       ub stays BELOW θ is non-essential — a doc matching ONLY those
-       terms scores < θ and can never enter the top-k (θ is the k-th
-       best of ≥k already-scored docs). Remaining terms are essential.
-    3. CANDIDATES: docs matching ≥1 essential term, plus the seeds,
-       scored exactly (the shared BM25 tail); final rank over those.
-
-    Exactness argument (micro-grid): θ = k-th largest
-    ``floor(score·1e6+0.5)`` over seeds; a pruned doc's true score
-    satisfies s·1e6 ≤ Σ_noness ub ≤ θ−1, so its rounded-6dp score is
-    strictly below the k-th seed's — it cannot displace anything,
-    even via doc-id tie-breaks. All bound arithmetic is integer
-    micro-units (order-independent sums), the float factors are the
-    same expression shapes both engines evaluate identically, and the
-    +1 in ub makes the bound admissible despite the floor.
-
-    Scale shape: postings persist once; seed/θ/ub/essential tables
-    are query-grain (tiny, broadcast). The corpus-side cost is
-    Σ df(essential terms) — high-idf rare terms stay essential while
-    common terms' corpus-sized lists are skipped, which is exactly
-    the max-score economics; the report (second return value)
-    audits it per query: n_terms, n_essential, postings_total,
-    postings_scanned, n_candidates, pruned_frac (half-up on the
-    integer micro grid — never a float-division round). Candidate
-    ids broadcast like the champion rung; a deployment with huge
-    essential posting mass should raise ``seed_champions`` (a better
-    θ prunes more). Returns ``(ranked, report)`` — ranked has the
-    exact rung's schema (query_id, id_col, bm25, rank).
-    """
+    id_col: str,
+    text_col: str,
+    query_max_id: int,
+    k: int,
+    c: int,
+    k1: float,
+    b: float,
+    k1_plus_1: float,
+    one_minus_b: float,
+) -> dict:
+    """Shared machinery of the PRUNED exact-retrieval rungs
+    (max-score and block-max): persisted postings, query terms,
+    tf-part/idf expressions, per-term (df, max tf-part, integer
+    micro-grid upper bound), the exact-scoring tail, champion seeds,
+    the k-th-seed-score threshold θ, and the essential/non-essential
+    term split (ascending-bound prefix below θ). Bound arithmetic and
+    the exactness argument are documented on
+    :func:`bm25_maxscore_parts`."""
     from pyspark import StorageLevel
 
-    c = int(seed_champions or k)
     base = docs.select(
         F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk")
     )
@@ -625,23 +588,32 @@ def bm25_maxscore_parts(
             F.col("_theta").isNull() | (F.col("_cum") >= F.col("_theta")),
         )
     )
-    cand_all = (
-        term_posts.join(
-            F.broadcast(
-                flagged.filter(F.col("_essential")).select("_qid", "_t")
-            ),
-            "_t",
-        )
-        .filter(F.col("_doc") != F.col("_qid"))
-        .select("_qid", "_doc")
-        .unionByName(seed)
-        .distinct()
-    )
+    return {
+        "post": post,
+        "qterms": qterms,
+        "term_posts": term_posts,
+        "tf_part": tf_part,
+        "idf": idf,
+        "tstats": tstats,
+        "df_tab": df_tab,
+        "exact_scores": exact_scores,
+        "seed": seed,
+        "theta": theta,
+        "flagged": flagged,
+    }
+
+
+def _bm25_rank_candidates(
+    st: dict, cand_all: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Exact-score the candidate set and rank top-k — the shared tail
+    of every pruned rung (identical output contract to
+    :func:`bm25_more_like_this`)."""
     w = Window.partitionBy("_qid").orderBy(
         F.round("_score", 6).desc(), F.col("_doc")
     )
-    ranked = (
-        exact_scores(cand_all)
+    return (
+        st["exact_scores"](cand_all)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= int(k))
         .select(
@@ -651,6 +623,82 @@ def bm25_maxscore_parts(
             "rank",
         )
     )
+
+
+def bm25_maxscore_parts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_max_id: int = 5,
+    k: int = 10,
+    seed_champions: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k1_plus_1: float = 2.2,
+    one_minus_b: float = 0.25,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT top-k BM25 with MAX-SCORE pruning — the remaining member
+    of the pruned-retrieval family the exact rung's docstring names
+    (Turtle/Flood max-score; the index-ordered sibling of WAND):
+    unlike champion lists (bounded recall), this provably returns the
+    SAME top-k as :func:`bm25_more_like_this`, skipping posting lists
+    that cannot change it.
+
+    Batch formulation, three phases:
+
+    1. SEED: champion candidates (top-``seed_champions`` per query
+       term by tf-part) scored exactly → the k-th best seed score is
+       an entry THRESHOLD θ (a lower bound on the final k-th score).
+    2. TERM SPLIT: each query term gets an admissible upper bound
+       ``ub = floor(idf·max_tf_part·1e6)+1`` micro-units (integer, ≥
+       any doc's true contribution). Per query, terms sorted by
+       ascending ub accumulate; the maximal prefix whose cumulative
+       ub stays BELOW θ is non-essential — a doc matching ONLY those
+       terms scores < θ and can never enter the top-k (θ is the k-th
+       best of ≥k already-scored docs). Remaining terms are essential.
+    3. CANDIDATES: docs matching ≥1 essential term, plus the seeds,
+       scored exactly (the shared BM25 tail); final rank over those.
+
+    Exactness argument (micro-grid): θ = k-th largest
+    ``floor(score·1e6+0.5)`` over seeds; a pruned doc's true score
+    satisfies s·1e6 ≤ Σ_noness ub ≤ θ−1, so its rounded-6dp score is
+    strictly below the k-th seed's — it cannot displace anything,
+    even via doc-id tie-breaks. All bound arithmetic is integer
+    micro-units (order-independent sums), the float factors are the
+    same expression shapes both engines evaluate identically, and the
+    +1 in ub makes the bound admissible despite the floor.
+
+    Scale shape: postings persist once; seed/θ/ub/essential tables
+    are query-grain (tiny, broadcast). The corpus-side cost is
+    Σ df(essential terms) — high-idf rare terms stay essential while
+    common terms' corpus-sized lists are skipped, which is exactly
+    the max-score economics; the report (second return value)
+    audits it per query: n_terms, n_essential, postings_total,
+    postings_scanned, n_candidates, pruned_frac (half-up on the
+    integer micro grid — never a float-division round). Candidate
+    ids broadcast like the champion rung; a deployment with huge
+    essential posting mass should raise ``seed_champions`` (a better
+    θ prunes more). Returns ``(ranked, report)`` — ranked has the
+    exact rung's schema (query_id, id_col, bm25, rank).
+    """
+    st = _bm25_prune_state(
+        docs, id_col, text_col, query_max_id, k,
+        int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
+    )
+    flagged = st["flagged"]
+    cand_all = (
+        st["term_posts"].join(
+            F.broadcast(
+                flagged.filter(F.col("_essential")).select("_qid", "_t")
+            ),
+            "_t",
+        )
+        .filter(F.col("_doc") != F.col("_qid"))
+        .select("_qid", "_doc")
+        .unionByName(st["seed"])
+        .distinct()
+    )
+    ranked = _bm25_rank_candidates(st, cand_all, id_col, k)
     n_cand = cand_all.groupBy("_qid").agg(
         F.countDistinct("_doc").alias("n_candidates")
     )
@@ -683,6 +731,142 @@ def bm25_maxscore_parts(
             "postings_scanned",
             F.col("n_candidates").cast("long").alias("n_candidates"),
             F.expr(frac).alias("pruned_frac"),
+        )
+    )
+    return ranked, report
+
+
+def bm25_blockmax_parts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_max_id: int = 5,
+    k: int = 10,
+    seed_champions: int | None = None,
+    block_size: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k1_plus_1: float = 2.2,
+    one_minus_b: float = 0.25,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT top-k BM25 with BLOCK-MAX pruning (Ding & Suel's
+    block-max WAND, batch form) — the finest rung of the pruned
+    family: max-score skips whole TERMS whose global bound can't
+    reach θ; block-max additionally skips POSTING BLOCKS of the
+    essential terms, using each (term, doc-id block) local maximum
+    instead of the term's single global bound. Common terms whose few
+    strong postings cluster in a few blocks contribute only those
+    blocks' docs to the candidate set.
+
+    Batch formulation on top of :func:`_bm25_prune_state` (same seed
+    θ, same integer micro-grid, same essential split): postings get a
+    block id ``_doc div block_size`` (non-negative ids — both engines
+    floor); per (term, block) the local ``bub =
+    floor(idf·max tf-part(block)·1e6)+1``. A block of essential term
+    t survives iff ``total_ub(q) − ub(t) + bub(t, block) ≥ θ``.
+    Exactness: any PRUNED block containing doc d certifies
+    ``score(d)·1e6 ≤ bub + Σ_{t'≠t} ub(t') < θ`` (its own-term
+    contribution is below the block max; every other matched term is
+    below its global bound, and the sums run over supersets of d's
+    terms — all bounds non-negative), so d can only be missing from
+    the candidate set if EVERY appearance certifies it under θ —
+    and emission from any surviving block just means exact scoring.
+    Seeds are always scored, so ≥k docs at/above θ remain: identical
+    top-k to :func:`bm25_more_like_this` by the same margin argument
+    as max-score.
+
+    Returns ``(ranked, report)``; the report counts, per query, the
+    block-grain economics on top of the term-grain ones: blocks_total
+    / blocks_pruned over essential terms and postings_scanned at
+    BLOCK grain (Σ block posting counts over surviving blocks —
+    strictly ≤ max-score's Σ df(essential))."""
+    st = _bm25_prune_state(
+        docs, id_col, text_col, query_max_id, k,
+        int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
+    )
+    bs = int(block_size)
+    flagged = st["flagged"]
+    term_posts = st["term_posts"]
+    # per-(term, block) posting count and local upper bound
+    bstats = (
+        term_posts.withColumn("_blk", F.expr(f"_doc div {bs}"))
+        .groupBy("_t", "_blk")
+        .agg(
+            F.count(F.lit(1)).alias("_bdf"),
+            F.max(st["tf_part"]).alias("_bmaxtf"),
+        )
+        .join(F.broadcast(st["tstats"].select("_t", "_df")), "_t")
+        .withColumn(
+            "_bub",
+            (
+                F.floor(
+                    st["idf"] * F.col("_bmaxtf") * F.lit(1000000.0)
+                ) + F.lit(1)
+            ).cast("long"),
+        )
+        .select("_t", "_blk", "_bdf", "_bub")
+    )
+    # per-query total bound Σ ub(t) — integer, order-independent
+    totals = flagged.groupBy("_qid").agg(
+        F.sum("_ub").alias("_total_ub")
+    )
+    ess = flagged.filter(F.col("_essential")).select(
+        "_qid", "_t", "_ub", "_theta"
+    ).join(F.broadcast(totals), "_qid")
+    # survival: total_ub − ub(t) + bub(t, blk) ≥ θ (no θ ⇒ survive)
+    blocks = ess.join(bstats, "_t").withColumn(
+        "_survives",
+        F.col("_theta").isNull()
+        | (
+            F.col("_total_ub") - F.col("_ub") + F.col("_bub")
+            >= F.col("_theta")
+        ),
+    )
+    cand_all = (
+        term_posts.withColumn("_blk", F.expr(f"_doc div {bs}"))
+        .join(
+            F.broadcast(
+                blocks.filter(F.col("_survives")).select(
+                    "_qid", "_t", "_blk"
+                )
+            ),
+            ["_t", "_blk"],
+        )
+        .filter(F.col("_doc") != F.col("_qid"))
+        .select("_qid", "_doc")
+        .unionByName(st["seed"])
+        .distinct()
+    )
+    ranked = _bm25_rank_candidates(st, cand_all, id_col, k)
+    n_cand = cand_all.groupBy("_qid").agg(
+        F.countDistinct("_doc").alias("n_candidates")
+    )
+    term_rep = flagged.groupBy("_qid").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("_essential").cast("long")).alias("n_essential"),
+        F.sum("_df").alias("postings_total"),
+    )
+    block_rep = blocks.groupBy("_qid").agg(
+        F.count(F.lit(1)).alias("blocks_total"),
+        F.sum(
+            F.when(~F.col("_survives"), 1).otherwise(0)
+        ).alias("blocks_pruned"),
+        F.sum(
+            F.when(F.col("_survives"), F.col("_bdf")).otherwise(F.lit(0))
+        ).alias("postings_scanned"),
+    )
+    report = (
+        term_rep.join(block_rep, "_qid")
+        .join(n_cand, "_qid")
+        .select(
+            F.col("_qid").alias("query_id"),
+            "n_terms",
+            "n_essential",
+            "blocks_total",
+            "blocks_pruned",
+            "postings_total",
+            "postings_scanned",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
         )
     )
     return ranked, report

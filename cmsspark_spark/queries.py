@@ -10576,3 +10576,167 @@ def split_assign_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("split"),
     )
     return I.split_assign_increment(inc, census, splits)
+
+
+@query("bm25_blockmax_more_like_this", None)
+def bm25_blockmax_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k BM25 through BLOCK-MAX pruning
+    (pipeline.bm25_blockmax_parts) — the finest rung of the pruned
+    family (Ding & Suel's block-max WAND, batch form): max-score
+    skips whole terms; this additionally skips POSTING BLOCKS of the
+    essential terms using per-(term, doc-block) local maxima, so a
+    common term whose few strong postings cluster in a few blocks
+    contributes only those blocks' docs. Same integer micro-grid
+    bounds, same seed threshold, same margin argument — and the same
+    contract: the oracle IS the exact rung's oracle, assigned
+    verbatim below."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    ranked, _ = PL.bm25_blockmax_parts(
+        d, query_max_id=5, k=10, block_size=64
+    )
+    return ranked
+
+
+ORACLES["bm25_blockmax_more_like_this"] = ORACLES["bm25_more_like_this"]
+
+
+@query(
+    "bm25_blockmax_pruning_report",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS dl, t,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS t FROM tok) GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sdl
+              FROM tok),
+    q AS (SELECT DISTINCT doc AS qid, t FROM post WHERE doc < 5),
+    tp AS (
+      SELECT p.t, p.doc, p.tf, p.dl,
+             (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n))))
+               AS tfp
+      FROM post p, stats s
+      WHERE p.t IN (SELECT t FROM q)
+    ),
+    tstat AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df, max(tfp) AS maxtf
+      FROM tp GROUP BY 1
+    ),
+    ub AS (
+      SELECT t, df,
+             CAST(floor(ln(1.0 + ((s.n - df + 0.5) / (df + 0.5)))
+                        * maxtf * 1000000.0) AS BIGINT) + 1 AS ubm
+      FROM tstat, stats s
+    ),
+    champ AS (
+      SELECT t, doc FROM (
+        SELECT t, doc, row_number() OVER (PARTITION BY t
+                 ORDER BY round(tfp, 6) DESC, doc) AS rk
+        FROM tp
+      ) WHERE rk <= 10
+    ),
+    seed AS (
+      SELECT DISTINCT q.qid, c.doc FROM q JOIN champ c USING (t)
+      WHERE c.doc <> q.qid
+    ),
+    seed_sc AS (
+      SELECT seed.qid, seed.doc,
+             sum(ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5))) * tp.tfp)
+               AS score
+      FROM seed
+      JOIN tp ON tp.doc = seed.doc
+      JOIN q ON q.qid = seed.qid AND q.t = tp.t
+      JOIN tstat d ON d.t = tp.t, stats s
+      GROUP BY 1, 2
+    ),
+    theta AS (
+      SELECT qid, smicro AS theta FROM (
+        SELECT qid, doc,
+               CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS smicro,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)
+                   DESC, doc) AS rk
+        FROM seed_sc
+      ) WHERE rk = 10
+    ),
+    fl AS (
+      SELECT q.qid, q.t, u.df, u.ubm, th.theta,
+             sum(u.ubm) OVER (PARTITION BY q.qid ORDER BY u.ubm, q.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q JOIN ub u USING (t)
+      LEFT JOIN theta th ON th.qid = q.qid
+    ),
+    fl2 AS (
+      SELECT *, (theta IS NULL OR cum >= theta) AS essential FROM fl
+    ),
+    totals AS (SELECT qid, sum(ubm) AS total_ub FROM fl2 GROUP BY 1),
+    bstat AS (
+      SELECT t, doc // 64 AS blk, CAST(count(*) AS BIGINT) AS bdf,
+             max(tfp) AS bmaxtf
+      FROM tp GROUP BY 1, 2
+    ),
+    bub AS (
+      SELECT b.t, b.blk, b.bdf,
+             CAST(floor(ln(1.0 + ((s.n - u.df + 0.5) / (u.df + 0.5)))
+                        * b.bmaxtf * 1000000.0) AS BIGINT) + 1 AS bubm
+      FROM bstat b JOIN tstat u USING (t), stats s
+    ),
+    blocks AS (
+      SELECT f.qid, f.t, bb.blk, bb.bdf,
+             (f.theta IS NULL
+              OR tt.total_ub - f.ubm + bb.bubm >= f.theta) AS survives
+      FROM fl2 f
+      JOIN bub bb USING (t)
+      JOIN totals tt USING (qid)
+      WHERE f.essential
+    ),
+    cand AS (
+      SELECT b.qid, tp.doc FROM blocks b
+      JOIN tp ON tp.t = b.t AND tp.doc // 64 = b.blk
+      WHERE b.survives AND tp.doc <> b.qid
+      UNION
+      SELECT qid, doc FROM seed
+    ),
+    trep AS (
+      SELECT qid,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(CASE WHEN essential THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_essential,
+             CAST(sum(df) AS BIGINT) AS postings_total
+      FROM fl2 GROUP BY 1
+    ),
+    brep AS (
+      SELECT qid,
+             CAST(count(*) AS BIGINT) AS blocks_total,
+             CAST(sum(CASE WHEN survives THEN 0 ELSE 1 END) AS BIGINT)
+               AS blocks_pruned,
+             CAST(sum(CASE WHEN survives THEN bdf ELSE 0 END) AS BIGINT)
+               AS postings_scanned
+      FROM blocks GROUP BY 1
+    ),
+    nc AS (SELECT qid, CAST(count(DISTINCT doc) AS BIGINT)
+             AS n_candidates FROM cand GROUP BY 1)
+    SELECT t.qid AS query_id, n_terms, n_essential, blocks_total,
+           blocks_pruned, postings_total, postings_scanned, n_candidates
+    FROM trep t JOIN brep USING (qid) JOIN nc USING (qid)
+    """,
+)
+def bm25_blockmax_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-grain pruning audit for block-max WAND: per query —
+    terms, essential terms, blocks over essential terms and how many
+    were skipped, posting mass actually scanned at BLOCK grain
+    (strictly ≤ max-score's Σ df(essential)), candidates. The oracle
+    replays the whole bound chain (seed θ, term bounds, per-block
+    local maxima, survival inequality) on the shared integer micro
+    grid."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    _, report = PL.bm25_blockmax_parts(
+        d, query_max_id=5, k=10, block_size=64
+    )
+    return report

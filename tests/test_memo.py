@@ -129,3 +129,44 @@ def test_invalidate_session_memos_clears_everything(spark, tmp_path):
     assert key not in D._CC_MEMO.per_session(spark)
     # and the recomputed answer is unchanged
     assert _labels(D.connected_components(pairs)) == _labels(out1)
+
+
+def test_jaccard_pairs_memo_hit_and_invalidation(spark, tmp_path, monkeypatch):
+    """r9: the verified-pair list memoizes on BOTH input plans'
+    fresh-data keys — sibling consumers (components family, leakage
+    audit) share one LSH+verify run; a rewritten corpus re-verifies."""
+    monkeypatch.setattr(D, "_JACCARD_MEMO", SessionMemo("jac-test"))
+    calls = {"n": 0}
+    real = D._jaccard_pairs_run
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(D, "_jaccard_pairs_run", counting)
+    p = str(tmp_path / "docs")
+    base = " ".join(f"tok{i}" for i in range(30))
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    ).write.parquet(p)
+
+    def pairs():
+        d = spark.read.parquet(p)
+        cand = D.minhash_lsh_pairs(d, "doc_id", "text")
+        return {
+            (r.id_a, r.id_b)
+            for r in D.jaccard_pairs(
+                d, "doc_id", "text", threshold=0.5, candidates=cand
+            ).collect()
+        }
+
+    r1, r2 = pairs(), pairs()  # separately-built identical plans
+    assert r1 == r2 == {(1, 2)}
+    assert calls["n"] == 1
+    # changed corpus at the same path → fingerprint miss → re-verify
+    spark.createDataFrame(
+        [(1, base), (7, base + " tail")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(p)
+    assert pairs() == {(1, 7)}
+    assert calls["n"] == 2

@@ -692,3 +692,31 @@ def test_bm25_maxscore_equals_exact_topk(spark, texts):
         assert 0 < r.n_essential <= r.n_terms
         assert 0 < r.postings_scanned <= r.postings_total
         assert 0.0 <= r.pruned_frac <= 1.0
+
+
+@given(texts=st.lists(_ms_doc, min_size=6, max_size=20))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bm25_blockmax_equals_exact_topk(spark, texts):
+    """r9: block-max pruning is EXACT too — per-block local bounds
+    skip posting blocks, never answers; the report's block-grain
+    scanned mass is ≤ total posting mass."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in PL.bm25_more_like_this(df, query_max_id=3, k=4).collect()
+    }
+    ranked, report = PL.bm25_blockmax_parts(
+        df, query_max_id=3, k=4, block_size=4
+    )
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.bm25) for r in ranked.collect()
+    }
+    assert got == exact
+    for r in report.collect():
+        assert 0 <= r.blocks_pruned <= r.blocks_total
+        assert 0 <= r.postings_scanned <= r.postings_total
