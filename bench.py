@@ -229,6 +229,7 @@ EXTRA = [
     "split_assign_increment",        # increment inherits cluster splits
     "bm25_blockmax_more_like_this",  # exact top-k w/ block-max pruning
     "bm25_blockmax_pruning_report",  # block-grain posting-mass audit
+    "bm25_hard_negatives",           # DPR-style negative mining
 ]
 
 

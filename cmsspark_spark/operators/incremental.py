@@ -744,6 +744,7 @@ def split_assign_increment(
     rows_per_band: int = 2,
     min_est_jaccard: float = 0.5,
     boundaries: dict[str, int] | None = None,
+    broadcast_increment: bool = True,
 ) -> DataFrame:
     """INCREMENTAL cluster-consistent split assignment — the
     ingest-gate treatment for :func:`pipeline.cluster_split_assign`:
@@ -804,14 +805,18 @@ def split_assign_increment(
         lambda acc, x: acc + x,
     )
     # the increment's band rows BROADCAST onto the (corpus-sized)
-    # census, which therefore never shuffles — probe cost ∝ increment
+    # census, which therefore never shuffles — probe cost ∝ increment.
+    # For increments too large to broadcast (bulk backfills), pass
+    # broadcast_increment=False: the probe becomes a (band, band_sig)
+    # hash join — the census shuffles once, still ids+signatures only.
+    inc_probe = inc.select(
+        F.col(id_col).alias("_nid"), "band", "band_sig",
+        F.col("sig").alias("_nsig"),
+    )
+    if broadcast_increment:
+        inc_probe = F.broadcast(inc_probe)
     matches = (
-        F.broadcast(
-            inc.select(
-                F.col(id_col).alias("_nid"), "band", "band_sig",
-                F.col("sig").alias("_nsig"),
-            )
-        )
+        inc_probe
         .join(
             census.select(
                 F.col(id_col).alias("_bid"), "band", "band_sig",

@@ -10740,3 +10740,58 @@ def bm25_blockmax_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, query_max_id=5, k=10, block_size=64
     )
     return report
+
+
+def _hard_negatives_oracle() -> str:
+    """Composed from the exact BM25 oracle: rank-1 is the positive,
+    ranks 2..k are hard negatives, margins on the integer micro grid."""
+    assert ORACLES.get("bm25_more_like_this")
+    return f"""
+    WITH exact AS ({ORACLES["bm25_more_like_this"]}),
+    pos AS (SELECT query_id, doc_id, bm25 FROM exact WHERE rank = 1)
+    SELECT e.query_id,
+           p.doc_id AS positive_id,
+           e.doc_id AS negative_id,
+           CAST(e.rank AS BIGINT) AS neg_rank,
+           CAST(floor(p.bm25 * 1000000.0 + 0.5)
+                - floor(e.bm25 * 1000000.0 + 0.5) AS BIGINT) AS margin_micro
+    FROM exact e JOIN pos p USING (query_id)
+    WHERE e.rank > 1
+    """
+
+
+@query("bm25_hard_negatives", None)
+def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive retrieval training — the
+    standard DPR-style miner: for each query doc, the BM25 rank-1
+    retrieval is the positive and ranks 2..k are hard negatives
+    (lexically close, semantically wrong — exactly the examples a
+    dual encoder learns most from), each with its score margin to the
+    positive on the integer micro grid (never a float subtraction
+    round). Pure composition of the registered exact rung — at scale
+    swap in the max-score rung for identical output at pruned cost
+    (proven identical by its own oracle). One broadcast join over
+    top-k lists; driver-free."""
+    ranked = QUERIES["bm25_more_like_this"](spark, sf_dir)
+    micro = F.floor(F.col("bm25") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    pos = ranked.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("doc_id").alias("positive_id"),
+        micro.alias("_pos_micro"),
+    )
+    return (
+        ranked.filter(F.col("rank") > 1)
+        .join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            "positive_id",
+            F.col("doc_id").alias("negative_id"),
+            F.col("rank").alias("neg_rank"),
+            (F.col("_pos_micro") - micro).alias("margin_micro"),
+        )
+    )
+
+
+ORACLES["bm25_hard_negatives"] = _hard_negatives_oracle()
