@@ -366,8 +366,21 @@ def main() -> None:
             n_files=16,
         )
 
+    def _assign_splits(tmp, _state):
+        from cmsspark_spark.jobs import assign_splits
+
+        state = f"{tmp}/state"
+        assign_splits.run_batch(spark, sf_dir, state)
+        inc = spark.createDataFrame(
+            [(90000001, "a brand new increment document about spark"),
+             (90000002, "another fresh arrival nothing shared")],
+            ["doc_id", "text"],
+        )
+        assign_splits.run_increment(spark, inc, state)
+
     timed_job("job_clean_corpus", _clean_corpus)
     timed_job("job_corpus_qa", _corpus_qa)
+    timed_job("job_assign_splits", _assign_splits)
     timed_job("job_rucio_summary", _rucio_summary, setup=_rucio_setup)
     timed_job("job_optimize_table", _optimize_table,
               setup=_optimize_setup)

@@ -1,0 +1,130 @@
+"""Split-maintenance job: leak-free train/val/test assignment as ONE
+runnable CLI, in two modes sharing one state directory.
+
+``--mode batch`` (first run / periodic rebuild): LSH → exact-Jaccard
+verify → connected components → cluster-consistent split assignment
+(every doc inherits its near-dup cluster representative's content-hash
+coin, so a verified near-duplicate pair can NEVER straddle train/eval),
+then commits the state an incremental run needs: the per-doc splits
+table and the MinHash census (band rows + signatures, ~8 longs/doc,
+never text).
+
+``--mode increment`` (daily): the arriving docs probe the census and
+inherit their matched cluster's committed split WITHOUT recomputing the
+corpus closure (operators/incremental.split_assign_increment) —
+brand-new increment-internal clusters share their representative's
+coin; singletons keep their own. The run then extends both state
+tables, so replays are idempotent and the next increment sees this one
+as prior corpus.
+
+This is the operational form of the ``cluster_consistent_split`` /
+``split_assign_increment`` registry queries: same operators, wired as
+the job a data engineer schedules per snapshot + per ingest batch.
+
+Run:
+    python -m cmsspark_spark.jobs.assign_splits \\
+        --mode batch --sf-dir /root/testdata/sf0.001 --state /tmp/splits
+    python -m cmsspark_spark.jobs.assign_splits \\
+        --mode increment --increment /tmp/new_docs.parquet \\
+        --state /tmp/splits
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cmsspark_spark.session import get_spark
+
+
+def run_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    state: str,
+    boundaries: dict[str, int] | None = None,
+) -> DataFrame:
+    """Full-corpus cluster-consistent assignment + state commit.
+    Returns the per-doc assignment (doc_id, split, clustered, moved)."""
+    from cmsspark_spark import catalog
+    from cmsspark_spark.operators import dedup as D
+    from cmsspark_spark.operators.incremental import commit_census_minhash
+    from cmsspark_spark.operators.pipeline import cluster_split_assign
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, candidates=cand
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    assign = cluster_split_assign(
+        docs, comp, boundaries=boundaries
+    ).localCheckpoint(eager=True)  # pin before the state writes below
+    # state commit ORDER matters for crash-safety: splits first (the
+    # increment path refuses docs it can't find a split for only via
+    # census matches, so a census row without a splits row would
+    # orphan an inherit); census last, after splits are durable.
+    assign.select("doc_id", "split").write.mode("overwrite").parquet(
+        f"{state}/splits"
+    )
+    commit_census_minhash(spark, docs, f"{state}/census")
+    return assign
+
+
+def run_increment(
+    spark: SparkSession,
+    increment: DataFrame,
+    state: str,
+    boundaries: dict[str, int] | None = None,
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """Assign an increment against committed state, then extend the
+    state (splits += increment's assignment, census += increment's
+    band rows). Returns (doc_id, split, inherited, clustered)."""
+    from cmsspark_spark.operators.incremental import (
+        commit_census_minhash,
+        split_assign_increment,
+    )
+
+    census = spark.read.parquet(f"{state}/census")
+    splits = spark.read.parquet(f"{state}/splits")
+    out = split_assign_increment(
+        increment, census, splits,
+        boundaries=boundaries,
+        broadcast_increment=broadcast_increment,
+    ).localCheckpoint(eager=True)  # pin the verdict before state writes
+    out.select("doc_id", "split").write.mode("append").parquet(
+        f"{state}/splits"
+    )
+    commit_census_minhash(spark, increment, f"{state}/census")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", required=True, choices=["batch", "increment"])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--increment",
+                    help="parquet path of arriving docs (increment mode)")
+    ap.add_argument("--state", required=True,
+                    help="state dir holding splits/ and census/")
+    ap.add_argument("--no-broadcast-increment", action="store_true",
+                    help="bulk backfill: hash-join the census probe "
+                         "instead of broadcasting the increment")
+    args = ap.parse_args()
+    spark = get_spark("assign-splits")
+    if args.mode == "batch":
+        run_batch(spark, args.sf_dir, args.state)
+    else:
+        if not args.increment:
+            ap.error("--increment is required in increment mode")
+        run_increment(
+            spark, spark.read.parquet(args.increment), args.state,
+            broadcast_increment=not args.no_broadcast_increment,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -841,3 +841,53 @@ def test_split_assign_increment_inherits_cluster_split(spark, tmp_path):
         i: r.split for i, r in out.items()
     }
     assert all(r.inherited for r in out2.values())
+
+
+def test_assign_splits_job_batch_then_increment(spark, tmp_path):
+    """r9: the split-maintenance CLI e2e — batch mode assigns
+    cluster-consistent splits and commits splits+census state; a later
+    increment run inherits cluster splits from that state, extends it,
+    and a second identical increment run self-matches (idempotent) and
+    keeps every assignment stable."""
+    from cmsspark_spark.jobs import assign_splits
+
+    state = str(tmp_path / "state")
+    batch = assign_splits.run_batch(spark, SF, state)
+    n_docs = batch.count()
+    splits0 = {r.doc_id: r.split for r in batch.collect()}
+    assert n_docs == len(splits0) > 0
+    assert set(spark.read.parquet(f"{state}/splits").columns) == {
+        "doc_id", "split"
+    }
+
+    # increment: a verbatim near-dup of an existing CLUSTERED doc (if
+    # any) plus a brand-new doc
+    clustered = [r.doc_id for r in batch.filter("clustered").collect()]
+    target = clustered[0] if clustered else min(splits0)
+    src_text = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") == target)
+        .first()
+        .text
+    )
+    inc = spark.createDataFrame(
+        [(900001, src_text), (900002, "entirely fresh words nothing shared")],
+        ["doc_id", "text"],
+    )
+    out1 = {
+        r.doc_id: r
+        for r in assign_splits.run_increment(spark, inc, state).collect()
+    }
+    assert out1[900001].inherited
+    assert out1[900001].split == splits0[target]  # the cluster's split
+    assert not out1[900002].inherited
+
+    # replay: state now contains the increment; both docs self-match
+    out2 = {
+        r.doc_id: r
+        for r in assign_splits.run_increment(spark, inc, state).collect()
+    }
+    assert all(r.inherited for r in out2.values())
+    assert {i: r.split for i, r in out2.items()} == {
+        i: r.split for i, r in out1.items()
+    }
