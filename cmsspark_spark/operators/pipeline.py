@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from cmsspark_spark.functions.text import raw_ngrams, tokens
+from cmsspark_spark.operators.memo import SessionMemo as _SessionMemo
 
 
 def ngram_overlap(
@@ -1379,6 +1380,55 @@ def logreg_hashed_train(
     return w
 
 
+#: Session memo for the GD trainer — deterministic (zero-init, full
+#: batch, 1e-6-grid quantization every iteration, no RNG), so for a
+#: given (corpus plan + data fingerprint, label expr, params) the
+#: weights are a pure function: the registry's weights/scores/sweep
+#: trio shares ONE featurize pass and ONE fit instead of three. Same
+#: fresh-data keying as the k-means/BPE/components memos.
+_LOGREG_MEMO = _SessionMemo("logreg")
+
+
+def logreg_hashed_shared(
+    df: DataFrame,
+    label_flag: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> tuple[DataFrame, list]:
+    """(features frame, trained weights) memoized per session. The
+    memo key hashes a canonical PROBE plan (id, casted label, text) —
+    ``semanticHash`` covers the label Column expression along with the
+    corpus plan, and the leaf-file fingerprint covers the data, so
+    changed labels, params, or files all retrain. A hit skips the
+    featurize pass and every GD iteration; unsafe keys train
+    unmemoized exactly as before."""
+    probe = df.select(
+        F.col(id_col),
+        label_flag.cast("double").alias("_y"),
+        F.col(text_col),
+    )
+    key = _LOGREG_MEMO.key_for(probe, n_buckets, iters, lr)
+    if key is None:
+        feat = logreg_hashed_features(
+            df, label_flag, text_col, id_col, n_buckets
+        )
+        return feat, logreg_hashed_train(feat, n_buckets, iters, lr)
+    per = _LOGREG_MEMO.per_session(df.sparkSession)
+    fkey = ("feat",) + key
+    if fkey not in per:
+        per[fkey] = logreg_hashed_features(
+            df, label_flag, text_col, id_col, n_buckets
+        )
+    feat = per[fkey]
+    tkey = ("w",) + key
+    if tkey not in per:
+        per[tkey] = logreg_hashed_train(feat, n_buckets, iters, lr)
+    return feat, per[tkey]
+
+
 def logreg_hashed_score(feat: DataFrame, weights: list) -> DataFrame:
     """Score every doc in a ``logreg_hashed_features`` frame with a
     trained weight list: one broadcast join + the same no-exchange
@@ -1501,8 +1551,6 @@ def train_bpe_merges(
 #: sequential rounds. Same fresh-data key design as
 #: similarity._KMEANS_MEMO (operators/memo.py): appended/overwritten
 #: leaf files change the key, so stale merges are never served.
-from cmsspark_spark.operators.memo import SessionMemo as _SessionMemo
-
 _BPE_MEMO = _SessionMemo("bpe")
 
 

@@ -9262,11 +9262,9 @@ def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cmsspark_spark.operators import pipeline as PL
 
     d = _t(spark, sf_dir, "documents")
-    feat = PL.logreg_hashed_features(
-        d, F.col("source").isin("src0", "src1"), n_buckets=_LOGREG_B
-    )
-    w = PL.logreg_hashed_train(
-        feat, n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    feat, w = PL.logreg_hashed_shared(
+        d, F.col("source").isin("src0", "src1"),
+        n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR,
     )
     return spark.createDataFrame(
         [(b, float(v)) for b, v in enumerate(w)], "b long, weight double"
@@ -9297,11 +9295,9 @@ def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cmsspark_spark.operators import pipeline as PL
 
     d = _t(spark, sf_dir, "documents")
-    feat = PL.logreg_hashed_features(
-        d, F.col("source").isin("src0", "src1"), n_buckets=_LOGREG_B
-    )
-    w = PL.logreg_hashed_train(
-        feat, n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    feat, w = PL.logreg_hashed_shared(
+        d, F.col("source").isin("src0", "src1"),
+        n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR,
     )
     scores = PL.logreg_hashed_score(feat, w)
     p6 = F.round("p", 6)
@@ -9356,11 +9352,9 @@ def quality_logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     from cmsspark_spark.operators import pipeline as PL
 
     d = _t(spark, sf_dir, "documents")
-    feat = PL.logreg_hashed_features(
-        d, F.col("source").isin("src0", "src1"), n_buckets=_LOGREG_B
-    )
-    w = PL.logreg_hashed_train(
-        feat, n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    feat, w = PL.logreg_hashed_shared(
+        d, F.col("source").isin("src0", "src1"),
+        n_buckets=_LOGREG_B, iters=_LOGREG_ITERS, lr=_LOGREG_LR,
     )
     sc = PL.logreg_hashed_score(feat, w).select(
         "_y", F.round("p", 6).alias("p")

@@ -170,3 +170,46 @@ def test_jaccard_pairs_memo_hit_and_invalidation(spark, tmp_path, monkeypatch):
     ).write.mode("overwrite").parquet(p)
     assert pairs() == {(1, 7)}
     assert calls["n"] == 2
+
+
+def test_logreg_memo_shares_fit_and_keys_on_label(spark, tmp_path, monkeypatch):
+    """r9: the GD trainer memoizes like k-means — the weights/scores/
+    sweep trio shares one featurize+fit; a DIFFERENT label expression
+    over the same corpus is a different key (the probe plan hashes the
+    label Column), and changed files retrain."""
+    import pyspark.sql.functions as F
+
+    import cmsspark_spark.operators.pipeline as PL
+
+    monkeypatch.setattr(PL, "_LOGREG_MEMO", SessionMemo("logreg-test"))
+    calls = {"n": 0}
+    real = PL.logreg_hashed_train
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(PL, "logreg_hashed_train", counting)
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} filler words", f"src{i % 3}")
+         for i in range(24)],
+        "doc_id long, text string, source string",
+    ).write.parquet(p)
+
+    def fit(label):
+        d = spark.read.parquet(p)
+        return PL.logreg_hashed_shared(d, label, n_buckets=16, iters=1)
+
+    _, w1 = fit(F.col("source") == "src0")
+    _, w2 = fit(F.col("source") == "src0")
+    assert w1 is w2 and calls["n"] == 1  # shared fit object
+    _, w3 = fit(F.col("source") == "src1")  # different label → new fit
+    assert calls["n"] == 2 and w3 is not w1
+    # appended data at the same path → fingerprint miss → retrain
+    spark.createDataFrame(
+        [(100, "tok1 tok2 new words", "src0")],
+        "doc_id long, text string, source string",
+    ).write.mode("append").parquet(p)
+    fit(F.col("source") == "src0")
+    assert calls["n"] == 3
