@@ -626,6 +626,31 @@ def _bm25_rank_candidates(
     )
 
 
+#: Session memo for the pruned rungs' (ranked, report) output pairs —
+#: each rung exposes BOTH a ranked query and a report query, and
+#: without sharing each registry entry rebuilds the whole postings +
+#: seed + bound state (~3.5 s each at sf0.1). Outputs are tiny
+#: (top-k rows + one report row per query), eagerly checkpointed, so
+#: a hit replays ids-only frames; fresh-data keys as everywhere.
+_BM25_PRUNED_MEMO = _SessionMemo("bm25_pruned")
+
+
+def _bm25_pruned_shared(
+    tag: str, docs: DataFrame, params: tuple, builder
+) -> tuple[DataFrame, DataFrame]:
+    key = _BM25_PRUNED_MEMO.key_for(docs, tag, *params)
+    if key is None:
+        return builder()
+    per = _BM25_PRUNED_MEMO.per_session(docs.sparkSession)
+    if key not in per:
+        ranked, report = builder()
+        per[key] = (
+            ranked.localCheckpoint(eager=True),
+            report.localCheckpoint(eager=True),
+        )
+    return per[key]
+
+
 def bm25_maxscore_parts(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -680,8 +705,28 @@ def bm25_maxscore_parts(
     ids broadcast like the champion rung; a deployment with huge
     essential posting mass should raise ``seed_champions`` (a better
     θ prunes more). Returns ``(ranked, report)`` — ranked has the
-    exact rung's schema (query_id, id_col, bm25, rank).
+    exact rung's schema (query_id, id_col, bm25, rank). Both outputs
+    are memoized per session (``_BM25_PRUNED_MEMO``): the ranked
+    registry query and its report sibling share one state build.
     """
+    params = (
+        id_col, text_col, query_max_id, k, seed_champions,
+        k1, b, k1_plus_1, one_minus_b,
+    )
+    return _bm25_pruned_shared(
+        "maxscore", docs, params,
+        lambda: _bm25_maxscore_build(
+            docs, id_col, text_col, query_max_id, k, seed_champions,
+            k1, b, k1_plus_1, one_minus_b,
+        ),
+    )
+
+
+def _bm25_maxscore_build(
+    docs, id_col, text_col, query_max_id, k, seed_champions,
+    k1, b, k1_plus_1, one_minus_b,
+) -> tuple[DataFrame, DataFrame]:
+    """The un-memoized max-score build (see bm25_maxscore_parts)."""
     st = _bm25_prune_state(
         docs, id_col, text_col, query_max_id, k,
         int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
@@ -780,7 +825,27 @@ def bm25_blockmax_parts(
     block-grain economics on top of the term-grain ones: blocks_total
     / blocks_pruned over essential terms and postings_scanned at
     BLOCK grain (Σ block posting counts over surviving blocks —
-    strictly ≤ max-score's Σ df(essential))."""
+    strictly ≤ max-score's Σ df(essential)). Both outputs are
+    memoized per session (``_BM25_PRUNED_MEMO``), sharing one state
+    build between the ranked and report registry queries."""
+    params = (
+        id_col, text_col, query_max_id, k, seed_champions, block_size,
+        k1, b, k1_plus_1, one_minus_b,
+    )
+    return _bm25_pruned_shared(
+        "blockmax", docs, params,
+        lambda: _bm25_blockmax_build(
+            docs, id_col, text_col, query_max_id, k, seed_champions,
+            block_size, k1, b, k1_plus_1, one_minus_b,
+        ),
+    )
+
+
+def _bm25_blockmax_build(
+    docs, id_col, text_col, query_max_id, k, seed_champions,
+    block_size, k1, b, k1_plus_1, one_minus_b,
+) -> tuple[DataFrame, DataFrame]:
+    """The un-memoized block-max build (see bm25_blockmax_parts)."""
     st = _bm25_prune_state(
         docs, id_col, text_col, query_max_id, k,
         int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
