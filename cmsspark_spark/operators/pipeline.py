@@ -220,7 +220,32 @@ def bm25_more_like_this(
     (skip postings whose max contribution can't reach the current
     top-k) — here every matching posting is scored, which IS the
     exact semantics the oracle checks.
+
+    The ranked output (top-k rows) is memoized per session
+    (``_BM25_PRUNED_MEMO``): downstream compositions — the champion
+    recall report, hard-negative mining — share one postings build
+    instead of re-running it. Plan-shape contracts are asserted on
+    the un-memoized builder (``_bm25_exact_build``), which is what a
+    memo miss executes.
     """
+    params = (
+        id_col, text_col, query_max_id, k, k1, b, k1_plus_1, one_minus_b,
+    )
+    return _bm25_pruned_shared(
+        "exact", docs, params,
+        lambda: (
+            _bm25_exact_build(
+                docs, id_col, text_col, query_max_id, k,
+                k1, b, k1_plus_1, one_minus_b,
+            ),
+        ),
+    )[0]
+
+
+def _bm25_exact_build(
+    docs, id_col, text_col, query_max_id, k, k1, b, k1_plus_1, one_minus_b
+) -> DataFrame:
+    """The un-memoized exact-BM25 build (see bm25_more_like_this)."""
     from pyspark import StorageLevel
 
     base = docs.select(F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk"))
@@ -383,7 +408,31 @@ def bm25_champion_topk(
     is one window over query-term postings (query terms broadcast);
     candidate scoring joins candidates (ids only) back to postings —
     text never shuffles.
+
+    The ranked output is memoized per session (``_BM25_PRUNED_MEMO``)
+    so the recall report shares this rung's build; plan contracts are
+    asserted on the un-memoized ``_bm25_champion_build``.
     """
+    params = (
+        id_col, text_col, query_max_id, k, champions,
+        k1, b, k1_plus_1, one_minus_b,
+    )
+    return _bm25_pruned_shared(
+        "champion", docs, params,
+        lambda: (
+            _bm25_champion_build(
+                docs, id_col, text_col, query_max_id, k, champions,
+                k1, b, k1_plus_1, one_minus_b,
+            ),
+        ),
+    )[0]
+
+
+def _bm25_champion_build(
+    docs, id_col, text_col, query_max_id, k, champions,
+    k1, b, k1_plus_1, one_minus_b,
+) -> DataFrame:
+    """The un-memoized champion-list build (see bm25_champion_topk)."""
     from pyspark import StorageLevel
 
     base = docs.select(
@@ -637,16 +686,16 @@ _BM25_PRUNED_MEMO = _SessionMemo("bm25_pruned")
 
 def _bm25_pruned_shared(
     tag: str, docs: DataFrame, params: tuple, builder
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, ...]:
+    """Memoize a rung's output-frame tuple (eagerly checkpointed —
+    every element is top-k/report sized, never corpus sized)."""
     key = _BM25_PRUNED_MEMO.key_for(docs, tag, *params)
     if key is None:
         return builder()
     per = _BM25_PRUNED_MEMO.per_session(docs.sparkSession)
     if key not in per:
-        ranked, report = builder()
-        per[key] = (
-            ranked.localCheckpoint(eager=True),
-            report.localCheckpoint(eager=True),
+        per[key] = tuple(
+            f.localCheckpoint(eager=True) for f in builder()
         )
     return per[key]
 

@@ -679,7 +679,14 @@ def test_bm25_no_sortmerge_joins_broadcast_everywhere(spark):
     """r7 late: BM25's query-term and df joins must broadcast — the
     corpus-side postings never sort-merge-join, and raw text stays
     out of keyed shuffles (only (doc, term) cells travel)."""
-    df = QUERIES["bm25_more_like_this"](spark, SF)
+    # assert on the UN-memoized builder — the plan a memo miss runs
+    # (the registry query returns a checkpointed top-k frame)
+    from cmsspark_spark.operators.pipeline import _bm25_exact_build
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = _bm25_exact_build(
+        d, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+    )
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert plans.count_nodes(df, "SortMergeJoin") == 0
@@ -699,7 +706,12 @@ def test_bm25_champion_candidate_join_broadcasts(spark):
     pinned broadcast — not left to AQE's size estimate, which at scale
     could misestimate under threshold and sort-merge the postings by
     doc. The whole plan stays sort-merge-free."""
-    df = QUERIES["bm25_champion_more_like_this"](spark, SF)
+    from cmsspark_spark.operators.pipeline import _bm25_champion_build
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = _bm25_champion_build(
+        d, "doc_id", "text", 5, 10, 16, 1.2, 0.75, 2.2, 0.25
+    )
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert plans.count_nodes(df, "SortMergeJoin") == 0
