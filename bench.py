@@ -230,6 +230,7 @@ EXTRA = [
     "bm25_blockmax_more_like_this",  # exact top-k w/ block-max pruning
     "bm25_blockmax_pruning_report",  # block-grain posting-mass audit
     "bm25_hard_negatives",           # DPR-style negative mining
+    "rrf_hybrid_topk",               # lexical+semantic rank fusion
 ]
 
 

@@ -10789,3 +10789,84 @@ def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bm25_hard_negatives"] = _hard_negatives_oracle()
+
+
+def _rrf_hybrid_oracle() -> str:
+    """Composed from the exact-BM25 and brute-force-cosine oracles —
+    the fusion can never drift from the rungs it fuses. Reciprocal
+    terms are CAST(1 AS DOUBLE)/(60+rank): double division in both
+    engines (a bare 1.0 is DECIMAL in DuckDB), two-term sums are
+    order-free."""
+    assert ORACLES.get("bm25_more_like_this")
+    assert ORACLES.get("ann_cosine_topk")
+    return f"""
+    WITH lex AS ({ORACLES["bm25_more_like_this"]}),
+    sem AS ({ORACLES["ann_cosine_topk"]}),
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.vec_id) AS doc_id,
+             coalesce(CAST(1 AS DOUBLE) / (60 + l.rank), 0)
+               + coalesce(CAST(1 AS DOUBLE) / (60 + s.rank), 0) AS rrf,
+             (l.rank IS NOT NULL) AS in_lexical,
+             (s.rank IS NOT NULL) AS in_semantic
+      FROM lex l FULL OUTER JOIN sem s
+        ON s.query_id = l.query_id AND s.vec_id = l.doc_id
+    )
+    SELECT query_id, doc_id, round(rrf, 6) AS rrf,
+           in_lexical, in_semantic, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY round(rrf, 6) DESC, doc_id) AS rank FROM fused)
+    WHERE rank <= 10
+    """
+
+
+@query("rrf_hybrid_topk", None)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion — the standard
+    lexical+semantic combiner (RRF, Cormack/Clarke/Büttcher: score =
+    Σ 1/(60+rank) over the lists that retrieved the doc): exact BM25
+    top-10 fused with brute-force cosine top-5 over the aligned
+    documents/embeddings id space. Rank-only fusion needs no score
+    calibration between modalities — exactly why production hybrid
+    search defaults to it — and both inputs here are the REGISTERED
+    rungs (memoized top-k frames), so fusion is a tiny full-outer
+    join + window; the oracle composes their registered oracles.
+    At scale, swap the inputs for the max-score rung and a trained
+    IVF arm — identical fusion plan over any two id-ranked lists."""
+    lex = QUERIES["bm25_more_like_this"](spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("_lrank")
+    )
+    sem = QUERIES["ann_cosine_topk"](spark, sf_dir).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("_srank"),
+    )
+    rec = lambda c: F.lit(1.0) / (F.lit(60) + F.col(c))  # noqa: E731
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(rec("_lrank"), F.lit(0.0))
+            + F.coalesce(rec("_srank"), F.lit(0.0))
+        ).alias("_rrf"),
+        F.col("_lrank").isNotNull().alias("in_lexical"),
+        F.col("_srank").isNotNull().alias("in_semantic"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("_rrf", 6).desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("_rrf", 6).alias("rrf"),
+            "in_lexical",
+            "in_semantic",
+            "rank",
+        )
+    )
+
+
+ORACLES["rrf_hybrid_topk"] = _rrf_hybrid_oracle()
