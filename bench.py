@@ -231,6 +231,8 @@ EXTRA = [
     "bm25_blockmax_pruning_report",  # block-grain posting-mass audit
     "bm25_hard_negatives",           # DPR-style negative mining
     "rrf_hybrid_topk",               # lexical+semantic rank fusion
+    "dedup_simhash_weighted",        # idf-weighted Charikar fingerprints
+    "simhash_weighted_near_pairs",   # weighted hash Hamming blocks
 ]
 
 

@@ -422,6 +422,67 @@ def simhash(
     return voted.select("_id", sim.alias("simhash"))
 
 
+def simhash_weighted(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """IDF-WEIGHTED SimHash (Charikar fingerprints with per-feature
+    weights — the form the original paper defines; the unweighted
+    :func:`simhash` is its w=1 special case): each token occurrence
+    votes ±w on every bit, with ``w = floor(ln(1 + N/df)·1e6) + 1`` —
+    integer micro-units of the token's idf, so a rare token outvotes
+    boilerplate. Two docs sharing their RARE vocabulary land near each
+    other even when their common filler differs, which is what makes
+    weighted fingerprints materially better near-dup signals on
+    template-heavy corpora.
+
+    Engine parity: the weight is an integer (floor of the same float
+    expression both engines evaluate identically; +1 keeps it
+    positive), votes are integer sums (order-free), the sign rule is
+    ``v > 0``. Plan shape: one (token) df-count shuffle, one token
+    join (tokens, never raw text, cross the exchanges), one per-doc
+    vote aggregation — same O(corpus tokens) as the unweighted form.
+    Returns (_id, simhash bigint); feed to
+    :func:`hamming_near_pairs` like every fingerprint here.
+    """
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    dft = tok.groupBy("tok").agg(F.countDistinct("_id").alias("_df"))
+    w = (
+        F.floor(
+            F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("_df"))
+            * F.lit(1000000.0)
+        )
+        + F.lit(1)
+    ).cast("long")
+    tw = (
+        tok.join(dft, "tok")
+        .withColumn("_w", w)
+        .withColumn(
+            "th",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("_w"),
+            ).otherwise(-F.col("_w"))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    voted = tw.groupBy("_id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return voted.select("_id", sim.alias("simhash"))
+
+
 def hamming_near_pairs(
     hashes: DataFrame,
     id_col: str = "_id",

@@ -10870,3 +10870,72 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["rrf_hybrid_topk"] = _rrf_hybrid_oracle()
+
+
+_WSIMHASH_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    dft AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY 1
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    tw AS (
+      SELECT t.doc_id,
+             ('0x' || substring(md5(t.tok), 1, 15))::BIGINT AS th,
+             CAST(floor(ln(1.0 + (nn.n / d.df)) * 1000000.0) AS BIGINT)
+               + 1 AS w
+      FROM tok t JOIN dft d USING (tok), nn
+    ),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (th >> b.b) & 1 = 1 THEN w ELSE -w END) AS v
+      FROM tw, (SELECT unnest(generate_series(0, 15)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    wsim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_simhash_weighted",
+    _WSIMHASH_SQL + "SELECT doc_id, simhash FROM wsim",
+)
+def dedup_simhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted SimHash fingerprints (dedup.simhash_weighted):
+    Charikar's weighted form — each token occurrence votes ±idf
+    (integer micro-units, floor(ln(1+N/df)·1e6)+1) on every bit, so
+    rare vocabulary dominates the fingerprint and template filler
+    cannot mask a near-dup. The oracle replays df counts, the micro
+    weight, the weighted votes and the sign assembly in pure SQL —
+    integer votes make the whole chain engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_weighted(d, "doc_id", "text", bits=16).withColumnRenamed(
+        "_id", "doc_id"
+    )
+
+
+@query(
+    "simhash_weighted_near_pairs",
+    _WSIMHASH_SQL + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM wsim a JOIN wsim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def simhash_weighted_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the IDF-weighted fingerprints through the
+    shared Hamming pigeonhole block join (never all-pairs; the oracle
+    IS the brute-force xor/bit_count relation, which the block
+    decomposition provably equals — same discipline as the image and
+    audio rungs)."""
+    d = _t(spark, sf_dir, "documents")
+    s = D.simhash_weighted(d, "doc_id", "text", bits=16)
+    return D.hamming_near_pairs(s, "_id", "simhash", bits=16, max_hamming=2)

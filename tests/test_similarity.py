@@ -670,3 +670,30 @@ def test_kmeans_lloyd_k_exceeding_corpus_degrades_to_n_clusters(spark):
         for r in S.kmeans_lloyd(df, k=10, iters=2, scale=100).collect()
     )
     assert out == [(0, 0, 0), (1, 1, 0), (2, 2, 0)]
+
+
+def test_simhash_weighted_identity_and_rare_token_dominance(spark):
+    """r9: IDF-weighted SimHash — identical docs collide exactly; two
+    docs sharing only RARE vocabulary land closer than two docs
+    sharing only the corpus-wide filler (the weighting's purpose:
+    template boilerplate cannot mask near-dups)."""
+    from cmsspark_spark.operators.dedup import simhash_weighted
+
+    filler = " ".join(f"common{i}" for i in range(10))
+    rows = [
+        (1, filler + " rareальфа rarebeta rareгамма"),
+        (2, filler + " rareальфа rarebeta rareгамма"),        # == doc 1
+        (3, filler + " rareальфа rarebeta rareгамма extra1"),  # near-dup
+        (4, filler + " unrelated other words entirely"),       # filler only
+    ] + [(10 + i, filler + f" noise{i}a noise{i}b noise{i}c") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h = {
+        r["_id"]: r["simhash"]
+        for r in simhash_weighted(df, "doc_id", "text", bits=16).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFF).count("1")
+
+    assert h[1] == h[2]                      # identity
+    assert ham(h[1], h[3]) < ham(h[1], h[4])  # rare overlap beats filler
