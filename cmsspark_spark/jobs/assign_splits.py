@@ -62,13 +62,16 @@ def run_batch(
         docs, comp, boundaries=boundaries
     ).localCheckpoint(eager=True)  # pin before the state writes below
     # state commit ORDER matters for crash-safety: splits first (the
-    # increment path refuses docs it can't find a split for only via
-    # census matches, so a census row without a splits row would
-    # orphan an inherit); census last, after splits are durable.
+    # increment path's election only considers census matches that
+    # also hold a splits row, so a census row without a splits row is
+    # inert, never leak-inducing); census last, after splits are
+    # durable. BOTH writes are overwrites: a periodic rebuild over an
+    # existing state dir must not accumulate stale/duplicate census
+    # band rows for docs deleted or re-texted since the prior build.
     assign.select("doc_id", "split").write.mode("overwrite").parquet(
         f"{state}/splits"
     )
-    commit_census_minhash(spark, docs, f"{state}/census")
+    commit_census_minhash(spark, docs, f"{state}/census", mode="overwrite")
     return assign
 
 
@@ -81,7 +84,16 @@ def run_increment(
 ) -> DataFrame:
     """Assign an increment against committed state, then extend the
     state (splits += increment's assignment, census += increment's
-    band rows). Returns (doc_id, split, inherited, clustered)."""
+    band rows). Returns (doc_id, split, inherited, clustered).
+
+    REPLAY-SAFE: a re-run of the same increment returns the same
+    assignment (each doc matches its own committed census signature
+    at full agreement and re-inherits its committed split) and the
+    state writes are no-ops — both appends anti-join the already-
+    committed doc_ids first, so neither splits/ nor census/ grows
+    duplicate rows across replays. A re-sent doc_id with CHANGED text
+    keeps its original commitment (first write wins — moving an
+    already-served doc between splits would itself be a leak)."""
     from cmsspark_spark.operators.incremental import (
         commit_census_minhash,
         split_assign_increment,
@@ -94,10 +106,16 @@ def run_increment(
         boundaries=boundaries,
         broadcast_increment=broadcast_increment,
     ).localCheckpoint(eager=True)  # pin the verdict before state writes
-    out.select("doc_id", "split").write.mode("append").parquet(
-        f"{state}/splits"
+    out.select("doc_id", "split").join(
+        splits.select("doc_id"), "doc_id", "left_anti"
+    ).write.mode("append").parquet(f"{state}/splits")
+    commit_census_minhash(
+        spark,
+        increment.join(
+            census.select("doc_id").distinct(), "doc_id", "left_anti"
+        ),
+        f"{state}/census",
     )
-    commit_census_minhash(spark, increment, f"{state}/census")
     return out
 
 

@@ -772,11 +772,15 @@ def split_assign_increment(
        ids ordered) feed ``connected_components`` — increment-sized,
        so the closure cost is ∝ the increment, never the corpus.
     3. Per increment component (singletons = own id), the match with
-       (max agreement, min census id) is elected; the whole component
-       inherits that doc's stored split. Unmatched components fall
-       back to the content-hash coin of their representative's text
-       (= the min-id member — exactly what the batch operator would
-       elect), so batch and incremental agree on brand-new clusters.
+       (max agreement, min census id) is elected AMONG matches that
+       have a committed splits row — a stale census entry (deleted/
+       re-texted doc, orphaned band rows) can never win the election
+       and silently void a valid near-dup inherit; the whole
+       component inherits the elected doc's stored split. Unmatched
+       components fall back to the content-hash coin of their
+       representative's text (= the min-id member — exactly what the
+       batch operator would elect), so batch and incremental agree
+       on brand-new clusters.
 
     Replays are idempotent: a re-sent doc matches its own census
     signature (agreement = num_hashes) and re-inherits its committed
@@ -854,9 +858,23 @@ def split_assign_increment(
         F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
     ).withColumn("_label", F.coalesce("component", F.col(id_col)))
     # component-grain election: best census match = (max agreement,
-    # min admitted id) — integer struct-min, engine-stable
-    elected = (
-        matches.join(
+    # min admitted id) — integer struct-min, engine-stable. The
+    # election runs over matches INNER-JOINED to a splits row first:
+    # a stale census entry (doc deleted/re-texted since its commit,
+    # or an orphaned band row from a crashed run) has no splits row
+    # and must never WIN the election and then silently fall through
+    # to the content-hash coin while a valid near-dup match existed —
+    # that would re-introduce exactly the train/eval leakage this
+    # operator prevents. splits is corpus-sized and stays shuffle-
+    # free: the increment-sized match set broadcasts onto it; split
+    # state replays can leave duplicate (id, split) rows, so the
+    # probe side is deduped by id (assignment is unique per doc by
+    # construction — first write wins).
+    matched_splits = splits.select(
+        F.col(id_col).alias("_bid"), F.col("split").alias("_inh")
+    ).dropDuplicates(["_bid"]).join(F.broadcast(matches), "_bid")
+    inherited = (
+        matched_splits.join(
             F.broadcast(
                 labeled.select(F.col(id_col).alias("_nid"), "_label")
             ),
@@ -868,16 +886,11 @@ def split_assign_increment(
                 F.struct(
                     (-F.col("_agree")).alias("_na"),
                     F.col("_bid").alias("_id"),
+                    F.col("_inh").alias("_s"),
                 )
-            )["_id"].alias("_matched_id")
+            )["_s"].alias("_inh")
         )
     )
-    inherited = elected.join(
-        splits.select(
-            F.col(id_col).alias("_matched_id"), F.col("split").alias("_inh")
-        ),
-        "_matched_id",
-    ).select("_label", "_inh")
     # fallback representative = the component label itself (min member
     # id — the batch election), whose own coin is already in _own
     rep_own = labeled.filter(F.col(id_col) == F.col("_label")).select(
@@ -906,13 +919,20 @@ def commit_census_minhash(
     rows_per_band: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "append",
 ) -> None:
     """COMMIT step of the MinHash gate: fold the ADMITTED docs' band
     rows (+signatures) into the census. Same ordering contract as
     ``commit_census_spans``: call after the caller's own write
     succeeds. Re-sending an already-admitted doc is then
     idempotent-by-rejection (its own signature blocks it at estimated
-    Jaccard 1.0)."""
+    Jaccard 1.0).
+
+    ``mode='overwrite'`` REBUILDS the census instead of extending it
+    — the right call for a full-corpus batch (re)run over an existing
+    state dir, where appending would accumulate stale band rows for
+    docs deleted or re-texted since the prior build (jobs/
+    assign_splits.run_batch passes this)."""
     _increment_minhash_bands(
         admitted, n, num_hashes, rows_per_band, id_col, text_col
-    ).write.mode("append").parquet(census_path)
+    ).write.mode(mode).parquet(census_path)

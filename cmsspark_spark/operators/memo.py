@@ -37,15 +37,55 @@ Eviction: memos are weak-keyed per session (dead sessions collect);
 — the hook for any path that knows the underlying files changed
 (``streaming.kmeans_retrain_if_drifted`` uses it; ``tools/
 bench_scale`` clears before timed runs so sweeps measure train+serve,
-never the memoized serve path).
+never the memoized serve path). Additionally each memo's per-session
+store is a bounded LRU (``MEMO_MAX_ENTRIES`` per memo per session,
+default 32): long-lived services iterating over many corpora/params
+no longer pin an unbounded set of eagerly-checkpointed frames —
+evicting the dict entry drops the last Python reference to the
+checkpointed DataFrame, so its RDD blocks are released by Spark's
+ContextCleaner once the py4j proxy is collected. Note the residual
+fingerprint caveat: an overwrite that preserves every file's (path,
+size, mtime) — possible only on filesystems with coarse mtimes AND
+byte-identical sizes — is indistinguishable from unchanged data;
+callers that rewrite files in place within one mtime tick must call
+``invalidate_session_memos`` themselves.
 """
 
 from __future__ import annotations
 
 import weakref
+from collections import OrderedDict
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+
+#: Per-memo, per-session LRU capacity. 32 distinct (plan, params)
+#: combinations per operator family is far above any registry/bench
+#: composition (the heaviest session — the full oracle sweep — peaks
+#: at <10 per memo) while bounding a long-lived service's footprint.
+MEMO_MAX_ENTRIES = 32
+
+
+class _LruDict(OrderedDict):
+    """Insertion-bounded LRU mapping: reads refresh recency, writes
+    beyond ``cap`` evict the least-recently-used entry (dropping the
+    only reference to its checkpointed frame → blocks freed by the
+    ContextCleaner)."""
+
+    def __init__(self, cap: int = MEMO_MAX_ENTRIES):
+        super().__init__()
+        self.cap = cap
+
+    def __getitem__(self, key):
+        value = super().__getitem__(key)
+        self.move_to_end(key)
+        return value
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.cap:
+            self.popitem(last=False)
 
 
 def plan_data_fingerprint(df: DataFrame) -> tuple | None:
@@ -124,10 +164,15 @@ class SessionMemo:
         return (phash, str(df.schema), fp) + params
 
     def per_session(self, spark) -> dict:
-        """The session's raw entry dict — for callers that memoize
-        several dependent artifacts under related keys (k-means keeps
-        both the quantized frame and the centroids)."""
-        return self._store.setdefault(spark, {})
+        """The session's entry store (a bounded LRU — see module
+        docstring) — for callers that memoize several dependent
+        artifacts under related keys (k-means keeps both the
+        quantized frame and the centroids)."""
+        store = self._store.get(spark)
+        if store is None:
+            store = _LruDict()
+            self._store[spark] = store
+        return store
 
     def get_or(
         self, df: DataFrame, params: tuple, builder: Callable[[], Any]

@@ -514,6 +514,13 @@ def _bm25_champion_build(
     )
 
 
+#: Auto-guard ceiling for broadcasting the pruned rungs' candidate id
+#: set (``broadcast_candidates=None``): 2M (query, doc) id pairs ≈
+#: tens of MB serialized — comfortably broadcastable; beyond it the
+#: candidate-scoring join falls back to a hash join.
+_BROADCAST_CAND_MAX = 2_000_000
+
+
 def _bm25_prune_state(
     docs: DataFrame,
     id_col: str,
@@ -525,6 +532,7 @@ def _bm25_prune_state(
     b: float,
     k1_plus_1: float,
     one_minus_b: float,
+    broadcast_candidates: bool | None = True,
 ) -> dict:
     """Shared machinery of the PRUNED exact-retrieval rungs
     (max-score and block-max): persisted postings, query terms,
@@ -533,7 +541,27 @@ def _bm25_prune_state(
     the k-th-seed-score threshold θ, and the essential/non-essential
     term split (ascending-bound prefix below θ). Bound arithmetic and
     the exactness argument are documented on
-    :func:`bm25_maxscore_parts`."""
+    :func:`bm25_maxscore_parts`.
+
+    ``broadcast_candidates`` is the escape hatch for the candidate-
+    scoring join (same pattern as ``split_assign_increment``'s
+    ``broadcast_increment``): when θ is weak (few/low-quality seeds,
+    all query terms essential) the candidate set approaches corpus
+    scale and a pinned broadcast would OOM the driver. ``True``
+    (default — right whenever pruning works at all) pins the
+    broadcast; ``False`` uses a plain hash join (postings shuffle
+    once); ``None`` decides at runtime from a bounded count — the
+    candidate frame is persisted, counted, and broadcast only under
+    ``_BROADCAST_CAND_MAX`` rows.
+
+    Champion seeding is TWO-PHASE on purpose: a single
+    ``Window.partitionBy(term)`` top-c would sort a stop-word term's
+    ENTIRE postings list in one task at corpus scale. Phase 1 takes
+    the per-(term, salt) top-c over 32 doc-hash salts (each task
+    sorts ≤ 1/32 of the hottest term), phase 2 merges the ≤ 32·c
+    survivors per term — the same (rounded tf-part desc, doc asc)
+    comparator in both phases, so the selected champions are
+    IDENTICAL to the single-window form."""
     from pyspark import StorageLevel
 
     base = docs.select(
@@ -587,19 +615,36 @@ def _bm25_prune_state(
     df_tab = tstats.select("_t", "_df")
 
     def exact_scores(cand: DataFrame) -> DataFrame:
+        bcast = broadcast_candidates
+        if bcast is None:
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            bcast = cand.count() <= _BROADCAST_CAND_MAX
+        if bcast:
+            cand = F.broadcast(cand)
         return (
-            post.join(F.broadcast(cand), "_doc")
+            post.join(cand, "_doc")
             .join(F.broadcast(qterms), ["_qid", "_t"], "left_semi")
             .join(F.broadcast(df_tab), "_t")
             .groupBy("_qid", "_doc")
             .agg(F.sum(idf * tf_part).alias("_score"))
         )
 
-    w_champ = Window.partitionBy("_t").orderBy(
-        F.round(tf_part, 6).desc(), F.col("_doc")
+    # two-phase top-c per term (see docstring): per-(term, salt)
+    # partial, then the bounded merge — identical comparator, so the
+    # champion set matches the single-window form row-for-row.
+    _champ_order = [F.round(tf_part, 6).desc(), F.col("_doc")]
+    w_partial = Window.partitionBy("_t", "_salt").orderBy(*_champ_order)
+    partial = (
+        term_posts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_doc")), F.lit(32))
+        )
+        .withColumn("_rk", F.row_number().over(w_partial))
+        .filter(F.col("_rk") <= c)
+        .drop("_rk", "_salt")
     )
+    w_champ = Window.partitionBy("_t").orderBy(*_champ_order)
     champ = (
-        term_posts.withColumn("_rk", F.row_number().over(w_champ))
+        partial.withColumn("_rk", F.row_number().over(w_champ))
         .filter(F.col("_rk") <= c)
         .select("_t", "_doc")
     )
@@ -711,6 +756,7 @@ def bm25_maxscore_parts(
     b: float = 0.75,
     k1_plus_1: float = 2.2,
     one_minus_b: float = 0.25,
+    broadcast_candidates: bool | None = True,
 ) -> tuple[DataFrame, DataFrame]:
     """EXACT top-k BM25 with MAX-SCORE pruning — the remaining member
     of the pruned-retrieval family the exact rung's docstring names
@@ -760,25 +806,26 @@ def bm25_maxscore_parts(
     """
     params = (
         id_col, text_col, query_max_id, k, seed_champions,
-        k1, b, k1_plus_1, one_minus_b,
+        k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
     )
     return _bm25_pruned_shared(
         "maxscore", docs, params,
         lambda: _bm25_maxscore_build(
             docs, id_col, text_col, query_max_id, k, seed_champions,
-            k1, b, k1_plus_1, one_minus_b,
+            k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
         ),
     )
 
 
 def _bm25_maxscore_build(
     docs, id_col, text_col, query_max_id, k, seed_champions,
-    k1, b, k1_plus_1, one_minus_b,
+    k1, b, k1_plus_1, one_minus_b, broadcast_candidates=True,
 ) -> tuple[DataFrame, DataFrame]:
     """The un-memoized max-score build (see bm25_maxscore_parts)."""
     st = _bm25_prune_state(
         docs, id_col, text_col, query_max_id, k,
         int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
+        broadcast_candidates,
     )
     flagged = st["flagged"]
     cand_all = (
@@ -843,6 +890,7 @@ def bm25_blockmax_parts(
     b: float = 0.75,
     k1_plus_1: float = 2.2,
     one_minus_b: float = 0.25,
+    broadcast_candidates: bool | None = True,
 ) -> tuple[DataFrame, DataFrame]:
     """EXACT top-k BM25 with BLOCK-MAX pruning (Ding & Suel's
     block-max WAND, batch form) — the finest rung of the pruned
@@ -879,25 +927,27 @@ def bm25_blockmax_parts(
     build between the ranked and report registry queries."""
     params = (
         id_col, text_col, query_max_id, k, seed_champions, block_size,
-        k1, b, k1_plus_1, one_minus_b,
+        k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
     )
     return _bm25_pruned_shared(
         "blockmax", docs, params,
         lambda: _bm25_blockmax_build(
             docs, id_col, text_col, query_max_id, k, seed_champions,
             block_size, k1, b, k1_plus_1, one_minus_b,
+            broadcast_candidates,
         ),
     )
 
 
 def _bm25_blockmax_build(
     docs, id_col, text_col, query_max_id, k, seed_champions,
-    block_size, k1, b, k1_plus_1, one_minus_b,
+    block_size, k1, b, k1_plus_1, one_minus_b, broadcast_candidates=True,
 ) -> tuple[DataFrame, DataFrame]:
     """The un-memoized block-max build (see bm25_blockmax_parts)."""
     st = _bm25_prune_state(
         docs, id_col, text_col, query_max_id, k,
         int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
+        broadcast_candidates,
     )
     bs = int(block_size)
     flagged = st["flagged"]

@@ -213,3 +213,34 @@ def test_logreg_memo_shares_fit_and_keys_on_label(spark, tmp_path, monkeypatch):
     ).write.mode("append").parquet(p)
     fit(F.col("source") == "src0")
     assert calls["n"] == 3
+
+
+def test_session_memo_store_is_bounded_lru():
+    """r10 (ADVICE): memo entries hold eagerly-checkpointed frames, so
+    an unbounded per-session store pins executor blocks for the session
+    lifetime. The store is an LRU capped at MEMO_MAX_ENTRIES: inserts
+    beyond the cap evict the least-recently-USED key (reads refresh
+    recency), dropping the only reference to the evicted frame."""
+    from cmsspark_spark.operators.memo import (
+        MEMO_MAX_ENTRIES,
+        SessionMemo,
+        _LruDict,
+    )
+
+    class FakeSession:  # weak-referenceable stand-in
+        pass
+
+    memo = SessionMemo("lru-test")
+    sess = FakeSession()
+    store = memo.per_session(sess)
+    assert isinstance(store, _LruDict)
+    assert memo.per_session(sess) is store  # stable per session
+
+    for i in range(MEMO_MAX_ENTRIES):
+        store[("k", i)] = i
+    _ = store[("k", 0)]  # refresh entry 0's recency
+    store[("k", MEMO_MAX_ENTRIES)] = MEMO_MAX_ENTRIES  # overflow by one
+    assert len(store) == MEMO_MAX_ENTRIES
+    assert ("k", 0) in store          # recently read → retained
+    assert ("k", 1) not in store      # the actual LRU → evicted
+    assert ("k", MEMO_MAX_ENTRIES) in store

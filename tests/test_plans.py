@@ -826,3 +826,52 @@ def test_no_query_shuffles_raw_text(spark):
         if bad:
             flagged[name] = bad
     assert not flagged, flagged
+
+
+def test_bm25_champion_seeding_is_two_phase(spark):
+    """r10 (VERDICT item 2): champion seeding must not sort a hot
+    term's ENTIRE postings list in one window task — the plan carries
+    a per-(term, salt) partial top-c Window BEFORE the per-term merge
+    Window, so the merge only sees ≤ 32·c rows per term."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    df = spark.createDataFrame(
+        [(i, f"common tok{i % 5} word{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # the UN-memoized builder: the public rung returns an eagerly
+    # checkpointed frame whose plan is just the checkpoint scan
+    ranked, _ = PL._bm25_maxscore_build(
+        df, "doc_id", "text", 2, 3, 3, 1.2, 0.75, 2.2, 0.25
+    )
+    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+    # phase-1 window partitions by [_t, _salt]; phase-2 by [_t] alone
+    assert "_salt" in plan, "partial (term, salt) top-c window missing"
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert any("_salt" in s for s in specs), "no window specced by salt"
+
+
+def test_bm25_hash_join_candidate_path_matches_broadcast(spark):
+    """r10 (ADVICE): the candidate-scoring escape hatch — with
+    ``broadcast_candidates=False`` the rung hash-joins instead of
+    pinning a driver broadcast (for weak-θ corpora whose candidate set
+    approaches corpus scale) and returns the IDENTICAL exact top-k."""
+    from cmsspark_spark.operators import pipeline as PL
+    from cmsspark_spark.operators.memo import invalidate_session_memos
+
+    df = spark.createDataFrame(
+        [(i, f"alpha tok{i % 7} beta word{i % 4} tail{i % 3}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    ranked_b, _ = PL.bm25_maxscore_parts(df, query_max_id=3, k=4)
+    want = {(r.query_id, r.doc_id, r.rank, r.bm25) for r in ranked_b.collect()}
+    ranked_h, _ = PL.bm25_maxscore_parts(
+        df, query_max_id=3, k=4, broadcast_candidates=False
+    )
+    got = {(r.query_id, r.doc_id, r.rank, r.bm25) for r in ranked_h.collect()}
+    assert got == want
+    invalidate_session_memos(spark)

@@ -891,3 +891,71 @@ def test_assign_splits_job_batch_then_increment(spark, tmp_path):
     assert {i: r.split for i, r in out2.items()} == {
         i: r.split for i, r in out1.items()
     }
+
+
+def test_assign_splits_state_is_replay_and_rebuild_safe(spark, tmp_path):
+    """r10 (ADVICE): (a) a replayed increment must not re-append its
+    rows — splits/ stays one row per doc and census band-row counts
+    are stable across replays; (b) a periodic batch REBUILD over an
+    existing state dir overwrites the census instead of appending, so
+    band rows never accumulate across rebuilds."""
+    from cmsspark_spark.jobs import assign_splits
+
+    state = str(tmp_path / "state")
+    assign_splits.run_batch(spark, SF, state)
+    census_rows_1 = spark.read.parquet(f"{state}/census").count()
+    splits_rows_1 = spark.read.parquet(f"{state}/splits").count()
+
+    # batch rebuild over the same state dir: census must NOT double
+    assign_splits.run_batch(spark, SF, state)
+    assert spark.read.parquet(f"{state}/census").count() == census_rows_1
+    assert spark.read.parquet(f"{state}/splits").count() == splits_rows_1
+
+    inc = spark.createDataFrame(
+        [(900101, "alpha beta gamma delta epsilon unique words"),
+         (900102, "totally different fresh content here")],
+        ["doc_id", "text"],
+    )
+    assign_splits.run_increment(spark, inc, state)
+    splits_after_1 = spark.read.parquet(f"{state}/splits")
+    census_after_1 = spark.read.parquet(f"{state}/census").count()
+    assert splits_after_1.count() == splits_rows_1 + 2
+
+    # replay the SAME increment: output identical, state unchanged
+    out2 = assign_splits.run_increment(spark, inc, state)
+    splits_after_2 = spark.read.parquet(f"{state}/splits")
+    assert splits_after_2.count() == splits_rows_1 + 2  # no dup rows
+    assert (
+        splits_after_2.groupBy("doc_id").count().filter("count > 1").count()
+        == 0
+    )
+    assert spark.read.parquet(f"{state}/census").count() == census_after_1
+    # and the replayed assignment emits ONE row per increment doc
+    assert out2.count() == 2
+    assert out2.select("doc_id").distinct().count() == 2
+
+
+def test_stale_census_entry_cannot_win_split_election(spark):
+    """r10 (ADVICE): the increment election only considers census
+    matches holding a committed splits row — a stale census doc
+    (deleted since its commit, so no splits row) with a better
+    (agreement, id) rank must NOT shadow a valid near-dup match into
+    the content-hash fallback."""
+    from cmsspark_spark.operators.incremental import (
+        _increment_minhash_bands,
+        split_assign_increment,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    # census holds TWO identical signatures: doc 1 (stale — no splits
+    # row; wins (max agree, min id) if allowed) and doc 2 (valid).
+    census_docs = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    census = _increment_minhash_bands(census_docs, 3, 8, 2, "doc_id", "text")
+    splits = spark.createDataFrame([(2, "val")], ["doc_id", "split"])
+
+    inc = spark.createDataFrame([(50, text)], ["doc_id", "text"])
+    row = split_assign_increment(inc, census, splits).first()
+    assert row.inherited, "valid match must not be shadowed by stale entry"
+    assert row.split == "val"
