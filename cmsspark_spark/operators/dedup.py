@@ -214,6 +214,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     cache: bool = True,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -222,10 +223,29 @@ def minhash_lsh_pairs(
     (id_a, id_b) with id_a < id_b.
 
     Scale: the join is on (band, signature) — bucket sizes are the skew
-    risk; AQE skew-join handles hot buckets (e.g. empty-doc signatures).
+    risk. AQE skew-join splits a hot bucket's INPUT across tasks, but
+    cannot bound the join's OUTPUT: a boilerplate cluster of m
+    near-identical docs shares a (band, band_sig) bucket and the
+    self-join emits O(m²) candidate rows into the verifier — at 100 TB
+    a 1M-doc template cluster is 10¹² rows. ``hot_bucket_cap`` is the
+    output-cardinality control: buckets with more than ``cap`` members
+    are STAR-REDUCED — each member emits one edge to the bucket's
+    minimum id instead of all C(m,2) pairs, so a capped bucket
+    contributes O(m) rows. Every bucket member is a mutual CANDIDATE
+    by construction (they share the band signature — that is the LSH
+    candidate definition), so the candidate graph's connected
+    components are unchanged: members link through the bucket min.
+    What changes is the explicit pair list (and therefore which pairs
+    a downstream exact verifier scores) — audit capped buckets with
+    :func:`minhash_lsh_bucket_report`, nothing is silently dropped.
+    Default ``None`` keeps the exact full pair semantics.
+
     Band signatures are derived from the wide signature without any
     extra shuffle: the per-band sorted concat is a narrow array op and
     the (band, band_sig) rows come from exploding an array literal.
+    The cap path adds one window over (band, band_sig) — the same key
+    the join shuffles on, so the exchange is shared, and the window
+    aggregates (count/min) are O(bucket), never O(bucket²).
 
     ``cache=True`` persists the wide signatures (|docs| × k longs —
     tiny next to the corpus) so the tokenize→shingle→minhash pipeline
@@ -238,10 +258,70 @@ def minhash_lsh_pairs(
 
         wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
     bands = minhash_band_rows(wide, num_hashes, rows_per_band)
-    a = bands.select(F.col("_id").alias("id_a"), "band", "band_sig")
-    b = bands.select(F.col("_id").alias("id_b"), "band", "band_sig")
-    pairs = a.join(b, on=["band", "band_sig"]).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b").distinct()
+    if hot_bucket_cap is None:
+        a = bands.select(F.col("_id").alias("id_a"), "band", "band_sig")
+        b = bands.select(F.col("_id").alias("id_b"), "band", "band_sig")
+        pairs = a.join(b, on=["band", "band_sig"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        return pairs.select("id_a", "id_b").distinct()
+    cap = int(hot_bucket_cap)
+    w = Window.partitionBy("band", "band_sig")
+    sized = bands.withColumn("_m", F.count(F.lit(1)).over(w)).withColumn(
+        "_mn", F.min("_id").over(w)
+    )
+    small = sized.filter(F.col("_m") <= cap)
+    a = small.select(F.col("_id").alias("id_a"), "band", "band_sig")
+    b = small.select(F.col("_id").alias("id_b"), "band", "band_sig")
+    dense = (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    star = sized.filter(
+        (F.col("_m") > cap) & (F.col("_id") != F.col("_mn"))
+    ).select(F.col("_mn").alias("id_a"), F.col("_id").alias("id_b"))
+    return dense.unionByName(star).distinct()
+
+
+def minhash_lsh_bucket_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Per-band audit of LSH bucket-size skew — the no-silent-
+    truncation companion of ``minhash_lsh_pairs(hot_bucket_cap=…)``:
+    one row per band with bucket counts, the max bucket size, and
+    (when a cap is given) how many buckets/members the star reduction
+    touched. Read it to size the cap: ``capped_members`` is exactly
+    the number of star edges replacing ``Σ C(m,2)`` dense pairs.
+    Plan: the band rows aggregate twice on (band, band_sig) then
+    band — ids only, no text past the signature step."""
+    wide = minhash_signatures_wide(df, id_col, text_col, n, num_hashes)
+    bands = minhash_band_rows(wide, num_hashes, rows_per_band)
+    per_bucket = bands.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    cap = int(hot_bucket_cap) if hot_bucket_cap is not None else None
+    is_hot = (
+        F.col("_m") > F.lit(cap) if cap is not None else F.lit(False)
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_m").alias("max_bucket_size"),
+            F.sum(is_hot.cast("long")).alias("n_hot_buckets"),
+            F.sum(F.when(is_hot, F.col("_m")).otherwise(F.lit(0))).alias(
+                "capped_members"
+            ),
+        )
+        .orderBy("band")
+    )
 
 
 #: Session memo for VERIFIED pair lists: LSH → exact-Jaccard verify is
@@ -489,6 +569,7 @@ def hamming_near_pairs(
     hash_col: str = "simhash",
     bits: int = 16,
     max_hamming: int = 2,
+    star_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs among ANY per-item bit fingerprints by Hamming
     distance — the block-split (pigeonhole) candidate generator shared
@@ -497,10 +578,42 @@ def hamming_near_pairs(
     from a self-join per block on the block value, never all-pairs.
     Works on signed 64-bit fingerprints (shifts/xor/bit_count operate
     on the two's-complement pattern). Returns (id_a, id_b, hamming).
+
+    ``star_cap`` bounds the output on IDENTICAL-fingerprint groups —
+    the realistic hot bucket (m near-identical boilerplate docs hash
+    to the same fingerprint, and every block join then emits all
+    C(m,2) pairs). A group with more than ``cap`` members is
+    star-reduced: members link to the group's minimum id with
+    hamming 0 (identical fingerprints ARE mutually near-dup, distance
+    exactly 0 — the reduction loses no uncertain information), and
+    only that representative enters the block join, standing in for
+    the group against the rest of the corpus (any external item is at
+    the same distance from every member, so cross-group connectivity
+    is preserved exactly and the pair graph's connected components
+    are UNCHANGED — only the explicit pair list shrinks from O(m²) to
+    O(m)). Groups at or under the cap keep today's full pair output;
+    default ``None`` is the exact full semantics everywhere.
     """
     s = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
     )
+    star = None
+    if star_cap is not None:
+        cap = int(star_cap)
+        w = Window.partitionBy("_h")
+        sized = s.withColumn("_m", F.count(F.lit(1)).over(w)).withColumn(
+            "_mn", F.min("_id").over(w)
+        )
+        star = sized.filter(
+            (F.col("_m") > cap) & (F.col("_id") != F.col("_mn"))
+        ).select(
+            F.col("_mn").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+        s = sized.filter(
+            (F.col("_m") <= cap) | (F.col("_id") == F.col("_mn"))
+        ).select("_id", "_h")
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
     blocks = []
@@ -528,11 +641,14 @@ def hamming_near_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 def simhash_near_pairs(

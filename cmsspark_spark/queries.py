@@ -10939,3 +10939,214 @@ def simhash_weighted_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     s = D.simhash_weighted(d, "doc_id", "text", bits=16)
     return D.hamming_near_pairs(s, "_id", "simhash", bits=16, max_hamming=2)
+
+
+def _minhash_star_oracle_sql(
+    cap: int, num_hashes: int = 8, rows_per_band: int = 2
+) -> str:
+    """Oracle twin of ``minhash_lsh_pairs(hot_bucket_cap=cap)`` — the
+    same signature/banding SQL as ``_minhash_oracle_sql`` plus the
+    star reduction: per-(band, band_sig) bucket size and min id via
+    windows, dense self-join only on buckets ≤ cap, member→min star
+    edges on buckets > cap, set-union of both."""
+    from cmsspark_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b_}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b_) in enumerate(params)
+    )
+    nbands = num_hashes // rows_per_band
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, array_to_string(list_sort([{cols}]), '|') AS band_sig FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(nbands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+    based AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483648 AS b
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, {mins}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS ({band_rows}),
+    sized AS (
+      SELECT doc_id, band, band_sig,
+             count(*) OVER (PARTITION BY band, band_sig) AS m,
+             min(doc_id) OVER (PARTITION BY band, band_sig) AS mn
+      FROM bands
+    ),
+    dense AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+      WHERE a.m <= {cap} AND b.m <= {cap}
+    ),
+    star AS (
+      SELECT mn AS id_a, doc_id AS id_b
+      FROM sized WHERE m > {cap} AND doc_id <> mn
+    )
+    SELECT DISTINCT id_a, id_b
+    FROM (SELECT * FROM dense UNION ALL SELECT * FROM star)
+    """
+
+
+@query("dedup_lsh_star_capped", _minhash_star_oracle_sql(2))
+def dedup_lsh_star_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with HOT-BUCKET OUTPUT-CARDINALITY CONTROL
+    (r10, the named 100-TB risk): buckets over ``hot_bucket_cap``
+    members are star-reduced to member→bucket-min edges — O(m) output
+    where the dense self-join emits O(m²) — preserving the candidate
+    graph's connected components exactly (every bucket member is a
+    mutual candidate by the LSH definition, so the star keeps them
+    connected through the min). cap=2 here so the sf0.01 corpus's
+    3-member buckets genuinely exercise the star path; the oracle
+    replays bucket sizing, the capped dense join and the star edges
+    in windowed SQL. tests/test_properties.py proves a 1k-member hot
+    bucket emits O(m) edges with identical components."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", hot_bucket_cap=2)
+
+
+def _lsh_bucket_report_oracle_sql(
+    cap: int, num_hashes: int = 8, rows_per_band: int = 2
+) -> str:
+    """Oracle twin of ``minhash_lsh_bucket_report`` — signature/band
+    CTEs shared with ``_minhash_oracle_sql``, then the two-level
+    (bucket, band) census."""
+    from cmsspark_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b_}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b_) in enumerate(params)
+    )
+    nbands = num_hashes // rows_per_band
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, array_to_string(list_sort([{cols}]), '|') AS band_sig FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(nbands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+    based AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483648 AS b
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, {mins}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS ({band_rows}),
+    per_bucket AS (
+      SELECT band, band_sig, CAST(count(*) AS BIGINT) AS m
+      FROM bands GROUP BY band, band_sig
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(m) AS BIGINT) AS max_bucket_size,
+           CAST(count(*) FILTER (WHERE m > {cap}) AS BIGINT)
+             AS n_hot_buckets,
+           CAST(coalesce(sum(m) FILTER (WHERE m > {cap}), 0) AS BIGINT)
+             AS capped_members
+    FROM per_bucket GROUP BY band ORDER BY band
+    """
+
+
+@query("lsh_hot_bucket_report", _lsh_bucket_report_oracle_sql(2))
+def lsh_hot_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-truncation companion of dedup_lsh_star_capped:
+    per-band bucket census (bucket count, max size, hot-bucket count
+    and member total at the same cap=2) — what an operator reads to
+    size the cap and audit exactly how many members the star
+    reduction touched. Ids-only aggregation; no text past the
+    signature step."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_bucket_report(
+        d, "doc_id", "text", hot_bucket_cap=2
+    )
+
+
+_SIMHASH_CTE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(tok), 1, 15))::BIGINT AS th
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(generate_series(0, 15)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "simhash_star_near_pairs",
+    _SIMHASH_CTE + """,
+    sized AS (
+      SELECT doc_id, simhash,
+             count(*) OVER (PARTITION BY simhash) AS m,
+             min(doc_id) OVER (PARTITION BY simhash) AS mn
+      FROM sim
+    ),
+    keep AS (
+      SELECT doc_id, simhash FROM sized WHERE m <= 4 OR doc_id = mn
+    ),
+    dense AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM keep a JOIN keep b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ),
+    star AS (
+      SELECT mn AS id_a, doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+      FROM sized WHERE m > 4 AND doc_id <> mn
+    )
+    SELECT id_a, id_b, hamming FROM dense
+    UNION ALL
+    SELECT id_a, id_b, hamming FROM star
+    """,
+)
+def simhash_star_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs with IDENTITY-GROUP star reduction (r10):
+    groups of more than star_cap=4 identical fingerprints emit
+    member→min star edges (hamming exactly 0) and only the group
+    representative enters the pigeonhole block join — O(m) output per
+    boilerplate cluster instead of O(m²), with cross-group pairs and
+    components preserved exactly (identical fingerprints are
+    interchangeable w.r.t. Hamming distance). The sf0.01 corpus has 8
+    groups above the cap (max 14 members), so the star path is live
+    in the official record; the oracle is the brute-force xor/
+    bit_count relation over representatives plus the star edges."""
+    d = _t(spark, sf_dir, "documents")
+    s = D.simhash(d, "doc_id", "text", bits=16)
+    return D.hamming_near_pairs(
+        s, "_id", "simhash", bits=16, max_hamming=2, star_cap=4
+    )
