@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from cmsspark_spark import catalog
 from cmsspark_spark.functions import text as T
@@ -1895,11 +1895,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # approximate: verified by recall test in tests/
+@query("ann_ivf_topk")  # oracle: audit-style, assigned below the def
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means centroids (driver-trained on a bounded sample),
-    cluster-side inverted-list assignment, nprobe-list exact re-score.
-    tests/test_similarity.py asserts recall vs brute force."""
+    """IVF ANN — k-means centroids (driver-trained on a bounded
+    sample), cluster-side inverted-list assignment, nprobe-list exact
+    re-score — as a RECALL AUDIT row (r10, retiring the rows-only
+    class; pattern: ann_ladder_recall_report). The trained arm's raw
+    top-k is sample-dependent and not SQL-replayable, so the scored
+    columns are the brute-force truth size (both engines compute it —
+    the oracle reuses ann_cosine_topk's SQL verbatim) and the verdict
+    ``recall_ok = recall@5 ≥ 0.4`` (the same floor
+    tests/test_similarity.py::test_ivf_recall_vs_brute_force gates).
+    Execution: truth and arm reduce to TWO bounded scalars (counts);
+    the 1-row report is assembled engine-side."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     # train on the UN-widened scan: the bounded limit(sample).collect()
@@ -1908,10 +1916,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.train_ivf_centroids(
         _t(spark, sf_dir, "embeddings", widen=False), n_centroids=8
     )
-    out = S.ivf_topk(emb, queries, cents, k=5, nprobe=3)
-    return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ivf = S.ivf_topk(emb, queries, cents, k=5, nprobe=3).select(
+        "query_id", "vec_id"
     )
+    truth = QUERIES["ann_cosine_topk"](spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    n_truth = truth.count()
+    n_hit = truth.join(ivf, ["query_id", "vec_id"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_truth, n_hit * 10 >= n_truth * 4)],
+        "n_truth: bigint, recall_ok: boolean",
+    )
+
+
+ORACLES["ann_ivf_topk"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_truth, true AS recall_ok
+    FROM ({ORACLES["ann_cosine_topk"]})
+"""
 
 
 @query(
@@ -1949,15 +1971,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(d, "doc_id", "text", bits=16).withColumnRenamed("_id", "doc_id")
 
 
-@query("approx_distinct_users")  # HLL sketch differs from exact by design
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           true AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 at scale: approx_count_distinct (HLL) — the 100 TB variant of
-    exact distinct; error-gated at sf0.01 by
-    ``test_approx_distinct_users_error_gate`` (|approx−exact| ≤ 5% per
-    event_type, 5σ on the configured 1% rsd)."""
+    """A4 at scale: approx_count_distinct (HLL) — the 100 TB variant
+    of exact distinct — as an AUDIT-STYLE oracle row (r10, retiring
+    the rows-only class): the sketch's raw answer is engine-specific,
+    so the scored columns are the EXACT side (computed independently
+    by both engines) plus the error-bound verdict ``approx_ok =
+    |approx − exact| ≤ 5% · exact`` (5σ on the configured 1% rsd —
+    the same gate test_approx_distinct_users_error_gate applies in
+    pytest). The oracle asserts the contract (``true``); a broken
+    sketch flips the boolean and the row goes red. Plan: ONE pass —
+    both aggregates share the groupBy."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact")
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -4802,17 +4850,19 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_vocab_merges")
+@query("bpe_vocab_merges")  # oracle registered below _bpe_doc_counts_cte
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (operators/pipeline.
     train_bpe_merges, Sennrich et al. 2016) over the documents table:
-    the first 8 learned merges as ordered rows. No SQL oracle — the
-    trainer is an iterative driver loop (like IVF k-means) — so the
-    driver records rows-only; the merge sequence is pinned exactly
-    against a pure-Python reference trainer in
-    tests/test_pipeline.py::test_bpe_merges_match_reference, and the
-    tie-break (count DESC, pair ASC) makes it a pure function of the
-    corpus."""
+    the first 8 learned merges as ordered rows. ORACLE-BACKED since
+    r10 (retiring the rows-only class): the DuckDB twin replays the
+    full training loop as 8 unrolled CTE triples (pair counts over
+    chr(31)-delimited symbol strings → 1-row argmax with the
+    (count DESC, pair ASC) tie-break → replace() merge application —
+    the proven ``_bpe_doc_counts_cte`` machinery the length-profile
+    oracle already uses) and selects the 8 picked merges in rank
+    order. Also pinned against a pure-Python reference trainer in
+    tests/test_pipeline.py::test_bpe_merges_match_reference."""
     from cmsspark_spark.operators.pipeline import train_bpe_merges
 
     d = _t(spark, sf_dir, "documents")
@@ -6374,20 +6424,91 @@ def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("r", 6).alias("rank"))
 
 
-@query("approx_percentile_values")  # t-digest-style sketch, rows-only by design
+@query(
+    "approx_percentile_values",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50_exact,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END)
+             AS p90_exact,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END)
+             AS p99_exact,
+           true AS ok_p50, true AS ok_p90, true AS ok_p99
+    FROM ranked GROUP BY event_type, n
+    """,
+)
 def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The percentile family's scale variant: approx_percentile
-    (Greenwald-Khanna sketch — mergeable, bounded memory, single pass)
-    per event_type, beside the exact value_percentiles query. Like the
-    HLL twin, the sketch's answers are engine-specific, so the driver
-    records rows-only and tests/test_functions.py gates the
-    approximation against the exact percentiles (rank error within
-    the sketch's accuracy parameter)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias(
-            "approx_pcts"
+    """The percentile family's scale variant — approx_percentile
+    (Greenwald-Khanna sketch: mergeable, bounded memory, single pass)
+    — as an AUDIT-STYLE oracle row (r10, retiring the rows-only
+    class). The sketch's answers are engine-specific, so the scored
+    columns are (a) the EXACT discrete percentiles (value at integer
+    rank ``ceil(p·n)`` — computed as ``(p_num·n + p_num) div p_den``,
+    pure integer arithmetic both engines replay bit-for-bit; the
+    values are raw data doubles, identical in both engines) and (b)
+    the GK rank-error verdicts: the approx answer's true rank
+    interval [#(value < v)+1, #(value ≤ v)] must come within
+    ``n div 500 + 1`` ranks (2× the accuracy=1000 guarantee, the same
+    slack the pytest gate uses) of the target rank. The oracle
+    asserts the contract booleans; a broken sketch goes red.
+
+    Plan note: the exact side sorts per group (window row_number) —
+    this is the AUDIT rung; at 100 TB one runs the sketch alone and
+    audits on a sample. The approx side stays one aggregate pass."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    appr = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias("_ap")
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("value")
+    w_n = Window.partitionBy("event_type")
+    ranked = ev.select("event_type", "value").withColumn(
+        "rn", F.row_number().over(w_rn)
+    ).withColumn("n", F.count(F.lit(1)).over(w_n))
+    r50 = F.expr("(n + 1) div 2")
+    r90 = F.expr("(9 * n + 9) div 10")
+    r99 = F.expr("(99 * n + 99) div 100")
+    exact = ranked.groupBy("event_type", "n").agg(
+        F.max(F.when(F.col("rn") == r50, F.col("value"))).alias("p50_exact"),
+        F.max(F.when(F.col("rn") == r90, F.col("value"))).alias("p90_exact"),
+        F.max(F.when(F.col("rn") == r99, F.col("value"))).alias("p99_exact"),
+    )
+    # true rank interval of each approx answer, one conditional-agg pass
+    j = ev.join(F.broadcast(appr), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        *[
+            agg.alias(f"{nm}{i}")
+            for i in range(3)
+            for nm, agg in (
+                ("lt", F.sum((F.col("value") < F.col("_ap")[i]).cast("long"))),
+                ("le", F.sum((F.col("value") <= F.col("_ap")[i]).cast("long"))),
+            )
+        ]
+    )
+    out = exact.join(ranks, "event_type")
+    err = F.expr("n div 500") + F.lit(1)
+
+    def ok(i: int, target) -> Column:
+        return (F.col(f"lt{i}") + 1 <= target + err) & (
+            F.col(f"le{i}") >= target - err
         )
+
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        ok(0, r50).alias("ok_p50"),
+        ok(1, r90).alias("ok_p90"),
+        ok(2, r99).alias("ok_p99"),
     )
 
 
@@ -8785,6 +8906,23 @@ def _bpe_doc_counts_cte(k: int) -> str:
         " LEFT JOIN wcnt ON tok.w = wcnt.w GROUP BY d.doc_id, d.source)"
     )
     return ",\n    ".join(parts)
+
+
+# bpe_vocab_merges trains k=8 merges; its oracle replays the same 8
+# rounds (CTEs m0..m7 are the argmax picks) and reads them back in
+# rank order — registered here because the CTE builder is defined
+# above, after the query function itself (same late-assignment
+# pattern as ORACLES["rrf_hybrid_topk"]).
+ORACLES["bpe_vocab_merges"] = (
+    "WITH "
+    + _bpe_doc_counts_cte(8)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f'SELECT CAST({i + 1} AS INTEGER) AS rank, l AS "left",'
+        f' r AS "right", l || r AS merged FROM m{i}'
+        for i in range(8)
+    )
+)
 
 
 @query(

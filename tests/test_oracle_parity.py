@@ -53,18 +53,18 @@ def test_contract_shapes():
 
 
 def test_approx_distinct_users_error_gate(spark):
-    """The one rows-only query class the oracle can't see, gated here
-    (VERDICT r6 item 3): per event_type, approx_count_distinct(user_id,
-    rsd=0.01) must sit within 5% relative error of the exact
-    countDistinct (5% = 5σ on the configured 1% rsd — generous enough
-    to never flake, tight enough to catch a broken sketch)."""
+    """r10 shape: the query is now its own audit — per event_type it
+    emits the exact countDistinct plus ``approx_ok`` (|approx−exact| ≤
+    5% — 5σ on the configured 1% rsd). This test independently
+    recomputes the exact side and asserts every verdict is true, so a
+    broken sketch fails HERE and in the oracle row alike."""
     from pyspark.sql import functions as F
 
     from cmsspark_spark.queries import QUERIES, _t
     from tests.conftest import SF_ORACLE
 
-    approx = {
-        r["event_type"]: r["n_users_approx"]
+    got = {
+        r["event_type"]: r
         for r in QUERIES["approx_distinct_users"](spark, SF_ORACLE).collect()
     }
     exact = {
@@ -74,6 +74,7 @@ def test_approx_distinct_users_error_gate(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact) and exact
+    assert set(got) == set(exact) and exact
     for k, e in exact.items():
-        assert abs(approx[k] - e) <= max(0.05 * e, 2), (k, approx[k], e)
+        assert got[k].n_exact == e
+        assert got[k].approx_ok, (k, e)
