@@ -1617,16 +1617,62 @@ def logreg_hashed_score(feat: DataFrame, weights: list) -> DataFrame:
     )
 
 
+#: GPT-2-STYLE pre-tokenization for the byte-level BPE alphabet,
+#: restricted to a lookahead-free subset so ONE pattern string runs
+#: identically under Java regex (Spark), RE2 (DuckDB) and Python re —
+#: all three use leftmost-first alternation. Leading spaces attach to
+#: the following word (the GPT-2 convention that makes spaces in-band
+#: symbols instead of a word-end marker); runs of residual whitespace
+#: form their own pre-tokens.
+BPE_BYTE_PRETOKEN_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+def _bpe_pretokens(text_col: str, alphabet: str):
+    """Column of pre-token arrays for an alphabet: ``char`` =
+    whitespace words (the Sennrich form), ``byte`` = GPT-2-style
+    regex pre-tokens over the lowered text."""
+    if alphabet == "char":
+        return tokens(text_col)
+    return F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_BYTE_PRETOKEN_RE), 0
+    )
+
+
+def _bpe_symbols(word_col):
+    """``char``-alphabet symbol array: characters + word-end marker."""
+    return F.concat(F.split(word_col, ""), F.array(F.lit("</w>")))
+
+
+def _bpe_byte_symbols(word_col):
+    """``byte``-alphabet symbol array: the UTF-8 bytes of the
+    pre-token as uppercase hex pairs ('74','6f',…) — a TRUE byte
+    alphabet that is engine-exact (Spark ``hex(encode(...))`` ==
+    DuckDB ``hex(encode(...))``) and needs no word-end marker because
+    GPT-2-style pre-tokens carry their leading space in-band."""
+    return F.regexp_extract_all(
+        F.hex(F.encode(word_col, "UTF-8")), F.lit("[0-9A-F]{2}"), 0
+    )
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     k: int = 20,
     min_freq: int = 1,
+    alphabet: str = "char",
 ) -> list[tuple[str, str]]:
     """Byte-pair-encoding merge training on the corpus (Sennrich et
     al. 2016, "Neural Machine Translation of Rare Words with Subword
     Units"): k rounds of count-all-adjacent-symbol-pairs → merge the
     most frequent pair everywhere.
+
+    ``alphabet`` picks the tokenizer family (r10): ``char`` is the
+    Sennrich word/character form (whitespace pre-tokens, characters +
+    '</w>' marker); ``byte`` is the GPT-2-style byte-level form —
+    regex pre-tokenization (``BPE_BYTE_PRETOKEN_RE``, spaces in-band)
+    over UTF-8 bytes rendered as hex-pair symbols, so the alphabet is
+    exactly 256 symbols, any unicode input is representable, and the
+    whole chain stays engine-exact for the SQL oracle.
 
     Division of labor at scale: the corpus collapses ONCE to the
     distinct-word frequency table (the only corpus-sized shuffle —
@@ -1642,17 +1688,12 @@ def train_bpe_merges(
     """
     from pyspark.sql.functions import pandas_udf
 
+    syms = _bpe_symbols if alphabet == "char" else _bpe_byte_symbols
     words = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
+        df.select(F.explode(_bpe_pretokens(text_col, alphabet)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("n"),
-            # symbols: characters + the word-end marker
-            F.concat(
-                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
-            ).alias("syms"),
-        )
+        .select(F.col("n"), syms(F.col("w")).alias("syms"))
     )
     words = words.localCheckpoint()  # cut the scan lineage once
     merges: list[tuple[str, str]] = []
@@ -1719,15 +1760,23 @@ _BPE_MEMO = _SessionMemo("bpe")
 
 
 def bpe_merges_shared(
-    df: DataFrame, text_col: str = "text", k: int = 20, min_freq: int = 1
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_freq: int = 1,
+    alphabet: str = "char",
 ) -> list[tuple[str, str]]:
     """Memoized :func:`train_bpe_merges` — a hit skips all k training
     rounds; a miss trains exactly as before. Falls back to untracked
-    training when the plan has no safe memo key."""
+    training when the plan has no safe memo key. The alphabet is part
+    of the memo key, so char- and byte-level consumers each share
+    their own training run."""
     return _BPE_MEMO.get_or(
         df,
-        (text_col, k, min_freq),
-        lambda: train_bpe_merges(df, text_col, k=k, min_freq=min_freq),
+        (text_col, k, min_freq, alphabet),
+        lambda: train_bpe_merges(
+            df, text_col, k=k, min_freq=min_freq, alphabet=alphabet
+        ),
     )
 
 
@@ -1736,24 +1785,41 @@ def apply_bpe(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    alphabet: str = "char",
 ) -> DataFrame:
-    """Encode text with a learned merge list: per word, apply the
+    """Encode text with a learned merge list: per pre-token, apply the
     merges in training order (the standard greedy BPE encode). One
-    Arrow batch per partition, merge list shipped by value; a narrow
-    map — the 100 TB path tokenizes in place, nothing shuffles."""
+    Arrow batch per partition, merge list + pre-tokenizer shipped by
+    value; a narrow map — the 100 TB path tokenizes in place, nothing
+    shuffles. ``alphabet`` must match the trainer's (``char``:
+    whitespace words, char symbols + '</w>'; ``byte``: GPT-2-style
+    regex pre-tokens, UTF-8 hex-pair symbols)."""
     from pyspark.sql.functions import pandas_udf
 
     mlist = [tuple(m) for m in merges]
+    byte_mode = alphabet == "byte"
+    pretoken_re = BPE_BYTE_PRETOKEN_RE
 
     def _enc(s):
+        import re
+
         import pandas as pd
+
+        pat = re.compile(pretoken_re) if byte_mode else None
 
         def one(text):
             if text is None:
                 return None
             out = []
-            for w in text.lower().split():
-                syms = list(w) + ["</w>"]
+            pretoks = (
+                pat.findall(text.lower()) if byte_mode else text.lower().split()
+            )
+            for w in pretoks:
+                if byte_mode:
+                    h = w.encode("utf-8").hex().upper()
+                    syms = [h[i : i + 2] for i in range(0, len(h), 2)]
+                else:
+                    syms = list(w) + ["</w>"]
                 for l, r in mlist:
                     i, res = 0, []
                     while i < len(syms):

@@ -11288,3 +11288,101 @@ def simhash_star_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.hamming_near_pairs(
         s, "_id", "simhash", bits=16, max_hamming=2, star_cap=4
     )
+
+
+def _bpe_byte_doc_counts_cte(k: int) -> str:
+    """Byte-level twin of ``_bpe_doc_counts_cte`` (r10): GPT-2-style
+    regex pre-tokens (``BPE_BYTE_PRETOKEN_RE`` — identical leftmost-
+    first semantics in Java regex, RE2 and Python re; leading spaces
+    in-band, no '</w>' marker) whose symbols are the pre-token's UTF-8
+    bytes as uppercase hex pairs (``hex(encode(w))`` — byte-exact in
+    both engines). Training/encoding replay identically: k CTE triples
+    of pair-counts → 1-row argmax → replace() over chr(31)-wrapped
+    symbol strings, ending at ``dcnt`` (doc_id, source, n)."""
+    from cmsspark_spark.operators.pipeline import BPE_BYTE_PRETOKEN_RE
+
+    sep = "chr(31)"
+    pat = BPE_BYTE_PRETOKEN_RE.replace("'", "''")
+    parts = [
+        "tok AS MATERIALIZED (SELECT doc_id, source,"
+        f" unnest(regexp_extract_all(lower(text), '{pat}')) AS w"
+        " FROM documents)",
+        "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok"
+        " GROUP BY w)",
+        f"w0 AS MATERIALIZED (SELECT w, n, {sep} || array_to_string("
+        "regexp_extract_all(hex(encode(w)), '[0-9A-F]{2}'),"
+        f" {sep}||{sep}) || {sep} AS s FROM wf)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"p{i} AS (SELECT pr[1] AS l, pr[2] AS r,"
+            " CAST(sum(n) AS BIGINT) AS cnt FROM (SELECT n,"
+            " unnest([ [sy[j], sy[j+1]] for j in"
+            " generate_series(1, len(sy)-1) ]) AS pr FROM"
+            f" (SELECT n, string_split(s[2:len(s)-1], {sep}||{sep})"
+            f" AS sy FROM w{i})) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT l, r FROM p{i}"
+            " ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w, n, replace(s,"
+            f" {sep}||(SELECT l FROM m{i})||{sep}||{sep}||"
+            f"(SELECT r FROM m{i})||{sep},"
+            f" {sep}||(SELECT l||r FROM m{i})||{sep}) AS s FROM w{i})"
+        )
+    parts.append(
+        f"wcnt AS (SELECT w, CAST((len(s) - len(replace(s, {sep}, '')))/2"
+        f" AS BIGINT) AS c FROM w{k})"
+    )
+    parts.append(
+        "dcnt AS (SELECT d.doc_id, d.source,"
+        " CAST(coalesce(sum(wcnt.c), 0) AS BIGINT) AS n"
+        " FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id"
+        " LEFT JOIN wcnt ON tok.w = wcnt.w GROUP BY d.doc_id, d.source)"
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "bpe_byte_token_stats",
+    f"""
+    WITH {_bpe_byte_doc_counts_cte(_BPE_K)}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_byte_bpe_tokens,
+           round(quantile_cont(n, 0.50), 2) AS p50_bpe,
+           round(quantile_cont(n, 0.90), 2) AS p90_bpe,
+           round(quantile_cont(n, 0.99), 2) AS p99_bpe,
+           CAST(max(n) AS BIGINT) AS max_bpe
+    FROM dcnt GROUP BY source
+    """,
+)
+def bpe_byte_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL BPE sequence-length profile (r10 — the production-
+    tokenizer realism rung): train GPT-2-style byte BPE on the corpus
+    (pipeline.bpe_merges_shared(alphabet='byte') — regex pre-tokens
+    with spaces in-band, 256-symbol UTF-8 byte alphabet as hex pairs,
+    memoized per session), encode every doc with the Arrow-batched
+    narrow map, and profile per-source byte-BPE lengths — the same
+    table shape as the char-grain bpe_length_profile_by_source, which
+    is now parameterized over the tokenizer via the shared
+    ``alphabet`` hook. Hash-exact against a DuckDB oracle replaying
+    the byte-level train+encode in SQL (the proven unrolled-CTE
+    machinery on the byte alphabet)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    merges = PL.bpe_merges_shared(d, "text", k=_BPE_K, alphabet="byte")
+    enc = PL.apply_bpe(d, merges, alphabet="byte").select(
+        "source", F.size("bpe_tokens").cast("long").alias("n")
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_byte_bpe_tokens"),
+        F.round(F.expr("percentile(n, 0.50D)"), 2).alias("p50_bpe"),
+        F.round(F.expr("percentile(n, 0.90D)"), 2).alias("p90_bpe"),
+        F.round(F.expr("percentile(n, 0.99D)"), 2).alias("p99_bpe"),
+        F.max("n").alias("max_bpe"),
+    )

@@ -1191,3 +1191,67 @@ def test_split_leakage_audit_planted(spark, tmp_path):
     sc, sr = canonical_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
     dc, dr = canonical_rows(d_cols, d_rows)
     assert sc == dc and sr == dr
+
+
+def test_bpe_byte_merges_match_reference(spark):
+    """r10: the byte-level (GPT-2-style) alphabet — regex pre-tokens
+    with leading spaces in-band, UTF-8 hex-pair symbols, no '</w>' —
+    trains the same merge sequence as an independent pure-Python
+    trainer, and the encoding reproduces each pre-token's bytes."""
+    import re
+    from collections import Counter
+
+    from cmsspark_spark.operators.pipeline import (
+        BPE_BYTE_PRETOKEN_RE,
+        apply_bpe,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cats chatter, on that mat!"),
+         (3, "that cat chased 12 rats"),
+         (4, "rats and cats chat")],
+        "doc_id: long, text: string",
+    )
+    got = train_bpe_merges(docs, "text", k=10, alphabet="byte")
+    pat = re.compile(BPE_BYTE_PRETOKEN_RE)
+    wc = Counter(
+        w for r in docs.collect() for w in pat.findall(r["text"].lower())
+    )
+
+    def hexsyms(w):
+        h = w.encode("utf-8").hex().upper()
+        return tuple(h[i : i + 2] for i in range(0, len(h), 2))
+
+    vocab = {hexsyms(w): n for w, n in wc.items()}
+    merges = []
+    for _ in range(10):
+        pairs = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nv = {}
+        for syms, n in vocab.items():
+            s, i, res = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    res.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            nv[tuple(res)] = nv.get(tuple(res), 0) + n
+        vocab = nv
+    assert got == merges
+    # encode round-trip: concatenated hex tokens reproduce the bytes
+    enc = apply_bpe(docs, got, "text", alphabet="byte")
+    for r in enc.collect():
+        text = r["text"].lower()
+        rebuilt = bytes.fromhex("".join(r["bpe_tokens"])).decode("utf-8")
+        assert rebuilt == "".join(pat.findall(text))
+        assert len(r["bpe_tokens"]) < 2 * len(text)  # merges merged
