@@ -530,6 +530,122 @@ def _list_parquet_files(spark, path: str) -> list[str]:
     return sorted(out)
 
 
+#: URI schemes the EXECUTOR-side pyarrow reader handles natively (see
+#: ``_make_footer_reader``); anything else (abfs/abfss/wasb/o3fs/…)
+#: falls back to the DRIVER-side Hadoop ranged read below.
+_PYARROW_FOOTER_SCHEMES = frozenset(
+    ("", "file", "s3", "s3a", "s3n", "gs", "gcs", "hdfs", "viewfs")
+)
+
+
+class _TailOnlyFile:
+    """Seekable read-only file view that SERVES only a pre-fetched
+    tail range [start, size) of a logically ``size``-byte file — what
+    ``pq.read_metadata`` needs (the 8-byte trailer + thrift footer)
+    and nothing more. Any read outside the fetched range raises, so a
+    test (or a regression) that touches row-group bytes fails loudly
+    instead of silently downloading data."""
+
+    def __init__(self, size: int, start: int, tail: bytes):
+        self._size, self._start, self._tail = size, start, tail
+        self._pos = 0
+
+    def seek(self, off: int, whence: int = 0) -> int:
+        base = (0, self._pos, self._size)[whence]
+        self._pos = base + off
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            n = self._size - self._pos
+        # pq.read_metadata verifies the 4-byte HEADER magic too; the
+        # trailer check already proved the file is parquet, so the
+        # prefix is served synthetically instead of fetched.
+        if self._pos + n <= 4:
+            out = b"PAR1"[self._pos : self._pos + n]
+            self._pos += len(out)
+            return out
+        if self._pos < self._start:
+            raise IOError(
+                f"read at {self._pos} outside fetched footer tail "
+                f"[{self._start}, {self._size})"
+            )
+        lo = self._pos - self._start
+        out = self._tail[lo : lo + n]
+        self._pos += len(out)
+        return out
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        pass
+
+    @property
+    def closed(self) -> bool:
+        return False
+
+
+def _hadoop_footer_tail(spark, pth: str) -> tuple[int, int, bytes]:
+    """(file_size, tail_start, tail_bytes) of a parquet file via the
+    Hadoop FileSystem API — TWO positioned seek + bounded reads (the
+    8-byte trailer, then the thrift footer it sizes), so the transfer
+    is footer-sized regardless of file size. Driver-side (the Hadoop
+    FS lives in the JVM gateway); bytes cross py4j as ONE returned
+    ``byte[]`` per read (``commons-io IOUtils.toByteArray`` — py4j
+    auto-converts RETURNED arrays, while out-parameter arrays filled
+    by ``readFully(pos, buf)`` are not mutation-visible across the
+    gateway)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pth)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    size = fs.getFileStatus(jpath).getLen()
+    jin = fs.open(jpath)
+    try:
+
+        def ranged(pos: int, ln: int) -> bytes:
+            jin.seek(pos)
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(jin, ln)
+            )
+
+        trailer = ranged(size - 8, 8)
+        if trailer[4:] != b"PAR1":
+            raise ValueError(f"{pth!r} is not a parquet file (bad magic)")
+        flen = int.from_bytes(trailer[:4], "little")
+        # pyarrow's metadata reader prefetches up to 64 KiB from the
+        # end (and the whole file when smaller) — serve that window so
+        # read_metadata never reaches outside the fetched tail, while
+        # the transfer stays bounded by max(footer+8, 64 KiB).
+        start = max(0, size - max(flen + 8, 65536))
+        return size, start, ranged(start, size - start)
+    finally:
+        jin.close()
+
+
+def hadoop_footer_metadata(spark, pth: str):
+    """Parquet FileMetaData for any scheme the JVM's Hadoop FileSystem
+    can open (abfs/abfss/wasb/…, given the cluster's Hadoop Azure/…
+    jars) — the r10 fallback for schemes pyarrow's native filesystems
+    lack. Ranged by construction: only the footer tail crosses the
+    wire (``_hadoop_footer_tail``), and ``_TailOnlyFile`` makes any
+    out-of-tail read an error rather than a silent download."""
+    import pyarrow.parquet as pq
+
+    size, start, tail = _hadoop_footer_tail(spark, pth)
+    return pq.read_metadata(_TailOnlyFile(size, start, tail))
+
+
 def _make_footer_reader():
     """Parquet-footer metadata reader keyed on the path's URI scheme,
     returned as a NESTED function so executor closures pickle it BY
@@ -545,8 +661,11 @@ def _make_footer_reader():
     - ``gs/gcs`` → ``pyarrow.fs.GcsFileSystem``.
     - ``hdfs/viewfs`` → ``pyarrow.fs.HadoopFileSystem`` — requires
       libhdfs + Hadoop client config on every executor.
-    - anything else (abfs, wasb, …) → ValueError naming the scheme
-      and this map, instead of a confusing pyarrow traceback.
+    - anything else (abfs, wasb, …) → handled BEFORE tasks launch:
+      ``rowgroup_stats_manifest`` routes those paths through the
+      driver-side Hadoop ranged read (``hadoop_footer_metadata``), so
+      this executor-side reader only ever sees mapped schemes; it
+      still raises a clear ValueError if reached directly.
 
     Reads stay RANGED either way: ParquetFile over a filesystem handle
     fetches the footer tail, never row-group bytes."""
@@ -602,9 +721,13 @@ def rowgroup_stats_manifest(
     write paths pass exactly the files they just wrote, which is what
     makes write-time manifest maintenance cost ∝ increment, not
     table size. Remote filesystems go through an explicit scheme map
-    (``_make_footer_reader``: file/s3a/gs/hdfs; unknown schemes raise
-    a clear ValueError) rather than pyarrow path inference — hdfs
-    additionally needs libhdfs on executors."""
+    (``_make_footer_reader``: file/s3a/gs/hdfs on executors) rather
+    than pyarrow path inference — hdfs additionally needs libhdfs on
+    executors; schemes pyarrow lacks (abfs/abfss/wasb/…) fall back to
+    DRIVER-side Hadoop ranged reads (``hadoop_footer_metadata`` — two
+    positioned reads per file, footer-sized transfer) so the manifest
+    family is cluster-complete on any Hadoop-readable store."""
+    from urllib.parse import urlparse
     dims = tuple(dims)
     schema = (
         "file string, row_group int, n_rows long, "
@@ -616,6 +739,11 @@ def rowgroup_stats_manifest(
     paths = list(files) if files is not None else _list_parquet_files(
         spark, path
     )
+    exec_paths = [
+        p for p in paths if urlparse(p).scheme in _PYARROW_FOOTER_SCHEMES
+    ]
+    driver_set = set(paths) - set(exec_paths)
+    driver_paths = [p for p in paths if p in driver_set]
     footer_metadata = _make_footer_reader()
 
     def parse(batches):
@@ -643,7 +771,38 @@ def rowgroup_stats_manifest(
                     rows.append(rec)
             yield pd.DataFrame(rows, columns=cols)
 
-    files_df = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).repartition(max(1, min(len(paths), 32)))
-    return files_df.mapInPandas(parse, schema=schema)
+    parts = []
+    if exec_paths:
+        files_df = spark.createDataFrame(
+            [(p,) for p in exec_paths], "path string"
+        ).repartition(max(1, min(len(exec_paths), 32)))
+        parts.append(files_df.mapInPandas(parse, schema=schema))
+    if driver_paths:
+        # pyarrow-less schemes: footer tails fetched through the JVM's
+        # Hadoop FileSystem on the driver (bounded — footer KBs × the
+        # narrowed file list), parsed with the same record logic
+        rows = []
+        for pth in driver_paths:
+            md = hadoop_footer_metadata(spark, pth)
+            names = {
+                md.schema.column(j).name: j for j in range(md.num_columns)
+            }
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                rec = {
+                    "file": pth.rsplit("/", 1)[-1],
+                    "row_group": i,
+                    "n_rows": rg.num_rows,
+                }
+                for d in dims:
+                    st = rg.column(names[d]).statistics
+                    rec[f"min_{d}"] = st.min
+                    rec[f"max_{d}"] = st.max
+                rows.append(tuple(rec[c] for c in cols))
+        parts.append(spark.createDataFrame(rows, schema))
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out

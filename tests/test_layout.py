@@ -449,3 +449,92 @@ def test_footer_reader_scheme_map(spark, tmp_path):
     assert reader("file:" + f).num_rows == 2     # Hadoop file:/ form
     with _pytest.raises(ValueError, match="abfs"):
         reader("abfs://container@acct.dfs.core.windows.net/x.parquet")
+
+
+def test_hadoop_footer_fallback_reads_only_tail(spark, tmp_path):
+    """r10 (VERDICT item 5): schemes pyarrow lacks go through the
+    driver-side Hadoop ranged read — two positioned readFully calls
+    fetch ONLY the 8-byte trailer + thrift footer, and the metadata
+    parsed from that tail equals pyarrow's direct parse. The
+    _TailOnlyFile view errors on any read outside the fetched range,
+    so a regression toward whole-file reads fails loudly."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from cmsspark_spark.operators.layout import (
+        _TailOnlyFile,
+        _hadoop_footer_tail,
+        hadoop_footer_metadata,
+    )
+
+    import hashlib
+
+    p = str(tmp_path / "t")
+    pad = [hashlib.md5(str(i).encode()).hexdigest() * 4 for i in range(20000)]
+    spark.createDataFrame(
+        [(i, pad[i]) for i in range(20000)], "x long, pad string"
+    ).coalesce(1).write.parquet(p)
+    f = glob.glob(f"{p}/*.parquet")[0]
+    fsize = os.path.getsize(f)
+    assert fsize > 4 * 65536  # big enough that the 64 KiB tail is a tail
+
+    size, start, tail = _hadoop_footer_tail(spark, "file:" + f)
+    assert size == fsize
+    assert len(tail) == size - start
+    assert len(tail) < fsize / 4, "tail read is not footer-sized"
+
+    md = hadoop_footer_metadata(spark, "file:" + f)
+    direct = pq.ParquetFile(f).metadata
+    assert md.num_rows == direct.num_rows == 20000
+    assert md.num_row_groups == direct.num_row_groups
+    st = md.row_group(0).column(0).statistics
+    dt = direct.row_group(0).column(0).statistics
+    assert (st.min, st.max) == (dt.min, dt.max)
+
+    # the tail view refuses reads outside the fetched range
+    view = _TailOnlyFile(size, start, tail)
+    view.seek(0)
+    with _pytest.raises(IOError, match="outside fetched footer tail"):
+        view.read(8)
+
+
+def test_rowgroup_manifest_routes_unmapped_scheme_via_driver(
+    spark, tmp_path, monkeypatch
+):
+    """r10: rowgroup_stats_manifest splits its file list by scheme —
+    pyarrow-mapped schemes go to executors, anything else (abfs here)
+    to the driver-side Hadoop fallback — and the two branches union
+    into one manifest frame."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cmsspark_spark.operators import layout as L
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i,) for i in range(100)], "x long"
+    ).coalesce(1).write.parquet(p)
+    f = glob.glob(f"{p}/*.parquet")[0]
+
+    seen = []
+
+    def fake_hadoop_md(_spark, pth):
+        seen.append(pth)
+        return pq.ParquetFile(f).metadata
+
+    monkeypatch.setattr(L, "hadoop_footer_metadata", fake_hadoop_md)
+    man = L.rowgroup_stats_manifest(
+        spark,
+        p,
+        ["x"],
+        files=[f, "abfs://c@a.dfs.core.windows.net/remote.parquet"],
+    ).collect()
+    assert seen == ["abfs://c@a.dfs.core.windows.net/remote.parquet"]
+    by_file = {r.file: r for r in man}
+    assert set(by_file) == {f.rsplit("/", 1)[-1], "remote.parquet"}
+    assert by_file["remote.parquet"].min_x == 0
+    assert by_file["remote.parquet"].max_x == 99
