@@ -195,6 +195,84 @@ def pruned_files(
     )
 
 
+#: Bloom sidecar defaults: m bits per file, k salted position hashes.
+#: m = 4096 with k = 2 gives a ~(n/m)²-ish false-positive rate — at
+#: the ~100k rows/file a clustered write produces the filter saturates
+#: (every probe collides) and degrades GRACEFULLY to "keep the file",
+#: never to a wrong prune; size m to ~10× rows/file for real tables.
+BLOOM_M = 4096
+BLOOM_K = 2
+
+
+def bloom_positions(col, m: int = BLOOM_M, k: int = BLOOM_K):
+    """Array of a value's k Bloom bit positions — salted md5 31-bit
+    hashes (``int_base_hash``, the oracle-parity formula) mod m, so
+    the identical positions are computable in DuckDB:
+    ``('0x'||substring(md5(v || '#i'),1,15))::BIGINT % 2147483648 %
+    m``. Engine-exact by construction; NULL values contribute no
+    positions (callers must not prune NULL-matching predicates with a
+    Bloom)."""
+    from cmsspark_spark.functions.text import int_base_hash
+
+    v = F.col(col).cast("string") if isinstance(col, str) else col
+    return F.array(
+        *[
+            int_base_hash(F.concat(v, F.lit(f"#{i}"))) % m
+            for i in range(k)
+        ]
+    )
+
+
+def file_bloom_manifest(
+    df: DataFrame, dim: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Per-file BLOOM sidecar over an existing layout — the point-
+    lookup complement of min/max stats (r10): on a high-cardinality
+    key (doc_id, LFN) a file's [min, max] spans nearly the whole
+    domain unless the table is sorted on that key, so range stats
+    prune nothing; a per-file Bloom answers 'might this file contain
+    value v?' for exact-match predicates regardless of layout. The
+    filter is stored as the SORTED ARRAY OF SET BIT POSITIONS
+    (bounded by min(k·rows, m) ints — at the default m=4096 that is
+    ≤16 KB per file) so the representation is engine-portable and the
+    sidecar row is directly queryable. One shuffle of (file,
+    position) cells with map-side distinct; never value strings.
+    Output: (file, bloom_<dim> array<bigint>)."""
+    pos = bloom_positions(dim, m, k)
+    return (
+        df.withColumn(
+            "file", F.substring_index(F.input_file_name(), "/", -1)
+        )
+        .select("file", F.explode(pos).alias("_p"))
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("_p")).alias(f"bloom_{dim}"))
+    )
+
+
+def pruned_files_bloom(
+    manifest: DataFrame,
+    dim: str,
+    value,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Point-lookup split pruning with the Bloom sidecar: keep files
+    whose [min, max] covers ``value`` AND whose Bloom contains all k
+    of the value's positions (a file without a ``bloom_<dim>`` row is
+    conservatively kept). Strictly prunes at least as much as
+    :func:`pruned_files` on equality predicates; false positives keep
+    a file needlessly, false negatives are impossible."""
+    probe = bloom_positions(F.lit(value).cast("string"), m, k)
+    hit = F.forall(
+        probe, lambda p: F.array_contains(F.col(f"bloom_{dim}"), p)
+    )
+    return manifest.filter(
+        (F.col(f"max_{dim}") >= F.lit(value))
+        & (F.col(f"min_{dim}") <= F.lit(value))
+        & (F.col(f"bloom_{dim}").isNull() | hit)
+    )
+
+
 #: Hilbert grid side for the 2-D index (8 bits/dim, like ZORDER_BITS)
 HILBERT_N = 1 << ZORDER_BITS
 
@@ -476,11 +554,36 @@ def write_file_manifest(
     return dest
 
 
+def write_bloom_manifest(
+    spark,
+    data_path: str,
+    dim: str,
+    files: Sequence[str] | None = None,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    mode: str = "overwrite",
+) -> str:
+    """Materialize (or extend) the per-file BLOOM sidecar of
+    ``data_path`` at ``<manifest>_bloom`` and return that path.
+    Unlike the min/max manifest this needs the VALUES, so it scans —
+    but only the ``files`` subset when given (the write paths pass
+    exactly the files they just wrote: maintenance cost ∝ increment,
+    the same discipline as the footer manifest)."""
+    reader = spark.read
+    src = (
+        reader.parquet(*files) if files else reader.parquet(data_path)
+    )
+    dest = manifest_location(data_path) + "_bloom"
+    file_bloom_manifest(src, dim, m, k).write.mode(mode).parquet(dest)
+    return dest
+
+
 def append_with_manifest(
     df: DataFrame,
     path: str,
     dims: Sequence[str],
     rowgroups: bool = False,
+    bloom_dim: str | None = None,
 ) -> list[str]:
     """APPEND an increment to an (unpartitioned) table and extend its
     stats-manifest sidecar by footer-parsing ONLY the files the append
@@ -510,6 +613,12 @@ def append_with_manifest(
     man.write.mode("append").parquet(dest)
     if rowgroups:
         rg.write.mode("append").parquet(dest + "_rowgroups")
+    if bloom_dim is not None and new_files:
+        # Bloom sidecar rows for exactly the appended files (scan ∝
+        # increment); append-extends <manifest>_bloom like the stats
+        write_bloom_manifest(
+            spark, path, bloom_dim, files=new_files, mode="append"
+        )
     return new_files
 
 
