@@ -53,7 +53,14 @@ def run_batch(
     from cmsspark_spark.operators.pipeline import cluster_split_assign
 
     docs = catalog.load_table(spark, sf_dir, "documents")
-    cand = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    # hot_bucket_cap: a template cluster of m identical docs emits
+    # O(m) star edges instead of O(m^2) dense pairs — the capped
+    # candidates verify trivially (identical texts) and the
+    # components closure is unchanged, so split inheritance is
+    # identical while the 100 TB output stays bounded (r10).
+    cand = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", hot_bucket_cap=1024
+    )
     pairs = D.jaccard_pairs(
         docs, "doc_id", "text", threshold=0.5, candidates=cand
     )

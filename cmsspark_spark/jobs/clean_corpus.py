@@ -105,8 +105,10 @@ def run(
     if near_dup_policy != "off":
         from cmsspark_spark.operators.dedup import near_dup_losers
 
+        # star-capped candidates (r10): template clusters emit O(m)
+        # edges, components (and so survivors/losers) are unchanged
         losers = near_dup_losers(
-            deduped, policy=near_dup_policy
+            deduped, policy=near_dup_policy, hot_bucket_cap=1024
         ).localCheckpoint()
         deduped = deduped.join(losers, on="doc_id", how="left_anti")
 

@@ -170,7 +170,11 @@ def run(
             minhash_lsh_pairs,
         )
 
-        cand = minhash_lsh_pairs(docs, "doc_id", "text")
+        # star-capped (r10): bounded candidate output on template
+        # clusters, components-identical — see dedup.minhash_lsh_pairs
+        cand = minhash_lsh_pairs(
+            docs, "doc_id", "text", hot_bucket_cap=1024
+        )
         pairs = jaccard_pairs(
             docs, "doc_id", "text", threshold=0.5, candidates=cand
         )

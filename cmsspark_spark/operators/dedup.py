@@ -1044,6 +1044,7 @@ def near_dup_losers(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     policy: str = "min_id",
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Ids to DROP after near-dup clustering: LSH candidates → verified
     Jaccard pairs → connected components → one elected survivor per
@@ -1066,6 +1067,7 @@ def near_dup_losers(
     cand = minhash_lsh_pairs(
         docs, id_col, text_col,
         n=n, num_hashes=num_hashes, rows_per_band=rows_per_band,
+        hot_bucket_cap=hot_bucket_cap,
     )
     pairs = jaccard_pairs(
         docs, id_col, text_col, n=n, threshold=threshold, candidates=cand

@@ -463,15 +463,27 @@ def _bm25_champion_build(
         * (F.lit(one_minus_b) + F.lit(b) * F.col("_dl") / F.lit(avgdl))
     )
     # champion cut: top-c docs per query term by tf-part (idf is
-    # constant within a term, so tf-part order IS contribution order)
+    # constant within a term, so tf-part order IS contribution order).
+    # Two-phase like _bm25_prune_state (r10): per-(term, salt) partial
+    # top-c then the bounded merge — same comparator both phases, so
+    # the selected champions are identical to the single-window form,
+    # and no task ever sorts a stop-word term's whole postings list.
     term_posts = post.join(
         F.broadcast(qterms.select("_t").distinct()), "_t", "left_semi"
     )
-    w_champ = Window.partitionBy("_t").orderBy(
-        F.round(tf_part, 6).desc(), F.col("_doc")
+    _order = [F.round(tf_part, 6).desc(), F.col("_doc")]
+    w_part = Window.partitionBy("_t", "_salt").orderBy(*_order)
+    partial = (
+        term_posts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_doc")), F.lit(32))
+        )
+        .withColumn("_rk", F.row_number().over(w_part))
+        .filter(F.col("_rk") <= int(champions))
+        .drop("_rk", "_salt")
     )
+    w_champ = Window.partitionBy("_t").orderBy(*_order)
     champ = (
-        term_posts.withColumn("_rk", F.row_number().over(w_champ))
+        partial.withColumn("_rk", F.row_number().over(w_champ))
         .filter(F.col("_rk") <= int(champions))
         .select("_t", "_doc")
     )
