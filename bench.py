@@ -239,6 +239,13 @@ EXTRA = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        # load at START of run (r10): load_1m below samples at the END,
+        # where the bench's own 32 threads inflate it — the start value
+        # is the honest quiet-window indicator for cross-round anchors
+        load_1m_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m_start = None
     spark = get_spark("cmsspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -411,6 +418,7 @@ def main() -> None:
             "errors": errors,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "load_1m": load_1m,
+            "load_1m_start": load_1m_start,
         }
     )
     print(payload)
@@ -430,6 +438,7 @@ def main() -> None:
                 "n_errors": len(errors),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_1m": load_1m,
+                "load_1m_start": load_1m_start,
             }
         )
     )
