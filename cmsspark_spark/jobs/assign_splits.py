@@ -44,22 +44,28 @@ def run_batch(
     sf_dir: str,
     state: str,
     boundaries: dict[str, int] | None = None,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full-corpus cluster-consistent assignment + state commit.
-    Returns the per-doc assignment (doc_id, split, clustered, moved)."""
+    Returns the per-doc assignment (doc_id, split, clustered, moved).
+
+    ``hot_bucket_cap`` (CLI ``--hot-bucket-cap``) bounds the LSH
+    candidate output on boilerplate clusters — a template cluster of
+    m identical docs emits O(m) star edges instead of O(m²) dense
+    pairs, the components closure (and so split inheritance) is
+    unchanged, and the capped star edges verify trivially. Set it
+    (e.g. 1024) on any production corpus; default None keeps the
+    exact plan BYTE-IDENTICAL to the registry's
+    cluster_consistent_split, so a session that ran both shares one
+    LSH→verify→components run via the session memos."""
     from cmsspark_spark import catalog
     from cmsspark_spark.operators import dedup as D
     from cmsspark_spark.operators.incremental import commit_census_minhash
     from cmsspark_spark.operators.pipeline import cluster_split_assign
 
     docs = catalog.load_table(spark, sf_dir, "documents")
-    # hot_bucket_cap: a template cluster of m identical docs emits
-    # O(m) star edges instead of O(m^2) dense pairs — the capped
-    # candidates verify trivially (identical texts) and the
-    # components closure is unchanged, so split inheritance is
-    # identical while the 100 TB output stays bounded (r10).
     cand = D.minhash_lsh_pairs(
-        docs, "doc_id", "text", hot_bucket_cap=1024
+        docs, "doc_id", "text", hot_bucket_cap=hot_bucket_cap
     )
     pairs = D.jaccard_pairs(
         docs, "doc_id", "text", threshold=0.5, candidates=cand
@@ -137,10 +143,15 @@ def main() -> None:
     ap.add_argument("--no-broadcast-increment", action="store_true",
                     help="bulk backfill: hash-join the census probe "
                          "instead of broadcasting the increment")
+    ap.add_argument("--hot-bucket-cap", type=int, default=1024,
+                    help="star-reduce LSH buckets beyond this size "
+                         "(batch mode; O(m) edges per template "
+                         "cluster instead of O(m^2) pairs)")
     args = ap.parse_args()
     spark = get_spark("assign-splits")
     if args.mode == "batch":
-        run_batch(spark, args.sf_dir, args.state)
+        run_batch(spark, args.sf_dir, args.state,
+                  hot_bucket_cap=args.hot_bucket_cap)
     else:
         if not args.increment:
             ap.error("--increment is required in increment mode")

@@ -866,13 +866,18 @@ def split_assign_increment(
     # to the content-hash coin while a valid near-dup match existed —
     # that would re-introduce exactly the train/eval leakage this
     # operator prevents. splits is corpus-sized and stays shuffle-
-    # free: the increment-sized match set broadcasts onto it; split
-    # state replays can leave duplicate (id, split) rows, so the
-    # probe side is deduped by id (assignment is unique per doc by
-    # construction — first write wins).
+    # free: the increment-sized match set broadcasts onto it, and
+    # there is deliberately NO dropDuplicates on the probe side (a
+    # read-side dedup would full-shuffle the corpus-sized splits
+    # table on every increment — measured 3x on the job mile):
+    # duplicate (id, split) rows — possible only in legacy state
+    # written before the replay-safe appends — are absorbed by the
+    # min-struct election below (min over duplicated identical tuples
+    # is unchanged, and the groupBy emits one row per component
+    # either way).
     matched_splits = splits.select(
         F.col(id_col).alias("_bid"), F.col("split").alias("_inh")
-    ).dropDuplicates(["_bid"]).join(F.broadcast(matches), "_bid")
+    ).join(F.broadcast(matches), "_bid")
     inherited = (
         matched_splits.join(
             F.broadcast(
