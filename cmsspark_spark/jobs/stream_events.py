@@ -94,6 +94,13 @@ def build_stream(
     raise ValueError(f"op must be one of {OPS}, got {op!r}")
 
 
+#: Driver-side cap on rows handed to the optional transport per
+#: micro-batch — the update stream carries STATE KEYS (users, sites),
+#: so real batches are far below this; a payload-grain stream wired in
+#: by mistake fails loudly instead of OOMing the driver.
+_TRANSPORT_MAX_ROWS = 100_000
+
+
 def run(
     spark: SparkSession,
     stream: DataFrame,
@@ -111,13 +118,31 @@ def run(
     (the parquet-side analog of the content-keyed index upserts the
     OpenSearch e2e test pins). The optional ``transport`` receives
     the same rows as JSON-able dicts (driver-side, bounded by the
-    update-stream's size — state keys, not raw events).
+    update-stream's size — state keys, not raw events), guarded by a
+    hard ``_TRANSPORT_MAX_ROWS`` cap: the parquet landing always
+    happens executor-side first, then a ``limit(cap+1)`` collect —
+    if the update stream ever carries more than the cap (someone
+    wires a payload-grain stream into this job), the transport leg
+    raises instead of silently materializing an unbounded batch on
+    the driver (r9 hygiene note).
     """
 
     def push(bdf, bid):
         bdf.write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
         if transport is not None:
-            rows = [r.asDict(recursive=True) for r in bdf.collect()]
+            rows = [
+                r.asDict(recursive=True)
+                for r in bdf.limit(_TRANSPORT_MAX_ROWS + 1).collect()
+            ]
+            if len(rows) > _TRANSPORT_MAX_ROWS:
+                raise RuntimeError(
+                    f"stream_events transport batch exceeds "
+                    f"{_TRANSPORT_MAX_ROWS} rows — the update stream is "
+                    "supposed to carry state keys, not raw events; the "
+                    "parquet landing is complete, so re-run with a "
+                    "key-grain stream or raise _TRANSPORT_MAX_ROWS "
+                    "deliberately"
+                )
             if rows:
                 transport(rows)
 
