@@ -915,3 +915,122 @@ def rowgroup_stats_manifest(
     for extra in parts[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def _fs_for(spark, path: str):
+    """(Hadoop FileSystem, Path) pair for a URI — driver-side."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
+
+
+def orphan_files(
+    spark,
+    data_path: str,
+    min_age_s: int = 86400,
+) -> list[tuple[str, int, int]]:
+    """Parquet files on disk that the table's stats manifest does NOT
+    know about — the residue of interrupted compactions/rewrites (a
+    crash between 'write new files' and 'refresh manifest/delete old'
+    leaves data files no planner will route to). Returns
+    [(path, size, age_s)] for every on-disk parquet whose basename is
+    absent from the manifest's ``file`` column AND whose modification
+    time is at least ``min_age_s`` old — the age guard keeps a
+    CONCURRENT writer's just-written, not-yet-manifested files safe
+    (the same grace Delta's VACUUM retention period provides).
+    Metadata-only: one recursive listing + one manifest scan; no data
+    is read."""
+    import time
+
+    manifest = spark.read.parquet(manifest_location(data_path))
+    known = {r.file for r in manifest.select("file").distinct().collect()}
+    fs, _ = _fs_for(spark, data_path)
+    sc = spark.sparkContext
+    now_ms = int(time.time() * 1000)
+    out = []
+    it = fs.listFiles(sc._jvm.org.apache.hadoop.fs.Path(data_path), True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        if name in known:
+            continue
+        age_s = max(0, (now_ms - st.getModificationTime()) // 1000)
+        if age_s >= min_age_s:
+            out.append((p, st.getLen(), int(age_s)))
+    return sorted(out)
+
+
+def vacuum_table(
+    spark,
+    data_path: str,
+    min_age_s: int = 86400,
+    dry_run: bool = True,
+) -> dict:
+    """Delete manifest-orphaned parquet files from a table directory
+    (the lakehouse VACUUM shape, driven by this repo's stats manifest
+    instead of a transaction log). ``dry_run=True`` (the default —
+    deletion must be opted into) only reports. Returns
+    ``{"orphans": [(path, size, age_s)...], "deleted": [path...],
+    "bytes_reclaimed": int}``. Only files the manifest does not list
+    AND older than ``min_age_s`` are touched; the manifest sidecar
+    itself and non-parquet files are never candidates."""
+    orphans = orphan_files(spark, data_path, min_age_s=min_age_s)
+    deleted: list[str] = []
+    if not dry_run and orphans:
+        fs, _ = _fs_for(spark, data_path)
+        jvm = spark.sparkContext._jvm
+        for p, _size, _age in orphans:
+            if fs.delete(jvm.org.apache.hadoop.fs.Path(p), False):
+                deleted.append(p)
+    return {
+        "orphans": orphans,
+        "deleted": deleted,
+        "bytes_reclaimed": sum(
+            s for p, s, _ in orphans if not dry_run and p in set(deleted)
+        ),
+    }
+
+
+def retain_day_partitions(
+    spark,
+    table_path: str,
+    keep_days: int,
+    day_col: str = "day",
+    dry_run: bool = True,
+    refresh_manifest_dims: Sequence[str] | None = None,
+) -> dict:
+    """Retention for day-partitioned curated tables: keep the newest
+    ``keep_days`` ``day=`` partition directories, delete the rest —
+    the operational complement of the incremental recompute path
+    (history grows one partition per day forever without this).
+    Partition discovery and deletion are pure metadata calls (one
+    directory listing, one recursive delete per expired partition);
+    nothing is scanned. With ``refresh_manifest_dims`` the stats
+    manifest sidecar is REBUILT from the surviving files' footers
+    after deletion (the file-grain manifest stores basenames, so
+    expired rows can't be dropped in place); cost ∝ surviving files.
+    Returns ``{"kept": [...], "expired": [...], "deleted": bool}``."""
+    fs, jroot = _fs_for(spark, table_path)
+    days = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{day_col}="):
+            days.append(name)
+    if keep_days <= 0:
+        raise ValueError("keep_days must be positive")
+    days.sort()
+    kept, expired = days[-keep_days:], days[:-keep_days]
+    did_delete = False
+    if not dry_run and expired:
+        jvm = spark.sparkContext._jvm
+        for name in expired:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}"), True
+            )
+        did_delete = True
+        if refresh_manifest_dims:
+            write_file_manifest(spark, table_path, refresh_manifest_dims)
+    return {"kept": kept, "expired": expired, "deleted": did_delete}
