@@ -875,3 +875,30 @@ def test_bm25_hash_join_candidate_path_matches_broadcast(spark):
     got = {(r.query_id, r.doc_id, r.rank, r.bm25) for r in ranked_h.collect()}
     assert got == want
     invalidate_session_memos(spark)
+
+
+def test_bm25_auto_candidate_guard_counts_then_broadcasts(spark):
+    """r10 (ADVICE): broadcast_candidates=None decides at runtime —
+    under the 2M-row ceiling the candidate join still broadcasts, and
+    the output is identical to the pinned-broadcast default."""
+    from cmsspark_spark.operators import pipeline as PL
+    from cmsspark_spark.operators.memo import invalidate_session_memos
+
+    df = spark.createDataFrame(
+        [(i, f"alpha tok{i % 7} beta word{i % 4} tail{i % 3}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in PL.bm25_maxscore_parts(df, query_max_id=3, k=4)[0].collect()
+    }
+    ranked_auto, _ = PL.bm25_maxscore_parts(
+        df, query_max_id=3, k=4, broadcast_candidates=None
+    )
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in ranked_auto.collect()
+    }
+    assert got == want
+    invalidate_session_memos(spark)
