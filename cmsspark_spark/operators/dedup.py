@@ -471,6 +471,16 @@ def _jaccard_pairs_run(
     return out.select("id_a", "id_b", "jaccard")
 
 
+#: Session memo for FINGERPRINT frames: the fingerprint rung and the
+#: pair rung of each SimHash family (plus the star-capped variant)
+#: build the identical vote pipeline — the memoized value is the tiny
+#: (_id, simhash) frame, eagerly checkpointed, so siblings replay an
+#: ids+long frame instead of re-paying the token explode + 16 vote
+#: aggs. Fresh-data keys per operators/memo.py, unsafe keys run
+#: unmemoized, stores are bounded LRUs.
+_SIMHASH_MEMO = _SessionMemo("simhash")
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
@@ -481,8 +491,25 @@ def simhash(
     bits. Output: (_id, simhash) as a bigint.
 
     Implemented entirely with higher-order array functions — one explode,
-    one groupBy(_id); JVM-side throughout.
+    one groupBy(_id); JVM-side throughout. The output frame is
+    session-memoized (``_SIMHASH_MEMO``) so the fingerprint query and
+    every pair rung share ONE vote pipeline run.
     """
+    key = _SIMHASH_MEMO.key_for(df, "plain", id_col, text_col, bits)
+    if key is None:
+        return _simhash_run(df, id_col, text_col, bits)
+    per = _SIMHASH_MEMO.per_session(df.sparkSession)
+    if key not in per:
+        per[key] = _simhash_run(df, id_col, text_col, bits).localCheckpoint(
+            eager=True
+        )
+    return per[key]
+
+
+def _simhash_run(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """The un-memoized vote pipeline (see simhash)."""
     tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
     # First 16 hex chars of md5 → low `bits` bits of a long.
     tok = tok.withColumn(
@@ -523,7 +550,24 @@ def simhash_weighted(
     vote aggregation — same O(corpus tokens) as the unweighted form.
     Returns (_id, simhash bigint); feed to
     :func:`hamming_near_pairs` like every fingerprint here.
+    Session-memoized like :func:`simhash` — the weighted fingerprint
+    query and the weighted pair rung share one run.
     """
+    key = _SIMHASH_MEMO.key_for(df, "weighted", id_col, text_col, bits)
+    if key is None:
+        return _simhash_weighted_run(df, id_col, text_col, bits)
+    per = _SIMHASH_MEMO.per_session(df.sparkSession)
+    if key not in per:
+        per[key] = _simhash_weighted_run(
+            df, id_col, text_col, bits
+        ).localCheckpoint(eager=True)
+    return per[key]
+
+
+def _simhash_weighted_run(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """The un-memoized weighted vote pipeline (see simhash_weighted)."""
     n_docs = df.count()
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok")
