@@ -99,6 +99,11 @@ def dedup_by_fingerprint(
     )
 
 
+#: Session memo for WIDE MinHash signature frames (see
+#: minhash_signatures_wide docstring).
+_MINHASH_MEMO = _SessionMemo("minhash_sigs")
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str,
@@ -122,7 +127,35 @@ def minhash_signatures_wide(
     shuffled and hash-aggregated |shingle| rows). ``shingles()`` always
     yields ≥1 element (short docs collapse to one shingle), so no doc
     is dropped — identical output to the agg form.
+
+    The signature frame is session-memoized (``_MINHASH_MEMO`` — |docs|
+    × k longs, eagerly checkpointed): the LSH pair join, the star-capped
+    rung, the bucket report and the census builders all start from the
+    same signatures, and a memo hit replays the tiny frame instead of
+    re-paying tokenize→shingle→minhash. Callers' own ``persist`` of the
+    returned frame stays harmless.
     """
+    key = _MINHASH_MEMO.key_for(df, id_col, text_col, n, num_hashes)
+    if key is None:
+        return _minhash_signatures_wide_run(
+            df, id_col, text_col, n, num_hashes
+        )
+    per = _MINHASH_MEMO.per_session(df.sparkSession)
+    if key not in per:
+        per[key] = _minhash_signatures_wide_run(
+            df, id_col, text_col, n, num_hashes
+        ).localCheckpoint(eager=True)
+    return per[key]
+
+
+def _minhash_signatures_wide_run(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """The un-memoized signature pipeline (see minhash_signatures_wide)."""
     params = minhash_params(num_hashes)
     # Two-step select ON PURPOSE: naming _bases keeps the (large)
     # shingle expression tree single-instance; CollapseProject will not

@@ -147,11 +147,14 @@ def test_whole_stage_codegen_survives_expression_lib(spark):
 
 def test_minhash_signatures_zero_shuffle(spark):
     """MinHash signatures are a narrow map (array_min over transform) —
-    no explode, no groupBy, zero exchanges before the LSH band join."""
-    from cmsspark_spark.operators.dedup import minhash_signatures_wide
+    no explode, no groupBy, zero exchanges before the LSH band join.
+    Asserted on the UN-memoized builder: the public function returns an
+    eagerly-checkpointed frame whose plan is just the checkpoint scan
+    (r10 memo)."""
+    from cmsspark_spark.operators.dedup import _minhash_signatures_wide_run
 
     df = spark.read.parquet(f"{SF}/documents.parquet")
-    sig = minhash_signatures_wide(df, "doc_id", "text", n=3, num_hashes=8)
+    sig = _minhash_signatures_wide_run(df, "doc_id", "text", 3, 8)
     assert plans.count_exchanges(sig) == 0
     assert sig.count() == df.count()  # shingles() never drops a doc
 
