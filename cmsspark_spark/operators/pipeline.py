@@ -1060,6 +1060,7 @@ def concat_pack_chunks(
     sep_tokens: int = 0,
     merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
+    bpe_alphabet: str = "char",
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in a
     deterministic order and slice the stream into fixed ``ctx_len``
@@ -1098,15 +1099,20 @@ def concat_pack_chunks(
     ``bpe_merges_shared``) is applied to ``text_col`` and every budget
     (chunk assignment, occupancy, separators) is counted in BPE
     tokens instead of whitespace words — what the trainer actually
-    packs. Mutually exclusive with ``token_count_col`` (which remains
-    the fully general hook for any precomputed counter).
+    packs (``bpe_alphabet`` must match the trainer's: ``char`` or the
+    GPT-2-style ``byte``). Mutually exclusive with ``token_count_col``
+    (which remains the fully general hook for any precomputed
+    counter).
     """
     parts = list(partition_cols or [])
     sep = int(sep_tokens)
     if merges is not None:
         if token_count_col is not None:
             raise ValueError("pass merges OR token_count_col, not both")
-        docs = apply_bpe(docs, merges, text_col=text_col, out_col="_bpe")
+        docs = apply_bpe(
+            docs, merges, text_col=text_col, out_col="_bpe",
+            alphabet=bpe_alphabet,
+        )
         token_count_col = F.size("_bpe")
     tc = (
         token_count_col

@@ -11539,3 +11539,71 @@ def bloom_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("files_true_total"),
         )
     )
+
+
+@query(
+    "bpe_byte_packing_efficiency",
+    f"""
+    WITH {_bpe_byte_doc_counts_cte(_BPE_K)},
+    offs AS (
+      SELECT doc_id, source, n AS doc_tokens,
+             CAST(coalesce(sum(n) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM dcnt
+    ),
+    chunks AS (
+      SELECT source,
+             unnest(generate_series(s // 512, (s + doc_tokens - 1) // 512))
+               AS chunk_id,
+             doc_id, doc_tokens, s
+      FROM offs WHERE doc_tokens > 0
+    ),
+    occ AS (
+      SELECT source, chunk_id,
+             CAST(sum(least(s + doc_tokens, (chunk_id + 1) * 512)
+                      - greatest(s, chunk_id * 512)) AS BIGINT) AS fill
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE fill = 512) AS BIGINT)
+             AS n_full_chunks,
+           CAST(sum(fill) AS BIGINT) AS packed_tokens,
+           round(sum(fill) * 1.0 / (count(*) * 512), 6) AS utilization
+    FROM occ GROUP BY source
+    """,
+)
+def bpe_byte_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA in BYTE-LEVEL tokenizer units (r10 — the packing
+    twin of bpe_byte_token_stats, completing the tokenizer
+    parameterization): the sharded concat packer budgeted by trained
+    GPT-2-style byte-BPE token counts (concat_pack_chunks's ``merges``
+    + ``bpe_alphabet='byte'`` hooks). Byte-level token counts run
+    ~1.3-2× the char-grain ones on the same corpus (spaces and
+    punctuation are in-band), so chunk counts and utilization differ
+    materially from bpe_packing_efficiency — THIS is the table a
+    byte-tokenizer trainer's data loader sees. Merges are memoized
+    per session and shared with bpe_byte_token_stats; the oracle
+    replays the byte train+encode and the parallel-cumsum packing in
+    SQL."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    merges = PL.bpe_merges_shared(d, "text", k=_BPE_K, alphabet="byte")
+    chunks = PL.concat_pack_chunks(
+        d, ctx_len=512, partition_cols=["source"], merges=merges,
+        bpe_alphabet="byte",
+    )
+    occ = chunks.groupBy("source", "chunk_id").agg(
+        F.sum("tokens_in_chunk").alias("fill")
+    )
+    return occ.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("fill") == 512).cast("long")).alias("n_full_chunks"),
+        F.sum("fill").alias("packed_tokens"),
+        F.round(
+            F.sum("fill") / (F.count(F.lit(1)) * 512), 6
+        ).alias("utilization"),
+    )
