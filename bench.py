@@ -233,6 +233,16 @@ EXTRA = [
     "rrf_hybrid_topk",               # lexical+semantic rank fusion
     "dedup_simhash_weighted",        # idf-weighted Charikar fingerprints
     "simhash_weighted_near_pairs",   # weighted hash Hamming blocks
+    # round 10
+    "dedup_lsh_star_capped",         # hot-bucket star reduction (cap=2)
+    "lsh_hot_bucket_report",         # capped-bucket audit
+    "simhash_star_near_pairs",       # star-capped Hamming pairs
+    "bloom_skipping_report",         # file-grain Bloom vs min/max prune
+    "rowgroup_bloom_skipping_report",  # row-group-grain Bloom prune
+    "bpe_byte_token_stats",          # byte-level BPE length profile
+    "bpe_byte_packing_efficiency",   # packing in byte-BPE units
+    "dedup_lsh_screened_verified",   # signature screen -> exact verify
+    "lsh_screen_quality_report",     # screen floor calibration audit
 ]
 
 

@@ -273,6 +273,121 @@ def pruned_files_bloom(
     )
 
 
+def rowgroup_offsets(rg_stats: DataFrame) -> DataFrame:
+    """(file, row_group, start, n_rows) from a row-group stats
+    manifest: each row group's first within-file row ordinal, the
+    cumulative sum of its predecessors' row counts. Manifest-sized
+    window (partitioned per file over a handful of row-group rows) —
+    never data-sized."""
+    w = (
+        Window.partitionBy("file")
+        .orderBy("row_group")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return rg_stats.select(
+        "file",
+        "row_group",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("start"),
+        "n_rows",
+    )
+
+
+def rowgroup_bloom_manifest(
+    spark,
+    path: str,
+    dim: str,
+    files: Sequence[str] | None = None,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """ROW-GROUP-grain Bloom sidecar (r10, builder item #1 — the grain
+    symmetry piece: min/max stats exist at both file and row-group
+    grain, Blooms previously only at file grain). A point lookup that
+    the file Bloom admits still reads the WHOLE file; with row groups
+    the reader can skip to the one row group that might hold the key —
+    on a clustered table that is most of the I/O.
+
+    Row→row-group attribution is pure Spark: the hidden parquet
+    ``_metadata.row_index`` column (the row's within-file ordinal) is
+    joined against row-group start offsets derived from the FOOTER
+    manifest (:func:`rowgroup_offsets` — a ranged-read parse, never a
+    data scan). The offsets frame is manifest-sized and broadcast; the
+    join is an equi-join on file plus a range predicate, so the data
+    side never shuffles — the only exchange is the (file, row_group,
+    position) distinct-set aggregation, same shape as the file-grain
+    builder. ``files`` narrows the scan to an increment (write-time
+    maintenance cost ∝ increment). Output: (file, row_group,
+    bloom_<dim> sorted array<bigint>)."""
+    offs = rowgroup_offsets(
+        rowgroup_stats_manifest(spark, path, dims=(), files=files)
+    )
+    src = spark.read.parquet(*(list(files) if files else [path]))
+    pos = bloom_positions(dim, m, k)
+    data = src.select(
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
+            "file"
+        ),
+        F.col("_metadata.row_index").alias("_ri"),
+        F.explode(pos).alias("_p"),
+    )
+    return (
+        data.join(F.broadcast(offs), on="file")
+        .filter(
+            (F.col("_ri") >= F.col("start"))
+            & (F.col("_ri") < F.col("start") + F.col("n_rows"))
+        )
+        .groupBy("file", "row_group")
+        .agg(F.sort_array(F.collect_set("_p")).alias(f"bloom_{dim}"))
+    )
+
+
+def write_rowgroup_bloom_manifest(
+    spark,
+    data_path: str,
+    dim: str,
+    files: Sequence[str] | None = None,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    mode: str = "overwrite",
+) -> str:
+    """Materialize (or extend, ``mode='append'``) the row-group Bloom
+    sidecar of ``data_path`` at ``<manifest>_rowgroups_bloom`` and
+    return that path — the row-group sibling of
+    :func:`write_bloom_manifest`, same increment discipline."""
+    dest = manifest_location(data_path) + "_rowgroups_bloom"
+    rowgroup_bloom_manifest(spark, data_path, dim, files, m, k).write.mode(
+        mode
+    ).parquet(dest)
+    return dest
+
+
+def pruned_rowgroups_bloom(
+    rg_stats: DataFrame,
+    rg_blooms: DataFrame,
+    dim: str,
+    value,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Point-lookup pruning at ROW-GROUP grain: keep (file, row_group)
+    rows whose min/max covers ``value`` AND whose Bloom contains all k
+    probe positions. A row group without a Bloom row is conservatively
+    kept — false negatives impossible, exactly like the file-grain
+    rung. Both inputs are manifest-sized; the join is driver-scale."""
+    probe = bloom_positions(F.lit(value).cast("string"), m, k)
+    hit = F.forall(
+        probe, lambda p: F.array_contains(F.col(f"bloom_{dim}"), p)
+    )
+    return (
+        rg_stats.join(rg_blooms, ["file", "row_group"], "left")
+        .filter(
+            (F.col(f"max_{dim}") >= F.lit(value))
+            & (F.col(f"min_{dim}") <= F.lit(value))
+            & (F.col(f"bloom_{dim}").isNull() | hit)
+        )
+    )
+
+
 #: Hilbert grid side for the 2-D index (8 bits/dim, like ZORDER_BITS)
 HILBERT_N = 1 << ZORDER_BITS
 
@@ -584,6 +699,7 @@ def append_with_manifest(
     dims: Sequence[str],
     rowgroups: bool = False,
     bloom_dim: str | None = None,
+    bloom_rowgroups: bool = False,
 ) -> list[str]:
     """APPEND an increment to an (unpartitioned) table and extend its
     stats-manifest sidecar by footer-parsing ONLY the files the append
@@ -619,6 +735,10 @@ def append_with_manifest(
         write_bloom_manifest(
             spark, path, bloom_dim, files=new_files, mode="append"
         )
+        if bloom_rowgroups:
+            write_rowgroup_bloom_manifest(
+                spark, path, bloom_dim, files=new_files, mode="append"
+            )
     return new_files
 
 
@@ -838,9 +958,9 @@ def rowgroup_stats_manifest(
     family is cluster-complete on any Hadoop-readable store."""
     from urllib.parse import urlparse
     dims = tuple(dims)
-    schema = (
-        "file string, row_group int, n_rows long, "
-        + ", ".join(f"min_{d} long, max_{d} long" for d in dims)
+    schema = ", ".join(
+        ["file string, row_group int, n_rows long"]
+        + [f"min_{d} long, max_{d} long" for d in dims]
     )
     cols = ["file", "row_group", "n_rows"] + [
         f"{m}_{d}" for d in dims for m in ("min", "max")

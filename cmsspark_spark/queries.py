@@ -11607,3 +11607,410 @@ def bpe_byte_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fill") / (F.count(F.lit(1)) * 512), 6
         ).alias("utilization"),
     )
+
+
+def _lsh_screened_oracle_sql(
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    min_agree: int = 4,
+) -> str:
+    """Oracle twin of the screened LSH→verify composition: the minhash
+    CTEs (same permutation constants as the Spark plan) feed a
+    signature-agreement screen, and the exact-Jaccard verifier runs
+    only on pairs at or above the agreement floor."""
+    from cmsspark_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b_}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b_) in enumerate(params)
+    )
+    nbands = num_hashes // rows_per_band
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, array_to_string(list_sort([{cols}]), '|') AS band_sig FROM sigs".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for b in range(nbands)
+    )
+    agree = " + ".join(
+        f"(sa.h{i} = sb.h{i})::INT" for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+    based AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483648 AS b
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, {mins}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b, {agree} AS n_agree
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+                  JOIN sigs sb ON sb.doc_id = c.id_b
+    ),
+    screened AS (SELECT * FROM est WHERE n_agree >= {min_agree}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT s.id_a, s.id_b, count(*) AS nc
+      FROM screened s JOIN sh a ON a.doc_id = s.id_a
+                      JOIN sh b ON b.doc_id = s.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, CAST(s.n_agree AS INT) AS n_agree,
+           round(nc / (sa.n + sb.n - nc), 4) AS jaccard
+    FROM common c JOIN screened s ON s.id_a = c.id_a AND s.id_b = c.id_b
+                  JOIN sizes sa ON sa.doc_id = c.id_a
+                  JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE nc / (sa.n + sb.n - nc) >= {threshold}
+    """
+
+
+@query("dedup_lsh_screened_verified", _lsh_screened_oracle_sql())
+def dedup_lsh_screened_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The screened verify rung (r10, builder item #2): LSH candidates
+    are ESTIMATED first from the wide MinHash signatures the candidate
+    rung already computed (n_agree/k, two ids-only joins — no text),
+    and the exact shingle-join verifier runs only on pairs at or above
+    the agreement floor (4 of 8 ≈ the 0.5 threshold). The honest
+    train+serve cost of the r10 sweep is dominated by shingling every
+    candidate member; screening shrinks that member set, and docs
+    whose every pair screens out are never tokenized. Explicitly a
+    recall trade (a true pair can sample below the floor) — calibrate
+    with lsh_screen_quality_report; surviving pairs carry the
+    identical exact jaccard as dedup_lsh_verified."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    pairs = D.jaccard_pairs_screened(
+        d, "doc_id", "text", candidates=cand,
+        n=3, threshold=0.5, num_hashes=8, min_agree=4,
+    )
+    return pairs.select(
+        "id_a", "id_b", "n_agree", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _lsh_screen_report_oracle_sql(
+    num_hashes: int = 8, rows_per_band: int = 2, threshold: float = 0.5
+) -> str:
+    """Oracle twin of the screen-calibration report: every LSH
+    candidate is exact-verified (audit scale), then tabulated per
+    agreement level with cumulative recall/precision per floor."""
+    from cmsspark_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b_}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b_) in enumerate(params)
+    )
+    nbands = num_hashes // rows_per_band
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, array_to_string(list_sort([{cols}]), '|') AS band_sig FROM sigs".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for b in range(nbands)
+    )
+    agree = " + ".join(
+        f"(sa.h{i} = sb.h{i})::INT" for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toks),
+    based AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483648 AS b
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, {mins}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b, {agree} AS n_agree
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+                  JOIN sigs sb ON sb.doc_id = c.id_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT e.id_a, e.id_b, e.n_agree,
+             coalesce(nc / (sa.n + sb.n - nc), 0) AS j
+      FROM est e LEFT JOIN common c
+                   ON c.id_a = e.id_a AND c.id_b = e.id_b
+                 JOIN sizes sa ON sa.doc_id = e.id_a
+                 JOIN sizes sb ON sb.doc_id = e.id_b
+    ),
+    lvl AS (
+      SELECT n_agree, count(*) AS n_pairs,
+             sum(CASE WHEN j >= {threshold} THEN 1 ELSE 0 END) AS n_true
+      FROM jac GROUP BY 1
+    )
+    SELECT CAST(n_agree AS INT) AS n_agree,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_true AS BIGINT) AS n_true_dups,
+           CAST(sum(n_pairs) OVER w AS BIGINT) AS n_kept_at_floor,
+           round(sum(n_true) OVER w
+                 / greatest(sum(n_true) OVER (), 1), 4) AS recall_at_floor,
+           round(sum(n_true) OVER w
+                 / sum(n_pairs) OVER w, 4) AS precision_at_floor
+    FROM lvl
+    WINDOW w AS (ORDER BY n_agree DESC)
+    """
+
+
+@query("lsh_screen_quality_report", _lsh_screen_report_oracle_sql())
+def lsh_screen_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the signature screen (r10): every LSH
+    candidate pair is EXACT-verified (audit scale — the same
+    audit-the-approximation-inside-the-engine discipline as
+    dedup_lsh_quality_report), then bucketed by MinHash agreement
+    level. Each row answers 'what does floor=n_agree cost': cumulative
+    kept pairs, recall of true dups (exact jaccard >= 0.5) and
+    precision, read top-down. The cumulative window orders <= k+1
+    grouped rows — one-task by construction, never data-sized."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    wide = D.minhash_signatures_wide(d, "doc_id", "text", 3, 8)
+    est = D.signature_agreement(cand, wide, 8)
+    ver = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.0, candidates=cand
+    )
+    jac = est.join(
+        ver.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"], "left"
+    ).select("n_agree", F.coalesce("jaccard", F.lit(0.0)).alias("j"))
+    lvl = jac.groupBy("n_agree").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("j") >= 0.5).cast("long")).alias("n_true"),
+    )
+    w = Window.orderBy(F.desc("n_agree"))
+    tot = Window.partitionBy()
+    return lvl.select(
+        F.col("n_agree").cast("int").alias("n_agree"),
+        F.col("n_pairs").alias("n_pairs"),
+        F.col("n_true").alias("n_true_dups"),
+        F.sum("n_pairs").over(w).alias("n_kept_at_floor"),
+        F.round(
+            F.sum("n_true").over(w)
+            / F.greatest(F.sum("n_true").over(tot), F.lit(1)),
+            4,
+        ).alias("recall_at_floor"),
+        F.round(
+            F.sum("n_true").over(w) / F.sum("n_pairs").over(w), 4
+        ).alias("precision_at_floor"),
+    )
+
+
+@query(
+    "rowgroup_bloom_skipping_report",
+    f"""
+    WITH mxx AS (
+      SELECT max(doc_id) + 1 AS mx FROM documents WHERE text IS NOT NULL
+    ),
+    d0 AS (
+      SELECT md5(text) AS key,
+             CAST((doc_id * 8) // mx AS INT) AS fid,
+             CAST((doc_id * 32) // mx AS INT) AS gid
+      FROM documents, mxx WHERE text IS NOT NULL
+    ),
+    d AS (
+      SELECT key, fid, gid,
+             {_BLOOM_HASH.format(v="key", i=0, m=_BLOOM_M_Q)} AS p0,
+             {_BLOOM_HASH.format(v="key", i=1, m=_BLOOM_M_Q)} AS p1
+      FROM d0
+    ),
+    rgs AS (
+      SELECT fid, gid, min(key) AS mn, max(key) AS mxk,
+             list_distinct(flatten(list([p0, p1]))) AS bloom
+      FROM d GROUP BY fid, gid
+    ),
+    files AS (
+      SELECT fid, count(DISTINCT gid) AS n_rgs,
+             min(key) AS mn, max(key) AS mxk,
+             list_distinct(flatten(list([p0, p1]))) AS bloom
+      FROM d GROUP BY fid
+    ),
+    probes AS (
+      SELECT md5(text) AS v, 'present' AS probe_class FROM documents
+      WHERE text IS NOT NULL AND doc_id % 23 = 0
+      UNION ALL
+      SELECT md5(text || '#absent'), 'absent' FROM documents
+      WHERE text IS NOT NULL AND doc_id % 23 = 0
+    ),
+    pp AS (
+      SELECT v, probe_class,
+             {_BLOOM_HASH.format(v="v", i=0, m=_BLOOM_M_Q)} AS q0,
+             {_BLOOM_HASH.format(v="v", i=1, m=_BLOOM_M_Q)} AS q1
+      FROM probes
+    ),
+    x AS (
+      SELECT probe_class, v,
+             CASE WHEN mn <= v AND v <= mxk THEN 1 ELSE 0 END AS mm,
+             CASE WHEN mn <= v AND v <= mxk
+                   AND list_contains(bloom, q0)
+                   AND list_contains(bloom, q1)
+                  THEN 1 ELSE 0 END AS bl
+      FROM pp, rgs
+    ),
+    xf AS (
+      SELECT probe_class, v,
+             CASE WHEN mn <= v AND v <= mxk
+                   AND list_contains(bloom, q0)
+                   AND list_contains(bloom, q1)
+                  THEN n_rgs ELSE 0 END AS frg
+      FROM pp, files
+    ),
+    t AS (
+      SELECT probe_class,
+             CAST(count(DISTINCT d.gid || '/' || d.key) AS BIGINT)
+               AS rgs_true_total
+      FROM d JOIN probes ON probes.v = d.key GROUP BY 1
+    ),
+    ag AS (
+      SELECT probe_class,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_probes,
+             CAST(sum(mm) AS BIGINT) AS rgs_minmax_total,
+             CAST(sum(bl) AS BIGINT) AS rgs_bloom_total
+      FROM x GROUP BY 1
+    ),
+    agf AS (
+      SELECT probe_class,
+             CAST(sum(frg) AS BIGINT) AS rgs_file_bloom_total
+      FROM xf GROUP BY 1
+    )
+    SELECT ag.probe_class, n_probes, rgs_minmax_total,
+           rgs_file_bloom_total, rgs_bloom_total,
+           CAST(coalesce(t.rgs_true_total, 0) AS BIGINT) AS rgs_true_total
+    FROM ag JOIN agf ON agf.probe_class = ag.probe_class
+            LEFT JOIN t ON t.probe_class = ag.probe_class
+    """,
+)
+def rowgroup_bloom_skipping_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW-GROUP-grain Bloom skipping report (r10, builder item #1 —
+    grain symmetry): the file-grain report proved min/max can't prune
+    point lookups on a high-cardinality key; this one proves WHERE
+    the Bloom should live. Simulated clustered table (8 files x 4 row
+    groups assigned by integer doc_id range — the layout a clustered
+    write produces), probed by content-hash keys: row-group min/max on
+    the key keeps ~every row group; a FILE-grain Bloom narrows to the
+    right file but the reader still visits all its row groups; the
+    ROW-GROUP Bloom narrows to the true row group — visits measured
+    in row groups, the unit of parquet I/O. File/rg assignment is
+    pure integer DIV arithmetic off a broadcast max (no global
+    window); probes broadcast onto the 32-row rg frame; the only
+    corpus-sized work is the position-set aggregation. The REAL
+    sidecar (rowgroup_bloom_manifest via _metadata.row_index + footer
+    offsets, write/append maintenance, pruned_rowgroups_bloom) is
+    exercised against actual multi-row-group parquet in
+    tests/test_layout.py."""
+    from cmsspark_spark.operators import layout as LAY
+
+    m = _BLOOM_M_Q
+    base = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    mxx = base.agg((F.max("doc_id") + 1).alias("_mx"))
+    d = (
+        base.crossJoin(F.broadcast(mxx))
+        .select(
+            F.md5("text").alias("key"),
+            F.expr("CAST(doc_id * 8 DIV _mx AS INT)").alias("fid"),
+            F.expr("CAST(doc_id * 32 DIV _mx AS INT)").alias("gid"),
+        )
+        .withColumn("_pos", LAY.bloom_positions("key", m=m))
+    )
+    pos = d.select("fid", "gid", "key", F.explode("_pos").alias("_p"))
+    rgs = pos.groupBy("fid", "gid").agg(
+        F.min("key").alias("mn"),
+        F.max("key").alias("mxk"),
+        F.collect_set("_p").alias("bloom"),
+    )
+    files = pos.groupBy("fid").agg(
+        F.countDistinct("gid").alias("n_rgs"),
+        F.min("key").alias("mn"),
+        F.max("key").alias("mxk"),
+        F.collect_set("_p").alias("bloom"),
+    )
+    sel = base.filter(F.col("doc_id") % 23 == 0)
+    probes = sel.select(
+        F.md5("text").alias("v"), F.lit("present").alias("probe_class")
+    ).unionByName(
+        sel.select(
+            F.md5(F.concat(F.col("text"), F.lit("#absent"))).alias("v"),
+            F.lit("absent").alias("probe_class"),
+        )
+    )
+    pp = probes.withColumn("_q", LAY.bloom_positions("v", m=m))
+    covers = (F.col("mn") <= F.col("v")) & (F.col("v") <= F.col("mxk"))
+    hits = F.forall(
+        F.col("_q"), lambda q: F.array_contains(F.col("bloom"), q)
+    )
+    x = rgs.crossJoin(F.broadcast(pp)).select(
+        "probe_class",
+        "v",
+        covers.cast("long").alias("mm"),
+        (covers & hits).cast("long").alias("bl"),
+    )
+    xf = files.crossJoin(F.broadcast(pp)).select(
+        "probe_class",
+        "v",
+        F.when(covers & hits, F.col("n_rgs")).otherwise(0).alias("frg"),
+    )
+    truth = (
+        d.select("gid", F.col("key").alias("v"))
+        .join(F.broadcast(probes), "v")
+        .groupBy("probe_class")
+        .agg(
+            F.countDistinct(
+                F.concat_ws("/", F.col("gid"), F.col("v"))
+            ).alias("rgs_true_total")
+        )
+    )
+    ag = x.groupBy("probe_class").agg(
+        F.countDistinct("v").alias("n_probes"),
+        F.sum("mm").alias("rgs_minmax_total"),
+        F.sum("bl").alias("rgs_bloom_total"),
+    )
+    agf = xf.groupBy("probe_class").agg(
+        F.sum("frg").alias("rgs_file_bloom_total")
+    )
+    return (
+        ag.join(agf, "probe_class")
+        .join(truth, "probe_class", "left")
+        .select(
+            "probe_class",
+            "n_probes",
+            "rgs_minmax_total",
+            "rgs_file_bloom_total",
+            "rgs_bloom_total",
+            F.coalesce("rgs_true_total", F.lit(0))
+            .cast("long")
+            .alias("rgs_true_total"),
+        )
+    )

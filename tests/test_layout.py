@@ -679,3 +679,122 @@ def test_retention_keeps_newest_day_partitions(spark, tmp_path):
     # manifest rebuilt over survivors only
     man = spark.read.parquet(L.manifest_location(p))
     assert man.agg({"n_rows": "sum"}).first()[0] == 20
+
+
+def test_rowgroup_bloom_manifest_prunes_to_true_rowgroup(spark, tmp_path):
+    """r10 grain symmetry: a point lookup the FILE Bloom admits still
+    reads the whole file; the ROW-GROUP Bloom narrows to the row
+    group(s) that might hold the key. Built on _metadata.row_index +
+    footer offsets — assert (a) every row group has a sidecar row, (b)
+    no false negative for any present key, (c) on this fixed dataset
+    the row-group Bloom keeps strictly fewer row groups than row-group
+    min/max for a mid-domain key, (d) per-file union of row-group
+    blooms equals the file bloom."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # keys are md5-ish hex strings (uniform in the key domain) while
+    # the table is WRITTEN in doc-id order — min/max on key is useless
+    import hashlib
+
+    n = 2048
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in range(n)]
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    for f in range(2):
+        sl = keys[f * 1024 : (f + 1) * 1024]
+        tbl = pa.table({"key": pa.array(sl, pa.string())})
+        pq.write_table(
+            tbl, f"{path}/part-{f}.parquet", row_group_size=256
+        )
+
+    stats_raw = L.rowgroup_stats_manifest(spark, path, dims=())
+    # string dim: min/max computed data-side for the prune frame
+    src = spark.read.parquet(path)
+    offs = L.rowgroup_offsets(stats_raw)
+    import pyspark.sql.functions as F
+
+    data = src.select(
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
+            "file"
+        ),
+        F.col("_metadata.row_index").alias("_ri"),
+        "key",
+    )
+    rg_stats = (
+        data.join(F.broadcast(offs), "file")
+        .filter(
+            (F.col("_ri") >= F.col("start"))
+            & (F.col("_ri") < F.col("start") + F.col("n_rows"))
+        )
+        .groupBy("file", "row_group")
+        .agg(F.min("key").alias("min_key"), F.max("key").alias("max_key"))
+    )
+    blooms = L.rowgroup_bloom_manifest(spark, path, "key")
+    assert blooms.count() == 8  # 2 files x 4 row groups
+
+    # (d) union of rg blooms == file bloom, per file
+    file_bloom = {
+        r.file: set(r.bloom_key)
+        for r in L.file_bloom_manifest(src, "key").collect()
+    }
+    rg_union: dict = {}
+    for r in blooms.collect():
+        rg_union.setdefault(r.file, set()).update(r.bloom_key)
+    assert rg_union == file_bloom
+
+    # (b) no false negative: present keys from known positions
+    for i in (0, 700, 1500, 2047):
+        kept = L.pruned_rowgroups_bloom(
+            rg_stats, blooms, "key", keys[i]
+        ).collect()
+        true_file = f"part-{i // 1024}.parquet"
+        true_rg = (i % 1024) // 256
+        assert any(
+            r.file == true_file and r.row_group == true_rg for r in kept
+        ), (i, kept)
+
+    # (c) bloom beats min/max on this data for a mid-domain key
+    v = keys[700]
+    mm_kept = rg_stats.filter(
+        (F.col("max_key") >= v) & (F.col("min_key") <= v)
+    ).count()
+    bl_kept = L.pruned_rowgroups_bloom(rg_stats, blooms, "key", v).count()
+    assert bl_kept < mm_kept, (bl_kept, mm_kept)
+    assert bl_kept >= 1
+
+
+def test_append_extends_rowgroup_bloom_sidecar(spark, tmp_path):
+    """bloom_rowgroups=True maintains the row-group Bloom sidecar at
+    append time by scanning ONLY the appended files — pre-existing
+    sidecar rows are byte-identical after the append."""
+    path = str(tmp_path / "t")
+    df1 = spark.range(0, 500).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS key"
+    )
+    df1.write.parquet(path)
+    L.write_rowgroup_bloom_manifest(spark, path, "key")
+    dest = L.manifest_location(path) + "_rowgroups_bloom"
+    before = {
+        (r.file, r.row_group): tuple(r.bloom_key)
+        for r in spark.read.parquet(dest).collect()
+    }
+
+    df2 = spark.range(500, 900).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS key"
+    )
+    new_files = L.append_with_manifest(
+        df2, path, ["id"], bloom_dim="key", bloom_rowgroups=True
+    )
+    assert new_files
+    after = {
+        (r.file, r.row_group): tuple(r.bloom_key)
+        for r in spark.read.parquet(dest).collect()
+    }
+    new_names = {f.rsplit("/", 1)[-1] for f in new_files}
+    for k, v in before.items():
+        assert after[k] == v  # untouched rows identical
+    added = set(after) - set(before)
+    assert added and all(f in new_names for f, _ in added)

@@ -805,3 +805,61 @@ def test_hamming_star_cap_preserves_components_and_bounds_pairs(spark):
     }
     assert comp_capped == comp_full
     capped.unpersist()
+
+
+def test_screened_verify_subsets_exact_and_floor_zero_is_identity(spark):
+    """r10 screened verify: with min_agree=0 the screened rung returns
+    exactly jaccard_pairs' output on the same candidates (the screen
+    is a no-op); with a positive floor it returns a SUBSET whose
+    jaccard values are identical pair-for-pair, every kept pair
+    satisfies the floor, and n_agree matches a direct signature
+    comparison."""
+    from cmsspark_spark.operators import dedup as D
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("tok3", "x3").replace("tok7", "x7")),  # near
+        (3, " ".join(f"tok{i}" for i in range(20))),  # half overlap
+        (4, " ".join(f"yyy{i}" for i in range(40))),  # unrelated
+        (5, " ".join(f"yyy{i}" for i in range(40))),  # dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = D.minhash_lsh_pairs(df, "doc_id", "text")
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(
+            df, "doc_id", "text", threshold=0.3, candidates=cand
+        ).collect()
+    }
+    floor0 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs_screened(
+            df, "doc_id", "text", candidates=cand,
+            threshold=0.3, min_agree=0,
+        ).collect()
+    }
+    assert floor0 == exact  # identity at floor 0
+
+    screened = D.jaccard_pairs_screened(
+        df, "doc_id", "text", candidates=cand, threshold=0.3, min_agree=6
+    ).collect()
+    wide = {
+        r._id: [r[f"h{i}"] for i in range(8)]
+        for r in D.minhash_signatures_wide(
+            df, "doc_id", "text"
+        ).collect()
+    }
+    for r in screened:
+        assert (r.id_a, r.id_b) in exact
+        assert r.jaccard == exact[(r.id_a, r.id_b)]
+        assert r.n_agree >= 6
+        direct = sum(
+            a == b for a, b in zip(wide[r.id_a], wide[r.id_b])
+        )
+        assert r.n_agree == direct
+    # the exact dups survive any floor (identical signatures agree 8/8)
+    kept = {(r.id_a, r.id_b) for r in screened}
+    assert (0, 1) in kept and (4, 5) in kept
