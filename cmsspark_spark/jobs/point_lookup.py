@@ -1,0 +1,150 @@
+"""Point-lookup job: the READ PATH of the Bloom sidecar family (r10,
+builder item #4) — plan which files a key lookup must touch from the
+stats + Bloom manifests alone (driver-scale metadata), then scan ONLY
+those files.
+
+This is the operational form of the ``bloom_skipping_report`` /
+``rowgroup_bloom_skipping_report`` registry queries: the same pruning
+functions (``pruned_files`` / ``pruned_files_bloom``), wired as a
+runnable lookup. The planning tiers:
+
+1. no manifest            → scan every file (the baseline a reader
+                            without sidecars pays);
+2. ``<table>_manifest``   → min/max pruning (useless on a
+                            high-cardinality key unless the table is
+                            clustered on it);
+3. ``<table>_manifest_bloom`` → Bloom pruning (point lookups touch
+                            ~only the true files, any layout);
+4. ``<table>_manifest_rowgroups_bloom`` → reported as PLANNING
+                            numbers (expected row-group visits) — the
+                            in-file skip itself belongs to the parquet
+                            reader's predicate pushdown, which the
+                            pruned scan still benefits from.
+
+Scale: planning reads manifest parquet (one row per file / row group)
+and collects only the kept FILE LIST to the driver — bounded by file
+count, never rows. The data scan is an explicit-path parquet read, so
+Spark lists and opens exactly the planned files.
+
+Run:
+    python -m cmsspark_spark.jobs.point_lookup \\
+        --table /data/docs --dim key --value abc123 [--out /tmp/hits]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cmsspark_spark.operators.layout import (
+    _list_parquet_files,
+    manifest_location,
+    pruned_files,
+    pruned_files_bloom,
+)
+from cmsspark_spark.session import get_spark
+
+
+def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def plan_lookup(
+    spark: SparkSession, table: str, dim: str, value
+) -> dict:
+    """Metadata-only lookup plan: which files must be opened for
+    ``dim == value``, per pruning tier. Returns the kept file names
+    plus per-tier counts (the skipping evidence). Falls back tier by
+    tier when a sidecar is missing — a missing Bloom degrades to
+    min/max, a missing manifest to the full listing; never wrong,
+    only less pruned."""
+    all_files = _list_parquet_files(spark, table)
+    names = {f.rsplit("/", 1)[-1]: f for f in all_files}
+    out = {
+        "files_total": len(all_files),
+        "files_minmax": len(all_files),
+        "files_kept": sorted(names),
+        "tier": "none",
+    }
+    man = _try_read(spark, manifest_location(table))
+    if man is None:
+        return out
+    mm = [r.file for r in pruned_files(man, dim, value, value).collect()]
+    out.update(
+        files_minmax=len(mm),
+        files_kept=sorted(mm),
+        tier="minmax",
+    )
+    blooms = _try_read(spark, manifest_location(table) + "_bloom")
+    if blooms is None:
+        return out
+    joined = man.join(blooms, "file", "left")
+    kept = [
+        r.file for r in pruned_files_bloom(joined, dim, value).collect()
+    ]
+    out.update(files_kept=sorted(kept), tier="bloom")
+    rg_blooms = _try_read(
+        spark, manifest_location(table) + "_rowgroups_bloom"
+    )
+    if rg_blooms is not None:
+        from cmsspark_spark.operators.layout import bloom_positions
+
+        probe = bloom_positions(F.lit(value).cast("string"))
+        hit = F.forall(
+            probe,
+            lambda p: F.array_contains(F.col(f"bloom_{dim}"), p),
+        )
+        stats = rg_blooms.filter(F.col("file").isin(kept))
+        out["rowgroups_planned"] = stats.filter(hit).count()
+        out["rowgroups_in_kept_files"] = stats.count()
+    return out
+
+
+def run(
+    spark: SparkSession,
+    table: str,
+    dim: str,
+    value,
+    out: str | None = None,
+) -> dict:
+    """Plan, then scan ONLY the planned files for ``dim == value``.
+    Returns the plan summary plus the hit count (and writes hits to
+    ``out`` when given). The scan passes the kept files as explicit
+    paths — Spark opens nothing else — and the equality predicate
+    still pushes down into each file's row-group stats/dictionary,
+    so the in-file skip comes free on top of the file-level prune."""
+    plan = plan_lookup(spark, table, dim, value)
+    all_files = {
+        f.rsplit("/", 1)[-1]: f for f in _list_parquet_files(spark, table)
+    }
+    paths = [all_files[n] for n in plan["files_kept"] if n in all_files]
+    if not paths:
+        plan["n_hits"] = 0
+        return plan
+    hits = spark.read.parquet(*paths).filter(F.col(dim) == F.lit(value))
+    if out:
+        hits.write.mode("overwrite").parquet(out)
+        plan["out"] = out
+    plan["n_hits"] = hits.count()
+    return plan
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--dim", required=True)
+    ap.add_argument("--value", required=True)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    spark = get_spark("point-lookup")
+    summary = run(spark, args.table, args.dim, args.value, out=args.out)
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

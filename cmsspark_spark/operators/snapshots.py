@@ -1,0 +1,290 @@
+"""Snapshot-versioned tables: time travel for the curated-table family.
+
+The incremental/curated lifecycle (append-only tables, partition-scoped
+upserts, compaction, VACUUM — operators/incremental.py, layout.py)
+mutates ONE live view of a table; a pipeline that re-trains on "the
+corpus as of last week" or needs to audit exactly what a job read has
+nothing to pin. This module adds the lakehouse snapshot shape (the
+public Iceberg/Delta model, re-built from scratch on plain parquet +
+a tiny version log):
+
+- every write commits a SNAPSHOT: an immutable, atomically-renamed
+  version file under ``<table>/_snapshots/`` listing the data files
+  that are LIVE in that version (names + sizes — metadata only);
+- ``read_snapshot(version=...)`` plans an explicit-path parquet scan
+  of exactly that version's files — old versions stay readable after
+  later appends/overwrites because data files are never mutated, only
+  superseded (overwrite = write new files + commit a list without the
+  old ones; the old files stay on disk until expired);
+- ``rollback_snapshot`` commits a NEW version whose file list is a
+  past version's (history is append-only; nothing is deleted);
+- ``expire_snapshots`` retires old versions and deletes data files no
+  RETAINED version references — the time-travel-safe VACUUM
+  (``layout.vacuum_table`` keeps only what the single manifest lists;
+  this keeps the union of all retained versions).
+
+Concurrency: a commit writes ``_tmp.<uuid>`` then RENAMES to
+``v<NNNNNNNN>.json`` — on HDFS-like stores rename-without-overwrite is
+atomic, so two racing writers cannot both claim a version; the loser
+retries at the next number (optimistic concurrency, bounded retries).
+On object stores without atomic rename, front this with a locking
+service — noted, not hidden.
+
+Scale: everything here is driver-side metadata ∝ file count. A 100 TB
+table with millions of files would chunk its file lists into avro
+manifest files and keep only manifest POINTERS in the version entry
+(the Iceberg manifest-list design); the JSON-per-version form keeps
+the same commit/expire semantics with one fewer indirection and is the
+honest fit for tables up to ~100k files.
+
+No reference twin: the reference overwrites HDFS output directories in
+place (e.g. ``dbs_condor.py`` writes day outputs with no history); this
+is beyond-reference operability for the training-data lifecycle.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cmsspark_spark.operators.layout import _fs_for, _list_parquet_files
+
+SNAPDIR = "_snapshots"
+
+
+def _list_or_empty(spark: SparkSession, table: str) -> set[str]:
+    """Parquet listing that treats a not-yet-created table directory
+    as empty (the very first snapshot_write) instead of surfacing the
+    Hadoop FileNotFoundException."""
+    fs, jpath = _fs_for(spark, table)
+    if not fs.exists(jpath):
+        return set()
+    return set(_list_parquet_files(spark, table))
+
+
+def _snap_dir(table: str) -> str:
+    return table.rstrip("/") + "/" + SNAPDIR
+
+
+def _version_name(v: int) -> str:
+    return f"v{v:08d}.json"
+
+
+def list_snapshots(spark: SparkSession, table: str) -> list[int]:
+    """Committed version numbers, ascending. Metadata listing only."""
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    d = jvm.org.apache.hadoop.fs.Path(_snap_dir(table))
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_snapshot_meta(spark: SparkSession, table: str, version: int) -> dict:
+    """Parse one version file. Raises FileNotFoundError for an unknown
+    or EXPIRED version — time travel past the retention window must
+    fail loudly, never silently read the current state."""
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        _snap_dir(table) + "/" + _version_name(version)
+    )
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"snapshot v{version} of {table} does not exist or was expired"
+        )
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    table: str,
+    files: Sequence[str],
+    op: str,
+    parent: int | None = None,
+    max_retries: int = 16,
+) -> int:
+    """Atomically commit the next snapshot version listing ``files``
+    (basenames) as the table's live set. Write-temp-then-rename; a
+    rename that fails because the version file already exists means a
+    concurrent writer won that number — retry at the next. Returns the
+    committed version number."""
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    d = Path(_snap_dir(table))
+    fs.mkdirs(d)
+    names = sorted({f.rsplit("/", 1)[-1] for f in files})
+    for _ in range(max_retries):
+        versions = list_snapshots(spark, table)
+        v = (versions[-1] + 1) if versions else 1
+        meta = {
+            "version": v,
+            "op": op,
+            "parent": parent if parent is not None else (versions[-1] if versions else None),
+            "files": names,
+            "n_files": len(names),
+        }
+        tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")
+        out = fs.create(tmp, False)
+        try:
+            out.write(bytearray(json.dumps(meta).encode("utf-8")))
+        finally:
+            out.close()
+        dest = Path(_snap_dir(table) + "/" + _version_name(v))
+        # rename(src, dst) returns False instead of overwriting when
+        # dst exists — the atomic claim; False = lost the race, retry
+        if not fs.exists(dest) and fs.rename(tmp, dest):
+            return v
+        fs.delete(tmp, False)
+    raise RuntimeError(
+        f"could not commit a snapshot of {table} after {max_retries} "
+        "attempts (heavy concurrent-writer contention)"
+    )
+
+
+def snapshot_write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+) -> int:
+    """Write ``df`` to ``table`` and commit the resulting snapshot.
+
+    ``append``: new parquet files land beside the existing ones (FS
+    append mode — always fresh file names); the snapshot lists parent
+    files + new files. ``overwrite``: new files land the same way (NO
+    in-place directory wipe) and the snapshot lists ONLY them — prior
+    versions keep reading the superseded files until expiry. Returns
+    the committed version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    before = _list_or_empty(spark, table)
+    df.write.mode("append").parquet(table)
+    new_files = [
+        f.rsplit("/", 1)[-1]
+        for f in _list_parquet_files(spark, table)
+        if f not in before
+    ]
+    versions = list_snapshots(spark, table)
+    if mode == "append" and versions:
+        live = read_snapshot_meta(spark, table, versions[-1])["files"]
+        files = list(live) + new_files
+    else:
+        files = new_files
+    return commit_snapshot(spark, table, files, op=mode)
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """DataFrame over exactly one snapshot's files (latest when
+    ``version`` is None) — an explicit-path parquet scan, so Spark
+    lists and reads nothing the version does not own. Filters and
+    column pruning push into the scan as usual."""
+    versions = list_snapshots(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"{table} has no snapshots")
+    v = versions[-1] if version is None else version
+    meta = read_snapshot_meta(spark, table, v)
+    if not meta["files"]:
+        return spark.createDataFrame([], spark.read.parquet(table).schema)
+    root = table.rstrip("/")
+    return spark.read.parquet(*[f"{root}/{n}" for n in meta["files"]])
+
+
+def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
+    """Restore a past version by committing a NEW snapshot with that
+    version's file list (op='rollback') — history stays append-only,
+    the bad versions remain auditable, and expiry rules apply
+    uniformly. Returns the new version number."""
+    meta = read_snapshot_meta(spark, table, version)
+    return commit_snapshot(
+        spark, table, meta["files"], op=f"rollback:{version}"
+    )
+
+
+def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
+    """(version, op, parent, n_files) per committed snapshot — the
+    audit view."""
+    rows = [
+        (
+            m["version"],
+            m["op"],
+            m.get("parent"),
+            m["n_files"],
+        )
+        for m in (
+            read_snapshot_meta(spark, table, v)
+            for v in list_snapshots(spark, table)
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op string, parent int, n_files int"
+    )
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    table: str,
+    keep_last: int,
+    dry_run: bool = True,
+) -> dict:
+    """Retire all but the newest ``keep_last`` versions and delete the
+    data files that NO retained version references — the time-travel-
+    safe VACUUM. A file shared by an expired and a retained version
+    survives (live sets are unions, exactly Iceberg's
+    expire_snapshots contract). Dry-run by default. Returns
+    ``{"expired_versions": [...], "deleted_files": [...],
+    "kept_versions": [...]}``."""
+    if keep_last <= 0:
+        raise ValueError("keep_last must be positive")
+    versions = list_snapshots(spark, table)
+    kept, expired = versions[-keep_last:], versions[:-keep_last]
+    retained_files: set[str] = set()
+    for v in kept:
+        retained_files.update(read_snapshot_meta(spark, table, v)["files"])
+    doomed_files: set[str] = set()
+    for v in expired:
+        doomed_files.update(
+            f
+            for f in read_snapshot_meta(spark, table, v)["files"]
+            if f not in retained_files
+        )
+    out = {
+        "kept_versions": kept,
+        "expired_versions": expired,
+        "deleted_files": sorted(doomed_files),
+    }
+    if not dry_run:
+        fs, _ = _fs_for(spark, table)
+        jvm = spark.sparkContext._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = table.rstrip("/")
+        for n in sorted(doomed_files):
+            fs.delete(Path(f"{root}/{n}"), False)
+        for v in expired:
+            fs.delete(
+                Path(_snap_dir(table) + "/" + _version_name(v)), False
+            )
+    return out

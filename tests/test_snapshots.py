@@ -1,0 +1,102 @@
+"""Snapshot-versioned tables: time travel, rollback, expiry, commit
+races (operators/snapshots.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cmsspark_spark.operators import snapshots as S
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_time_travel_across_append_and_overwrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v1 = S.snapshot_write(spark.range(0, 10), t, mode="append")
+    v2 = S.snapshot_write(spark.range(10, 15), t, mode="append")
+    v3 = S.snapshot_write(spark.range(100, 103), t, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    assert _ids(S.read_snapshot(spark, t, 1)) == list(range(0, 10))
+    assert _ids(S.read_snapshot(spark, t, 2)) == list(range(0, 15))
+    assert _ids(S.read_snapshot(spark, t, 3)) == [100, 101, 102]
+    # latest == newest version
+    assert _ids(S.read_snapshot(spark, t)) == [100, 101, 102]
+    # overwrite superseded but did NOT delete: v2 still readable (above)
+    hist = {r.version: r for r in S.snapshot_history(spark, t).collect()}
+    assert hist[3].op == "overwrite" and hist[3].parent == 2
+    assert hist[2].op == "append" and hist[2].n_files >= hist[1].n_files
+
+
+def test_rollback_restores_content_and_keeps_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 5), t, mode="append")
+    S.snapshot_write(spark.range(5, 8), t, mode="overwrite")
+    v3 = S.rollback_snapshot(spark, t, 1)
+    assert v3 == 3
+    assert _ids(S.read_snapshot(spark, t)) == list(range(0, 5))
+    # the bad version stays auditable
+    assert _ids(S.read_snapshot(spark, t, 2)) == [5, 6, 7]
+    ops = {r.version: r.op for r in S.snapshot_history(spark, t).collect()}
+    assert ops[3] == "rollback:1"
+
+
+def test_expire_deletes_only_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 10), t, mode="append")   # files A
+    S.snapshot_write(spark.range(10, 15), t, mode="append")  # A + B
+    S.snapshot_write(spark.range(100, 103), t, mode="overwrite")  # C
+
+    # keep the last 2 (v2, v3): v1's files are all shared with v2 ->
+    # nothing deletable
+    plan = S.expire_snapshots(spark, t, keep_last=2, dry_run=True)
+    assert plan["expired_versions"] == [1]
+    assert plan["deleted_files"] == []
+
+    # keep only v3: A and B unreferenced -> deleted; C survives
+    res = S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+    assert res["expired_versions"] == [1, 2]
+    assert len(res["deleted_files"]) > 0
+    assert _ids(S.read_snapshot(spark, t, 3)) == [100, 101, 102]
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, t, 1)
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, t, 2)
+    # deleted files are really gone from disk
+    from cmsspark_spark.operators.layout import _list_parquet_files
+
+    on_disk = {
+        f.rsplit("/", 1)[-1] for f in _list_parquet_files(spark, t)
+    }
+    assert on_disk.isdisjoint(set(res["deleted_files"]))
+    meta = S.read_snapshot_meta(spark, t, 3)
+    assert set(meta["files"]) <= on_disk
+
+
+def test_commit_race_skips_claimed_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 3), t, mode="append")
+    # a concurrent writer claims v2 out from under us
+    snapdir = tmp_path / "t" / S.SNAPDIR
+    (snapdir / "v00000002.json").write_text(
+        '{"version": 2, "op": "append", "parent": 1, "files": [], '
+        '"n_files": 0}'
+    )
+    v = S.snapshot_write(spark.range(3, 6), t, mode="append")
+    assert v == 3
+    # and the append chained off the REAL latest at commit time
+    assert S.list_snapshots(spark, t) == [1, 2, 3]
+
+
+def test_dry_run_expire_touches_nothing(spark, tmp_path):
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 4), t, mode="append")
+    S.snapshot_write(spark.range(4, 8), t, mode="overwrite")
+    before = sorted(p.name for p in (tmp_path / "t").rglob("*.parquet"))
+    S.expire_snapshots(spark, t, keep_last=1, dry_run=True)
+    after = sorted(p.name for p in (tmp_path / "t").rglob("*.parquet"))
+    assert before == after
+    assert S.list_snapshots(spark, t) == [1, 2]

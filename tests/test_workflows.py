@@ -959,3 +959,72 @@ def test_stale_census_entry_cannot_win_split_election(spark):
     row = split_assign_increment(inc, census, splits).first()
     assert row.inherited, "valid match must not be shadowed by stale entry"
     assert row.split == "val"
+
+
+def test_point_lookup_job_reads_only_planned_files(spark, tmp_path):
+    """r10 Bloom read path: the point-lookup job plans from the
+    manifests alone and scans ONLY the planned files — result
+    identical to a full-table filter, files opened strictly fewer
+    than the table has, tier degradation (no bloom -> minmax -> none)
+    never loses a hit."""
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.jobs import point_lookup
+    from cmsspark_spark.operators import layout as L
+
+    table = str(tmp_path / "t")
+    # 16 files, keys hash-scattered (min/max useless by construction)
+    df = (
+        spark.range(0, 4000)
+        .select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("key")
+        )
+        .repartition(16, "key")
+    )
+    df.write.parquet(table)
+    # manifests: data-side stats (string dim) + file-grain bloom
+    L.file_stats_manifest(spark.read.parquet(table), ["key"]).write.parquet(
+        L.manifest_location(table)
+    )
+    L.write_bloom_manifest(spark, table, "key")
+    L.write_rowgroup_bloom_manifest(spark, table, "key")
+
+    import hashlib
+
+    present = hashlib.md5(b"1234").hexdigest()
+    absent = hashlib.md5(b"nope-not-here").hexdigest()
+
+    full = (
+        spark.read.parquet(table).filter(F.col("key") == present).count()
+    )
+    assert full == 1
+
+    plan = point_lookup.run(
+        spark, table, "key", present, out=str(tmp_path / "hits")
+    )
+    assert plan["tier"] == "bloom"
+    assert plan["n_hits"] == full == 1
+    assert plan["files_total"] == 16
+    # min/max keeps ~everything on a hashed key; the bloom must beat it
+    assert len(plan["files_kept"]) < plan["files_minmax"]
+    assert len(plan["files_kept"]) >= 1
+    # rowgroup tier reported when the sidecar exists
+    assert plan["rowgroups_planned"] <= plan["rowgroups_in_kept_files"]
+    hits = spark.read.parquet(str(tmp_path / "hits"))
+    assert hits.count() == 1 and hits.collect()[0].key == present
+
+    # absent key: bloom prunes to zero files, scan skipped entirely
+    plan_abs = point_lookup.run(spark, table, "key", absent)
+    assert plan_abs["n_hits"] == 0
+    assert len(plan_abs["files_kept"]) <= 2  # fp-bounded, usually 0
+
+    # tier degradation: drop the bloom sidecar -> minmax tier, same hits
+    import shutil
+
+    shutil.rmtree(L.manifest_location(table) + "_bloom")
+    plan_mm = point_lookup.run(spark, table, "key", present)
+    assert plan_mm["tier"] == "minmax" and plan_mm["n_hits"] == 1
+    shutil.rmtree(L.manifest_location(table))
+    plan_none = point_lookup.run(spark, table, "key", present)
+    assert plan_none["tier"] == "none" and plan_none["n_hits"] == 1
+    assert len(plan_none["files_kept"]) == 16
