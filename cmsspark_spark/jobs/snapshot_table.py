@@ -1,0 +1,73 @@
+"""Snapshot administration CLI: history / rollback / expire / changes
+for a snapshot-versioned table (operators/snapshots.py) — the
+operational companion of ``jobs/vacuum_table.py`` for tables that keep
+time-travel history instead of a single live manifest.
+
+Run:
+    python -m cmsspark_spark.jobs.snapshot_table history  --table /data/t
+    python -m cmsspark_spark.jobs.snapshot_table rollback --table /data/t --version 3
+    python -m cmsspark_spark.jobs.snapshot_table expire   --table /data/t --keep-last 7 [--delete]
+    python -m cmsspark_spark.jobs.snapshot_table changes  --table /data/t --from-version 3 [--to-version 5] [--out /tmp/delta]
+
+``expire`` is dry-run unless ``--delete`` is passed — same opt-in
+discipline as vacuum. ``changes`` writes (or counts) the rows added
+between two versions: the incremental-training read.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from cmsspark_spark.operators import snapshots as S
+from cmsspark_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    h = sub.add_parser("history")
+    h.add_argument("--table", required=True)
+
+    r = sub.add_parser("rollback")
+    r.add_argument("--table", required=True)
+    r.add_argument("--version", type=int, required=True)
+
+    e = sub.add_parser("expire")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, required=True)
+    e.add_argument("--delete", action="store_true")
+
+    c = sub.add_parser("changes")
+    c.add_argument("--table", required=True)
+    c.add_argument("--from-version", type=int, required=True)
+    c.add_argument("--to-version", type=int, default=None)
+    c.add_argument("--out", default=None)
+
+    args = ap.parse_args(argv)
+    spark = get_spark("snapshot-table")
+
+    if args.cmd == "history":
+        S.snapshot_history(spark, args.table).orderBy("version").show(
+            100, truncate=False
+        )
+    elif args.cmd == "rollback":
+        v = S.rollback_snapshot(spark, args.table, args.version)
+        print({"rolled_back_to": args.version, "new_version": v})
+    elif args.cmd == "expire":
+        res = S.expire_snapshots(
+            spark, args.table, keep_last=args.keep_last,
+            dry_run=not args.delete,
+        )
+        print(res)
+    elif args.cmd == "changes":
+        df = S.snapshot_changes(
+            spark, args.table, args.from_version, args.to_version
+        )
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+        print({"rows_added": df.count(), "out": args.out})
+
+
+if __name__ == "__main__":
+    main()

@@ -122,13 +122,15 @@ def commit_snapshot(
     files: Sequence[str],
     op: str,
     parent: int | None = None,
+    extra: dict | None = None,
     max_retries: int = 16,
 ) -> int:
     """Atomically commit the next snapshot version listing ``files``
     (basenames) as the table's live set. Write-temp-then-rename; a
     rename that fails because the version file already exists means a
-    concurrent writer won that number — retry at the next. Returns the
-    committed version number."""
+    concurrent writer won that number — retry at the next. ``extra``
+    adds metadata fields to the commit (the streaming sink records its
+    batch_id this way). Returns the committed version number."""
     fs, _ = _fs_for(spark, table)
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path
@@ -145,6 +147,7 @@ def commit_snapshot(
             "files": names,
             "n_files": len(names),
         }
+        meta.update(extra or {})
         tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")
         out = fs.create(tmp, False)
         try:
@@ -288,3 +291,88 @@ def expire_snapshots(
                 Path(_snap_dir(table) + "/" + _version_name(v)), False
             )
     return out
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC-lite for append-mostly tables: the rows ADDED between two
+    snapshots, read as an explicit-path scan of exactly the files
+    present in ``to_version`` but not in ``from_version`` — the
+    incremental-training read ("docs ingested since snapshot N")
+    without any diff compute: file identity IS the change log because
+    data files are immutable. Note the contract: a file carried by
+    both versions contributes nothing even if an overwrite version
+    between them dropped and re-added it; rows REMOVED by an
+    overwrite are not reported (pair with read_snapshot diffs when a
+    removal audit is needed — removal is the rare path for curated
+    corpora)."""
+    versions = list_snapshots(spark, table)
+    if to_version is None:
+        if not versions:
+            raise FileNotFoundError(f"{table} has no snapshots")
+        to_version = versions[-1]
+    old = set(read_snapshot_meta(spark, table, from_version)["files"])
+    new = read_snapshot_meta(spark, table, to_version)["files"]
+    added = [n for n in new if n not in old]
+    root = table.rstrip("/")
+    if not added:
+        return read_snapshot(spark, table, to_version).limit(0)
+    return spark.read.parquet(*[f"{root}/{n}" for n in added])
+
+
+def committed_batch_ids(spark: SparkSession, table: str) -> set[str]:
+    """Batch ids recorded by snapshot commits (``snapshot_sink``) —
+    the replay ledger an exactly-once streaming writer consults."""
+    out: set[str] = set()
+    for v in list_snapshots(spark, table):
+        b = read_snapshot_meta(spark, table, v).get("batch_id")
+        if b is not None:
+            out.add(str(b))
+    return out
+
+
+def snapshot_sink(table: str):
+    """foreachBatch sink that lands each micro-batch as a SNAPSHOT
+    APPEND with the epoch id recorded in the commit — replayed batches
+    (restart between the data write and the checkpoint commit) are
+    detected by their batch_id in the version log and SKIPPED, so the
+    version history is exactly-once even though Structured Streaming's
+    foreachBatch contract is at-least-once. Readers pinned to any
+    version never see a torn batch: the data files land before the
+    version file that references them, and an unreferenced landing
+    from a crashed attempt is invisible to every snapshot (and
+    reclaimable as expire/vacuum residue).
+
+    Use: ``df.writeStream.foreachBatch(snapshot_sink(path)).start()``.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if str(batch_id) in committed_batch_ids(spark, table):
+            return  # replay of an already-committed batch
+        before = _list_or_empty(spark, table)
+        batch_df.write.mode("append").parquet(table)
+        new_files = [
+            f.rsplit("/", 1)[-1]
+            for f in _list_parquet_files(spark, table)
+            if f not in before
+        ]
+        versions = list_snapshots(spark, table)
+        live = (
+            read_snapshot_meta(spark, table, versions[-1])["files"]
+            if versions
+            else []
+        )
+        commit_snapshot(
+            spark,
+            table,
+            list(live) + new_files,
+            op="stream-append",
+            extra={"batch_id": str(batch_id)},
+        )
+
+    return _sink

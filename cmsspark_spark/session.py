@@ -36,6 +36,21 @@ _RUNTIME_CONF = {
     # cached operator pipeline (LSH signatures, shingle frames) would
     # silently lose the optimizations its uncached twin gets.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # InferFiltersFromGenerate synthesizes `size(e) > 0` from every
+    # non-outer explode(e) and pushes it through joins/exchanges down
+    # to the scan — for a COMPUTED array e (shingles, token n-grams)
+    # that duplicates the whole expression as a per-row filter on the
+    # far side of the join, so a candidate-pruned pipeline re-pays the
+    # full-corpus map (measured: the LSH verify rung evaluated
+    # shingles() for all 50k sf1 docs below its 600-member semi-join —
+    # 33 s of a 60 s query; same mechanism as the r4 span-census and
+    # r6 paragraph-dedup incidents). The rule is never semantic for
+    # explode — empty arrays generate nothing anyway — and our
+    # generator inputs are non-empty by construction, so excluding it
+    # costs nothing and retires the pathology class engine-wide.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
