@@ -905,3 +905,33 @@ def test_bm25_auto_candidate_guard_counts_then_broadcasts(spark):
     }
     assert got == want
     invalidate_session_memos(spark)
+
+
+def test_candidate_verify_has_no_computed_array_filter(spark):
+    """r10: InferFiltersFromGenerate used to synthesize
+    size(shingles(text)) > 0 from the verify explode and push the
+    WHOLE shingle expression below the candidate-member semi-join —
+    re-evaluating it for every corpus row (the 100TB killer: verify
+    cost became corpus-proportional regardless of candidate count).
+    With the rule excluded session-wide, no Filter in the plan may
+    contain the shingle build (array_distinct/transform), and the
+    member prune must still be a broadcast semi-join."""
+    from cmsspark_spark.operators import dedup as D
+    from cmsspark_spark import plans
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    ver = D._jaccard_pairs_run(
+        df, "doc_id", "text", 3, 0.5, cand, cache=False
+    )
+    plan = plans.formatted_plan(ver)
+    # walk Filter operator details: none may carry the shingle build
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and "Filter" in block.splitlines()[0]:
+            assert "array_distinct" not in block, block[:500]
+            assert "transform(" not in block, block[:500]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
