@@ -243,6 +243,7 @@ EXTRA = [
     "bpe_byte_packing_efficiency",   # packing in byte-BPE units
     "dedup_lsh_screened_verified",   # signature screen -> exact verify
     "lsh_screen_quality_report",     # screen floor calibration audit
+    "bm25_ranking_quality",          # nDCG/MRR/P@10 retrieval eval
 ]
 
 

@@ -12014,3 +12014,122 @@ def rowgroup_bloom_skipping_report(
             .alias("rgs_true_total"),
         )
     )
+
+
+@query(
+    "bm25_ranking_quality",
+    f"""
+    WITH mlt AS ({ORACLES["bm25_more_like_this"]}),
+    qsrc AS (
+      SELECT doc_id AS query_id, source AS qsource
+      FROM documents WHERE doc_id < 5
+    ),
+    rel AS (
+      SELECT m.query_id, m.rank,
+             CASE WHEN d.source = q.qsource THEN 1 ELSE 0 END AS r
+      FROM mlt m JOIN documents d ON d.doc_id = m.doc_id
+                 JOIN qsrc q ON q.query_id = m.query_id
+    ),
+    rtot AS (
+      SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel_corpus
+      FROM qsrc q JOIN documents d
+        ON d.source = q.qsource AND d.doc_id <> q.query_id
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT query_id,
+             CAST(sum(r) AS BIGINT) AS n_rel_at_10,
+             list_reduce(
+               list_prepend(0.0, list(r / log2(rank + 1.0) ORDER BY rank)),
+               (acc, x) -> acc + x) AS dcg,
+             min(CASE WHEN r = 1 THEN rank END) AS fr
+      FROM rel GROUP BY 1
+    )
+    SELECT a.query_id, t.n_rel_corpus, a.n_rel_at_10,
+           round(a.n_rel_at_10 / 10.0, 6) AS prec_10,
+           round(coalesce(1.0 / a.fr, 0.0), 6) AS mrr_10,
+           round(CASE WHEN t.n_rel_corpus = 0 THEN 0.0
+             ELSE a.dcg / list_reduce(
+               list_prepend(0.0,
+                 [1.0 / log2(i + 1.0)
+                  for i in generate_series(1, CAST(least(t.n_rel_corpus, 10) AS INT))]),
+               (acc, x) -> acc + x) END, 6) AS ndcg_10
+    FROM agg a JOIN rtot t ON t.query_id = a.query_id
+    """,
+)
+def bm25_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-evaluation capstone for the retrieval family (r10): nDCG@10,
+    MRR@10 and precision@10 of the exact BM25 more-like-this ranking
+    against a deterministic relevance oracle (a retrieved doc is
+    relevant iff it shares the query doc's source — the same weak
+    label the quality classifier trains on, so the whole eval is
+    self-contained). The oracle SQL is COMPOSED from the registered
+    bm25_more_like_this oracle verbatim, so the ranking being
+    evaluated can never drift from the ranking the driver gates.
+    Float discipline: DCG and ideal-DCG are LEFT-ASSOCIATIVE folds
+    over rank-ordered contribution arrays with a 0.0 seed on both
+    engines (the PQ-ADC sum pattern) — never an unordered SUM of
+    doubles. All joins are broadcast-sized (5 query rows); the only
+    corpus-scale work is inherited from the composed retrieval."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    mlt = PL.bm25_more_like_this(d, query_max_id=5, k=10)
+    src = d.select("doc_id", "source")
+    qsrc = src.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("qsource")
+    )
+    rel = (
+        mlt.join(src, "doc_id")
+        .join(F.broadcast(qsrc), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            (F.col("source") == F.col("qsource")).cast("int").alias("r"),
+        )
+    )
+    rtot = (
+        F.broadcast(qsrc)
+        .join(src, F.col("source") == F.col("qsource"))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel_corpus"))
+    )
+    contrib = F.struct(
+        F.col("rank").alias("rank"),
+        (F.col("r") / F.log2(F.col("rank") + 1.0)).alias("c"),
+    )
+    agg = rel.groupBy("query_id").agg(
+        F.sum("r").alias("n_rel_at_10"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(contrib)), lambda s: s["c"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dcg"),
+        F.min(F.when(F.col("r") == 1, F.col("rank"))).alias("fr"),
+    )
+    ideal = F.aggregate(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.least("n_rel_corpus", F.lit(10)).cast("int")
+            ),
+            lambda i: 1.0 / F.log2(i + 1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return agg.join(rtot, "query_id").select(
+        "query_id",
+        "n_rel_corpus",
+        "n_rel_at_10",
+        F.round(F.col("n_rel_at_10") / 10.0, 6).alias("prec_10"),
+        F.round(F.coalesce(1.0 / F.col("fr"), F.lit(0.0)), 6).alias("mrr_10"),
+        F.round(
+            F.when(F.col("n_rel_corpus") == 0, 0.0).otherwise(
+                F.col("dcg") / ideal
+            ),
+            6,
+        ).alias("ndcg_10"),
+    )
