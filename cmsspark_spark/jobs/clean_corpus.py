@@ -41,6 +41,7 @@ def run(
     shards: int = 8,
     span_window: int = 0,
     near_dup_policy: str = "off",
+    snapshot: bool = False,
 ) -> DataFrame:
     # Widened catalog scan: every phase before the first shuffle is
     # map-heavy (token gate, fingerprints, span hashing, gram explode)
@@ -158,6 +159,14 @@ def run(
         ],
     )
     sinks.write_csv(manifest, f"{out}/manifest")
+    if snapshot:
+        # versioned curated corpus: each run commits one snapshot
+        # (overwrite semantics — this run's survivors ARE the corpus),
+        # prior versions stay readable for time travel / diff-reads
+        # until expire_snapshots retires them
+        from cmsspark_spark.operators.snapshots import snapshot_write
+
+        snapshot_write(kept, f"{out}/corpus", mode="overwrite")
     gated.unpersist()
     if span_window:
         _pinned_strip.unpersist()
@@ -181,6 +190,10 @@ def main() -> None:
                     help="near-dup cluster survivor policy (off "
                          "disables clustering; longest keeps the "
                          "most-token member per cluster)")
+    ap.add_argument("--snapshot", action="store_true",
+                    help="also commit the survivors as a snapshot "
+                         "version of <out>/corpus (time travel + "
+                         "cross-run diff reads)")
     args = ap.parse_args()
     spark = get_spark("clean-corpus")
     run(
@@ -190,6 +203,7 @@ def main() -> None:
         budget=args.budget, alpha=args.alpha, shards=args.shards,
         span_window=args.span_window,
         near_dup_policy=args.near_dup_policy,
+        snapshot=args.snapshot,
     )
     spark.stop()
 

@@ -187,3 +187,35 @@ def test_snapshot_table_cli_smoke(spark, tmp_path, capsys, monkeypatch):
     assert S.list_snapshots(spark, t) == [3]
     out = capsys.readouterr().out
     assert "rolled_back_to" in out and "rows_added" in out
+
+
+def test_clean_corpus_snapshot_versions_across_runs(spark, tmp_path):
+    """clean_corpus --snapshot commits each run's survivors as one
+    snapshot version of <out>/corpus: a stricter re-run supersedes the
+    corpus while the first version stays readable (time travel), and
+    the latest version equals the shard output of the latest run."""
+    from cmsspark_spark.jobs import clean_corpus
+
+    out = str(tmp_path / "cc")
+    clean_corpus.run(
+        spark, "/root/testdata/sf0.001", out,
+        min_tokens=5, snapshot=True,
+    )
+    v1 = S.read_snapshot(spark, out + "/corpus", 1)
+    n1 = v1.count()
+    assert n1 > 0
+
+    clean_corpus.run(
+        spark, "/root/testdata/sf0.001", out,
+        min_tokens=40, snapshot=True,  # stricter gate -> fewer docs
+    )
+    assert S.list_snapshots(spark, out + "/corpus") == [1, 2]
+    v2 = S.read_snapshot(spark, out + "/corpus")
+    n2 = v2.count()
+    assert 0 < n2 < n1            # stricter run kept fewer
+    assert v1.count() == n1       # v1 unchanged after the re-run
+    shard_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out + "/shards").select("doc_id").collect()
+    }
+    assert {r.doc_id for r in v2.select("doc_id").collect()} == shard_ids
