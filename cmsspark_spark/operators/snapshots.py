@@ -376,3 +376,25 @@ def snapshot_sink(table: str):
         )
 
     return _sink
+
+
+def snapshot_version_diff(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: Sequence[str] = ("doc_id",),
+    value_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """CONTENT-grain diff between two snapshot versions: one row per
+    key added, removed, or changed (null-safe value compare) — the
+    corpus-iteration audit ("what did this cleaning-config change?")
+    that :func:`snapshot_changes`'s file-grain adds-only view cannot
+    answer after an overwrite. Composes the version reads with
+    ``incremental.snapshot_diff`` (one full-outer join on the key;
+    unchanged keys drop out, so the result is diff-sized)."""
+    from cmsspark_spark.operators.incremental import snapshot_diff
+
+    old = read_snapshot(spark, table, from_version)
+    new = read_snapshot(spark, table, to_version)
+    return snapshot_diff(old, new, list(key_cols), list(value_cols))

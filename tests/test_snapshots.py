@@ -219,3 +219,20 @@ def test_clean_corpus_snapshot_versions_across_runs(spark, tmp_path):
         for r in spark.read.parquet(out + "/shards").select("doc_id").collect()
     }
     assert {r.doc_id for r in v2.select("doc_id").collect()} == shard_ids
+
+
+def test_snapshot_version_diff_classifies_adds_removes_changes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    S.snapshot_write(df1, t, mode="append")
+    df2 = spark.createDataFrame(
+        [(2, "b"), (3, "C-NEW"), (4, "d")], "doc_id long, text string"
+    )
+    S.snapshot_write(df2, t, mode="overwrite")
+    diff = {
+        r.doc_id: r.change
+        for r in S.snapshot_version_diff(spark, t, 1, 2).collect()
+    }
+    assert diff == {1: "removed", 3: "changed", 4: "added"}
