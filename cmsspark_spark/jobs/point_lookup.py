@@ -111,13 +111,22 @@ def run(
     dim: str,
     value,
     out: str | None = None,
+    rowgroup_read: bool = False,
 ) -> dict:
     """Plan, then scan ONLY the planned files for ``dim == value``.
     Returns the plan summary plus the hit count (and writes hits to
     ``out`` when given). The scan passes the kept files as explicit
     paths — Spark opens nothing else — and the equality predicate
     still pushes down into each file's row-group stats/dictionary,
-    so the in-file skip comes free on top of the file-level prune."""
+    so the in-file skip comes free on top of the file-level prune.
+
+    ``rowgroup_read=True`` goes one tier deeper when the row-group
+    Bloom sidecar exists: the Bloom-admitted (file, row_group) plan is
+    read EXPLICITLY (``layout.read_rowgroups`` — one ranged
+    read_row_group per planned entry, nothing else opened); kept
+    files WITHOUT sidecar rows fall back to the whole-file scan and
+    are unioned in, so a partially-maintained sidecar degrades to
+    less pruning, never to a missed hit."""
     plan = plan_lookup(spark, table, dim, value)
     all_files = {
         f.rsplit("/", 1)[-1]: f for f in _list_parquet_files(spark, table)
@@ -126,7 +135,40 @@ def run(
     if not paths:
         plan["n_hits"] = 0
         return plan
-    hits = spark.read.parquet(*paths).filter(F.col(dim) == F.lit(value))
+    pred = F.col(dim) == F.lit(value)
+    hits = None
+    if rowgroup_read and "rowgroups_planned" in plan:
+        from cmsspark_spark.operators.layout import (
+            bloom_positions,
+            read_rowgroups,
+        )
+
+        rg_blooms = _try_read(
+            spark, manifest_location(table) + "_rowgroups_bloom"
+        ).filter(F.col("file").isin(plan["files_kept"]))
+        probe = bloom_positions(F.lit(value).cast("string"))
+        hit = F.forall(
+            probe,
+            lambda p: F.array_contains(F.col(f"bloom_{dim}"), p),
+        )
+        rg_plan = rg_blooms.filter(hit).select("file", "row_group")
+        covered = {
+            r.file for r in rg_blooms.select("file").distinct().collect()
+        }
+        plan["rowgroups_read"] = rg_plan.count()
+        hits = read_rowgroups(spark, table, rg_plan).filter(pred)
+        leftover = [
+            all_files[n]
+            for n in plan["files_kept"]
+            if n in all_files and n not in covered
+        ]
+        plan["files_fallback_scanned"] = len(leftover)
+        if leftover:
+            hits = hits.unionByName(
+                spark.read.parquet(*leftover).filter(pred)
+            )
+    if hits is None:
+        hits = spark.read.parquet(*paths).filter(pred)
     if out:
         hits.write.mode("overwrite").parquet(out)
         plan["out"] = out
@@ -140,9 +182,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dim", required=True)
     ap.add_argument("--value", required=True)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--rowgroup-read", action="store_true",
+                    help="read Bloom-admitted row groups explicitly "
+                         "instead of whole kept files")
     args = ap.parse_args(argv)
     spark = get_spark("point-lookup")
-    summary = run(spark, args.table, args.dim, args.value, out=args.out)
+    summary = run(
+        spark, args.table, args.dim, args.value, out=args.out,
+        rowgroup_read=args.rowgroup_read,
+    )
     print(summary)
 
 

@@ -388,6 +388,88 @@ def pruned_rowgroups_bloom(
     )
 
 
+def read_rowgroups(
+    spark,
+    path: str,
+    plan,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Explicit (file, row_group) parquet read — the execution half of
+    row-group pruning (r10): Spark's own reader takes file paths, so a
+    planner that has narrowed a point lookup to specific ROW GROUPS
+    (``pruned_rowgroups_bloom``) still re-reads whole files; this
+    operator opens exactly the planned row groups and nothing else.
+
+    ``plan`` is a DataFrame with (file, row_group) columns or a list
+    of such pairs — manifest-grain, collected to the driver (bounded
+    by planned row groups, never rows; a planner that keeps millions
+    of row groups should fall back to the file-grain read). Each plan
+    entry becomes one task-side ``ParquetFile.read_row_group`` — a
+    RANGED read of that row group's pages over the same scheme-mapped
+    pyarrow filesystems as the footer reader (file/s3a/gs/hdfs;
+    unmapped schemes raise before tasks launch). ``columns`` prunes
+    the read to the named columns (parquet is columnar — unread
+    columns cost nothing). Schema comes from the table footer, so the
+    returned frame matches ``spark.read.parquet(path).select(cols)``.
+    """
+    from urllib.parse import urlparse
+
+    if isinstance(plan, DataFrame):
+        pairs = [(r.file, int(r.row_group)) for r in plan.collect()]
+    else:
+        pairs = [(f, int(rg)) for f, rg in plan]
+    full = {p.rsplit("/", 1)[-1]: p for p in _list_parquet_files(spark, path)}
+    src = spark.read.parquet(path)
+    out_schema = src.select(*columns).schema if columns else src.schema
+    cols = list(columns) if columns else [f.name for f in src.schema.fields]
+    if not pairs:
+        return spark.createDataFrame([], out_schema)
+    unmapped = {
+        urlparse(full[f]).scheme
+        for f, _ in pairs
+        if f in full
+        and urlparse(full[f]).scheme
+        not in ("", "file", "s3", "s3a", "s3n", "gs", "gcs", "hdfs", "viewfs")
+    }
+    if unmapped:
+        raise ValueError(
+            f"read_rowgroups: unsupported filesystem scheme(s) {unmapped} — "
+            "mapped: file, s3/s3a/s3n, gs/gcs, hdfs/viewfs"
+        )
+    rows = [(full[f], rg) for f, rg in pairs if f in full]
+    plan_df = spark.createDataFrame(
+        rows, "path string, row_group int"
+    ).repartition(max(1, min(len(rows), spark.sparkContext.defaultParallelism)))
+
+    def _read(batches):
+        import pyarrow.parquet as pq
+        from urllib.parse import urlparse as _up
+
+        def _open(pth):
+            u = _up(pth)
+            if u.scheme in ("", "file"):
+                return pq.ParquetFile(u.path if u.scheme else pth)
+            import pyarrow.fs as pafs
+
+            if u.scheme in ("s3", "s3a", "s3n"):
+                fs, inner = pafs.S3FileSystem(), u.netloc + u.path
+            elif u.scheme in ("gs", "gcs"):
+                fs, inner = pafs.GcsFileSystem(), u.netloc + u.path
+            else:
+                fs, inner = (
+                    pafs.HadoopFileSystem(u.hostname or "default", u.port or 0),
+                    u.path,
+                )
+            return pq.ParquetFile(fs.open_input_file(inner))
+
+        for pdf in batches:
+            for pth, rg in zip(pdf["path"], pdf["row_group"]):
+                tbl = _open(pth).read_row_group(int(rg), columns=cols)
+                yield tbl.to_pandas()[cols]
+
+    return plan_df.mapInPandas(_read, schema=out_schema)
+
+
 #: Hilbert grid side for the 2-D index (8 bits/dim, like ZORDER_BITS)
 HILBERT_N = 1 << ZORDER_BITS
 

@@ -798,3 +798,43 @@ def test_append_extends_rowgroup_bloom_sidecar(spark, tmp_path):
         assert after[k] == v  # untouched rows identical
     added = set(after) - set(before)
     assert added and all(f in new_names for f, _ in added)
+
+
+def test_read_rowgroups_opens_exactly_the_planned_slices(spark, tmp_path):
+    """r10: the explicit (file, row_group) read path — planned row
+    groups come back as exactly their row slices with column pruning;
+    an empty plan yields an empty frame with the table schema."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    for f in range(2):
+        base = f * 1000
+        tbl = pa.table(
+            {
+                "id": pa.array(range(base, base + 1000), pa.int64()),
+                "v": pa.array([f"x{i}" for i in range(base, base + 1000)]),
+            }
+        )
+        pq.write_table(tbl, f"{path}/part-{f}.parquet", row_group_size=250)
+
+    one = L.read_rowgroups(
+        spark, path, [("part-1.parquet", 2)], columns=["id"]
+    )
+    got = sorted(r.id for r in one.collect())
+    assert got == list(range(1500, 1750))   # third row group of file 1
+    assert one.columns == ["id"]            # column-pruned
+
+    multi = L.read_rowgroups(
+        spark, path, [("part-0.parquet", 0), ("part-1.parquet", 3)]
+    )
+    ids = sorted(r.id for r in multi.collect())
+    assert ids == list(range(0, 250)) + list(range(1750, 2000))
+    assert set(multi.columns) == {"id", "v"}
+
+    empty = L.read_rowgroups(spark, path, [])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}

@@ -1028,3 +1028,63 @@ def test_point_lookup_job_reads_only_planned_files(spark, tmp_path):
     plan_none = point_lookup.run(spark, table, "key", present)
     assert plan_none["tier"] == "none" and plan_none["n_hits"] == 1
     assert len(plan_none["files_kept"]) == 16
+
+
+def test_point_lookup_rowgroup_read_tier(spark, tmp_path):
+    """--rowgroup-read: hits identical to the file-grain scan while
+    reading only the Bloom-admitted row groups; files without sidecar
+    rows fall back to whole-file scans (no missed hits)."""
+    import os
+
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.jobs import point_lookup
+    from cmsspark_spark.operators import layout as L
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in range(2048)]
+    for f in range(2):
+        sl = keys[f * 1024 : (f + 1) * 1024]
+        pq.write_table(
+            pa.table({"key": pa.array(sl, pa.string())}),
+            f"{table}/part-{f}.parquet",
+            row_group_size=256,
+        )
+    L.file_stats_manifest(spark.read.parquet(table), ["key"]).write.parquet(
+        L.manifest_location(table)
+    )
+    L.write_bloom_manifest(spark, table, "key")
+    L.write_rowgroup_bloom_manifest(spark, table, "key")
+
+    present = keys[700]
+    plan = point_lookup.run(
+        spark, table, "key", present, rowgroup_read=True,
+        out=str(tmp_path / "hits"),
+    )
+    assert plan["n_hits"] == 1
+    assert plan["files_fallback_scanned"] == 0
+    # the rg plan is strictly smaller than all rgs of kept files
+    assert 1 <= plan["rowgroups_read"] < plan["rowgroups_in_kept_files"] + 1
+    got = spark.read.parquet(str(tmp_path / "hits")).collect()
+    assert len(got) == 1 and got[0].key == present
+
+    # partial sidecar: drop file-1 rows -> fallback scan covers it
+    dest = L.manifest_location(table) + "_rowgroups_bloom"
+    pruned = spark.read.parquet(dest).filter(
+        F.col("file") == "part-0.parquet"
+    )
+    pruned.write.mode("overwrite").parquet(dest + "2")
+    import shutil
+
+    shutil.rmtree(dest)
+    shutil.move(dest + "2", dest)
+    lookup2 = point_lookup.run(
+        spark, table, "key", keys[1500], rowgroup_read=True
+    )
+    assert lookup2["n_hits"] == 1             # key lives in file 1
+    assert lookup2["files_fallback_scanned"] >= 1
