@@ -54,6 +54,27 @@ def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _sidecar_mk(blooms: DataFrame) -> tuple[int, int]:
+    """(m, k) a Bloom sidecar was built with. Probing with different
+    parameters computes different positions — a FALSE NEGATIVE (missed
+    hit), not a weaker prune — so the sidecar records them
+    (write_bloom_manifest r10) and the reader must use them. Legacy
+    sidecars without the columns get the module defaults; a sidecar
+    whose rows disagree (mixed-parameter appends) is a corrupt index
+    and fails loudly."""
+    from cmsspark_spark.operators.layout import BLOOM_K, BLOOM_M
+
+    if "bloom_m" not in blooms.columns:
+        return BLOOM_M, BLOOM_K
+    combos = blooms.select("bloom_m", "bloom_k").distinct().collect()
+    if len(combos) != 1:
+        raise ValueError(
+            f"bloom sidecar mixes parameters {sorted((r.bloom_m, r.bloom_k) for r in combos)} "
+            "— rebuild it with one (m, k)"
+        )
+    return int(combos[0].bloom_m), int(combos[0].bloom_k)
+
+
 def plan_lookup(
     spark: SparkSession, table: str, dim: str, value
 ) -> dict:
@@ -61,40 +82,54 @@ def plan_lookup(
     ``dim == value``, per pruning tier. Returns the kept file names
     plus per-tier counts (the skipping evidence). Falls back tier by
     tier when a sidecar is missing — a missing Bloom degrades to
-    min/max, a missing manifest to the full listing; never wrong,
-    only less pruned."""
+    min/max, a missing manifest to the full listing — and files the
+    manifest does not know about (plain appends that bypassed
+    append_with_manifest) are ALWAYS kept: a stale manifest degrades
+    to less pruning, never a missed hit."""
     all_files = _list_parquet_files(spark, table)
     names = {f.rsplit("/", 1)[-1]: f for f in all_files}
     out = {
         "files_total": len(all_files),
         "files_minmax": len(all_files),
         "files_kept": sorted(names),
+        "files_unmanifested": 0,
         "tier": "none",
+        "_paths": names,
     }
     man = _try_read(spark, manifest_location(table))
     if man is None:
         return out
+    known = {r.file for r in man.select("file").distinct().collect()}
+    unmanifested = sorted(set(names) - known)
     mm = [r.file for r in pruned_files(man, dim, value, value).collect()]
     out.update(
-        files_minmax=len(mm),
-        files_kept=sorted(mm),
+        files_minmax=len(mm) + len(unmanifested),
+        files_kept=sorted(set(mm) | set(unmanifested)),
+        files_unmanifested=len(unmanifested),
         tier="minmax",
     )
     blooms = _try_read(spark, manifest_location(table) + "_bloom")
     if blooms is None:
         return out
-    joined = man.join(blooms, "file", "left")
+    m, k = _sidecar_mk(blooms)
+    joined = man.join(
+        blooms.select("file", f"bloom_{dim}"), "file", "left"
+    )
     kept = [
-        r.file for r in pruned_files_bloom(joined, dim, value).collect()
+        r.file
+        for r in pruned_files_bloom(joined, dim, value, m=m, k=k).collect()
     ]
-    out.update(files_kept=sorted(kept), tier="bloom")
+    out.update(
+        files_kept=sorted(set(kept) | set(unmanifested)), tier="bloom"
+    )
     rg_blooms = _try_read(
         spark, manifest_location(table) + "_rowgroups_bloom"
     )
     if rg_blooms is not None:
         from cmsspark_spark.operators.layout import bloom_positions
 
-        probe = bloom_positions(F.lit(value).cast("string"))
+        rm, rk = _sidecar_mk(rg_blooms)
+        probe = bloom_positions(F.lit(value).cast("string"), m=rm, k=rk)
         hit = F.forall(
             probe,
             lambda p: F.array_contains(F.col(f"bloom_{dim}"), p),
@@ -102,6 +137,7 @@ def plan_lookup(
         stats = rg_blooms.filter(F.col("file").isin(kept))
         out["rowgroups_planned"] = stats.filter(hit).count()
         out["rowgroups_in_kept_files"] = stats.count()
+        out["_rg_mk"] = (rm, rk)
     return out
 
 
@@ -128,16 +164,15 @@ def run(
     are unioned in, so a partially-maintained sidecar degrades to
     less pruning, never to a missed hit."""
     plan = plan_lookup(spark, table, dim, value)
-    all_files = {
-        f.rsplit("/", 1)[-1]: f for f in _list_parquet_files(spark, table)
-    }
+    all_files = plan.pop("_paths")
+    rg_mk = plan.pop("_rg_mk", None)
     paths = [all_files[n] for n in plan["files_kept"] if n in all_files]
     if not paths:
         plan["n_hits"] = 0
         return plan
     pred = F.col(dim) == F.lit(value)
     hits = None
-    if rowgroup_read and "rowgroups_planned" in plan:
+    if rowgroup_read and rg_mk is not None:
         from cmsspark_spark.operators.layout import (
             bloom_positions,
             read_rowgroups,
@@ -146,7 +181,9 @@ def run(
         rg_blooms = _try_read(
             spark, manifest_location(table) + "_rowgroups_bloom"
         ).filter(F.col("file").isin(plan["files_kept"]))
-        probe = bloom_positions(F.lit(value).cast("string"))
+        probe = bloom_positions(
+            F.lit(value).cast("string"), m=rg_mk[0], k=rg_mk[1]
+        )
         hit = F.forall(
             probe,
             lambda p: F.array_contains(F.col(f"bloom_{dim}"), p),
@@ -170,9 +207,13 @@ def run(
     if hits is None:
         hits = spark.read.parquet(*paths).filter(pred)
     if out:
+        # count from the WRITTEN output — hits.count() after the write
+        # would re-execute the whole pruned scan a second time
         hits.write.mode("overwrite").parquet(out)
         plan["out"] = out
-    plan["n_hits"] = hits.count()
+        plan["n_hits"] = spark.read.parquet(out).count()
+    else:
+        plan["n_hits"] = hits.count()
     return plan
 
 

@@ -355,9 +355,13 @@ def write_rowgroup_bloom_manifest(
     return that path — the row-group sibling of
     :func:`write_bloom_manifest`, same increment discipline."""
     dest = manifest_location(data_path) + "_rowgroups_bloom"
-    rowgroup_bloom_manifest(spark, data_path, dim, files, m, k).write.mode(
-        mode
-    ).parquet(dest)
+    (
+        rowgroup_bloom_manifest(spark, data_path, dim, files, m, k)
+        .withColumn("bloom_m", F.lit(int(m)))
+        .withColumn("bloom_k", F.lit(int(k)))
+        .write.mode(mode)
+        .parquet(dest)
+    )
     return dest
 
 
@@ -419,6 +423,16 @@ def read_rowgroups(
     else:
         pairs = [(f, int(rg)) for f, rg in plan]
     full = {p.rsplit("/", 1)[-1]: p for p in _list_parquet_files(spark, path)}
+    missing = sorted({f for f, _ in pairs if f not in full})
+    if missing:
+        # a stale plan (sidecar not rebuilt after compaction/vacuum)
+        # must fail loudly — silently dropping entries would return a
+        # frame missing those row groups' rows
+        raise ValueError(
+            f"read_rowgroups: plan references files absent from {path}: "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} — rebuild "
+            "the row-group sidecar after rewriting the table"
+        )
     src = spark.read.parquet(path)
     out_schema = src.select(*columns).schema if columns else src.schema
     cols = list(columns) if columns else [f.name for f in src.schema.fields]
@@ -771,7 +785,16 @@ def write_bloom_manifest(
         reader.parquet(*files) if files else reader.parquet(data_path)
     )
     dest = manifest_location(data_path) + "_bloom"
-    file_bloom_manifest(src, dim, m, k).write.mode(mode).parquet(dest)
+    # m/k recorded in the sidecar: a reader probing with different
+    # parameters would compute wrong positions — false NEGATIVES, a
+    # missed hit, not just a weaker prune. Readers must use these.
+    (
+        file_bloom_manifest(src, dim, m, k)
+        .withColumn("bloom_m", F.lit(int(m)))
+        .withColumn("bloom_k", F.lit(int(k)))
+        .write.mode(mode)
+        .parquet(dest)
+    )
     return dest
 
 

@@ -119,27 +119,60 @@ def read_snapshot_meta(spark: SparkSession, table: str, version: int) -> dict:
 def commit_snapshot(
     spark: SparkSession,
     table: str,
-    files: Sequence[str],
-    op: str,
+    files: Sequence[str] | None = None,
+    op: str = "append",
     parent: int | None = None,
     extra: dict | None = None,
     max_retries: int = 16,
+    append_files: Sequence[str] | None = None,
 ) -> int:
-    """Atomically commit the next snapshot version listing ``files``
-    (basenames) as the table's live set. Write-temp-then-rename; a
-    rename that fails because the version file already exists means a
-    concurrent writer won that number — retry at the next. ``extra``
-    adds metadata fields to the commit (the streaming sink records its
-    batch_id this way). Returns the committed version number."""
+    """Atomically commit the next snapshot version. With ``files`` the
+    commit lists exactly those basenames (overwrite/rollback — the
+    live set does not depend on the parent). With ``append_files`` the
+    commit lists PARENT-LIVE + those basenames, and crucially the
+    parent's live list is re-read INSIDE the retry loop: a writer that
+    loses a version race re-applies its append on top of the winner's
+    commit instead of re-numbering a stale list (which would silently
+    drop the winner's files from the live view).
+
+    The claim itself is a write-temp-then-rename through
+    ``FileContext.rename`` with no OVERWRITE option — that API throws
+    when the destination exists on every Hadoop filesystem, unlike
+    ``FileSystem.rename`` whose local implementation overwrites
+    (java.io.File.renameTo → POSIX rename) and would let two racers
+    both 'win' the same version. ``extra`` adds metadata fields to the
+    commit (the streaming sink records its batch_id this way).
+    Returns the committed version number."""
+    if (files is None) == (append_files is None):
+        raise ValueError("pass exactly one of files / append_files")
     fs, _ = _fs_for(spark, table)
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     d = Path(_snap_dir(table))
     fs.mkdirs(d)
-    names = sorted({f.rsplit("/", 1)[-1] for f in files})
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        d.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    # FileContext.rename is varargs(Options.Rename...) — py4j needs the
+    # empty array passed explicitly or no overload matches
+    no_overwrite = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 0
+    )
+    last_err: Exception | None = None
     for _ in range(max_retries):
         versions = list_snapshots(spark, table)
         v = (versions[-1] + 1) if versions else 1
+        if append_files is not None:
+            live = (
+                read_snapshot_meta(spark, table, versions[-1])["files"]
+                if versions
+                else []
+            )
+            names = sorted(
+                set(live) | {f.rsplit("/", 1)[-1] for f in append_files}
+            )
+        else:
+            names = sorted({f.rsplit("/", 1)[-1] for f in files})
         meta = {
             "version": v,
             "op": op,
@@ -155,14 +188,18 @@ def commit_snapshot(
         finally:
             out.close()
         dest = Path(_snap_dir(table) + "/" + _version_name(v))
-        # rename(src, dst) returns False instead of overwriting when
-        # dst exists — the atomic claim; False = lost the race, retry
-        if not fs.exists(dest) and fs.rename(tmp, dest):
+        try:
+            # FileContext.rename WITHOUT Options.Rename.OVERWRITE:
+            # throws if dest exists — the atomic version claim
+            fc.rename(tmp, dest, no_overwrite)
             return v
-        fs.delete(tmp, False)
+        except Exception as exc:  # lost the race: renumber and retry
+            last_err = exc
+            fs.delete(tmp, False)
     raise RuntimeError(
         f"could not commit a snapshot of {table} after {max_retries} "
-        "attempts (heavy concurrent-writer contention)"
+        f"attempts (heavy concurrent-writer contention); last error: "
+        f"{last_err}"
     )
 
 
@@ -189,13 +226,13 @@ def snapshot_write(
         for f in _list_parquet_files(spark, table)
         if f not in before
     ]
-    versions = list_snapshots(spark, table)
-    if mode == "append" and versions:
-        live = read_snapshot_meta(spark, table, versions[-1])["files"]
-        files = list(live) + new_files
-    else:
-        files = new_files
-    return commit_snapshot(spark, table, files, op=mode)
+    if mode == "append":
+        # parent's live list resolved inside the commit retry loop —
+        # concurrent appends compose instead of clobbering
+        return commit_snapshot(
+            spark, table, op=mode, append_files=new_files
+        )
+    return commit_snapshot(spark, table, new_files, op=mode)
 
 
 def read_snapshot(
@@ -350,9 +387,19 @@ def snapshot_sink(table: str):
     Use: ``df.writeStream.foreachBatch(snapshot_sink(path)).start()``.
     """
 
+    # replay ledger cached in the sink closure: loaded from the version
+    # log ONCE (first batch after a start/restart), then maintained
+    # in-memory — without this every micro-batch re-parses every
+    # version file, O(history) driver reads per batch. Single-writer
+    # assumption (one streaming query owns the table), same as the
+    # checkpoint itself.
+    state: dict = {"ids": None}
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if str(batch_id) in committed_batch_ids(spark, table):
+        if state["ids"] is None:
+            state["ids"] = committed_batch_ids(spark, table)
+        if str(batch_id) in state["ids"]:
             return  # replay of an already-committed batch
         before = _list_or_empty(spark, table)
         batch_df.write.mode("append").parquet(table)
@@ -361,19 +408,14 @@ def snapshot_sink(table: str):
             for f in _list_parquet_files(spark, table)
             if f not in before
         ]
-        versions = list_snapshots(spark, table)
-        live = (
-            read_snapshot_meta(spark, table, versions[-1])["files"]
-            if versions
-            else []
-        )
         commit_snapshot(
             spark,
             table,
-            list(live) + new_files,
             op="stream-append",
             extra={"batch_id": str(batch_id)},
+            append_files=new_files,
         )
+        state["ids"].add(str(batch_id))
 
     return _sink
 

@@ -12085,7 +12085,12 @@ def bm25_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "rank",
-            (F.col("source") == F.col("qsource")).cast("int").alias("r"),
+            # when/otherwise like the oracle's CASE: a NULL source must
+            # grade 0, not NULL (a raw boolean cast would null the
+            # whole DCG fold and diverge from the oracle)
+            F.when(F.col("source") == F.col("qsource"), 1)
+            .otherwise(0)
+            .alias("r"),
         )
     )
     rtot = (

@@ -1088,3 +1088,34 @@ def test_point_lookup_rowgroup_read_tier(spark, tmp_path):
     )
     assert lookup2["n_hits"] == 1             # key lives in file 1
     assert lookup2["files_fallback_scanned"] >= 1
+
+
+def test_point_lookup_keeps_unmanifested_files(spark, tmp_path):
+    """A plain append that bypassed manifest maintenance must degrade
+    to LESS pruning, never a missed hit: files absent from the stats
+    manifest are always kept at every tier."""
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.jobs import point_lookup
+    from cmsspark_spark.operators import layout as L
+
+    table = str(tmp_path / "t")
+    df = (
+        spark.range(0, 1000)
+        .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("key"))
+        .repartition(4, "key")
+    )
+    df.write.parquet(table)
+    L.file_stats_manifest(spark.read.parquet(table), ["key"]).write.parquet(
+        L.manifest_location(table)
+    )
+    L.write_bloom_manifest(spark, table, "key")
+
+    # a sneaky plain append the manifests never saw
+    spark.createDataFrame(
+        [(9999, "deadbeef-key")], "id long, key string"
+    ).write.mode("append").parquet(table)
+
+    plan = point_lookup.run(spark, table, "key", "deadbeef-key")
+    assert plan["n_hits"] == 1
+    assert plan["files_unmanifested"] >= 1
