@@ -850,18 +850,32 @@ def append_with_manifest(
 def _list_parquet_files(spark, path: str) -> list[str]:
     """Recursive parquet-file listing through the Hadoop FileSystem
     API (driver-side, metadata-only) — works on any scheme the
-    executors can read, unlike an os-level glob."""
+    executors can read, unlike an os-level glob. The iteration is
+    retried a few times: a CONCURRENT writer's staging files
+    (_temporary/…) can vanish between the iterator statting a
+    directory and visiting its entries, which surfaces as a
+    FileNotFoundException mid-listing — transient by construction, so
+    a fresh listing pass resolves it (seen in the snapshot
+    concurrent-append test)."""
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    out = []
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        p = it.next().getPath().toString()
-        name = p.rsplit("/", 1)[-1]
-        if name.endswith(".parquet") and not name.startswith(("_", ".")):
-            out.append(p)
-    return sorted(out)
+    last_err = None
+    for _ in range(5):
+        out = []
+        try:
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                p = it.next().getPath().toString()
+                name = p.rsplit("/", 1)[-1]
+                if name.endswith(".parquet") and not name.startswith(
+                    ("_", ".")
+                ):
+                    out.append(p)
+            return sorted(out)
+        except Exception as exc:
+            last_err = exc
+    raise last_err
 
 
 #: URI schemes the EXECUTOR-side pyarrow reader handles natively (see

@@ -236,3 +236,39 @@ def test_snapshot_version_diff_classifies_adds_removes_changes(spark, tmp_path):
         for r in S.snapshot_version_diff(spark, t, 1, 2).collect()
     }
     assert diff == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_concurrent_appends_compose_instead_of_clobbering(spark, tmp_path):
+    """The review-found race: two writers appending concurrently must
+    BOTH land in the final live view — the losing committer re-reads
+    the winner's live list inside its retry, so no append is ever
+    dropped. Exercised with real threads racing snapshot_write."""
+    import threading
+
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 5), t, mode="append")
+
+    errs = []
+
+    def _append(lo, hi):
+        try:
+            S.snapshot_write(spark.range(lo, hi), t, mode="append")
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=_append, args=(100 * i, 100 * i + 10))
+        for i in range(1, 5)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    versions = S.list_snapshots(spark, t)
+    assert len(versions) == 5  # every writer got its own version
+    got = _ids(S.read_snapshot(spark, t))
+    want = list(range(0, 5)) + sorted(
+        x for i in range(1, 5) for x in range(100 * i, 100 * i + 10)
+    )
+    assert got == sorted(want)
