@@ -836,13 +836,34 @@ def append_with_manifest(
         rg.write.mode("append").parquet(dest + "_rowgroups")
     if bloom_dim is not None and new_files:
         # Bloom sidecar rows for exactly the appended files (scan ∝
-        # increment); append-extends <manifest>_bloom like the stats
+        # increment); append-extends <manifest>_bloom like the stats.
+        # The EXISTING sidecar's recorded (m, k) take precedence over
+        # the module defaults — appending rows built with different
+        # parameters would corrupt the index (mixed-parameter probes
+        # are false negatives; point_lookup rejects such sidecars).
+        def _existing_mk(dest: str) -> tuple[int, int]:
+            try:
+                row = (
+                    spark.read.parquet(dest)
+                    .select("bloom_m", "bloom_k")
+                    .first()
+                )
+                return int(row.bloom_m), int(row.bloom_k)
+            except Exception:
+                return BLOOM_M, BLOOM_K
+
+        bm, bk = _existing_mk(manifest_location(path) + "_bloom")
         write_bloom_manifest(
-            spark, path, bloom_dim, files=new_files, mode="append"
+            spark, path, bloom_dim, files=new_files, m=bm, k=bk,
+            mode="append",
         )
         if bloom_rowgroups:
+            rm, rk = _existing_mk(
+                manifest_location(path) + "_rowgroups_bloom"
+            )
             write_rowgroup_bloom_manifest(
-                spark, path, bloom_dim, files=new_files, mode="append"
+                spark, path, bloom_dim, files=new_files, m=rm, k=rk,
+                mode="append",
             )
     return new_files
 

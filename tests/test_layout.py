@@ -838,3 +838,28 @@ def test_read_rowgroups_opens_exactly_the_planned_slices(spark, tmp_path):
     empty = L.read_rowgroups(spark, path, [])
     assert empty.count() == 0
     assert set(empty.columns) == {"id", "v"}
+
+
+def test_append_preserves_custom_bloom_parameters(spark, tmp_path):
+    """append_with_manifest must extend a custom-(m, k) Bloom sidecar
+    WITH the recorded parameters, not the module defaults — a mixed
+    sidecar probes to false negatives and point_lookup rejects it."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS key"
+    )
+    df.write.parquet(path)
+    L.write_file_manifest(spark, path, ["id"])
+    L.write_bloom_manifest(spark, path, "key", m=65536, k=3)
+
+    df2 = spark.range(300, 500).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS key"
+    )
+    L.append_with_manifest(df2, path, ["id"], bloom_dim="key")
+
+    side = spark.read.parquet(L.manifest_location(path) + "_bloom")
+    combos = {
+        (r.bloom_m, r.bloom_k)
+        for r in side.select("bloom_m", "bloom_k").distinct().collect()
+    }
+    assert combos == {(65536, 3)}
