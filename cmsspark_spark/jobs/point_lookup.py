@@ -67,12 +67,19 @@ def _sidecar_mk(blooms: DataFrame) -> tuple[int, int]:
     if "bloom_m" not in blooms.columns:
         return BLOOM_M, BLOOM_K
     combos = blooms.select("bloom_m", "bloom_k").distinct().collect()
-    if len(combos) != 1:
+    vals = {(r.bloom_m, r.bloom_k) for r in combos}
+    if not vals:
+        return BLOOM_M, BLOOM_K
+    # key=str is None-safe: a merged-schema sidecar whose legacy rows
+    # carry null bloom_m must surface as THIS ValueError, not a
+    # TypeError from comparing None with int
+    if len(vals) != 1 or any(None in c for c in vals):
         raise ValueError(
-            f"bloom sidecar mixes parameters {sorted((r.bloom_m, r.bloom_k) for r in combos)} "
+            f"bloom sidecar mixes parameters {sorted(vals, key=str)} "
             "— rebuild it with one (m, k)"
         )
-    return int(combos[0].bloom_m), int(combos[0].bloom_k)
+    (mk,) = vals
+    return int(mk[0]), int(mk[1])
 
 
 def plan_lookup(

@@ -843,14 +843,33 @@ def append_with_manifest(
         # are false negatives; point_lookup rejects such sidecars).
         def _existing_mk(dest: str) -> tuple[int, int]:
             try:
-                row = (
-                    spark.read.parquet(dest)
-                    .select("bloom_m", "bloom_k")
-                    .first()
-                )
-                return int(row.bloom_m), int(row.bloom_k)
+                side = spark.read.parquet(dest)
             except Exception:
+                return BLOOM_M, BLOOM_K  # no sidecar yet
+            if "bloom_m" not in side.columns or "bloom_k" not in side.columns:
+                if side.limit(1).count() > 0:
+                    # A legacy sidecar with rows but NO recorded (m, k):
+                    # extending it with default-parameter rows would mix
+                    # parameters undetectably (the legacy rows carry
+                    # none) — silent false negatives at probe time.
+                    # Refuse; the fix is a rebuild, which records them.
+                    raise ValueError(
+                        f"{dest} has rows but no recorded bloom (m, k) — "
+                        "rebuild the sidecar with write_bloom_manifest "
+                        "before appending to it"
+                    )
                 return BLOOM_M, BLOOM_K
+            combos = side.select("bloom_m", "bloom_k").distinct().collect()
+            vals = {(r.bloom_m, r.bloom_k) for r in combos}
+            if not vals:
+                return BLOOM_M, BLOOM_K
+            if len(vals) > 1 or any(None in c for c in vals):
+                raise ValueError(
+                    f"{dest} mixes bloom parameters "
+                    f"{sorted(vals, key=str)} — rebuild it with one (m, k)"
+                )
+            (mk,) = vals
+            return int(mk[0]), int(mk[1])
 
         bm, bk = _existing_mk(manifest_location(path) + "_bloom")
         write_bloom_manifest(
@@ -881,6 +900,12 @@ def _list_parquet_files(spark, path: str) -> list[str]:
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    # Files under underscore/dot-prefixed SUBDIRECTORIES (a snapshot
+    # commit's _staging area, Spark's _temporary) are invisible to
+    # parquet readers by convention and must be invisible here too —
+    # the relative path below the listed root is what gets checked, so
+    # listing a staging dir directly still works.
+    qualified = fs.makeQualified(jpath).toString().rstrip("/")
     last_err = None
     for _ in range(5):
         out = []
@@ -888,7 +913,11 @@ def _list_parquet_files(spark, path: str) -> list[str]:
             it = fs.listFiles(jpath, True)
             while it.hasNext():
                 p = it.next().getPath().toString()
-                name = p.rsplit("/", 1)[-1]
+                rel = p[len(qualified) + 1 :] if p.startswith(qualified) else p
+                segs = rel.split("/")
+                if any(s.startswith(("_", ".")) for s in segs[:-1]):
+                    continue
+                name = segs[-1]
                 if name.endswith(".parquet") and not name.startswith(
                     ("_", ".")
                 ):

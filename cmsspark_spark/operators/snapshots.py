@@ -24,11 +24,17 @@ a tiny version log):
   this keeps the union of all retained versions).
 
 Concurrency: a commit writes ``_tmp.<uuid>`` then RENAMES to
-``v<NNNNNNNN>.json`` — on HDFS-like stores rename-without-overwrite is
-atomic, so two racing writers cannot both claim a version; the loser
-retries at the next number (optimistic concurrency, bounded retries).
-On object stores without atomic rename, front this with a locking
-service — noted, not hidden.
+``v<NNNNNNNN>.json`` — on HDFS-class stores (server-side rename) the
+no-overwrite rename is atomic, so two racing writers cannot both claim
+a version; the loser retries at the next number (optimistic
+concurrency, bounded retries). On local/posix filesystems the
+AbstractFileSystem implementation is an exists-check followed by a
+rename — a narrow same-host TOCTOU window — and object stores without
+atomic rename have no claim at all. For those, the claim is PLUGGABLE:
+pass ``claim=`` to :func:`commit_snapshot` (a callable that must
+atomically move the temp file to the version name and report whether
+it won) backed by whatever lock/CAS primitive the store offers (a DB
+row, a DynamoDB conditional put, a lock service).
 
 Scale: everything here is driver-side metadata ∝ file count. A 100 TB
 table with millions of files would chunk its file lists into avro
@@ -46,23 +52,43 @@ from __future__ import annotations
 
 import json
 import uuid
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from cmsspark_spark.operators.layout import _fs_for, _list_parquet_files
 
 SNAPDIR = "_snapshots"
 
 
-def _list_or_empty(spark: SparkSession, table: str) -> set[str]:
-    """Parquet listing that treats a not-yet-created table directory
-    as empty (the very first snapshot_write) instead of surfacing the
-    Hadoop FileNotFoundException."""
-    fs, jpath = _fs_for(spark, table)
-    if not fs.exists(jpath):
-        return set()
-    return set(_list_parquet_files(spark, table))
+def _write_attributed(df: DataFrame, table: str) -> list[str]:
+    """Write ``df``'s parquet files into ``table`` and return EXACTLY
+    the basenames this write produced — by construction, not by
+    listing-diff. The files land in a per-commit staging subdir
+    (``_staging/<uuid>``, invisible to parquet readers per the
+    underscore convention) and are then renamed into the table root
+    under a ``snap-<uuid>-`` prefix. A concurrent writer's in-flight
+    files can never be claimed by this commit: the attributed set is
+    the staged listing, which only this writer populates. (ADVICE r10:
+    the old before/after directory diff attributed a concurrent
+    writer's partially-landed batch to this snapshot.)"""
+    spark = df.sparkSession
+    root = table.rstrip("/")
+    token = uuid.uuid4().hex[:12]
+    staging = f"{root}/_staging/{token}"
+    df.write.mode("error").parquet(staging)
+    staged = _list_parquet_files(spark, staging)
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    names = []
+    for p in staged:
+        base = f"snap-{token}-" + p.rsplit("/", 1)[-1]
+        if not fs.rename(Path(p), Path(f"{root}/{base}")):
+            raise IOError(f"could not move staged file {p} into {root}")
+        names.append(base)
+    fs.delete(Path(staging), True)
+    return names
 
 
 def _snap_dir(table: str) -> str:
@@ -116,6 +142,38 @@ def read_snapshot_meta(spark: SparkSession, table: str, version: int) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
+def default_claim(spark: SparkSession, table: str) -> Callable[[str, str], bool]:
+    """The built-in version claim: ``FileContext.rename`` with no
+    OVERWRITE option. On HDFS-class stores the server enforces
+    dest-must-not-exist atomically; on local/posix AbstractFileSystem
+    implementations it is an exists-check then a rename — not atomic,
+    but the window is a few syscalls and the per-process claims in one
+    JVM serialize through the same FileContext. Object stores without
+    atomic rename need a caller-provided claim instead (see
+    :func:`commit_snapshot`). Returns a ``claim(tmp, dest) -> bool``
+    callable: True = this writer owns ``dest``; False = lost the race."""
+    jvm = spark.sparkContext._jvm
+    d = jvm.org.apache.hadoop.fs.Path(_snap_dir(table))
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        d.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    # FileContext.rename is varargs(Options.Rename...) — py4j needs the
+    # empty array passed explicitly or no overload matches
+    no_overwrite = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 0
+    )
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    def _claim(tmp: str, dest: str) -> bool:
+        try:
+            fc.rename(Path(tmp), Path(dest), no_overwrite)
+            return True
+        except Exception:
+            return False
+
+    return _claim
+
+
 def commit_snapshot(
     spark: SparkSession,
     table: str,
@@ -125,6 +183,7 @@ def commit_snapshot(
     extra: dict | None = None,
     max_retries: int = 16,
     append_files: Sequence[str] | None = None,
+    claim: Callable[[str, str], bool] | None = None,
 ) -> int:
     """Atomically commit the next snapshot version. With ``files`` the
     commit lists exactly those basenames (overwrite/rollback — the
@@ -135,14 +194,18 @@ def commit_snapshot(
     commit instead of re-numbering a stale list (which would silently
     drop the winner's files from the live view).
 
-    The claim itself is a write-temp-then-rename through
-    ``FileContext.rename`` with no OVERWRITE option — that API throws
-    when the destination exists on every Hadoop filesystem, unlike
-    ``FileSystem.rename`` whose local implementation overwrites
-    (java.io.File.renameTo → POSIX rename) and would let two racers
-    both 'win' the same version. ``extra`` adds metadata fields to the
-    commit (the streaming sink records its batch_id this way).
-    Returns the committed version number."""
+    The version claim is PLUGGABLE: ``claim(tmp_path, dest_path)``
+    must atomically move the written temp file to the version name iff
+    the name is unclaimed, returning True on success and False when
+    another writer won (this writer then renumbers and retries, after
+    deleting its temp). The default (:func:`default_claim`) is a
+    no-overwrite ``FileContext.rename`` — atomic on HDFS-class
+    stores. On S3-like stores whose rename/copy overwrites, pass a
+    claim backed by a real CAS primitive (conditional put, a lock
+    table) — with the default there, two racers could both "win" a
+    version and one commit would silently vanish. ``extra`` adds
+    metadata fields to the commit (the streaming sink records its
+    batch_id this way). Returns the committed version number."""
     if (files is None) == (append_files is None):
         raise ValueError("pass exactly one of files / append_files")
     fs, _ = _fs_for(spark, table)
@@ -150,14 +213,8 @@ def commit_snapshot(
     Path = jvm.org.apache.hadoop.fs.Path
     d = Path(_snap_dir(table))
     fs.mkdirs(d)
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        d.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
-    )
-    # FileContext.rename is varargs(Options.Rename...) — py4j needs the
-    # empty array passed explicitly or no overload matches
-    no_overwrite = spark.sparkContext._gateway.new_array(
-        jvm.org.apache.hadoop.fs.Options.Rename, 0
-    )
+    if claim is None:
+        claim = default_claim(spark, table)
     last_err: Exception | None = None
     for _ in range(max_retries):
         versions = list_snapshots(spark, table)
@@ -187,15 +244,15 @@ def commit_snapshot(
             out.write(bytearray(json.dumps(meta).encode("utf-8")))
         finally:
             out.close()
-        dest = Path(_snap_dir(table) + "/" + _version_name(v))
+        dest = _snap_dir(table) + "/" + _version_name(v)
         try:
-            # FileContext.rename WITHOUT Options.Rename.OVERWRITE:
-            # throws if dest exists — the atomic version claim
-            fc.rename(tmp, dest, no_overwrite)
-            return v
-        except Exception as exc:  # lost the race: renumber and retry
+            if claim(tmp.toString(), dest):
+                return v
+            last_err = RuntimeError(f"version claim lost for {dest}")
+        except Exception as exc:
             last_err = exc
-            fs.delete(tmp, False)
+        # lost the race: renumber and retry
+        fs.delete(tmp, False)
     raise RuntimeError(
         f"could not commit a snapshot of {table} after {max_retries} "
         f"attempts (heavy concurrent-writer contention); last error: "
@@ -210,29 +267,28 @@ def snapshot_write(
 ) -> int:
     """Write ``df`` to ``table`` and commit the resulting snapshot.
 
-    ``append``: new parquet files land beside the existing ones (FS
-    append mode — always fresh file names); the snapshot lists parent
-    files + new files. ``overwrite``: new files land the same way (NO
-    in-place directory wipe) and the snapshot lists ONLY them — prior
-    versions keep reading the superseded files until expiry. Returns
-    the committed version."""
+    ``append``: new parquet files land beside the existing ones via a
+    per-commit staging dir (:func:`_write_attributed` — the committed
+    file set is derived from the write itself, never from a directory
+    listing diff, so a concurrent writer's in-flight files are never
+    claimed); the snapshot lists parent files + new files.
+    ``overwrite``: new files land the same way (NO in-place directory
+    wipe) and the snapshot lists ONLY them — prior versions keep
+    reading the superseded files until expiry. The write's schema is
+    recorded in the commit so an empty version stays readable with the
+    schema it was committed under. Returns the committed version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
-    before = _list_or_empty(spark, table)
-    df.write.mode("append").parquet(table)
-    new_files = [
-        f.rsplit("/", 1)[-1]
-        for f in _list_parquet_files(spark, table)
-        if f not in before
-    ]
+    new_files = _write_attributed(df, table)
+    extra = {"schema": df.schema.jsonValue()}
     if mode == "append":
         # parent's live list resolved inside the commit retry loop —
         # concurrent appends compose instead of clobbering
         return commit_snapshot(
-            spark, table, op=mode, append_files=new_files
+            spark, table, op=mode, append_files=new_files, extra=extra
         )
-    return commit_snapshot(spark, table, new_files, op=mode)
+    return commit_snapshot(spark, table, new_files, op=mode, extra=extra)
 
 
 def read_snapshot(
@@ -248,6 +304,14 @@ def read_snapshot(
     v = versions[-1] if version is None else version
     meta = read_snapshot_meta(spark, table, v)
     if not meta["files"]:
+        # the schema recorded AT COMMIT TIME, not the directory's
+        # current footers — an old empty version must not inherit a
+        # newer version's drifted schema (and a first-write-empty
+        # table has no footers to infer from at all)
+        if "schema" in meta:
+            return spark.createDataFrame(
+                [], StructType.fromJson(meta["schema"])
+            )
         return spark.createDataFrame([], spark.read.parquet(table).schema)
     root = table.rstrip("/")
     return spark.read.parquet(*[f"{root}/{n}" for n in meta["files"]])
@@ -257,10 +321,13 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     """Restore a past version by committing a NEW snapshot with that
     version's file list (op='rollback') — history stays append-only,
     the bad versions remain auditable, and expiry rules apply
-    uniformly. Returns the new version number."""
+    uniformly. Carries the source version's recorded schema forward so
+    an empty rollback target stays readable. Returns the new version
+    number."""
     meta = read_snapshot_meta(spark, table, version)
+    extra = {"schema": meta["schema"]} if "schema" in meta else None
     return commit_snapshot(
-        spark, table, meta["files"], op=f"rollback:{version}"
+        spark, table, meta["files"], op=f"rollback:{version}", extra=extra
     )
 
 
@@ -296,7 +363,17 @@ def expire_snapshots(
     survives (live sets are unions, exactly Iceberg's
     expire_snapshots contract). Dry-run by default. Returns
     ``{"expired_versions": [...], "deleted_files": [...],
-    "kept_versions": [...]}``."""
+    "kept_versions": [...]}``.
+
+    Concurrency: expire must not run alongside commits that can
+    reference expiring files (a rollback past the retention window, or
+    any commit replaying an expired version's list) — the retained set
+    is computed from a snapshot of the version log, so such a commit
+    could reference files mid-deletion. A destructive run re-lists the
+    version log after planning and ABORTS if a new version appeared;
+    that narrows the window to the deletion itself but does not close
+    it — schedule expire in a maintenance slot without concurrent
+    rollbacks, as Iceberg's expire_snapshots requires."""
     if keep_last <= 0:
         raise ValueError("keep_last must be positive")
     versions = list_snapshots(spark, table)
@@ -317,6 +394,12 @@ def expire_snapshots(
         "deleted_files": sorted(doomed_files),
     }
     if not dry_run:
+        if list_snapshots(spark, table) != versions:
+            raise RuntimeError(
+                f"concurrent commit detected on {table} while planning "
+                "expire — a new version may reference files scheduled "
+                "for deletion; re-run expire in a quiet window"
+            )
         fs, _ = _fs_for(spark, table)
         jvm = spark.sparkContext._jvm
         Path = jvm.org.apache.hadoop.fs.Path
@@ -401,18 +484,15 @@ def snapshot_sink(table: str):
             state["ids"] = committed_batch_ids(spark, table)
         if str(batch_id) in state["ids"]:
             return  # replay of an already-committed batch
-        before = _list_or_empty(spark, table)
-        batch_df.write.mode("append").parquet(table)
-        new_files = [
-            f.rsplit("/", 1)[-1]
-            for f in _list_parquet_files(spark, table)
-            if f not in before
-        ]
+        new_files = _write_attributed(batch_df, table)
         commit_snapshot(
             spark,
             table,
             op="stream-append",
-            extra={"batch_id": str(batch_id)},
+            extra={
+                "batch_id": str(batch_id),
+                "schema": batch_df.schema.jsonValue(),
+            },
             append_files=new_files,
         )
         state["ids"].add(str(batch_id))

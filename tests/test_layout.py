@@ -863,3 +863,58 @@ def test_append_preserves_custom_bloom_parameters(spark, tmp_path):
         for r in side.select("bloom_m", "bloom_k").distinct().collect()
     }
     assert combos == {(65536, 3)}
+
+
+def test_append_refuses_legacy_sidecar_without_recorded_mk(spark, tmp_path):
+    """ADVICE r10: a legacy Bloom sidecar with rows but NO recorded
+    (m, k) columns cannot be safely extended — the legacy rows carry
+    no parameters, so a parameter mix would be undetectable at probe
+    time (silent false negatives). append_with_manifest must refuse
+    and demand a rebuild."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS key"
+    )
+    df.write.parquet(path)
+    L.write_file_manifest(spark, path, ["id"])
+    # fabricate a legacy sidecar: bloom rows WITHOUT bloom_m/bloom_k
+    legacy = L.file_bloom_manifest(df, "key")
+    legacy.write.parquet(L.manifest_location(path) + "_bloom")
+
+    df2 = spark.range(300, 500).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS key"
+    )
+    with pytest.raises(ValueError, match="no recorded bloom"):
+        L.append_with_manifest(df2, path, ["id"], bloom_dim="key")
+
+    # the remedy: rebuild (records parameters), then append extends
+    L.write_bloom_manifest(spark, path, "key", mode="overwrite")
+    L.append_with_manifest(df2, path, ["id"], bloom_dim="key")
+    side = spark.read.parquet(L.manifest_location(path) + "_bloom")
+    combos = {
+        (r.bloom_m, r.bloom_k)
+        for r in side.select("bloom_m", "bloom_k").distinct().collect()
+    }
+    assert len(combos) == 1 and None not in next(iter(combos))
+
+
+def test_sidecar_mk_mixed_null_rows_raise_valueerror(spark, tmp_path):
+    """ADVICE r10: a merged-schema sidecar whose legacy rows carry
+    null bloom_m must fail as the intended ValueError (corrupt index,
+    rebuild), not a TypeError from sorting None against int."""
+    import pytest
+
+    from cmsspark_spark.jobs.point_lookup import _sidecar_mk
+
+    df = spark.range(0, 50).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS key"
+    )
+    legacy = L.file_bloom_manifest(df, "key")  # no (m, k) columns
+    modern = L.file_bloom_manifest(df, "key").withColumn(
+        "bloom_m", F.lit(65536)
+    ).withColumn("bloom_k", F.lit(3))
+    mixed = legacy.unionByName(modern, allowMissingColumns=True)
+    with pytest.raises(ValueError, match="mixes parameters"):
+        _sidecar_mk(mixed)

@@ -272,3 +272,187 @@ def test_concurrent_appends_compose_instead_of_clobbering(spark, tmp_path):
         x for i in range(1, 5) for x in range(100 * i, 100 * i + 10)
     )
     assert got == sorted(want)
+
+
+def test_write_attribution_ignores_foreign_inflight_files(spark, tmp_path):
+    """ADVICE r10: snapshot_write must derive its committed file set
+    from the write itself, never from a directory-listing diff — a
+    concurrent writer's in-flight file landing in the table dir must
+    not be claimed by this commit."""
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 5), t, mode="append")
+
+    # a foreign writer's partially-landed batch: a raw parquet file in
+    # the table root that NO snapshot owns (it landed between any two
+    # points of our commit — with listing-diff attribution it would be
+    # claimed; with write-derived attribution it never can be)
+    spark.range(900, 905).write.mode("append").parquet(t)
+
+    v2 = S.snapshot_write(spark.range(5, 10), t, mode="append")
+    meta = S.read_snapshot_meta(spark, t, v2)
+    assert all(n.startswith("snap-") for n in meta["files"])
+    assert _ids(S.read_snapshot(spark, t, v2)) == list(range(0, 10))
+    # the foreign rows are invisible to every snapshot
+    assert 900 not in _ids(S.read_snapshot(spark, t))
+
+
+def test_staging_files_invisible_to_listing(spark, tmp_path):
+    """Files under an underscore-prefixed subdir (_staging, _temporary)
+    must be invisible to _list_parquet_files — they are another
+    commit's in-flight data."""
+    from cmsspark_spark.operators.layout import _list_parquet_files
+
+    t = tmp_path / "t"
+    spark.range(0, 5).write.parquet(str(t))
+    spark.range(5, 8).write.parquet(str(t / "_staging" / "abc"))
+    listed = _list_parquet_files(spark, str(t))
+    assert listed  # the real files are there
+    assert all("/_staging/" not in p for p in listed)
+    # listing the staging dir DIRECTLY still works (the write path
+    # enumerates its own staged files this way)
+    inner = _list_parquet_files(spark, str(t / "_staging" / "abc"))
+    assert inner and all(p.endswith(".parquet") for p in inner)
+
+
+def test_empty_snapshot_keeps_committed_schema(spark, tmp_path):
+    """ADVICE r10: an empty version must be readable with the schema
+    it was COMMITTED under — not the directory's current (possibly
+    drifted) footers, and not fail when the table has no footers at
+    all (empty first write)."""
+    t = str(tmp_path / "t")
+    empty = spark.range(0).selectExpr("id", "cast(id as string) as name")
+    v1 = S.snapshot_write(empty, t, mode="append")
+    got = S.read_snapshot(spark, t, v1)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "name"]
+
+    # later the table's live schema drifts; v1 must NOT inherit it
+    drifted = spark.range(5).selectExpr("id", "id * 2 as other")
+    S.snapshot_write(drifted, t, mode="overwrite")
+    again = S.read_snapshot(spark, t, v1)
+    assert [f.name for f in again.schema.fields] == ["id", "name"]
+
+    # an empty OVERWRITE pins its own schema too, and rollback to it
+    # carries the schema forward
+    v3 = S.snapshot_write(
+        spark.range(0).selectExpr("id", "id + 1 as third"), t,
+        mode="overwrite",
+    )
+    v4 = S.rollback_snapshot(spark, t, v3)
+    assert [f.name for f in S.read_snapshot(spark, t, v4).schema.fields] == [
+        "id", "third",
+    ]
+
+
+def test_claim_seam_catches_overwriting_rename(spark, tmp_path):
+    """ADVICE r10 / verdict item 4: on an S3-like store whose rename
+    OVERWRITES, the default claim would let two racers both 'win' a
+    version (one commit silently vanishes). The pluggable claim seam
+    lets a caller supply a CAS-backed claim that serializes the race.
+
+    The fake filesystem here is an overwriting rename (shutil.move):
+    first we prove it produces the double-claim, then that a CAS claim
+    built on the SAME overwriting primitive yields distinct versions
+    with both commits preserved."""
+    import shutil
+    import threading
+
+    def overwriting_claim(tmp: str, dest: str) -> bool:
+        # S3-semantics fake: last writer wins, no exists check
+        shutil.move(tmp.replace("file:", ""), dest.replace("file:", ""))
+        return True
+
+    t1 = str(tmp_path / "bad")
+    spark.range(0, 3).write.parquet(t1)
+    files = [p.rsplit("/", 1)[-1] for p in
+             __import__("glob").glob(t1 + "/*.parquet")]
+    # two racers plan the same next version; with overwriting rename
+    # BOTH claims report success -> one meta file is silently lost
+    barrier = threading.Barrier(2)
+    got = []
+
+    def _race(tag):
+        import json as _json
+        import os
+        import uuid as _uuid
+        snapdir = t1 + "/" + S.SNAPDIR
+        os.makedirs(snapdir, exist_ok=True)
+        v = (S.list_snapshots(spark, t1) or [0])
+        v = (v[-1] if v else 0) + 1
+        tmp = f"{snapdir}/_tmp.{_uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            _json.dump({"version": v, "op": tag, "parent": None,
+                        "files": files, "n_files": len(files)}, fh)
+        barrier.wait()
+        assert overwriting_claim(tmp, f"{snapdir}/v{v:08d}.json")
+        got.append(v)
+
+    ths = [threading.Thread(target=_race, args=(f"w{i}",)) for i in range(2)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert got[0] == got[1]  # the double-claim: both racers "won" v1
+    assert S.list_snapshots(spark, t1) == [1]  # one commit vanished
+
+    # the seam: a CAS claim over the same overwriting primitive
+    t2 = str(tmp_path / "good")
+    claimed: set[str] = set()
+    lock = threading.Lock()
+
+    def cas_claim(tmp: str, dest: str) -> bool:
+        with lock:  # stands in for a conditional put / lock table
+            if dest in claimed:
+                return False
+            claimed.add(dest)
+        shutil.move(tmp.replace("file:", ""), dest.replace("file:", ""))
+        return True
+
+    spark.range(0, 3).write.parquet(t2)
+    f2 = [p.rsplit("/", 1)[-1] for p in
+          __import__("glob").glob(t2 + "/*.parquet")]
+    errs = []
+
+    def _commit(tag):
+        try:
+            S.commit_snapshot(spark, t2, f2, op=tag, claim=cas_claim)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ths = [threading.Thread(target=_commit, args=(f"w{i}",))
+           for i in range(4)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs
+    assert S.list_snapshots(spark, t2) == [1, 2, 3, 4]  # no lost commit
+
+
+def test_expire_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """ADVICE r10: a commit landing between expire's planning and its
+    deletions could reference files being deleted. The destructive
+    path re-lists the version log and aborts if it changed."""
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 5), t, mode="append")
+    S.snapshot_write(spark.range(5, 8), t, mode="overwrite")
+    S.snapshot_write(spark.range(8, 12), t, mode="overwrite")
+
+    real_list = S.list_snapshots
+    calls = {"n": 0}
+
+    def racy_list(spark_, table_):
+        calls["n"] += 1
+        vs = real_list(spark_, table_)
+        if calls["n"] == 1:
+            # a concurrent rollback commits v4 right after planning
+            S.rollback_snapshot(spark_, table_, 1)
+        return vs
+
+    monkeypatch.setattr(S, "list_snapshots", racy_list)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+    monkeypatch.undo()
+    # nothing was deleted: every version (incl. the racer's) readable
+    assert _ids(S.read_snapshot(spark, t, 1)) == list(range(0, 5))
+    assert _ids(S.read_snapshot(spark, t, 4)) == list(range(0, 5))
