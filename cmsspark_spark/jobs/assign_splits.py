@@ -44,7 +44,7 @@ def run_batch(
     sf_dir: str,
     state: str,
     boundaries: dict[str, int] | None = None,
-    hot_bucket_cap: int | None = None,
+    hot_bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Full-corpus cluster-consistent assignment + state commit.
     Returns the per-doc assignment (doc_id, split, clustered, moved).
@@ -53,11 +53,18 @@ def run_batch(
     candidate output on boilerplate clusters — a template cluster of
     m identical docs emits O(m) star edges instead of O(m²) dense
     pairs, the components closure (and so split inheritance) is
-    unchanged, and the capped star edges verify trivially. Set it
-    (e.g. 1024) on any production corpus; default None keeps the
-    exact plan BYTE-IDENTICAL to the registry's
-    cluster_consistent_split, so a session that ran both shares one
-    LSH→verify→components run via the session memos."""
+    unchanged, and the capped star edges verify trivially. The
+    DEFAULT is 1024 (matching clean_corpus/corpus_qa): this job is
+    the daily operational consumer of the LSH census and must not
+    take the O(m²) path by omission on a production corpus (VERDICT
+    r10 item 1). Pass ``None`` to keep the exact plan BYTE-IDENTICAL
+    to the registry's cluster_consistent_split, so a session that ran
+    both shares one LSH→verify→components run via the session memos.
+
+    Capping is AUDITABLE: every batch run writes the per-band bucket
+    census (``minhash_lsh_bucket_report`` — bucket counts, max bucket
+    size, how many buckets/members the star reduction touched) to
+    ``<state>/bucket_report`` beside the splits/census state."""
     from cmsspark_spark import catalog
     from cmsspark_spark.operators import dedup as D
     from cmsspark_spark.operators.incremental import commit_census_minhash
@@ -67,6 +74,9 @@ def run_batch(
     cand = D.minhash_lsh_pairs(
         docs, "doc_id", "text", hot_bucket_cap=hot_bucket_cap
     )
+    D.minhash_lsh_bucket_report(
+        docs, "doc_id", "text", hot_bucket_cap=hot_bucket_cap
+    ).write.mode("overwrite").parquet(f"{state}/bucket_report")
     pairs = D.jaccard_pairs(
         docs, "doc_id", "text", threshold=0.5, candidates=cand
     )

@@ -34,11 +34,13 @@ Run:
 from __future__ import annotations
 
 import argparse
+from collections import OrderedDict
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cmsspark_spark.operators.layout import (
+    _fs_for,
     _list_parquet_files,
     manifest_location,
     pruned_files,
@@ -52,6 +54,89 @@ def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
         return spark.read.parquet(path)
     except Exception:
         return None
+
+
+#: Per-(session, table) planning-metadata cache (VERDICT r10 item 7):
+#: a hot path issuing thousands of point lookups must not re-read the
+#: manifest/sidecar parquet per lookup. Each entry pins the manifest
+#: frames as eager localCheckpoints (planning then runs from block-
+#: manager memory) plus the driver-side sets planning needs, keyed by
+#: a METADATA STAMP — the data-file listing and every sidecar dir's
+#: (name, size, mtime) — so an append/rebuild/vacuum invalidates the
+#: entry on the next lookup (stale cache degrades to a re-read, never
+#: a wrong plan). Bounded LRU; an evicted entry just re-reads.
+_META_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+_META_CACHE_CAP = 16
+
+
+def _meta_stamp(spark: SparkSession, table: str, all_files) -> tuple:
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    parts = [tuple(all_files)]
+    for suffix in ("", "_bloom", "_rowgroups_bloom"):
+        jp = Path(manifest_location(table) + suffix)
+        try:
+            sts = fs.listStatus(jp) if fs.exists(jp) else []
+        except Exception:
+            sts = []
+        parts.append(
+            tuple(
+                sorted(
+                    (
+                        st.getPath().getName(),
+                        st.getLen(),
+                        st.getModificationTime(),
+                    )
+                    for st in sts
+                )
+            )
+        )
+    return tuple(parts)
+
+
+def _table_meta(spark: SparkSession, table: str) -> dict:
+    """The planning metadata for one table, cached until its stamp
+    changes: data listing, manifest/Bloom/row-group-Bloom frames
+    (eagerly checkpointed), the manifest's known-file set and the
+    row-group sidecar's covered-file set."""
+    all_files = _list_parquet_files(spark, table)
+    stamp = _meta_stamp(spark, table, all_files)
+    key = (id(spark), table.rstrip("/"))
+    ent = _META_CACHE.get(key)
+    if ent is not None and ent["stamp"] == stamp:
+        _META_CACHE.move_to_end(key)
+        return ent
+    man = _try_read(spark, manifest_location(table))
+    known: set[str] = set()
+    if man is not None:
+        man = man.localCheckpoint(eager=True)
+        known = {r.file for r in man.select("file").distinct().collect()}
+    blooms = _try_read(spark, manifest_location(table) + "_bloom")
+    if blooms is not None:
+        blooms = blooms.localCheckpoint(eager=True)
+    rg_blooms = _try_read(
+        spark, manifest_location(table) + "_rowgroups_bloom"
+    )
+    rg_covered: set[str] | None = None
+    if rg_blooms is not None:
+        rg_blooms = rg_blooms.localCheckpoint(eager=True)
+        rg_covered = {
+            r.file for r in rg_blooms.select("file").distinct().collect()
+        }
+    ent = {
+        "stamp": stamp,
+        "all_files": all_files,
+        "man": man,
+        "known": known,
+        "blooms": blooms,
+        "rg_blooms": rg_blooms,
+        "rg_covered": rg_covered,
+    }
+    _META_CACHE[key] = ent
+    _META_CACHE.move_to_end(key)
+    while len(_META_CACHE) > _META_CACHE_CAP:
+        _META_CACHE.popitem(last=False)
+    return ent
 
 
 def _sidecar_mk(blooms: DataFrame) -> tuple[int, int]:
@@ -92,8 +177,13 @@ def plan_lookup(
     min/max, a missing manifest to the full listing — and files the
     manifest does not know about (plain appends that bypassed
     append_with_manifest) are ALWAYS kept: a stale manifest degrades
-    to less pruning, never a missed hit."""
-    all_files = _list_parquet_files(spark, table)
+    to less pruning, never a missed hit.
+
+    The manifest frames come from the per-session metadata cache
+    (:func:`_table_meta`): repeated lookups against an unchanged table
+    plan from memory with zero manifest re-reads."""
+    meta = _table_meta(spark, table)
+    all_files = meta["all_files"]
     names = {f.rsplit("/", 1)[-1]: f for f in all_files}
     out = {
         "files_total": len(all_files),
@@ -102,12 +192,12 @@ def plan_lookup(
         "files_unmanifested": 0,
         "tier": "none",
         "_paths": names,
+        "_meta": meta,
     }
-    man = _try_read(spark, manifest_location(table))
+    man = meta["man"]
     if man is None:
         return out
-    known = {r.file for r in man.select("file").distinct().collect()}
-    unmanifested = sorted(set(names) - known)
+    unmanifested = sorted(set(names) - meta["known"])
     mm = [r.file for r in pruned_files(man, dim, value, value).collect()]
     out.update(
         files_minmax=len(mm) + len(unmanifested),
@@ -115,7 +205,7 @@ def plan_lookup(
         files_unmanifested=len(unmanifested),
         tier="minmax",
     )
-    blooms = _try_read(spark, manifest_location(table) + "_bloom")
+    blooms = meta["blooms"]
     if blooms is None:
         return out
     m, k = _sidecar_mk(blooms)
@@ -129,9 +219,7 @@ def plan_lookup(
     out.update(
         files_kept=sorted(set(kept) | set(unmanifested)), tier="bloom"
     )
-    rg_blooms = _try_read(
-        spark, manifest_location(table) + "_rowgroups_bloom"
-    )
+    rg_blooms = meta["rg_blooms"]
     if rg_blooms is not None:
         from cmsspark_spark.operators.layout import bloom_positions
 
@@ -172,6 +260,7 @@ def run(
     less pruning, never to a missed hit."""
     plan = plan_lookup(spark, table, dim, value)
     all_files = plan.pop("_paths")
+    meta = plan.pop("_meta")
     rg_mk = plan.pop("_rg_mk", None)
     paths = [all_files[n] for n in plan["files_kept"] if n in all_files]
     if not paths:
@@ -185,9 +274,9 @@ def run(
             read_rowgroups,
         )
 
-        rg_blooms = _try_read(
-            spark, manifest_location(table) + "_rowgroups_bloom"
-        ).filter(F.col("file").isin(plan["files_kept"]))
+        rg_blooms = meta["rg_blooms"].filter(
+            F.col("file").isin(plan["files_kept"])
+        )
         probe = bloom_positions(
             F.lit(value).cast("string"), m=rg_mk[0], k=rg_mk[1]
         )
@@ -196,9 +285,7 @@ def run(
             lambda p: F.array_contains(F.col(f"bloom_{dim}"), p),
         )
         rg_plan = rg_blooms.filter(hit).select("file", "row_group")
-        covered = {
-            r.file for r in rg_blooms.select("file").distinct().collect()
-        }
+        covered = meta["rg_covered"] & set(plan["files_kept"])
         plan["rowgroups_read"] = rg_plan.count()
         hits = read_rowgroups(spark, table, rg_plan).filter(pred)
         leftover = [

@@ -1119,3 +1119,113 @@ def test_point_lookup_keeps_unmanifested_files(spark, tmp_path):
     plan = point_lookup.run(spark, table, "key", "deadbeef-key")
     assert plan["n_hits"] == 1
     assert plan["files_unmanifested"] >= 1
+
+
+def test_assign_splits_batch_caps_hot_buckets_and_writes_census(
+    spark, tmp_path
+):
+    """VERDICT r10 item 1: the split job's batch mode defaults the LSH
+    hot-bucket cap (template clusters emit O(m) star edges, not O(m²)
+    pairs) and writes the bucket census to its state dir so capping is
+    auditable. The cluster-consistent guarantee must hold under the
+    cap: every member of a capped template cluster still lands in ONE
+    split."""
+    from cmsspark_spark.jobs import assign_splits
+
+    # synthetic corpus: a 40-doc boilerplate template cluster (every
+    # LSH band collides -> one hot bucket per band) + distinct docs
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(40)] + [
+        (100 + i, f"unique document number {i} with distinct content {i * 7}")
+        for i in range(20)
+    ]
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(2).write.parquet(
+        f"{corpus}/documents.parquet"
+    )
+
+    state = str(tmp_path / "state")
+    out = assign_splits.run_batch(spark, corpus, state, hot_bucket_cap=8)
+
+    # the whole template cluster shares one split despite the cap
+    tpl = {r.doc_id: r.split for r in out.filter("doc_id < 100").collect()}
+    assert len(tpl) == 40 and len(set(tpl.values())) == 1
+    assert all(r.clustered for r in out.filter("doc_id < 100").collect())
+
+    # the census artifact landed and says what the cap touched
+    report = spark.read.parquet(f"{state}/bucket_report")
+    capped = report.agg(
+        F.sum("n_hot_buckets"), F.sum("capped_members")
+    ).first()
+    assert capped[0] > 0 and capped[1] > 0
+    # and the splits/census state is the usual committed shape
+    assert spark.read.parquet(f"{state}/splits").count() == 60
+
+
+def test_point_lookup_meta_cache_plans_without_rereads(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 7: repeated point lookups against an unchanged
+    table plan from the per-session metadata cache — the second lookup
+    performs ZERO manifest parquet reads. An append that changes the
+    table invalidates the stamp and the next lookup re-reads (stale
+    cache degrades to a re-read, never a wrong plan)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.jobs import point_lookup
+    from cmsspark_spark.operators import layout as L
+
+    table = str(tmp_path / "t")
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("key")
+        )
+        .repartition(8, "key")
+    )
+    df.write.parquet(table)
+    L.file_stats_manifest(spark.read.parquet(table), ["key"]).write.parquet(
+        L.manifest_location(table)
+    )
+    L.write_bloom_manifest(spark, table, "key")
+
+    point_lookup._META_CACHE.clear()
+    reads = {"n": 0}
+    real_try_read = point_lookup._try_read
+
+    def counting_try_read(spark_, path_):
+        reads["n"] += 1
+        return real_try_read(spark_, path_)
+
+    monkeypatch.setattr(point_lookup, "_try_read", counting_try_read)
+
+    k1 = hashlib.md5(b"7").hexdigest()
+    k2 = hashlib.md5(b"42").hexdigest()
+    p1 = point_lookup.run(spark, table, "key", k1)
+    assert p1["n_hits"] == 1 and p1["tier"] == "bloom"
+    first_reads = reads["n"]
+    assert first_reads >= 2  # manifest + bloom sidecar were read once
+
+    # 20 more lookups: all plan from the cache, zero re-reads
+    for _ in range(10):
+        for v in (k1, k2):
+            assert point_lookup.run(spark, table, "key", v)["n_hits"] == 1
+    assert reads["n"] == first_reads
+
+    # table + sidecars change out from under the cache: the stamp
+    # changes -> re-read, and the new doc is findable
+    inc = spark.createDataFrame(
+        [(99991, hashlib.md5(b"fresh").hexdigest())], ["id", "key"]
+    )
+    inc.write.mode("append").parquet(table)
+    L.file_stats_manifest(spark.read.parquet(table), ["key"]).write.mode(
+        "overwrite"
+    ).parquet(L.manifest_location(table))
+    L.write_bloom_manifest(spark, table, "key", mode="overwrite")
+    p3 = point_lookup.run(
+        spark, table, "key", hashlib.md5(b"fresh").hexdigest()
+    )
+    assert p3["n_hits"] == 1
+    assert reads["n"] > first_reads  # cache was invalidated
