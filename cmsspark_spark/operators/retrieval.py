@@ -1,0 +1,346 @@
+"""Incrementally-maintained BM25 serving state (VERDICT r10 item 2).
+
+The in-session BM25 rungs (operators/pipeline.py: exact, champion,
+max-score, block-max) rebuild postings + term stats + champion seeds
+per session — memoized, but an appended corpus increment re-pays the
+FULL corpus build. This module gives retrieval the same write-time
+append discipline the stats/Bloom manifests already have
+(layout.append_with_manifest): a persisted index whose append cost is
+proportional to the increment, serving results hash-identical to a
+full rebuild.
+
+The trick is choosing state that is a MONOID under disjoint-doc-set
+union, so an append writes only increment-derived partial rows and
+never reads (let alone rewrites) existing state:
+
+- ``postings/``  (doc, t, tf, dl): plain parquet append — postings of
+  distinct docs are disjoint rows.
+- ``termstats/`` (t, df_delta, max_tf, min_dl): per-commit partials;
+  the serve-time merge is sum/max/min per term — each exact under
+  union. Only the increment's terms get new rows ("recompute only
+  affected terms' bounds": the bound inputs for untouched terms are
+  untouched rows).
+- ``champions/`` (t, doc, tf, dl): the increment's per-term top-c by
+  (tf desc, doc asc). Top-c by a FIXED comparator is itself a monoid
+  (top-c of a union == top-c of the per-part top-c's), so the
+  serve-time re-cut over partials equals a full-corpus champion cut.
+  The comparator is deliberately avgdl-FREE — tf-part order within a
+  term at fixed dl is tf order, and a dl-aware order would change as
+  avgdl drifts across appends, breaking the monoid. Champions are a
+  candidate SEED, not a correctness surface: the max-score serve
+  stays exact with any seed set (θ from exact seed scores is a lower
+  bound on the true k-th score by subset-ness).
+- ``globals/``   (n_docs, sum_dl): one row per commit, summed at
+  serve. n_docs counts EVERY increment row (zero-token docs score
+  nothing but belong in N, exactly like the in-session rung);
+  sum_dl sums per-doc token lengths from the increment's postings.
+
+Serve-time bounds (max-score): per-term ub = floor(idf ·
+tf_part(max_tf, min_dl) · 1e6) + 1 micro-units. tf_part is increasing
+in tf and decreasing in dl, so evaluating it at (max over docs of tf,
+min over docs of dl) dominates every real posting of the term even
+though that (tf, dl) pair may co-occur in no document — admissible by
+construction, under the CURRENT avgdl (a global scalar read at serve
+time; bounds are recomputed from the merged per-term stats in one
+vocabulary-sized pass, never from postings).
+
+Scale: an append tokenizes only the increment (one (doc, term)
+shuffle over increment rows); serve reads postings with the doc/term
+predicates pushed to parquet; candidate generation and scoring reuse
+the exact plan shapes of the in-session rungs (query terms, df table
+and candidate ids broadcast; text never shuffles — text is never even
+stored in the index). Compaction of the partial-row tables is ordinary
+parquet compaction (layout.optimize) when commit count grows.
+
+No reference twin: the reference has no retrieval serving state; this
+is the train-once/serve-increment rung for the beyond-reference BM25
+family (same discipline as the k-means/census/manifest state).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cmsspark_spark.functions.text import tokens
+
+#: Shared scoring constants of the BM25 family (pipeline.py) — the
+#: additive constants enter as single literals for float parity with
+#: the rungs and their oracles.
+K1, B, K1_PLUS_1, ONE_MINUS_B = 1.2, 0.75, 2.2, 0.25
+
+
+def _inc_postings(
+    increment: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, t, tf, dl) for the increment only — the one tokenize
+    pass an append pays."""
+    base = increment.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("_tk")
+    )
+    return (
+        base.select(
+            "doc", F.size("_tk").alias("dl"), F.explode("_tk").alias("t")
+        )
+        .groupBy("doc", "t")
+        .agg(F.first("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def append_bm25_index(
+    increment: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    champions: int = 16,
+) -> None:
+    """Append one increment to (or create) a BM25 index directory.
+
+    Writes ONLY increment-derived rows: postings, per-term stat
+    partials, the increment's per-term champion cut, and one globals
+    row. Reads nothing from ``index_dir`` — append cost ∝ increment
+    by construction (tested by appending beside an unreadable
+    postings file). The caller must not re-append the same doc ids
+    (same contract as every appendable state here: disjoint doc sets
+    per commit)."""
+    from pyspark import StorageLevel
+
+    post = _inc_postings(increment, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    post.write.mode("append").parquet(f"{index_dir}/postings")
+    (
+        post.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("df_delta"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .write.mode("append")
+        .parquet(f"{index_dir}/termstats")
+    )
+    w = Window.partitionBy("t").orderBy(F.col("tf").desc(), F.col("doc"))
+    (
+        post.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(champions))
+        .select("t", "doc", "tf", "dl")
+        .write.mode("append")
+        .parquet(f"{index_dir}/champions")
+    )
+    n_docs = increment.count()
+    sum_dl = (
+        post.groupBy("doc").agg(F.first("dl").alias("dl"))
+        .select(F.sum("dl"))
+        .first()[0]
+    ) or 0
+    spark = increment.sparkSession
+    (
+        spark.createDataFrame(
+            [(int(n_docs), int(sum_dl))], "n_docs long, sum_dl long"
+        )
+        .write.mode("append")
+        .parquet(f"{index_dir}/globals")
+    )
+    post.unpersist()
+
+
+def _merged_state(spark: SparkSession, index_dir: str) -> dict:
+    """Scalars + lazily-merged stat frames of an index directory."""
+    g = (
+        spark.read.parquet(f"{index_dir}/globals")
+        .agg(F.sum("n_docs"), F.sum("sum_dl"))
+        .first()
+    )
+    n_docs, sum_dl = int(g[0]), int(g[1] or 0)
+    post = spark.read.parquet(f"{index_dir}/postings")
+    stats = spark.read.parquet(f"{index_dir}/termstats")
+    champ = spark.read.parquet(f"{index_dir}/champions")
+    return {
+        "post": post,
+        "stats": stats,
+        "champ": champ,
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+    }
+
+
+def bm25_index_serve(
+    spark: SparkSession,
+    index_dir: str,
+    query_max_id: int = 5,
+    k: int = 10,
+    champions: int = 16,
+    mode: str = "exact",
+) -> DataFrame:
+    """Top-``k`` BM25 more-like-this served FROM the index — output
+    contract identical to ``pipeline.bm25_more_like_this`` (query_id,
+    doc_id, bm25, rank), hash-exact against the exact rung's oracle
+    regardless of how many appends built the index.
+
+    ``mode='exact'`` scores every posting of every query term — the
+    exact rung replayed off persisted postings (no tokenize at all).
+    ``mode='maxscore'`` prunes with the STORED state: champions seed
+    θ (k-th exact seed score), the merged per-term (df, max_tf,
+    min_dl) yield admissible integer upper bounds under the current
+    avgdl, the ascending-bound prefix below θ is non-essential, and
+    only essential-term postings ∪ seeds are exact-scored — same
+    exactness argument as ``pipeline.bm25_maxscore_parts``, with the
+    bound inputs maintained incrementally instead of recomputed from
+    the corpus."""
+    if mode not in ("exact", "maxscore"):
+        raise ValueError(f"mode must be exact|maxscore, got {mode!r}")
+    st = _merged_state(spark, index_dir)
+    post, n_docs, avgdl = st["post"], st["n_docs"], st["avgdl"]
+    qterms = (
+        post.filter(F.col("doc") < query_max_id)
+        .select(F.col("doc").alias("_qid"), "t")
+    )
+    # merged per-term stats, query terms only (semi-join prunes the
+    # vocabulary-sized partial table before the merge aggregate)
+    tstats = (
+        st["stats"]
+        .join(F.broadcast(qterms.select("t").distinct()), "t", "left_semi")
+        .groupBy("t")
+        .agg(
+            F.sum("df_delta").alias("_df"),
+            F.max("max_tf").alias("_maxtf"),
+            F.min("min_dl").alias("_mindl"),
+        )
+    )
+    df_tab = tstats.select("t", "_df")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(K1_PLUS_1)) / (
+        F.col("tf")
+        + F.lit(K1)
+        * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+    )
+
+    def exact_scores(cand: DataFrame) -> DataFrame:
+        return (
+            post.join(F.broadcast(cand), "doc")
+            .join(F.broadcast(qterms), ["_qid", "t"], "left_semi")
+            .join(F.broadcast(df_tab), "t")
+            .groupBy("_qid", "doc")
+            .agg(F.sum(idf * tf_part).alias("_score"))
+        )
+
+    if mode == "exact":
+        cand = (
+            post.join(F.broadcast(qterms), "t")
+            .filter(F.col("doc") != F.col("_qid"))
+            .select("_qid", "doc")
+            .distinct()
+        )
+    else:
+        # champion monoid re-cut: per-term top-c of the per-commit
+        # top-c partials — identical to a full-corpus cut
+        w_ch = Window.partitionBy("t").orderBy(
+            F.col("tf").desc(), F.col("doc")
+        )
+        champ = (
+            st["champ"]
+            .join(
+                F.broadcast(qterms.select("t").distinct()), "t", "left_semi"
+            )
+            .withColumn("_rk", F.row_number().over(w_ch))
+            .filter(F.col("_rk") <= int(champions))
+            .select("t", "doc")
+        )
+        seed = (
+            qterms.join(champ, "t")
+            .filter(F.col("doc") != F.col("_qid"))
+            .select("_qid", "doc")
+            .distinct()
+        )
+        # admissible bound from the MAINTAINED stats: tf_part rises
+        # in tf and falls in dl, so (max_tf, min_dl) dominates every
+        # real posting of the term under the current avgdl
+        tfp_ub = (F.col("_maxtf") * F.lit(K1_PLUS_1)) / (
+            F.col("_maxtf")
+            + F.lit(K1)
+            * (
+                F.lit(ONE_MINUS_B)
+                + F.lit(B) * F.col("_mindl") / F.lit(avgdl)
+            )
+        )
+        bounds = tstats.withColumn(
+            "_ub",
+            (F.floor(idf * tfp_ub * F.lit(1000000.0)) + F.lit(1)).cast(
+                "long"
+            ),
+        )
+        s_micro = F.floor(
+            F.col("_score") * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long")
+        w_seed = Window.partitionBy("_qid").orderBy(
+            F.col("_smicro").desc(), F.col("doc")
+        )
+        theta = (
+            exact_scores(seed)
+            .withColumn("_smicro", s_micro)
+            .withColumn("_rk", F.row_number().over(w_seed))
+            .filter(F.col("_rk") == int(k))
+            .select("_qid", F.col("_smicro").alias("_theta"))
+        )
+        w_cum = (
+            Window.partitionBy("_qid")
+            .orderBy(F.col("_ub").asc(), F.col("t").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        essential_terms = (
+            qterms.join(F.broadcast(bounds.select("t", "_ub")), "t")
+            .join(F.broadcast(theta), "_qid", "left")
+            .withColumn("_cum", F.sum("_ub").over(w_cum))
+            .filter(
+                F.col("_theta").isNull()
+                | (F.col("_cum") >= F.col("_theta"))
+            )
+            .select("_qid", "t")
+        )
+        ess_cand = (
+            post.join(F.broadcast(essential_terms), "t")
+            .filter(F.col("doc") != F.col("_qid"))
+            .select("_qid", "doc")
+        )
+        cand = ess_cand.unionByName(seed).distinct()
+
+    w = Window.partitionBy("_qid").orderBy(
+        F.round("_score", 6).desc(), F.col("doc")
+    )
+    return (
+        exact_scores(cand)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("doc").alias("doc_id"),
+            F.round("_score", 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
+def bm25_index_commit_report(
+    spark: SparkSession, index_dir: str
+) -> DataFrame:
+    """One-row audit of an index directory: commits, docs, distinct
+    terms, postings rows — the no-silent-state companion a pipeline
+    records after each append."""
+    n_commits = spark.read.parquet(f"{index_dir}/globals").count()
+    g = _merged_state(spark, index_dir)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_commits),
+                g["n_docs"],
+                int(g["post"].select("t").distinct().count()),
+                int(g["post"].count()),
+            )
+        ],
+        "n_commits long, n_docs long, n_terms long, n_postings long",
+    )

@@ -12138,3 +12138,85 @@ def bm25_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg_10"),
     )
+
+
+def _bm25_index_shared(d: DataFrame) -> tuple:
+    """Build the persisted BM25 index in a scratch dir via TWO appends
+    (base corpus, then increment), serve both modes, then drop the
+    scratch dir — the pair is memoized per session so the exact and
+    max-score entries (and tests) share one index build. Results are
+    eagerly checkpointed BEFORE the scratch dir is deleted (the serve
+    plans read the scratch parquet)."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import pipeline as PL
+    from cmsspark_spark.operators import retrieval as R
+
+    def _build() -> tuple:
+        tmp = tempfile.mkdtemp(prefix="bm25_index_")
+        idx = f"{tmp}/idx"
+        R.append_bm25_index(d.filter(F.col("doc_id") % 4 != 3), idx)
+        R.append_bm25_index(d.filter(F.col("doc_id") % 4 == 3), idx)
+        spark = d.sparkSession
+        out = tuple(
+            f.localCheckpoint(eager=True)
+            for f in (
+                R.bm25_index_serve(spark, idx, mode="exact"),
+                R.bm25_index_serve(spark, idx, mode="maxscore"),
+            )
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    key = PL._BM25_PRUNED_MEMO.key_for(d, "index_incr")
+    if key is None:
+        return _build()
+    per = PL._BM25_PRUNED_MEMO.per_session(d.sparkSession)
+    if key not in per:
+        per[key] = _build()
+    return per[key]
+
+
+@query(
+    "bm25_index_incremental_serve",
+    ORACLES["bm25_more_like_this"],
+)
+def bm25_index_incremental_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained retrieval state, exact serve (VERDICT
+    r10 item 2; operators/retrieval.py): the corpus is committed to a
+    persisted BM25 index in TWO appends (doc_id % 4 != 3, then the
+    rest), each append writing only increment-derived rows (postings,
+    per-term stat partials, champion partials, a globals row — a
+    monoid under disjoint-doc union, so nothing existing is read or
+    rewritten). The serve then ranks top-10 more-like-this for docs
+    0-4 straight off the persisted postings — hash-exact against the
+    SAME DuckDB oracle as bm25_more_like_this, proving
+    append-then-serve ≡ full rebuild. Scale: append tokenizes only
+    its increment; serve pushes the doc/term predicates into the
+    postings scan and broadcasts query terms + df table, text never
+    stored or shuffled."""
+    d = _t(spark, sf_dir, "documents")
+    return _bm25_index_shared(d)[0]
+
+
+@query(
+    "bm25_index_maxscore_serve",
+    ORACLES["bm25_more_like_this"],
+)
+def bm25_index_maxscore_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Max-score serve off the incrementally-built index: champions
+    (a per-term top-c monoid re-cut over per-commit partials —
+    identical to a full-corpus cut) seed θ, the merged per-term
+    (df, max_tf, min_dl) stats yield admissible integer upper bounds
+    under the CURRENT avgdl, and only essential-term postings ∪ seeds
+    are exact-scored. Hash-exact against the exact rung's oracle —
+    the pruning bounds are maintained per append (only increment
+    terms get new partial rows) yet the serve stays exact, which is
+    the whole point of the train-once/serve-increment discipline."""
+    d = _t(spark, sf_dir, "documents")
+    return _bm25_index_shared(d)[1]

@@ -1,0 +1,116 @@
+"""Incrementally-maintained BM25 serving state (operators/retrieval.py):
+append-then-serve equals full rebuild, appends never rescan the corpus,
+pruned serve stays exact off maintained bounds."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cmsspark_spark.operators import pipeline as PL
+from cmsspark_spark.operators import retrieval as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ranked(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_then_serve_equals_full_rebuild(spark, tmp_path):
+    """The train-once/serve-increment contract: an index built by
+    three successive appends serves results row-identical to a
+    single-shot build AND to the in-session exact rung."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    multi = str(tmp_path / "multi")
+    for part in range(3):
+        R.append_bm25_index(docs.filter(F.col("doc_id") % 3 == part), multi)
+    single = str(tmp_path / "single")
+    R.append_bm25_index(docs, single)
+
+    want = _ranked(
+        PL._bm25_exact_build(
+            docs, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    assert _ranked(R.bm25_index_serve(spark, multi)) == want
+    assert _ranked(R.bm25_index_serve(spark, single)) == want
+    # pruned serve off the MAINTAINED bounds: exact too
+    assert (
+        _ranked(R.bm25_index_serve(spark, multi, mode="maxscore")) == want
+    )
+    assert (
+        _ranked(R.bm25_index_serve(spark, single, mode="maxscore")) == want
+    )
+
+    rep = R.bm25_index_commit_report(spark, multi).first()
+    assert rep.n_commits == 3 and rep.n_docs == docs.count()
+
+
+def test_append_reads_nothing_from_existing_state(spark, tmp_path):
+    """Cost ∝ increment, by construction: an append writes only
+    increment-derived rows and never opens existing index files.
+    Proven by poisoning every state table with an UNREADABLE parquet
+    file — any read of existing state would throw, yet the append
+    succeeds. (The serve, which legitimately reads state, does choke
+    on the poison — asserted as the control.)"""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    for sub in ("postings", "termstats", "champions", "globals"):
+        with open(f"{idx}/{sub}/part-poison.parquet", "wb") as fh:
+            fh.write(b"this is not a parquet file")
+
+    R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+
+    # control: the serve DOES read state, so the poison must bite —
+    # otherwise this test would prove nothing
+    with pytest.raises(Exception):
+        R.bm25_index_serve(spark, idx).collect()
+
+
+def test_zero_token_docs_count_toward_n(spark, tmp_path):
+    """A doc with no tokens contributes to N (the idf denominator)
+    but no postings — exactly the in-session rung's semantics. The
+    served scores must match the exact rung on the SAME corpus
+    including the empty doc."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    extra = spark.createDataFrame(
+        [(999900, ""), (999901, None)], "doc_id long, text string"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs.select("doc_id", "text"), idx)
+    R.append_bm25_index(extra, idx)
+
+    rep = R.bm25_index_commit_report(spark, idx).first()
+    assert rep.n_docs == 52  # empty docs counted
+
+    want = _ranked(
+        PL._bm25_exact_build(
+            corpus, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    assert _ranked(R.bm25_index_serve(spark, idx)) == want
+
+
+def test_serve_pushes_query_filter_into_postings_scan(spark, tmp_path):
+    """Plan contract: the query-doc extraction filters doc <
+    query_max_id directly on the postings parquet scan — PushedFilters
+    in the scan node, so a 100 TB postings table pays a pruned read,
+    not a full scan, to find the query terms."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs, idx)
+    post = spark.read.parquet(f"{idx}/postings")
+    qterms = post.filter(F.col("doc") < 5)
+    plan = qterms._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc), LessThan(doc,5)" in plan
+
+
+def test_serve_rejects_unknown_mode(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs, idx)
+    with pytest.raises(ValueError, match="exact|maxscore"):
+        R.bm25_index_serve(spark, idx, mode="wand")
