@@ -54,6 +54,7 @@ import json
 import uuid
 from typing import Callable, Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -498,6 +499,164 @@ def snapshot_sink(table: str):
         state["ids"].add(str(batch_id))
 
     return _sink
+
+
+def snapshot_cdc(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Signed row-level CDC between two snapshot versions, derived at
+    FILE grain: because data files are immutable, the content delta
+    between versions is exactly (rows of files only in ``to``) as
+    inserts (+1) and (rows of files only in ``from``) as deletes
+    (-1) — a key rewritten between versions appears as its old row
+    with -1 and its new row with +1, which is precisely the algebra a
+    summable downstream aggregate needs. Cost ∝ CHANGED FILES: an
+    append's CDC reads only the appended files, a rollback's only the
+    rolled-off files — never the table. Output: the table's columns
+    plus ``_cdc_sign`` (+1 | -1)."""
+    versions = list_snapshots(spark, table)
+    if to_version is None:
+        if not versions:
+            raise FileNotFoundError(f"{table} has no snapshots")
+        to_version = versions[-1]
+    old = set(read_snapshot_meta(spark, table, from_version)["files"])
+    new = set(read_snapshot_meta(spark, table, to_version)["files"])
+    root = table.rstrip("/")
+
+    def _signed(names: set[str], sign: int) -> DataFrame | None:
+        if not names:
+            return None
+        return spark.read.parquet(
+            *[f"{root}/{n}" for n in sorted(names)]
+        ).withColumn("_cdc_sign", F.lit(sign))
+
+    adds = _signed(new - old, 1)
+    drops = _signed(old - new, -1)
+    if adds is not None and drops is not None:
+        return adds.unionByName(drops)
+    if adds is not None:
+        return adds
+    if drops is not None:
+        return drops
+    return read_snapshot(spark, table, to_version).withColumn(
+        "_cdc_sign", F.lit(1)
+    ).limit(0)
+
+
+def _agg_meta_path(state_path: str) -> str:
+    return state_path.rstrip("/") + "/_agg_meta.json"
+
+
+def _read_agg_meta(spark: SparkSession, state_path: str) -> dict | None:
+    fs, _ = _fs_for(spark, state_path)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_agg_meta_path(state_path))
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_agg_meta(
+    spark: SparkSession, state_path: str, meta: dict
+) -> None:
+    fs, _ = _fs_for(spark, state_path)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_agg_meta_path(state_path))
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def maintain_snapshot_agg(
+    spark: SparkSession,
+    table: str,
+    state_path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC-maintained groupBy materialization (VERDICT r10 item 8):
+    keep ``group_cols → (n_rows, sum_<c>...)`` of a snapshot table
+    current WITHOUT full recompute. The first call materializes from
+    the pinned version; every later call reads only
+    :func:`snapshot_cdc` between the state's recorded version and the
+    target (adds count +1 / removes -1 per key; sums fold the signed
+    measure), merges the delta into the stored groups, drops groups
+    whose row count reaches zero, and advances the recorded version.
+    Refresh cost ∝ changed files + group count, never table size.
+
+    Exactness: counts and integer-typed sums are maintained exactly
+    (the signed fold is the inverse-element argument — a group's
+    adds and removes cancel term-for-term). Float sums would
+    accumulate reassociation error across refreshes; pass integer
+    measures (cast cents, micro-units) for hash-stable maintenance,
+    the same integer-grid discipline the engine uses everywhere.
+
+    Single-writer per state_path (like every maintained state here);
+    readers see the previous materialization until the overwrite
+    commits. Returns the refreshed materialization."""
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+    versions = list_snapshots(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"{table} has no snapshots")
+    target = versions[-1] if to_version is None else to_version
+
+    def _aggregate(df: DataFrame, sign_col=None) -> DataFrame:
+        sign = F.col(sign_col) if sign_col else F.lit(1)
+        aggs = [F.sum(sign).cast("long").alias("n_rows")]
+        for c in sum_cols:
+            aggs.append(
+                F.sum(F.col(c) * sign).cast("long").alias(f"sum_{c}")
+            )
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    meta = _read_agg_meta(spark, state_path)
+    data_path = state_path.rstrip("/") + "/data"
+    if meta is None:
+        out = _aggregate(read_snapshot(spark, table, target))
+        out.write.mode("overwrite").parquet(data_path)
+        _write_agg_meta(
+            spark, state_path, {"version": target, "table": table}
+        )
+        return spark.read.parquet(data_path)
+    last = int(meta["version"])
+    if last == target:
+        return spark.read.parquet(data_path)
+    cdc = snapshot_cdc(spark, table, last, target)
+    delta = _aggregate(cdc, sign_col="_cdc_sign")
+    state = spark.read.parquet(data_path)
+    merged = (
+        state.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            *[
+                F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col("n_rows") != 0)
+    )
+    # the merge reads the state it overwrites: pin it first
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(data_path)
+    _write_agg_meta(
+        spark, state_path, {"version": target, "table": table}
+    )
+    return spark.read.parquet(data_path)
 
 
 def snapshot_version_diff(

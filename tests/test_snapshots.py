@@ -456,3 +456,85 @@ def test_expire_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
     # nothing was deleted: every version (incl. the racer's) readable
     assert _ids(S.read_snapshot(spark, t, 1)) == list(range(0, 5))
     assert _ids(S.read_snapshot(spark, t, 4)) == list(range(0, 5))
+
+
+def test_cdc_signed_rows_read_only_changed_files(spark, tmp_path):
+    """snapshot_cdc derives the content delta at file grain: an
+    append's CDC reads ONLY the appended files (+1), a rollback's
+    only the rolled-off files (-1) — asserted on the plan's input
+    files, the 100-TB property."""
+    t = str(tmp_path / "t")
+    v1 = S.snapshot_write(spark.range(0, 10), t, mode="append")
+    v2 = S.snapshot_write(spark.range(10, 15), t, mode="append")
+    v1_files = set(S.read_snapshot_meta(spark, t, v1)["files"])
+    v2_files = set(S.read_snapshot_meta(spark, t, v2)["files"])
+
+    cdc = S.snapshot_cdc(spark, t, v1, v2)
+    read = {p.rsplit("/", 1)[-1] for p in cdc.inputFiles()}
+    assert read == v2_files - v1_files  # appended files only
+    rows = cdc.collect()
+    assert all(r._cdc_sign == 1 for r in rows)
+    assert sorted(r.id for r in rows) == list(range(10, 15))
+
+    v3 = S.rollback_snapshot(spark, t, v1)
+    cdc_back = S.snapshot_cdc(spark, t, v2, v3)
+    read_back = {p.rsplit("/", 1)[-1] for p in cdc_back.inputFiles()}
+    assert read_back == v2_files - v1_files  # rolled-off files only
+    assert all(r._cdc_sign == -1 for r in cdc_back.collect())
+
+    # no-change CDC: empty, schema preserved
+    assert S.snapshot_cdc(spark, t, v3, v3).count() == 0
+
+
+def test_maintained_agg_equals_recompute_at_every_version(spark, tmp_path):
+    """VERDICT r10 item 8: the CDC-maintained groupBy materialization
+    equals a from-scratch aggregate of the live snapshot after every
+    commit — appends, a rewriting overwrite, and a rollback that
+    erases a whole group."""
+    t = str(tmp_path / "t")
+    state = str(tmp_path / "agg")
+
+    def mk(lo, hi, grp):
+        return (
+            spark.range(lo, hi)
+            .selectExpr("id", f"'{grp}' as g", "id * 10 as v")
+        )
+
+    def recompute():
+        return {
+            (r.g): (r.n_rows, r.sum_v)
+            for r in S.read_snapshot(spark, t)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("v").cast("long").alias("sum_v"),
+            )
+            .collect()
+        }
+
+    def maintained():
+        return {
+            (r.g): (r.n_rows, r.sum_v)
+            for r in S.maintain_snapshot_agg(
+                spark, t, state, ["g"], ["v"]
+            ).collect()
+        }
+
+    S.snapshot_write(mk(0, 10, "a"), t, mode="append")
+    assert maintained() == recompute()
+    S.snapshot_write(mk(10, 15, "b"), t, mode="append")
+    assert maintained() == recompute()
+    # overwrite rewrites the world: CDC = remove-all + add-all, the
+    # signed fold still lands exactly on the recompute
+    S.snapshot_write(mk(100, 104, "a"), t, mode="overwrite")
+    assert maintained() == recompute()
+    # rollback to v2: group 'b' reappears; then rollback to v1 and
+    # group 'b' vanishes from the materialization entirely
+    S.rollback_snapshot(spark, t, 2)
+    m = maintained()
+    assert m == recompute() and "b" in m
+    S.rollback_snapshot(spark, t, 1)
+    m = maintained()
+    assert m == recompute() and "b" not in m
+    # an already-current state is returned as-is (no-op refresh)
+    assert maintained() == m
