@@ -520,3 +520,82 @@ def test_read_training_shards_verifies_manifest(spark, tmp_path):
         spark, path, manifest=manifest, shard_ids=[0, 1, 3]
     )
     assert ok.count() > 0
+
+
+def test_partlog_batch_read_partition_offsets(spark, tmp_path):
+    """Kafka-shaped partlog source, batch side: (partition, offset,
+    value) with per-partition monotone offsets across segment files,
+    one Spark input partition per log partition."""
+    from cmsspark_spark.sources.pyds import PartLogDataSource
+
+    root = tmp_path / "topic"
+    (root / "p0").mkdir(parents=True)
+    (root / "p1").mkdir()
+    (root / "p0" / "000001.log").write_text("a\nb\n")
+    (root / "p0" / "000002.log").write_text("c\n")
+    (root / "p1" / "000001.log").write_text("x\n")
+
+    spark.dataSource.register(PartLogDataSource)
+    df = spark.read.format("partlog").option("path", str(root)).load()
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        ("p0", 0, "a"), ("p0", 1, "b"), ("p0", 2, "c"), ("p1", 0, "x"),
+    ]
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_partlog_streaming_exactly_once_across_rebalance(spark, tmp_path):
+    """VERDICT r10 item 6: checkpoint-recovery exactly-once for the
+    partitioned offset source, ACROSS A REBALANCE — new records land
+    in existing partitions AND a brand-new partition directory
+    appears between restarts; the restarted query consumes exactly
+    the unseen records (old partitions resume from their committed
+    offsets, the new partition from 0), nothing replayed, nothing
+    lost."""
+    from cmsspark_spark.sources.pyds import PartLogDataSource
+
+    spark.dataSource.register(PartLogDataSource)
+    root = tmp_path / "topic"
+    (root / "p0").mkdir(parents=True)
+    (root / "p1").mkdir()
+    (root / "p0" / "000001.log").write_text("a0\na1\n")
+    (root / "p1" / "000001.log").write_text("b0\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("partlog")
+            .option("path", str(root))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_batch()
+    first = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert first == [("p0", 0, "a0"), ("p0", 1, "a1"), ("p1", 0, "b0")]
+
+    # rebalance between restarts: p0 grows a new segment, p1 appends
+    # in-place... no — segments are immutable; p1 gets a second
+    # segment too, and partition p2 APPEARS
+    (root / "p0" / "000002.log").write_text("a2\n")
+    (root / "p1" / "000002.log").write_text("b1\nb2\n")
+    (root / "p2").mkdir()
+    (root / "p2" / "000001.log").write_text("c0\n")
+    run_batch()
+    again = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert again == sorted(
+        first
+        + [("p0", 2, "a2"), ("p1", 1, "b1"), ("p1", 2, "b2"), ("p2", 0, "c0")]
+    )
+
+    # quiescent restart: nothing new, nothing duplicated
+    run_batch()
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    ) == again
