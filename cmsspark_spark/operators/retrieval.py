@@ -325,6 +325,57 @@ def bm25_index_serve(
     )
 
 
+def compact_bm25_index(
+    spark: SparkSession, index_dir: str, champions: int = 16
+) -> dict:
+    """Fold an index's per-commit partial tables into their merged
+    form — the OPTIMIZE of the retrieval state. After many appends,
+    termstats/champions/globals hold one partial row-set per commit;
+    serving merges them on the fly (cheap — vocabulary-sized), but a
+    long-lived index should periodically compact so the merge input
+    stays bounded. The compacted tables are definitionally a single
+    "commit" whose partials equal the full merge, so serving before
+    and after compaction is row-identical (monoid idempotence —
+    tested). Postings files are ordinary parquet; compact them with
+    ``layout.optimize`` if file count grows. Single-writer, like
+    every maintenance pass here. Returns before/after row counts."""
+    stats = spark.read.parquet(f"{index_dir}/termstats")
+    merged_stats = (
+        stats.groupBy("t")
+        .agg(
+            F.sum("df_delta").alias("df_delta"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("t").orderBy(F.col("tf").desc(), F.col("doc"))
+    champ = spark.read.parquet(f"{index_dir}/champions")
+    merged_champ = (
+        champ.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(champions))
+        .select("t", "doc", "tf", "dl")
+        .localCheckpoint(eager=True)
+    )
+    g = spark.read.parquet(f"{index_dir}/globals")
+    merged_g = (
+        g.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = {
+        "termstats_rows": (stats.count(), merged_stats.count()),
+        "champions_rows": (champ.count(), merged_champ.count()),
+        "globals_rows": (g.count(), 1),
+    }
+    merged_stats.write.mode("overwrite").parquet(f"{index_dir}/termstats")
+    merged_champ.write.mode("overwrite").parquet(f"{index_dir}/champions")
+    merged_g.write.mode("overwrite").parquet(f"{index_dir}/globals")
+    return out
+
+
 def bm25_index_commit_report(
     spark: SparkSession, index_dir: str
 ) -> DataFrame:

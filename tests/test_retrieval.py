@@ -114,3 +114,64 @@ def test_serve_rejects_unknown_mode(spark, tmp_path):
     R.append_bm25_index(docs, idx)
     with pytest.raises(ValueError, match="exact|maxscore"):
         R.bm25_index_serve(spark, idx, mode="wand")
+
+
+def test_compaction_preserves_serving_and_later_appends(spark, tmp_path):
+    """compact_bm25_index folds the per-commit partials into one
+    merged row-set; serving before/after is row-identical (monoid
+    idempotence), and appends AFTER a compaction keep composing."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    for part in range(3):
+        R.append_bm25_index(docs.filter(F.col("doc_id") % 4 == part), idx)
+
+    before = _ranked(R.bm25_index_serve(spark, idx, mode="maxscore"))
+    rep = R.compact_bm25_index(spark, idx)
+    assert rep["globals_rows"] == (3, 1)
+    assert rep["termstats_rows"][1] <= rep["termstats_rows"][0]
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="maxscore")) == before
+
+    # append the last quarter on top of the compacted state
+    R.append_bm25_index(docs.filter(F.col("doc_id") % 4 == 3), idx)
+    want = _ranked(
+        PL._bm25_exact_build(
+            docs, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="maxscore")) == want
+
+
+def test_build_index_cli_e2e(spark, tmp_path, capsys):
+    """The retrieval-index CLI: append twice, report, serve to
+    parquet, compact — the operational loop, end to end."""
+    from cmsspark_spark.jobs import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    half_a = str(tmp_path / "a.parquet")
+    half_b = str(tmp_path / "b.parquet")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(half_a)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(half_b)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "ranked")
+
+    build_index.main(["append", "--docs", half_a, "--index", idx])
+    build_index.main(["append", "--docs", half_b, "--index", idx])
+    build_index.main(["report", "--index", idx])
+    assert "'n_commits': 2" in capsys.readouterr().out
+
+    build_index.main(
+        ["serve", "--index", idx, "--mode", "maxscore", "--out", out]
+    )
+    want = _ranked(
+        PL._bm25_exact_build(
+            docs, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == want
+
+    build_index.main(["compact", "--index", idx])
+    assert "'globals_rows': (2, 1)" in capsys.readouterr().out
