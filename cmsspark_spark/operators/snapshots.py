@@ -36,12 +36,18 @@ atomically move the temp file to the version name and report whether
 it won) backed by whatever lock/CAS primitive the store offers (a DB
 row, a DynamoDB conditional put, a lock service).
 
-Scale: everything here is driver-side metadata ∝ file count. A 100 TB
-table with millions of files would chunk its file lists into avro
-manifest files and keep only manifest POINTERS in the version entry
-(the Iceberg manifest-list design); the JSON-per-version form keeps
-the same commit/expire semantics with one fewer indirection and is the
-honest fit for tables up to ~100k files.
+Scale: everything here is driver-side metadata ∝ file count — and past
+:data:`MANIFEST_INLINE_MAX` live files the version entry switches to
+MANIFEST POINTERS (the Iceberg manifest-list design, r11): immutable
+``m-*.json`` chunks under ``_snapshots/``, with appends REUSING the
+parent's pointers plus one new chunk for their own files, so commits
+to a million-file table write O(increment) metadata instead of
+re-serializing the live list. Readers resolve pointers with a dedup;
+rollback reuses pointers; expire deletes chunks no retained version
+references. Orphan manifests from lost commit retries are reclaimed
+when the versions that raced them expire; a standalone orphan (commit
+crashed between manifest write and claim) is inert residue like an
+unreferenced data file.
 
 No reference twin: the reference overwrites HDFS output directories in
 place (e.g. ``dbs_condor.py`` writes day outputs with no history); this
@@ -61,6 +67,16 @@ from pyspark.sql.types import StructType
 from cmsspark_spark.operators.layout import _fs_for, _list_parquet_files
 
 SNAPDIR = "_snapshots"
+
+#: Above this many live files a version entry stores MANIFEST POINTERS
+#: (``m-<uuid>.json`` sidecars under ``_snapshots/``, each listing a
+#: chunk of file names) instead of the inline list — the Iceberg
+#: manifest-list shape. The win is append cost: a child commit REUSES
+#: the parent's manifest pointers and adds one manifest for its own
+#: files, so committing to a million-file table writes O(increment)
+#: bytes, not O(live files). Small tables stay inline (one fewer
+#: read per plan).
+MANIFEST_INLINE_MAX = 10_000
 
 
 def _write_attributed(df: DataFrame, table: str) -> list[str]:
@@ -143,6 +159,65 @@ def read_snapshot_meta(spark: SparkSession, table: str, version: int) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
+def _write_manifest_file(
+    spark: SparkSession, table: str, names: Sequence[str]
+) -> str:
+    """Write one manifest chunk (``m-<uuid>.json`` — a JSON list of
+    file basenames) under the snapshot dir; returns its basename.
+    Manifests are immutable and content-addressed-ish (uuid names):
+    a commit attempt that loses its version race leaves an orphan
+    manifest, which expire_snapshots reclaims as unreferenced."""
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    name = f"m-{uuid.uuid4().hex}.json"
+    p = jvm.org.apache.hadoop.fs.Path(_snap_dir(table) + "/" + name)
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(json.dumps(sorted(names)).encode("utf-8")))
+    finally:
+        out.close()
+    return name
+
+
+def _read_manifest_file(
+    spark: SparkSession, table: str, name: str
+) -> list:
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_snap_dir(table) + "/" + name)
+    stream = fs.open(p)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def snapshot_files(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    meta: dict | None = None,
+) -> list:
+    """The resolved live file basenames of one version — inline lists
+    and manifest-pointer entries look the same to every reader.
+    Manifest resolution dedups across chunks (set union), so a
+    contract-violating duplicate name can never double-plan a scan."""
+    if meta is None:
+        if version is None:
+            versions = list_snapshots(spark, table)
+            if not versions:
+                raise FileNotFoundError(f"{table} has no snapshots")
+            version = versions[-1]
+        meta = read_snapshot_meta(spark, table, version)
+    if "files" in meta:
+        return list(meta["files"])
+    names: set = set()
+    for m in meta.get("manifests", []):
+        names.update(_read_manifest_file(spark, table, m))
+    return sorted(names)
+
+
 def default_claim(spark: SparkSession, table: str) -> Callable[[str, str], bool]:
     """The built-in version claim: ``FileContext.rename`` with no
     OVERWRITE option. On HDFS-class stores the server enforces
@@ -185,6 +260,8 @@ def commit_snapshot(
     max_retries: int = 16,
     append_files: Sequence[str] | None = None,
     claim: Callable[[str, str], bool] | None = None,
+    manifests: Sequence[str] | None = None,
+    manifest_threshold: int | None = None,
 ) -> int:
     """Atomically commit the next snapshot version. With ``files`` the
     commit lists exactly those basenames (overwrite/rollback — the
@@ -206,9 +283,31 @@ def commit_snapshot(
     table) — with the default there, two racers could both "win" a
     version and one commit would silently vanish. ``extra`` adds
     metadata fields to the commit (the streaming sink records its
-    batch_id this way). Returns the committed version number."""
-    if (files is None) == (append_files is None):
+    batch_id this way). Returns the committed version number.
+
+    Large tables go through MANIFEST POINTERS (the Iceberg
+    manifest-list shape): past ``manifest_threshold`` live files
+    (default :data:`MANIFEST_INLINE_MAX`) the version entry stores
+    ``m-*.json`` sidecar names instead of the inline list, and an
+    APPEND on a manifest-mode parent reuses the parent's pointers
+    plus one new manifest for its own files — commit cost
+    O(increment), never O(live files). ``manifests`` reuses existing
+    pointers directly (rollback's path). In manifest mode ``n_files``
+    is maintained additively under the fresh-names-per-append
+    contract (every write path here generates unique names); readers
+    resolve through a dedup, so even a violated contract can only
+    skew the count, never a scan."""
+    if manifests is not None:
+        if files is not None or append_files is not None:
+            raise ValueError(
+                "manifests is exclusive with files / append_files"
+            )
+    elif (files is None) == (append_files is None):
         raise ValueError("pass exactly one of files / append_files")
+    threshold = (
+        MANIFEST_INLINE_MAX if manifest_threshold is None
+        else int(manifest_threshold)
+    )
     fs, _ = _fs_for(spark, table)
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path
@@ -217,27 +316,72 @@ def commit_snapshot(
     if claim is None:
         claim = default_claim(spark, table)
     last_err: Exception | None = None
+    inc_manifest: str | None = None  # reused across retry attempts
     for _ in range(max_retries):
         versions = list_snapshots(spark, table)
         v = (versions[-1] + 1) if versions else 1
-        if append_files is not None:
-            live = (
-                read_snapshot_meta(spark, table, versions[-1])["files"]
+        listing: dict
+        if manifests is not None:
+            n_total = 0
+            for m in manifests:
+                n_total += len(_read_manifest_file(spark, table, m))
+            listing = {"manifests": list(manifests), "n_files": n_total}
+        elif append_files is not None:
+            inc_names = sorted(
+                {f.rsplit("/", 1)[-1] for f in append_files}
+            )
+            pmeta = (
+                read_snapshot_meta(spark, table, versions[-1])
                 if versions
-                else []
+                else None
             )
-            names = sorted(
-                set(live) | {f.rsplit("/", 1)[-1] for f in append_files}
-            )
+            p_manifests = (pmeta or {}).get("manifests")
+            p_inline = (pmeta or {}).get("files", [])
+            if p_manifests is None and (
+                len(p_inline) + len(inc_names) <= threshold
+            ):
+                names = sorted(set(p_inline) | set(inc_names))
+                listing = {"files": names, "n_files": len(names)}
+            else:
+                # manifest mode: reuse the parent's pointers (NEVER
+                # re-listing its live set) + one manifest for this
+                # increment; an inline parent converts with one extra
+                # chunk. The increment's manifest content does not
+                # depend on the parent, so it survives retry loops.
+                if inc_manifest is None:
+                    inc_manifest = _write_manifest_file(
+                        spark, table, inc_names
+                    )
+                ptrs = list(p_manifests or [])
+                n_total = (pmeta or {}).get("n_files", 0) if p_manifests \
+                    else len(p_inline)
+                if p_manifests is None and p_inline:
+                    ptrs.append(
+                        _write_manifest_file(spark, table, p_inline)
+                    )
+                ptrs.append(inc_manifest)
+                listing = {
+                    "manifests": ptrs,
+                    "n_files": n_total + len(inc_names),
+                }
         else:
             names = sorted({f.rsplit("/", 1)[-1] for f in files})
+            if len(names) <= threshold:
+                listing = {"files": names, "n_files": len(names)}
+            else:
+                chunks = [
+                    _write_manifest_file(
+                        spark, table, names[i : i + threshold]
+                    )
+                    for i in range(0, len(names), threshold)
+                ]
+                listing = {"manifests": chunks, "n_files": len(names)}
         meta = {
             "version": v,
             "op": op,
             "parent": parent if parent is not None else (versions[-1] if versions else None),
-            "files": names,
-            "n_files": len(names),
         }
+        meta.update(listing)
         meta.update(extra or {})
         tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")
         out = fs.create(tmp, False)
@@ -304,7 +448,8 @@ def read_snapshot(
         raise FileNotFoundError(f"{table} has no snapshots")
     v = versions[-1] if version is None else version
     meta = read_snapshot_meta(spark, table, v)
-    if not meta["files"]:
+    live = snapshot_files(spark, table, meta=meta)
+    if not live:
         # the schema recorded AT COMMIT TIME, not the directory's
         # current footers — an old empty version must not inherit a
         # newer version's drifted schema (and a first-write-empty
@@ -315,7 +460,7 @@ def read_snapshot(
             )
         return spark.createDataFrame([], spark.read.parquet(table).schema)
     root = table.rstrip("/")
-    return spark.read.parquet(*[f"{root}/{n}" for n in meta["files"]])
+    return spark.read.parquet(*[f"{root}/{n}" for n in live])
 
 
 def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
@@ -323,10 +468,18 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     version's file list (op='rollback') — history stays append-only,
     the bad versions remain auditable, and expiry rules apply
     uniformly. Carries the source version's recorded schema forward so
-    an empty rollback target stays readable. Returns the new version
+    an empty rollback target stays readable. A manifest-mode target's
+    POINTERS are reused (manifests are immutable — expire keeps any
+    manifest a retained version references), so rolling back a
+    million-file table writes O(1) metadata. Returns the new version
     number."""
     meta = read_snapshot_meta(spark, table, version)
     extra = {"schema": meta["schema"]} if "schema" in meta else None
+    if "manifests" in meta:
+        return commit_snapshot(
+            spark, table, op=f"rollback:{version}", extra=extra,
+            manifests=meta["manifests"],
+        )
     return commit_snapshot(
         spark, table, meta["files"], op=f"rollback:{version}", extra=extra
     )
@@ -380,19 +533,29 @@ def expire_snapshots(
     versions = list_snapshots(spark, table)
     kept, expired = versions[-keep_last:], versions[:-keep_last]
     retained_files: set[str] = set()
+    retained_manifests: set[str] = set()
     for v in kept:
-        retained_files.update(read_snapshot_meta(spark, table, v)["files"])
+        m = read_snapshot_meta(spark, table, v)
+        retained_files.update(snapshot_files(spark, table, meta=m))
+        retained_manifests.update(m.get("manifests", []))
     doomed_files: set[str] = set()
+    doomed_manifests: set[str] = set()
     for v in expired:
+        m = read_snapshot_meta(spark, table, v)
         doomed_files.update(
             f
-            for f in read_snapshot_meta(spark, table, v)["files"]
+            for f in snapshot_files(spark, table, meta=m)
             if f not in retained_files
+        )
+        doomed_manifests.update(
+            mf for mf in m.get("manifests", [])
+            if mf not in retained_manifests
         )
     out = {
         "kept_versions": kept,
         "expired_versions": expired,
         "deleted_files": sorted(doomed_files),
+        "deleted_manifests": sorted(doomed_manifests),
     }
     if not dry_run:
         if list_snapshots(spark, table) != versions:
@@ -407,6 +570,8 @@ def expire_snapshots(
         root = table.rstrip("/")
         for n in sorted(doomed_files):
             fs.delete(Path(f"{root}/{n}"), False)
+        for n in sorted(doomed_manifests):
+            fs.delete(Path(_snap_dir(table) + "/" + n), False)
         for v in expired:
             fs.delete(
                 Path(_snap_dir(table) + "/" + _version_name(v)), False
@@ -436,8 +601,8 @@ def snapshot_changes(
         if not versions:
             raise FileNotFoundError(f"{table} has no snapshots")
         to_version = versions[-1]
-    old = set(read_snapshot_meta(spark, table, from_version)["files"])
-    new = read_snapshot_meta(spark, table, to_version)["files"]
+    old = set(snapshot_files(spark, table, from_version))
+    new = snapshot_files(spark, table, to_version)
     added = [n for n in new if n not in old]
     root = table.rstrip("/")
     if not added:
@@ -522,8 +687,8 @@ def snapshot_cdc(
         if not versions:
             raise FileNotFoundError(f"{table} has no snapshots")
         to_version = versions[-1]
-    old = set(read_snapshot_meta(spark, table, from_version)["files"])
-    new = set(read_snapshot_meta(spark, table, to_version)["files"])
+    old = set(snapshot_files(spark, table, from_version))
+    new = set(snapshot_files(spark, table, to_version))
     root = table.rstrip("/")
 
     def _signed(names: set[str], sign: int) -> DataFrame | None:

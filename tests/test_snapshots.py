@@ -538,3 +538,90 @@ def test_maintained_agg_equals_recompute_at_every_version(spark, tmp_path):
     assert m == recompute() and "b" not in m
     # an already-current state is returned as-is (no-op refresh)
     assert maintained() == m
+
+
+def test_manifest_mode_appends_reuse_parent_pointers(spark, tmp_path):
+    """Iceberg-style manifest-list indirection: past the inline
+    threshold a version stores m-*.json pointers, and each APPEND
+    reuses the parent's pointers plus ONE new chunk for its own files
+    — commit metadata cost ∝ increment. Reads, time travel, rollback
+    and CDC resolve through the pointers identically to inline mode."""
+    import json as _json
+
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 10).repartition(4), t, mode="append")
+    # force the threshold below the live file count: next commit
+    # converts to manifest mode
+    inline_meta = S.read_snapshot_meta(spark, t, 1)
+    assert "files" in inline_meta
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    old_max = SN.MANIFEST_INLINE_MAX
+    SN.MANIFEST_INLINE_MAX = 3
+    try:
+        S.snapshot_write(spark.range(10, 20).repartition(4), t,
+                         mode="append")
+        m2 = S.read_snapshot_meta(spark, t, 2)
+        assert "manifests" in m2 and "files" not in m2
+        assert m2["n_files"] == inline_meta["n_files"] + 4
+
+        S.snapshot_write(spark.range(20, 25).repartition(2), t,
+                         mode="append")
+        m3 = S.read_snapshot_meta(spark, t, 3)
+        # pointer REUSE: v3 carries every v2 pointer plus exactly one
+        assert set(m2["manifests"]) < set(m3["manifests"])
+        assert len(m3["manifests"]) == len(m2["manifests"]) + 1
+
+        # resolution: every version reads its exact content
+        assert _ids(S.read_snapshot(spark, t, 1)) == list(range(0, 10))
+        assert _ids(S.read_snapshot(spark, t, 2)) == list(range(0, 20))
+        assert _ids(S.read_snapshot(spark, t)) == list(range(0, 25))
+
+        # rollback reuses pointers (O(1) metadata)
+        v4 = S.rollback_snapshot(spark, t, 2)
+        m4 = S.read_snapshot_meta(spark, t, v4)
+        assert m4["manifests"] == m2["manifests"]
+        assert _ids(S.read_snapshot(spark, t, v4)) == list(range(0, 20))
+
+        # CDC across manifest-mode versions: adds/removes by file set
+        cdc = S.snapshot_cdc(spark, t, 2, 3)
+        assert sorted(r.id for r in cdc.collect()) == list(range(20, 25))
+    finally:
+        SN.MANIFEST_INLINE_MAX = old_max
+
+
+def test_manifest_mode_expire_reclaims_unreferenced_chunks(
+    spark, tmp_path
+):
+    """expire on a manifest-mode table deletes data files AND manifest
+    chunks no retained version references; shared chunks survive (the
+    pointer-reuse twin of the shared-data-file rule)."""
+    import os
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    t = str(tmp_path / "t")
+    old_max = SN.MANIFEST_INLINE_MAX
+    SN.MANIFEST_INLINE_MAX = 1
+    try:
+        S.snapshot_write(spark.range(0, 5).coalesce(1), t, mode="append")
+        S.snapshot_write(spark.range(5, 8).coalesce(1), t, mode="append")
+        S.snapshot_write(spark.range(100, 103).repartition(2), t,
+                         mode="overwrite")
+        m2 = S.read_snapshot_meta(spark, t, 2)
+        m3 = S.read_snapshot_meta(spark, t, 3)
+        assert "manifests" in m2 and "manifests" in m3
+
+        res = S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+        # v1/v2's chunks are unreferenced by v3 -> reclaimed
+        assert set(res["deleted_manifests"]) == set(m2["manifests"])
+        snapdir = os.path.join(t, S.SNAPDIR)
+        left = {n for n in os.listdir(snapdir) if n.startswith("m-")}
+        assert left == set(m3["manifests"])
+        # the survivor still reads
+        assert _ids(S.read_snapshot(spark, t)) == [100, 101, 102]
+        with pytest.raises(FileNotFoundError):
+            S.read_snapshot_meta(spark, t, 2)
+    finally:
+        SN.MANIFEST_INLINE_MAX = old_max
