@@ -45,6 +45,8 @@ def run_batch(
     state: str,
     boundaries: dict[str, int] | None = None,
     hot_bucket_cap: int | None = 1024,
+    snapshot_table: str | None = None,
+    snapshot_version: int | None = None,
 ) -> DataFrame:
     """Full-corpus cluster-consistent assignment + state commit.
     Returns the per-doc assignment (doc_id, split, clustered, moved).
@@ -64,13 +66,37 @@ def run_batch(
     Capping is AUDITABLE: every batch run writes the per-band bucket
     census (``minhash_lsh_bucket_report`` — bucket counts, max bucket
     size, how many buckets/members the star reduction touched) to
-    ``<state>/bucket_report`` beside the splits/census state."""
+    ``<state>/bucket_report`` beside the splits/census state.
+
+    SNAPSHOT-PINNED mode (``snapshot_table``): the corpus is read as
+    an exact snapshot version (``read_snapshot``) instead of the live
+    sf_dir, and the state records the pin (``<state>/_pin.json`` —
+    table + resolved version). Increments then audit against a
+    corpus state that is ADDRESSABLE: "these splits were derived from
+    v7 of the curated table" survives later appends/overwrites of the
+    table, replays are version-addressed, and a rebuild from a newer
+    version updates the pin in lock-step with the census overwrite."""
     from cmsspark_spark import catalog
     from cmsspark_spark.operators import dedup as D
     from cmsspark_spark.operators.incremental import commit_census_minhash
     from cmsspark_spark.operators.pipeline import cluster_split_assign
+    from cmsspark_spark.operators.snapshots import (
+        list_snapshots,
+        read_snapshot,
+        write_json_meta,
+    )
 
-    docs = catalog.load_table(spark, sf_dir, "documents")
+    pin: dict | None = None
+    if snapshot_table is not None:
+        v = (
+            snapshot_version
+            if snapshot_version is not None
+            else list_snapshots(spark, snapshot_table)[-1]
+        )
+        docs = read_snapshot(spark, snapshot_table, v)
+        pin = {"table": snapshot_table.rstrip("/"), "version": int(v)}
+    else:
+        docs = catalog.load_table(spark, sf_dir, "documents")
     cand = D.minhash_lsh_pairs(
         docs, "doc_id", "text", hot_bucket_cap=hot_bucket_cap
     )
@@ -95,7 +121,19 @@ def run_batch(
         f"{state}/splits"
     )
     commit_census_minhash(spark, docs, f"{state}/census", mode="overwrite")
+    if pin is not None:
+        # pin LAST: a crash above leaves the old pin describing the
+        # old state, never a new pin over a half-written census
+        write_json_meta(spark, f"{state}/_pin.json", pin)
     return assign
+
+
+def state_pin(spark: SparkSession, state: str) -> dict | None:
+    """The snapshot pin a batch run recorded (``{"table", "version"}``)
+    or None for an unpinned (sf_dir-built) state."""
+    from cmsspark_spark.operators.snapshots import read_json_meta
+
+    return read_json_meta(spark, f"{state}/_pin.json")
 
 
 def run_increment(
@@ -104,6 +142,7 @@ def run_increment(
     state: str,
     boundaries: dict[str, int] | None = None,
     broadcast_increment: bool = True,
+    expect_snapshot_version: int | None = None,
 ) -> DataFrame:
     """Assign an increment against committed state, then extend the
     state (splits += increment's assignment, census += increment's
@@ -116,11 +155,27 @@ def run_increment(
     committed doc_ids first, so neither splits/ nor census/ grows
     duplicate rows across replays. A re-sent doc_id with CHANGED text
     keeps its original commitment (first write wins — moving an
-    already-served doc between splits would itself be a leak)."""
+    already-served doc between splits would itself be a leak).
+
+    ``expect_snapshot_version`` guards a PINNED state (see run_batch):
+    the increment refuses to apply unless the state's recorded pin
+    matches — catching the operational mistake of pointing a daily
+    increment at a state dir that was rebuilt from a different corpus
+    version than the scheduler believes."""
     from cmsspark_spark.operators.incremental import (
         commit_census_minhash,
         split_assign_increment,
     )
+
+    if expect_snapshot_version is not None:
+        pin = state_pin(spark, state)
+        got = None if pin is None else pin.get("version")
+        if got != expect_snapshot_version:
+            raise ValueError(
+                f"state {state} is pinned to snapshot version {got}, "
+                f"increment expected {expect_snapshot_version} — "
+                "rebuild the state or fix the scheduler's pin"
+            )
 
     census = spark.read.parquet(f"{state}/census")
     splits = spark.read.parquet(f"{state}/splits")
@@ -157,17 +212,30 @@ def main() -> None:
                     help="star-reduce LSH buckets beyond this size "
                          "(batch mode; O(m) edges per template "
                          "cluster instead of O(m^2) pairs)")
+    ap.add_argument("--snapshot-table", default=None,
+                    help="batch mode: read the corpus as a pinned "
+                         "snapshot of this table instead of --sf-dir; "
+                         "the state records the pin")
+    ap.add_argument("--snapshot-version", type=int, default=None,
+                    help="with --snapshot-table: pin this version "
+                         "(default: latest)")
+    ap.add_argument("--expect-snapshot-version", type=int, default=None,
+                    help="increment mode: refuse unless the state's "
+                         "recorded pin matches this version")
     args = ap.parse_args()
     spark = get_spark("assign-splits")
     if args.mode == "batch":
         run_batch(spark, args.sf_dir, args.state,
-                  hot_bucket_cap=args.hot_bucket_cap)
+                  hot_bucket_cap=args.hot_bucket_cap,
+                  snapshot_table=args.snapshot_table,
+                  snapshot_version=args.snapshot_version)
     else:
         if not args.increment:
             ap.error("--increment is required in increment mode")
         run_increment(
             spark, spark.read.parquet(args.increment), args.state,
             broadcast_increment=not args.no_broadcast_increment,
+            expect_snapshot_version=args.expect_snapshot_version,
         )
     spark.stop()
 

@@ -711,14 +711,14 @@ def snapshot_cdc(
     ).limit(0)
 
 
-def _agg_meta_path(state_path: str) -> str:
-    return state_path.rstrip("/") + "/_agg_meta.json"
-
-
-def _read_agg_meta(spark: SparkSession, state_path: str) -> dict | None:
-    fs, _ = _fs_for(spark, state_path)
+def read_json_meta(spark: SparkSession, path: str) -> dict | None:
+    """Small JSON sidecar read through the Hadoop FS (works on any
+    scheme the session can reach); None when absent. The generic
+    metadata primitive the maintained states share (aggregate state
+    versions, snapshot pins)."""
+    fs, _ = _fs_for(spark, path)
     jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(_agg_meta_path(state_path))
+    p = jvm.org.apache.hadoop.fs.Path(path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -731,17 +731,29 @@ def _read_agg_meta(spark: SparkSession, state_path: str) -> dict | None:
     return json.loads(data.decode("utf-8"))
 
 
-def _write_agg_meta(
-    spark: SparkSession, state_path: str, meta: dict
-) -> None:
-    fs, _ = _fs_for(spark, state_path)
+def write_json_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    fs, _ = _fs_for(spark, path)
     jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(_agg_meta_path(state_path))
+    p = jvm.org.apache.hadoop.fs.Path(path)
     out = fs.create(p, True)
     try:
         out.write(bytearray(json.dumps(meta).encode("utf-8")))
     finally:
         out.close()
+
+
+def _agg_meta_path(state_path: str) -> str:
+    return state_path.rstrip("/") + "/_agg_meta.json"
+
+
+def _read_agg_meta(spark: SparkSession, state_path: str) -> dict | None:
+    return read_json_meta(spark, _agg_meta_path(state_path))
+
+
+def _write_agg_meta(
+    spark: SparkSession, state_path: str, meta: dict
+) -> None:
+    write_json_meta(spark, _agg_meta_path(state_path), meta)
 
 
 def maintain_snapshot_agg(

@@ -1229,3 +1229,58 @@ def test_point_lookup_meta_cache_plans_without_rereads(
     )
     assert p3["n_hits"] == 1
     assert reads["n"] > first_reads  # cache was invalidated
+
+
+def test_assign_splits_snapshot_pinned_state(spark, tmp_path):
+    """r10 candidate #2: the split state can be built from a PINNED
+    snapshot version — the pin is recorded beside the census,
+    survives later table writes (the splits remain addressable:
+    'derived from v1'), a guarded increment refuses a version
+    mismatch, and a rebuild from the newer version advances the pin."""
+    import pytest
+
+    from cmsspark_spark.jobs import assign_splits
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    table = str(tmp_path / "corpus_snap")
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 0), table,
+                      mode="append")
+
+    state = str(tmp_path / "state")
+    out = assign_splits.run_batch(
+        spark, sf_dir=None, state=state, snapshot_table=table
+    )
+    assert out.count() == docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert assign_splits.state_pin(spark, state) == {
+        "table": table, "version": 1,
+    }
+
+    # the corpus table moves on; the pin still says v1
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 1), table,
+                      mode="append")
+    assert assign_splits.state_pin(spark, state)["version"] == 1
+
+    # guarded increment: wrong expected version refuses loudly
+    inc = spark.createDataFrame(
+        [(990001, "a fresh unseen document about nothing")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="pinned to snapshot version 1"):
+        assign_splits.run_increment(
+            spark, inc, state, expect_snapshot_version=2
+        )
+    # right version applies
+    got = assign_splits.run_increment(
+        spark, inc, state, expect_snapshot_version=1
+    )
+    assert got.count() == 1
+
+    # rebuild from v2 advances the pin with the census
+    assign_splits.run_batch(
+        spark, sf_dir=None, state=state, snapshot_table=table,
+        snapshot_version=2,
+    )
+    assert assign_splits.state_pin(spark, state)["version"] == 2

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Optimizer-rule plan audit: sweep every registry query's OPTIMIZED
+plan for the duplicate-expensive-expression signature that has now
+bitten this engine three times (r4 span census, r6 paragraph dedup,
+r10 LSH verify — all via InferFiltersFromGenerate synthesizing
+``size(<expensive array expr>) > 0`` filters and pushing the whole
+expression below a join as a corpus-scan filter; the rule class also
+includes InferFiltersFromConstraints).
+
+For each query the audit builds the DataFrame (plan only — nothing
+executes), renders the optimized plan, and flags any Filter node that
+embeds an expression from the EXPENSIVE list (higher-order array
+builders, regex machinery, shingle/tokenize chains). A flagged filter
+is not automatically a bug — a user-written ``length(text) > k`` gate
+is supposed to be there — so the report separates:
+
+- ``size_filters``: ``size(...) > 0``-shaped predicates over a listed
+  expensive builder — the exact inferred-filter signature, almost
+  always optimizer-synthesized (the fix that keeps them out,
+  ``spark.sql.optimizer.excludedRules=...InferFiltersFromGenerate``,
+  is asserted present);
+- ``expensive_filters``: any other Filter embedding a listed builder —
+  reviewed by hand, recorded so a future rule regression diffs
+  against a known-good baseline.
+
+Writes PLAN_AUDIT_r{N}.json at the repo root; exits nonzero if any
+``size_filters`` appear (the excluded rule regressed) so the audit
+can gate a round.
+
+Run: python tools/plan_audit.py [query names...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from cmsspark_spark.queries import QUERIES  # noqa: E402
+from cmsspark_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+#: Expression builders whose duplication into a data filter turns a
+#: pruned pass into a full corpus scan. Lowercase substrings matched
+#: against each Filter node's condition text.
+EXPENSIVE = (
+    "transform(",       # higher-order array build
+    "aggregate(",       # higher-order fold
+    "filter(split(",    # tokenize chain
+    "array_distinct(",  # shingle/dedup chains
+    "sequence(",        # range explode builders
+    "regexp_extract_all(",
+    "zip_with(",
+)
+
+#: The inferred-filter shape: size(<expensive>) > 0 (or # >= 1).
+_SIZE_RE = re.compile(r"size\((?P<body>.+?)\)\s*(?:>\s*0|>=\s*1)", re.I)
+
+
+def _filter_conditions(plan: str) -> list:
+    """Condition text of every Filter node in a rendered plan."""
+    out = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-:* ")
+        if s.startswith("Filter "):
+            out.append(s[len("Filter "):])
+    return out
+
+
+def audit_query(df) -> dict:
+    plan = (
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    size_hits, exp_hits = [], []
+    for cond in _filter_conditions(plan):
+        low = cond.lower()
+        for m in _SIZE_RE.finditer(low):
+            if any(e in m.group("body") for e in EXPENSIVE):
+                size_hits.append(cond[:400])
+        if not size_hits and any(e in low for e in EXPENSIVE):
+            exp_hits.append(cond[:400])
+    return {"size_filters": size_hits, "expensive_filters": exp_hits}
+
+
+def main() -> None:
+    round_no = os.environ.get("SPARK_GRAFT_ROUND", "11")
+    spark = get_spark("cmsspark-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    names = sys.argv[1:] or list(QUERIES)
+    report: dict = {}
+    errors: dict = {}
+    for name in names:
+        try:
+            res = audit_query(QUERIES[name](spark, SF))
+        except Exception as exc:  # noqa: BLE001 — audit, not gate
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        if res["size_filters"] or res["expensive_filters"]:
+            report[name] = res
+    n_size = sum(len(v["size_filters"]) for v in report.values())
+    payload = {
+        "metric": "plan_audit_expensive_filters",
+        "excluded_rules": excluded,
+        "n_queries_audited": len(names) - len(errors),
+        "n_flagged": len(report),
+        "n_size_filter_hits": n_size,
+        "flagged": report,
+        "errors": errors,
+    }
+    path = os.path.join(REPO, f"PLAN_AUDIT_r{round_no}.json")
+    k = 2
+    while os.path.exists(path):
+        path = os.path.join(REPO, f"PLAN_AUDIT_r{round_no}-{k}.json")
+        k += 1
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({
+        "wrote": path,
+        "n_flagged": len(report),
+        "n_size_filter_hits": n_size,
+        "n_errors": len(errors),
+    }))
+    spark.stop()
+    if n_size:
+        raise SystemExit(
+            "inferred size()-filters over expensive builders found — "
+            "the excludedRules conf regressed"
+        )
+
+
+if __name__ == "__main__":
+    main()
