@@ -45,7 +45,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--index", required=True)
     s.add_argument("--query-max-id", type=int, default=5)
     s.add_argument("--k", type=int, default=10)
-    s.add_argument("--mode", default="exact", choices=["exact", "maxscore"])
+    s.add_argument("--mode", default="exact",
+                   choices=["exact", "maxscore", "blockmax"])
     s.add_argument("--out", default=None)
 
     c = sub.add_parser("compact")

@@ -69,6 +69,15 @@ from cmsspark_spark.functions.text import tokens
 #: the rungs and their oracles.
 K1, B, K1_PLUS_1, ONE_MINUS_B = 1.2, 0.75, 2.2, 0.25
 
+#: Doc-id block width for the maintained block-max bounds
+#: (``blockstats/``). Pinned per index in ``_index_meta.json`` at
+#: first append and verified on every later append/serve — mixing
+#: block grains across commits would group unrelated postings under
+#: one bound and silently weaken (never break) pruning, so it is
+#: refused outright. Doc ids must be non-negative (integer ``div``
+#: blocks, same as the in-session rung).
+BLOCK_SIZE = 64
+
 
 def _inc_postings(
     increment: DataFrame, id_col: str, text_col: str
@@ -96,15 +105,33 @@ def append_bm25_index(
 ) -> None:
     """Append one increment to (or create) a BM25 index directory.
 
-    Writes ONLY increment-derived rows: postings, per-term stat
-    partials, the increment's per-term champion cut, and one globals
-    row. Reads nothing from ``index_dir`` — append cost ∝ increment
-    by construction (tested by appending beside an unreadable
-    postings file). The caller must not re-append the same doc ids
-    (same contract as every appendable state here: disjoint doc sets
-    per commit)."""
+    Writes ONLY increment-derived rows: postings, per-term and
+    per-(term, block) stat partials, the increment's per-term
+    champion cut, and one globals row. Reads nothing from
+    ``index_dir`` but the O(1) ``_index_meta.json`` stamp (block-size
+    pin) — append cost ∝ increment by construction (tested by
+    appending beside an unreadable postings file). The caller must
+    not re-append the same doc ids (same contract as every appendable
+    state here: disjoint doc sets per commit)."""
     from pyspark import StorageLevel
 
+    from cmsspark_spark.operators.snapshots import (
+        read_json_meta,
+        write_json_meta,
+    )
+
+    meta_path = f"{index_dir}/_index_meta.json"
+    imeta = read_json_meta(increment.sparkSession, meta_path)
+    if imeta is None:
+        write_json_meta(
+            increment.sparkSession, meta_path, {"block_size": BLOCK_SIZE}
+        )
+    elif imeta.get("block_size") != BLOCK_SIZE:
+        raise ValueError(
+            f"{index_dir} was built with block_size="
+            f"{imeta.get('block_size')}, this build uses {BLOCK_SIZE} — "
+            "mixed block grains corrupt the block bounds; rebuild"
+        )
     post = _inc_postings(increment, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -118,6 +145,21 @@ def append_bm25_index(
         )
         .write.mode("append")
         .parquet(f"{index_dir}/termstats")
+    )
+    # block-grain bound partials: the same (count, max_tf, min_dl)
+    # monoid one level down — only blocks the increment touches get
+    # new rows, and the serve-time merge per (t, blk) equals a
+    # full-corpus block cut
+    (
+        post.withColumn("blk", F.expr(f"doc div {BLOCK_SIZE}"))
+        .groupBy("t", "blk")
+        .agg(
+            F.count(F.lit(1)).alias("df_delta"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .write.mode("append")
+        .parquet(f"{index_dir}/blockstats")
     )
     w = Window.partitionBy("t").orderBy(F.col("tf").desc(), F.col("doc"))
     (
@@ -165,6 +207,87 @@ def _merged_state(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
+def _blockmax_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    post: DataFrame,
+    flagged: DataFrame,
+    tstats: DataFrame,
+    idf,
+    avgdl: float,
+) -> DataFrame:
+    """Candidates from surviving (essential-term, doc-block) pairs —
+    the block-grain half of the blockmax serve (see bm25_index_serve).
+    Block bounds merge from the maintained per-commit partials; the
+    completeness guard refuses an index missing block rows for any
+    query term (bounds must exist or fail loudly)."""
+    braw = spark.read.parquet(f"{index_dir}/blockstats")
+    merged = (
+        braw.join(
+            F.broadcast(flagged.select("t").distinct()), "t", "left_semi"
+        )
+        .groupBy("t", "blk")
+        .agg(
+            F.sum("df_delta").alias("_bdf"),
+            F.max("max_tf").alias("_bmaxtf"),
+            F.min("min_dl").alias("_bmindl"),
+        )
+    )
+    incomplete = (
+        merged.groupBy("t")
+        .agg(F.sum("_bdf").alias("_blk_df"))
+        .join(tstats.select("t", "_df"), "t", "full_outer")
+        .filter(
+            ~F.coalesce(F.col("_blk_df"), F.lit(-1)).eqNullSafe(
+                F.coalesce(F.col("_df"), F.lit(-1))
+            )
+        )
+    )
+    if incomplete.limit(1).count() > 0:
+        raise ValueError(
+            f"{index_dir}/blockstats does not cover every query term's "
+            "postings — the index predates block bounds; rebuild it"
+        )
+    tfp_bub = (F.col("_bmaxtf") * F.lit(K1_PLUS_1)) / (
+        F.col("_bmaxtf")
+        + F.lit(K1)
+        * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("_bmindl") / F.lit(avgdl))
+    )
+    bounds_blk = (
+        merged.join(F.broadcast(tstats.select("t", "_df")), "t")
+        .withColumn(
+            "_bub",
+            (F.floor(idf * tfp_bub * F.lit(1000000.0)) + F.lit(1)).cast(
+                "long"
+            ),
+        )
+        .select("t", "blk", "_bub")
+    )
+    totals = flagged.groupBy("_qid").agg(F.sum("_ub").alias("_total_ub"))
+    ess = (
+        flagged.filter(F.col("_essential"))
+        .select("_qid", "t", "_ub", "_theta")
+        .join(F.broadcast(totals), "_qid")
+    )
+    surviving = (
+        ess.join(bounds_blk, "t")
+        .filter(
+            F.col("_theta").isNull()
+            | (
+                F.col("_total_ub") - F.col("_ub") + F.col("_bub")
+                >= F.col("_theta")
+            )
+        )
+        .select("_qid", "t", "blk")
+    )
+    return (
+        post.withColumn("blk", F.expr(f"doc div {BLOCK_SIZE}"))
+        .join(F.broadcast(surviving), ["t", "blk"])
+        .filter(F.col("doc") != F.col("_qid"))
+        .select("_qid", "doc")
+    )
+
+
 def bm25_index_serve(
     spark: SparkSession,
     index_dir: str,
@@ -187,9 +310,26 @@ def bm25_index_serve(
     only essential-term postings ∪ seeds are exact-scored — same
     exactness argument as ``pipeline.bm25_maxscore_parts``, with the
     bound inputs maintained incrementally instead of recomputed from
-    the corpus."""
-    if mode not in ("exact", "maxscore"):
-        raise ValueError(f"mode must be exact|maxscore, got {mode!r}")
+    the corpus.
+
+    ``mode='blockmax'`` additionally skips DOC-ID BLOCKS of the
+    essential terms using the maintained ``blockstats/`` partials —
+    the same (max_tf, min_dl) monoid one level down, so block bounds
+    too are extended per append (only blocks the increment touches
+    get new partial rows) and merged at serve. Survival rule and
+    exactness argument are ``pipeline.bm25_blockmax_parts``'s
+    verbatim: a block of essential term t survives iff
+    ``total_ub(q) − ub(t) + bub(t, blk) ≥ θ``; every bound here
+    DOMINATES the in-session one (block (max_tf, min_dl) may not
+    co-occur in one doc), so pruning is weaker-or-equal, never
+    wrong. A guard compares block-grain df against term-grain df for
+    the query terms and refuses an index whose blockstats are
+    incomplete (a dir built by hand without them) — missing bounds
+    must fail loudly, not skip blocks."""
+    if mode not in ("exact", "maxscore", "blockmax"):
+        raise ValueError(
+            f"mode must be exact|maxscore|blockmax, got {mode!r}"
+        )
     st = _merged_state(spark, index_dir)
     post, n_docs, avgdl = st["post"], st["n_docs"], st["avgdl"]
     qterms = (
@@ -292,21 +432,29 @@ def bm25_index_serve(
             .orderBy(F.col("_ub").asc(), F.col("t").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        essential_terms = (
+        flagged = (
             qterms.join(F.broadcast(bounds.select("t", "_ub")), "t")
             .join(F.broadcast(theta), "_qid", "left")
             .withColumn("_cum", F.sum("_ub").over(w_cum))
-            .filter(
+            .withColumn(
+                "_essential",
                 F.col("_theta").isNull()
-                | (F.col("_cum") >= F.col("_theta"))
+                | (F.col("_cum") >= F.col("_theta")),
             )
-            .select("_qid", "t")
         )
-        ess_cand = (
-            post.join(F.broadcast(essential_terms), "t")
-            .filter(F.col("doc") != F.col("_qid"))
-            .select("_qid", "doc")
+        essential_terms = flagged.filter(F.col("_essential")).select(
+            "_qid", "t"
         )
+        if mode == "maxscore":
+            ess_cand = (
+                post.join(F.broadcast(essential_terms), "t")
+                .filter(F.col("doc") != F.col("_qid"))
+                .select("_qid", "doc")
+            )
+        else:
+            ess_cand = _blockmax_candidates(
+                spark, index_dir, post, flagged, tstats, idf, avgdl
+            )
         cand = ess_cand.unionByName(seed).distinct()
 
     w = Window.partitionBy("_qid").orderBy(
@@ -365,13 +513,25 @@ def compact_bm25_index(
         )
         .localCheckpoint(eager=True)
     )
+    blocks = spark.read.parquet(f"{index_dir}/blockstats")
+    merged_blocks = (
+        blocks.groupBy("t", "blk")
+        .agg(
+            F.sum("df_delta").alias("df_delta"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
     out = {
         "termstats_rows": (stats.count(), merged_stats.count()),
         "champions_rows": (champ.count(), merged_champ.count()),
+        "blockstats_rows": (blocks.count(), merged_blocks.count()),
         "globals_rows": (g.count(), 1),
     }
     merged_stats.write.mode("overwrite").parquet(f"{index_dir}/termstats")
     merged_champ.write.mode("overwrite").parquet(f"{index_dir}/champions")
+    merged_blocks.write.mode("overwrite").parquet(f"{index_dir}/blockstats")
     merged_g.write.mode("overwrite").parquet(f"{index_dir}/globals")
     return out
 

@@ -12164,6 +12164,7 @@ def _bm25_index_shared(d: DataFrame) -> tuple:
             for f in (
                 R.bm25_index_serve(spark, idx, mode="exact"),
                 R.bm25_index_serve(spark, idx, mode="maxscore"),
+                R.bm25_index_serve(spark, idx, mode="blockmax"),
             )
         )
         shutil.rmtree(tmp, ignore_errors=True)
@@ -12281,3 +12282,23 @@ def cdc_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "bm25_index_blockmax_serve",
+    ORACLES["bm25_more_like_this"],
+)
+def bm25_index_blockmax_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block-max serve off the incrementally-built index: the
+    maintained per-(term, doc-block) (df, max_tf, min_dl) partials —
+    the same monoid as the term stats, one level down, so each append
+    extends only the blocks it touches — merge at serve into
+    admissible block bounds under the current avgdl, and essential
+    terms skip whole doc blocks whose bound cannot lift a candidate
+    past θ (pipeline.bm25_blockmax_parts's survival rule verbatim).
+    Hash-exact against the exact rung's oracle: the finest pruning
+    rung of the persisted index, still train-once/serve-increment."""
+    d = _t(spark, sf_dir, "documents")
+    return _bm25_index_shared(d)[2]

@@ -35,13 +35,14 @@ def test_append_then_serve_equals_full_rebuild(spark, tmp_path):
     )
     assert _ranked(R.bm25_index_serve(spark, multi)) == want
     assert _ranked(R.bm25_index_serve(spark, single)) == want
-    # pruned serve off the MAINTAINED bounds: exact too
-    assert (
-        _ranked(R.bm25_index_serve(spark, multi, mode="maxscore")) == want
-    )
-    assert (
-        _ranked(R.bm25_index_serve(spark, single, mode="maxscore")) == want
-    )
+    # pruned serves off the MAINTAINED bounds: exact too
+    for mode in ("maxscore", "blockmax"):
+        assert (
+            _ranked(R.bm25_index_serve(spark, multi, mode=mode)) == want
+        )
+        assert (
+            _ranked(R.bm25_index_serve(spark, single, mode=mode)) == want
+        )
 
     rep = R.bm25_index_commit_report(spark, multi).first()
     assert rep.n_commits == 3 and rep.n_docs == docs.count()
@@ -126,10 +127,16 @@ def test_compaction_preserves_serving_and_later_appends(spark, tmp_path):
         R.append_bm25_index(docs.filter(F.col("doc_id") % 4 == part), idx)
 
     before = _ranked(R.bm25_index_serve(spark, idx, mode="maxscore"))
+    before_blk = _ranked(R.bm25_index_serve(spark, idx, mode="blockmax"))
     rep = R.compact_bm25_index(spark, idx)
     assert rep["globals_rows"] == (3, 1)
     assert rep["termstats_rows"][1] <= rep["termstats_rows"][0]
+    assert rep["blockstats_rows"][1] <= rep["blockstats_rows"][0]
     assert _ranked(R.bm25_index_serve(spark, idx, mode="maxscore")) == before
+    assert (
+        _ranked(R.bm25_index_serve(spark, idx, mode="blockmax"))
+        == before_blk
+    )
 
     # append the last quarter on top of the compacted state
     R.append_bm25_index(docs.filter(F.col("doc_id") % 4 == 3), idx)
@@ -175,3 +182,33 @@ def test_build_index_cli_e2e(spark, tmp_path, capsys):
 
     build_index.main(["compact", "--index", idx])
     assert "'globals_rows': (2, 1)" in capsys.readouterr().out
+
+
+def test_blockmax_guards(spark, tmp_path):
+    """Block-bound safety rails: an index whose blockstats do not
+    cover the query terms' postings fails LOUDLY (missing bounds must
+    never silently skip blocks), and an index pinned to a different
+    block size refuses further appends."""
+    import shutil
+
+    from cmsspark_spark.operators.snapshots import write_json_meta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs, idx)
+
+    # simulate a pre-blockstats index: drop the block partials for
+    # one arbitrary subset by truncating the table
+    shutil.rmtree(f"{idx}/blockstats")
+    spark.createDataFrame(
+        [], "t string, blk long, df_delta long, max_tf long, min_dl long"
+    ).write.parquet(f"{idx}/blockstats")
+    with pytest.raises(ValueError, match="does not cover"):
+        R.bm25_index_serve(spark, idx, mode="blockmax").collect()
+
+    # block-size pin: a mismatched meta refuses the append
+    idx2 = str(tmp_path / "idx2")
+    R.append_bm25_index(docs.limit(10), idx2)
+    write_json_meta(spark, f"{idx2}/_index_meta.json", {"block_size": 999})
+    with pytest.raises(ValueError, match="block_size"):
+        R.append_bm25_index(docs.limit(5), idx2)
