@@ -288,6 +288,11 @@ def _blockmax_candidates(
     )
 
 
+#: Candidate-broadcast auto-guard ceiling, same number and rationale
+#: as pipeline._BROADCAST_CAND_MAX.
+_BROADCAST_CAND_MAX = 2_000_000
+
+
 def bm25_index_serve(
     spark: SparkSession,
     index_dir: str,
@@ -295,6 +300,7 @@ def bm25_index_serve(
     k: int = 10,
     champions: int = 16,
     mode: str = "exact",
+    broadcast_candidates: bool | None = True,
 ) -> DataFrame:
     """Top-``k`` BM25 more-like-this served FROM the index — output
     contract identical to ``pipeline.bm25_more_like_this`` (query_id,
@@ -325,7 +331,15 @@ def bm25_index_serve(
     wrong. A guard compares block-grain df against term-grain df for
     the query terms and refuses an index whose blockstats are
     incomplete (a dir built by hand without them) — missing bounds
-    must fail loudly, not skip blocks."""
+    must fail loudly, not skip blocks.
+
+    ``broadcast_candidates`` mirrors the in-session rungs' escape
+    hatch (pipeline._bm25_prune_state): a stop-word-only query in
+    exact mode (or a weak θ in the pruned modes) makes the candidate
+    id set approach corpus scale, where a pinned broadcast would OOM
+    the driver. True (default) pins the broadcast; False hash-joins;
+    None counts the persisted candidate frame and broadcasts only
+    under the 2M-row guard."""
     if mode not in ("exact", "maxscore", "blockmax"):
         raise ValueError(
             f"mode must be exact|maxscore|blockmax, got {mode!r}"
@@ -361,8 +375,16 @@ def bm25_index_serve(
     )
 
     def exact_scores(cand: DataFrame) -> DataFrame:
+        bcast = broadcast_candidates
+        if bcast is None:
+            from pyspark import StorageLevel
+
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            bcast = cand.count() <= _BROADCAST_CAND_MAX
+        if bcast:
+            cand = F.broadcast(cand)
         return (
-            post.join(F.broadcast(cand), "doc")
+            post.join(cand, "doc")
             .join(F.broadcast(qterms), ["_qid", "t"], "left_semi")
             .join(F.broadcast(df_tab), "t")
             .groupBy("_qid", "doc")

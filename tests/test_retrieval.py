@@ -212,3 +212,20 @@ def test_blockmax_guards(spark, tmp_path):
     write_json_meta(spark, f"{idx2}/_index_meta.json", {"block_size": 999})
     with pytest.raises(ValueError, match="block_size"):
         R.append_bm25_index(docs.limit(5), idx2)
+
+
+def test_serve_hash_join_fallback_identical(spark, tmp_path):
+    """The candidate-broadcast escape hatch (mirroring the in-session
+    rungs' r10 ADVICE fix): broadcast_candidates=False (hash join)
+    and None (count-guarded) return the identical exact top-k."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs, idx)
+    want = _ranked(R.bm25_index_serve(spark, idx, mode="maxscore"))
+    for bc in (False, None):
+        got = _ranked(
+            R.bm25_index_serve(
+                spark, idx, mode="maxscore", broadcast_candidates=bc
+            )
+        )
+        assert got == want
