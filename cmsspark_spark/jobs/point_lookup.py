@@ -34,6 +34,7 @@ Run:
 from __future__ import annotations
 
 import argparse
+import weakref
 from collections import OrderedDict
 
 import pyspark.sql.functions as F
@@ -64,8 +65,12 @@ def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
 #: a METADATA STAMP — the data-file listing and every sidecar dir's
 #: (name, size, mtime) — so an append/rebuild/vacuum invalidates the
 #: entry on the next lookup (stale cache degrades to a re-read, never
-#: a wrong plan). Bounded LRU; an evicted entry just re-reads.
-_META_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+#: a wrong plan). WEAK-keyed on the session (the SessionMemo
+#: discipline): a stopped session's entries collect with it — an
+#: id()-keyed dict would both pin dead sessions' frames and risk
+#: serving a dead session's checkpoints to a new session whose id()
+#: collides. Per-session bounded LRU; an evicted entry just re-reads.
+_META_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _META_CACHE_CAP = 16
 
 
@@ -101,10 +106,14 @@ def _table_meta(spark: SparkSession, table: str) -> dict:
     row-group sidecar's covered-file set."""
     all_files = _list_parquet_files(spark, table)
     stamp = _meta_stamp(spark, table, all_files)
-    key = (id(spark), table.rstrip("/"))
-    ent = _META_CACHE.get(key)
+    per = _META_CACHE.get(spark)
+    if per is None:
+        per = OrderedDict()
+        _META_CACHE[spark] = per
+    key = table.rstrip("/")
+    ent = per.get(key)
     if ent is not None and ent["stamp"] == stamp:
-        _META_CACHE.move_to_end(key)
+        per.move_to_end(key)
         return ent
     man = _try_read(spark, manifest_location(table))
     known: set[str] = set()
@@ -132,10 +141,10 @@ def _table_meta(spark: SparkSession, table: str) -> dict:
         "rg_blooms": rg_blooms,
         "rg_covered": rg_covered,
     }
-    _META_CACHE[key] = ent
-    _META_CACHE.move_to_end(key)
-    while len(_META_CACHE) > _META_CACHE_CAP:
-        _META_CACHE.popitem(last=False)
+    per[key] = ent
+    per.move_to_end(key)
+    while len(per) > _META_CACHE_CAP:
+        per.popitem(last=False)
     return ent
 
 

@@ -220,7 +220,20 @@ def _blockmax_candidates(
     the block-grain half of the blockmax serve (see bm25_index_serve).
     Block bounds merge from the maintained per-commit partials; the
     completeness guard refuses an index missing block rows for any
-    query term (bounds must exist or fail loudly)."""
+    query term (bounds must exist or fail loudly), and the block-size
+    pin is verified — serving a 64-grain index with a 128-grain build
+    would join bounds onto the wrong doc ranges and silently drop
+    candidates."""
+    from cmsspark_spark.operators.snapshots import read_json_meta
+
+    imeta = read_json_meta(spark, f"{index_dir}/_index_meta.json")
+    pinned = (imeta or {}).get("block_size")
+    if pinned != BLOCK_SIZE:
+        raise ValueError(
+            f"{index_dir} is pinned to block_size={pinned}, this build "
+            f"serves {BLOCK_SIZE} — mismatched grains would misalign "
+            "the block bounds; rebuild the index"
+        )
     braw = spark.read.parquet(f"{index_dir}/blockstats")
     merged = (
         braw.join(
@@ -377,9 +390,11 @@ def bm25_index_serve(
     def exact_scores(cand: DataFrame) -> DataFrame:
         bcast = broadcast_candidates
         if bcast is None:
-            from pyspark import StorageLevel
-
-            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            # eager checkpoint, not a bare persist: the materialized
+            # copy is freed by the ContextCleaner when the frame goes
+            # out of scope, so repeated serves cannot accumulate
+            # never-unpersisted candidate frames in the block manager
+            cand = cand.localCheckpoint(eager=True)
             bcast = cand.count() <= _BROADCAST_CAND_MAX
         if bcast:
             cand = F.broadcast(cand)

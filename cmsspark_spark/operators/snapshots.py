@@ -316,7 +316,8 @@ def commit_snapshot(
     if claim is None:
         claim = default_claim(spark, table)
     last_err: Exception | None = None
-    inc_manifest: str | None = None  # reused across retry attempts
+    inc_manifest: str | None = None   # reused across retry attempts
+    files_chunks: list | None = None  # ditto, files-mode chunking
     for _ in range(max_retries):
         versions = list_snapshots(spark, table)
         v = (versions[-1] + 1) if versions else 1
@@ -369,13 +370,18 @@ def commit_snapshot(
             if len(names) <= threshold:
                 listing = {"files": names, "n_files": len(names)}
             else:
-                chunks = [
-                    _write_manifest_file(
-                        spark, table, names[i : i + threshold]
-                    )
-                    for i in range(0, len(names), threshold)
-                ]
-                listing = {"manifests": chunks, "n_files": len(names)}
+                # names is loop-invariant: write the chunks ONCE and
+                # reuse them across version-race retries (a retry that
+                # rewrote them would pay O(live files) per attempt and
+                # orphan the prior set)
+                if files_chunks is None:
+                    files_chunks = [
+                        _write_manifest_file(
+                            spark, table, names[i : i + threshold]
+                        )
+                        for i in range(0, len(names), threshold)
+                    ]
+                listing = {"manifests": files_chunks, "n_files": len(names)}
         meta = {
             "version": v,
             "op": op,
@@ -781,9 +787,16 @@ def maintain_snapshot_agg(
     measures (cast cents, micro-units) for hash-stable maintenance,
     the same integer-grid discipline the engine uses everywhere.
 
-    Single-writer per state_path (like every maintained state here);
-    readers see the previous materialization until the overwrite
-    commits. Returns the refreshed materialization."""
+    Single-writer per state_path (like every maintained state here).
+    CRASH-CONSISTENT: each refresh writes the merged groups to a NEW
+    versioned data dir (``data_v<target>``), then flips the meta to
+    point at it, then deletes the superseded dir — a crash anywhere
+    leaves the meta pointing at a complete (state, version) pair, so
+    the next refresh re-derives the SAME delta instead of re-applying
+    an already-folded one (which would silently double counts).
+    The meta also pins the source table; refreshing a state_path
+    against a different table fails loudly instead of folding
+    wrong-table CDC. Returns the refreshed materialization."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
     versions = list_snapshots(spark, table)
@@ -800,21 +813,46 @@ def maintain_snapshot_agg(
             )
         return df.groupBy(*group_cols).agg(*aggs)
 
-    meta = _read_agg_meta(spark, state_path)
-    data_path = state_path.rstrip("/") + "/data"
-    if meta is None:
-        out = _aggregate(read_snapshot(spark, table, target))
-        out.write.mode("overwrite").parquet(data_path)
+    root = state_path.rstrip("/")
+
+    def _commit_state(out: DataFrame, old_data: str | None) -> DataFrame:
+        data_rel = f"data_v{target:08d}"
+        out.write.mode("overwrite").parquet(f"{root}/{data_rel}")
         _write_agg_meta(
-            spark, state_path, {"version": target, "table": table}
+            spark,
+            state_path,
+            {
+                "version": target,
+                "table": table.rstrip("/"),
+                "data": data_rel,
+            },
         )
-        return spark.read.parquet(data_path)
+        if old_data is not None and old_data != data_rel:
+            fs, _ = _fs_for(spark, state_path)
+            jvm = spark.sparkContext._jvm
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/{old_data}"), True
+            )
+        return spark.read.parquet(f"{root}/{data_rel}")
+
+    meta = _read_agg_meta(spark, state_path)
+    if meta is None:
+        return _commit_state(
+            _aggregate(read_snapshot(spark, table, target)), None
+        )
+    if meta.get("table") not in (None, table.rstrip("/")):
+        raise ValueError(
+            f"{state_path} was materialized from {meta['table']!r}, "
+            f"refusing to refresh it against {table!r} — wrong-table "
+            "CDC would silently corrupt the aggregate"
+        )
     last = int(meta["version"])
+    data_rel = meta.get("data", "data")
     if last == target:
-        return spark.read.parquet(data_path)
+        return spark.read.parquet(f"{root}/{data_rel}")
     cdc = snapshot_cdc(spark, table, last, target)
     delta = _aggregate(cdc, sign_col="_cdc_sign")
-    state = spark.read.parquet(data_path)
+    state = spark.read.parquet(f"{root}/{data_rel}")
     merged = (
         state.unionByName(delta)
         .groupBy(*group_cols)
@@ -827,13 +865,7 @@ def maintain_snapshot_agg(
         )
         .filter(F.col("n_rows") != 0)
     )
-    # the merge reads the state it overwrites: pin it first
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(data_path)
-    _write_agg_meta(
-        spark, state_path, {"version": target, "table": table}
-    )
-    return spark.read.parquet(data_path)
+    return _commit_state(merged.localCheckpoint(eager=True), data_rel)
 
 
 def snapshot_version_diff(

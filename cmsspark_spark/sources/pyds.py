@@ -260,6 +260,38 @@ class PartLogStreamReader(SimpleDataSourceStreamReader):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("partlog source requires option 'path'")
+        # per-segment record counts keyed (path, size): segments are
+        # immutable, so a consumed segment is never re-parsed — each
+        # micro-batch stats the old segments and reads only the tail,
+        # keeping per-batch cost O(new records), not O(total log)
+        self._seg_counts: dict = {}
+
+    def _seg_count(self, path: str) -> int:
+        import os
+
+        key = (path, os.path.getsize(path))
+        n = self._seg_counts.get(key)
+        if n is None:
+            with open(path, "r", encoding="utf-8") as fh:
+                n = sum(1 for line in fh if line.rstrip("\n"))
+            self._seg_counts[key] = n
+        return n
+
+    def _part_rows_from(self, segs: list, lo: int, hi=None) -> list:
+        """Records [lo, hi) of one partition, skipping whole segments
+        below ``lo`` via the cached counts."""
+        rows = []
+        base = 0
+        for path in segs:
+            n = self._seg_count(path)
+            seg_end = base + n
+            if seg_end > lo and (hi is None or base < hi):
+                for i, rec in enumerate(_partlog_records([path])):
+                    off = base + i
+                    if off >= lo and (hi is None or off < hi):
+                        rows.append((off, rec))
+            base = seg_end
+        return rows
 
     def initialOffset(self) -> dict:
         return {"parts": {}}
@@ -269,11 +301,13 @@ class PartLogStreamReader(SimpleDataSourceStreamReader):
         rows = []
         end = dict(committed)
         for p, segs in _partlog_scan(self._root):
-            recs = _partlog_records(segs)
             lo = int(committed.get(p, 0))
-            for off in range(lo, len(recs)):
-                rows.append((p, off, recs[off]))
-            end[p] = max(lo, len(recs))
+            got = self._part_rows_from(segs, lo)
+            rows.extend((p, off, rec) for off, rec in got)
+            total = got[-1][0] + 1 if got else sum(
+                self._seg_count(s) for s in segs
+            )
+            end[p] = max(lo, total)
         # the runner peeks the prefetched batch with next() — hand it a
         # real iterator, not a list
         return iter(rows), {"parts": end}
@@ -285,7 +319,14 @@ class PartLogStreamReader(SimpleDataSourceStreamReader):
         rows = []
         for p in sorted(e):
             lo, hi = int(s.get(p, 0)), int(e[p])
-            recs = _partlog_records(by_part.get(p, []))
-            for off in range(lo, min(hi, len(recs))):
-                rows.append((p, off, recs[off]))
+            got = self._part_rows_from(by_part.get(p, []), lo, hi)
+            if len(got) < hi - lo:
+                # committed records must replay EXACTLY — a shrunken
+                # or deleted segment is data loss, never a short batch
+                raise ValueError(
+                    f"partlog partition {p!r} holds only {lo + len(got)} "
+                    f"records but offset {hi} was committed — segments "
+                    "were deleted or truncated; cannot replay"
+                )
+            rows.extend((p, off, rec) for off, rec in got)
         return iter(rows)

@@ -625,3 +625,40 @@ def test_manifest_mode_expire_reclaims_unreferenced_chunks(
             S.read_snapshot_meta(spark, t, 2)
     finally:
         SN.MANIFEST_INLINE_MAX = old_max
+
+
+def test_maintained_agg_crash_between_data_and_meta_is_safe(
+    spark, tmp_path, monkeypatch
+):
+    """Review r11: a crash AFTER the new state data lands but BEFORE
+    the meta flips must not double-fold the delta on the next refresh
+    — the meta keeps pointing at the old (state, version) pair, so the
+    retry re-derives the SAME delta from the same base. Also: a state
+    dir refuses refreshes against a different table."""
+    t = str(tmp_path / "t")
+    state = str(tmp_path / "agg")
+    S.snapshot_write(spark.range(0, 10).selectExpr("id", "id * 2 as v"),
+                     t, mode="append")
+    S.maintain_snapshot_agg(spark, t, state, [], ["v"])
+    S.snapshot_write(spark.range(10, 15).selectExpr("id", "id * 2 as v"),
+                     t, mode="append")
+
+    real_write = S._write_agg_meta
+    def crash_write(spark_, path_, meta_):
+        raise RuntimeError("simulated crash before meta flip")
+
+    monkeypatch.setattr(S, "_write_agg_meta", crash_write)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        S.maintain_snapshot_agg(spark, t, state, [], ["v"])
+    monkeypatch.setattr(S, "_write_agg_meta", real_write)
+
+    # retry: the delta is applied exactly once
+    row = S.maintain_snapshot_agg(spark, t, state, [], ["v"]).first()
+    assert row.n_rows == 15 and row.sum_v == sum(2 * i for i in range(15))
+
+    # wrong-table guard
+    t2 = str(tmp_path / "other")
+    S.snapshot_write(spark.range(0, 3).selectExpr("id", "id as v"),
+                     t2, mode="append")
+    with pytest.raises(ValueError, match="refusing to refresh"):
+        S.maintain_snapshot_agg(spark, t2, state, [], ["v"])

@@ -660,3 +660,29 @@ def test_partlog_into_snapshot_sink_versioned_ingest(spark, tmp_path):
         ).collect()
     )
     assert again == first
+
+
+def test_partlog_replay_of_deleted_segment_fails_loudly(spark, tmp_path):
+    """Review r11: a committed range must replay record-exactly — if
+    segments were deleted/truncated under a committed offset, the
+    reader raises instead of silently shrinking the batch."""
+    from cmsspark_spark.sources.pyds import PartLogStreamReader
+
+    root = tmp_path / "topic"
+    (root / "p0").mkdir(parents=True)
+    (root / "p0" / "000001.log").write_text("a\nb\nc\n")
+    rdr = PartLogStreamReader({"path": str(root)})
+    rows, end = rdr.read({"parts": {}})
+    assert len(list(rows)) == 3 and end == {"parts": {"p0": 3}}
+
+    # replay works while the data is intact
+    again = list(rdr.readBetweenOffsets({"parts": {}}, end))
+    assert [r[2] for r in again] == ["a", "b", "c"]
+
+    # the segment vanishes; replaying the committed range must raise
+    (root / "p0" / "000001.log").unlink()
+    rdr2 = PartLogStreamReader({"path": str(root)})
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot replay"):
+        list(rdr2.readBetweenOffsets({"parts": {}}, end))

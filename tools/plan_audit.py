@@ -61,6 +61,24 @@ EXPENSIVE = (
 #: The inferred-filter shape: size(<expensive>) > 0 (or # >= 1).
 _SIZE_RE = re.compile(r"size\((?P<body>.+?)\)\s*(?:>\s*0|>=\s*1)", re.I)
 
+#: Queries whose size()-filter is USER-WRITTEN (a zero-token gate the
+#: author put there, pushed through the projection by ordinary filter
+#: pushdown — reviewed r11, one extra narrow tokenize per row, priced
+#: in the packing family's sweep ratios). The audit gates on
+#: DEVIATIONS from this record: a size-filter in any other query, or
+#: more than the recorded count here, means an inference rule
+#: regressed (or a new user gate needs reviewing and recording).
+EXPECTED_USER_GATES = {
+    "pack_concat_chunks": 1,
+    "pack_concat_eos_chunks": 1,
+    "pack_concat_chunks_sharded": 1,
+    "chunk_overlap_windows": 1,
+    "pack_boundary_masks": 1,
+    "weighted_sample_docs": 1,
+    "chunk_dedup_rate": 1,
+    "packing_efficiency_report": 1,
+}
+
 
 def _filter_conditions(plan: str) -> list:
     """Condition text of every Filter node in a rendered plan."""
@@ -79,10 +97,15 @@ def audit_query(df) -> dict:
     size_hits, exp_hits = [], []
     for cond in _filter_conditions(plan):
         low = cond.lower()
-        for m in _SIZE_RE.finditer(low):
-            if any(e in m.group("body") for e in EXPENSIVE):
-                size_hits.append(cond[:400])
-        if not size_hits and any(e in low for e in EXPENSIVE):
+        this_size = [
+            cond[:400]
+            for m in _SIZE_RE.finditer(low)
+            if any(e in m.group("body") for e in EXPENSIVE)
+        ]
+        size_hits.extend(this_size)
+        # per-CONDITION classification: an earlier condition's size
+        # hit must not suppress recording a later expensive filter
+        if not this_size and any(e in low for e in EXPENSIVE):
             exp_hits.append(cond[:400])
     return {"size_filters": size_hits, "expensive_filters": exp_hits}
 
@@ -104,12 +127,18 @@ def main() -> None:
         if res["size_filters"] or res["expensive_filters"]:
             report[name] = res
     n_size = sum(len(v["size_filters"]) for v in report.values())
+    unexpected = {
+        name: len(v["size_filters"])
+        for name, v in report.items()
+        if len(v["size_filters"]) > EXPECTED_USER_GATES.get(name, 0)
+    }
     payload = {
         "metric": "plan_audit_expensive_filters",
         "excluded_rules": excluded,
         "n_queries_audited": len(names) - len(errors),
         "n_flagged": len(report),
         "n_size_filter_hits": n_size,
+        "unexpected_size_filters": unexpected,
         "flagged": report,
         "errors": errors,
     }
@@ -124,13 +153,15 @@ def main() -> None:
         "wrote": path,
         "n_flagged": len(report),
         "n_size_filter_hits": n_size,
+        "unexpected_size_filters": unexpected,
         "n_errors": len(errors),
     }))
     spark.stop()
-    if n_size:
+    if unexpected:
         raise SystemExit(
-            "inferred size()-filters over expensive builders found — "
-            "the excludedRules conf regressed"
+            f"size()-filters over expensive builders beyond the "
+            f"recorded user gates: {unexpected} — an inference rule "
+            "regressed, or a new user gate needs review + recording"
         )
 
 
