@@ -34,8 +34,18 @@ def main(argv: list[str] | None = None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     a = sub.add_parser("append")
-    a.add_argument("--docs", required=True,
+    a.add_argument("--docs",
                    help="parquet path of the doc increment")
+    a.add_argument("--snapshot-table", default=None,
+                   help="append the CHANGES of a snapshot table since "
+                        "the index's recorded pin (first append: the "
+                        "pinned version's full content) instead of "
+                        "--docs; the index records the consumed "
+                        "version, so scheduled appends are "
+                        "version-addressed and replay-safe")
+    a.add_argument("--snapshot-version", type=int, default=None,
+                   help="with --snapshot-table: consume up to this "
+                        "version (default: latest)")
     a.add_argument("--index", required=True)
     a.add_argument("--id-col", default="doc_id")
     a.add_argument("--text-col", default="text")
@@ -59,12 +69,26 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
     spark = get_spark("build-index")
     if args.cmd == "append":
-        R.append_bm25_index(
-            spark.read.parquet(args.docs), args.index,
-            id_col=args.id_col, text_col=args.text_col,
-            champions=args.champions,
-        )
-        print(R.bm25_index_commit_report(spark, args.index).first().asDict())
+        if (args.docs is None) == (args.snapshot_table is None):
+            ap.error("pass exactly one of --docs / --snapshot-table")
+        if args.snapshot_table is not None:
+            out = R.append_bm25_index_from_snapshot(
+                spark, args.snapshot_table, args.index,
+                to_version=args.snapshot_version,
+                id_col=args.id_col, text_col=args.text_col,
+                champions=args.champions,
+            )
+            print(out)
+        else:
+            R.append_bm25_index(
+                spark.read.parquet(args.docs), args.index,
+                id_col=args.id_col, text_col=args.text_col,
+                champions=args.champions,
+            )
+            print(
+                R.bm25_index_commit_report(spark, args.index)
+                .first().asDict()
+            )
     elif args.cmd == "serve":
         out = R.bm25_index_serve(
             spark, args.index, query_max_id=args.query_max_id,

@@ -186,6 +186,77 @@ def append_bm25_index(
     post.unpersist()
 
 
+def append_bm25_index_from_snapshot(
+    spark: SparkSession,
+    table: str,
+    index_dir: str,
+    to_version: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    champions: int = 16,
+) -> dict:
+    """Consume a snapshot table's changes into the index — the pin
+    discipline for retrieval (same shape as assign_splits' pinned
+    state): the FIRST call indexes the target version's full content;
+    every later call indexes only the rows of files ADDED since the
+    index's recorded version (``snapshot_changes`` — an append-only
+    corpus's natural increment, read cost ∝ changed files), then
+    advances the recorded pin. A replay of an already-consumed
+    version is a NO-OP (version-addressed idempotence); consuming a
+    version that REMOVED files (overwrite/rollback) is refused loudly
+    — an append-only index cannot un-index, rebuild instead. Returns
+    ``{"from", "to", "noop"}``."""
+    from cmsspark_spark.operators.snapshots import (
+        list_snapshots,
+        read_json_meta,
+        read_snapshot,
+        snapshot_changes,
+        snapshot_files,
+        write_json_meta,
+    )
+
+    target = (
+        to_version
+        if to_version is not None
+        else list_snapshots(spark, table)[-1]
+    )
+    meta_path = f"{index_dir}/_index_meta.json"
+    imeta = read_json_meta(spark, meta_path) or {}
+    pinned_table = imeta.get("snapshot_table")
+    if pinned_table not in (None, table.rstrip("/")):
+        raise ValueError(
+            f"{index_dir} consumes snapshots of {pinned_table!r}, "
+            f"refusing {table!r} — wrong-table increments would "
+            "corrupt the index"
+        )
+    last = imeta.get("snapshot_version")
+    if last is not None:
+        if target <= last:
+            return {"from": last, "to": target, "noop": True}
+        old = set(snapshot_files(spark, table, last))
+        new = set(snapshot_files(spark, table, target))
+        if old - new:
+            raise ValueError(
+                f"snapshot v{last}→v{target} of {table} REMOVES "
+                f"{len(old - new)} files (overwrite/rollback) — an "
+                "append-only index cannot un-index; rebuild it from "
+                f"v{target}"
+            )
+        increment = snapshot_changes(spark, table, last, target)
+    else:
+        increment = read_snapshot(spark, table, target)
+    append_bm25_index(
+        increment.select(id_col, text_col), index_dir,
+        id_col=id_col, text_col=text_col, champions=champions,
+    )
+    imeta = read_json_meta(spark, meta_path) or {}
+    imeta.update(
+        snapshot_table=table.rstrip("/"), snapshot_version=int(target)
+    )
+    write_json_meta(spark, meta_path, imeta)
+    return {"from": last, "to": int(target), "noop": False}
+
+
 def _merged_state(spark: SparkSession, index_dir: str) -> dict:
     """Scalars + lazily-merged stat frames of an index directory."""
     g = (

@@ -229,3 +229,51 @@ def test_serve_hash_join_fallback_identical(spark, tmp_path):
             )
         )
         assert got == want
+
+
+def test_snapshot_pinned_index_consumes_versions_exactly_once(
+    spark, tmp_path
+):
+    """The retrieval pin discipline: an index fed from a snapshot
+    table consumes each version's changes exactly once (replays
+    no-op), serves identically to an index built from the live
+    content, and refuses removals and wrong tables."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    table = str(tmp_path / "corpus")
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 0), table,
+                      mode="append")
+    idx = str(tmp_path / "idx")
+
+    r1 = R.append_bm25_index_from_snapshot(spark, table, idx)
+    assert r1 == {"from": None, "to": 1, "noop": False}
+    # replay: no-op, commit count unchanged
+    assert R.append_bm25_index_from_snapshot(spark, table, idx)[
+        "noop"
+    ]
+    assert R.bm25_index_commit_report(spark, idx).first().n_commits == 1
+
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 1), table,
+                      mode="append")
+    r2 = R.append_bm25_index_from_snapshot(spark, table, idx)
+    assert r2 == {"from": 1, "to": 2, "noop": False}
+
+    want = _ranked(
+        PL._bm25_exact_build(
+            docs, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="blockmax")) == want
+
+    # a rollback removes files: the append-only index refuses
+    SN.rollback_snapshot(spark, table, 1)
+    with pytest.raises(ValueError, match="cannot un-index"):
+        R.append_bm25_index_from_snapshot(spark, table, idx)
+    # wrong table refused
+    other = str(tmp_path / "other")
+    SN.snapshot_write(docs.limit(5), other, mode="append")
+    with pytest.raises(ValueError, match="wrong-table"):
+        R.append_bm25_index_from_snapshot(spark, other, idx)
