@@ -88,13 +88,22 @@ def run_batch(
 
     pin: dict | None = None
     if snapshot_table is not None:
-        v = (
-            snapshot_version
-            if snapshot_version is not None
-            else list_snapshots(spark, snapshot_table)[-1]
-        )
+        versions = list_snapshots(spark, snapshot_table)
+        if snapshot_version is None and not versions:
+            raise FileNotFoundError(
+                f"{snapshot_table} has no snapshots to pin"
+            )
+        v = snapshot_version if snapshot_version is not None else versions[-1]
         docs = read_snapshot(spark, snapshot_table, v)
         pin = {"table": snapshot_table.rstrip("/"), "version": int(v)}
+        # mark the state in-progress BEFORE the overwrites: neither
+        # pin-first nor pin-last alone is crash-safe for a REBUILD
+        # (old pin + new census, or new pin + old census — both let a
+        # guarded increment apply against the wrong state), so the
+        # guard refuses any state whose rebuild died mid-write
+        write_json_meta(
+            spark, f"{state}/_pin.json", {**pin, "in_progress": True}
+        )
     else:
         docs = catalog.load_table(spark, sf_dir, "documents")
     cand = D.minhash_lsh_pairs(
@@ -122,8 +131,7 @@ def run_batch(
     )
     commit_census_minhash(spark, docs, f"{state}/census", mode="overwrite")
     if pin is not None:
-        # pin LAST: a crash above leaves the old pin describing the
-        # old state, never a new pin over a half-written census
+        # final pin (clears in_progress) only after the census commit
         write_json_meta(spark, f"{state}/_pin.json", pin)
     return assign
 
@@ -169,6 +177,12 @@ def run_increment(
 
     if expect_snapshot_version is not None:
         pin = state_pin(spark, state)
+        if pin is not None and pin.get("in_progress"):
+            raise ValueError(
+                f"state {state} has an unfinished pinned rebuild "
+                f"({pin}) — the batch job died mid-write; re-run it "
+                "before applying increments"
+            )
         got = None if pin is None else pin.get("version")
         if got != expect_snapshot_version:
             raise ValueError(

@@ -122,9 +122,13 @@ def append_bm25_index(
 
     meta_path = f"{index_dir}/_index_meta.json"
     imeta = read_json_meta(increment.sparkSession, meta_path)
-    if imeta is None:
+    if imeta is None or "block_size" not in imeta:
+        # first data append (the meta may already exist carrying a
+        # snapshot-consume marker): pin the grain, keep other fields
         write_json_meta(
-            increment.sparkSession, meta_path, {"block_size": BLOCK_SIZE}
+            increment.sparkSession,
+            meta_path,
+            {**(imeta or {}), "block_size": BLOCK_SIZE},
         )
     elif imeta.get("block_size") != BLOCK_SIZE:
         raise ValueError(
@@ -205,7 +209,15 @@ def append_bm25_index_from_snapshot(
     version is a NO-OP (version-addressed idempotence); consuming a
     version that REMOVED files (overwrite/rollback) is refused loudly
     — an append-only index cannot un-index, rebuild instead. Returns
-    ``{"from", "to", "noop"}``."""
+    ``{"from", "to", "noop"}``.
+
+    CRASH-FENCED, not crash-atomic: the five state appends cannot be
+    made atomic on plain parquet, so each consume writes an
+    in-progress marker into the meta first and clears it only after
+    the version pin advances. A consume that finds a stale marker —
+    the previous attempt died somewhere inside the appends — REFUSES
+    and demands a rebuild: an index that may hold a partial increment
+    must fail loudly, never serve silently doubled postings."""
     from cmsspark_spark.operators.snapshots import (
         list_snapshots,
         read_json_meta,
@@ -215,13 +227,19 @@ def append_bm25_index_from_snapshot(
         write_json_meta,
     )
 
-    target = (
-        to_version
-        if to_version is not None
-        else list_snapshots(spark, table)[-1]
-    )
+    versions = list_snapshots(spark, table)
+    if to_version is None and not versions:
+        raise FileNotFoundError(f"{table} has no snapshots to consume")
+    target = to_version if to_version is not None else versions[-1]
     meta_path = f"{index_dir}/_index_meta.json"
     imeta = read_json_meta(spark, meta_path) or {}
+    if imeta.get("consume_in_progress"):
+        raise ValueError(
+            f"{index_dir} has an unfinished snapshot consume "
+            f"({imeta['consume_in_progress']}) — the previous attempt "
+            "crashed mid-append and the index may hold a partial "
+            "increment; rebuild it"
+        )
     pinned_table = imeta.get("snapshot_table")
     if pinned_table not in (None, table.rstrip("/")):
         raise ValueError(
@@ -230,6 +248,13 @@ def append_bm25_index_from_snapshot(
             "corrupt the index"
         )
     last = imeta.get("snapshot_version")
+    if last is None and imeta:
+        raise ValueError(
+            f"{index_dir} already holds commits appended via --docs "
+            "(no recorded snapshot pin) — a first snapshot consume "
+            "would double-index the overlap; rebuild the index from "
+            "the snapshot instead"
+        )
     if last is not None:
         if target <= last:
             return {"from": last, "to": target, "noop": True}
@@ -245,11 +270,14 @@ def append_bm25_index_from_snapshot(
         increment = snapshot_changes(spark, table, last, target)
     else:
         increment = read_snapshot(spark, table, target)
+    imeta["consume_in_progress"] = {"from": last, "to": int(target)}
+    write_json_meta(spark, meta_path, imeta)
     append_bm25_index(
         increment.select(id_col, text_col), index_dir,
         id_col=id_col, text_col=text_col, champions=champions,
     )
     imeta = read_json_meta(spark, meta_path) or {}
+    imeta.pop("consume_in_progress", None)
     imeta.update(
         snapshot_table=table.rstrip("/"), snapshot_version=int(target)
     )
@@ -621,7 +649,10 @@ def compact_bm25_index(
         )
         .localCheckpoint(eager=True)
     )
-    blocks = spark.read.parquet(f"{index_dir}/blockstats")
+    try:
+        blocks = spark.read.parquet(f"{index_dir}/blockstats")
+    except Exception:
+        blocks = None  # pre-blockstats index: nothing to fold
     merged_blocks = (
         blocks.groupBy("t", "blk")
         .agg(
@@ -630,16 +661,25 @@ def compact_bm25_index(
             F.min("min_dl").alias("min_dl"),
         )
         .localCheckpoint(eager=True)
+        if blocks is not None
+        else None
     )
     out = {
         "termstats_rows": (stats.count(), merged_stats.count()),
         "champions_rows": (champ.count(), merged_champ.count()),
-        "blockstats_rows": (blocks.count(), merged_blocks.count()),
+        "blockstats_rows": (
+            (blocks.count(), merged_blocks.count())
+            if blocks is not None
+            else (0, 0)
+        ),
         "globals_rows": (g.count(), 1),
     }
     merged_stats.write.mode("overwrite").parquet(f"{index_dir}/termstats")
     merged_champ.write.mode("overwrite").parquet(f"{index_dir}/champions")
-    merged_blocks.write.mode("overwrite").parquet(f"{index_dir}/blockstats")
+    if merged_blocks is not None:
+        merged_blocks.write.mode("overwrite").parquet(
+            f"{index_dir}/blockstats"
+        )
     merged_g.write.mode("overwrite").parquet(f"{index_dir}/globals")
     return out
 

@@ -840,7 +840,7 @@ def maintain_snapshot_agg(
         return _commit_state(
             _aggregate(read_snapshot(spark, table, target)), None
         )
-    if meta.get("table") not in (None, table.rstrip("/")):
+    if (meta.get("table") or table).rstrip("/") != table.rstrip("/"):
         raise ValueError(
             f"{state_path} was materialized from {meta['table']!r}, "
             f"refusing to refresh it against {table!r} — wrong-table "
@@ -865,7 +865,9 @@ def maintain_snapshot_agg(
         )
         .filter(F.col("n_rows") != 0)
     )
-    return _commit_state(merged.localCheckpoint(eager=True), data_rel)
+    # no checkpoint needed: the merge reads the OLD data dir and
+    # _commit_state writes a NEW one — disjoint paths, no cycle
+    return _commit_state(merged, data_rel)
 
 
 def snapshot_version_diff(

@@ -260,21 +260,25 @@ class PartLogStreamReader(SimpleDataSourceStreamReader):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("partlog source requires option 'path'")
-        # per-segment record counts keyed (path, size): segments are
-        # immutable, so a consumed segment is never re-parsed — each
-        # micro-batch stats the old segments and reads only the tail,
-        # keeping per-batch cost O(new records), not O(total log)
+        # per-segment record counts keyed by PATH holding (size,
+        # count): segments are immutable, so a consumed segment is
+        # never re-parsed — each micro-batch stats the old segments
+        # and reads only the tail, keeping per-batch cost O(new
+        # records), not O(total log). One entry per segment (a grown
+        # file replaces its entry), so the cache is O(segments), not
+        # O(batches)
         self._seg_counts: dict = {}
 
     def _seg_count(self, path: str) -> int:
         import os
 
-        key = (path, os.path.getsize(path))
-        n = self._seg_counts.get(key)
-        if n is None:
-            with open(path, "r", encoding="utf-8") as fh:
-                n = sum(1 for line in fh if line.rstrip("\n"))
-            self._seg_counts[key] = n
+        size = os.path.getsize(path)
+        cached = self._seg_counts.get(path)
+        if cached is not None and cached[0] == size:
+            return cached[1]
+        with open(path, "r", encoding="utf-8") as fh:
+            n = sum(1 for line in fh if line.rstrip("\n"))
+        self._seg_counts[path] = (size, n)
         return n
 
     def _part_rows_from(self, segs: list, lo: int, hi=None) -> list:

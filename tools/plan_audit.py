@@ -115,6 +115,12 @@ def main() -> None:
     spark = get_spark("cmsspark-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    if "InferFiltersFromGenerate" not in excluded:
+        raise SystemExit(
+            "session conf lost the InferFiltersFromGenerate exclusion "
+            f"(excludedRules={excluded!r}) — the audited plans would "
+            "not reflect the shipped configuration"
+        )
     names = sys.argv[1:] or list(QUERIES)
     report: dict = {}
     errors: dict = {}
