@@ -198,6 +198,7 @@ def append_bm25_index_from_snapshot(
     id_col: str = "doc_id",
     text_col: str = "text",
     champions: int = 16,
+    allow_removals: bool = False,
 ) -> dict:
     """Consume a snapshot table's changes into the index — the pin
     discipline for retrieval (same shape as assign_splits' pinned
@@ -208,7 +209,12 @@ def append_bm25_index_from_snapshot(
     advances the recorded pin. A replay of an already-consumed
     version is a NO-OP (version-addressed idempotence); consuming a
     version that REMOVED files (overwrite/rollback) is refused loudly
-    — an append-only index cannot un-index, rebuild instead. Returns
+    by default — an append-only index cannot un-index. With
+    ``allow_removals=True`` the removed docs are TOMBSTONED instead
+    (the CDC's -1 rows name them; serving excludes them exactly, see
+    :func:`tombstone_bm25_index`) and only the +1 rows are appended;
+    a version that removes AND re-adds the same doc id (a rewrite) is
+    still refused — that is a rebuild. Returns
     ``{"from", "to", "noop"}``.
 
     CRASH-FENCED, not crash-atomic: the five state appends cannot be
@@ -255,23 +261,57 @@ def append_bm25_index_from_snapshot(
             "would double-index the overlap; rebuild the index from "
             "the snapshot instead"
         )
+    removed_ids = None
     if last is not None:
         if target <= last:
             return {"from": last, "to": target, "noop": True}
         old = set(snapshot_files(spark, table, last))
         new = set(snapshot_files(spark, table, target))
-        if old - new:
+        if old - new and not allow_removals:
             raise ValueError(
                 f"snapshot v{last}→v{target} of {table} REMOVES "
                 f"{len(old - new)} files (overwrite/rollback) — an "
                 "append-only index cannot un-index; rebuild it from "
-                f"v{target}"
+                f"v{target}, or pass allow_removals=True to TOMBSTONE "
+                "the removed docs"
             )
-        increment = snapshot_changes(spark, table, last, target)
+        if old - new:
+            from cmsspark_spark.operators.snapshots import snapshot_cdc
+
+            cdc = snapshot_cdc(spark, table, last, target)
+            removed_ids = (
+                cdc.filter(F.col("_cdc_sign") == -1)
+                .select(id_col)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            increment = cdc.filter(F.col("_cdc_sign") == 1).drop(
+                "_cdc_sign"
+            )
+            # a REWRITTEN doc (same id removed and re-added) cannot be
+            # expressed as tombstone + append: the tombstone anti-join
+            # would kill the new rows too. Refuse — that is a rebuild.
+            rewritten = (
+                increment.select(id_col)
+                .join(removed_ids, id_col, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if rewritten:
+                raise ValueError(
+                    f"snapshot v{last}→v{target} of {table} REWRITES "
+                    "doc ids it also removes — tombstone + re-append of "
+                    "the same id is unsupported; rebuild the index from "
+                    f"v{target}"
+                )
+        else:
+            increment = snapshot_changes(spark, table, last, target)
     else:
         increment = read_snapshot(spark, table, target)
     imeta["consume_in_progress"] = {"from": last, "to": int(target)}
     write_json_meta(spark, meta_path, imeta)
+    if removed_ids is not None:
+        tombstone_bm25_index(removed_ids, index_dir, id_col=id_col)
     append_bm25_index(
         increment.select(id_col, text_col), index_dir,
         id_col=id_col, text_col=text_col, champions=champions,
@@ -285,6 +325,30 @@ def append_bm25_index_from_snapshot(
     return {"from": last, "to": int(target), "noop": False}
 
 
+def tombstone_bm25_index(
+    ids: DataFrame, index_dir: str, id_col: str = "doc_id"
+) -> None:
+    """Mark documents DELETED without un-indexing them: the ids land
+    in ``<index>/tombstones`` and every serve mode excludes them
+    EXACTLY — candidates anti-join the tombstones, and N / sum_dl /
+    per-term df are corrected from the dead docs' own postings (cost
+    ∝ tombstones, never corpus). Pruning bounds keep using the RAW
+    per-term/block extremes — a dead doc's max_tf can only loosen a
+    bound, never break admissibility — so max-score/block-max serves
+    stay exact over the live corpus. Contract: tombstone only ids
+    that were actually appended (the snapshot-consume path guarantees
+    this — removed rows come from real files); re-appending a
+    tombstoned id is NOT supported (the anti-join would kill the new
+    rows too) — that is a rebuild. Compact periodically folds nothing
+    here (tombstones are already minimal id rows)."""
+    (
+        ids.select(F.col(id_col).alias("doc"))
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{index_dir}/tombstones")
+    )
+
+
 def _merged_state(spark: SparkSession, index_dir: str) -> dict:
     """Scalars + lazily-merged stat frames of an index directory."""
     g = (
@@ -296,10 +360,41 @@ def _merged_state(spark: SparkSession, index_dir: str) -> dict:
     post = spark.read.parquet(f"{index_dir}/postings")
     stats = spark.read.parquet(f"{index_dir}/termstats")
     champ = spark.read.parquet(f"{index_dir}/champions")
+    try:
+        tomb = (
+            spark.read.parquet(f"{index_dir}/tombstones")
+            .select("doc")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    except Exception:
+        tomb = None
+    dead_df = None
+    if tomb is not None:
+        dead_post = post.join(F.broadcast(tomb), "doc", "left_semi")
+        n_dead = tomb.count()
+        sumdl_dead = (
+            dead_post.groupBy("doc")
+            .agg(F.first("dl").alias("dl"))
+            .select(F.sum("dl"))
+            .first()[0]
+        ) or 0
+        # per-term df of the dead docs — the exact correction the
+        # live idf needs, derived from the dead postings themselves
+        dead_df = (
+            dead_post.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("_dead_df"))
+            .localCheckpoint(eager=True)
+        )
+        post = post.join(F.broadcast(tomb), "doc", "left_anti")
+        champ = champ.join(F.broadcast(tomb), "doc", "left_anti")
+        n_docs -= n_dead
+        sum_dl -= int(sumdl_dead)
     return {
         "post": post,
         "stats": stats,
         "champ": champ,
+        "dead_df": dead_df,
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": sum_dl / n_docs if n_docs else 0.0,
@@ -348,10 +443,10 @@ def _blockmax_candidates(
     incomplete = (
         merged.groupBy("t")
         .agg(F.sum("_bdf").alias("_blk_df"))
-        .join(tstats.select("t", "_df"), "t", "full_outer")
+        .join(tstats.select("t", "_df_raw"), "t", "full_outer")
         .filter(
             ~F.coalesce(F.col("_blk_df"), F.lit(-1)).eqNullSafe(
-                F.coalesce(F.col("_df"), F.lit(-1))
+                F.coalesce(F.col("_df_raw"), F.lit(-1))
             )
         )
     )
@@ -469,11 +564,24 @@ def bm25_index_serve(
         .join(F.broadcast(qterms.select("t").distinct()), "t", "left_semi")
         .groupBy("t")
         .agg(
-            F.sum("df_delta").alias("_df"),
+            F.sum("df_delta").alias("_df_raw"),
             F.max("max_tf").alias("_maxtf"),
             F.min("min_dl").alias("_mindl"),
         )
     )
+    if st["dead_df"] is not None:
+        # live df = raw df minus the tombstoned docs' postings per
+        # term; the raw extremes stay for bounds (admissible — a dead
+        # doc's max can only loosen them) and for the blockstats
+        # completeness guard (block partials count raw postings)
+        tstats = tstats.join(
+            F.broadcast(st["dead_df"]), "t", "left"
+        ).withColumn(
+            "_df",
+            F.col("_df_raw") - F.coalesce(F.col("_dead_df"), F.lit(0)),
+        ).drop("_dead_df")
+    else:
+        tstats = tstats.withColumn("_df", F.col("_df_raw"))
     df_tab = tstats.select("t", "_df")
     idf = F.log(
         F.lit(1.0)

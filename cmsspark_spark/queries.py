@@ -12302,3 +12302,54 @@ def bm25_index_blockmax_serve(
     rung of the persisted index, still train-once/serve-increment."""
     d = _t(spark, sf_dir, "documents")
     return _bm25_index_shared(d)[2]
+
+
+@query(
+    "bm25_index_tombstone_serve",
+    ORACLES["bm25_more_like_this"].replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+    ),
+)
+def bm25_index_tombstone_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETES for the persisted index (retrieval.tombstone_bm25_index):
+    the full corpus is indexed, then every doc_id % 7 == 3 doc is
+    tombstoned — candidates anti-join the tombstones and N / sum_dl /
+    per-term df are corrected from the dead docs' own postings (cost
+    ∝ tombstones), while pruning bounds keep the raw extremes
+    (loosened, still admissible). Served in BLOCK-MAX mode — the
+    deepest pruning path, exercising every tombstone adjustment — and
+    hash-exact against the exact oracle computed over only the LIVE
+    documents. This is what lets the snapshot-consume path handle
+    overwrites/rollbacks (allow_removals=True) without un-indexing."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import pipeline as PL
+    from cmsspark_spark.operators import retrieval as R
+
+    d = _t(spark, sf_dir, "documents")
+
+    def _build() -> tuple:
+        tmp = tempfile.mkdtemp(prefix="bm25_tomb_")
+        idx = f"{tmp}/idx"
+        R.append_bm25_index(d, idx)
+        R.tombstone_bm25_index(
+            d.filter(F.col("doc_id") % 7 == 3).select("doc_id"), idx
+        )
+        out = (
+            R.bm25_index_serve(spark, idx, mode="blockmax")
+            .localCheckpoint(eager=True),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    key = PL._BM25_PRUNED_MEMO.key_for(d, "index_tomb")
+    if key is None:
+        return _build()[0]
+    per = PL._BM25_PRUNED_MEMO.per_session(d.sparkSession)
+    if key not in per:
+        per[key] = _build()
+    return per[key][0]

@@ -277,3 +277,83 @@ def test_snapshot_pinned_index_consumes_versions_exactly_once(
     SN.snapshot_write(docs.limit(5), other, mode="append")
     with pytest.raises(ValueError, match="wrong-table"):
         R.append_bm25_index_from_snapshot(spark, other, idx)
+
+
+def test_tombstones_serve_exactly_like_live_corpus(spark, tmp_path):
+    """Deletes without un-indexing: tombstoned docs vanish from every
+    serve mode's results EXACTLY — scores equal the exact rung run on
+    the live (post-delete) corpus, because N / sum_dl / per-term df
+    are corrected from the dead docs' own postings while the pruning
+    bounds keep the raw (loosened, still admissible) extremes."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs, idx)
+    R.tombstone_bm25_index(
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), idx
+    )
+    live = docs.filter(F.col("doc_id") % 7 != 3)
+    want = _ranked(
+        PL._bm25_exact_build(
+            live, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    for mode in ("exact", "maxscore", "blockmax"):
+        assert _ranked(R.bm25_index_serve(spark, idx, mode=mode)) == want
+
+    # a tombstoned QUERY doc no longer queries
+    R.tombstone_bm25_index(
+        spark.createDataFrame([(2,)], "doc_id long"), idx
+    )
+    got = R.bm25_index_serve(spark, idx)
+    assert 2 not in {r.query_id for r in got.collect()}
+
+
+def test_consume_removals_as_tombstones(spark, tmp_path):
+    """allow_removals: a rollback's removed docs are tombstoned (the
+    CDC's -1 rows), the serve matches the live snapshot's exact rung,
+    and a version that rewrites the same doc id is refused."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    table = str(tmp_path / "corpus")
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 0), table,
+                      mode="append")
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 1), table,
+                      mode="append")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index_from_snapshot(spark, table, idx)
+
+    # v3 = rollback to v1: the odd docs are REMOVED
+    SN.rollback_snapshot(spark, table, 1)
+    with pytest.raises(ValueError, match="allow_removals"):
+        R.append_bm25_index_from_snapshot(spark, table, idx)
+    r = R.append_bm25_index_from_snapshot(
+        spark, table, idx, allow_removals=True
+    )
+    assert r["noop"] is False
+
+    live = docs.filter(F.col("doc_id") % 2 == 0)
+    want = _ranked(
+        PL._bm25_exact_build(
+            live, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="blockmax")) == want
+
+    # a REWRITE (remove + re-add same id) is refused even with
+    # allow_removals: build the history on a fresh table
+    t2 = str(tmp_path / "t2")
+    SN.snapshot_write(docs.limit(40), t2, mode="append")
+    idx2 = str(tmp_path / "idx2")
+    R.append_bm25_index_from_snapshot(spark, t2, idx2)
+    SN.snapshot_write(
+        docs.limit(40).withColumn("text", F.concat(F.col("text"),
+                                                   F.lit(" rewritten"))),
+        t2, mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="REWRITES"):
+        R.append_bm25_index_from_snapshot(
+            spark, t2, idx2, allow_removals=True
+        )
