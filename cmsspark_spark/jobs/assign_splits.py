@@ -106,6 +106,20 @@ def run_batch(
         )
     else:
         docs = catalog.load_table(spark, sf_dir, "documents")
+        # an UNPINNED rebuild over a previously-pinned state dir must
+        # retire the old pin BEFORE the overwrites: leaving _pin.json
+        # behind would let a later run_increment(expect_snapshot_
+        # version=<old v>) pass the guard against splits/census that
+        # were actually rebuilt from sf_dir — exactly the operational
+        # mistake the pin guard exists to catch. Deleting (rather than
+        # rewriting) keeps the contract 'no pin file = unpinned', and
+        # a crash after the delete still fails the guard loudly
+        # (recorded version None != expected).
+        from cmsspark_spark.operators.layout import _fs_for
+
+        fs, p = _fs_for(spark, f"{state}/_pin.json")
+        if fs.exists(p):
+            fs.delete(p, False)
     cand = D.minhash_lsh_pairs(
         docs, "doc_id", "text", hot_bucket_cap=hot_bucket_cap
     )

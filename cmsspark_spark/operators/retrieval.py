@@ -64,6 +64,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from cmsspark_spark.functions.text import tokens
 
+
+def _state_table_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe for an optional index table. The serve
+    paths must DISTINGUISH 'this index has no tombstones/blockstats'
+    (fine — older or append-only index) from 'the read failed'
+    (permissions, corrupt footer — must propagate, or a serve would
+    silently resurrect deleted documents / drop pruning state)."""
+    from cmsspark_spark.operators.layout import _fs_for
+
+    fs, p = _fs_for(spark, path)
+    return bool(fs.exists(p))
+
 #: Shared scoring constants of the BM25 family (pipeline.py) — the
 #: additive constants enter as single literals for float parity with
 #: the rungs and their oracles.
@@ -360,15 +372,18 @@ def _merged_state(spark: SparkSession, index_dir: str) -> dict:
     post = spark.read.parquet(f"{index_dir}/postings")
     stats = spark.read.parquet(f"{index_dir}/termstats")
     champ = spark.read.parquet(f"{index_dir}/champions")
-    try:
+    tomb = None
+    if _state_table_exists(spark, f"{index_dir}/tombstones"):
+        # existence checked explicitly so a transient READ failure
+        # (permissions, corrupt footer) propagates instead of being
+        # misread as 'no tombstones' — which would silently resurrect
+        # every deleted document
         tomb = (
             spark.read.parquet(f"{index_dir}/tombstones")
             .select("doc")
             .distinct()
             .localCheckpoint(eager=True)
         )
-    except Exception:
-        tomb = None
     dead_df = None
     if tomb is not None:
         dead_post = post.join(F.broadcast(tomb), "doc", "left_semi")
@@ -757,10 +772,13 @@ def compact_bm25_index(
         )
         .localCheckpoint(eager=True)
     )
-    try:
-        blocks = spark.read.parquet(f"{index_dir}/blockstats")
-    except Exception:
-        blocks = None  # pre-blockstats index: nothing to fold
+    # existence probed explicitly (pre-blockstats index: nothing to
+    # fold) — a read FAILURE must propagate, not degrade silently
+    blocks = (
+        spark.read.parquet(f"{index_dir}/blockstats")
+        if _state_table_exists(spark, f"{index_dir}/blockstats")
+        else None
+    )
     merged_blocks = (
         blocks.groupBy("t", "blk")
         .agg(

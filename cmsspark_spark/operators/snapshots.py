@@ -516,6 +516,7 @@ def expire_snapshots(
     table: str,
     keep_last: int,
     dry_run: bool = True,
+    orphan_min_age_s: int = 86400,
 ) -> dict:
     """Retire all but the newest ``keep_last`` versions and delete the
     data files that NO retained version references — the time-travel-
@@ -524,6 +525,15 @@ def expire_snapshots(
     expire_snapshots contract). Dry-run by default. Returns
     ``{"expired_versions": [...], "deleted_files": [...],
     "kept_versions": [...]}``.
+
+    ORPHAN manifests are reclaimed too: an ``m-*.json`` referenced by
+    NO version at all (a commit that crashed after writing its
+    manifest but before claiming a version, or a lost-race retry's
+    chunks) would otherwise leak forever — it is deleted once older
+    than ``orphan_min_age_s`` (the age gate keeps a CONCURRENT
+    in-flight commit's just-written manifest safe, same grace as
+    data-file vacuum). Crashed version-claim temporaries
+    (``_tmp.*`` in the snapshot dir) get the same age-gated sweep.
 
     Concurrency: expire must not run alongside commits that can
     reference expiring files (a rollback past the retention window, or
@@ -557,11 +567,36 @@ def expire_snapshots(
             mf for mf in m.get("manifests", [])
             if mf not in retained_manifests
         )
+        retained_manifests.update(m.get("manifests", []))
+    # manifests referenced by NO version (crashed or lost-race commit
+    # attempts) + crashed claim temporaries, age-gated
+    import time
+
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    orphan_manifests: list[str] = []
+    snap_dir = Path(_snap_dir(table))
+    if fs.exists(snap_dir):
+        now_ms = time.time() * 1000.0
+        for st in fs.listStatus(snap_dir):
+            name = st.getPath().getName()
+            is_orphan_manifest = (
+                name.startswith("m-")
+                and name.endswith(".json")
+                and name not in retained_manifests
+            )
+            if (is_orphan_manifest or name.startswith("_tmp.")) and (
+                now_ms - st.getModificationTime()
+                >= orphan_min_age_s * 1000.0
+            ):
+                orphan_manifests.append(name)
     out = {
         "kept_versions": kept,
         "expired_versions": expired,
         "deleted_files": sorted(doomed_files),
         "deleted_manifests": sorted(doomed_manifests),
+        "orphan_manifests": sorted(orphan_manifests),
     }
     if not dry_run:
         if list_snapshots(spark, table) != versions:
@@ -570,13 +605,12 @@ def expire_snapshots(
                 "expire — a new version may reference files scheduled "
                 "for deletion; re-run expire in a quiet window"
             )
-        fs, _ = _fs_for(spark, table)
-        jvm = spark.sparkContext._jvm
-        Path = jvm.org.apache.hadoop.fs.Path
         root = table.rstrip("/")
         for n in sorted(doomed_files):
             fs.delete(Path(f"{root}/{n}"), False)
         for n in sorted(doomed_manifests):
+            fs.delete(Path(_snap_dir(table) + "/" + n), False)
+        for n in sorted(orphan_manifests):
             fs.delete(Path(_snap_dir(table) + "/" + n), False)
         for v in expired:
             fs.delete(
@@ -738,14 +772,32 @@ def read_json_meta(spark: SparkSession, path: str) -> dict | None:
 
 
 def write_json_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Atomically replace a JSON sidecar: the bytes land in a temp
+    sibling first, then one FileContext rename-with-OVERWRITE moves it
+    over the destination. A crash mid-write therefore leaves the
+    PREVIOUS complete version (plus a reclaimable ``.tmp.*`` orphan),
+    never a truncated file — the block-size pins and the
+    consume/compact crash fences that live in these sidecars survive
+    the writer dying at any instruction."""
+    sc = spark.sparkContext
     fs, _ = _fs_for(spark, path)
-    jvm = spark.sparkContext._jvm
+    jvm = sc._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
-    out = fs.create(p, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path + f".tmp.{uuid.uuid4().hex}"
+    )
+    out = fs.create(tmp, False)
     try:
         out.write(bytearray(json.dumps(meta).encode("utf-8")))
     finally:
         out.close()
+    rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
+    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), sc._jsc.hadoopConfiguration()
+    )
+    opts = sc._gateway.new_array(rename_opt, 1)
+    opts[0] = rename_opt.OVERWRITE
+    fctx.rename(tmp, p, opts)
 
 
 def _agg_meta_path(state_path: str) -> str:

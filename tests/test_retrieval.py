@@ -357,3 +357,27 @@ def test_consume_removals_as_tombstones(spark, tmp_path):
         R.append_bm25_index_from_snapshot(
             spark, t2, idx2, allow_removals=True
         )
+
+
+def test_corrupt_tombstones_fail_loudly_not_resurrect(spark, tmp_path):
+    """ADVICE r11: a tombstones READ failure must propagate — if it
+    were swallowed as 'no tombstones' (the old bare-except), a serve
+    would silently resurrect every deleted document."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs, idx)
+    R.tombstone_bm25_index(
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), idx
+    )
+    # sanity: tombstoned serve works
+    assert R.bm25_index_serve(spark, idx).count() > 0
+
+    # corrupt the tombstones table: a garbage 'parquet' part file
+    with open(os.path.join(idx, "tombstones", "part-junk.parquet"),
+              "wb") as fh:
+        fh.write(b"this is not parquet")
+    with pytest.raises(Exception) as exc:
+        R.bm25_index_serve(spark, idx).collect()
+    assert "resurrect" not in str(exc.value)  # it raised, good enough

@@ -662,3 +662,88 @@ def test_maintained_agg_crash_between_data_and_meta_is_safe(
                      t2, mode="append")
     with pytest.raises(ValueError, match="refusing to refresh"):
         S.maintain_snapshot_agg(spark, t2, state, [], ["v"])
+
+
+def test_write_json_meta_crash_mid_replace_keeps_old_version(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: meta sidecars are replaced via temp + atomic rename.
+    A writer dying between the temp write and the rename must leave
+    the PREVIOUS complete meta readable (plus a reclaimable .tmp
+    orphan) — never a truncated file that destroys pins and crash
+    fences."""
+    import os
+
+    p = str(tmp_path / "m" / "_index_meta.json")
+    os.makedirs(str(tmp_path / "m"))
+    S.write_json_meta(spark, p, {"block_size": 64, "v": 1})
+    assert S.read_json_meta(spark, p) == {"block_size": 64, "v": 1}
+
+    # crash AFTER the temp file lands, BEFORE the rename: the rename
+    # path is the only caller of gateway.new_array here
+    gw = spark.sparkContext._gateway
+    real = gw.new_array
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash before rename")
+
+    monkeypatch.setattr(gw, "new_array", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        S.write_json_meta(spark, p, {"block_size": 64, "v": 2})
+    monkeypatch.setattr(gw, "new_array", real)
+
+    # old version intact, temp orphan present but ignored by readers
+    assert S.read_json_meta(spark, p) == {"block_size": 64, "v": 1}
+    orphans = [
+        n
+        for n in os.listdir(str(tmp_path / "m"))
+        if ".tmp." in n and not n.startswith(".")  # skip .crc siblings
+    ]
+    assert len(orphans) == 1
+
+    # a healthy replace still overwrites atomically
+    S.write_json_meta(spark, p, {"block_size": 64, "v": 3})
+    assert S.read_json_meta(spark, p) == {"block_size": 64, "v": 3}
+
+
+def test_expire_reclaims_aged_orphan_manifests(spark, tmp_path):
+    """ADVICE r11: an m-*.json referenced by NO version (commit that
+    crashed before claiming its version, or a lost-race retry chunk)
+    is reclaimed by expire once past the age gate; a FRESH orphan — a
+    concurrent in-flight commit's manifest — survives."""
+    import os
+
+    t = str(tmp_path / "t")
+    old_max = S.MANIFEST_INLINE_MAX
+    S.MANIFEST_INLINE_MAX = 1
+    try:
+        S.snapshot_write(spark.range(0, 5).coalesce(1), t, mode="append")
+        S.snapshot_write(spark.range(5, 9).coalesce(1), t, mode="append")
+        m2 = S.read_snapshot_meta(spark, t, 2)
+        snapdir = os.path.join(t, S.SNAPDIR)
+
+        aged = os.path.join(snapdir, "m-deadbeef.json")
+        fresh = os.path.join(snapdir, "m-cafebabe.json")
+        tmp_orphan = os.path.join(snapdir, "_tmp.deadcrash")
+        for f in (aged, fresh, tmp_orphan):
+            with open(f, "w") as fh:
+                fh.write("[]")
+        os.utime(aged, (1, 1))
+        os.utime(tmp_orphan, (1, 1))
+
+        plan = S.expire_snapshots(spark, t, keep_last=2, dry_run=True)
+        assert plan["orphan_manifests"] == [
+            "_tmp.deadcrash", "m-deadbeef.json"
+        ]
+        assert os.path.exists(aged)  # dry run deletes nothing
+
+        S.expire_snapshots(spark, t, keep_last=2, dry_run=False)
+        assert not os.path.exists(aged)
+        assert not os.path.exists(tmp_orphan)
+        assert os.path.exists(fresh)  # age-gated: in-flight commit safe
+        # every REFERENCED manifest of the retained versions survives
+        for n in m2["manifests"]:
+            assert os.path.exists(os.path.join(snapdir, n))
+        assert _ids(S.read_snapshot(spark, t)) == list(range(0, 9))
+    finally:
+        S.MANIFEST_INLINE_MAX = old_max

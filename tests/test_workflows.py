@@ -1284,3 +1284,40 @@ def test_assign_splits_snapshot_pinned_state(spark, tmp_path):
         snapshot_version=2,
     )
     assert assign_splits.state_pin(spark, state)["version"] == 2
+
+
+def test_unpinned_rebuild_clears_stale_pin(spark, tmp_path):
+    """ADVICE r11: an UNPINNED rebuild (snapshot_table=None) over a
+    previously-pinned state dir must retire the old _pin.json —
+    otherwise a later guarded increment expecting the OLD version
+    passes the guard against splits/census actually rebuilt from
+    sf_dir (the exact mistake the pin guard claims to catch)."""
+    import pytest
+
+    from cmsspark_spark.jobs import assign_splits
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    table = str(tmp_path / "corpus_snap")
+    SN.snapshot_write(docs.limit(40), table, mode="append")
+
+    state = str(tmp_path / "state")
+    assign_splits.run_batch(
+        spark, sf_dir=None, state=state, snapshot_table=table
+    )
+    assert assign_splits.state_pin(spark, state)["version"] == 1
+
+    # unpinned rebuild: the stale pin must be gone...
+    assign_splits.run_batch(spark, sf_dir=SF, state=state)
+    assert assign_splits.state_pin(spark, state) is None
+
+    # ...so a scheduler still expecting v1 is refused loudly
+    inc = spark.createDataFrame(
+        [(990002, "another fresh unseen document")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="pinned to snapshot version"):
+        assign_splits.run_increment(
+            spark, inc, state, expect_snapshot_version=1
+        )
