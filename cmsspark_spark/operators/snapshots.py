@@ -820,6 +820,8 @@ def maintain_snapshot_agg(
     state_path: str,
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
     to_version: int | None = None,
 ) -> DataFrame:
     """CDC-maintained groupBy materialization (VERDICT r10 item 8):
@@ -839,6 +841,18 @@ def maintain_snapshot_agg(
     measures (cast cents, micro-units) for hash-stable maintenance,
     the same integer-grid discipline the engine uses everywhere.
 
+    MIN/MAX (``min_cols``/``max_cols``, VERDICT r11 item 3): unlike
+    sums, extrema have no inverse element, so the maintenance splits
+    by CDC shape. A refresh whose CDC is APPEND-ONLY (no -1 rows)
+    merges exactly — ``least(stored_min, delta_min)`` /
+    ``greatest(stored_max, delta_max)`` per group, still delta-sized.
+    A refresh that REMOVES rows recomputes ONLY the groups the
+    removals touch (one target-version scan semi-joined to the
+    CDC-sized affected-group set — group-predicate pushdown applies);
+    untouched groups and groups only appended-to keep the fast merge.
+    Removal is the rare path for curated corpora, so the common
+    refresh stays ∝ changed files.
+
     Single-writer per state_path (like every maintained state here).
     CRASH-CONSISTENT: each refresh writes the merged groups to a NEW
     versioned data dir (``data_v<target>``), then flips the meta to
@@ -848,22 +862,50 @@ def maintain_snapshot_agg(
     an already-folded one (which would silently double counts).
     The meta also pins the source table; refreshing a state_path
     against a different table fails loudly instead of folding
-    wrong-table CDC. Returns the refreshed materialization."""
+    wrong-table CDC, and a refresh whose aggregate SPEC no longer
+    matches the stored state's columns is refused (rebuild the state).
+    Returns the refreshed materialization."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
+    min_cols = list(min_cols)
+    max_cols = list(max_cols)
     versions = list_snapshots(spark, table)
     if not versions:
         raise FileNotFoundError(f"{table} has no snapshots")
     target = versions[-1] if to_version is None else to_version
 
+    def _minmax_aggs() -> list:
+        return [
+            *[F.min(c).alias(f"min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        ]
+
     def _aggregate(df: DataFrame, sign_col=None) -> DataFrame:
+        """Full aggregate of raw rows (sign_col only for pure-CDC
+        folds, where min/max must NOT be computed — a -1 row's value
+        is not a group minimum)."""
         sign = F.col(sign_col) if sign_col else F.lit(1)
         aggs = [F.sum(sign).cast("long").alias("n_rows")]
         for c in sum_cols:
             aggs.append(
                 F.sum(F.col(c) * sign).cast("long").alias(f"sum_{c}")
             )
+        if sign_col is None:
+            aggs.extend(_minmax_aggs())
         return df.groupBy(*group_cols).agg(*aggs)
+
+    def _merge_aggs() -> list:
+        """Fold stored state rows with delta partials: sums add,
+        extrema take min-of-mins / max-of-maxes (exact for appends)."""
+        return [
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            *[
+                F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols],
+            *[F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols],
+        ]
 
     root = state_path.rstrip("/")
 
@@ -900,26 +942,69 @@ def maintain_snapshot_agg(
         )
     last = int(meta["version"])
     data_rel = meta.get("data", "data")
-    if last == target:
-        return spark.read.parquet(f"{root}/{data_rel}")
-    cdc = snapshot_cdc(spark, table, last, target)
-    delta = _aggregate(cdc, sign_col="_cdc_sign")
     state = spark.read.parquet(f"{root}/{data_rel}")
-    merged = (
-        state.unionByName(delta)
-        .groupBy(*group_cols)
-        .agg(
-            F.sum("n_rows").cast("long").alias("n_rows"),
-            *[
-                F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
-                for c in sum_cols
-            ],
+    expected = set(group_cols) | {"n_rows"}
+    expected |= {f"sum_{c}" for c in sum_cols}
+    expected |= {f"min_{c}" for c in min_cols}
+    expected |= {f"max_{c}" for c in max_cols}
+    if set(state.columns) != expected:
+        raise ValueError(
+            f"{state_path} holds columns {sorted(state.columns)} but "
+            f"this refresh specifies {sorted(expected)} — the aggregate "
+            "spec changed; rebuild the state (delete the state dir)"
         )
+    if last == target:
+        return state
+    cdc = snapshot_cdc(spark, table, last, target)
+    if not (min_cols or max_cols):
+        # sums/counts: pure signed fold, no raw-row reads beyond CDC
+        delta = _aggregate(cdc, sign_col="_cdc_sign")
+        merged = (
+            state.unionByName(delta)
+            .groupBy(*group_cols)
+            .agg(*_merge_aggs())
+            .filter(F.col("n_rows") != 0)
+        )
+        # no checkpoint needed: the merge reads the OLD data dir and
+        # _commit_state writes a NEW one — disjoint paths, no cycle
+        return _commit_state(merged, data_rel)
+    adds = cdc.filter(F.col("_cdc_sign") == 1).drop("_cdc_sign")
+    affected = (
+        cdc.filter(F.col("_cdc_sign") == -1)
+        .select(*group_cols)
+        .distinct()
+        .localCheckpoint(eager=True)  # reused thrice; pin it
+    )
+    if not affected.head(1):
+        # append-only CDC: extrema merge exactly (min-of-mins)
+        merged = (
+            state.unionByName(_aggregate(adds))
+            .groupBy(*group_cols)
+            .agg(*_merge_aggs())
+            .filter(F.col("n_rows") != 0)
+        )
+        return _commit_state(merged, data_rel)
+    # removals present: groups they touch lose min/max invertibility —
+    # recompute exactly those from the target version (the scan's
+    # group predicate is the CDC-sized affected set, broadcast);
+    # every other group keeps the fast merge
+    clean = (
+        state.join(F.broadcast(affected), group_cols, "left_anti")
+        .unionByName(
+            _aggregate(
+                adds.join(F.broadcast(affected), group_cols, "left_anti")
+            )
+        )
+        .groupBy(*group_cols)
+        .agg(*_merge_aggs())
         .filter(F.col("n_rows") != 0)
     )
-    # no checkpoint needed: the merge reads the OLD data dir and
-    # _commit_state writes a NEW one — disjoint paths, no cycle
-    return _commit_state(merged, data_rel)
+    recomputed = _aggregate(
+        read_snapshot(spark, table, target).join(
+            F.broadcast(affected), group_cols, "left_semi"
+        )
+    )
+    return _commit_state(clean.unionByName(recomputed), data_rel)
 
 
 def snapshot_version_diff(

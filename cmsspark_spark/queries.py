@@ -12353,3 +12353,76 @@ def bm25_index_tombstone_serve(
     if key not in per:
         per[key] = _build()
     return per[key][0]
+
+
+@query(
+    "cdc_aggregate_minmax",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM orders
+    WHERE o_orderkey % 3 <= 1
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_aggregate_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained MIN/MAX aggregates (VERDICT r11 item 3;
+    operators/snapshots.py maintain_snapshot_agg min_cols/max_cols):
+    the same four-version history as cdc_aggregate_maintenance —
+    three appends of disjoint order thirds, then a ROLLBACK that
+    drops the last third — but the materialization now carries
+    per-status min/max cents alongside count and sum. The two append
+    refreshes take the FAST path (extrema of an append-only CDC merge
+    exactly: least/greatest of stored vs delta partials, cost ∝
+    changed files); the rollback refresh exercises the RECOMPUTE
+    fallback (extrema have no inverse element, so exactly the groups
+    the removals touch are re-aggregated from the target version —
+    the scan is semi-joined to the CDC-sized affected set, every
+    other group keeps its merged row). The final state must equal the
+    oracle's from-scratch aggregate over the live orders (keys % 3 in
+    (0, 1)), a hash match proving maintenance ≡ recompute for
+    non-invertible aggregates too."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_minmax_")
+    try:
+        table = f"{tmp}/orders_snap"
+        state = f"{tmp}/agg_state"
+        for part in range(3):
+            SN.snapshot_write(
+                orders.filter(F.col("o_orderkey") % 3 == part), table,
+                mode="append",
+            )
+            SN.maintain_snapshot_agg(
+                spark, table, state, ["o_orderstatus"],
+                sum_cols=["cents"], min_cols=["cents"],
+                max_cols=["cents"],
+            )
+        SN.rollback_snapshot(spark, table, 2)
+        out = SN.maintain_snapshot_agg(
+            spark, table, state, ["o_orderstatus"],
+            sum_cols=["cents"], min_cols=["cents"], max_cols=["cents"],
+        )
+        return out.select(
+            "o_orderstatus",
+            "n_rows",
+            "sum_cents",
+            F.col("min_cents").cast("long").alias("min_cents"),
+            F.col("max_cents").cast("long").alias("max_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -747,3 +747,87 @@ def test_expire_reclaims_aged_orphan_manifests(spark, tmp_path):
         assert _ids(S.read_snapshot(spark, t)) == list(range(0, 9))
     finally:
         S.MANIFEST_INLINE_MAX = old_max
+
+
+def test_maintained_minmax_agg_equals_recompute_at_every_version(
+    spark, tmp_path
+):
+    """VERDICT r11 item 3: min/max maintenance — append-only CDC
+    merges extrema exactly (least/greatest of partials); a CDC with
+    removals recomputes ONLY the affected groups; the materialization
+    equals a from-scratch aggregate after every commit, including a
+    rollback that restores a previously-shrunk maximum."""
+    t = str(tmp_path / "t")
+    state = str(tmp_path / "agg")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, g string, v long")
+
+    def recompute():
+        return {
+            r.g: (r.n_rows, r.sum_v, r.min_v, r.max_v)
+            for r in S.read_snapshot(spark, t)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("v").cast("long").alias("sum_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        }
+
+    def maintained():
+        return {
+            r.g: (r.n_rows, r.sum_v, r.min_v, r.max_v)
+            for r in S.maintain_snapshot_agg(
+                spark, t, state, ["g"],
+                sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+            ).collect()
+        }
+
+    S.snapshot_write(mk([(1, "a", 10), (2, "a", 50), (3, "b", 7)]), t,
+                     mode="append")
+    assert maintained() == recompute()
+    # append-only fast path: new max for 'a', new group 'c'
+    S.snapshot_write(mk([(4, "a", 99), (5, "c", -3)]), t, mode="append")
+    assert maintained() == recompute()
+    # overwrite removes the v=99 row: 'a' max must SHRINK back — only
+    # the recompute-affected-groups path can learn that
+    S.snapshot_write(
+        mk([(1, "a", 10), (2, "a", 50), (3, "b", 7), (5, "c", -3)]),
+        t, mode="overwrite",
+    )
+    m = maintained()
+    assert m == recompute() and m["a"][3] == 50
+    # rollback restores v2's content: max grows back to 99
+    S.rollback_snapshot(spark, t, 2)
+    m = maintained()
+    assert m == recompute() and m["a"][3] == 99
+    # rollback to v1: groups shrink, 'c' vanishes entirely
+    S.rollback_snapshot(spark, t, 1)
+    m = maintained()
+    assert m == recompute() and "c" not in m
+    # no-op refresh returns the same state
+    assert maintained() == m
+
+
+def test_maintained_agg_spec_change_is_refused(spark, tmp_path):
+    """A refresh whose aggregate spec no longer matches the stored
+    state's columns must fail loudly — silently merging a sum state
+    as a min/max state would corrupt both."""
+    t = str(tmp_path / "t")
+    state = str(tmp_path / "agg")
+    S.snapshot_write(
+        spark.createDataFrame([(1, "a", 5)], "id long, g string, v long"),
+        t, mode="append",
+    )
+    S.maintain_snapshot_agg(spark, t, state, ["g"], sum_cols=["v"])
+    S.snapshot_write(
+        spark.createDataFrame([(2, "b", 6)], "id long, g string, v long"),
+        t, mode="append",
+    )
+    with pytest.raises(ValueError, match="spec changed"):
+        S.maintain_snapshot_agg(
+            spark, t, state, ["g"], sum_cols=["v"], max_cols=["v"]
+        )
