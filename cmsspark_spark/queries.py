@@ -12426,3 +12426,107 @@ def cdc_aggregate_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "avro_logical_types",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(
+             (CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                   AS BIGINT) * 86400 + o_orderkey % 86400) * 1000000
+           ) AS BIGINT) AS min_ts_us,
+           CAST(max(
+             (CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                   AS BIGINT) * 86400 + o_orderkey % 86400) * 1000000
+           ) AS BIGINT) AS max_ts_us
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY 1
+    """,
+)
+def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL TYPES as first-class columns (VERDICT r11 item 7;
+    sources/avro_io.py): a Rucio-shaped dump — decimal(18,2) amounts,
+    timestamp-micros event times, date partitions, the fields
+    rucio_daily.py:49-54 carries — is written to a two-file Avro
+    fixture with the module's spec-conformant writer, read back
+    through the jar-less binaryFile + mapInPandas path, and
+    aggregated per month off the DECODED DecimalType / TimestampType
+    / DateType columns (sum of decimal cents exact, min/max epoch
+    micros via unix_micros). The oracle recomputes every value
+    arithmetically from the orders parquet — a hash match proves the
+    codec's two's-complement decimal and UTC temporal decoding, not
+    just row counts. The fixture writer is the test-side utility
+    (driver-side, bounded rows); the READER is the scale path — one
+    task per binaryFile split, no driver materialization."""
+    import datetime
+    import decimal
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.sources.avro_io import read_avro, write_container
+
+    sel = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    utc = datetime.timezone.utc
+
+    def _as_date(v):  # the parquet column may be DATE or TIMESTAMP
+        return v.date() if isinstance(v, datetime.datetime) else v
+
+    recs = [
+        {
+            "k": r.o_orderkey,
+            "amt": decimal.Decimal(r.cents).scaleb(-2),
+            "ts": datetime.datetime(
+                d.year, d.month, d.day, tzinfo=utc
+            )
+            + datetime.timedelta(seconds=r.o_orderkey % 86400),
+            "d": d,
+        }
+        for r in sel.collect()
+        for d in (_as_date(r.o_orderdate),)
+    ]
+    schema = {
+        "type": "record", "name": "rucio_like", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "amt", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 18, "scale": 2}},
+            {"name": "ts", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    }
+    tmp = tempfile.mkdtemp(prefix="avro_logical_")
+    try:
+        half = len(recs) // 2
+        write_container(f"{tmp}/part-0.avro", schema, recs[:half])
+        write_container(f"{tmp}/part-1.avro", schema, recs[half:])
+        df = read_avro(spark, f"{tmp}/*.avro")
+        return (
+            df.groupBy(
+                F.date_format("d", "yyyy-MM").alias("month")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("amt") * 100).cast("long").alias("sum_cents"),
+                F.min(F.unix_micros("ts")).alias("min_ts_us"),
+                F.max(F.unix_micros("ts")).alias("max_ts_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

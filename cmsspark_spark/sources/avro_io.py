@@ -19,7 +19,14 @@ driver materialization. When the real spark-avro jar is present,
 module is the jar-less fallback and the test-side writer.
 
 Supported schema surface: all primitives, record / array / map /
-enum / fixed / union. Logical types decode as their underlying type.
+enum / fixed / union. Logical types (Avro 1.11 §Logical Types) are
+FIRST-CLASS for the ones Spark has native types for — ``decimal``
+(bytes/fixed → DecimalType, two's-complement big-endian unscaled),
+``timestamp-millis``/``timestamp-micros`` (long → TimestampType,
+UTC), ``date`` (int → DateType), ``uuid`` (string passthrough) —
+matching spark-avro's mapping, so Rucio-style timestamped dumps
+(rucio_daily.py:49-54) read with real temporal/decimal columns.
+Unrecognized logical types decode as their underlying type.
 Codecs: ``null`` and ``deflate``.
 """
 
@@ -58,6 +65,77 @@ def _read_long(buf: io.BytesIO) -> int:
 def _read_bytes(buf: io.BytesIO) -> bytes:
     n = _read_long(buf)
     return buf.read(n)
+
+
+#: epoch anchors for the temporal logical types (UTC per the spec)
+_EPOCH_TS = None  # lazily built to keep module import light
+_EPOCH_DATE = None
+
+
+def _epochs():
+    global _EPOCH_TS, _EPOCH_DATE
+    if _EPOCH_TS is None:
+        import datetime as _dt
+
+        _EPOCH_TS = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        _EPOCH_DATE = _dt.date(1970, 1, 1)
+    return _EPOCH_TS, _EPOCH_DATE
+
+
+def _apply_logical(schema: dict, value: Any) -> Any:
+    """Underlying decoded value → first-class logical value (decimal /
+    timestamp / date); unknown annotations pass through untouched."""
+    lt = schema.get("logicalType")
+    if lt is None or value is None:
+        return value
+    if lt == "decimal":
+        import decimal
+
+        unscaled = int.from_bytes(value, "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-int(schema.get("scale", 0)))
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        import datetime as _dt
+
+        epoch_ts, _ = _epochs()
+        mult = 1 if lt.endswith("micros") else 1000
+        return epoch_ts + _dt.timedelta(microseconds=value * mult)
+    if lt == "date":
+        import datetime as _dt
+
+        _, epoch_d = _epochs()
+        return epoch_d + _dt.timedelta(days=value)
+    return value  # uuid (already a string) and unrecognized annotations
+
+
+def _logical_to_underlying(schema: dict, value: Any) -> Any:
+    """Writer-side inverse of _apply_logical (fixture/sink path)."""
+    lt = schema.get("logicalType")
+    if lt is None or value is None:
+        return value
+    if lt == "decimal":
+        import decimal
+
+        scale = int(schema.get("scale", 0))
+        unscaled = int(
+            decimal.Decimal(value).scaleb(scale).to_integral_value()
+        )
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        if schema.get("type") == "fixed":
+            n = int(schema["size"])
+        return unscaled.to_bytes(n, "big", signed=True)
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        import datetime as _dt
+
+        epoch_ts, _ = _epochs()
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=_dt.timezone.utc)
+        d = value - epoch_ts
+        micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        return micros if lt.endswith("micros") else micros // 1000
+    if lt == "date":
+        _, epoch_d = _epochs()
+        return (value - epoch_d).days
+    return value
 
 
 def _decode(buf: io.BytesIO, schema: Any, names: dict[str, Any]) -> Any:
@@ -99,7 +177,7 @@ def _decode(buf: io.BytesIO, schema: Any, names: dict[str, Any]) -> Any:
     if t == "fixed":
         if schema.get("name"):
             names[schema["name"]] = schema
-        return buf.read(schema["size"])
+        return _apply_logical(schema, buf.read(schema["size"]))
     if t == "array":
         out = []
         while True:
@@ -125,8 +203,9 @@ def _decode(buf: io.BytesIO, schema: Any, names: dict[str, Any]) -> Any:
                 k = _read_bytes(buf).decode("utf-8")
                 out[k] = _decode(buf, schema["values"], names)
         return out
-    # {"type": "long", ...} wrapper / logical type → underlying
-    return _decode(buf, t, names)
+    # {"type": "long", ...} wrapper: decode the underlying type, then
+    # lift any logical-type annotation to its first-class value
+    return _apply_logical(schema, _decode(buf, t, names))
 
 
 def read_container(blob: bytes) -> tuple[dict | str | list, list[dict]]:
@@ -226,6 +305,8 @@ def _encode(out: io.BytesIO, schema: Any, value: Any, names: dict[str, Any]) -> 
                 return
         raise ValueError(f"no union branch for {value!r} in {schema!r}")
     t = schema["type"]
+    if schema.get("logicalType") is not None:
+        value = _logical_to_underlying(schema, value)
     if t == "record":
         if schema.get("name"):
             names[schema["name"]] = schema
@@ -318,6 +399,15 @@ def spark_type_of(schema: Any):
         if len(non_null) != 1:
             raise ValueError(f"general unions unsupported: {schema!r}")
         return spark_type_of(non_null[0])
+    lt = schema.get("logicalType")
+    if lt == "decimal":
+        return T.DecimalType(
+            int(schema["precision"]), int(schema.get("scale", 0))
+        )
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampType()
+    if lt == "date":
+        return T.DateType()
     t = schema["type"]
     if t == "record":
         return T.StructType(

@@ -173,3 +173,72 @@ def test_read_source_avro_empty_day_fallback(spark, avro_dir):
     )
     df = read_source(spark, spec, start=dt.date(2030, 1, 1))
     assert df.count() == 0 and df.schema == schema
+
+
+def test_logical_types_first_class(spark, tmp_path):
+    """VERDICT r11 item 7: decimal / timestamp-micros|millis / date
+    logical types decode to first-class Spark types (DecimalType,
+    TimestampType UTC, DateType) — the spark-avro mapping — and
+    round-trip through the writer, including negative/pre-epoch
+    values and fixed-backed decimals."""
+    import decimal
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "amt", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 18, "scale": 2}},
+            {"name": "famt", "type": {
+                "type": "fixed", "name": "f8", "size": 8,
+                "logicalType": "decimal", "precision": 18, "scale": 3}},
+            {"name": "ts", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "tsm", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    }
+    utc = dt.timezone.utc
+    recs = [
+        {"id": 1, "amt": decimal.Decimal("123.45"),
+         "famt": decimal.Decimal("-7.125"),
+         "ts": dt.datetime(2001, 2, 3, 4, 5, 6, 789012, tzinfo=utc),
+         "tsm": dt.datetime(1999, 12, 31, 23, 59, 59, 123000, tzinfo=utc),
+         "d": dt.date(2020, 1, 2)},
+        {"id": 2, "amt": decimal.Decimal("-0.01"),
+         "famt": decimal.Decimal("0.000"),
+         "ts": dt.datetime(1969, 6, 1, 0, 0, 0, 1, tzinfo=utc),
+         "tsm": dt.datetime(1970, 1, 1, tzinfo=utc),
+         "d": dt.date(1969, 12, 25)},
+    ]
+    avro_io.write_container(str(tmp_path / "x.avro"), schema, recs)
+
+    # codec-level roundtrip is exact
+    _, got = avro_io.read_container((tmp_path / "x.avro").read_bytes())
+    for want, have in zip(recs, got):
+        assert have == want
+
+    # Spark-level: real Decimal/Timestamp/Date columns, exact values
+    df = avro_io.read_avro(spark, str(tmp_path / "*.avro"))
+    kinds = dict(df.dtypes)
+    assert kinds["amt"] == "decimal(18,2)"
+    assert kinds["famt"] == "decimal(18,3)"
+    assert kinds["ts"] == "timestamp" and kinds["tsm"] == "timestamp"
+    assert kinds["d"] == "date"
+    rows = {
+        r.id: r for r in df.select(
+            "id", "amt", "famt",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros("tsm").alias("tsm_us"),
+            "d",
+        ).collect()
+    }
+    assert rows[1].amt == decimal.Decimal("123.45")
+    assert rows[1].famt == decimal.Decimal("-7.125")
+    assert rows[1].ts_us == 981173106789012
+    assert rows[1].tsm_us == 946684799123000
+    assert rows[1].d == dt.date(2020, 1, 2)
+    assert rows[2].amt == decimal.Decimal("-0.01")
+    assert rows[2].ts_us == -18489599999999
+    assert rows[2].d == dt.date(1969, 12, 25)
