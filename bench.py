@@ -295,18 +295,72 @@ def main() -> None:
             spark.catalog.clearCache()
         return round(best, 3)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t = timed(name)
-        if t is not None:
-            timings[name] = t
+    def run_gated_suites() -> tuple[dict[str, float], dict[str, float]]:
+        t_leg: dict[str, float] = {}
+        for name in HEADLINE:
+            t = timed(name)
+            if t is not None:
+                t_leg[name] = t
+        # HEADLINE_V2: same 2-run-min discipline, second frozen basis.
+        t_v2: dict[str, float] = {}
+        for name in HEADLINE_V2:
+            t = timed(name)
+            if t is not None:
+                t_v2[name] = t
+        return t_leg, t_v2
 
-    # HEADLINE_V2: same 2-run-min discipline, second frozen basis.
-    v2: dict[str, float] = {}
-    for name in HEADLINE_V2:
-        t = timed(name)
-        if t is not None:
-            v2[name] = t
+    timings, v2 = run_gated_suites()
+
+    # CONTROL RE-RUN protocol (VERDICT r11 item 6), now part of the
+    # harness instead of operator lore: host-load variance has twice
+    # produced same-code headline swings of 1.5-2x (r10, r11 — both
+    # control-proven as noise), and a driver snapshot taken during a
+    # spike records the outlier as the round's number. So: compare
+    # this run's headline against the ROLLING BEST of the self-written
+    # records at the same SF; if it deviates by >25%, re-run the gated
+    # suites once and keep the per-query min across attempts. One
+    # retry bounds added wall time; a genuine regression survives the
+    # retry and is reported with control_rerun=true so readers know
+    # the number was load-checked.
+    def rolling_best_total() -> float | None:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        best = None
+        for p in glob.glob(os.path.join(here, "BENCH_SELF_r*.json")):
+            if not re.search(r"BENCH_SELF_r\d+(-\d+)?\.json$", p):
+                continue
+            try:
+                with open(p) as fh:
+                    rec = json.load(fh)
+            except Exception:  # noqa: BLE001 — unreadable record: skip
+                continue
+            if str(rec.get("sf")) != str(
+                float(sf) if sf.replace(".", "").isdigit() else sf
+            ):
+                continue
+            v = rec.get("value")
+            if isinstance(v, (int, float)) and (best is None or v < best):
+                best = float(v)
+        return best
+
+    rolling_best = rolling_best_total()
+    control_rerun = False
+    if (
+        rolling_best is not None
+        and sum(timings.values()) > 1.25 * rolling_best
+    ):
+        control_rerun = True
+        t2, v2_2 = run_gated_suites()
+        timings = {
+            k: min(v for v in (timings.get(k), t2.get(k)) if v is not None)
+            for k in set(timings) | set(t2)
+        }
+        v2 = {
+            k: min(v for v in (v2.get(k), v2_2.get(k)) if v is not None)
+            for k in set(v2) | set(v2_2)
+        }
 
     # Round-2 additions timed SEPARATELY: the headline total is the
     # round-over-round comparison basis and must keep a fixed query
@@ -458,6 +512,8 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "load_1m": load_1m,
             "load_1m_start": load_1m_start,
+            "rolling_best": rolling_best,
+            "control_rerun": control_rerun,
         }
     )
     print(payload)

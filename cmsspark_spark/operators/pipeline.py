@@ -777,6 +777,13 @@ def bm25_maxscore_parts(
     SAME top-k as :func:`bm25_more_like_this`, skipping posting lists
     that cannot change it.
 
+    DEMONSTRATION PATH at small scale (same caveat as
+    :func:`bm25_blockmax_parts`): the per-session prune-state build
+    costs more than it saves below large-corpus postings volumes —
+    production serving for maintained corpora is the persisted index
+    (``retrieval.bm25_index_serve(mode="maxscore")``), which amortizes
+    the bounds across appends.
+
     Batch formulation, three phases:
 
     1. SEED: champion candidates (top-``seed_champions`` per query
@@ -903,6 +910,7 @@ def bm25_blockmax_parts(
     k1_plus_1: float = 2.2,
     one_minus_b: float = 0.25,
     broadcast_candidates: bool | None = True,
+    min_prune_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """EXACT top-k BM25 with BLOCK-MAX pruning (Ding & Suel's
     block-max WAND, batch form) — the finest rung of the pruned
@@ -912,6 +920,20 @@ def bm25_blockmax_parts(
     instead of the term's single global bound. Common terms whose few
     strong postings cluster in a few blocks contribute only those
     blocks' docs to the candidate set.
+
+    DEMONSTRATION PATH at small scale: this in-session rung rebuilds
+    the full prune state (bounds, seeds, block stats) per session, an
+    overhead that only pays for itself on large corpora — at test SF
+    it is the SLOWEST way to get the answer the exact rung already
+    gives. The production serve for maintained corpora is the
+    persisted index (``retrieval.bm25_index_serve(mode="blockmax")``),
+    whose bounds are appended per commit and merged at read; default
+    new pipelines to that. ``min_prune_docs`` makes the tradeoff
+    explicit: when set and the corpus has fewer documents (one
+    column-pruned count-star, no text read), the ranked output is
+    delegated to :func:`bm25_more_like_this` — identical top-k by the
+    exactness theorem below — and the pruning report comes back EMPTY
+    (no pruning ran).
 
     Batch formulation on top of :func:`_bm25_prune_state` (same seed
     θ, same integer micro-grid, same essential split): postings get a
@@ -937,6 +959,19 @@ def bm25_blockmax_parts(
     strictly ≤ max-score's Σ df(essential)). Both outputs are
     memoized per session (``_BM25_PRUNED_MEMO``), sharing one state
     build between the ranked and report registry queries."""
+    if min_prune_docs is not None and docs.count() < int(min_prune_docs):
+        ranked = bm25_more_like_this(
+            docs, id_col, text_col, query_max_id, k,
+            k1, b, k1_plus_1, one_minus_b,
+        )
+        empty_report = docs.sparkSession.createDataFrame(
+            [],
+            "query_id long, n_terms long, n_essential long, "
+            "blocks_total long, blocks_pruned long, "
+            "postings_total long, postings_scanned long, "
+            "n_candidates long",
+        )
+        return ranked, empty_report
     params = (
         id_col, text_col, query_max_id, k, seed_champions, block_size,
         k1, b, k1_plus_1, one_minus_b, broadcast_candidates,

@@ -49,8 +49,18 @@ shuffle over increment rows); serve reads postings with the doc/term
 predicates pushed to parquet; candidate generation and scoring reuse
 the exact plan shapes of the in-session rungs (query terms, df table
 and candidate ids broadcast; text never shuffles — text is never even
-stored in the index). Compaction of the partial-row tables is ordinary
-parquet compaction (layout.optimize) when commit count grows.
+stored in the index).
+
+DURABILITY (VERDICT r11 item 2): every append is ONE ATOMIC COMMIT —
+all tables staged under ``_staging/<uuid>/`` and published by a single
+directory rename into ``commits/c-<seq>-<uuid>/``; readers merge the
+compacted ``base/v<N>/`` with the commits past it (pre-v2 flat-table
+indexes read as an implicit base until first compaction). A crash
+mid-append leaves an invisible orphan, never a partial increment;
+an interrupted snapshot consume RESUMES off its commit's tag.
+``compact_bm25_index`` folds base + commits (applying tombstones)
+into a new versioned base published by one atomic meta flip;
+``vacuum_bm25_index`` reclaims superseded dirs.
 
 No reference twin: the reference has no retrieval serving state; this
 is the train-once/serve-increment rung for the beyond-reference BM25
@@ -75,6 +85,165 @@ def _state_table_exists(spark: SparkSession, path: str) -> bool:
 
     fs, p = _fs_for(spark, path)
     return bool(fs.exists(p))
+
+
+# ---------------------------------------------------------------------------
+# transactional commit layout (VERDICT r11 item 2)
+#
+# Every append lands as ONE atomic unit: all tables of the increment
+# are staged under <index>/_staging/<uuid>/ and made visible by a
+# single directory rename into <index>/commits/c-<seq>-<uuid>/ —
+# a crash anywhere during staging leaves an invisible orphan (never a
+# half-applied increment), a crash after the rename leaves a COMPLETE
+# commit, so retries RESUME instead of demanding a rebuild. Readers
+# merge base/v<N>/ (the last compaction's fold) with every commit dir
+# whose sequence is past the base; legacy flat-table indexes (pre-v2)
+# read as an implicit base until their first compaction migrates them.
+# ---------------------------------------------------------------------------
+
+#: Index tables a commit may carry (tombstones only when deleting).
+_INDEX_TABLES = (
+    "postings", "termstats", "blockstats", "champions", "globals",
+    "tombstones",
+)
+
+
+def _commits_dir(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "/commits"
+
+
+def _staging_root(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "/_staging"
+
+
+def _list_commit_dirs(
+    spark: SparkSession, index_dir: str
+) -> list[tuple[int, str]]:
+    """(seq, path) of committed increment dirs, ascending seq. One
+    driver-side listing, O(commits since last compaction)."""
+    from cmsspark_spark.operators.layout import _fs_for
+
+    root = _commits_dir(index_dir)
+    fs, p = _fs_for(spark, root)
+    if not fs.exists(p):
+        return []
+    out: list[tuple[int, str]] = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.startswith("c-"):
+            continue
+        try:
+            seq = int(name.split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        out.append((seq, f"{root}/{name}"))
+    return sorted(out)
+
+
+def _index_table_paths(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    imeta: dict | None = None,
+) -> list[str]:
+    """Every live parquet dir holding rows of one index table: the
+    legacy flat dir (pre-v2 index, until its first compaction), the
+    compacted base, and each commit dir past the base. The base
+    SUBSUMES the flat dir and the folded commits, so those are
+    excluded the moment the meta points at a base — a crash between
+    the meta flip and the best-effort deletes can never double-count."""
+    from cmsspark_spark.operators.snapshots import read_json_meta
+
+    if imeta is None:
+        imeta = (
+            read_json_meta(spark, f"{index_dir}/_index_meta.json") or {}
+        )
+    paths: list[str] = []
+    base_v = int(imeta.get("base_version", 0))
+    if base_v:
+        p = f"{index_dir.rstrip('/')}/base/v{base_v:08d}/{table}"
+        if _state_table_exists(spark, p):
+            paths.append(p)
+    else:
+        flat = f"{index_dir.rstrip('/')}/{table}"
+        if _state_table_exists(spark, flat):
+            paths.append(flat)
+    through = int(imeta.get("base_through_seq", 0))
+    for seq, cdir in _list_commit_dirs(spark, index_dir):
+        if seq <= through:
+            continue
+        p = f"{cdir}/{table}"
+        if _state_table_exists(spark, p):
+            paths.append(p)
+    return paths
+
+
+def index_table(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    imeta: dict | None = None,
+    required: bool = True,
+) -> DataFrame | None:
+    """The merged read of one index table across base + live commits
+    (the public seam tests and tools use instead of layout paths).
+    ``required=False`` returns None when no source holds the table
+    (tombstones/blockstats on an index that never wrote them);
+    required tables raise a descriptive error instead of a bare
+    path-not-found."""
+    paths = _index_table_paths(spark, index_dir, table, imeta=imeta)
+    if not paths:
+        if required:
+            raise FileNotFoundError(
+                f"{index_dir} has no {table} data — empty or unbuilt "
+                "index (append an increment first)"
+            )
+        return None
+    return spark.read.parquet(*paths)
+
+
+def _finalize_commit(
+    spark: SparkSession, index_dir: str, stage_path: str
+) -> str:
+    """Make a staged increment visible with ONE atomic rename into
+    commits/c-<seq>-<uuid>. The sequence is claimed by rename success
+    (a lost race re-lists and retries, same discipline as the
+    snapshot version claim); until the rename nothing of the staging
+    dir is readable, after it the whole commit is."""
+    from cmsspark_spark.operators.layout import _fs_for
+    from cmsspark_spark.operators.snapshots import read_json_meta
+
+    fs, _ = _fs_for(spark, index_dir)
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(Path(_commits_dir(index_dir)))
+    suffix = stage_path.rstrip("/").rsplit("/", 1)[-1]
+    # sequences must stay monotone PAST vacuumed commits: after a
+    # compaction folds seq ≤ base_through_seq and vacuum deletes those
+    # dirs, a fresh claim restarting at 1 would be invisible to every
+    # reader (excluded as already-folded) — so the floor is the meta's
+    # base_through_seq, not just the surviving dirs' max
+    floor_seq = int(
+        (
+            read_json_meta(spark, f"{index_dir}/_index_meta.json") or {}
+        ).get("base_through_seq", 0)
+    )
+    last_err: Exception | None = None
+    for _attempt in range(20):
+        commits = _list_commit_dirs(spark, index_dir)
+        seq = max(commits[-1][0] if commits else 0, floor_seq) + 1
+        dst = f"{_commits_dir(index_dir)}/c-{seq:08d}-{suffix}"
+        try:
+            if fs.rename(Path(stage_path), Path(dst)):
+                return dst
+            last_err = RuntimeError(f"rename to {dst} returned false")
+        except Exception as exc:  # noqa: BLE001 — race: retry
+            last_err = exc
+    raise RuntimeError(
+        f"could not claim a commit sequence under {index_dir} after "
+        f"20 attempts (concurrent-writer contention on a single-writer "
+        f"index?); last error: {last_err}"
+    )
 
 #: Shared scoring constants of the BM25 family (pipeline.py) — the
 #: additive constants enter as single literals for float parity with
@@ -114,17 +283,35 @@ def append_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     champions: int = 16,
-) -> None:
-    """Append one increment to (or create) a BM25 index directory.
+    tombstones: DataFrame | None = None,
+    commit_tag: dict | None = None,
+) -> str:
+    """Append one increment to (or create) a BM25 index directory —
+    as ONE ATOMIC COMMIT (VERDICT r11 item 2).
 
     Writes ONLY increment-derived rows: postings, per-term and
     per-(term, block) stat partials, the increment's per-term
-    champion cut, and one globals row. Reads nothing from
+    champion cut, and one globals row. All of it lands in a staging
+    dir first and becomes visible through a single directory rename —
+    a crash at ANY instruction leaves either no trace (invisible
+    staging orphan, reclaimed by compaction's vacuum) or the complete
+    commit, never a partial increment. Reads nothing from
     ``index_dir`` but the O(1) ``_index_meta.json`` stamp (block-size
-    pin) — append cost ∝ increment by construction (tested by
-    appending beside an unreadable postings file). The caller must
-    not re-append the same doc ids (same contract as every appendable
-    state here: disjoint doc sets per commit)."""
+    pin) and one commits/ listing — append cost ∝ increment by
+    construction (tested by appending beside an unreadable postings
+    file). The caller must not re-append the same doc ids (same
+    contract as every appendable state here: disjoint doc sets per
+    commit).
+
+    ``tombstones`` rides IN THE SAME COMMIT when the increment also
+    deletes (the snapshot-consume removals path) — delete + append
+    become one atomic unit. ``commit_tag`` is recorded in the commit's
+    ``_commit.json`` so an interrupted higher-level operation (a
+    snapshot consume that crashed between the rename and its pin
+    advance) can recognize its own completed commit and RESUME.
+    Returns the committed directory path."""
+    import uuid as _uuid
+
     from pyspark import StorageLevel
 
     from cmsspark_spark.operators.snapshots import (
@@ -132,15 +319,14 @@ def append_bm25_index(
         write_json_meta,
     )
 
+    spark = increment.sparkSession
     meta_path = f"{index_dir}/_index_meta.json"
-    imeta = read_json_meta(increment.sparkSession, meta_path)
+    imeta = read_json_meta(spark, meta_path)
     if imeta is None or "block_size" not in imeta:
         # first data append (the meta may already exist carrying a
-        # snapshot-consume marker): pin the grain, keep other fields
+        # snapshot pin): pin the grain, keep other fields
         write_json_meta(
-            increment.sparkSession,
-            meta_path,
-            {**(imeta or {}), "block_size": BLOCK_SIZE},
+            spark, meta_path, {**(imeta or {}), "block_size": BLOCK_SIZE}
         )
     elif imeta.get("block_size") != BLOCK_SIZE:
         raise ValueError(
@@ -148,10 +334,11 @@ def append_bm25_index(
             f"{imeta.get('block_size')}, this build uses {BLOCK_SIZE} — "
             "mixed block grains corrupt the block bounds; rebuild"
         )
+    stage = f"{_staging_root(index_dir)}/{_uuid.uuid4().hex}"
     post = _inc_postings(increment, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    post.write.mode("append").parquet(f"{index_dir}/postings")
+    post.write.parquet(f"{stage}/postings")
     (
         post.groupBy("t")
         .agg(
@@ -159,8 +346,7 @@ def append_bm25_index(
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
         )
-        .write.mode("append")
-        .parquet(f"{index_dir}/termstats")
+        .write.parquet(f"{stage}/termstats")
     )
     # block-grain bound partials: the same (count, max_tf, min_dl)
     # monoid one level down — only blocks the increment touches get
@@ -174,32 +360,42 @@ def append_bm25_index(
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
         )
-        .write.mode("append")
-        .parquet(f"{index_dir}/blockstats")
+        .write.parquet(f"{stage}/blockstats")
     )
     w = Window.partitionBy("t").orderBy(F.col("tf").desc(), F.col("doc"))
     (
         post.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= int(champions))
         .select("t", "doc", "tf", "dl")
-        .write.mode("append")
-        .parquet(f"{index_dir}/champions")
+        .write.parquet(f"{stage}/champions")
     )
+    if tombstones is not None:
+        (
+            tombstones.select(F.col(id_col).alias("doc"))
+            .distinct()
+            .write.parquet(f"{stage}/tombstones")
+        )
     n_docs = increment.count()
     sum_dl = (
         post.groupBy("doc").agg(F.first("dl").alias("dl"))
         .select(F.sum("dl"))
         .first()[0]
     ) or 0
-    spark = increment.sparkSession
     (
         spark.createDataFrame(
             [(int(n_docs), int(sum_dl))], "n_docs long, sum_dl long"
         )
-        .write.mode("append")
-        .parquet(f"{index_dir}/globals")
+        .write.parquet(f"{stage}/globals")
     )
     post.unpersist()
+    # the tag lands INSIDE the staging dir before the rename, so a
+    # visible commit always carries its provenance
+    write_json_meta(
+        spark,
+        f"{stage}/_commit.json",
+        {"n_docs": int(n_docs), **({"tag": commit_tag} if commit_tag else {})},
+    )
+    return _finalize_commit(spark, index_dir, stage)
 
 
 def append_bm25_index_from_snapshot(
@@ -224,18 +420,22 @@ def append_bm25_index_from_snapshot(
     by default — an append-only index cannot un-index. With
     ``allow_removals=True`` the removed docs are TOMBSTONED instead
     (the CDC's -1 rows name them; serving excludes them exactly, see
-    :func:`tombstone_bm25_index`) and only the +1 rows are appended;
-    a version that removes AND re-adds the same doc id (a rewrite) is
-    still refused — that is a rebuild. Returns
-    ``{"from", "to", "noop"}``.
+    :func:`tombstone_bm25_index`) and they ride IN THE SAME COMMIT as
+    the +1 rows' append — delete + append apply atomically; a version
+    that removes AND re-adds the same doc id (a rewrite) is still
+    refused — that is a rebuild. Returns ``{"from", "to", "noop"}``
+    (plus ``"resumed": True`` when recovering a crashed attempt).
 
-    CRASH-FENCED, not crash-atomic: the five state appends cannot be
-    made atomic on plain parquet, so each consume writes an
-    in-progress marker into the meta first and clears it only after
-    the version pin advances. A consume that finds a stale marker —
-    the previous attempt died somewhere inside the appends — REFUSES
-    and demands a rebuild: an index that may hold a partial increment
-    must fail loudly, never serve silently doubled postings."""
+    CRASH-ATOMIC with RESUME (VERDICT r11 item 2): the whole
+    increment — all five tables plus any tombstones — is staged and
+    made visible by one directory rename, tagged with (table, target
+    version) in its ``_commit.json``. A crash during staging leaves an
+    invisible orphan and the retry simply re-runs; a crash BETWEEN the
+    rename and the pin advance is recognized on retry by the tag — the
+    retry just advances the pin instead of re-appending (which would
+    have double-indexed) or demanding a rebuild (the old fence's only
+    answer). Stale fences written by pre-v2 code are still refused
+    loudly."""
     from cmsspark_spark.operators.snapshots import (
         list_snapshots,
         read_json_meta,
@@ -253,9 +453,9 @@ def append_bm25_index_from_snapshot(
     imeta = read_json_meta(spark, meta_path) or {}
     if imeta.get("consume_in_progress"):
         raise ValueError(
-            f"{index_dir} has an unfinished snapshot consume "
-            f"({imeta['consume_in_progress']}) — the previous attempt "
-            "crashed mid-append and the index may hold a partial "
+            f"{index_dir} has an unfinished PRE-V2 snapshot consume "
+            f"({imeta['consume_in_progress']}) — that layout's appends "
+            "were not atomic, so the index may hold a partial "
             "increment; rebuild it"
         )
     pinned_table = imeta.get("snapshot_table")
@@ -274,9 +474,22 @@ def append_bm25_index_from_snapshot(
             "the snapshot instead"
         )
     removed_ids = None
+    if last is not None and target <= last:
+        return {"from": last, "to": target, "noop": True}
+    # RESUME: a previous attempt may have committed this exact
+    # increment (the rename succeeded) and died before advancing the
+    # pin — its commit carries the (table, to) tag, so just finish
+    # the bookkeeping instead of double-indexing
+    done = _find_consume_commit(spark, index_dir, table, target)
+    if done is not None:
+        imeta.update(
+            snapshot_table=table.rstrip("/"),
+            snapshot_version=int(target),
+        )
+        write_json_meta(spark, meta_path, imeta)
+        return {"from": last, "to": int(target), "noop": False,
+                "resumed": True}
     if last is not None:
-        if target <= last:
-            return {"from": last, "to": target, "noop": True}
         old = set(snapshot_files(spark, table, last))
         new = set(snapshot_files(spark, table, target))
         if old - new and not allow_removals:
@@ -320,21 +533,45 @@ def append_bm25_index_from_snapshot(
             increment = snapshot_changes(spark, table, last, target)
     else:
         increment = read_snapshot(spark, table, target)
-    imeta["consume_in_progress"] = {"from": last, "to": int(target)}
-    write_json_meta(spark, meta_path, imeta)
-    if removed_ids is not None:
-        tombstone_bm25_index(removed_ids, index_dir, id_col=id_col)
     append_bm25_index(
         increment.select(id_col, text_col), index_dir,
         id_col=id_col, text_col=text_col, champions=champions,
+        tombstones=removed_ids,
+        commit_tag={
+            "consume": {
+                "table": table.rstrip("/"),
+                "from": last,
+                "to": int(target),
+            }
+        },
     )
     imeta = read_json_meta(spark, meta_path) or {}
-    imeta.pop("consume_in_progress", None)
     imeta.update(
         snapshot_table=table.rstrip("/"), snapshot_version=int(target)
     )
     write_json_meta(spark, meta_path, imeta)
     return {"from": last, "to": int(target), "noop": False}
+
+
+def _find_consume_commit(
+    spark: SparkSession, index_dir: str, table: str, target: int
+) -> str | None:
+    """The live commit (if any) tagged as the consume of ``table`` up
+    to ``target`` — how an interrupted consume recognizes that its
+    increment already landed. One _commit.json read per live commit
+    (bounded by compaction)."""
+    from cmsspark_spark.operators.snapshots import read_json_meta
+
+    for _seq, cdir in _list_commit_dirs(spark, index_dir):
+        tag = (
+            read_json_meta(spark, f"{cdir}/_commit.json") or {}
+        ).get("tag") or {}
+        c = tag.get("consume") or {}
+        if c.get("table") == table.rstrip("/") and c.get("to") == int(
+            target
+        ):
+            return cdir
+    return None
 
 
 def tombstone_bm25_index(
@@ -351,39 +588,47 @@ def tombstone_bm25_index(
     that were actually appended (the snapshot-consume path guarantees
     this — removed rows come from real files); re-appending a
     tombstoned id is NOT supported (the anti-join would kill the new
-    rows too) — that is a rebuild. Compact periodically folds nothing
-    here (tombstones are already minimal id rows)."""
+    rows too) — that is a rebuild. Lands as an atomic tombstone-only
+    commit; compaction DROPS the dead postings and clears the
+    tombstones, folding the deletion into the base."""
+    import uuid as _uuid
+
+    from cmsspark_spark.operators.snapshots import write_json_meta
+
+    spark = ids.sparkSession
+    stage = f"{_staging_root(index_dir)}/{_uuid.uuid4().hex}"
     (
         ids.select(F.col(id_col).alias("doc"))
         .distinct()
-        .write.mode("append")
-        .parquet(f"{index_dir}/tombstones")
+        .write.parquet(f"{stage}/tombstones")
     )
+    write_json_meta(spark, f"{stage}/_commit.json", {"n_docs": 0})
+    _finalize_commit(spark, index_dir, stage)
 
 
 def _merged_state(spark: SparkSession, index_dir: str) -> dict:
-    """Scalars + lazily-merged stat frames of an index directory."""
+    """Scalars + lazily-merged stat frames of an index directory
+    (base + live commits; see the transactional-layout section)."""
+    from cmsspark_spark.operators.snapshots import read_json_meta
+
+    imeta = read_json_meta(spark, f"{index_dir}/_index_meta.json") or {}
     g = (
-        spark.read.parquet(f"{index_dir}/globals")
+        index_table(spark, index_dir, "globals", imeta=imeta)
         .agg(F.sum("n_docs"), F.sum("sum_dl"))
         .first()
     )
     n_docs, sum_dl = int(g[0]), int(g[1] or 0)
-    post = spark.read.parquet(f"{index_dir}/postings")
-    stats = spark.read.parquet(f"{index_dir}/termstats")
-    champ = spark.read.parquet(f"{index_dir}/champions")
-    tomb = None
-    if _state_table_exists(spark, f"{index_dir}/tombstones"):
-        # existence checked explicitly so a transient READ failure
-        # (permissions, corrupt footer) propagates instead of being
-        # misread as 'no tombstones' — which would silently resurrect
-        # every deleted document
-        tomb = (
-            spark.read.parquet(f"{index_dir}/tombstones")
-            .select("doc")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+    post = index_table(spark, index_dir, "postings", imeta=imeta)
+    stats = index_table(spark, index_dir, "termstats", imeta=imeta)
+    champ = index_table(spark, index_dir, "champions", imeta=imeta)
+    # optional table: absence is fine (append-only index), but a READ
+    # failure propagates — swallowing it would silently resurrect
+    # every deleted document
+    tomb = index_table(
+        spark, index_dir, "tombstones", imeta=imeta, required=False
+    )
+    if tomb is not None:
+        tomb = tomb.select("doc").distinct().localCheckpoint(eager=True)
     dead_df = None
     if tomb is not None:
         dead_post = post.join(F.broadcast(tomb), "doc", "left_semi")
@@ -443,7 +688,14 @@ def _blockmax_candidates(
             f"serves {BLOCK_SIZE} — mismatched grains would misalign "
             "the block bounds; rebuild the index"
         )
-    braw = spark.read.parquet(f"{index_dir}/blockstats")
+    braw = index_table(
+        spark, index_dir, "blockstats", required=False
+    )
+    if braw is None:
+        raise ValueError(
+            f"{index_dir} has no blockstats — the index predates block "
+            "bounds; rebuild it (or serve mode='maxscore')"
+        )
     merged = (
         braw.join(
             F.broadcast(flagged.select("t").distinct()), "t", "left_semi"
@@ -735,79 +987,183 @@ def bm25_index_serve(
 def compact_bm25_index(
     spark: SparkSession, index_dir: str, champions: int = 16
 ) -> dict:
-    """Fold an index's per-commit partial tables into their merged
-    form — the OPTIMIZE of the retrieval state. After many appends,
-    termstats/champions/globals hold one partial row-set per commit;
-    serving merges them on the fly (cheap — vocabulary-sized), but a
-    long-lived index should periodically compact so the merge input
-    stays bounded. The compacted tables are definitionally a single
-    "commit" whose partials equal the full merge, so serving before
-    and after compaction is row-identical (monoid idempotence —
-    tested). Postings files are ordinary parquet; compact them with
-    ``layout.optimize`` if file count grows. Single-writer, like
-    every maintenance pass here. Returns before/after row counts."""
-    stats = spark.read.parquet(f"{index_dir}/termstats")
-    merged_stats = (
-        stats.groupBy("t")
+    """Fold the base and every live commit into a NEW versioned base —
+    the OPTIMIZE of the retrieval state, crash-fenced the same way as
+    maintain_snapshot_agg (ADVICE r11): the fold lands in
+    ``base/v<N+1>/`` while every reader still serves off the old
+    base + commits; ONE atomic meta flip (base_version,
+    base_through_seq) publishes it; superseded dirs are deleted
+    best-effort AFTER the flip (a crash mid-delete leaves garbage the
+    next compaction's vacuum reclaims, never a half-compacted read).
+    Serving before and after is row-identical (tested).
+
+    The fold also APPLIES tombstones: dead postings/champions are
+    dropped, term/block stats and champions are recomputed EXACTLY
+    from the live postings (equal to folded partials without deletes,
+    TIGHTER bounds with them), globals become the live (n_docs,
+    sum_dl), and the tombstones clear — real LSM compaction semantics,
+    so a long-tombstoned index pays the dead-doc anti-join only until
+    its next compaction. Cost: one postings-sized read+write (plus
+    the stat shuffles) — the standard amortized compaction bill.
+
+    A live commit carrying a consume tag AHEAD of the recorded pin is
+    refused: that is an interrupted consume whose resume bookkeeping
+    must run first (folding it would destroy the tag the resume needs).
+    Single-writer, like every maintenance pass here. Returns
+    before/after row counts per table."""
+    from cmsspark_spark.operators.snapshots import (
+        read_json_meta,
+        write_json_meta,
+    )
+
+    meta_path = f"{index_dir}/_index_meta.json"
+    imeta = read_json_meta(spark, meta_path) or {}
+    commits = _list_commit_dirs(spark, index_dir)
+    through = int(imeta.get("base_through_seq", 0))
+    pin = imeta.get("snapshot_version")
+    for seq, cdir in commits:
+        if seq <= through:
+            continue
+        tag = (
+            read_json_meta(spark, f"{cdir}/_commit.json") or {}
+        ).get("tag") or {}
+        c = tag.get("consume") or {}
+        if c and (pin is None or int(c.get("to", -1)) > int(pin)):
+            raise ValueError(
+                f"{cdir} is a snapshot-consume commit (to v{c.get('to')}) "
+                "whose pin advance never ran — re-run "
+                "append_bm25_index_from_snapshot to resume it before "
+                "compacting (folding it would orphan the resume tag)"
+            )
+    st = _merged_state(spark, index_dir)
+    before = {
+        "termstats_rows": index_table(spark, index_dir, "termstats")
+        .count(),
+        "champions_rows": index_table(spark, index_dir, "champions")
+        .count(),
+        "blockstats_rows": (
+            b.count()
+            if (
+                b := index_table(
+                    spark, index_dir, "blockstats", required=False
+                )
+            )
+            is not None
+            else 0
+        ),
+        "globals_rows": index_table(spark, index_dir, "globals").count(),
+    }
+    new_v = int(imeta.get("base_version", 0)) + 1
+    base = f"{index_dir.rstrip('/')}/base/v{new_v:08d}"
+    # live postings (tombstones applied) are the single source of
+    # truth for the new base; stats/champions recomputed from them
+    st["post"].write.mode("overwrite").parquet(f"{base}/postings")
+    live = spark.read.parquet(f"{base}/postings")
+    (
+        live.groupBy("t")
         .agg(
-            F.sum("df_delta").alias("df_delta"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
+            F.count(F.lit(1)).alias("df_delta"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
         )
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(f"{base}/termstats")
+    )
+    (
+        live.withColumn("blk", F.expr(f"doc div {BLOCK_SIZE}"))
+        .groupBy("t", "blk")
+        .agg(
+            F.count(F.lit(1)).alias("df_delta"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{base}/blockstats")
     )
     w = Window.partitionBy("t").orderBy(F.col("tf").desc(), F.col("doc"))
-    champ = spark.read.parquet(f"{index_dir}/champions")
-    merged_champ = (
-        champ.withColumn("_rk", F.row_number().over(w))
+    (
+        live.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= int(champions))
         .select("t", "doc", "tf", "dl")
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(f"{base}/champions")
     )
-    g = spark.read.parquet(f"{index_dir}/globals")
-    merged_g = (
-        g.agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("sum_dl").cast("long").alias("sum_dl"),
+    (
+        spark.createDataFrame(
+            [(int(st["n_docs"]), int(st["sum_dl"]))],
+            "n_docs long, sum_dl long",
         )
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(f"{base}/globals")
     )
-    # existence probed explicitly (pre-blockstats index: nothing to
-    # fold) — a read FAILURE must propagate, not degrade silently
-    blocks = (
-        spark.read.parquet(f"{index_dir}/blockstats")
-        if _state_table_exists(spark, f"{index_dir}/blockstats")
-        else None
-    )
-    merged_blocks = (
-        blocks.groupBy("t", "blk")
-        .agg(
-            F.sum("df_delta").alias("df_delta"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
-        )
-        .localCheckpoint(eager=True)
-        if blocks is not None
-        else None
-    )
-    out = {
-        "termstats_rows": (stats.count(), merged_stats.count()),
-        "champions_rows": (champ.count(), merged_champ.count()),
-        "blockstats_rows": (
-            (blocks.count(), merged_blocks.count())
-            if blocks is not None
-            else (0, 0)
-        ),
-        "globals_rows": (g.count(), 1),
+    after = {
+        "termstats_rows": spark.read.parquet(f"{base}/termstats").count(),
+        "champions_rows": spark.read.parquet(f"{base}/champions").count(),
+        "blockstats_rows": spark.read.parquet(f"{base}/blockstats")
+        .count(),
+        "globals_rows": 1,
     }
-    merged_stats.write.mode("overwrite").parquet(f"{index_dir}/termstats")
-    merged_champ.write.mode("overwrite").parquet(f"{index_dir}/champions")
-    if merged_blocks is not None:
-        merged_blocks.write.mode("overwrite").parquet(
-            f"{index_dir}/blockstats"
-        )
-    merged_g.write.mode("overwrite").parquet(f"{index_dir}/globals")
-    return out
+    # THE publish point: everything above was invisible, everything
+    # below is reclamation of now-unreferenced dirs
+    last_seq = commits[-1][0] if commits else through
+    imeta.update(layout=2, base_version=new_v, base_through_seq=last_seq)
+    write_json_meta(spark, meta_path, imeta)
+    vacuum_bm25_index(spark, index_dir)
+    return {k: (before[k], after[k]) for k in before}
+
+
+def vacuum_bm25_index(
+    spark: SparkSession, index_dir: str, staging_min_age_s: int = 3600
+) -> dict:
+    """Delete index dirs no reader can reach: bases older than the
+    published base_version, commits folded into the base
+    (seq ≤ base_through_seq), the pre-v2 flat tables once a base
+    exists, and aged staging orphans (crashed appends; the age gate
+    keeps a concurrent in-flight append's staging safe). Runs after
+    every compaction and is itself idempotent — a crash mid-delete
+    just leaves work for the next run."""
+    import time
+
+    from cmsspark_spark.operators.layout import _fs_for
+    from cmsspark_spark.operators.snapshots import read_json_meta
+
+    imeta = read_json_meta(spark, f"{index_dir}/_index_meta.json") or {}
+    base_v = int(imeta.get("base_version", 0))
+    through = int(imeta.get("base_through_seq", 0))
+    fs, _ = _fs_for(spark, index_dir)
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    removed: list[str] = []
+
+    def _rm(path: str) -> None:
+        p = Path(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(path)
+
+    if base_v:
+        root = index_dir.rstrip("/")
+        base_root = Path(f"{root}/base")
+        if fs.exists(base_root):
+            for stt in fs.listStatus(base_root):
+                name = stt.getPath().getName()
+                if name.startswith("v") and name != f"v{base_v:08d}":
+                    _rm(f"{root}/base/{name}")
+        for t in _INDEX_TABLES:
+            _rm(f"{root}/{t}")
+        for seq, cdir in _list_commit_dirs(spark, index_dir):
+            if seq <= through:
+                _rm(cdir)
+    sroot = Path(_staging_root(index_dir))
+    if fs.exists(sroot):
+        now_ms = time.time() * 1000.0
+        for stt in fs.listStatus(sroot):
+            if (
+                now_ms - stt.getModificationTime()
+                >= staging_min_age_s * 1000.0
+            ):
+                _rm(stt.getPath().toString())
+    return {"removed": removed}
 
 
 def bm25_index_commit_report(
@@ -815,8 +1171,9 @@ def bm25_index_commit_report(
 ) -> DataFrame:
     """One-row audit of an index directory: commits, docs, distinct
     terms, postings rows — the no-silent-state companion a pipeline
-    records after each append."""
-    n_commits = spark.read.parquet(f"{index_dir}/globals").count()
+    records after each append. ``n_commits`` counts globals rows:
+    one per live commit, plus one for the compacted base."""
+    n_commits = index_table(spark, index_dir, "globals").count()
     g = _merged_state(spark, index_dir)
     return spark.createDataFrame(
         [

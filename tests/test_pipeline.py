@@ -1255,3 +1255,29 @@ def test_bpe_byte_merges_match_reference(spark):
         rebuilt = bytes.fromhex("".join(r["bpe_tokens"])).decode("utf-8")
         assert rebuilt == "".join(pat.findall(text))
         assert len(r["bpe_tokens"]) < 2 * len(text)  # merges merged
+
+
+def test_blockmax_small_corpus_guard_falls_back_to_exact(spark):
+    """VERDICT r11 item 5: the in-session block-max rung is a
+    demonstration path; with min_prune_docs set, a corpus below the
+    threshold skips the prune-state build entirely — ranked output
+    identical to the exact rung, report EMPTY (no pruning ran)."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    guarded, report = PL.bm25_blockmax_parts(
+        docs, min_prune_docs=10_000
+    )
+    exact = PL.bm25_more_like_this(docs)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    assert report.count() == 0
+    assert report.columns == [
+        "query_id", "n_terms", "n_essential", "blocks_total",
+        "blocks_pruned", "postings_total", "postings_scanned",
+        "n_candidates",
+    ]
+    # above the threshold the real pruned build runs (non-empty report)
+    _, full_report = PL.bm25_blockmax_parts(docs, min_prune_docs=10)
+    assert full_report.count() > 0

