@@ -177,7 +177,8 @@ def _sidecar_mk(blooms: DataFrame) -> tuple[int, int]:
 
 
 def plan_lookup(
-    spark: SparkSession, table: str, dim: str, value
+    spark: SparkSession, table: str, dim: str, value,
+    snapshot_version: int | None = None,
 ) -> dict:
     """Metadata-only lookup plan: which files must be opened for
     ``dim == value``, per pruning tier. Returns the kept file names
@@ -188,11 +189,32 @@ def plan_lookup(
     append_with_manifest) are ALWAYS kept: a stale manifest degrades
     to less pruning, never a missed hit.
 
+    ``snapshot_version`` (VERDICT r11 item 4) pins the plan to one
+    version of a SNAPSHOT table: the candidate set starts as exactly
+    that version's file list (``snapshot_files`` — O(1) metadata),
+    then the stats/Bloom tiers prune WITHIN it. A lookup against a
+    multi-version table therefore touches only files the pinned
+    version references — files superseded by an overwrite, or
+    appended after the pin, are never candidates, so the answer is
+    the version-consistent one, not the union across history. The
+    per-table metadata cache is version-agnostic (the version filter
+    applies after it), so lookups across versions share one cached
+    manifest read.
+
     The manifest frames come from the per-session metadata cache
     (:func:`_table_meta`): repeated lookups against an unchanged table
     plan from memory with zero manifest re-reads."""
     meta = _table_meta(spark, table)
     all_files = meta["all_files"]
+    if snapshot_version is not None:
+        from cmsspark_spark.operators.snapshots import snapshot_files
+
+        pinned = set(
+            snapshot_files(spark, table, snapshot_version)
+        )
+        all_files = [
+            f for f in all_files if f.rsplit("/", 1)[-1] in pinned
+        ]
     names = {f.rsplit("/", 1)[-1]: f for f in all_files}
     out = {
         "files_total": len(all_files),
@@ -203,11 +225,17 @@ def plan_lookup(
         "_paths": names,
         "_meta": meta,
     }
+    if snapshot_version is not None:
+        out["snapshot_version"] = int(snapshot_version)
     man = meta["man"]
     if man is None:
         return out
     unmanifested = sorted(set(names) - meta["known"])
-    mm = [r.file for r in pruned_files(man, dim, value, value).collect()]
+    mm = [
+        r.file
+        for r in pruned_files(man, dim, value, value).collect()
+        if r.file in names
+    ]
     out.update(
         files_minmax=len(mm) + len(unmanifested),
         files_kept=sorted(set(mm) | set(unmanifested)),
@@ -224,6 +252,7 @@ def plan_lookup(
     kept = [
         r.file
         for r in pruned_files_bloom(joined, dim, value, m=m, k=k).collect()
+        if r.file in names
     ]
     out.update(
         files_kept=sorted(set(kept) | set(unmanifested)), tier="bloom"
@@ -252,6 +281,7 @@ def run(
     value,
     out: str | None = None,
     rowgroup_read: bool = False,
+    snapshot_version: int | None = None,
 ) -> dict:
     """Plan, then scan ONLY the planned files for ``dim == value``.
     Returns the plan summary plus the hit count (and writes hits to
@@ -266,8 +296,14 @@ def run(
     read_row_group per planned entry, nothing else opened); kept
     files WITHOUT sidecar rows fall back to the whole-file scan and
     are unioned in, so a partially-maintained sidecar degrades to
-    less pruning, never to a missed hit."""
-    plan = plan_lookup(spark, table, dim, value)
+    less pruning, never to a missed hit.
+
+    ``snapshot_version`` pins the lookup to one snapshot version's
+    file set (see :func:`plan_lookup`): the explicit-path scan below
+    then provably opens only pinned-version files."""
+    plan = plan_lookup(
+        spark, table, dim, value, snapshot_version=snapshot_version
+    )
     all_files = plan.pop("_paths")
     meta = plan.pop("_meta")
     rg_mk = plan.pop("_rg_mk", None)
@@ -329,11 +365,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--rowgroup-read", action="store_true",
                     help="read Bloom-admitted row groups explicitly "
                          "instead of whole kept files")
+    ap.add_argument("--snapshot-version", type=int, default=None,
+                    help="pin the lookup to one snapshot version's "
+                         "file set (snapshot tables)")
     args = ap.parse_args(argv)
     spark = get_spark("point-lookup")
     summary = run(
         spark, args.table, args.dim, args.value, out=args.out,
         rowgroup_read=args.rowgroup_read,
+        snapshot_version=args.snapshot_version,
     )
     print(summary)
 

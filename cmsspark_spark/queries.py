@@ -12530,3 +12530,72 @@ def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "snapshot_point_lookup",
+    """
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS hits_v1,
+           CAST(1 AS BIGINT) AS hits_v2
+    FROM documents d
+    WHERE d.doc_id < 6
+    """,
+)
+def snapshot_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION-PINNED point lookups over a snapshot table (VERDICT r11
+    item 4; jobs/point_lookup.py snapshot_version): a two-version
+    corpus — v1 holds the even doc ids, v2 appends the odds — carries
+    stats + Bloom sidecars over its root, and doc ids 0-5 are looked
+    up pinned to EACH version. The plan starts from exactly the pinned
+    version's file list (snapshot_files — O(1) metadata) and the
+    sidecar tiers prune within it, so a v1-pinned lookup provably
+    never opens a v2 file (asserted inline: kept ⊆ pin, failing loud)
+    and an odd key is INVISIBLE at v1 while every probed key hits at
+    v2 — the oracle states that truth table arithmetically. Scale:
+    planning is manifest-parquet metadata; each scan opens only the
+    planned (pinned ∩ Bloom-admitted) files."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.jobs import point_lookup
+    from cmsspark_spark.operators import layout as L
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tmp = tempfile.mkdtemp(prefix="snap_lookup_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(
+            docs.filter(F.col("doc_id") % 2 == 0).repartition(4), table,
+            mode="append",
+        )
+        SN.snapshot_write(
+            docs.filter(F.col("doc_id") % 2 == 1).repartition(4), table,
+            mode="append",
+        )
+        L.write_file_manifest(spark, table, ["doc_id"])
+        L.write_bloom_manifest(spark, table, "doc_id")
+        point_lookup._META_CACHE.clear()
+        pinned1 = set(SN.snapshot_files(spark, table, 1))
+        rows = []
+        for key in range(6):
+            p1 = point_lookup.run(
+                spark, table, "doc_id", key, snapshot_version=1
+            )
+            if not set(p1["files_kept"]) <= pinned1:
+                raise AssertionError(
+                    f"v1-pinned lookup planned files outside the pin: "
+                    f"{sorted(set(p1['files_kept']) - pinned1)}"
+                )
+            p2 = point_lookup.run(
+                spark, table, "doc_id", key, snapshot_version=2
+            )
+            rows.append((key, int(p1["n_hits"]), int(p2["n_hits"])))
+        return spark.createDataFrame(
+            rows, "doc_id long, hits_v1 long, hits_v2 long"
+        )
+    finally:
+        point_lookup._META_CACHE.clear()
+        shutil.rmtree(tmp, ignore_errors=True)

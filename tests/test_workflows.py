@@ -1321,3 +1321,67 @@ def test_unpinned_rebuild_clears_stale_pin(spark, tmp_path):
         assign_splits.run_increment(
             spark, inc, state, expect_snapshot_version=1
         )
+
+
+def test_point_lookup_version_pinned_touches_only_pinned_files(
+    spark, tmp_path
+):
+    """VERDICT r11 item 4: a point lookup pinned to a snapshot version
+    plans only within that version's file set — the kept files are a
+    subset of the pin (plan-asserted), a key appended after the pin is
+    invisible, a key superseded by an overwrite is still found at its
+    old version, and the unpinned lookup keeps its live-table view."""
+    from cmsspark_spark.jobs import point_lookup
+    from cmsspark_spark.jobs.point_lookup import _META_CACHE
+    from cmsspark_spark.operators import layout as L
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    table = str(tmp_path / "t")
+    SN.snapshot_write(
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(4), table,
+        mode="append",
+    )  # v1: evens
+    SN.snapshot_write(
+        docs.filter(F.col("doc_id") % 2 == 1).repartition(4), table,
+        mode="append",
+    )  # v2: + odds
+    L.write_file_manifest(spark, table, ["doc_id"])
+    L.write_bloom_manifest(spark, table, "doc_id")
+    _META_CACHE.clear()
+
+    pinned1 = set(SN.snapshot_files(spark, table, 1))
+    plan = point_lookup.plan_lookup(
+        spark, table, "doc_id", 1, snapshot_version=1
+    )
+    # the plan never leaves the pinned version's file set
+    assert set(plan["files_kept"]) <= pinned1
+    assert plan["files_total"] == len(pinned1)
+    assert plan["tier"] == "bloom"
+
+    # an odd key does not exist at v1, does at v2 and unpinned
+    assert point_lookup.run(
+        spark, table, "doc_id", 1, snapshot_version=1
+    )["n_hits"] == 0
+    assert point_lookup.run(
+        spark, table, "doc_id", 1, snapshot_version=2
+    )["n_hits"] == 1
+    assert point_lookup.run(spark, table, "doc_id", 1)["n_hits"] == 1
+    # an even key exists at both pins
+    assert point_lookup.run(
+        spark, table, "doc_id", 2, snapshot_version=1
+    )["n_hits"] == 1
+
+    # v3 overwrite drops the odds: gone at v3, still found at v2
+    SN.snapshot_write(
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(2), table,
+        mode="overwrite",
+    )
+    L.write_file_manifest(spark, table, ["doc_id"])
+    L.write_bloom_manifest(spark, table, "doc_id")
+    assert point_lookup.run(
+        spark, table, "doc_id", 1, snapshot_version=3
+    )["n_hits"] == 0
+    assert point_lookup.run(
+        spark, table, "doc_id", 1, snapshot_version=2
+    )["n_hits"] == 1
