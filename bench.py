@@ -244,6 +244,10 @@ EXTRA = [
     "dedup_lsh_screened_verified",   # signature screen -> exact verify
     "lsh_screen_quality_report",     # screen floor calibration audit
     "bm25_ranking_quality",          # nDCG/MRR/P@10 retrieval eval
+    # round 12
+    "cdc_aggregate_minmax",          # CDC-maintained min/max extrema
+    "avro_logical_types",            # decimal/timestamp/date Avro decode
+    "snapshot_point_lookup",         # version-pinned file-set lookups
 ]
 
 

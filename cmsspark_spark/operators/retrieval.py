@@ -466,20 +466,15 @@ def append_bm25_index_from_snapshot(
             "corrupt the index"
         )
     last = imeta.get("snapshot_version")
-    if last is None and imeta:
-        raise ValueError(
-            f"{index_dir} already holds commits appended via --docs "
-            "(no recorded snapshot pin) — a first snapshot consume "
-            "would double-index the overlap; rebuild the index from "
-            "the snapshot instead"
-        )
     removed_ids = None
     if last is not None and target <= last:
         return {"from": last, "to": target, "noop": True}
     # RESUME: a previous attempt may have committed this exact
     # increment (the rename succeeded) and died before advancing the
     # pin — its commit carries the (table, to) tag, so just finish
-    # the bookkeeping instead of double-indexing
+    # the bookkeeping instead of double-indexing. Checked BEFORE the
+    # --docs refusal below: a FIRST consume's crashed-after-rename
+    # commit is data without a pin, which must resume, not refuse.
     done = _find_consume_commit(spark, index_dir, table, target)
     if done is not None:
         imeta.update(
@@ -489,6 +484,23 @@ def append_bm25_index_from_snapshot(
         write_json_meta(spark, meta_path, imeta)
         return {"from": last, "to": int(target), "noop": False,
                 "resumed": True}
+    if last is None and (
+        _list_commit_dirs(spark, index_dir)
+        or int(imeta.get("base_version", 0))
+        or _state_table_exists(
+            spark, f"{index_dir.rstrip('/')}/postings"
+        )
+    ):
+        # real indexed data with no pin = an index built via --docs
+        # appends; a first consume over it would double-index the
+        # overlap. (A block_size-only meta from a consume that crashed
+        # BEFORE its rename does NOT trip this — nothing is visible.)
+        raise ValueError(
+            f"{index_dir} already holds commits appended via --docs "
+            "(no recorded snapshot pin) — a first snapshot consume "
+            "would double-index the overlap; rebuild the index from "
+            "the snapshot instead"
+        )
     if last is not None:
         old = set(snapshot_files(spark, table, last))
         new = set(snapshot_files(spark, table, target))
@@ -1154,12 +1166,25 @@ def vacuum_bm25_index(
         for seq, cdir in _list_commit_dirs(spark, index_dir):
             if seq <= through:
                 _rm(cdir)
+    now_ms = time.time() * 1000.0
     sroot = Path(_staging_root(index_dir))
     if fs.exists(sroot):
-        now_ms = time.time() * 1000.0
         for stt in fs.listStatus(sroot):
             if (
                 now_ms - stt.getModificationTime()
+                >= staging_min_age_s * 1000.0
+            ):
+                _rm(stt.getPath().toString())
+    # crashed write_json_meta temporaries beside the meta (the atomic
+    # replace leaves one per crash-before-rename) — same age gate
+    iroot = Path(index_dir.rstrip("/"))
+    if fs.exists(iroot):
+        for stt in fs.listStatus(iroot):
+            name = stt.getPath().getName()
+            if (
+                ".tmp." in name
+                and name.startswith("_index_meta.json")
+                and now_ms - stt.getModificationTime()
                 >= staging_min_age_s * 1000.0
             ):
                 _rm(stt.getPath().toString())

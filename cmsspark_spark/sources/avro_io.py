@@ -99,6 +99,16 @@ def _apply_logical(schema: dict, value: Any) -> Any:
         epoch_ts, _ = _epochs()
         mult = 1 if lt.endswith("micros") else 1000
         return epoch_ts + _dt.timedelta(microseconds=value * mult)
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+        # no-timezone wall-clock (Avro 1.10) → naive datetime, which
+        # Spark stores as TimestampNTZType — never shifted by the
+        # session zone, matching spark-avro's mapping
+        import datetime as _dt
+
+        mult = 1 if lt.endswith("micros") else 1000
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=value * mult
+        )
     if lt == "date":
         import datetime as _dt
 
@@ -130,6 +140,12 @@ def _logical_to_underlying(schema: dict, value: Any) -> Any:
         if value.tzinfo is None:
             value = value.replace(tzinfo=_dt.timezone.utc)
         d = value - epoch_ts
+        micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        return micros if lt.endswith("micros") else micros // 1000
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+        import datetime as _dt
+
+        d = value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
         micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
         return micros if lt.endswith("micros") else micros // 1000
     if lt == "date":
@@ -406,6 +422,8 @@ def spark_type_of(schema: Any):
         )
     if lt in ("timestamp-micros", "timestamp-millis"):
         return T.TimestampType()
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+        return T.TimestampNTZType()
     if lt == "date":
         return T.DateType()
     t = schema["type"]

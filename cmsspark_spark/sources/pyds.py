@@ -368,10 +368,12 @@ class PartLogStreamReader(DataSourceStreamReader):
         off = partition.base
         with open(partition.path, "r", encoding="utf-8") as fh:
             for line in fh:
+                if off >= partition.hi:
+                    break  # rest of the segment is beyond the slice
                 line = line.rstrip("\n")
                 if not line:
                     continue
-                if partition.lo <= off < partition.hi:
+                if off >= partition.lo:
                     yield (partition.name, off, line)
                 off += 1
 

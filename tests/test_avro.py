@@ -242,3 +242,34 @@ def test_logical_types_first_class(spark, tmp_path):
     assert rows[2].amt == decimal.Decimal("-0.01")
     assert rows[2].ts_us == -18489599999999
     assert rows[2].d == dt.date(1969, 12, 25)
+
+
+def test_local_timestamp_ntz_roundtrip(spark, tmp_path):
+    """local-timestamp-millis/micros (Avro 1.10 wall-clock, no zone)
+    map to TimestampNTZType — never shifted by the session timezone —
+    and round-trip through the writer."""
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "lt", "type": {
+                "type": "long", "logicalType": "local-timestamp-micros"}},
+            {"name": "ltm", "type": {
+                "type": "long", "logicalType": "local-timestamp-millis"}},
+        ],
+    }
+    recs = [
+        {"id": 1,
+         "lt": dt.datetime(2003, 4, 5, 6, 7, 8, 910111),
+         "ltm": dt.datetime(1969, 1, 1, 23, 0, 0, 5000)},
+    ]
+    avro_io.write_container(str(tmp_path / "x.avro"), schema, recs)
+    _, got = avro_io.read_container((tmp_path / "x.avro").read_bytes())
+    assert got == recs
+
+    df = avro_io.read_avro(spark, str(tmp_path / "*.avro"))
+    kinds = dict(df.dtypes)
+    assert kinds["lt"] == "timestamp_ntz"
+    assert kinds["ltm"] == "timestamp_ntz"
+    row = df.first()
+    assert row.lt == dt.datetime(2003, 4, 5, 6, 7, 8, 910111)
+    assert row.ltm == dt.datetime(1969, 1, 1, 23, 0, 0, 5000)

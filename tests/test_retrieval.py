@@ -593,3 +593,149 @@ def test_compaction_folds_tombstones_into_base(spark, tmp_path):
     # dead docs physically dropped
     post = R.index_table(spark, idx, "postings")
     assert post.filter(F.col("doc") % 7 == 3).count() == 0
+
+
+def test_first_consume_crash_windows_recover(spark, tmp_path, monkeypatch):
+    """Self-review r12: the FIRST consume's crash windows. (A) a crash
+    mid-staging leaves a block_size-only meta — the retry must re-run,
+    not be refused as a '--docs index'; (B) a crash after the rename
+    leaves a tagged commit with no pin — the retry must resume off the
+    tag, again not refuse."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(80)
+    table = str(tmp_path / "corpus")
+    SN.snapshot_write(docs, table, mode="append")
+
+    # window A: crash before the rename on the very first consume
+    idx_a = str(tmp_path / "idx_a")
+    real = R._finalize_commit
+    monkeypatch.setattr(
+        R, "_finalize_commit",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash before rename")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        R.append_bm25_index_from_snapshot(spark, table, idx_a)
+    monkeypatch.setattr(R, "_finalize_commit", real)
+    r = R.append_bm25_index_from_snapshot(spark, table, idx_a)
+    assert r == {"from": None, "to": 1, "noop": False}
+    assert R.bm25_index_serve(spark, idx_a).count() > 0
+
+    # window B: first consume's commit landed, pin never advanced
+    idx_b = str(tmp_path / "idx_b")
+    R.append_bm25_index(
+        SN.read_snapshot(spark, table, 1), idx_b,
+        commit_tag={"consume": {"table": table, "from": None, "to": 1}},
+    )
+    r = R.append_bm25_index_from_snapshot(spark, table, idx_b)
+    assert r == {"from": None, "to": 1, "noop": False, "resumed": True}
+    assert R.bm25_index_commit_report(spark, idx_b).first().n_commits == 1
+    # and a genuine --docs index with no pin is still refused
+    idx_c = str(tmp_path / "idx_c")
+    R.append_bm25_index(docs, idx_c)
+    with pytest.raises(ValueError, match="--docs"):
+        R.append_bm25_index_from_snapshot(spark, table, idx_c)
+
+
+def test_vacuum_sweeps_aged_meta_temporaries(spark, tmp_path):
+    """The atomic meta replace leaves a .tmp orphan per crash-before-
+    rename; vacuum reclaims aged ones and spares fresh ones (an
+    in-flight writer's temp)."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs, idx)
+    aged = f"{idx}/_index_meta.json.tmp.deadbeef"
+    fresh = f"{idx}/_index_meta.json.tmp.cafebabe"
+    for p in (aged, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    os.utime(aged, (1, 1))
+    rep = R.vacuum_bm25_index(spark, idx, staging_min_age_s=3600)
+    assert any(p.endswith("tmp.deadbeef") for p in rep["removed"])
+    assert not os.path.exists(aged) and os.path.exists(fresh)
+
+
+def test_partlog_to_snapshot_to_index_pipeline(spark, tmp_path):
+    """Composition of this round's two big pieces: the executor-
+    parallel partlog source streams into the exactly-once snapshot
+    sink, and each landed version is consumed ATOMICALLY into the
+    persisted BM25 index — Kafka-shaped log to serving index, every
+    hop crash-safe, serve hash-identical to an index built from the
+    final corpus directly."""
+    import json as _json
+
+    from cmsspark_spark.operators import snapshots as SN
+    from cmsspark_spark.sources.pyds import PartLogDataSource
+
+    spark.dataSource.register(PartLogDataSource)
+    docs = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "spark shuffles data between stages",
+                "parquet files hold columnar row groups",
+                "bm25 ranks documents by term rarity",
+                "the quick brown fox jumps over spark",
+                "columnar scans prune unread columns",
+                "rarity weighted terms rank retrieval",
+                "fox and hound documents on disk",
+                "stages exchange shuffle partitions",
+            ]
+        )
+    ]
+    root = tmp_path / "topic"
+    (root / "p0").mkdir(parents=True)
+    (root / "p1").mkdir()
+    table = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(batch_no: int, items: list) -> None:
+        half = len(items) // 2
+        (root / "p0" / f"{batch_no:06d}.log").write_text(
+            "".join(_json.dumps({"doc_id": i, "text": t}) + "\n"
+                    for i, t in items[:half])
+        )
+        (root / "p1" / f"{batch_no:06d}.log").write_text(
+            "".join(_json.dumps({"doc_id": i, "text": t}) + "\n"
+                    for i, t in items[half:])
+        )
+        q = (
+            spark.readStream.format("partlog")
+            .option("path", str(root))
+            .load()
+            .selectExpr(
+                "CAST(get_json_object(value, '$.doc_id') AS LONG)"
+                " AS doc_id",
+                "get_json_object(value, '$.text') AS text",
+            )
+            .writeStream.foreachBatch(SN.snapshot_sink(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        R.append_bm25_index_from_snapshot(spark, table, idx)
+
+    land(1, docs[:5])
+    land(2, docs[5:])
+
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    want = _ranked(
+        PL._bm25_exact_build(
+            corpus, "doc_id", "text", 3, 5, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    got = _ranked(
+        R.bm25_index_serve(spark, idx, query_max_id=3, k=5,
+                           mode="blockmax")
+    )
+    assert got == want
+    # the pin tracks the snapshot history: replay is a no-op
+    assert R.append_bm25_index_from_snapshot(spark, table, idx)["noop"]
