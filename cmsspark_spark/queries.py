@@ -12444,7 +12444,7 @@ def cdc_aggregate_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS BIGINT) * 86400 + o_orderkey % 86400) * 1000000
            ) AS BIGINT) AS max_ts_us
     FROM orders
-    WHERE o_orderkey % 10 = 0
+    WHERE o_orderkey % 10 = 0 AND o_orderkey < 30000
     GROUP BY 1
     """,
 )
@@ -12461,8 +12461,10 @@ def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically from the orders parquet — a hash match proves the
     codec's two's-complement decimal and UTC temporal decoding, not
     just row counts. The fixture writer is the test-side utility
-    (driver-side, bounded rows); the READER is the scale path — one
-    task per binaryFile split, no driver materialization."""
+    (driver-side) — its keyspace is CAPPED (o_orderkey < 30000, same
+    predicate in the oracle) so the fixture stays O(1) in corpus size
+    and the scale sweep measures the READER, which is the scale path:
+    one task per binaryFile split, no driver materialization."""
     import datetime
     import decimal
     import shutil
@@ -12472,7 +12474,10 @@ def avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sel = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 10 == 0)
+        .filter(
+            (F.col("o_orderkey") % 10 == 0)
+            & (F.col("o_orderkey") < 30000)
+        )
         .select(
             "o_orderkey",
             "o_orderdate",
