@@ -12604,3 +12604,143 @@ def snapshot_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         point_lookup._META_CACHE.clear()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "snapshot_optimize_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_optimize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE for snapshot tables (operators/snapshots.py
+    optimize_snapshot — Iceberg rewrite_data_files / Delta OPTIMIZE):
+    a corpus lands in two multi-file appends (streaming-shaped
+    small-file accumulation), then the latest version is rewritten
+    into TWO z-order-clustered files committed as a new version. The
+    returned aggregate reads the OPTIMIZED version — a hash match
+    against the oracle's direct aggregate is the rows-identical proof
+    (rewrite moved bytes, not content). Inline asserts: the file count
+    actually shrank, the op is recorded as optimize:<source v>, and
+    the pre-optimize version still reads (time travel intact). Scale:
+    the rewrite costs one read+write of the LIVE version only;
+    superseded files stay owned by older versions until
+    expire_snapshots."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("o_orderkey") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="snap_opt_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4),
+            table, mode="append",
+        )
+        SN.snapshot_write(
+            orders.filter(F.col("o_orderkey") % 2 == 1).repartition(4),
+            table, mode="append",
+        )
+        n_before = len(SN.snapshot_files(spark, table, 2))
+        v_opt = SN.optimize_snapshot(
+            spark, table, n_files=2, zorder_by=["o_custkey", "cents"]
+        )
+        files_opt = SN.snapshot_files(spark, table, v_opt)
+        if not (len(files_opt) <= 2 < n_before):
+            raise AssertionError(
+                f"optimize did not fold files: {n_before} -> "
+                f"{len(files_opt)}"
+            )
+        op = SN.read_snapshot_meta(spark, table, v_opt)["op"]
+        if op != "optimize:2":
+            raise AssertionError(f"unexpected op {op!r}")
+        if SN.read_snapshot(spark, table, 2).count() != SN.read_snapshot(
+            spark, table, v_opt
+        ).count():
+            raise AssertionError("pre-optimize version lost rows")
+        return (
+            SN.read_snapshot(spark, table, v_opt)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "cdc_aggregate_moments",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)
+                    * CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sumsq_cents
+    FROM orders
+    WHERE o_orderkey % 3 <= 1
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_aggregate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained SECOND MOMENTS (maintain_snapshot_agg
+    sumsq_cols): Σv² folds by the same signed CDC algebra as sums —
+    squares have an inverse element, so the moment stays exact through
+    the rollback at delta cost (no recompute path needed, unlike
+    min/max). Same four-version history as cdc_aggregate_maintenance;
+    the final state must equal the oracle's from-scratch n/Σv/Σv² over
+    the live orders — variance/stddev derive downstream as
+    (Σv² − (Σv)²/n)/n with no extra maintained state. Integer cents
+    keep every fold on the exact grid (no float reassociation)."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_moments_")
+    try:
+        table = f"{tmp}/orders_snap"
+        state = f"{tmp}/agg_state"
+        for part in range(3):
+            SN.snapshot_write(
+                orders.filter(F.col("o_orderkey") % 3 == part), table,
+                mode="append",
+            )
+            SN.maintain_snapshot_agg(
+                spark, table, state, ["o_orderstatus"],
+                sum_cols=["cents"], sumsq_cols=["cents"],
+            )
+        SN.rollback_snapshot(spark, table, 2)
+        out = SN.maintain_snapshot_agg(
+            spark, table, state, ["o_orderstatus"],
+            sum_cols=["cents"], sumsq_cols=["cents"],
+        )
+        return out.select(
+            "o_orderstatus", "n_rows", "sum_cents", "sumsq_cents"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -831,3 +831,84 @@ def test_maintained_agg_spec_change_is_refused(spark, tmp_path):
         S.maintain_snapshot_agg(
             spark, t, state, ["g"], sum_cols=["v"], max_cols=["v"]
         )
+
+
+def test_optimize_snapshot_folds_files_content_identical(spark, tmp_path):
+    """optimize_snapshot rewrites the latest version into fewer
+    (z-ordered) files as a NEW version: rows identical, older versions
+    still read the superseded files, and expire reclaims them."""
+    import os
+
+    t = str(tmp_path / "t")
+    # many small appends -> small-file accumulation
+    for lo in range(0, 40, 10):
+        S.snapshot_write(
+            spark.range(lo, lo + 10)
+            .selectExpr("id", "id % 7 as a", "id % 3 as b")
+            .repartition(3),
+            t, mode="append",
+        )
+    v = S.list_snapshots(spark, t)[-1]
+    n_before = len(S.snapshot_files(spark, t, v))
+    rows_before = sorted(
+        tuple(r) for r in S.read_snapshot(spark, t).collect()
+    )
+
+    v_opt = S.optimize_snapshot(spark, t, n_files=2, zorder_by=["a", "b"])
+    assert v_opt == v + 1
+    files_opt = S.snapshot_files(spark, t, v_opt)
+    assert len(files_opt) <= 2 < n_before
+    assert sorted(
+        tuple(r) for r in S.read_snapshot(spark, t).collect()
+    ) == rows_before
+    # time travel: the pre-optimize version still reads its own files
+    assert sorted(
+        tuple(r) for r in S.read_snapshot(spark, t, v).collect()
+    ) == rows_before
+    ops = {r.version: r.op for r in S.snapshot_history(spark, t).collect()}
+    assert ops[v_opt] == f"optimize:{v}"
+
+    # expire to the optimized version reclaims every superseded file
+    res = S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+    assert set(res["kept_versions"]) == {v_opt}
+    on_disk = {
+        f
+        for f in os.listdir(t)
+        if f.endswith(".parquet")
+    }
+    assert on_disk == set(files_opt)
+    assert sorted(
+        tuple(r) for r in S.read_snapshot(spark, t).collect()
+    ) == rows_before
+
+
+def test_optimize_snapshot_aborts_on_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The rewrite must not publish a version that drops a concurrent
+    append's rows: a version landing between the plan and the commit
+    aborts the optimize, and the table still reads everything."""
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 20).selectExpr("id", "id % 5 as a"),
+                     t, mode="append")
+
+    real = S._write_attributed
+
+    def _race(df, table):
+        names = real(df, table)
+        # restore first: the concurrent writer below goes through
+        # snapshot_write -> _write_attributed (else infinite recursion)
+        monkeypatch.setattr(S, "_write_attributed", real)
+        S.snapshot_write(
+            spark.range(100, 105).selectExpr("id", "id % 5 as a"),
+            table, mode="append",
+        )
+        return names
+
+    monkeypatch.setattr(S, "_write_attributed", _race)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        S.optimize_snapshot(spark, t, n_files=1)
+    monkeypatch.setattr(S, "_write_attributed", real)
+    assert _ids(S.read_snapshot(spark, t)) == list(range(0, 20)) + list(
+        range(100, 105)
+    )
