@@ -427,13 +427,33 @@ def snapshot_write(
     wipe) and the snapshot lists ONLY them — prior versions keep
     reading the superseded files until expiry. The write's schema is
     recorded in the commit so an empty version stays readable with the
-    schema it was committed under. Returns the committed version."""
+    schema it was committed under. Returns the committed version.
+
+    SCHEMA EVOLUTION: an append whose columns differ from the parent
+    version's recorded schema (a new nullable column, a dropped one)
+    marks the commit ``mixed_schemas`` — :func:`read_snapshot` then
+    plans the scan with parquet schema merging, so old rows surface
+    the new column as null (the lakehouse add-column contract). The
+    flag propagates along append chains and clears on overwrite or
+    :func:`optimize_snapshot` (both rewrite to one homogeneous
+    schema). Evolving appends assume a single writer (the flag is
+    derived from the parent read before the commit claim)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
     new_files = _write_attributed(df, table)
     extra = {"schema": df.schema.jsonValue()}
     if mode == "append":
+        versions = list_snapshots(spark, table)
+        if versions:
+            pmeta = read_snapshot_meta(spark, table, versions[-1])
+            pschema = pmeta.get("schema") or {}
+            pfields = {f["name"] for f in pschema.get("fields", [])}
+            fields = {f.name for f in df.schema.fields}
+            if pmeta.get("mixed_schemas") or (
+                pfields and pfields != fields
+            ):
+                extra["mixed_schemas"] = True
         # parent's live list resolved inside the commit retry loop —
         # concurrent appends compose instead of clobbering
         return commit_snapshot(
@@ -496,9 +516,10 @@ def optimize_snapshot(
             "version's rows; re-run in a quiet window (the rewrite "
             "files are unreferenced residue, reclaimed by vacuum)"
         )
-    meta = read_snapshot_meta(spark, table, src_v)
+    # the rewrite homogenizes: record the (possibly merged) schema the
+    # rewrite actually wrote and do NOT carry a mixed_schemas flag
     extra = {
-        "schema": meta.get("schema", df.schema.jsonValue()),
+        "schema": df.schema.jsonValue(),
         "optimized_from": src_v,
     }
     return commit_snapshot(
@@ -512,7 +533,11 @@ def read_snapshot(
     """DataFrame over exactly one snapshot's files (latest when
     ``version`` is None) — an explicit-path parquet scan, so Spark
     lists and reads nothing the version does not own. Filters and
-    column pruning push into the scan as usual."""
+    column pruning push into the scan as usual. A version whose live
+    files span an APPEND-TIME SCHEMA CHANGE (commit marked
+    ``mixed_schemas`` by snapshot_write) plans with parquet schema
+    merging: pre-evolution rows surface added columns as null;
+    homogeneous versions skip the merge (no extra footer pass)."""
     versions = list_snapshots(spark, table)
     if not versions:
         raise FileNotFoundError(f"{table} has no snapshots")
@@ -530,7 +555,10 @@ def read_snapshot(
             )
         return spark.createDataFrame([], spark.read.parquet(table).schema)
     root = table.rstrip("/")
-    return spark.read.parquet(*[f"{root}/{n}" for n in live])
+    reader = spark.read
+    if meta.get("mixed_schemas"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{root}/{n}" for n in live])
 
 
 def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
@@ -544,7 +572,11 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     million-file table writes O(1) metadata. Returns the new version
     number."""
     meta = read_snapshot_meta(spark, table, version)
-    extra = {"schema": meta["schema"]} if "schema" in meta else None
+    extra = {
+        k: meta[k]
+        for k in ("schema", "mixed_schemas")
+        if k in meta
+    } or None
     if "manifests" in meta:
         return commit_snapshot(
             spark, table, op=f"rollback:{version}", extra=extra,
@@ -795,17 +827,28 @@ def snapshot_cdc(
     new = set(snapshot_files(spark, table, to_version))
     root = table.rstrip("/")
 
+    mixed = read_snapshot_meta(spark, table, to_version).get(
+        "mixed_schemas"
+    ) or read_snapshot_meta(spark, table, from_version).get(
+        "mixed_schemas"
+    )
+
     def _signed(names: set[str], sign: int) -> DataFrame | None:
         if not names:
             return None
-        return spark.read.parquet(
+        reader = spark.read
+        if mixed:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *[f"{root}/{n}" for n in sorted(names)]
         ).withColumn("_cdc_sign", F.lit(sign))
 
     adds = _signed(new - old, 1)
     drops = _signed(old - new, -1)
     if adds is not None and drops is not None:
-        return adds.unionByName(drops)
+        # evolved appends: the removed side may predate an added
+        # column — surface it as null, same as the merged read
+        return adds.unionByName(drops, allowMissingColumns=True)
     if adds is not None:
         return adds
     if drops is not None:

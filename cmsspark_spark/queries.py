@@ -12744,3 +12744,81 @@ def cdc_aggregate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "snapshot_schema_evolution",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_pre_evolution
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION on snapshot tables (snapshots.snapshot_write
+    mixed_schemas + read_snapshot merged planning): v1 lands orders
+    WITHOUT the cents column, v2 appends the odd keys WITH it — the
+    lakehouse add-column shape. The merged latest read surfaces cents
+    as NULL for every pre-evolution row (counted as n_pre_evolution
+    via the null itself), sums fold only the evolved rows, and the
+    oracle restates that truth arithmetically over the raw orders.
+    Inline asserts: the commit carries the mixed flag and a pinned v1
+    read keeps its original two-column schema. Scale: homogeneous
+    versions plan without schema merging; only flagged versions pay
+    the merge footer pass."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    old_shape = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new_shape = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_evo_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(old_shape, table, mode="append")
+        SN.snapshot_write(new_shape, table, mode="append")
+        if SN.read_snapshot_meta(spark, table, 2).get(
+            "mixed_schemas"
+        ) is not True:
+            raise AssertionError("evolved append not flagged")
+        if set(SN.read_snapshot(spark, table, 1).columns) != {
+            "o_orderkey", "o_orderstatus"
+        }:
+            raise AssertionError("pinned pre-evolution schema drifted")
+        return (
+            SN.read_snapshot(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+                .cast("long")
+                .alias("sum_cents"),
+                F.sum(
+                    F.when(F.col("cents").isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_pre_evolution"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

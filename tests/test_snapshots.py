@@ -912,3 +912,63 @@ def test_optimize_snapshot_aborts_on_concurrent_commit(
     assert _ids(S.read_snapshot(spark, t)) == list(range(0, 20)) + list(
         range(100, 105)
     )
+
+
+def test_snapshot_schema_evolution_append(spark, tmp_path):
+    """Lakehouse add-column contract: an append with a new column
+    marks the commit mixed_schemas, the merged read surfaces the
+    column as null for pre-evolution rows, pinned reads of old
+    versions keep their own schema, rollback carries the flag, and
+    optimize homogenizes it away."""
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 5).selectExpr("id"), t, mode="append")
+    S.snapshot_write(
+        spark.range(5, 8).selectExpr("id", "id * 2 as v"), t,
+        mode="append",
+    )
+    assert S.read_snapshot_meta(spark, t, 2).get("mixed_schemas") is True
+
+    df = S.read_snapshot(spark, t)
+    assert set(df.columns) == {"id", "v"}
+    rows = {r.id: r.v for r in df.collect()}
+    assert rows[0] is None and rows[5] == 10 and len(rows) == 8
+    # the pre-evolution version still reads with its own schema
+    assert S.read_snapshot(spark, t, 1).columns == ["id"]
+
+    # a third append WITHOUT the new column keeps the flag (chain)
+    S.snapshot_write(spark.range(8, 9).selectExpr("id"), t, mode="append")
+    assert S.read_snapshot_meta(spark, t, 3).get("mixed_schemas") is True
+    assert S.read_snapshot(spark, t).count() == 9
+
+    # CDC across the evolution: the old side surfaces v as null
+    S.rollback_snapshot(spark, t, 1)  # v4 drops the evolved files
+    assert S.read_snapshot_meta(spark, t, 4).get("mixed_schemas") is None
+    cdc = S.snapshot_cdc(spark, t, 3, 4)
+    drops = {r.id: (r.v, r._cdc_sign) for r in cdc.collect()}
+    assert drops[5] == (10, -1) and drops[8] == (None, -1)
+
+    # maintained aggregate folds the evolved history exactly
+    state = str(tmp_path / "agg")
+    S.rollback_snapshot(spark, t, 3)  # v5: back to all 9 rows
+    got = {
+        r.id % 2: (r.n_rows, r.sum_v)
+        for r in S.maintain_snapshot_agg(
+            spark, t, state, ["id"], sum_cols=["v"], to_version=5
+        )
+        .selectExpr("id % 2 as id", "n_rows", "sum_v")
+        .groupBy("id")
+        .agg(
+            F.sum("n_rows").alias("n_rows"), F.sum("sum_v").alias("sum_v")
+        )
+        .collect()
+    }
+    assert got[0][0] + got[1][0] == 9
+
+    # optimize homogenizes: one schema, no flag, content identical
+    v_opt = S.optimize_snapshot(spark, t, n_files=1)
+    assert S.read_snapshot_meta(spark, t, v_opt).get(
+        "mixed_schemas"
+    ) is None
+    opt = {r.id: r.v for r in S.read_snapshot(spark, t, v_opt).collect()}
+    assert opt == {**{i: None for i in range(5)},
+                   **{i: i * 2 for i in range(5, 8)}, 8: None}
