@@ -662,6 +662,23 @@ def test_partlog_into_snapshot_sink_versioned_ingest(spark, tmp_path):
     assert again == first
 
 
+
+
+def _partlog_rows(rdr, parts):
+    """Flatten the arrow record batches an executor read yields."""
+    out = []
+    for pt in parts:
+        for b in rdr.read(pt):
+            out.extend(
+                zip(
+                    b.column("partition").to_pylist(),
+                    b.column("offset").to_pylist(),
+                    b.column("value").to_pylist(),
+                )
+            )
+    return [tuple(r) for r in out]
+
+
 def test_partlog_replay_of_deleted_segment_fails_loudly(spark, tmp_path):
     """Review r11: a committed range must replay record-exactly — if
     segments were deleted/truncated under a committed offset, the
@@ -675,15 +692,11 @@ def test_partlog_replay_of_deleted_segment_fails_loudly(spark, tmp_path):
     end = rdr.latestOffset()
     assert end == {"parts": {"p0": 3}}
     parts = rdr.partitions({"parts": {}}, end)
-    rows = [r for pt in parts for r in rdr.read(pt)]
+    rows = _partlog_rows(rdr, parts)
     assert [r[2] for r in rows] == ["a", "b", "c"]
 
     # replanning the committed range works while the data is intact
-    again = [
-        r
-        for pt in rdr.partitions({"parts": {}}, end)
-        for r in rdr.read(pt)
-    ]
+    again = _partlog_rows(rdr, rdr.partitions({"parts": {}}, end))
     assert [r[2] for r in again] == ["a", "b", "c"]
 
     # the segment vanishes; replanning the committed range must raise
@@ -772,10 +785,10 @@ def test_partlog_planner_slices_offsets_within_segments(tmp_path):
     (s,) = parts
     assert s.path.endswith("000002.log")
     assert (s.base, s.lo, s.hi) == (3, 4, 5)
-    assert list(rdr.read(s)) == [("p0", 4, "r4")]
+    assert _partlog_rows(rdr, [s]) == [("p0", 4, "r4")]
 
     # a range spanning the boundary plans one slice per segment
     parts = rdr.partitions({"parts": {"p0": 2}}, {"parts": {"p0": 5}})
     assert [(p.base, p.lo, p.hi) for p in parts] == [(0, 2, 3), (3, 3, 5)]
-    got = [r for p in parts for r in rdr.read(p)]
+    got = _partlog_rows(rdr, parts)
     assert got == [("p0", 2, "r2"), ("p0", 3, "r3"), ("p0", 4, "r4")]
