@@ -965,7 +965,9 @@ def maintain_snapshot_agg(
     signed fold as sums — squares have an inverse element too, so the
     second moment is exact through removals at delta cost, and
     variance/stddev derive downstream as (Σv² − (Σv)²/n)/n with no
-    extra state. Integer measures keep it on the exact grid.
+    extra state. Integer measures keep it on the exact grid; the
+    accumulator is DECIMAL(38,0), because Σv² breaches int64 at
+    corpus scale long before Σv does.
 
     Single-writer per state_path (like every maintained state here).
     CRASH-CONSISTENT: each refresh writes the merged groups to a NEW
@@ -1006,9 +1008,16 @@ def maintain_snapshot_agg(
                 F.sum(F.col(c) * sign).cast("long").alias(f"sum_{c}")
             )
         for c in sumsq_cols:
+            # DECIMAL(38,0) accumulator: Σv² of integer measures
+            # overflows int64 at corpus scale (v~5e7 squares to ~3e15;
+            # a few thousand rows per group already breach 9.2e18) —
+            # the per-row square stays in int64 range, the SUM must
+            # not. Found by the 10x scale sweep, not by sf0.01.
             aggs.append(
-                F.sum(F.col(c) * F.col(c) * sign)
-                .cast("long")
+                F.sum(
+                    (F.col(c) * F.col(c) * sign).cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
                 .alias(f"sumsq_{c}")
             )
         if sign_col is None:
@@ -1025,7 +1034,9 @@ def maintain_snapshot_agg(
                 for c in sum_cols
             ],
             *[
-                F.sum(f"sumsq_{c}").cast("long").alias(f"sumsq_{c}")
+                F.sum(f"sumsq_{c}")
+                .cast("decimal(38,0)")
+                .alias(f"sumsq_{c}")
                 for c in sumsq_cols
             ],
             *[F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols],

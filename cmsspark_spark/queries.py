@@ -12695,7 +12695,7 @@ def snapshot_optimize_roundtrip(
              AS sum_cents,
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)
                     * CAST(floor(o_totalprice * 100) AS BIGINT))
-                AS BIGINT) AS sumsq_cents
+                AS DECIMAL(38,0)) AS sumsq_cents
     FROM orders
     WHERE o_orderkey % 3 <= 1
     GROUP BY o_orderstatus
