@@ -1211,3 +1211,46 @@ def bm25_index_commit_report(
         ],
         "n_commits long, n_docs long, n_terms long, n_postings long",
     )
+
+
+def bm25_index_sink(
+    table: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    champions: int = 16,
+    allow_removals: bool = False,
+):
+    """foreachBatch sink that keeps a persisted BM25 index CURRENT off
+    a document stream: each micro-batch lands as an exactly-once
+    snapshot version (``snapshots.snapshot_sink`` — replayed batch ids
+    skip), then the index consumes every version past its pin as ONE
+    atomic commit (:func:`append_bm25_index_from_snapshot`). The
+    composition inherits both layers' crash discipline with no new
+    state: a batch replayed after a crash neither re-lands (version
+    ledger) nor re-indexes (pin no-op); a crash BETWEEN the landing
+    and the consume is healed by the next batch, whose consume folds
+    all versions since the pin in one increment; a crash inside the
+    consume resumes off its commit tag. Serving between batches is
+    always a consistent corpus: either the previous pin's, or — after
+    the atomic rename — the new one's.
+
+    Use::
+
+        df.writeStream.foreachBatch(
+            retrieval.bm25_index_sink(table, index_dir)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    from cmsspark_spark.operators.snapshots import snapshot_sink
+
+    land = snapshot_sink(table)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        land(batch_df, batch_id)
+        append_bm25_index_from_snapshot(
+            batch_df.sparkSession, table, index_dir,
+            id_col=id_col, text_col=text_col, champions=champions,
+            allow_removals=allow_removals,
+        )
+
+    return _sink
