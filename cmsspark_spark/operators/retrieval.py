@@ -502,17 +502,33 @@ def append_bm25_index_from_snapshot(
             "the snapshot instead"
         )
     if last is not None:
+        from cmsspark_spark.operators.snapshots import read_snapshot_meta
+
         old = set(snapshot_files(spark, table, last))
         new = set(snapshot_files(spark, table, target))
-        if old - new and not allow_removals:
+        # equality deletes remove CONTENT without touching the file
+        # sets — a delete-only version must take the CDC path too, or
+        # the pin would advance while the index keeps serving the
+        # dead docs
+        dels_changed = set(
+            read_snapshot_meta(spark, table, last).get(
+                "delete_files", []
+            )
+        ) != set(
+            read_snapshot_meta(spark, table, target).get(
+                "delete_files", []
+            )
+        )
+        if (old - new or dels_changed) and not allow_removals:
             raise ValueError(
-                f"snapshot v{last}→v{target} of {table} REMOVES "
-                f"{len(old - new)} files (overwrite/rollback) — an "
+                f"snapshot v{last}→v{target} of {table} REMOVES content "
+                f"({len(old - new)} files dropped"
+                f"{', delete set changed' if dels_changed else ''}) — an "
                 "append-only index cannot un-index; rebuild it from "
                 f"v{target}, or pass allow_removals=True to TOMBSTONE "
                 "the removed docs"
             )
-        if old - new:
+        if old - new or dels_changed:
             from cmsspark_spark.operators.snapshots import snapshot_cdc
 
             cdc = snapshot_cdc(spark, table, last, target)
@@ -541,6 +557,30 @@ def append_bm25_index_from_snapshot(
                     "the same id is unsupported; rebuild the index from "
                     f"v{target}"
                 )
+            # same rule ACROSS consumes: a +1 row whose id the index
+            # already tombstoned (a rollback reviving a consumed
+            # delete) cannot re-append — the standing tombstone would
+            # kill the new postings and the doc would silently vanish
+            tomb = index_table(
+                spark, index_dir, "tombstones", required=False
+            )
+            if tomb is not None:
+                revived = (
+                    increment.select(F.col(id_col).alias("doc"))
+                    .join(
+                        tomb.select("doc").distinct(), "doc", "left_semi"
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if revived:
+                    raise ValueError(
+                        f"snapshot v{last}→v{target} of {table} REVIVES "
+                        "doc ids the index already tombstoned — "
+                        "re-appending a tombstoned id is unsupported; "
+                        f"rebuild the index from v{target} (or compact "
+                        "first if the tombstones were already folded)"
+                    )
         else:
             increment = snapshot_changes(spark, table, last, target)
     else:

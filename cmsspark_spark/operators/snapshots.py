@@ -387,6 +387,14 @@ def commit_snapshot(
             "op": op,
             "parent": parent if parent is not None else (versions[-1] if versions else None),
         }
+        if append_files is not None and pmeta:
+            # an APPEND inherits the parent's equality-delete state:
+            # dropping it would silently resurrect every deleted row.
+            # Inherited INSIDE the retry loop (pmeta tracks the real
+            # parent), overridable via extra (snapshot_delete itself).
+            for k in ("delete_files", "delete_key_cols"):
+                if k in pmeta:
+                    meta[k] = pmeta[k]
         meta.update(listing)
         meta.update(extra or {})
         tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")
@@ -460,6 +468,86 @@ def snapshot_write(
             spark, table, op=mode, append_files=new_files, extra=extra
         )
     return commit_snapshot(spark, table, new_files, op=mode, extra=extra)
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+) -> int:
+    """EQUALITY DELETES for snapshot tables (the Iceberg v2 delete-file
+    shape): mark rows dead WITHOUT rewriting any data file. The key
+    rows land in an immutable DELETE FILE (``snapdel-*`` parquet beside
+    the data); the new version lists the parent's data files unchanged
+    plus the accumulated delete files, and every read of a version
+    carrying deletes anti-joins them on ``key_cols``. Prior versions
+    never reference the new delete file, so time travel still shows the
+    rows; :func:`rollback_snapshot` restores a pre-delete delete-set;
+    :func:`optimize_snapshot` FOLDS deletes physically (the rewrite
+    reads the delete-applied content and commits with a clean delete
+    state); :func:`expire_snapshots` reclaims delete files no retained
+    version references. Write cost ∝ keys, never table size — the
+    point of delete files at 100 TB.
+
+    ``key_cols`` is pinned at the first delete and must match on every
+    later one (mixing key shapes would make the anti-join silently
+    wrong). Single-writer, like every maintenance op here — the delete
+    set is derived from the parent before the commit claim. Returns
+    the committed version."""
+    key_cols = list(key_cols)
+    versions = list_snapshots(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"{table} has no snapshots")
+    pmeta = read_snapshot_meta(spark, table, versions[-1])
+    pinned = pmeta.get("delete_key_cols")
+    if pinned is not None and list(pinned) != key_cols:
+        raise ValueError(
+            f"{table} pins delete keys {pinned}, refusing {key_cols} — "
+            "mixed key shapes would corrupt the delete anti-join"
+        )
+    root = table.rstrip("/")
+    token = uuid.uuid4().hex[:12]
+    staging = f"{root}/_staging/{token}"
+    keys.select(*key_cols).distinct().coalesce(1).write.mode(
+        "error"
+    ).parquet(staging)
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    del_names = []
+    for p in _list_parquet_files(spark, staging):
+        base = f"snapdel-{token}-" + p.rsplit("/", 1)[-1]
+        if not fs.rename(Path(p), Path(f"{root}/{base}")):
+            raise IOError(f"could not move delete file {p} into {root}")
+        del_names.append(base)
+    fs.delete(Path(staging), True)
+    extra = {
+        "delete_files": list(pmeta.get("delete_files", [])) + del_names,
+        "delete_key_cols": key_cols,
+    }
+    if "schema" in pmeta:
+        extra["schema"] = pmeta["schema"]
+    if pmeta.get("mixed_schemas"):
+        extra["mixed_schemas"] = True
+    return commit_snapshot(
+        spark, table, op="delete", append_files=[], extra=extra
+    )
+
+
+def _apply_deletes(
+    spark: SparkSession, table: str, meta: dict, df: DataFrame
+) -> DataFrame:
+    """Anti-join a version's equality-delete files onto ``df``."""
+    dels = meta.get("delete_files")
+    if not dels:
+        return df
+    root = table.rstrip("/")
+    del_df = spark.read.parquet(
+        *[f"{root}/{n}" for n in dels]
+    ).distinct()
+    return df.join(
+        F.broadcast(del_df), list(meta["delete_key_cols"]), "left_anti"
+    )
 
 
 def optimize_snapshot(
@@ -558,7 +646,9 @@ def read_snapshot(
     reader = spark.read
     if meta.get("mixed_schemas"):
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[f"{root}/{n}" for n in live])
+    return _apply_deletes(
+        spark, table, meta, reader.parquet(*[f"{root}/{n}" for n in live])
+    )
 
 
 def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
@@ -574,7 +664,9 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     meta = read_snapshot_meta(spark, table, version)
     extra = {
         k: meta[k]
-        for k in ("schema", "mixed_schemas")
+        for k in (
+            "schema", "mixed_schemas", "delete_files", "delete_key_cols"
+        )
         if k in meta
     } or None
     if "manifests" in meta:
@@ -649,11 +741,17 @@ def expire_snapshots(
     for v in kept:
         m = read_snapshot_meta(spark, table, v)
         retained_files.update(snapshot_files(spark, table, meta=m))
+        retained_files.update(m.get("delete_files", []))
         retained_manifests.update(m.get("manifests", []))
     doomed_files: set[str] = set()
     doomed_manifests: set[str] = set()
     for v in expired:
         m = read_snapshot_meta(spark, table, v)
+        doomed_files.update(
+            f
+            for f in m.get("delete_files", [])
+            if f not in retained_files
+        )
         doomed_files.update(
             f
             for f in snapshot_files(spark, table, meta=m)
@@ -743,7 +841,13 @@ def snapshot_changes(
     root = table.rstrip("/")
     if not added:
         return read_snapshot(spark, table, to_version).limit(0)
-    return spark.read.parquet(*[f"{root}/{n}" for n in added])
+    # rows in added files that the TO version's equality deletes kill
+    # were never live at `to` — exclude them, same as read_snapshot
+    to_meta = read_snapshot_meta(spark, table, to_version)
+    return _apply_deletes(
+        spark, table, to_meta,
+        spark.read.parquet(*[f"{root}/{n}" for n in added]),
+    )
 
 
 def committed_batch_ids(spark: SparkSession, table: str) -> set[str]:
@@ -817,45 +921,91 @@ def snapshot_cdc(
     summable downstream aggregate needs. Cost ∝ CHANGED FILES: an
     append's CDC reads only the appended files, a rollback's only the
     rolled-off files — never the table. Output: the table's columns
-    plus ``_cdc_sign`` (+1 | -1)."""
+    plus ``_cdc_sign`` (+1 | -1).
+
+    EQUALITY DELETES compose exactly: each side's file-grain frame is
+    filtered by ITS OWN version's delete set (a row dead at ``from``
+    never emits -1; a row added-then-deleted never emits +1), and the
+    delete-set DELTA over files common to both versions adds the
+    missing rows — keys newly deleted emit their ``from``-live rows as
+    -1, keys un-deleted (a rollback past the delete) emit them back as
+    +1. Cost stays ∝ changed files + changed keys."""
     versions = list_snapshots(spark, table)
     if to_version is None:
         if not versions:
             raise FileNotFoundError(f"{table} has no snapshots")
         to_version = versions[-1]
-    old = set(snapshot_files(spark, table, from_version))
-    new = set(snapshot_files(spark, table, to_version))
+    from_meta = read_snapshot_meta(spark, table, from_version)
+    to_meta = read_snapshot_meta(spark, table, to_version)
+    old = set(snapshot_files(spark, table, meta=from_meta))
+    new = set(snapshot_files(spark, table, meta=to_meta))
     root = table.rstrip("/")
 
-    mixed = read_snapshot_meta(spark, table, to_version).get(
-        "mixed_schemas"
-    ) or read_snapshot_meta(spark, table, from_version).get(
+    mixed = to_meta.get("mixed_schemas") or from_meta.get(
         "mixed_schemas"
     )
 
-    def _signed(names: set[str], sign: int) -> DataFrame | None:
-        if not names:
-            return None
+    def _read(names: set[str]) -> DataFrame:
         reader = spark.read
         if mixed:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(
-            *[f"{root}/{n}" for n in sorted(names)]
-        ).withColumn("_cdc_sign", F.lit(sign))
+        return reader.parquet(*[f"{root}/{n}" for n in sorted(names)])
 
-    adds = _signed(new - old, 1)
-    drops = _signed(old - new, -1)
-    if adds is not None and drops is not None:
-        # evolved appends: the removed side may predate an added
-        # column — surface it as null, same as the merged read
-        return adds.unionByName(drops, allowMissingColumns=True)
-    if adds is not None:
-        return adds
-    if drops is not None:
-        return drops
-    return read_snapshot(spark, table, to_version).withColumn(
-        "_cdc_sign", F.lit(1)
-    ).limit(0)
+    def _signed(names: set[str], sign: int, meta: dict) -> DataFrame | None:
+        if not names:
+            return None
+        return _apply_deletes(spark, table, meta, _read(names)).withColumn(
+            "_cdc_sign", F.lit(sign)
+        )
+
+    parts = [
+        _signed(new - old, 1, to_meta),
+        _signed(old - new, -1, from_meta),
+    ]
+    from_dels = set(from_meta.get("delete_files", []))
+    to_dels = set(to_meta.get("delete_files", []))
+    common = new & old
+    if common and from_dels != to_dels:
+        kc = list(
+            (to_meta.get("delete_key_cols")
+             or from_meta.get("delete_key_cols"))
+        )
+
+        def _del_keys(names: set[str]) -> DataFrame | None:
+            if not names:
+                return None
+            return spark.read.parquet(
+                *[f"{root}/{n}" for n in sorted(names)]
+            ).distinct()
+
+        newly_dead = _del_keys(to_dels - from_dels)
+        revived = _del_keys(from_dels - to_dels)
+        base = _read(common)
+        if newly_dead is not None:
+            # rows live at `from` (so not in from's delete set) that
+            # to's NEW delete keys kill
+            parts.append(
+                _apply_deletes(spark, table, from_meta, base)
+                .join(F.broadcast(newly_dead), kc, "left_semi")
+                .withColumn("_cdc_sign", F.lit(-1))
+            )
+        if revived is not None:
+            # keys whose deletion rolled off: live again at `to`
+            # (and not re-deleted there — base is to-filtered)
+            parts.append(
+                _apply_deletes(spark, table, to_meta, base)
+                .join(F.broadcast(revived), kc, "left_semi")
+                .withColumn("_cdc_sign", F.lit(1))
+            )
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return read_snapshot(spark, table, to_version).withColumn(
+            "_cdc_sign", F.lit(1)
+        ).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def read_json_meta(spark: SparkSession, path: str) -> dict | None:

@@ -12822,3 +12822,99 @@ def snapshot_schema_evolution(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "snapshot_equality_deletes",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 4 = 0 AND o_custkey % 5 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_equality_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EQUALITY DELETES on snapshot tables (snapshots.snapshot_delete —
+    the Iceberg v2 delete-file shape): the corpus lands in two appends,
+    then every order of a %5 customer is deleted by KEY, writing one
+    delete file ∝ keys and REWRITING NO DATA FILE (asserted inline:
+    the delete version lists the same data files as its parent, and
+    the pre-delete version still reads the full corpus). Reads of the
+    delete-carrying version anti-join the delete files; the returned
+    aggregate over the latest read must hash-match the oracle's direct
+    WHERE NOT-deleted aggregate. A CDC-maintained aggregate refreshed
+    across the delete version is asserted equal to the returned state
+    — the delete-delta rows (-1 per newly-dead row) keep the signed
+    fold exact. This is the at-scale delete story: marking a billion
+    dead rows costs one key-sized file, and optimize folds it later."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("o_orderkey") % 4 == 0)
+    tmp = tempfile.mkdtemp(prefix="snap_del_")
+    try:
+        table = f"{tmp}/t"
+        state = f"{tmp}/agg"
+        SN.snapshot_write(
+            orders.filter(F.col("o_orderkey") % 2 == 0), table,
+            mode="append",
+        )
+        SN.snapshot_write(
+            orders.filter(F.col("o_orderkey") % 2 == 1), table,
+            mode="append",
+        )
+        SN.maintain_snapshot_agg(
+            spark, table, state, ["o_orderstatus"], sum_cols=["cents"]
+        )
+        dead_keys = orders.filter(F.col("o_custkey") % 5 == 0).select(
+            "o_orderkey"
+        )
+        v_del = SN.snapshot_delete(spark, table, dead_keys, ["o_orderkey"])
+        if SN.read_snapshot_meta(spark, table, v_del)[
+            "files"
+        ] != SN.read_snapshot_meta(spark, table, v_del - 1)["files"]:
+            raise AssertionError("delete rewrote data files")
+        if SN.read_snapshot(spark, table, v_del - 1).count() != (
+            orders.count()
+        ):
+            raise AssertionError("pre-delete version lost rows")
+        out = (
+            SN.read_snapshot(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        maintained = {
+            (r.o_orderstatus): (r.n_rows, r.sum_cents)
+            for r in SN.maintain_snapshot_agg(
+                spark, table, state, ["o_orderstatus"],
+                sum_cols=["cents"],
+            ).collect()
+        }
+        direct = {
+            (r.o_orderstatus): (r.n_rows, r.sum_cents)
+            for r in out.collect()
+        }
+        if maintained != direct:
+            raise AssertionError(
+                "CDC-maintained aggregate diverged across the delete "
+                f"version: {maintained} != {direct}"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -831,3 +831,46 @@ def test_bm25_index_sink_streaming_maintenance(spark, tmp_path, monkeypatch):
         R.bm25_index_serve(spark, idx, query_max_id=3, k=5,
                            mode="blockmax")
     ) == want
+
+
+def test_consume_equality_delete_version_tombstones(spark, tmp_path):
+    """A DELETE-ONLY snapshot version (equality deletes — file sets
+    unchanged) must not slip past the consume as a no-content change:
+    with allow_removals the dead docs are tombstoned in the same
+    atomic commit; without it the consume refuses; and a rollback
+    reviving an index-tombstoned id is refused as a rebuild."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    table = str(tmp_path / "corpus")
+    SN.snapshot_write(docs, table, mode="append")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index_from_snapshot(spark, table, idx)
+
+    dead = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    SN.snapshot_delete(spark, table, dead, ["doc_id"])  # v2
+
+    with pytest.raises(ValueError, match="delete set changed"):
+        R.append_bm25_index_from_snapshot(spark, table, idx)
+    r = R.append_bm25_index_from_snapshot(
+        spark, table, idx, allow_removals=True
+    )
+    assert r == {"from": 1, "to": 2, "noop": False}
+
+    live = docs.join(dead, "doc_id", "left_anti")
+    want = _ranked(
+        PL._bm25_exact_build(
+            live, "doc_id", "text", 5, 10, 1.2, 0.75, 2.2, 0.25
+        )
+    )
+    assert _ranked(R.bm25_index_serve(spark, idx, mode="blockmax")) \
+        == want
+
+    # rollback revives the dead docs: the index refuses (rebuild)
+    SN.rollback_snapshot(spark, table, 1)  # v3
+    with pytest.raises(ValueError, match="REVIVES"):
+        R.append_bm25_index_from_snapshot(
+            spark, table, idx, allow_removals=True
+        )

@@ -972,3 +972,104 @@ def test_snapshot_schema_evolution_append(spark, tmp_path):
     opt = {r.id: r.v for r in S.read_snapshot(spark, t, v_opt).collect()}
     assert opt == {**{i: None for i in range(5)},
                    **{i: i * 2 for i in range(5, 8)}, 8: None}
+
+
+def test_snapshot_equality_deletes_full_lifecycle(spark, tmp_path):
+    """Iceberg-v2-shaped equality deletes: rows die without any data
+    file rewrite; time travel still shows them; appends inherit the
+    delete set; CDC emits newly-dead rows as -1 and rollback-revived
+    rows as +1 (so the maintained aggregate stays exact); optimize
+    folds deletes physically; expire reclaims the delete files; mixed
+    key shapes are refused."""
+    import os
+
+    t = str(tmp_path / "t")
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", "id % 3 as g", "id * 10 as v"
+        )
+
+    S.snapshot_write(mk(0, 10), t, mode="append")              # v1
+    v2 = S.snapshot_delete(
+        spark, t, spark.createDataFrame([(3,), (7,)], "id long"), ["id"]
+    )
+    assert v2 == 2
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # time travel: v1 still shows the dead rows; no data file rewrote
+    assert _ids(S.read_snapshot(spark, t, 1)) == list(range(10))
+    assert S.read_snapshot_meta(spark, t, 2)["files"] == \
+        S.read_snapshot_meta(spark, t, 1)["files"]
+
+    # CDC v1 -> v2: exactly the two dead rows, signed -1
+    cdc = {(r.id, r._cdc_sign) for r in S.snapshot_cdc(spark, t, 1, 2)
+           .select("id", "_cdc_sign").collect()}
+    assert cdc == {(3, -1), (7, -1)}
+
+    # an APPEND inherits the delete set (no resurrection)
+    S.snapshot_write(mk(10, 12), t, mode="append")              # v3
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 4, 5, 6, 8, 9,
+                                               10, 11]
+    # CDC v2 -> v3: just the appended rows
+    cdc = {(r.id, r._cdc_sign) for r in S.snapshot_cdc(spark, t, 2, 3)
+           .select("id", "_cdc_sign").collect()}
+    assert cdc == {(10, 1), (11, 1)}
+
+    # a second delete stacks; a different key shape is refused
+    S.snapshot_delete(
+        spark, t, spark.createDataFrame([(10,)], "id long"), ["id"]
+    )                                                           # v4
+    assert 10 not in _ids(S.read_snapshot(spark, t))
+    with pytest.raises(ValueError, match="pins delete keys"):
+        S.snapshot_delete(
+            spark, t, spark.createDataFrame([(1, 1)], "id long, g long"),
+            ["id", "g"],
+        )
+
+    # maintained aggregate equals recompute at EVERY version incl.
+    # deletes and the rollback that revives a dead row
+    state = str(tmp_path / "agg")
+
+    def maintained():
+        return {
+            r.g: (r.n_rows, r.sum_v)
+            for r in S.maintain_snapshot_agg(
+                spark, t, state, ["g"], sum_cols=["v"]
+            ).collect()
+        }
+
+    def recompute():
+        return {
+            r.g: (r.n_rows, r.sum_v)
+            for r in S.read_snapshot(spark, t)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("v").cast("long").alias("sum_v"),
+            )
+            .collect()
+        }
+
+    assert maintained() == recompute()
+    S.rollback_snapshot(spark, t, 2)  # v5: revives 10, re-kills none
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert maintained() == recompute()
+    # CDC v4 -> v5 emitted the dropped append files AND nothing else
+    # spurious (10/11 leave as file drops, delete-set delta handled)
+    cdc = {(r.id, r._cdc_sign) for r in S.snapshot_cdc(spark, t, 4, 5)
+           .select("id", "_cdc_sign").collect()}
+    assert cdc == {(11, -1)}  # 10 was already dead at v4
+
+    # optimize folds the deletes physically
+    v_opt = S.optimize_snapshot(spark, t, n_files=1)
+    meta = S.read_snapshot_meta(spark, t, v_opt)
+    assert "delete_files" not in meta
+    assert _ids(S.read_snapshot(spark, t, v_opt)) == [0, 1, 2, 4, 5, 6,
+                                                      8, 9]
+    assert maintained() == recompute()
+
+    # expire past every delete version reclaims the delete files
+    S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+    left = [f for f in os.listdir(t) if f.startswith("snapdel-")]
+    assert left == []
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 4, 5, 6, 8, 9]
