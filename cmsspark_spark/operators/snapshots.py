@@ -1160,12 +1160,14 @@ def maintain_snapshot_agg(
         for c in sumsq_cols:
             # DECIMAL(38,0) accumulator: Σv² of integer measures
             # overflows int64 at corpus scale (v~5e7 squares to ~3e15;
-            # a few thousand rows per group already breach 9.2e18) —
-            # the per-row square stays in int64 range, the SUM must
-            # not. Found by the 10x scale sweep, not by sf0.01.
+            # a few thousand rows per group already breach 9.2e18).
+            # The FIRST operand is cast to decimal BEFORE the multiply
+            # so the per-row square itself is computed on the decimal
+            # grid — a measure with |v| > ~3.04e9 would otherwise wrap
+            # silently in int64 (non-ANSI) before any cast saw it.
             aggs.append(
                 F.sum(
-                    (F.col(c) * F.col(c) * sign).cast("decimal(38,0)")
+                    F.col(c).cast("decimal(38,0)") * F.col(c) * sign
                 )
                 .cast("decimal(38,0)")
                 .alias(f"sumsq_{c}")

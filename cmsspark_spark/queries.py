@@ -12689,16 +12689,21 @@ def snapshot_optimize_roundtrip(
 @query(
     "cdc_aggregate_moments",
     """
-    SELECT o_orderstatus,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS sum_cents,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)
-                    * CAST(floor(o_totalprice * 100) AS BIGINT))
-                AS DECIMAL(38,0)) AS sumsq_cents
-    FROM orders
-    WHERE o_orderkey % 3 <= 1
-    GROUP BY o_orderstatus
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             sum(CAST(floor(o_totalprice * 100) AS HUGEINT)
+                 * CAST(floor(o_totalprice * 100) AS HUGEINT)) AS sq
+      FROM orders
+      WHERE o_orderkey % 3 <= 1
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_rows, sum_cents,
+           CAST(sq // 1000000000000000000 AS BIGINT) AS sumsq_hi,
+           CAST(sq % 1000000000000000000 AS BIGINT) AS sumsq_lo
+    FROM m
     """,
 )
 def cdc_aggregate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12710,7 +12715,14 @@ def cdc_aggregate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final state must equal the oracle's from-scratch n/Σv/Σv² over
     the live orders — variance/stddev derive downstream as
     (Σv² − (Σv)²/n)/n with no extra maintained state. Integer cents
-    keep every fold on the exact grid (no float reassociation)."""
+    keep every fold on the exact grid (no float reassociation).
+
+    The internal accumulator is DECIMAL(38,0) (Σv² breaches int64 at
+    corpus scale), but the DRIVER-VISIBLE schema splits it into
+    non-negative hi/lo BIGINT limbs on the 10¹⁸ radix
+    (sumsq = hi·10¹⁸ + lo) — decimal value types hash differently
+    across engines even when numerically equal (r12 verdict), while
+    two BIGINTs are representation-stable on both sides."""
     import shutil
     import tempfile
 
@@ -12739,8 +12751,16 @@ def cdc_aggregate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, table, state, ["o_orderstatus"],
             sum_cols=["cents"], sumsq_cols=["cents"],
         )
+        radix = F.lit(10**18).cast("decimal(38,0)")
         return out.select(
-            "o_orderstatus", "n_rows", "sum_cents", "sumsq_cents"
+            "o_orderstatus",
+            "n_rows",
+            "sum_cents",
+            F.expr(
+                "sumsq_cents div "
+                "CAST(1000000000000000000 AS DECIMAL(38,0))"
+            ).alias("sumsq_hi"),
+            (F.col("sumsq_cents") % radix).cast("long").alias("sumsq_lo"),
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
