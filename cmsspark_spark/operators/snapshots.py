@@ -56,6 +56,7 @@ is beyond-reference operability for the training-data lifecycle.
 
 from __future__ import annotations
 
+import bisect
 import json
 import uuid
 from typing import Callable, Sequence
@@ -262,6 +263,7 @@ def commit_snapshot(
     claim: Callable[[str, str], bool] | None = None,
     manifests: Sequence[str] | None = None,
     manifest_threshold: int | None = None,
+    new_delete_files: Sequence[str] | None = None,
 ) -> int:
     """Atomically commit the next snapshot version. With ``files`` the
     commit lists exactly those basenames (overwrite/rollback — the
@@ -296,7 +298,15 @@ def commit_snapshot(
     is maintained additively under the fresh-names-per-append
     contract (every write path here generates unique names); readers
     resolve through a dedup, so even a violated contract can only
-    skew the count, never a scan."""
+    skew the count, never a scan.
+
+    DELETE SEQUENCING: ``new_delete_files`` registers equality-delete
+    files whose sequence is this commit's version (stamped inside the
+    retry loop). Once a lineage carries delete state, appends record
+    per-file add-sequences (inline ``file_seqs``; manifest-mode
+    ``manifest_seqs`` — one seq per increment manifest), so reads can
+    scope each delete to data files with strictly lower sequence, the
+    Iceberg v2 contract that makes delete-then-reinsert correct."""
     if manifests is not None:
         if files is not None or append_files is not None:
             raise ValueError(
@@ -338,33 +348,68 @@ def commit_snapshot(
             )
             p_manifests = (pmeta or {}).get("manifests")
             p_inline = (pmeta or {}).get("files", [])
+            # ADD SEQUENCES (Iceberg v2 delete scoping): once the
+            # lineage carries delete state, every appended file records
+            # the version that added it, so later reads can exempt it
+            # from OLDER deletes (delete-then-reinsert). Tracking
+            # starts at the first delete — untracked files default to
+            # seq 0, which every delete outranks, exactly the
+            # pre-delete-era semantics.
+            track_seqs = bool((pmeta or {}).get("delete_files"))
             if p_manifests is None and (
                 len(p_inline) + len(inc_names) <= threshold
             ):
                 names = sorted(set(p_inline) | set(inc_names))
                 listing = {"files": names, "n_files": len(names)}
+                fseqs = {
+                    k: s
+                    for k, s in ((pmeta or {}).get("file_seqs") or {}).items()
+                    if k in set(names)
+                }
+                if track_seqs:
+                    for n in inc_names:
+                        fseqs[n] = v
+                if fseqs:
+                    listing["file_seqs"] = fseqs
             else:
                 # manifest mode: reuse the parent's pointers (NEVER
                 # re-listing its live set) + one manifest for this
                 # increment; an inline parent converts with one extra
-                # chunk. The increment's manifest content does not
-                # depend on the parent, so it survives retry loops.
+                # chunk per distinct add-seq (1 chunk when untracked —
+                # seq grouping preserves per-file sequences through
+                # the conversion). The increment's manifest content
+                # does not depend on the parent, so it survives retry
+                # loops; its SEQ lives in the version meta, re-stamped
+                # per attempt, so a lost race can never pin a stale
+                # sequence onto the increment.
                 if inc_manifest is None:
                     inc_manifest = _write_manifest_file(
                         spark, table, inc_names
                     )
                 ptrs = list(p_manifests or [])
+                mseqs = dict((pmeta or {}).get("manifest_seqs") or {})
                 n_total = (pmeta or {}).get("n_files", 0) if p_manifests \
                     else len(p_inline)
                 if p_manifests is None and p_inline:
-                    ptrs.append(
-                        _write_manifest_file(spark, table, p_inline)
-                    )
+                    pfs = (pmeta or {}).get("file_seqs") or {}
+                    by_seq: dict = {}
+                    for n in p_inline:
+                        by_seq.setdefault(int(pfs.get(n, 0)), []).append(n)
+                    for s in sorted(by_seq):
+                        m = _write_manifest_file(spark, table, by_seq[s])
+                        ptrs.append(m)
+                        if s:
+                            mseqs[m] = s
                 ptrs.append(inc_manifest)
+                if track_seqs:
+                    mseqs[inc_manifest] = v
+                mseqs = {k: s for k, s in mseqs.items() if k in set(ptrs)}
                 listing = {
                     "manifests": ptrs,
                     "n_files": n_total + len(inc_names),
                 }
+                if mseqs:
+                    listing["manifest_seqs"] = mseqs
         else:
             names = sorted({f.rsplit("/", 1)[-1] for f in files})
             if len(names) <= threshold:
@@ -373,15 +418,32 @@ def commit_snapshot(
                 # names is loop-invariant: write the chunks ONCE and
                 # reuse them across version-race retries (a retry that
                 # rewrote them would pay O(live files) per attempt and
-                # orphan the prior set)
+                # orphan the prior set). Chunks group by add-seq when
+                # the caller carries one (rollback of a seq-tracked
+                # inline version), so sequences survive the chunking.
                 if files_chunks is None:
-                    files_chunks = [
-                        _write_manifest_file(
-                            spark, table, names[i : i + threshold]
-                        )
-                        for i in range(0, len(names), threshold)
-                    ]
-                listing = {"manifests": files_chunks, "n_files": len(names)}
+                    efs = (extra or {}).get("file_seqs") or {}
+                    by_seq = {}
+                    for n in names:
+                        by_seq.setdefault(int(efs.get(n, 0)), []).append(n)
+                    chunk_list: list = []
+                    chunk_seqs: dict = {}
+                    for s in sorted(by_seq):
+                        grp = by_seq[s]
+                        for i in range(0, len(grp), threshold):
+                            m = _write_manifest_file(
+                                spark, table, grp[i : i + threshold]
+                            )
+                            chunk_list.append(m)
+                            if s:
+                                chunk_seqs[m] = s
+                    files_chunks = (chunk_list, chunk_seqs)
+                listing = {
+                    "manifests": files_chunks[0],
+                    "n_files": len(names),
+                }
+                if files_chunks[1]:
+                    listing["manifest_seqs"] = files_chunks[1]
         meta = {
             "version": v,
             "op": op,
@@ -391,12 +453,31 @@ def commit_snapshot(
             # an APPEND inherits the parent's equality-delete state:
             # dropping it would silently resurrect every deleted row.
             # Inherited INSIDE the retry loop (pmeta tracks the real
-            # parent), overridable via extra (snapshot_delete itself).
-            for k in ("delete_files", "delete_key_cols"):
+            # parent), overridable via extra (rollback's path).
+            for k in ("delete_files", "delete_key_cols", "delete_seqs"):
                 if k in pmeta:
                     meta[k] = pmeta[k]
         meta.update(listing)
-        meta.update(extra or {})
+        extra_eff = dict(extra or {})
+        if files is not None and "manifests" in listing:
+            # chunking already folded the caller's per-file seqs into
+            # manifest_seqs; the inline map must not leak into meta
+            extra_eff.pop("file_seqs", None)
+        meta.update(extra_eff)
+        if new_delete_files is not None:
+            # the new delete files' SEQUENCE is this commit's version —
+            # stamped inside the retry loop so a lost race renumbers
+            # the delete along with the commit (a delete applies to
+            # data files with strictly lower seq, so an understamped
+            # delete would wrongly kill rows appended just before it)
+            nd = sorted(
+                {f.rsplit("/", 1)[-1] for f in new_delete_files}
+            )
+            meta["delete_files"] = list(meta.get("delete_files", [])) + nd
+            dseqs = dict(meta.get("delete_seqs") or {})
+            for n in nd:
+                dseqs[n] = v
+            meta["delete_seqs"] = dseqs
         tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")
         out = fs.create(tmp, False)
         try:
@@ -494,7 +575,16 @@ def snapshot_delete(
     later one (mixing key shapes would make the anti-join silently
     wrong). Single-writer, like every maintenance op here — the delete
     set is derived from the parent before the commit claim. Returns
-    the committed version."""
+    the committed version.
+
+    SEQUENCE SCOPING (Iceberg v2): the delete file is stamped with the
+    commit's version as its sequence and applies ONLY to data files
+    with a strictly lower add-sequence — rows appended AFTER the
+    delete are immune even when their keys match, so the standard
+    delete-then-reinsert / upsert correction pattern round-trips
+    (see :func:`_scan_with_deletes`). Tables written before sequence
+    tracking keep their old whole-table delete semantics (an
+    unstamped delete file sorts after every data file)."""
     key_cols = list(key_cols)
     versions = list_snapshots(spark, table)
     if not versions:
@@ -509,7 +599,11 @@ def snapshot_delete(
     root = table.rstrip("/")
     token = uuid.uuid4().hex[:12]
     staging = f"{root}/_staging/{token}"
-    keys.select(*key_cols).distinct().coalesce(1).write.mode(
+    # no coalesce(1): a huge delete-key set must not funnel through
+    # one task — AQE's partition coalescing already collapses a small
+    # distinct() output to one or a few files, and a billion-key
+    # delete writes in parallel (ADVICE r12)
+    keys.select(*key_cols).distinct().write.mode(
         "error"
     ).parquet(staging)
     fs, _ = _fs_for(spark, table)
@@ -521,33 +615,139 @@ def snapshot_delete(
             raise IOError(f"could not move delete file {p} into {root}")
         del_names.append(base)
     fs.delete(Path(staging), True)
-    extra = {
-        "delete_files": list(pmeta.get("delete_files", [])) + del_names,
-        "delete_key_cols": key_cols,
-    }
+    extra = {"delete_key_cols": key_cols}
     if "schema" in pmeta:
         extra["schema"] = pmeta["schema"]
     if pmeta.get("mixed_schemas"):
         extra["mixed_schemas"] = True
+    # the accumulated delete list and the new files' sequence stamps
+    # are assembled INSIDE the commit retry loop (parent re-read, seq
+    # = final version) — see commit_snapshot(new_delete_files=...)
     return commit_snapshot(
-        spark, table, op="delete", append_files=[], extra=extra
+        spark, table, op="delete", append_files=[], extra=extra,
+        new_delete_files=del_names,
     )
 
 
-def _apply_deletes(
-    spark: SparkSession, table: str, meta: dict, df: DataFrame
+def _live_name_seqs(
+    spark: SparkSession, table: str, meta: dict
+) -> dict:
+    """Live file basename → ADD SEQUENCE (the version that committed
+    the file). Sequence tracking starts at the table's first delete:
+    files committed while no delete state existed carry no entry and
+    default to 0, which is exact — every delete has a higher seq, so
+    "applies to seq 0" ≡ "applies", the pre-sequencing behavior."""
+    if "files" in meta:
+        fseqs = meta.get("file_seqs") or {}
+        return {n: int(fseqs.get(n, 0)) for n in meta["files"]}
+    mseqs = meta.get("manifest_seqs") or {}
+    out: dict = {}
+    for m in meta.get("manifests", []):
+        s = int(mseqs.get(m, 0))
+        for n in _read_manifest_file(spark, table, m):
+            # duplicate names across chunks violate the fresh-names
+            # contract; keep the SMALLEST seq (more deletes apply —
+            # degrades to over-deleting a contract-violating dup,
+            # never to resurrecting a legitimately deleted row)
+            if n not in out or s < out[n]:
+                out[n] = s
+    return out
+
+
+def _delete_entries(meta: dict) -> list:
+    """``(seq, delete_file_basename)`` ascending. A delete file with
+    no recorded seq (pre-sequencing table) sorts LAST and applies to
+    every data file — the legacy whole-table behavior."""
+    dseqs = meta.get("delete_seqs") or {}
+    out = []
+    for n in meta.get("delete_files", []):
+        s = dseqs.get(n)
+        out.append((float("inf") if s is None else int(s), n))
+    out.sort()
+    return out
+
+
+# above this total size the accumulated delete-key files are NOT
+# force-broadcast — AQE picks the join strategy (ADVICE r12: a
+# billion-row delete set forced through F.broadcast blows the
+# driver/executor broadcast limits long before "key-sized" stops
+# being true)
+BROADCAST_DELETES_MAX_BYTES = 64 << 20
+
+
+def _delete_keys_df(
+    spark: SparkSession, table: str, names: Sequence[str]
 ) -> DataFrame:
-    """Anti-join a version's equality-delete files onto ``df``."""
-    dels = meta.get("delete_files")
-    if not dels:
-        return df
+    """Distinct key rows of the given delete files, broadcast-hinted
+    only while their total on-disk size stays small."""
     root = table.rstrip("/")
     del_df = spark.read.parquet(
-        *[f"{root}/{n}" for n in dels]
+        *[f"{root}/{n}" for n in names]
     ).distinct()
-    return df.join(
-        F.broadcast(del_df), list(meta["delete_key_cols"]), "left_anti"
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    total = 0
+    for n in names:
+        try:
+            total += fs.getFileStatus(Path(f"{root}/{n}")).getLen()
+        except Exception:
+            return del_df  # unknown size: let AQE decide
+    if total <= BROADCAST_DELETES_MAX_BYTES:
+        return F.broadcast(del_df)
+    return del_df
+
+
+def _scan_with_deletes(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    names: Sequence[str],
+    merge_schema: bool | None = None,
+) -> DataFrame:
+    """Explicit-path scan of ``names`` with the version's equality
+    deletes applied at ICEBERG V2 SEQUENCE SCOPE: a delete file with
+    sequence s anti-joins only rows of data files whose add-sequence
+    is STRICTLY LOWER than s. A row appended AFTER a delete of its
+    key is therefore immune to that delete — the standard
+    delete-then-reinsert correction pattern works (ADVICE r12: the
+    flat anti-join silently vanished such rows).
+
+    Data files are grouped by which SUFFIX of the seq-ordered delete
+    list applies (a file with add-seq a is hit by exactly the deletes
+    with seq > a), so the scan is at most ``#delete-commits + 1``
+    unioned branches, each with ONE anti-join over the union of its
+    applicable delete files — never a per-delete-file join chain."""
+    root = table.rstrip("/")
+    reader = spark.read
+    mixed = (
+        meta.get("mixed_schemas") if merge_schema is None else merge_schema
     )
+    if mixed:
+        reader = reader.option("mergeSchema", "true")
+    names = sorted(set(names))
+    dels = _delete_entries(meta)
+    if not dels:
+        return reader.parquet(*[f"{root}/{n}" for n in names])
+    seqs = _live_name_seqs(spark, table, meta)
+    dseq_list = [s for s, _ in dels]
+    groups: dict = {}
+    for n in names:
+        i = bisect.bisect_right(dseq_list, seqs.get(n, 0))
+        groups.setdefault(i, []).append(n)
+    kc = list(meta["delete_key_cols"])
+    parts = []
+    for i in sorted(groups):
+        df = reader.parquet(*[f"{root}/{n}" for n in groups[i]])
+        applicable = [nm for _, nm in dels[i:]]
+        if applicable:
+            df = df.join(
+                _delete_keys_df(spark, table, applicable), kc, "left_anti"
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def optimize_snapshot(
@@ -642,13 +842,7 @@ def read_snapshot(
                 [], StructType.fromJson(meta["schema"])
             )
         return spark.createDataFrame([], spark.read.parquet(table).schema)
-    root = table.rstrip("/")
-    reader = spark.read
-    if meta.get("mixed_schemas"):
-        reader = reader.option("mergeSchema", "true")
-    return _apply_deletes(
-        spark, table, meta, reader.parquet(*[f"{root}/{n}" for n in live])
-    )
+    return _scan_with_deletes(spark, table, meta, live)
 
 
 def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
@@ -665,7 +859,8 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     extra = {
         k: meta[k]
         for k in (
-            "schema", "mixed_schemas", "delete_files", "delete_key_cols"
+            "schema", "mixed_schemas", "delete_files", "delete_key_cols",
+            "delete_seqs", "file_seqs", "manifest_seqs",
         )
         if k in meta
     } or None
@@ -838,16 +1033,13 @@ def snapshot_changes(
     old = set(snapshot_files(spark, table, from_version))
     new = snapshot_files(spark, table, to_version)
     added = [n for n in new if n not in old]
-    root = table.rstrip("/")
     if not added:
         return read_snapshot(spark, table, to_version).limit(0)
     # rows in added files that the TO version's equality deletes kill
     # were never live at `to` — exclude them, same as read_snapshot
+    # (sequence-scoped: a delete only reaches files added before it)
     to_meta = read_snapshot_meta(spark, table, to_version)
-    return _apply_deletes(
-        spark, table, to_meta,
-        spark.read.parquet(*[f"{root}/{n}" for n in added]),
-    )
+    return _scan_with_deletes(spark, table, to_meta, added)
 
 
 def committed_batch_ids(spark: SparkSession, table: str) -> set[str]:
@@ -939,24 +1131,17 @@ def snapshot_cdc(
     to_meta = read_snapshot_meta(spark, table, to_version)
     old = set(snapshot_files(spark, table, meta=from_meta))
     new = set(snapshot_files(spark, table, meta=to_meta))
-    root = table.rstrip("/")
 
     mixed = to_meta.get("mixed_schemas") or from_meta.get(
         "mixed_schemas"
     )
 
-    def _read(names: set[str]) -> DataFrame:
-        reader = spark.read
-        if mixed:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*[f"{root}/{n}" for n in sorted(names)])
-
     def _signed(names: set[str], sign: int, meta: dict) -> DataFrame | None:
         if not names:
             return None
-        return _apply_deletes(spark, table, meta, _read(names)).withColumn(
-            "_cdc_sign", F.lit(sign)
-        )
+        return _scan_with_deletes(
+            spark, table, meta, sorted(names), merge_schema=mixed
+        ).withColumn("_cdc_sign", F.lit(sign))
 
     parts = [
         _signed(new - old, 1, to_meta),
@@ -974,27 +1159,33 @@ def snapshot_cdc(
         def _del_keys(names: set[str]) -> DataFrame | None:
             if not names:
                 return None
-            return spark.read.parquet(
-                *[f"{root}/{n}" for n in sorted(names)]
-            ).distinct()
+            # gated broadcast (small delete sets hint, big ones AQE)
+            return _delete_keys_df(spark, table, sorted(names))
 
         newly_dead = _del_keys(to_dels - from_dels)
         revived = _del_keys(from_dels - to_dels)
-        base = _read(common)
         if newly_dead is not None:
             # rows live at `from` (so not in from's delete set) that
-            # to's NEW delete keys kill
+            # to's NEW delete keys kill — new deletes carry a seq
+            # above every common file's add-seq in lineage order, so
+            # the key semi-join is exact here
             parts.append(
-                _apply_deletes(spark, table, from_meta, base)
-                .join(F.broadcast(newly_dead), kc, "left_semi")
+                _scan_with_deletes(
+                    spark, table, from_meta, sorted(common),
+                    merge_schema=mixed,
+                )
+                .join(newly_dead, kc, "left_semi")
                 .withColumn("_cdc_sign", F.lit(-1))
             )
         if revived is not None:
             # keys whose deletion rolled off: live again at `to`
-            # (and not re-deleted there — base is to-filtered)
+            # (and not re-deleted there — the scan is to-filtered)
             parts.append(
-                _apply_deletes(spark, table, to_meta, base)
-                .join(F.broadcast(revived), kc, "left_semi")
+                _scan_with_deletes(
+                    spark, table, to_meta, sorted(common),
+                    merge_schema=mixed,
+                )
+                .join(revived, kc, "left_semi")
                 .withColumn("_cdc_sign", F.lit(1))
             )
     parts = [p for p in parts if p is not None]

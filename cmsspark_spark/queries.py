@@ -12938,3 +12938,100 @@ def snapshot_equality_deletes(
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+@query(
+    "snapshot_delete_reinsert",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 4 = 0 AND o_custkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 1 AS cents
+      FROM orders
+      WHERE o_orderkey % 4 = 0 AND o_custkey % 5 = 0
+        AND o_orderkey % 8 = 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_delete_reinsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE-THEN-REINSERT on a snapshot table — the Iceberg v2
+    SEQUENCE-SCOPING contract (snapshots._scan_with_deletes): an
+    equality-delete file applies only to data files with a strictly
+    lower add-sequence, so rows re-appended AFTER the delete survive
+    reads even though their keys sit in the accumulated delete set.
+    The corpus lands as one append; every order of a %5 customer is
+    deleted by key; the %8 subset of the deleted orders is then
+    REINSERTED with a corrected price (+1 cent). The final read must
+    equal the oracle's (never-deleted UNION corrected-reinserts)
+    aggregate — under the pre-sequencing flat anti-join the reinserted
+    rows silently vanished (ADVICE r12, data loss for the standard
+    correction pattern). A CDC-maintained aggregate refreshed across
+    append → delete → reinsert is asserted equal to the direct read:
+    the signed delete-delta and the reinsert's +1 rows keep the fold
+    exact without recomputation."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("o_orderkey") % 4 == 0)
+    tmp = tempfile.mkdtemp(prefix="snap_reins_")
+    try:
+        table = f"{tmp}/t"
+        state = f"{tmp}/agg"
+
+        def refresh():
+            return {
+                r.o_orderstatus: (r.n_rows, r.sum_cents)
+                for r in SN.maintain_snapshot_agg(
+                    spark, table, state, ["o_orderstatus"],
+                    sum_cols=["cents"],
+                ).collect()
+            }
+
+        SN.snapshot_write(orders, table, mode="append")
+        refresh()
+        dead = orders.filter(F.col("o_custkey") % 5 == 0)
+        SN.snapshot_delete(
+            spark, table, dead.select("o_orderkey"), ["o_orderkey"]
+        )
+        refresh()
+        corrected = dead.filter(F.col("o_orderkey") % 8 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(1)
+        )
+        SN.snapshot_write(corrected, table, mode="append")
+        out = (
+            SN.read_snapshot(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        direct = {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in out.collect()
+        }
+        if refresh() != direct:
+            raise AssertionError(
+                "CDC-maintained aggregate diverged across the "
+                "delete→reinsert sequence"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

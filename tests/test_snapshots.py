@@ -1073,3 +1073,80 @@ def test_snapshot_equality_deletes_full_lifecycle(spark, tmp_path):
     left = [f for f in os.listdir(t) if f.startswith("snapdel-")]
     assert left == []
     assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_equality_delete_then_reinsert_roundtrip(spark, tmp_path):
+    """Iceberg v2 SEQUENCE SCOPING: a delete file applies only to data
+    files with a strictly lower add-sequence, so a row appended AFTER
+    a delete of its key is immune to that delete (the standard
+    delete-then-reinsert correction), while a LATER delete still
+    kills it. Sequences survive rollback and the inline→manifest
+    conversion."""
+    t = str(tmp_path / "t")
+
+    def rows(*ids):
+        return spark.createDataFrame(
+            [(int(i), int(i) * 10) for i in ids], "id long, v long"
+        )
+
+    S.snapshot_write(rows(1, 2, 3), t, mode="append")            # v1
+    S.snapshot_delete(spark, t, rows(2).select("id"), ["id"])    # v2
+    assert _ids(S.read_snapshot(spark, t)) == [1, 3]
+
+    # reinsert the deleted key: must be live again (pre-sequencing
+    # this row silently vanished — ADVICE r12)
+    S.snapshot_write(rows(2), t, mode="append")                  # v3
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3]
+    cdc = {
+        (r.id, r._cdc_sign)
+        for r in S.snapshot_cdc(spark, t, 2, 3)
+        .select("id", "_cdc_sign").collect()
+    }
+    assert cdc == {(2, 1)}
+
+    # a LATER delete still kills the reinserted row; a second
+    # reinsert survives the now-stacked deletes
+    S.snapshot_delete(spark, t, rows(2).select("id"), ["id"])    # v4
+    assert _ids(S.read_snapshot(spark, t)) == [1, 3]
+    S.snapshot_write(rows(2), t, mode="append")                  # v5
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3]
+
+    # every era's truth is time-travelable
+    assert _ids(S.read_snapshot(spark, t, 2)) == [1, 3]
+    assert _ids(S.read_snapshot(spark, t, 3)) == [1, 2, 3]
+    assert _ids(S.read_snapshot(spark, t, 4)) == [1, 3]
+
+    # rollback to the reinserted era carries the sequences: the
+    # reinsert stays immune to the older delete
+    S.rollback_snapshot(spark, t, 3)                             # v6
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3]
+
+    # inline→manifest conversion groups chunks by add-seq so the
+    # scoping survives pointer mode
+    from cmsspark_spark.operators import snapshots as SN
+
+    old_max = SN.MANIFEST_INLINE_MAX
+    SN.MANIFEST_INLINE_MAX = 2
+    try:
+        S.snapshot_write(rows(7), t, mode="append")              # v7
+        m7 = S.read_snapshot_meta(spark, t, 7)
+        assert "manifests" in m7 and "files" not in m7
+        assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3, 7]
+        # manifest-mode append on a deleted lineage keeps scoping:
+        # delete 7, reinsert 7
+        S.snapshot_delete(spark, t, rows(7).select("id"), ["id"])  # v8
+        assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3]
+        S.snapshot_write(rows(7), t, mode="append")              # v9
+        assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3, 7]
+    finally:
+        SN.MANIFEST_INLINE_MAX = old_max
+
+    # maintained aggregate built on CDC agrees with recompute at HEAD
+    state = str(tmp_path / "agg")
+    got = {
+        r.id: r.n_rows
+        for r in S.maintain_snapshot_agg(
+            spark, t, state, ["id"]
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1}
