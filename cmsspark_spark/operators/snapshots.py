@@ -590,6 +590,12 @@ def snapshot_delete(
     if not versions:
         raise FileNotFoundError(f"{table} has no snapshots")
     pmeta = read_snapshot_meta(spark, table, versions[-1])
+    if pmeta.get("part_cols"):
+        raise ValueError(
+            f"{table} is partition-attributed — at that grain the "
+            "delete mechanism is overwriting the partition "
+            "(snapshot_write_partitions), not equality-delete files"
+        )
     pinned = pmeta.get("delete_key_cols")
     if pinned is not None and list(pinned) != key_cols:
         raise ValueError(
@@ -784,7 +790,40 @@ def optimize_snapshot(
     if not versions:
         raise FileNotFoundError(f"{table} has no snapshots to optimize")
     src_v = versions[-1]
+    src_meta = read_snapshot_meta(spark, table, src_v)
     df = read_snapshot(spark, table, src_v)
+    pcols = src_meta.get("part_cols")
+    if pcols is not None:
+        # PARTITION-ATTRIBUTED table: compact per partition, keeping
+        # the attribution (a flat rewrite would strand the lineage —
+        # later partition commits refuse unattributed files). Hashing
+        # the partition columns into n_files tasks lands each
+        # partition's rows in one task, so the rewrite compacts to
+        # ~one file per partition; n_files bounds the parallelism.
+        out = df.repartition(int(n_files), *pcols)
+        if zorder_by:
+            from cmsspark_spark.operators.layout import zorder_key
+
+            out = zorder_key(out, *zorder_by).sortWithinPartitions(
+                "_zkey"
+            ).drop("_zkey")
+        by_part = _write_partition_attributed(out, table, pcols)
+        if list_snapshots(spark, table) != versions:
+            raise RuntimeError(
+                f"concurrent commit detected on {table} while "
+                f"rewriting v{src_v} — re-run in a quiet window (the "
+                "rewrite files are unreferenced residue, reclaimed by "
+                "vacuum)"
+            )
+        return commit_partition_snapshot(
+            spark, table, pcols, by_part, mode="overwrite",
+            expected_parent=src_v,
+            extra={
+                "schema": df.schema.jsonValue(),
+                "optimized_from": src_v,
+                "op": f"optimize:{src_v}",
+            },
+        )
     if zorder_by:
         from cmsspark_spark.operators.layout import zorder_key
 
@@ -816,7 +855,10 @@ def optimize_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """DataFrame over exactly one snapshot's files (latest when
     ``version`` is None) — an explicit-path parquet scan, so Spark
@@ -825,13 +867,21 @@ def read_snapshot(
     files span an APPEND-TIME SCHEMA CHANGE (commit marked
     ``mixed_schemas`` by snapshot_write) plans with parquet schema
     merging: pre-evolution rows surface added columns as null;
-    homogeneous versions skip the merge (no extra footer pass)."""
+    homogeneous versions skip the merge (no extra footer pass).
+
+    ``partitions`` (partition-attributed tables only) prunes the plan
+    to the requested partition values via the commit's manifest-part
+    pointers — METADATA-only pruning, so a one-day read of a
+    years-long table never lists or stats the other days' files."""
     versions = list_snapshots(spark, table)
     if not versions:
         raise FileNotFoundError(f"{table} has no snapshots")
     v = versions[-1] if version is None else version
     meta = read_snapshot_meta(spark, table, v)
-    live = snapshot_files(spark, table, meta=meta)
+    if partitions is not None:
+        live = _prune_partition_files(spark, table, meta, partitions)
+    else:
+        live = snapshot_files(spark, table, meta=meta)
     if not live:
         # the schema recorded AT COMMIT TIME, not the directory's
         # current footers — an old empty version must not inherit a
@@ -856,11 +906,15 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     million-file table writes O(1) metadata. Returns the new version
     number."""
     meta = read_snapshot_meta(spark, table, version)
+    # touched_parts is deliberately NOT carried: a rollback may change
+    # any partition, so concurrent partition overwrites planned before
+    # it must fail their disjointness audit, not compose over it
     extra = {
         k: meta[k]
         for k in (
             "schema", "mixed_schemas", "delete_files", "delete_key_cols",
             "delete_seqs", "file_seqs", "manifest_seqs",
+            "part_cols", "manifest_parts", "manifest_sizes",
         )
         if k in meta
     } or None
@@ -1507,3 +1561,318 @@ def snapshot_version_diff(
     old = read_snapshot(spark, table, from_version)
     new = read_snapshot(spark, table, to_version)
     return snapshot_diff(old, new, list(key_cols), list(value_cols))
+
+
+# ---------------------------------------------------------------------------
+# Partition-grain commits (the reference's daily dynamic-partition
+# overwrite — dbs_hdfs_eos.py:55-62 overwrites one day's HDFS output in
+# place; here each day is a PARTITION of one snapshot table, replaced
+# atomically with full history).
+# ---------------------------------------------------------------------------
+
+
+def _pk_key(values: Sequence[str]) -> str:
+    """Canonical JSON partition key — the unescaped partition values in
+    ``part_cols`` order, stringified. Used as the manifest_parts value
+    and for conflict/pruning comparisons."""
+    return json.dumps([None if v is None else str(v) for v in values])
+
+
+def _write_partition_attributed(
+    df: DataFrame, table: str, part_cols: Sequence[str]
+) -> dict:
+    """Stage ``df`` PARTITION-PURE (no file ever spans two partition
+    values — ``partitionBy`` on throwaway ``_p_*`` duplicates of the
+    partition columns) and move the files into the table root; returns
+    ``{pk_key: [basenames]}``. The real partition columns STAY in the
+    data files, so explicit-path snapshot reads see the full schema
+    with no directory-discovery dependence, and the directory layout
+    itself is flat like every other snapshot write."""
+    from urllib.parse import unquote
+
+    spark = df.sparkSession
+    root = table.rstrip("/")
+    token = uuid.uuid4().hex[:12]
+    staging = f"{root}/_staging/{token}"
+    staged_df = df
+    pcols = []
+    for c in part_cols:
+        # the throwaway layout column must NOT start with "_" or "."
+        # (underscore-prefixed partition dirs are invisible to Hadoop
+        # listings); the token makes collisions with real columns
+        # impossible in practice
+        pc = f"pk{token}_{c}"
+        staged_df = staged_df.withColumn(pc, F.col(c).cast("string"))
+        pcols.append(pc)
+    staged_df.write.partitionBy(*pcols).mode("error").parquet(staging)
+    staged = _list_parquet_files(spark, staging)
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    marker = f"/_staging/{token}/"
+    out: dict = {}
+    for i, p in enumerate(sorted(staged)):
+        rel = p.split(marker, 1)[1]
+        segs = rel.split("/")[:-1]
+        if len(segs) != len(part_cols):
+            raise IOError(
+                f"unexpected staging layout for {p!r}: {segs}"
+            )
+        vals = []
+        for c, s in zip(part_cols, segs):
+            pre = f"pk{token}_{c}="
+            if not s.startswith(pre):
+                raise IOError(f"unexpected staging segment {s!r}")
+            raw = s[len(pre):]
+            # Hive writes %xx-escaped values and a null sentinel;
+            # unquote restores the value text
+            vals.append(
+                None
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(raw)
+            )
+        base = f"snap-{token}-{i:05d}-" + p.rsplit("/", 1)[-1]
+        if not fs.rename(Path(p), Path(f"{root}/{base}")):
+            raise IOError(f"could not move staged file {p} into {root}")
+        out.setdefault(_pk_key(vals), []).append(base)
+    fs.delete(Path(staging), True)
+    return out
+
+
+def commit_partition_snapshot(
+    spark: SparkSession,
+    table: str,
+    part_cols: Sequence[str],
+    files_by_part: dict,
+    mode: str = "overwrite",
+    expected_parent: int | None = None,
+    extra: dict | None = None,
+    max_retries: int = 16,
+    claim: Callable[[str, str], bool] | None = None,
+) -> int:
+    """Commit partition-attributed files: ``overwrite`` atomically
+    REPLACES exactly the partitions present in ``files_by_part`` (the
+    dynamic-partition-overwrite contract), ``append`` adds to them.
+
+    Partition-attributed tables always store MANIFEST POINTERS, one
+    manifest per (commit × partition), with ``manifest_parts`` mapping
+    each pointer to its partition key — so replacing a partition is
+    pointer surgery in O(#manifests) metadata, never a file-list
+    rewrite, and a read pruned to one partition opens one manifest of
+    a million-file table.
+
+    CONCURRENCY: the version claim serializes metadata, but writers to
+    DISJOINT partitions compose — a loser re-reads the real parent
+    inside the retry loop and re-applies its pointer surgery on top of
+    the winner's commit. ``expected_parent`` (the version the caller
+    planned against) arms the CONFLICT AUDIT: an overwrite that finds
+    an intervening commit touching one of ITS partitions — or any
+    intervening commit that cannot prove which partitions it touched
+    (rollback, non-partition writes) — fails loudly instead of
+    publishing a lost update. Appends never conflict (they commute).
+
+    Lineage rules, enforced loudly: ``part_cols`` pins at the first
+    partition commit; a table with unattributed live files refuses
+    partition commits; a table carrying equality-delete state refuses
+    them too (fold the deletes with :func:`optimize_snapshot` first —
+    partition overwrite IS the delete mechanism at this grain)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    part_cols = list(part_cols)
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(Path(_snap_dir(table)))
+    if claim is None:
+        claim = default_claim(spark, table)
+    mine = set(files_by_part)
+    new_manifests: list | None = None  # loop-invariant, written once
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        versions = list_snapshots(spark, table)
+        v = (versions[-1] + 1) if versions else 1
+        pmeta = (
+            read_snapshot_meta(spark, table, versions[-1])
+            if versions
+            else {}
+        )
+        if pmeta:
+            if pmeta.get("delete_files"):
+                raise ValueError(
+                    f"{table} carries equality-delete state — fold it "
+                    "(optimize_snapshot) before partition-grain commits"
+                )
+            pinned = pmeta.get("part_cols")
+            if pinned is None and pmeta.get("n_files", 0) > 0:
+                raise ValueError(
+                    f"{table} has live files with no partition "
+                    "attribution — partition-grain commits need an "
+                    "attributed lineage from the first write"
+                )
+            if pinned is not None and list(pinned) != part_cols:
+                raise ValueError(
+                    f"{table} pins partition columns {pinned}, "
+                    f"refusing {part_cols}"
+                )
+        if expected_parent is not None:
+            for iv in versions:
+                if iv <= expected_parent:
+                    continue
+                im = read_snapshot_meta(spark, table, iv)
+                touched = im.get("touched_parts")
+                if touched is None:
+                    raise RuntimeError(
+                        f"commit v{iv} landed on {table} after this "
+                        f"write was planned (v{expected_parent}) and "
+                        "does not declare touched partitions — cannot "
+                        "prove disjointness; re-plan against the new "
+                        "state"
+                    )
+                if mode == "overwrite" and mine & set(touched):
+                    raise RuntimeError(
+                        f"partition conflict on {table}: commit v{iv} "
+                        f"touched {sorted(mine & set(touched))} after "
+                        f"this overwrite was planned (v{expected_parent})"
+                        " — publishing would lose its update; re-plan"
+                    )
+        mparts = dict(pmeta.get("manifest_parts") or {})
+        msizes = dict(pmeta.get("manifest_sizes") or {})
+        keep = []
+        for m in pmeta.get("manifests", []):
+            if mode == "overwrite" and mparts.get(m) in mine:
+                mparts.pop(m, None)
+                msizes.pop(m, None)
+            else:
+                keep.append(m)
+        if new_manifests is None:
+            new_manifests = [
+                (
+                    _write_manifest_file(spark, table, files_by_part[pk]),
+                    pk,
+                    len(files_by_part[pk]),
+                )
+                for pk in sorted(files_by_part)
+            ]
+        ptrs = keep + [m for m, _, _ in new_manifests]
+        for m, pk, n in new_manifests:
+            mparts[m] = pk
+            msizes[m] = n
+        meta = {
+            "version": v,
+            "op": f"part-{mode}",
+            "parent": versions[-1] if versions else None,
+            "manifests": ptrs,
+            "manifest_parts": mparts,
+            "manifest_sizes": msizes,
+            "n_files": sum(msizes.values()),
+            "part_cols": part_cols,
+            "touched_parts": sorted(mine),
+        }
+        meta.update(extra or {})
+        tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")
+        out = fs.create(tmp, False)
+        try:
+            out.write(bytearray(json.dumps(meta).encode("utf-8")))
+        finally:
+            out.close()
+        dest = _snap_dir(table) + "/" + _version_name(v)
+        try:
+            if claim(tmp.toString(), dest):
+                return v
+            last_err = RuntimeError(f"version claim lost for {dest}")
+        except Exception as exc:
+            last_err = exc
+        fs.delete(tmp, False)
+    raise RuntimeError(
+        f"could not commit a partition snapshot of {table} after "
+        f"{max_retries} attempts; last error: {last_err}"
+    )
+
+
+def snapshot_write_partitions(
+    df: DataFrame,
+    table: str,
+    part_cols: Sequence[str],
+    mode: str = "overwrite",
+    expected_parent: int | None = None,
+) -> int:
+    """Write ``df`` as a PARTITION-GRAIN snapshot commit: ``overwrite``
+    replaces exactly the partitions ``df`` contains (the reference's
+    daily job pattern — re-running a day replaces that day and nothing
+    else, atomically, with every prior version still readable),
+    ``append`` adds files to them. Writers to disjoint partition sets
+    run concurrently; see :func:`commit_partition_snapshot` for the
+    compose/conflict rules. Returns the committed version."""
+    spark = df.sparkSession
+    if expected_parent is None:
+        versions = list_snapshots(spark, table)
+        expected_parent = versions[-1] if versions else 0
+    files_by_part = _write_partition_attributed(df, table, part_cols)
+    return commit_partition_snapshot(
+        spark,
+        table,
+        part_cols,
+        files_by_part,
+        mode=mode,
+        expected_parent=expected_parent,
+        extra={"schema": df.schema.jsonValue()},
+    )
+
+
+def snapshot_partitions(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Audit view of one version's partitions: one row per partition
+    with its file count — resolved from commit metadata only (no data
+    file is opened)."""
+    if version is None:
+        versions = list_snapshots(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"{table} has no snapshots")
+        version = versions[-1]
+    meta = read_snapshot_meta(spark, table, version)
+    pcols = meta.get("part_cols")
+    if pcols is None:
+        raise ValueError(f"{table} v{version} is not partition-attributed")
+    agg: dict = {}
+    for m, pk in (meta.get("manifest_parts") or {}).items():
+        agg[pk] = agg.get(pk, 0) + int(
+            (meta.get("manifest_sizes") or {}).get(m, 0)
+        )
+    rows = [tuple(json.loads(pk)) + (n,) for pk, n in sorted(agg.items())]
+    schema = ", ".join(f"`{c}` string" for c in pcols) + ", n_files int"
+    return spark.createDataFrame(rows, schema)
+
+
+def _prune_partition_files(
+    spark: SparkSession, table: str, meta: dict, partitions: dict
+) -> list:
+    """Resolve the live files of ONLY the requested partitions —
+    manifest-pointer pruning, so a one-day read of a years-long table
+    opens one manifest. ``partitions`` maps partition column → value
+    or list of values (compared as strings; None matches a null
+    partition)."""
+    pcols = meta.get("part_cols")
+    if pcols is None:
+        raise ValueError(
+            "partition-pruned read on a table without partition "
+            "attribution — write it with snapshot_write_partitions"
+        )
+    unknown = set(partitions) - set(pcols)
+    if unknown:
+        raise ValueError(
+            f"unknown partition column(s) {sorted(unknown)}; "
+            f"table partitions on {pcols}"
+        )
+    wanted = {}
+    for c, vs in partitions.items():
+        if not isinstance(vs, (list, tuple, set)):
+            vs = [vs]
+        wanted[c] = {None if x is None else str(x) for x in vs}
+    names: set = set()
+    for m, pk in (meta.get("manifest_parts") or {}).items():
+        vals = dict(zip(pcols, json.loads(pk)))
+        if all(vals[c] in w for c, w in wanted.items()):
+            names.update(
+                _read_manifest_file(spark, table, m)
+            )
+    return sorted(names)

@@ -13035,3 +13035,119 @@ def snapshot_delete_reinsert(
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+@query(
+    "snapshot_partition_overwrite",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 1 AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'
+        AND o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 100 AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'O'
+        AND o_orderkey % 7 = 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-GRAIN snapshot commits (snapshots.
+    snapshot_write_partitions / commit_partition_snapshot) — the
+    reference's daily dynamic-partition-overwrite workflow
+    (/root/reference/src/python/CMSSpark/dbs_hdfs_eos.py:55-62
+    overwrites one day's HDFS output in place) re-expressed with full
+    history: each commit atomically replaces exactly the partitions it
+    writes, via one manifest pointer per (commit × partition), so the
+    metadata cost is O(touched partitions), never O(table).
+
+    INTERLEAVING exercised for real: after the base load, an
+    overwrite of partition F (corrected subset, +1 cent) and an
+    append to partition O (+100-cent adjustment rows) are BOTH
+    planned against the same stale parent version and committed one
+    after the other — the second writer's conflict audit proves
+    disjointness and composes on top of the first instead of aborting
+    or clobbering. The final read must hash-match the oracle's SERIAL
+    schedule. An overwrite of F planned at the stale parent is then
+    asserted to FAIL LOUDLY (lost-update prevention), and a
+    partition-pruned read (metadata-only manifest selection) is
+    asserted equal to the filtered full read."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("o_orderkey") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="snap_part_")
+    try:
+        table = f"{tmp}/t"
+        stale = SN.snapshot_write_partitions(
+            base, table, ["o_orderstatus"]
+        )
+        corrected_f = base.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+        ).withColumn("cents", F.col("cents") + F.lit(1))
+        SN.snapshot_write_partitions(
+            corrected_f, table, ["o_orderstatus"], expected_parent=stale
+        )
+        adj_o = base.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 7 == 0)
+        ).withColumn("cents", F.col("cents") + F.lit(100))
+        SN.snapshot_write_partitions(
+            adj_o, table, ["o_orderstatus"], mode="append",
+            expected_parent=stale,
+        )
+        try:
+            SN.snapshot_write_partitions(
+                corrected_f.limit(1), table, ["o_orderstatus"],
+                expected_parent=stale,
+            )
+            raise AssertionError(
+                "overlapping partition overwrite from a stale parent "
+                "must fail loudly"
+            )
+        except RuntimeError:
+            pass
+        full = SN.read_snapshot(spark, table)
+        pruned = {
+            (r.o_orderkey, r.cents)
+            for r in SN.read_snapshot(
+                spark, table, partitions={"o_orderstatus": "P"}
+            ).collect()
+        }
+        filtered = {
+            (r.o_orderkey, r.cents)
+            for r in full.filter(F.col("o_orderstatus") == "P").collect()
+        }
+        if pruned != filtered:
+            raise AssertionError(
+                "partition-pruned read diverged from the filtered read"
+            )
+        return (
+            full.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1150,3 +1150,130 @@ def test_equality_delete_then_reinsert_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 1}
+
+
+def test_partition_overwrite_daily_pattern(spark, tmp_path):
+    """Partition-grain commits (the reference's daily dynamic
+    overwrite): re-running a day replaces that day only, atomically,
+    with full time travel; reads prune to one partition's manifest;
+    disjoint-partition writers planned against a stale parent COMPOSE;
+    overlapping overwrites and unattributed intervening commits fail
+    loudly; optimize compacts per partition keeping the attribution."""
+    t = str(tmp_path / "t")
+
+    def day(d, lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", f"'{d}' as day", "id * 2 as v"
+        )
+
+    # v1: days 1+2 land together; v2: day 2 re-run (corrected subset)
+    S.snapshot_write_partitions(
+        day("d1", 0, 4).union(day("d2", 4, 8)), t, ["day"]
+    )
+    v2 = S.snapshot_write_partitions(day("d2", 4, 6), t, ["day"])
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 3, 4, 5]
+    assert _ids(S.read_snapshot(spark, t, 1)) == list(range(8))
+
+    # partition-pruned read == filtered read, resolved from metadata
+    pruned = S.read_snapshot(spark, t, partitions={"day": "d2"})
+    assert _ids(pruned) == [4, 5]
+    parts = {
+        (r.day, r.n_files)
+        for r in S.snapshot_partitions(spark, t).collect()
+    }
+    assert {p[0] for p in parts} == {"d1", "d2"}
+
+    # append mode adds to a partition without replacing it
+    S.snapshot_write_partitions(day("d2", 6, 7), t, ["day"], mode="append")
+    assert _ids(S.read_snapshot(spark, t, partitions={"day": "d2"})) == \
+        [4, 5, 6]
+
+    # DISJOINT writers compose: a d3 writer planned before a d1 writer
+    # commits still lands (retry re-applies on the real parent)
+    stale_parent = S.list_snapshots(spark, t)[-1]
+    S.snapshot_write_partitions(day("d1", 0, 2), t, ["day"],
+                                expected_parent=stale_parent)   # d1 re-run
+    S.snapshot_write_partitions(day("d3", 10, 12), t, ["day"],
+                                expected_parent=stale_parent)   # composes
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 4, 5, 6, 10, 11]
+
+    # OVERLAPPING overwrite planned before a commit that touched the
+    # same partition fails loudly instead of losing the update
+    with pytest.raises(RuntimeError, match="partition conflict"):
+        S.snapshot_write_partitions(day("d3", 20, 21), t, ["day"],
+                                    expected_parent=stale_parent)
+
+    # pinned partition columns; unattributed lineage refused
+    with pytest.raises(ValueError, match="pins partition columns"):
+        S.snapshot_write_partitions(
+            day("d9", 0, 1).withColumnRenamed("day", "d"), t, ["d"]
+        )
+    t2 = str(tmp_path / "flat")
+    S.snapshot_write(spark.range(3), t2, mode="append")
+    with pytest.raises(ValueError, match="no partition attribution"):
+        S.snapshot_write_partitions(day("d1", 0, 1), t2, ["day"])
+
+    # equality deletes are refused at this grain (overwrite the
+    # partition instead), and vice versa
+    with pytest.raises(ValueError, match="partition-attributed"):
+        S.snapshot_delete(
+            spark, t, spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
+
+    # a rollback cannot prove which partitions it touched: an
+    # overwrite planned before it must re-plan
+    pre_rb = S.list_snapshots(spark, t)[-1]
+    S.rollback_snapshot(spark, t, v2)
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(RuntimeError, match="does not declare touched"):
+        S.snapshot_write_partitions(day("d4", 30, 31), t, ["day"],
+                                    expected_parent=pre_rb)
+    # ... and partition commits continue fine on top of the rollback
+    S.snapshot_write_partitions(day("d4", 30, 31), t, ["day"])
+    assert _ids(S.read_snapshot(spark, t, partitions={"day": "d4"})) == [30]
+
+    # optimize compacts per partition, attribution survives
+    v_opt = S.optimize_snapshot(spark, t, n_files=4)
+    m = S.read_snapshot_meta(spark, t, v_opt)
+    assert m.get("part_cols") == ["day"]
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 3, 4, 5, 30]
+    per_part = {
+        r.day: r.n_files
+        for r in S.snapshot_partitions(spark, t, v_opt).collect()
+    }
+    assert set(per_part) == {"d1", "d2", "d4"}
+    assert all(n == 1 for n in per_part.values())
+    S.snapshot_write_partitions(day("d5", 40, 41), t, ["day"])
+    assert _ids(S.read_snapshot(spark, t, partitions={"day": "d5"})) == [40]
+
+    # maintained aggregate stays exact across partition overwrites
+    state = str(tmp_path / "agg")
+    got = {
+        r.day: (r.n_rows, r.sum_v)
+        for r in S.maintain_snapshot_agg(
+            spark, t, state, ["day"], sum_cols=["v"]
+        ).collect()
+    }
+    want = {
+        r.day: (r.n_rows, r.sum_v)
+        for r in S.read_snapshot(spark, t)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # expire reclaims the replaced partitions' files and manifests
+    # (files landed by the deliberately-failed conflict commits above
+    # are never-referenced residue — vacuum's job, not expire's)
+    import os
+    rep = S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+    assert rep["deleted_files"]
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 3, 4, 5, 30, 40]
+    live = set(S.snapshot_files(spark, t))
+    on_disk = {f for f in os.listdir(t) if f.startswith("snap-")}
+    assert live <= on_disk
+    assert not (set(rep["deleted_files"]) & on_disk)
