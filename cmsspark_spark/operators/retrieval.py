@@ -101,10 +101,11 @@ def _state_table_exists(spark: SparkSession, path: str) -> bool:
 # read as an implicit base until their first compaction migrates them.
 # ---------------------------------------------------------------------------
 
-#: Index tables a commit may carry (tombstones only when deleting).
+#: Index tables a commit may carry (tombstones only when deleting;
+#: positions only on positional indexes — phrase retrieval).
 _INDEX_TABLES = (
     "postings", "termstats", "blockstats", "champions", "globals",
-    "tombstones",
+    "tombstones", "positions",
 )
 
 
@@ -205,11 +206,19 @@ def index_table(
 def _finalize_commit(
     spark: SparkSession, index_dir: str, stage_path: str
 ) -> str:
-    """Make a staged increment visible with ONE atomic rename into
-    commits/c-<seq>-<uuid>. The sequence is claimed by rename success
-    (a lost race re-lists and retries, same discipline as the
-    snapshot version claim); until the rename nothing of the staging
-    dir is readable, after it the whole commit is."""
+    """Make a staged increment visible as commits/c-<seq>-<uuid>, with
+    the SEQUENCE claimed exclusively first: an empty marker file
+    ``commits/s-<seq>`` is created with no-overwrite semantics (the
+    filesystem rejects a second creator), and only the claim winner
+    renames its payload to the c-<seq>-… name. The payload rename
+    alone could NOT claim the seq — its destination embeds this
+    writer's staging uuid, so two racers renaming "the same seq" land
+    under different names and both succeed (ADVICE r12); the marker is
+    the uuid-free name whose collision the race needs. A crash between
+    claim and rename leaves a harmless seq GAP (readers key on c-*
+    dirs; sequences need monotonicity, not density). Until the rename
+    nothing of the staging dir is readable, after it the whole commit
+    is."""
     from cmsspark_spark.operators.layout import _fs_for
     from cmsspark_spark.operators.snapshots import read_json_meta
 
@@ -232,13 +241,23 @@ def _finalize_commit(
     for _attempt in range(20):
         commits = _list_commit_dirs(spark, index_dir)
         seq = max(commits[-1][0] if commits else 0, floor_seq) + 1
-        dst = f"{_commits_dir(index_dir)}/c-{seq:08d}-{suffix}"
+        marker = Path(f"{_commits_dir(index_dir)}/s-{seq:08d}")
         try:
-            if fs.rename(Path(stage_path), Path(dst)):
-                return dst
-            last_err = RuntimeError(f"rename to {dst} returned false")
-        except Exception as exc:  # noqa: BLE001 — race: retry
+            out = fs.create(marker, False)  # exclusive: claims the seq
+            out.close()
+        except Exception as exc:  # noqa: BLE001 — seq taken: retry
             last_err = exc
+            continue
+        dst = f"{_commits_dir(index_dir)}/c-{seq:08d}-{suffix}"
+        if fs.rename(Path(stage_path), Path(dst)):
+            return dst
+        # rename of our OWN staging dir to a claimed, collision-free
+        # name failed: filesystem trouble, not a race — fail loudly
+        # (the marker stays; the seq becomes a gap)
+        raise RuntimeError(
+            f"claimed commit seq {seq} under {index_dir} but the "
+            f"payload rename to {dst} failed"
+        )
     raise RuntimeError(
         f"could not claim a commit sequence under {index_dir} after "
         f"20 attempts (concurrent-writer contention on a single-writer "
@@ -285,6 +304,7 @@ def append_bm25_index(
     champions: int = 16,
     tombstones: DataFrame | None = None,
     commit_tag: dict | None = None,
+    positions: bool = False,
 ) -> str:
     """Append one increment to (or create) a BM25 index directory —
     as ONE ATOMIC COMMIT (VERDICT r11 item 2).
@@ -309,7 +329,15 @@ def append_bm25_index(
     ``_commit.json`` so an interrupted higher-level operation (a
     snapshot consume that crashed between the rename and its pin
     advance) can recognize its own completed commit and RESUME.
-    Returns the committed directory path."""
+
+    ``positions=True`` builds a POSITIONAL index: the commit also
+    carries ``positions/`` ((t, doc, posns) — each term's sorted
+    occurrence offsets per doc), the input of the boolean/phrase serve
+    (:func:`bm25_index_boolean_serve`). Positional-ness is PINNED in
+    ``_index_meta.json`` at the first append and enforced on every
+    later one — an index where only some commits carry positions would
+    silently miss phrase matches in the uncovered docs. Returns the
+    committed directory path."""
     import uuid as _uuid
 
     from pyspark import StorageLevel
@@ -324,15 +352,29 @@ def append_bm25_index(
     imeta = read_json_meta(spark, meta_path)
     if imeta is None or "block_size" not in imeta:
         # first data append (the meta may already exist carrying a
-        # snapshot pin): pin the grain, keep other fields
+        # snapshot pin): pin the grain + positional-ness, keep other
+        # fields
         write_json_meta(
-            spark, meta_path, {**(imeta or {}), "block_size": BLOCK_SIZE}
+            spark,
+            meta_path,
+            {
+                **(imeta or {}),
+                "block_size": BLOCK_SIZE,
+                "positions": bool(positions),
+            },
         )
     elif imeta.get("block_size") != BLOCK_SIZE:
         raise ValueError(
             f"{index_dir} was built with block_size="
             f"{imeta.get('block_size')}, this build uses {BLOCK_SIZE} — "
             "mixed block grains corrupt the block bounds; rebuild"
+        )
+    elif bool(imeta.get("positions", False)) != bool(positions):
+        raise ValueError(
+            f"{index_dir} is pinned to positions="
+            f"{bool(imeta.get('positions', False))}, this append passes "
+            f"positions={bool(positions)} — a partially-positional "
+            "index would silently miss phrase matches; rebuild"
         )
     stage = f"{_staging_root(index_dir)}/{_uuid.uuid4().hex}"
     post = _inc_postings(increment, id_col, text_col).persist(
@@ -369,6 +411,19 @@ def append_bm25_index(
         .select("t", "doc", "tf", "dl")
         .write.parquet(f"{stage}/champions")
     )
+    if positions:
+        # one extra tokenize pass over the increment only — the
+        # positional lists are per-(term, doc) sorted offsets, the
+        # exact shape the phrase check's shift-and-intersect needs
+        (
+            increment.select(
+                F.col(id_col).alias("doc"), tokens(text_col).alias("_tk")
+            )
+            .select("doc", F.posexplode("_tk").alias("pos", "t"))
+            .groupBy("t", "doc")
+            .agg(F.sort_array(F.collect_list("pos")).alias("posns"))
+            .write.parquet(f"{stage}/positions")
+        )
     if tombstones is not None:
         (
             tombstones.select(F.col(id_col).alias("doc"))
@@ -1036,6 +1091,267 @@ def bm25_index_serve(
     )
 
 
+def _boolean_parts(
+    spark: SparkSession, index_dir: str, queries
+) -> dict:
+    """Shared frames of the boolean serve and its pruning report:
+    block-grain AND intersection, the surviving-block posting scan,
+    and the fully-conjunctive doc set with its BM25 scores."""
+    st = _merged_state(spark, index_dir)
+    post, n_docs, avgdl = st["post"], st["n_docs"], st["avgdl"]
+    qrows = [
+        (int(qid), off, str(t).lower())
+        for qid, terms in queries
+        for off, t in enumerate(terms)
+    ]
+    if not qrows:
+        raise ValueError("queries must carry at least one term")
+    qdf = spark.createDataFrame(qrows, "_qid long, _off int, t string")
+    tdist = qdf.select("t").distinct()
+    qterms = qdf.select("_qid", "t").distinct()
+    qlens = qdf.groupBy("_qid").agg(
+        F.countDistinct("t").alias("_nt"),
+        F.count(F.lit(1)).alias("_noff"),
+    )
+    tstats = (
+        st["stats"]
+        .join(F.broadcast(tdist), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.sum("df_delta").alias("_df_raw"))
+    )
+    if st["dead_df"] is not None:
+        tstats = tstats.join(
+            F.broadcast(st["dead_df"]), "t", "left"
+        ).withColumn(
+            "_df",
+            F.col("_df_raw") - F.coalesce(F.col("_dead_df"), F.lit(0)),
+        ).drop("_dead_df")
+    else:
+        tstats = tstats.withColumn("_df", F.col("_df_raw"))
+    df_tab = tstats.select("t", "_df")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(K1_PLUS_1)) / (
+        F.col("tf")
+        + F.lit(K1)
+        * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+    )
+    braw = index_table(spark, index_dir, "blockstats", required=False)
+    if braw is None:
+        raise ValueError(
+            f"{index_dir} has no blockstats — rebuild the index"
+        )
+    # block-grain AND: a doc block can hold a conjunctive match only
+    # if EVERY query term has ≥1 posting in it — the Spark-shaped
+    # doc-ordered merge (the intersection runs on block metadata,
+    # postings of pruned blocks are never read)
+    tblocks = (
+        braw.join(F.broadcast(tdist), "t", "left_semi")
+        .select("t", "blk")
+        .distinct()
+    )
+    surviving = (
+        qterms.join(tblocks, "t")
+        .groupBy("_qid", "blk")
+        .agg(F.countDistinct("t").alias("_cnt"))
+        .join(F.broadcast(qlens.select("_qid", "_nt")), "_qid")
+        .filter(F.col("_cnt") == F.col("_nt"))
+        .select("_qid", "blk")
+    )
+    scanned = (
+        post.join(F.broadcast(tdist), "t", "left_semi")
+        .withColumn("blk", F.expr(f"doc div {BLOCK_SIZE}"))
+        .join(F.broadcast(surviving), "blk")
+        .join(F.broadcast(qterms), ["_qid", "t"], "left_semi")
+    )
+    and_docs = (
+        scanned.join(F.broadcast(df_tab), "t")
+        .groupBy("_qid", "doc")
+        .agg(
+            F.countDistinct("t").alias("_cnt"),
+            F.sum(idf * tf_part).alias("_score"),
+        )
+        .join(F.broadcast(qlens), "_qid")
+        .filter(F.col("_cnt") == F.col("_nt"))
+    )
+    return {
+        "qdf": qdf,
+        "qlens": qlens,
+        "tblocks": tblocks,
+        "surviving": surviving,
+        "scanned": scanned,
+        "and_docs": and_docs,
+        "df_tab": df_tab,
+    }
+
+
+def bm25_index_boolean_serve(
+    spark: SparkSession,
+    index_dir: str,
+    queries,
+    k: int = 10,
+    phrase: bool = False,
+) -> DataFrame:
+    """Conjunctive (AND) and PHRASE retrieval served from the
+    persisted index — the lookup shape hard-negative mining and
+    decontamination audits actually issue (every query term must
+    match; a phrase must match adjacently in order), which the
+    bag-of-terms BM25 rungs cannot express.
+
+    ``queries``: ``[(query_id, [term, ...]), ...]`` literals. Matching
+    docs rank by the same BM25 sum as :func:`bm25_index_serve` (same
+    idf/tf shapes, micro-grid rounding), top-``k`` per query; output
+    contract (query_id, doc_id, bm25, rank).
+
+    SCALE PATH: the candidate intersection runs at BLOCK grain first —
+    a doc block survives only if every query term has ≥1 posting in
+    it (maintained ``blockstats`` existence, merged across commits),
+    so the postings of pruned blocks are never read; the conjunctive
+    count check then runs on the surviving blocks' postings only.
+    This is the bounds-reusing equivalent of a doc-ordered postings
+    merge: rarest-term-driven skipping emerges from the intersection
+    (a term in few blocks kills most of the block space).
+
+    ``phrase=True`` additionally requires the terms ADJACENT IN ORDER
+    (offset-shifted occurrence lists intersect non-empty) using the
+    ``positions/`` table of a positional index
+    (``append_bm25_index(..., positions=True)``); a non-positional
+    index fails loudly. Repeated terms in the phrase are handled (the
+    check is per query OFFSET, not per distinct term)."""
+    parts = _boolean_parts(spark, index_dir, queries)
+    hits = parts["and_docs"]
+    if phrase:
+        posi = index_table(spark, index_dir, "positions", required=False)
+        if posi is None:
+            raise ValueError(
+                f"{index_dir} has no positions/ table — phrase serve "
+                "needs a positional index "
+                "(append_bm25_index(..., positions=True))"
+            )
+        # shift each term's occurrence list left by its query offset;
+        # the phrase matches iff all shifted lists share a value (the
+        # phrase's start position). Fold by array_intersect — k-1
+        # intersections per (query, doc), all JVM-side.
+        occ = (
+            parts["qdf"]
+            .join(posi, "t")
+            .join(
+                F.broadcast(hits.select("_qid", "doc")), ["_qid", "doc"]
+            )
+            .withColumn(
+                "_sh",
+                F.transform("posns", lambda p: p - F.col("_off")),
+            )
+        )
+        arrs = F.transform(
+            F.array_sort(F.collect_list(F.struct("_off", "_sh"))),
+            lambda s: s["_sh"],
+        )
+        folded = (
+            occ.groupBy("_qid", "doc")
+            .agg(
+                F.count(F.lit(1)).alias("_noff_hit"),
+                arrs.alias("_arrs"),
+            )
+            .withColumn(
+                "_inter",
+                F.aggregate(
+                    F.slice(
+                        F.col("_arrs"),
+                        F.lit(2),
+                        F.greatest(
+                            F.size("_arrs") - F.lit(1), F.lit(0)
+                        ),
+                    ),
+                    F.element_at(F.col("_arrs"), 1),
+                    lambda acc, x: F.array_intersect(acc, x),
+                ),
+            )
+        )
+        matched = (
+            folded.join(
+                F.broadcast(parts["qlens"].select("_qid", "_noff")),
+                "_qid",
+            )
+            .filter(
+                (F.col("_noff_hit") == F.col("_noff"))
+                & (F.size("_inter") > 0)
+            )
+            .select("_qid", "doc")
+        )
+        hits = hits.join(matched, ["_qid", "doc"], "left_semi")
+    w = Window.partitionBy("_qid").orderBy(
+        F.round("_score", 6).desc(), F.col("doc")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("doc").alias("doc_id"),
+            F.round("_score", 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
+def bm25_boolean_prune_report(
+    spark: SparkSession, index_dir: str, queries
+) -> DataFrame:
+    """Per-query evidence that the block-grain AND intersection prunes
+    (query_id, blocks_considered, blocks_surviving, postings_scanned,
+    postings_total, and_docs): ``blocks_considered`` counts the
+    query terms' (term, block) lists, ``blocks_surviving`` the blocks
+    every term shares, ``postings_scanned`` the posting rows actually
+    read vs ``postings_total`` (the query terms' full df sum — what a
+    non-intersecting scan would read)."""
+    parts = _boolean_parts(spark, index_dir, queries)
+    qterms = parts["qdf"].select("_qid", "t").distinct()
+    considered = (
+        qterms.join(parts["tblocks"], "t")
+        .groupBy("_qid")
+        .agg(F.count(F.lit(1)).alias("blocks_considered"))
+    )
+    surviving = parts["surviving"].groupBy("_qid").agg(
+        F.count(F.lit(1)).alias("blocks_surviving")
+    )
+    scanned = parts["scanned"].groupBy("_qid").agg(
+        F.count(F.lit(1)).alias("postings_scanned")
+    )
+    totals = (
+        qterms.join(parts["df_tab"], "t")
+        .groupBy("_qid")
+        .agg(F.sum("_df").cast("long").alias("postings_total"))
+    )
+    hits = parts["and_docs"].groupBy("_qid").agg(
+        F.count(F.lit(1)).alias("and_docs")
+    )
+    # base on the query list itself: a query whose terms miss the
+    # index entirely must still report a row (all zeros)
+    out = parts["qlens"].select("_qid")
+    for frame in (considered, surviving, scanned, totals, hits):
+        out = out.join(frame, "_qid", "left")
+    return out.select(
+        F.col("_qid").alias("query_id"),
+        F.coalesce("blocks_considered", F.lit(0)).cast("long").alias(
+            "blocks_considered"
+        ),
+        F.coalesce("blocks_surviving", F.lit(0)).cast("long").alias(
+            "blocks_surviving"
+        ),
+        F.coalesce("postings_scanned", F.lit(0)).cast("long").alias(
+            "postings_scanned"
+        ),
+        F.coalesce("postings_total", F.lit(0)).cast("long").alias(
+            "postings_total"
+        ),
+        F.coalesce("and_docs", F.lit(0)).cast("long").alias("and_docs"),
+    )
+
+
 def compact_bm25_index(
     spark: SparkSession, index_dir: str, champions: int = 16
 ) -> dict:
@@ -1148,6 +1464,21 @@ def compact_bm25_index(
         .write.mode("overwrite")
         .parquet(f"{base}/globals")
     )
+    pos_raw = index_table(spark, index_dir, "positions", required=False)
+    if pos_raw is not None:
+        # positional index: fold the occurrence lists too, with the
+        # tombstoned docs' rows dropped for good (same LSM semantics
+        # as the postings fold)
+        tomb = index_table(
+            spark, index_dir, "tombstones", required=False
+        )
+        if tomb is not None:
+            pos_raw = pos_raw.join(
+                F.broadcast(tomb.select("doc").distinct()),
+                "doc",
+                "left_anti",
+            )
+        pos_raw.write.mode("overwrite").parquet(f"{base}/positions")
     after = {
         "termstats_rows": spark.read.parquet(f"{base}/termstats").count(),
         "champions_rows": spark.read.parquet(f"{base}/champions").count(),
@@ -1206,6 +1537,7 @@ def vacuum_bm25_index(
         for seq, cdir in _list_commit_dirs(spark, index_dir):
             if seq <= through:
                 _rm(cdir)
+                _rm(f"{_commits_dir(index_dir)}/s-{seq:08d}")
     now_ms = time.time() * 1000.0
     sroot = Path(_staging_root(index_dir))
     if fs.exists(sroot):

@@ -13151,3 +13151,245 @@ def snapshot_partition_overwrite(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+# boolean/phrase retrieval literals — shared between the Spark serve
+# and the DuckDB oracles so the two sides can never drift
+_BOOL_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["vector", "scan", "filter"]),
+    (2, ["customer", "order"]),
+]
+_PHRASE_QUERIES = [(0, ["hash", "join"]), (1, ["fast", "scan"])]
+
+_BOOL_Q_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _BOOL_QUERIES for t in ts
+)
+_PHRASE_MATCH_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS qid, doc_id AS doc FROM tok WHERE len(list_filter("
+    "range(1, len(tk)), i -> "
+    + " AND ".join(
+        f"tk[i+{off}] = '{t}'" for off, t in enumerate(ts)
+    )
+    + ")) > 0"
+    for qid, ts in _PHRASE_QUERIES
+)
+_PHRASE_Q_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _PHRASE_QUERIES for t in ts
+)
+
+
+def _bm25_boolean_shared(d: DataFrame) -> tuple:
+    """Build a POSITIONAL persisted index (two appends) and serve the
+    boolean/phrase/pruning-report trio off it; memoized per session so
+    the three registry entries share one build. Checkpointed before
+    the scratch dir drops."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import pipeline as PL
+    from cmsspark_spark.operators import retrieval as R
+
+    def _build() -> tuple:
+        tmp = tempfile.mkdtemp(prefix="bm25_bool_")
+        idx = f"{tmp}/idx"
+        R.append_bm25_index(
+            d.filter(F.col("doc_id") % 4 != 3), idx, positions=True
+        )
+        R.append_bm25_index(
+            d.filter(F.col("doc_id") % 4 == 3), idx, positions=True
+        )
+        spark = d.sparkSession
+        out = tuple(
+            f.localCheckpoint(eager=True)
+            for f in (
+                R.bm25_index_boolean_serve(spark, idx, _BOOL_QUERIES),
+                R.bm25_index_boolean_serve(
+                    spark, idx, _PHRASE_QUERIES, phrase=True
+                ),
+                R.bm25_boolean_prune_report(spark, idx, _BOOL_QUERIES),
+            )
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    key = PL._BM25_PRUNED_MEMO.key_for(d, "index_bool")
+    if key is None:
+        return _build()
+    per = PL._BM25_PRUNED_MEMO.per_session(d.sparkSession)
+    if key not in per:
+        per[key] = _build()
+    return per[key]
+
+
+@query(
+    "bm25_boolean_serve",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS dl, t,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS t FROM tok) GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sdl
+              FROM tok),
+    q(qid, t) AS (VALUES {_BOOL_Q_SQL}),
+    qn AS (SELECT qid, count(DISTINCT t) AS nt FROM q GROUP BY 1),
+    dfb AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM post
+      WHERE t IN (SELECT t FROM q) GROUP BY 1
+    ),
+    cand AS (
+      SELECT q.qid, p.doc, q.t,
+             ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5)))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n)))))
+               AS sc
+      FROM q JOIN post p USING (t) JOIN dfb d USING (t), stats s
+    ),
+    ag AS (SELECT qid, doc, count(DISTINCT t) AS c, sum(sc) AS score
+           FROM cand GROUP BY 1, 2),
+    hits AS (SELECT ag.qid, ag.doc, ag.score
+             FROM ag JOIN qn USING (qid) WHERE ag.c = qn.nt)
+    SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY round(score, 6) DESC, doc) AS rank FROM hits)
+    WHERE rank <= 10
+    """,
+)
+def bm25_boolean_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE (boolean AND) retrieval served from the persisted
+    index (retrieval.bm25_index_boolean_serve) — every query term must
+    appear in the doc, ranked by the same BM25 sum as the
+    more-like-this family. The candidate intersection runs at BLOCK
+    grain on the maintained blockstats first (a block survives only if
+    every term has a posting in it), so pruned blocks' postings are
+    never read — the Spark-shaped doc-ordered postings merge, with a
+    query containing an absent term pruning to zero at metadata cost.
+    Hash-exact against DuckDB's direct conjunctive-containment +
+    BM25 oracle. This is the lookup shape hard-negative mining and
+    decontamination audits issue (VERDICT r12 item 3)."""
+    return _bm25_boolean_shared(_t(spark, sf_dir, "documents"))[0]
+
+
+@query(
+    "bm25_phrase_serve",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS dl, t,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS t FROM tok) GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sdl
+              FROM tok),
+    q(qid, t) AS (VALUES {_PHRASE_Q_SQL}),
+    ph AS ({_PHRASE_MATCH_SQL}),
+    dfb AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM post
+      WHERE t IN (SELECT t FROM q) GROUP BY 1
+    ),
+    cand AS (
+      SELECT q.qid, p.doc, q.t,
+             ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5)))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n)))))
+               AS sc
+      FROM q JOIN post p USING (t) JOIN dfb d USING (t), stats s
+    ),
+    ag AS (SELECT qid, doc, sum(sc) AS score FROM cand GROUP BY 1, 2),
+    hits AS (SELECT ag.qid, ag.doc, ag.score
+             FROM ag JOIN ph ON ag.qid = ph.qid AND ag.doc = ph.doc)
+    SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY round(score, 6) DESC, doc) AS rank FROM hits)
+    WHERE rank <= 10
+    """,
+)
+def bm25_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE retrieval from the POSITIONAL persisted index: the query
+    terms must occur ADJACENT AND IN ORDER. The index's positions/
+    table ((t, doc, sorted occurrence offsets), one extra tokenize
+    pass per append) feeds a shift-and-intersect check — each term's
+    list shifts left by its phrase offset and the phrase matches iff
+    the shifted lists share a start position — evaluated entirely
+    JVM-side (transform + array_intersect fold) on only the docs that
+    already passed the block-pruned conjunctive stage. Hash-exact
+    against DuckDB's direct token-window scan of the corpus."""
+    return _bm25_boolean_shared(_t(spark, sf_dir, "documents"))[1]
+
+
+@query(
+    "bm25_boolean_prune_report",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, t, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS t FROM tok) GROUP BY 1, 2
+    ),
+    q(qid, t) AS (VALUES {_BOOL_Q_SQL}),
+    qn AS (SELECT qid, count(DISTINCT t) AS nt FROM q GROUP BY 1),
+    tb AS (SELECT DISTINCT t, doc // 64 AS blk FROM post
+           WHERE t IN (SELECT t FROM q)),
+    considered AS (
+      SELECT q.qid, CAST(count(*) AS BIGINT) AS blocks_considered
+      FROM (SELECT DISTINCT qid, t FROM q) q JOIN tb USING (t)
+      GROUP BY 1
+    ),
+    surv AS (
+      SELECT s.qid, s.blk FROM (
+        SELECT q.qid, tb.blk, count(DISTINCT tb.t) AS c
+        FROM (SELECT DISTINCT qid, t FROM q) q JOIN tb USING (t)
+        GROUP BY 1, 2
+      ) s JOIN qn USING (qid) WHERE s.c = qn.nt
+    ),
+    surviving AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS blocks_surviving
+      FROM surv GROUP BY 1
+    ),
+    scanned AS (
+      SELECT q.qid, CAST(count(*) AS BIGINT) AS postings_scanned
+      FROM (SELECT DISTINCT qid, t FROM q) q
+      JOIN post p USING (t)
+      JOIN surv ON surv.qid = q.qid AND surv.blk = p.doc // 64
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT q.qid, CAST(count(*) AS BIGINT) AS postings_total
+      FROM (SELECT DISTINCT qid, t FROM q) q JOIN post p USING (t)
+      GROUP BY 1
+    ),
+    ad AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS and_docs FROM (
+        SELECT q.qid, p.doc, count(DISTINCT p.t) AS c
+        FROM (SELECT DISTINCT qid, t FROM q) q JOIN post p USING (t)
+        GROUP BY 1, 2
+      ) x JOIN qn USING (qid) WHERE x.c = qn.nt GROUP BY 1
+    )
+    SELECT qn.qid AS query_id,
+           COALESCE(blocks_considered, 0) AS blocks_considered,
+           COALESCE(blocks_surviving, 0) AS blocks_surviving,
+           COALESCE(postings_scanned, 0) AS postings_scanned,
+           COALESCE(postings_total, 0) AS postings_total,
+           COALESCE(and_docs, 0) AS and_docs
+    FROM qn
+    LEFT JOIN considered USING (qid)
+    LEFT JOIN surviving USING (qid)
+    LEFT JOIN scanned USING (qid)
+    LEFT JOIN totals USING (qid)
+    LEFT JOIN ad USING (qid)
+    """,
+)
+def bm25_boolean_prune_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pruning evidence for the conjunctive serve: per query, the
+    (term, block) lists considered, the blocks every term shares, and
+    the posting rows actually scanned vs the query terms' full df sum
+    — the intersection's skip ratio, hash-exact against the oracle's
+    recomputation from raw postings (blk = doc // 64, the pinned
+    BLOCK_SIZE). At corpus scale the surviving fraction shrinks with
+    the rarest term's block count; a query containing an absent term
+    reports zero blocks and zero scanned postings."""
+    return _bm25_boolean_shared(_t(spark, sf_dir, "documents"))[2]

@@ -874,3 +874,103 @@ def test_consume_equality_delete_version_tombstones(spark, tmp_path):
         R.append_bm25_index_from_snapshot(
             spark, table, idx, allow_removals=True
         )
+
+
+def test_boolean_phrase_serve_and_pins(spark, tmp_path):
+    """Conjunctive + phrase retrieval off a positional index: AND hits
+    contain every term; phrase hits are brute-force-verified adjacent;
+    tombstoned docs drop out; the positional pin refuses a mixed
+    index; the prune report's scanned count never exceeds the total."""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), idx,
+                        positions=True)
+    # mixed positional-ness is refused
+    with pytest.raises(ValueError, match="positions"):
+        R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), idx,
+                        positions=True)
+
+    qs = [(0, ["hash", "join"]), (1, ["zzznope", "join"])]
+    res = R.bm25_index_boolean_serve(spark, idx, qs, k=8)
+    rows = {r.doc_id: r for r in res.filter("query_id = 0").collect()}
+    assert rows, "conjunctive serve found nothing for common terms"
+    assert res.filter("query_id = 1").count() == 0  # absent term
+
+    def toks(t):
+        return [w for w in re.split(r"\s+", t.lower()) if w]
+
+    text = {
+        r.doc_id: toks(r.text)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for d in rows:
+        assert "hash" in text[d] and "join" in text[d]
+
+    ph = R.bm25_index_boolean_serve(
+        spark, idx, [(0, ["hash", "join"])], k=8, phrase=True
+    )
+    got = {r.doc_id for r in ph.collect()}
+    brute = {
+        d for d, tk in text.items()
+        if any(tk[i] == "hash" and tk[i + 1] == "join"
+               for i in range(len(tk) - 1))
+    }
+    assert got and got <= brute
+
+    # the report's invariants: scanned ≤ total, surviving ≤ considered
+    rep = {r.query_id: r for r in
+           R.bm25_boolean_prune_report(spark, idx, qs).collect()}
+    assert rep[0].postings_scanned <= rep[0].postings_total
+    assert rep[0].blocks_surviving <= rep[0].blocks_considered
+    assert rep[1].blocks_surviving == 0 and rep[1].and_docs == 0
+
+    # tombstoned docs drop from boolean and phrase serves
+    victim = sorted(got)[0]
+    R.tombstone_bm25_index(
+        spark.createDataFrame([(victim,)], "doc_id long"), idx
+    )
+    after = {
+        r.doc_id
+        for r in R.bm25_index_boolean_serve(
+            spark, idx, [(0, ["hash", "join"])], k=8, phrase=True
+        ).collect()
+    }
+    assert victim not in after
+    # ... and compaction (which folds positions too) serves the same
+    R.compact_bm25_index(spark, idx)
+    post_c = {
+        r.doc_id
+        for r in R.bm25_index_boolean_serve(
+            spark, idx, [(0, ["hash", "join"])], k=8, phrase=True
+        ).collect()
+    }
+    assert post_c == after
+
+
+def test_commit_seq_claim_is_exclusive(spark, tmp_path):
+    """The commit sequence is claimed by an EXCLUSIVE marker create,
+    not by the payload rename (whose uuid-suffixed destination cannot
+    collide): two stagings finalized against the same listing state
+    get DISTINCT sequences, and the markers of folded commits are
+    vacuumed."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    idx = str(tmp_path / "idx")
+    R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    R.append_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    commits = R._list_commit_dirs(spark, idx)
+    seqs = [s for s, _ in commits]
+    assert seqs == sorted(set(seqs)), f"duplicate commit seqs: {seqs}"
+    markers = {
+        n for n in os.listdir(f"{idx}/commits") if n.startswith("s-")
+    }
+    assert markers == {f"s-{s:08d}" for s in seqs}
+    R.compact_bm25_index(spark, idx)
+    left = {
+        n for n in os.listdir(f"{idx}/commits") if n.startswith("s-")
+    }
+    assert left == set(), f"folded markers not vacuumed: {left}"
