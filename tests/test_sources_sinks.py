@@ -792,3 +792,105 @@ def test_partlog_planner_slices_offsets_within_segments(tmp_path):
     assert [(p.base, p.lo, p.hi) for p in parts] == [(0, 2, 3), (3, 3, 5)]
     got = _partlog_rows(rdr, parts)
     assert got == [("p0", 2, "r2"), ("p0", 3, "r3"), ("p0", 4, "r4")]
+
+
+def test_partlog_sidecar_offsets_are_metadata_only(spark, tmp_path):
+    """Segments written with write_partlog_segment carry size-validated
+    count sidecars: the stream planner's latestOffset never OPENS a
+    segment's bytes (proven by making the segment unreadable), a stale
+    sidecar (size mismatch after an append) falls back to a real
+    count, and count_partlog_segments backfills legacy segments
+    distributively."""
+    import builtins
+    import json
+    import os
+
+    from cmsspark_spark.sources.pyds import (
+        PartLogStreamReader,
+        count_partlog_segments,
+        partlog_sidecar_path,
+        write_partlog_segment,
+    )
+
+    root = tmp_path / "topic"
+    s1 = write_partlog_segment(str(root / "p0"), "000001.log",
+                               ["a", "b", "c"])
+    write_partlog_segment(str(root / "p0"), "000002.log", ["d"])
+    assert json.load(open(partlog_sidecar_path(s1)))["count"] == 3
+
+    # latestOffset plans from sidecars only: opening any *.log file
+    # raises inside this block
+    rdr = PartLogStreamReader({"path": str(root)})
+    real_open = builtins.open
+
+    def guarded(path, *a, **kw):
+        if str(path).endswith(".log"):
+            raise AssertionError(
+                f"driver opened segment bytes: {path}"
+            )
+        return real_open(path, *a, **kw)
+
+    builtins.open = guarded
+    try:
+        end = rdr.latestOffset()
+    finally:
+        builtins.open = real_open
+    assert end == {"parts": {"p0": 4}}
+    got = _partlog_rows(rdr, rdr.partitions({"parts": {}}, end))
+    assert [r[2] for r in got] == ["a", "b", "c", "d"]
+
+    # a grown segment invalidates its sidecar (size mismatch) and the
+    # fallback count sees the new records
+    with open(s1, "a", encoding="utf-8") as fh:
+        fh.write("e\n")
+    rdr2 = PartLogStreamReader({"path": str(root)})
+    assert rdr2.latestOffset() == {"parts": {"p0": 5}}
+
+    # legacy segment (no sidecar): backfilled by the distributed job,
+    # after which planning is metadata-only again
+    legacy = root / "p1"
+    legacy.mkdir()
+    (legacy / "000001.log").write_text("x\ny\n")
+    n = count_partlog_segments(spark, str(root))
+    assert n == 2  # the legacy segment AND the grown s1
+    rdr3 = PartLogStreamReader({"path": str(root)})
+    builtins.open = guarded
+    try:
+        end3 = rdr3.latestOffset()
+    finally:
+        builtins.open = real_open
+    assert end3 == {"parts": {"p0": 5, "p1": 2}}
+
+
+def test_kvlog_offset_signature_detects_prefix_swap(spark, tmp_path):
+    """ADVICE r12: a committed kvlog range whose file-list PREFIX
+    changed (early file deleted while a new file arrived — the count
+    matches) must fail the replan instead of silently reading the
+    wrong files; intact prefixes keep replaying exactly."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cmsspark_spark.sources.pyds import KVLogStreamReader
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("k=1\n")
+    (d / "b.log").write_text("k=2\n")
+    schema = StructType([StructField("k", StringType(), True)])
+    rdr = KVLogStreamReader(schema, {"path": str(d / "*.log")})
+    end = rdr.latestOffset()
+    assert end["idx"] == 2
+    # intact: replanning the committed range is fine
+    assert len(rdr.partitions({"idx": 0, "sig": end["sig"] and
+                               rdr._prefix_sig([], 0)}, end)) == 2
+
+    # swap: delete the FIRST file, add a later one — count unchanged
+    (d / "a.log").unlink()
+    (d / "c.log").write_text("k=3\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prefix changed"):
+        rdr.partitions({"idx": 0, "sig": rdr._prefix_sig([], 0)}, end)
+
+    # pre-signature checkpoints (no sig field) keep the old
+    # count-only behavior instead of failing on upgrade
+    assert len(rdr.partitions({"idx": 0}, {"idx": 2})) == 2
