@@ -10721,7 +10721,18 @@ def bm25_blockmax_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes only those blocks' docs. Same integer micro-grid
     bounds, same seed threshold, same margin argument — and the same
     contract: the oracle IS the exact rung's oracle, assigned
-    verbatim below."""
+    verbatim below.
+
+    DEMONSTRATION RUNG (the standing weak-watch perf row): this
+    in-session form rebuilds the full prune state — postings, term
+    stats, block bounds, champions — from the corpus on every call,
+    which is the dominant share of its wall time. The SCALE PATH is
+    the persisted index: build once with retrieval.append_bm25_index
+    and serve with bm25_index_serve(mode='blockmax')
+    (`bm25_index_blockmax_serve`), which reads the maintained
+    partials and costs a fraction of this query. Keep this rung for
+    the algebra proof (hash-exact vs the exact oracle with zero
+    persisted state), not for serving."""
     from cmsspark_spark.operators import pipeline as PL
 
     d = _t(spark, sf_dir, "documents")
@@ -13393,3 +13404,122 @@ def bm25_boolean_prune_report(
     the rarest term's block count; a query containing an absent term
     reports zero blocks and zero scanned postings."""
     return _bm25_boolean_shared(_t(spark, sf_dir, "documents"))[2]
+
+@query(
+    "snapshot_delete_compaction",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 40 > 7
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 7 AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 40 = 3
+        AND o_orderkey % 2 = 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_delete_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE-FILE ACCUMULATION then OPTIMIZE — the real Iceberg v2
+    pain path (VERDICT r12 item 7): EIGHT delete commits stack
+    sequence-scoped delete files on one table (each read then carries
+    epoch-grouped anti-joins), a post-delete REINSERT lands corrected
+    rows immune to all eight (sequence scoping through the pressure),
+    and optimize_snapshot folds everything physically. Asserted
+    inline: the pre-optimize version carries all the delete files and
+    its read plan contains anti-joins; the post-optimize version has a
+    CLEAN delete state and its read plan is a JOIN-FREE single scan
+    (the plan-level form of "read cost recovers"); both reads
+    aggregate identically. The returned post-optimize aggregate
+    hash-matches the oracle's direct survivors+reinserts statement."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("o_orderkey") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="snap_dcomp_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(
+            base.filter(F.col("o_orderkey") % 2 == 0), table,
+            mode="append",
+        )
+        SN.snapshot_write(
+            base.filter(F.col("o_orderkey") % 2 == 1), table,
+            mode="append",
+        )
+        for r in range(8):
+            SN.snapshot_delete(
+                spark,
+                table,
+                base.filter(F.col("o_custkey") % 40 == r).select(
+                    "o_orderkey"
+                ),
+                ["o_orderkey"],
+            )
+        reins = base.filter(
+            (F.col("o_custkey") % 40 == 3) & (F.col("o_orderkey") % 2 == 0)
+        ).withColumn("cents", F.col("cents") + F.lit(7))
+        SN.snapshot_write(reins, table, mode="append")
+
+        def agg(df):
+            return (
+                df.groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+            )
+
+        v_pre = SN.list_snapshots(spark, table)[-1]
+        pre_meta = SN.read_snapshot_meta(spark, table, v_pre)
+        if len(pre_meta.get("delete_files", [])) < 8:
+            raise AssertionError(
+                "expected >=8 accumulated delete files, got "
+                f"{len(pre_meta.get('delete_files', []))}"
+            )
+        pre_read = SN.read_snapshot(spark, table, v_pre)
+        pre_plan = pre_read._jdf.queryExecution().optimizedPlan().toString()
+        if "Join" not in pre_plan:
+            raise AssertionError(
+                "pre-optimize read plan carries no delete anti-join — "
+                "the pressure never materialized"
+            )
+        pre_agg = {tuple(r) for r in agg(pre_read).collect()}
+
+        v_opt = SN.optimize_snapshot(spark, table, n_files=4)
+        opt_meta = SN.read_snapshot_meta(spark, table, v_opt)
+        if opt_meta.get("delete_files"):
+            raise AssertionError("OPTIMIZE left delete state behind")
+        post_read = SN.read_snapshot(spark, table, v_opt)
+        post_plan = (
+            post_read._jdf.queryExecution().optimizedPlan().toString()
+        )
+        if "Join" in post_plan:
+            raise AssertionError(
+                "post-optimize read plan still joins — read cost did "
+                "not recover"
+            )
+        out = agg(post_read).localCheckpoint(eager=True)
+        if {tuple(r) for r in out.collect()} != pre_agg:
+            raise AssertionError(
+                "OPTIMIZE changed the table's content"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

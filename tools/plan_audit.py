@@ -79,6 +79,42 @@ EXPECTED_USER_GATES = {
     "packing_efficiency_report": 1,
 }
 
+# Standing adjudications for the recurring expensive-filter flags
+# (stable across rounds 11-12): each entry says WHY the flagged filter
+# is acceptable, so the report can split `new_flags` (demanding
+# attention) from `known_adjudicated` (reviewed). A query whose flag
+# disappears simply stops matching; a NEW query or a new condition
+# shape lands in new_flags.
+KNOWN_ADJUDICATED = {
+    "ann_ivf_kmeans_topk": "inferred isnotnull over the probe distance "
+        "expression; runs on the k-row centroid-joined frame",
+    "ann_ivf_static_topk": "same shape: distance isnotnull on the "
+        "bucket-pruned probe frame",
+    "ann_ivfpq_static_topk": "same shape over the PQ-decoded distance",
+    "bigram_logprob_quality": "isnotnull over the logprob aggregate — "
+        "the corpus pass IS the scoring, nothing extra scans",
+    "chunk_dedup_rate": "user-written size() gate over the chunk "
+        "builder (recorded in EXPECTED_USER_GATES)",
+    "chunk_overlap_windows": "user-written size() gate (recorded)",
+    "embed_lsh_quality_report": "isnotnull(sqrt(aggregate)) on the "
+        "sampled verifier frame; the corpus path is the LSH variant",
+    "embed_near_dup_pairs": "isnotnull(sqrt(aggregate)) on the "
+        "deliberately quarter-sampled brute verifier (queries.py:1502)",
+    "kmeans_cluster_quality": "assignment-distance isnotnull on the "
+        "k-row centroid join",
+    "kmeans_embedding_clusters": "same shape (k-row centroid join)",
+    "pack_boundary_masks": "user-written size() gate (recorded)",
+    "pack_concat_chunks": "user-written size() gate (recorded)",
+    "pack_concat_chunks_sharded": "user-written size() gate (recorded)",
+    "pack_concat_eos_chunks": "user-written size() gate (recorded)",
+    "packing_efficiency_report": "user-written size() gate (recorded)",
+    "semantic_dedup_kmeans": "cosine-distance isnotnull inside the "
+        "cluster-bucketed verify (never all-pairs)",
+    "semantic_dedup_static": "same shape, static centroids",
+    "split_assign_increment": "gate over the bounded census frame",
+    "weighted_sample_docs": "user-written size() gate (recorded)",
+}
+
 
 def _filter_conditions(plan: str) -> list:
     """Condition text of every Filter node in a rendered plan."""
@@ -138,6 +174,15 @@ def main() -> None:
         for name, v in report.items()
         if len(v["size_filters"]) > EXPECTED_USER_GATES.get(name, 0)
     }
+    known = {
+        name: KNOWN_ADJUDICATED[name]
+        for name in report
+        if name in KNOWN_ADJUDICATED
+    }
+    new_flags = {
+        name: v for name, v in report.items()
+        if name not in KNOWN_ADJUDICATED
+    }
     payload = {
         "metric": "plan_audit_expensive_filters",
         "excluded_rules": excluded,
@@ -145,6 +190,8 @@ def main() -> None:
         "n_flagged": len(report),
         "n_size_filter_hits": n_size,
         "unexpected_size_filters": unexpected,
+        "new_flags": new_flags,
+        "known_adjudicated": known,
         "flagged": report,
         "errors": errors,
     }
@@ -158,6 +205,8 @@ def main() -> None:
     print(json.dumps({
         "wrote": path,
         "n_flagged": len(report),
+        "n_known_adjudicated": len(known),
+        "new_flags": sorted(new_flags),
         "n_size_filter_hits": n_size,
         "unexpected_size_filters": unexpected,
         "n_errors": len(errors),
