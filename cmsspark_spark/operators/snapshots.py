@@ -1152,6 +1152,55 @@ def snapshot_sink(table: str):
     return _sink
 
 
+def snapshot_partition_sink(
+    table: str, part_cols: Sequence[str], mode: str = "append"
+):
+    """foreachBatch sink landing each micro-batch as a PARTITION-GRAIN
+    snapshot commit — the streaming form of the reference's daily
+    ingest: records stream in, each batch's files attribute to the
+    partitions its rows belong to, and a later backfill/correction of
+    one day (``snapshot_write_partitions(..., mode='overwrite')``)
+    replaces exactly that day with the streaming history intact.
+
+    ``mode='append'`` (default) adds to the touched partitions —
+    append commits commute, so the sink coexists with concurrent
+    batch overwrites of OTHER partitions (the conflict audit is
+    mode-aware). ``mode='overwrite'`` replaces each batch's
+    partitions — only correct when a batch carries a partition's full
+    refreshed content (e.g. re-emitting whole days). Exactly-once the
+    same way as :func:`snapshot_sink`: the epoch id rides in the
+    commit and replayed batches are skipped via the version log.
+
+    Use: ``df.writeStream.foreachBatch(
+    snapshot_partition_sink(path, ["day"])).start()``."""
+    part_cols = list(part_cols)
+    state: dict = {"ids": None}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if state["ids"] is None:
+            state["ids"] = committed_batch_ids(spark, table)
+        if str(batch_id) in state["ids"]:
+            return  # replay of an already-committed batch
+        files_by_part = _write_partition_attributed(
+            batch_df, table, part_cols
+        )
+        commit_partition_snapshot(
+            spark,
+            table,
+            part_cols,
+            files_by_part,
+            mode=mode,
+            extra={
+                "batch_id": str(batch_id),
+                "schema": batch_df.schema.jsonValue(),
+            },
+        )
+        state["ids"].add(str(batch_id))
+
+    return _sink
+
+
 def snapshot_cdc(
     spark: SparkSession,
     table: str,

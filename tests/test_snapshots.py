@@ -1277,3 +1277,59 @@ def test_partition_overwrite_daily_pattern(spark, tmp_path):
     on_disk = {f for f in os.listdir(t) if f.startswith("snap-")}
     assert live <= on_disk
     assert not (set(rep["deleted_files"]) & on_disk)
+
+
+def test_streaming_partition_sink_exactly_once_with_backfill(
+    spark, tmp_path
+):
+    """Streaming ingest at PARTITION grain: each micro-batch lands as
+    a partition-attributed append commit with its epoch recorded
+    (restart replays are skipped); a batch backfill then OVERWRITES
+    one day without touching the streamed history of the others, and
+    a partition-pruned read resolves from metadata."""
+    import pyspark.sql.functions as FX
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    spark.range(0, 6).selectExpr(
+        "id", "CASE WHEN id < 3 THEN 'd1' ELSE 'd2' END AS day"
+    ).write.json(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, day string")
+            .json(src)
+            .writeStream.foreachBatch(
+                S.snapshot_partition_sink(table, ["day"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    assert _ids(S.read_snapshot(spark, table)) == list(range(6))
+    n_versions = len(S.list_snapshots(spark, table))
+    # restart with no new data: nothing recommitted
+    run()
+    assert len(S.list_snapshots(spark, table)) == n_versions
+    assert _ids(S.read_snapshot(spark, table)) == list(range(6))
+
+    # new day streams in
+    spark.range(10, 12).selectExpr("id", "'d3' AS day").write.mode(
+        "append"
+    ).json(src)
+    run()
+    assert _ids(
+        S.read_snapshot(spark, table, partitions={"day": "d3"})
+    ) == [10, 11]
+
+    # batch backfill REPLACES d1 only; streamed d2/d3 stay intact
+    corrected = spark.range(0, 2).withColumn("day", FX.lit("d1"))
+    S.snapshot_write_partitions(corrected, table, ["day"])
+    assert _ids(S.read_snapshot(spark, table)) == [0, 1, 3, 4, 5, 10, 11]
+    assert _ids(
+        S.read_snapshot(spark, table, partitions={"day": "d2"})
+    ) == [3, 4, 5]
