@@ -1062,6 +1062,83 @@ def expire_snapshots(
     return out
 
 
+def vacuum_snapshot_table(
+    spark: SparkSession,
+    table: str,
+    min_age_s: int = 3600,
+    dry_run: bool = True,
+) -> dict:
+    """Reclaim NEVER-REFERENCED data files under a snapshot table — the
+    residue the version log cannot see and expire_snapshots therefore
+    never deletes: a writer that crashed between landing its files and
+    claiming a version, a partition overwrite aborted by the conflict
+    audit, an optimize whose concurrency re-check refused to publish.
+    Such files cost storage and listing time forever; no reader ever
+    plans them.
+
+    A file is reclaimed iff (a) its name matches the snapshot write
+    prefixes (``snap-*`` / ``snapdel-*`` — foreign files are never
+    touched), (b) NO committed version references it (union over the
+    whole retained version log, manifests resolved), and (c) it is
+    older than ``min_age_s`` — the age gate keeps a CONCURRENT
+    in-flight commit's just-landed, not-yet-claimed files safe.
+    Aged ``_staging/`` leftovers get the same sweep. Dry-run by
+    default; returns ``{"unreferenced": [...], "staging": [...]}``.
+
+    Concurrency: like expire, run in a maintenance slot — the
+    referenced set is computed from a snapshot of the version log, and
+    a destructive run re-lists it after planning and ABORTS if a new
+    version appeared."""
+    import time
+
+    versions = list_snapshots(spark, table)
+    referenced: set = set()
+    for v in versions:
+        m = read_snapshot_meta(spark, table, v)
+        referenced.update(snapshot_files(spark, table, meta=m))
+        referenced.update(m.get("delete_files", []))
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = table.rstrip("/")
+    now_ms = time.time() * 1000.0
+    doomed: list = []
+    rp = Path(root)
+    if fs.exists(rp):
+        for st in fs.listStatus(rp):
+            name = st.getPath().getName()
+            if st.isDirectory() or not name.startswith(
+                ("snap-", "snapdel-")
+            ):
+                continue
+            if name in referenced:
+                continue
+            if now_ms - st.getModificationTime() >= min_age_s * 1000.0:
+                doomed.append(name)
+    stale_staging: list = []
+    sp = Path(f"{root}/_staging")
+    if fs.exists(sp):
+        for st in fs.listStatus(sp):
+            if now_ms - st.getModificationTime() >= min_age_s * 1000.0:
+                stale_staging.append(st.getPath().getName())
+    out = {
+        "unreferenced": sorted(doomed),
+        "staging": sorted(stale_staging),
+    }
+    if not dry_run:
+        if list_snapshots(spark, table) != versions:
+            raise RuntimeError(
+                f"concurrent commit detected on {table} while planning "
+                "vacuum — a new version may reference files scheduled "
+                "for deletion; re-run in a quiet window"
+            )
+        for n in out["unreferenced"]:
+            fs.delete(Path(f"{root}/{n}"), False)
+        for n in out["staging"]:
+            fs.delete(Path(f"{root}/_staging/{n}"), True)
+    return out
+
+
 def snapshot_changes(
     spark: SparkSession,
     table: str,

@@ -1333,3 +1333,48 @@ def test_streaming_partition_sink_exactly_once_with_backfill(
     assert _ids(
         S.read_snapshot(spark, table, partitions={"day": "d2"})
     ) == [3, 4, 5]
+
+
+def test_vacuum_reclaims_never_referenced_files(spark, tmp_path):
+    """Files landed by commits that never published (conflict-aborted
+    partition overwrite here) are invisible to every version and to
+    expire — vacuum_snapshot_table reclaims them, age-gated, without
+    touching referenced files or foreign files."""
+    import os
+    import time
+
+    t = str(tmp_path / "t")
+
+    def day(d, lo, hi):
+        return spark.range(lo, hi).selectExpr("id", f"'{d}' as day")
+
+    S.snapshot_write_partitions(day("d1", 0, 3), t, ["day"])
+    stale = S.list_snapshots(spark, t)[-1]
+    S.snapshot_write_partitions(day("d1", 0, 2), t, ["day"])
+    # conflict-aborted overwrite lands files, publishes nothing
+    with pytest.raises(RuntimeError, match="partition conflict"):
+        S.snapshot_write_partitions(day("d1", 9, 10), t, ["day"],
+                                    expected_parent=stale)
+    live = set(S.snapshot_files(spark, t)) | set(
+        S.snapshot_files(spark, t, 1)
+    )
+    on_disk = {f for f in os.listdir(t) if f.startswith("snap-")}
+    residue = on_disk - live
+    assert residue, "expected conflict residue on disk"
+
+    # age gate: a fresh residue file is NOT reclaimed
+    plan = S.vacuum_snapshot_table(spark, t, min_age_s=3600)
+    assert plan["unreferenced"] == []
+    # beyond the gate: reclaimed exactly, foreign files untouched
+    (tmp_path / "t" / "NOTICE.txt").write_text("keep me")
+    old = time.time() - 7200
+    for n in residue:
+        os.utime(os.path.join(t, n), (old, old))
+    rep = S.vacuum_snapshot_table(spark, t, min_age_s=3600,
+                                  dry_run=False)
+    assert set(rep["unreferenced"]) == residue
+    left = {f for f in os.listdir(t) if f.startswith("snap-")}
+    assert left == live
+    assert os.path.exists(os.path.join(t, "NOTICE.txt"))
+    assert _ids(S.read_snapshot(spark, t)) == [0, 1]
+    assert _ids(S.read_snapshot(spark, t, 1)) == [0, 1, 2]
