@@ -8,9 +8,11 @@ Run:
     python -m cmsspark_spark.jobs.snapshot_table rollback --table /data/t --version 3
     python -m cmsspark_spark.jobs.snapshot_table expire   --table /data/t --keep-last 7 [--delete]
     python -m cmsspark_spark.jobs.snapshot_table changes  --table /data/t --from-version 3 [--to-version 5] [--out /tmp/delta]
+    python -m cmsspark_spark.jobs.snapshot_table vacuum   --table /data/t [--min-age-s 3600] [--delete]
 
-``expire`` is dry-run unless ``--delete`` is passed — same opt-in
-discipline as vacuum. ``changes`` writes (or counts) the rows added
+``expire`` and ``vacuum`` are dry-run unless ``--delete`` is passed.
+``vacuum`` reclaims data files NO version references (crashed or
+conflict-aborted writes) — the residue expire cannot see. ``changes`` writes (or counts) the rows added
 between two versions: the incremental-training read.
 """
 
@@ -38,6 +40,11 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--keep-last", type=int, required=True)
     e.add_argument("--delete", action="store_true")
 
+    vv = sub.add_parser("vacuum")
+    vv.add_argument("--table", required=True)
+    vv.add_argument("--min-age-s", type=int, default=3600)
+    vv.add_argument("--delete", action="store_true")
+
     c = sub.add_parser("changes")
     c.add_argument("--table", required=True)
     c.add_argument("--from-version", type=int, required=True)
@@ -57,6 +64,12 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "expire":
         res = S.expire_snapshots(
             spark, args.table, keep_last=args.keep_last,
+            dry_run=not args.delete,
+        )
+        print(res)
+    elif args.cmd == "vacuum":
+        res = S.vacuum_snapshot_table(
+            spark, args.table, min_age_s=args.min_age_s,
             dry_run=not args.delete,
         )
         print(res)
