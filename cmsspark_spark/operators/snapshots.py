@@ -1969,14 +1969,44 @@ def snapshot_partitions(
     return spark.createDataFrame(rows, schema)
 
 
+class PartitionRange:
+    """Inclusive [lo, hi] bound for partition-pruned reads — pass as a
+    value in ``read_snapshot(partitions={...})`` to select a RANGE of
+    partition values (the reference's ``day between`` pattern) from
+    commit metadata alone. Bounds compare numerically when both sides
+    parse as integers, else as strings (ISO dates order correctly);
+    either bound may be None (open end). A null partition never
+    matches a range."""
+
+    def __init__(self, lo=None, hi=None):
+        self.lo = None if lo is None else str(lo)
+        self.hi = None if hi is None else str(hi)
+
+    def matches(self, v) -> bool:
+        if v is None:
+            return False
+
+        def _cmp_le(a: str, b: str) -> bool:
+            try:
+                return int(a) <= int(b)
+            except ValueError:
+                return a <= b
+
+        if self.lo is not None and not _cmp_le(self.lo, v):
+            return False
+        if self.hi is not None and not _cmp_le(v, self.hi):
+            return False
+        return True
+
+
 def _prune_partition_files(
     spark: SparkSession, table: str, meta: dict, partitions: dict
 ) -> list:
     """Resolve the live files of ONLY the requested partitions —
     manifest-pointer pruning, so a one-day read of a years-long table
-    opens one manifest. ``partitions`` maps partition column → value
-    or list of values (compared as strings; None matches a null
-    partition)."""
+    opens one manifest. ``partitions`` maps partition column → value,
+    list of values, or :class:`PartitionRange` (compared as strings;
+    None matches a null partition)."""
     pcols = meta.get("part_cols")
     if pcols is None:
         raise ValueError(
@@ -1991,13 +2021,17 @@ def _prune_partition_files(
         )
     wanted = {}
     for c, vs in partitions.items():
+        if isinstance(vs, PartitionRange):
+            wanted[c] = vs.matches
+            continue
         if not isinstance(vs, (list, tuple, set)):
             vs = [vs]
-        wanted[c] = {None if x is None else str(x) for x in vs}
+        allowed = {None if x is None else str(x) for x in vs}
+        wanted[c] = allowed.__contains__
     names: set = set()
     for m, pk in (meta.get("manifest_parts") or {}).items():
         vals = dict(zip(pcols, json.loads(pk)))
-        if all(vals[c] in w for c, w in wanted.items()):
+        if all(match(vals[c]) for c, match in wanted.items()):
             names.update(
                 _read_manifest_file(spark, table, m)
             )

@@ -1378,3 +1378,34 @@ def test_vacuum_reclaims_never_referenced_files(spark, tmp_path):
     assert os.path.exists(os.path.join(t, "NOTICE.txt"))
     assert _ids(S.read_snapshot(spark, t)) == [0, 1]
     assert _ids(S.read_snapshot(spark, t, 1)) == [0, 1, 2]
+
+
+def test_partition_range_pruned_read(spark, tmp_path):
+    """PartitionRange selects a metadata-pruned day window (ISO string
+    order) and numeric partitions compare numerically ('9' < '10')."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 8).selectExpr(
+        "id",
+        "CASE CAST(id % 4 AS INT) WHEN 0 THEN '2024-01-05' "
+        "WHEN 1 THEN '2024-01-15' WHEN 2 THEN '2024-02-01' "
+        "ELSE '2024-02-20' END AS day",
+    )
+    S.snapshot_write_partitions(df, t, ["day"])
+    got = _ids(S.read_snapshot(spark, t, partitions={
+        "day": S.PartitionRange("2024-01-10", "2024-02-10")
+    }))
+    assert got == [1, 2, 5, 6]  # the Jan-15 and Feb-01 partitions
+    # open-ended upper bound
+    assert _ids(S.read_snapshot(spark, t, partitions={
+        "day": S.PartitionRange("2024-02-01")
+    })) == [2, 3, 6, 7]
+
+    t2 = str(tmp_path / "num")
+    nf = spark.range(0, 12).selectExpr(
+        "id", "CAST(id AS STRING) AS bucket"
+    )
+    S.snapshot_write_partitions(nf, t2, ["bucket"])
+    got = _ids(S.read_snapshot(spark, t2, partitions={
+        "bucket": S.PartitionRange(9, 11)
+    }))
+    assert got == [9, 10, 11]  # numeric, not lexicographic
