@@ -1185,6 +1185,7 @@ def _boolean_parts(
         "scanned": scanned,
         "and_docs": and_docs,
         "df_tab": df_tab,
+        "post": post,
     }
 
 
@@ -1194,6 +1195,7 @@ def bm25_index_boolean_serve(
     queries,
     k: int = 10,
     phrase: bool = False,
+    exclude: dict | None = None,
 ) -> DataFrame:
     """Conjunctive (AND) and PHRASE retrieval served from the
     persisted index — the lookup shape hard-negative mining and
@@ -1220,9 +1222,27 @@ def bm25_index_boolean_serve(
     ``positions/`` table of a positional index
     (``append_bm25_index(..., positions=True)``); a non-positional
     index fails loudly. Repeated terms in the phrase are handled (the
-    check is per query OFFSET, not per distinct term)."""
+    check is per query OFFSET, not per distinct term).
+
+    ``exclude`` maps query_id → NOT-terms: a doc containing ANY of
+    them drops (the decontamination lookup's must/must-not shape).
+    One anti-join of the excluded terms' postings against the AND
+    survivors — exclusion cost ∝ the excluded terms' df, never
+    corpus-sized."""
     parts = _boolean_parts(spark, index_dir, queries)
     hits = parts["and_docs"]
+    if exclude:
+        ex_rows = [
+            (int(qid), str(t).lower())
+            for qid, terms in exclude.items()
+            for t in terms
+        ]
+        if ex_rows:
+            ex_df = spark.createDataFrame(ex_rows, "_qid long, t string")
+            dead = parts["post"].join(F.broadcast(ex_df), "t").select(
+                "_qid", "doc"
+            )
+            hits = hits.join(dead, ["_qid", "doc"], "left_anti")
     if phrase:
         posi = index_table(spark, index_dir, "positions", required=False)
         if posi is None:

@@ -13523,3 +13523,98 @@ def snapshot_delete_compaction(
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+_BOOLNOT_QUERIES = [(0, ["hash", "join"]), (1, ["vector", "scan"])]
+_BOOLNOT_EXCLUDE = {0: ["window"], 1: ["customer", "merge"]}
+_BOOLNOT_Q_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _BOOLNOT_QUERIES for t in ts
+)
+_BOOLNOT_EX_SQL = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, ts in sorted(_BOOLNOT_EXCLUDE.items())
+    for t in ts
+)
+
+
+@query(
+    "bm25_boolean_not_serve",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS dl, t,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS t FROM tok) GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sdl
+              FROM tok),
+    q(qid, t) AS (VALUES {_BOOLNOT_Q_SQL}),
+    ex(qid, t) AS (VALUES {_BOOLNOT_EX_SQL}),
+    qn AS (SELECT qid, count(DISTINCT t) AS nt FROM q GROUP BY 1),
+    dfb AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM post
+      WHERE t IN (SELECT t FROM q) GROUP BY 1
+    ),
+    cand AS (
+      SELECT q.qid, p.doc, q.t,
+             ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5)))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n)))))
+               AS sc
+      FROM q JOIN post p USING (t) JOIN dfb d USING (t), stats s
+    ),
+    ag AS (SELECT qid, doc, count(DISTINCT t) AS c, sum(sc) AS score
+           FROM cand GROUP BY 1, 2),
+    hits AS (
+      SELECT ag.qid, ag.doc, ag.score
+      FROM ag JOIN qn USING (qid)
+      WHERE ag.c = qn.nt
+        AND NOT EXISTS (
+          SELECT 1 FROM post px JOIN ex
+            ON px.t = ex.t AND ex.qid = ag.qid
+          WHERE px.doc = ag.doc
+        )
+    )
+    SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY round(score, 6) DESC, doc) AS rank FROM hits)
+    WHERE rank <= 10
+    """,
+)
+def bm25_boolean_not_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST / MUST-NOT retrieval from the persisted index: conjunctive
+    AND over the required terms, then an anti-join of the excluded
+    terms' postings drops any doc containing one — the full
+    decontamination-lookup shape ("contains the benchmark phrase
+    terms, not the disclaimer marker"). Exclusion cost ∝ the excluded
+    terms' df (their postings semi-joined to the AND survivors),
+    never corpus-sized. Hash-exact against DuckDB's NOT EXISTS
+    formulation."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import pipeline as PL
+    from cmsspark_spark.operators import retrieval as R
+
+    d = _t(spark, sf_dir, "documents")
+
+    def _build() -> tuple:
+        tmp = tempfile.mkdtemp(prefix="bm25_not_")
+        idx = f"{tmp}/idx"
+        R.append_bm25_index(d, idx)
+        out = (
+            R.bm25_index_boolean_serve(
+                spark, idx, _BOOLNOT_QUERIES,
+                exclude=_BOOLNOT_EXCLUDE,
+            ).localCheckpoint(eager=True),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    key = PL._BM25_PRUNED_MEMO.key_for(d, "index_boolnot")
+    if key is None:
+        return _build()[0]
+    per = PL._BM25_PRUNED_MEMO.per_session(d.sparkSession)
+    if key not in per:
+        per[key] = _build()
+    return per[key][0]
