@@ -354,8 +354,15 @@ def commit_snapshot(
             # from OLDER deletes (delete-then-reinsert). Tracking
             # starts at the first delete — untracked files default to
             # seq 0, which every delete outranks, exactly the
-            # pre-delete-era semantics.
-            track_seqs = bool((pmeta or {}).get("delete_files"))
+            # pre-delete-era semantics. A commit that CARRIES its own
+            # delete files (upsert: append + delete in one version)
+            # must also stamp its data files even when the parent has
+            # no delete state yet — at seq 0 the commit's own delete
+            # (seq = v > 0) would apply to them and the upsert would
+            # kill the rows it just inserted.
+            track_seqs = bool(
+                (pmeta or {}).get("delete_files")
+            ) or bool(new_delete_files)
             if p_manifests is None and (
                 len(p_inline) + len(inc_names) <= threshold
             ):
@@ -551,6 +558,38 @@ def snapshot_write(
     return commit_snapshot(spark, table, new_files, op=mode, extra=extra)
 
 
+def _stage_delete_files(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+) -> list[str]:
+    """Land ``keys``' distinct key rows as immutable ``snapdel-*``
+    delete files beside the table's data (staged write + rename), and
+    return their basenames — the caller registers them with a commit
+    (``commit_snapshot(new_delete_files=...)``), which stamps their
+    sequence. No coalesce(1): a huge delete-key set must not funnel
+    through one task — AQE's partition coalescing already collapses a
+    small distinct() output to one or a few files, and a billion-key
+    delete writes in parallel (ADVICE r12)."""
+    root = table.rstrip("/")
+    token = uuid.uuid4().hex[:12]
+    staging = f"{root}/_staging/{token}"
+    keys.select(*key_cols).distinct().write.mode(
+        "error"
+    ).parquet(staging)
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    del_names = []
+    for p in _list_parquet_files(spark, staging):
+        base = f"snapdel-{token}-" + p.rsplit("/", 1)[-1]
+        if not fs.rename(Path(p), Path(f"{root}/{base}")):
+            raise IOError(f"could not move delete file {p} into {root}")
+        del_names.append(base)
+    fs.delete(Path(staging), True)
+    return del_names
+
+
 def snapshot_delete(
     spark: SparkSession,
     table: str,
@@ -602,25 +641,7 @@ def snapshot_delete(
             f"{table} pins delete keys {pinned}, refusing {key_cols} — "
             "mixed key shapes would corrupt the delete anti-join"
         )
-    root = table.rstrip("/")
-    token = uuid.uuid4().hex[:12]
-    staging = f"{root}/_staging/{token}"
-    # no coalesce(1): a huge delete-key set must not funnel through
-    # one task — AQE's partition coalescing already collapses a small
-    # distinct() output to one or a few files, and a billion-key
-    # delete writes in parallel (ADVICE r12)
-    keys.select(*key_cols).distinct().write.mode(
-        "error"
-    ).parquet(staging)
-    fs, _ = _fs_for(spark, table)
-    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    del_names = []
-    for p in _list_parquet_files(spark, staging):
-        base = f"snapdel-{token}-" + p.rsplit("/", 1)[-1]
-        if not fs.rename(Path(p), Path(f"{root}/{base}")):
-            raise IOError(f"could not move delete file {p} into {root}")
-        del_names.append(base)
-    fs.delete(Path(staging), True)
+    del_names = _stage_delete_files(spark, table, keys, key_cols)
     extra = {"delete_key_cols": key_cols}
     if "schema" in pmeta:
         extra["schema"] = pmeta["schema"]
@@ -631,6 +652,102 @@ def snapshot_delete(
     # = final version) — see commit_snapshot(new_delete_files=...)
     return commit_snapshot(
         spark, table, op="delete", append_files=[], extra=extra,
+        new_delete_files=del_names,
+    )
+
+
+def snapshot_upsert(
+    df: DataFrame,
+    table: str,
+    key_cols: Sequence[str],
+    allow_duplicate_keys: bool = False,
+) -> int:
+    """Keyed MERGE (the Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT`` shape) in ONE atomic snapshot commit: every row of
+    ``df`` lands, and any pre-existing live row sharing its key dies —
+    existing keys are REPLACED, new keys are INSERTED, and no reader
+    can ever observe the half-applied state (there is no intermediate
+    version; the commit carries both the new data files and the
+    equality-delete file).
+
+    Mechanics ride the Iceberg v2 sequence scoping already in place
+    (:func:`_scan_with_deletes`): the commit registers ``df``'s files
+    with add-sequence = v and a delete file of ``df``'s keys with
+    sequence = v; the delete applies only to data files with strictly
+    LOWER sequence, so it kills the old rows and leaves the new ones
+    untouched. Stacked upserts of the same key compose (each round's
+    delete outranks every earlier file); :func:`rollback_snapshot`
+    restores the pre-upsert image; :func:`optimize_snapshot` folds the
+    accumulated delete files physically; :func:`snapshot_cdc` across
+    an upsert emits exact update images (old row −1 via the delete-set
+    delta, new row +1 via the added files) — so maintained aggregates
+    (:func:`maintain_snapshot_agg`) stay exact through upserts with
+    refresh cost ∝ the batch, never the table.
+
+    Write cost ∝ the batch (data files + a key-sized delete file);
+    read cost grows with accumulated delete commits until OPTIMIZE
+    folds them — same economics as Iceberg v2 merge-on-read, the
+    shape that works at 100 TB where copy-on-write rewrites don't.
+
+    ``df`` must carry at most one row per key: duplicate keys in one
+    batch would all survive (they are all immune to the batch's own
+    delete), which is almost always a caller bug — detected with one
+    batch-sized aggregation and refused loudly unless
+    ``allow_duplicate_keys=True`` (intentional multi-row replacement:
+    "replace key k's rows with THESE n rows"). Single-writer like the
+    other maintenance ops; partition-attributed tables refuse (at that
+    grain the replace mechanism is overwriting the partition)."""
+    key_cols = list(key_cols)
+    spark = df.sparkSession
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"upsert df lacks key columns {missing}")
+    versions = list_snapshots(spark, table)
+    extra: dict = {
+        "delete_key_cols": key_cols,
+        "schema": df.schema.jsonValue(),
+    }
+    if versions:
+        pmeta = read_snapshot_meta(spark, table, versions[-1])
+        if pmeta.get("part_cols"):
+            raise ValueError(
+                f"{table} is partition-attributed — at that grain the "
+                "replace mechanism is overwriting the partition "
+                "(snapshot_write_partitions), not keyed upsert"
+            )
+        pinned = pmeta.get("delete_key_cols")
+        if pinned is not None and list(pinned) != key_cols:
+            raise ValueError(
+                f"{table} pins delete keys {pinned}, refusing "
+                f"{key_cols} — mixed key shapes would corrupt the "
+                "delete anti-join"
+            )
+        pschema = pmeta.get("schema") or {}
+        pfields = {f["name"] for f in pschema.get("fields", [])}
+        fields = {f.name for f in df.schema.fields}
+        if pmeta.get("mixed_schemas") or (pfields and pfields != fields):
+            extra["mixed_schemas"] = True
+    if not allow_duplicate_keys:
+        dup = (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "upsert batch carries multiple rows for key "
+                f"{tuple(dup[0][c] for c in key_cols)} — all would "
+                "survive (a batch's rows are immune to its own delete); "
+                "dedupe the batch or pass allow_duplicate_keys=True"
+            )
+    new_files = _write_attributed(df, table)
+    del_names = _stage_delete_files(spark, table, df, key_cols)
+    # ONE commit carries both: data files stamped seq=v, delete file
+    # stamped seq=v → the delete reaches every older file, never these
+    return commit_snapshot(
+        spark, table, op="upsert", append_files=new_files, extra=extra,
         new_delete_files=del_names,
     )
 
@@ -1224,6 +1341,59 @@ def snapshot_sink(table: str):
             },
             append_files=new_files,
         )
+        state["ids"].add(str(batch_id))
+
+    return _sink
+
+
+def snapshot_upsert_sink(
+    table: str,
+    key_cols: Sequence[str],
+    order_col: str | None = None,
+):
+    """foreachBatch sink landing each micro-batch as a keyed UPSERT
+    (:func:`snapshot_upsert`) — the streaming CDC-apply pattern: an
+    update stream keyed by primary key materializes into a snapshot
+    table whose live view is always "latest row per key", with full
+    time travel across batches. When a batch can carry several updates
+    of one key, ``order_col`` names the column that decides the winner
+    (a source sequence number / event time — ``max_by`` per key; Spark
+    gives no meaningful cross-partition arrival order inside a batch,
+    so the order MUST come from the data). Without ``order_col`` the
+    batch is required to be key-unique and duplicate keys fail loudly
+    (:func:`snapshot_upsert`'s check) rather than resolving
+    nondeterministically. Exactly-once like :func:`snapshot_sink`: the
+    epoch id rides in the commit and replayed batches are skipped via
+    the version log, so a replay can never double-apply a batch's
+    deletes onto its own re-inserted rows.
+
+    Use: ``df.writeStream.foreachBatch(
+    snapshot_upsert_sink(path, ["k"], order_col="seq")).start()``."""
+    key_cols = list(key_cols)
+    state: dict = {"ids": None}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if state["ids"] is None:
+            state["ids"] = committed_batch_ids(spark, table)
+        if str(batch_id) in state["ids"]:
+            return  # replay of an already-committed batch
+        latest = batch_df
+        if order_col is not None:
+            val_cols = [c for c in batch_df.columns if c not in key_cols]
+            latest = (
+                batch_df.groupBy(*key_cols)
+                .agg(
+                    *[
+                        F.expr(
+                            f"max_by(`{c}`, `{order_col}`)"
+                        ).alias(c)
+                        for c in val_cols
+                    ]
+                )
+                .select(*batch_df.columns)
+            )
+        snapshot_upsert(latest, table, key_cols)
         state["ids"].add(str(batch_id))
 
     return _sink

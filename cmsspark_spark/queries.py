@@ -13048,6 +13048,133 @@ def snapshot_delete_reinsert(
         shutil.rmtree(tmp, ignore_errors=True)
 
 @query(
+    "snapshot_upsert_merge",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 200 AS cents
+      FROM orders
+      WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 10 AS cents
+      FROM orders
+      WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_upsert_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyed MERGE on a snapshot table (snapshots.snapshot_upsert —
+    the Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT``
+    shape): each upsert is ONE atomic commit carrying both the batch's
+    data files (add-seq = v) and an equality-delete file of its keys
+    (seq = v), so the Iceberg v2 sequence scoping kills exactly the
+    OLDER rows of matched keys and never the batch's own — no reader
+    can observe a half-applied merge, and write cost is ∝ batch
+    (merge-on-read, the shape that survives 100 TB where
+    copy-on-write rewrites don't).
+
+    Exercised for real: base load (o_orderkey %3), an upsert that
+    UPDATES the %15 keys and INSERTS the %5∧¬%3 keys (+10 cents), then
+    a stacked upsert of the %10 keys (+200 cents) hitting both
+    base-origin and first-upsert-origin rows. The final read must
+    hash-match the oracle's last-writer-wins union, and a
+    CDC-maintained aggregate refreshed after every commit
+    (maintain_snapshot_agg — signed update images from the delete-set
+    delta plus the added files) is asserted equal to the direct read
+    at each step. Time travel to the pre-merge base is asserted
+    intact. No reference twin: the reference's correction pattern is
+    whole-directory overwrite (dbs_hdfs_eos.py:55-62)."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + F.lit(bump)
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_upsert_")
+    try:
+        table = f"{tmp}/t"
+        state = f"{tmp}/agg"
+
+        def refresh():
+            return {
+                r.o_orderstatus: (r.n_rows, r.sum_cents)
+                for r in SN.maintain_snapshot_agg(
+                    spark, table, state, ["o_orderstatus"],
+                    sum_cols=["cents"],
+                ).collect()
+            }
+
+        def direct(version=None):
+            return (
+                SN.read_snapshot(spark, table, version)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+            )
+
+        base_v = SN.snapshot_write(slice_(k % 3 == 0, 0), table)
+        base_direct = {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in direct().collect()
+        }
+        if refresh() != base_direct:
+            raise AssertionError("maintained agg diverged at base load")
+        SN.snapshot_upsert(slice_(k % 5 == 0, 10), table, ["o_orderkey"])
+        if refresh() != {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in direct().collect()
+        }:
+            raise AssertionError("maintained agg diverged across upsert 1")
+        SN.snapshot_upsert(
+            slice_(k % 10 == 0, 200), table, ["o_orderkey"]
+        )
+        out = direct().localCheckpoint(eager=True)
+        if refresh() != {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in out.collect()
+        }:
+            raise AssertionError("maintained agg diverged across upsert 2")
+        # the pre-merge base is still exactly readable (merge never
+        # rewrites history)
+        if {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in direct(base_v).collect()
+        } != base_direct:
+            raise AssertionError("time travel to pre-merge base broke")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

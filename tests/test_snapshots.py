@@ -1409,3 +1409,224 @@ def test_partition_range_pruned_read(spark, tmp_path):
         "bucket": S.PartitionRange(9, 11)
     }))
     assert got == [9, 10, 11]  # numeric, not lexicographic
+
+
+def test_upsert_merge_lifecycle(spark, tmp_path):
+    """Keyed MERGE in one atomic commit (snapshot_upsert): existing
+    keys replaced, new keys inserted, stacked upserts compose, CDC
+    emits exact update images, rollback restores the pre-upsert view,
+    OPTIMIZE folds the accumulated delete files physically."""
+    t = str(tmp_path / "t")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(int(i), int(v)) for i, v in pairs], "id long, v long"
+        )
+
+    def content(version=None):
+        return {
+            (r.id, r.v)
+            for r in S.read_snapshot(spark, t, version).collect()
+        }
+
+    S.snapshot_write(rows([(1, 10), (2, 20), (3, 30)]), t)       # v1
+    # update 2, insert 4 — one commit
+    v2 = S.snapshot_upsert(rows([(2, 21), (4, 40)]), t, ["id"])
+    assert v2 == 2
+    assert content() == {(1, 10), (2, 21), (3, 30), (4, 40)}
+    # old image intact under time travel
+    assert content(1) == {(1, 10), (2, 20), (3, 30)}
+
+    # CDC across the upsert: old row -1, new rows +1
+    cdc = {
+        (r.id, r.v, r._cdc_sign)
+        for r in S.snapshot_cdc(spark, t, 1, 2)
+        .select("id", "v", "_cdc_sign").collect()
+    }
+    assert cdc == {(2, 20, -1), (2, 21, 1), (4, 40, 1)}
+
+    # stacked upsert touching both an original and an upserted key
+    S.snapshot_upsert(rows([(2, 22), (3, 31)]), t, ["id"])       # v3
+    assert content() == {(1, 10), (2, 22), (3, 31), (4, 40)}
+
+    # rollback past the second upsert restores its pre-image
+    S.rollback_snapshot(spark, t, 2)                             # v4
+    assert content() == {(1, 10), (2, 21), (3, 30), (4, 40)}
+
+    # OPTIMIZE folds deletes physically: content identical, delete
+    # state cleared, no anti-join in the read plan
+    S.optimize_snapshot(spark, t, 2)                             # v5
+    assert content() == {(1, 10), (2, 21), (3, 30), (4, 40)}
+    m5 = S.read_snapshot_meta(spark, t, 5)
+    assert not m5.get("delete_files")
+
+
+def test_upsert_into_empty_or_fresh_table_keeps_own_rows(
+    spark, tmp_path
+):
+    """Regression for the track_seqs gap: the FIRST commit of a
+    lineage carrying both data and delete files must stamp its data
+    files' add-sequences — otherwise they default to seq 0 and the
+    commit's own delete (seq=v) kills the rows it just inserted."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    S.snapshot_upsert(df, t, ["id"])  # v1: insert-only upsert
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2]
+    meta = S.read_snapshot_meta(spark, t, 1)
+    # data files stamped at the commit's own seq
+    assert set((meta.get("file_seqs") or {}).values()) == {1}
+
+    # same gap on a fresh APPEND parent with no delete state yet:
+    # first-ever upsert must not kill its own replacements
+    t2 = str(tmp_path / "t2")
+    S.snapshot_write(df, t2)                                     # v1
+    S.snapshot_upsert(
+        spark.createDataFrame([(2, 21)], "id long, v long"), t2, ["id"]
+    )                                                            # v2
+    got = {
+        (r.id, r.v) for r in S.read_snapshot(spark, t2).collect()
+    }
+    assert got == {(1, 10), (2, 21)}
+
+
+def test_upsert_guards(spark, tmp_path):
+    """Duplicate keys refuse loudly (all would survive), key pinning
+    carries over from prior deletes, partition-grain tables refuse,
+    and allow_duplicate_keys is an explicit escape hatch."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    S.snapshot_write(df, t)
+
+    dup = spark.createDataFrame(
+        [(2, 21), (2, 22)], "id long, v long"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        S.snapshot_upsert(dup, t, ["id"])
+    # explicit multi-row replacement: both batch rows live, old dead
+    S.snapshot_upsert(dup, t, ["id"], allow_duplicate_keys=True)
+    got = {
+        (r.id, r.v) for r in S.read_snapshot(spark, t).collect()
+    }
+    assert got == {(1, 10), (2, 21), (2, 22)}
+
+    # key pinning: a delete pinned ["id"]; upsert on ["v"] refuses
+    with pytest.raises(ValueError, match="pins delete keys"):
+        S.snapshot_upsert(df, t, ["v"])
+    # missing key column
+    with pytest.raises(ValueError, match="lacks key columns"):
+        S.snapshot_upsert(df.select("v"), t, ["id"])
+
+    # partition-attributed tables: replace = overwrite the partition
+    t2 = str(tmp_path / "t2")
+    S.snapshot_write_partitions(
+        df.withColumn("p", F.col("id") % 2), t2, ["p"]
+    )
+    with pytest.raises(ValueError, match="partition-attributed"):
+        S.snapshot_upsert(df.withColumn("p", F.col("id") % 2), t2, ["id"])
+
+
+def test_upsert_maintained_agg_and_expiry(spark, tmp_path):
+    """A CDC-maintained aggregate stays exact across upserts (refresh
+    cost ∝ batch), and expire_snapshots reclaims superseded data AND
+    delete files once no retained version references them."""
+    t = str(tmp_path / "t")
+    state = str(tmp_path / "agg")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(int(i), int(v)) for i, v in pairs], "id long, v long"
+        )
+
+    def refresh():
+        return {
+            r.g: (r.n_rows, r.sum_v)
+            for r in S.maintain_snapshot_agg(
+                spark, t, state, ["g"], sum_cols=["v"]
+            ).collect()
+        }
+
+    base = rows([(i, i * 10) for i in range(1, 9)]).withColumn(
+        "g", F.col("id") % 2
+    )
+    S.snapshot_write(base, t)                                     # v1
+    refresh()
+    up = rows([(2, 1000), (9, 90)]).withColumn("g", F.col("id") % 2)
+    S.snapshot_upsert(up, t, ["id"])                              # v2
+    got = refresh()
+    direct = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in S.read_snapshot(spark, t)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+    # optimize then expire: the upsert's delete file becomes
+    # unreferenced once pre-optimize versions roll off
+    S.optimize_snapshot(spark, t, 2)                              # v3
+    res = S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+    assert any(
+        f.startswith("snapdel-") for f in res["deleted_files"]
+    ), res
+    got2 = {
+        (r.id, r.v) for r in S.read_snapshot(spark, t).collect()
+    }
+    assert got2 == {(i, i * 10) for i in range(1, 9) if i != 2} | {
+        (2, 1000), (9, 90)
+    }
+
+
+def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
+    """Streaming CDC-apply: an update stream keyed by id materializes
+    into a snapshot table whose live view is latest-row-per-key;
+    intra-batch duplicate keys resolve by the data's own order column;
+    restart replays are skipped (exactly-once) so deletes can never
+    double-apply onto their own batch's re-inserted rows."""
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    # seq is the source's total order; id 2 updated twice in one file
+    spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 2), (2, 21, 3), (3, 30, 4)],
+        "id long, v long, seq long",
+    ).coalesce(1).write.json(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, v long, seq long")
+            .json(src)
+            .writeStream.foreachBatch(
+                S.snapshot_upsert_sink(table, ["id"], order_col="seq")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    def live():
+        return {
+            (r.id, r.v) for r in S.read_snapshot(spark, table).collect()
+        }
+
+    run()
+    assert live() == {(1, 10), (2, 21), (3, 30)}
+    n_versions = len(S.list_snapshots(spark, table))
+    run()  # restart, no new data: no new commits
+    assert len(S.list_snapshots(spark, table)) == n_versions
+
+    # a later file updates an existing key and inserts a new one
+    spark.createDataFrame(
+        [(2, 22, 5), (4, 40, 6)], "id long, v long, seq long"
+    ).coalesce(1).write.mode("append").json(src)
+    run()
+    assert live() == {(1, 10), (2, 22), (3, 30), (4, 40)}
+    # history is time-travelable across batches
+    assert {
+        (r.id, r.v)
+        for r in S.read_snapshot(spark, table, n_versions).collect()
+    } == {(1, 10), (2, 21), (3, 30)}
