@@ -13175,6 +13175,107 @@ def snapshot_upsert_merge(
 
 
 @query(
+    "snapshot_cdc_feed",
+    """
+    SELECT cdc_version, o_orderstatus,
+           CAST(count(*) AS BIGINT)          AS n_rows,
+           CAST(sum(sign) AS BIGINT)         AS net_rows,
+           CAST(sum(sign * cents) AS BIGINT) AS net_cents
+    FROM (
+      SELECT 1 AS cdc_version, o_orderstatus, 1 AS sign,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 2, o_orderstatus, 1,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 10
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 2, o_orderstatus, -1,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 15 = 0
+      UNION ALL
+      SELECT 3, o_orderstatus, -1,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+      FROM orders
+      WHERE o_orderkey % 6 = 0 AND o_orderkey % 15 <> 0
+      UNION ALL
+      SELECT 3, o_orderstatus, -1,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 10
+      FROM orders WHERE o_orderkey % 30 = 0
+    )
+    GROUP BY cdc_version, o_orderstatus
+    """,
+)
+def snapshot_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed SOURCE over a snapshot table
+    (sources/snapcdc.py — the Delta CDF / Iceberg incremental-read
+    shape as a first-class ``format("snapshot_cdc")`` DataSource):
+    the version log is the offset log, planning diffs per-version
+    file lists (metadata only, cost ∝ changed files), and reads run
+    on executors as Arrow batches with the key-sized delete files
+    anti/semi-joined per file.
+
+    Exercised across the three commit kinds: a base append (%3 keys),
+    a keyed UPSERT (%5 keys, +10 cents — must stream as exact update
+    images: matched old rows −1, all batch rows +1), and an equality
+    DELETE (%6 keys — must emit −1 only for rows still live at the
+    parent, including upsert-origin rows the new delete outranks).
+    The oracle states every per-version delta explicitly; the Spark
+    side reads the WHOLE feed through the batch mode of the same
+    DataSource the stream uses and aggregates signed row/cents sums
+    per (version, status). The streaming mode is the same planner
+    (tests/test_snapshots.py exercises exactly-once across
+    restarts)."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+    from cmsspark_spark.sources import snapcdc
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + F.lit(bump)
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_cdc_feed_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(slice_(k % 3 == 0, 0), table)
+        SN.snapshot_upsert(slice_(k % 5 == 0, 10), table, ["o_orderkey"])
+        SN.snapshot_delete(
+            spark, table,
+            slice_(k % 6 == 0, 0).select("o_orderkey"), ["o_orderkey"],
+        )
+        snapcdc.register(spark)
+        feed = spark.read.format("snapshot_cdc").option("path", table).load()
+        return (
+            feed.groupBy(
+                F.col("_cdc_version").alias("cdc_version"),
+                "o_orderstatus",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("_cdc_sign").cast("long").alias("net_rows"),
+                F.sum(F.col("_cdc_sign") * F.col("cents"))
+                .cast("long").alias("net_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,
