@@ -248,6 +248,9 @@ EXTRA = [
     "cdc_aggregate_minmax",          # CDC-maintained min/max extrema
     "avro_logical_types",            # decimal/timestamp/date Avro decode
     "snapshot_point_lookup",         # version-pinned file-set lookups
+    # round 13
+    "snapshot_upsert_merge",         # one-commit keyed MERGE (seq-scoped)
+    "snapshot_cdc_feed",             # CDF DataSource over the version log
 ]
 
 

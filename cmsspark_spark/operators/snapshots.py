@@ -697,16 +697,56 @@ def snapshot_upsert(
     "replace key k's rows with THESE n rows"). Single-writer like the
     other maintenance ops; partition-attributed tables refuse (at that
     grain the replace mechanism is overwriting the partition)."""
+    return snapshot_apply_changes(
+        df.sparkSession, table, key_cols, upserts=df,
+        allow_duplicate_keys=allow_duplicate_keys, op="upsert",
+    )
+
+
+def snapshot_apply_changes(
+    spark: SparkSession,
+    table: str,
+    key_cols: Sequence[str],
+    upserts: DataFrame | None = None,
+    delete_keys: DataFrame | None = None,
+    allow_duplicate_keys: bool = False,
+    extra: dict | None = None,
+    op: str = "apply",
+) -> int:
+    """The generalized one-commit change application under
+    :func:`snapshot_upsert` and the CDC-replication sink: ``upserts``'
+    rows replace their keys' live rows, ``delete_keys``' keys die — in
+    ONE atomic version (the commit carries the new data files at
+    add-seq v plus a single delete file of upsert-keys ∪ delete-keys
+    at seq v; sequence scoping spares the batch's own rows). This is
+    what a CDC-apply needs: an update stream's net batch effect
+    (replacements + net deletions) lands with no intermediate version
+    a reader could catch half-applied, and replays are detectable from
+    one commit's metadata (pass ``extra={"batch_id": ...}``).
+
+    Either side may be None/empty (pure upsert / pure delete). Write
+    cost ∝ the batch; guards (key pinning, partition-grain refusal,
+    duplicate-key detection over ``upserts``) as in
+    :func:`snapshot_upsert`. Returns the committed version."""
     key_cols = list(key_cols)
-    spark = df.sparkSession
-    missing = [c for c in key_cols if c not in df.columns]
-    if missing:
-        raise ValueError(f"upsert df lacks key columns {missing}")
+    if upserts is not None:
+        missing = [c for c in key_cols if c not in upserts.columns]
+        if missing:
+            raise ValueError(f"upsert df lacks key columns {missing}")
+    if delete_keys is not None:
+        missing = [c for c in key_cols if c not in delete_keys.columns]
+        if missing:
+            raise ValueError(
+                f"delete_keys df lacks key columns {missing}"
+            )
+    if upserts is None and delete_keys is None:
+        raise ValueError("pass at least one of upserts / delete_keys")
     versions = list_snapshots(spark, table)
-    extra: dict = {
-        "delete_key_cols": key_cols,
-        "schema": df.schema.jsonValue(),
-    }
+    extra_eff: dict = dict(extra or {})
+    extra_eff["delete_key_cols"] = key_cols
+    if upserts is not None:
+        extra_eff["schema"] = upserts.schema.jsonValue()
+    pmeta = None
     if versions:
         pmeta = read_snapshot_meta(spark, table, versions[-1])
         if pmeta.get("part_cols"):
@@ -722,14 +762,23 @@ def snapshot_upsert(
                 f"{key_cols} — mixed key shapes would corrupt the "
                 "delete anti-join"
             )
-        pschema = pmeta.get("schema") or {}
-        pfields = {f["name"] for f in pschema.get("fields", [])}
-        fields = {f.name for f in df.schema.fields}
-        if pmeta.get("mixed_schemas") or (pfields and pfields != fields):
-            extra["mixed_schemas"] = True
-    if not allow_duplicate_keys:
+        if "schema" not in extra_eff and "schema" in pmeta:
+            extra_eff["schema"] = pmeta["schema"]
+        if upserts is not None:
+            pschema = pmeta.get("schema") or {}
+            pfields = {f["name"] for f in pschema.get("fields", [])}
+            fields = {f.name for f in upserts.schema.fields}
+            if pmeta.get("mixed_schemas") or (
+                pfields and pfields != fields
+            ):
+                extra_eff["mixed_schemas"] = True
+    if pmeta and pmeta.get("mixed_schemas") and upserts is None:
+        # a pure-delete application must not clear the lineage's
+        # merged-read flag
+        extra_eff["mixed_schemas"] = True
+    if upserts is not None and not allow_duplicate_keys:
         dup = (
-            df.groupBy(*key_cols)
+            upserts.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > 1)
             .limit(1)
@@ -742,12 +791,20 @@ def snapshot_upsert(
                 "survive (a batch's rows are immune to its own delete); "
                 "dedupe the batch or pass allow_duplicate_keys=True"
             )
-    new_files = _write_attributed(df, table)
-    del_names = _stage_delete_files(spark, table, df, key_cols)
+    new_files = (
+        _write_attributed(upserts, table) if upserts is not None else []
+    )
+    keys = None
+    if upserts is not None:
+        keys = upserts.select(*key_cols)
+    if delete_keys is not None:
+        dk = delete_keys.select(*key_cols)
+        keys = dk if keys is None else keys.unionByName(dk)
+    del_names = _stage_delete_files(spark, table, keys, key_cols)
     # ONE commit carries both: data files stamped seq=v, delete file
     # stamped seq=v → the delete reaches every older file, never these
     return commit_snapshot(
-        spark, table, op="upsert", append_files=new_files, extra=extra,
+        spark, table, op=op, append_files=new_files, extra=extra_eff,
         new_delete_files=del_names,
     )
 
@@ -1394,6 +1451,73 @@ def snapshot_upsert_sink(
                 .select(*batch_df.columns)
             )
         snapshot_upsert(latest, table, key_cols)
+        state["ids"].add(str(batch_id))
+
+    return _sink
+
+
+def snapshot_replicate_sink(table: str, key_cols: Sequence[str]):
+    """foreachBatch sink that APPLIES a change-data feed to a replica
+    table — the full CDC-replication loop when paired with the
+    ``snapshot_cdc`` source (sources/snapcdc.py): stream table A's
+    commits, land each micro-batch's NET effect on table B as one
+    atomic :func:`snapshot_apply_changes` commit, and B's live view
+    tracks A's exactly (with B keeping its own independent history /
+    time travel). Net effect per key over the batch's signed rows:
+    the key's changes at its highest ``_cdc_version`` decide — a +1
+    row there is the key's new image (upsert), only −1 there means
+    the key died (delete); earlier versions inside the same batch are
+    superseded, so a key updated five times in one batch lands once.
+
+    Exactly-once: the epoch id rides in B's commit metadata and
+    replayed batches are skipped, and because upsert+delete land in
+    ONE commit there is no torn middle state for a crash to expose.
+    Requires a keyed feed (the upstream table's delete/upsert key
+    discipline); ties inside one source version (a key with several
+    +1 rows in one upstream commit, i.e. allow_duplicate_keys
+    upstream) replicate them all.
+
+    Use: ``spark.readStream.format("snapshot_cdc").option("path", A)
+    .load().writeStream.foreachBatch(
+    snapshot_replicate_sink(B, ["k"])).start()``."""
+    key_cols = list(key_cols)
+    state: dict = {"ids": None}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if state["ids"] is None:
+            state["ids"] = committed_batch_ids(spark, table)
+        if str(batch_id) in state["ids"]:
+            return  # replay of an already-committed batch
+        vmax = batch_df.groupBy(*key_cols).agg(
+            F.max("_cdc_version").alias("_vmax")
+        )
+        last = batch_df.join(vmax, key_cols).filter(
+            F.col("_cdc_version") == F.col("_vmax")
+        )
+        data_cols = [
+            c for c in batch_df.columns
+            if c not in ("_cdc_sign", "_cdc_version")
+        ]
+        # the batch is consumed several times (upserts, net-dead keys,
+        # key staging) — pin the superseded-filtered view once
+        last = last.localCheckpoint(eager=True)
+        ups = last.filter(F.col("_cdc_sign") > 0).select(*data_cols)
+        dead = (
+            last.groupBy(*key_cols)
+            .agg(F.max("_cdc_sign").alias("_smax"))
+            .filter(F.col("_smax") < 0)
+            .select(*key_cols)
+        )
+        if not ups.limit(1).count() and not dead.limit(1).count():
+            return  # nothing net; skipping is replay-idempotent
+        snapshot_apply_changes(
+            spark, table, key_cols,
+            upserts=ups, delete_keys=dead,
+            allow_duplicate_keys=True,
+            extra={"batch_id": str(batch_id)},
+            op="replicate",
+        )
         state["ids"].add(str(batch_id))
 
     return _sink

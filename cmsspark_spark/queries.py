@@ -13276,6 +13276,120 @@ def snapshot_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_cdc_replication",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 10 AS cents
+      FROM orders
+      WHERE o_orderkey % 5 = 0 AND o_orderkey % 30 <> 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+        AND o_orderkey % 6 <> 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_cdc_replication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end CDC REPLICATION: ``readStream.format("snapshot_cdc")``
+    over source table A (sources/snapcdc.py — versions as offsets,
+    executor-side Arrow reads) feeding
+    ``snapshot_replicate_sink`` on replica B, which lands each
+    micro-batch's NET per-key effect (superseded intra-batch changes
+    collapse; a key whose last image is −1 dies) as ONE atomic
+    ``snapshot_apply_changes`` commit — upserts and deletes together,
+    exactly-once via the epoch ledger, no torn middle state.
+
+    A's history: base append (%3 keys), keyed upsert (%5 keys,
+    +10 cents), equality delete (%6 keys). The stream replicates all
+    three commit kinds in one availableNow pass; the returned frame
+    aggregates REPLICA B's live view, which must hash-match the
+    oracle's statement of A's final content — and A's own live
+    aggregate is asserted identical first. Scale shape: replication
+    cost ∝ changed files + changed keys per batch, never table size
+    (the plan both sides ship at 100 TB)."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+    from cmsspark_spark.sources import snapcdc
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + F.lit(bump)
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_cdc_repl_")
+    try:
+        a = f"{tmp}/a"
+        b = f"{tmp}/b"
+        SN.snapshot_write(slice_(k % 3 == 0, 0), a)
+        SN.snapshot_upsert(slice_(k % 5 == 0, 10), a, ["o_orderkey"])
+        SN.snapshot_delete(
+            spark, a,
+            slice_(k % 6 == 0, 0).select("o_orderkey"), ["o_orderkey"],
+        )
+        snapcdc.register(spark)
+        q = (
+            spark.readStream.format("snapshot_cdc")
+            .option("path", a)
+            .load()
+            .writeStream.foreachBatch(
+                SN.snapshot_replicate_sink(b, ["o_orderkey"])
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        def agg(t):
+            return (
+                SN.read_snapshot(spark, t)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+            )
+
+        out = agg(b).localCheckpoint(eager=True)
+        got_b = {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in out.collect()
+        }
+        got_a = {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in agg(a).collect()
+        }
+        if got_a != got_b:
+            raise AssertionError(
+                f"replica diverged from source: {got_b} != {got_a}"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

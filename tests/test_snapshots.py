@@ -1752,3 +1752,62 @@ def test_snapshot_cdc_source_streaming_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert (1, 10, -1, 3) in got and len(got) == 5
+
+
+def test_cdc_replication_tracks_source_table(spark, tmp_path):
+    """Full CDC-replication loop: snapshot_cdc source over table A →
+    snapshot_replicate_sink applies each micro-batch's NET effect to
+    table B in one atomic commit. B's live view tracks A's across
+    append / upsert / delete / reinsert; restarts replay nothing; a
+    key changed twice within one batch lands once (superseded changes
+    collapse)."""
+    from cmsspark_spark.sources import snapcdc
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(int(i), int(v)) for i, v in pairs], "id long, v long"
+        )
+
+    def live(t):
+        return {(r.id, r.v) for r in S.read_snapshot(spark, t).collect()}
+
+    snapcdc.register(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("snapshot_cdc")
+            .option("path", a)
+            .load()
+            .writeStream.foreachBatch(
+                S.snapshot_replicate_sink(b, ["id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    # several source commits BEFORE the first run: one batch must
+    # collapse key 2's three images (20 → 21 → dead) to its net state
+    S.snapshot_write(rows([(1, 10), (2, 20), (3, 30)]), a)        # v1
+    S.snapshot_upsert(rows([(2, 21), (4, 40)]), a, ["id"])        # v2
+    S.snapshot_delete(spark, a, rows([(2, 0)]).select("id"), ["id"])  # v3
+    run()
+    assert live(b) == live(a) == {(1, 10), (3, 30), (4, 40)}
+    nb = len(S.list_snapshots(spark, b))
+    run()  # restart, nothing new: no commit on B
+    assert len(S.list_snapshots(spark, b)) == nb
+
+    # incremental: reinsert a dead key, update an old one
+    S.snapshot_write(rows([(2, 22)]), a, mode="append")           # v4
+    S.snapshot_upsert(rows([(1, 11)]), a, ["id"])                 # v5
+    run()
+    assert live(b) == live(a) == {(1, 11), (2, 22), (3, 30), (4, 40)}
+    # B has its own history: the pre-batch image is time-travelable
+    assert {
+        (r.id, r.v) for r in S.read_snapshot(spark, b, nb).collect()
+    } == {(1, 10), (3, 30), (4, 40)}
