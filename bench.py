@@ -251,6 +251,8 @@ EXTRA = [
     # round 13
     "snapshot_upsert_merge",         # one-commit keyed MERGE (seq-scoped)
     "snapshot_cdc_feed",             # CDF DataSource over the version log
+    "snapshot_cdc_replication",      # CDF stream -> exactly-once replica
+    "snapshot_wap_publish",          # write-audit-publish staged commits
 ]
 
 

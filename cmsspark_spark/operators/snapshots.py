@@ -809,6 +809,174 @@ def snapshot_apply_changes(
     )
 
 
+def _staged_path(table: str, stage_id: str) -> str:
+    return _snap_dir(table) + f"/staged/s-{stage_id}.json"
+
+
+def snapshot_write_staged(
+    df: DataFrame, table: str, mode: str = "append"
+) -> str:
+    """WRITE-AUDIT-PUBLISH, step 1 (the public Iceberg WAP pattern):
+    land ``df``'s data files beside the table and record them in a
+    STAGE ENTRY (``_snapshots/staged/s-<id>.json``) — NOT a version.
+    Normal readers cannot see staged data (the version chain is
+    untouched); an audit process reads it with :func:`read_staged`,
+    then :func:`publish_staged` turns the entry into a real commit or
+    :func:`discard_staged` drops it (the files become vacuum residue).
+    Returns the stage id.
+
+    Staging OUTSIDE the chain is what keeps this safe: every
+    latest-version consumer (reads, appends, maintenance, CDC,
+    streaming sinks) is oblivious to in-flight stages, and commits
+    made BETWEEN stage and publish compose — an ``append`` stage
+    replays its increment onto whatever parent is current at publish
+    time, exactly like a late writer in the commit retry loop.
+    ``overwrite`` stages replace the live set at publish, same as a
+    direct overwrite would."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    new_files = _write_attributed(df, table)
+    sid = uuid.uuid4().hex[:16]
+    entry = {
+        "stage_id": sid,
+        "op": mode,
+        "files": sorted({p.rsplit("/", 1)[-1] for p in new_files}),
+        "schema": df.schema.jsonValue(),
+    }
+    versions = list_snapshots(spark, table)
+    if versions:
+        entry["staged_at_version"] = versions[-1]
+    write_json_meta(spark, _staged_path(table, sid), entry)
+    return sid
+
+
+def list_staged(spark: SparkSession, table: str) -> list[dict]:
+    """All pending stage entries (metadata listing only)."""
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    d = jvm.org.apache.hadoop.fs.Path(_snap_dir(table) + "/staged")
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith("s-") and name.endswith(".json"):
+            e = read_json_meta(
+                spark, _snap_dir(table) + "/staged/" + name
+            )
+            if e is not None:
+                out.append(e)
+    return sorted(out, key=lambda e: e.get("stage_id", ""))
+
+
+def _staged_entry(spark: SparkSession, table: str, stage_id: str) -> dict:
+    e = read_json_meta(spark, _staged_path(table, stage_id))
+    if e is None:
+        raise FileNotFoundError(
+            f"stage {stage_id} of {table} does not exist (published, "
+            "discarded, or never created)"
+        )
+    return e
+
+
+def read_staged(
+    spark: SparkSession, table: str, stage_id: str
+) -> DataFrame:
+    """AUDIT read of a stage: exactly what the table would contain if
+    the stage were published NOW — for an ``append`` stage, the
+    current live view (deletes applied) plus the staged increment
+    (immune to existing deletes, matching the add-sequence the
+    publish will stamp); for ``overwrite``, the staged files alone.
+    Run validation queries against this frame, then publish or
+    discard."""
+    e = _staged_entry(spark, table, stage_id)
+    root = table.rstrip("/")
+    inc = spark.read.parquet(*[f"{root}/{n}" for n in e["files"]])
+    if e["op"] == "overwrite" or not list_snapshots(spark, table):
+        return inc
+    return read_snapshot(spark, table).unionByName(
+        inc, allowMissingColumns=True
+    )
+
+
+def published_stage_ids(spark: SparkSession, table: str) -> set[str]:
+    """Stage ids already turned into commits — the publish ledger
+    (same walk as committed_batch_ids; driver-side metadata only)."""
+    out: set[str] = set()
+    for v in list_snapshots(spark, table):
+        sid = read_snapshot_meta(spark, table, v).get("stage_id")
+        if sid:
+            out.add(str(sid))
+    return out
+
+
+def publish_staged(
+    spark: SparkSession, table: str, stage_id: str
+) -> int:
+    """WRITE-AUDIT-PUBLISH, step 3: turn a stage entry into a real
+    commit. IDEMPOTENT under crash-retry: the stage id rides in the
+    commit metadata, so a publish that crashed between committing and
+    removing the entry is detected on re-run (the ledger wins, the
+    leftover entry is swept, the committed version is returned) —
+    never a double-apply. An ``append`` stage composes with every
+    commit made since staging (its increment replays onto the current
+    parent, delete state inherited and add-sequences stamped inside
+    the commit retry loop); an ``overwrite`` stage replaces the live
+    set. Returns the committed version."""
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    for v in sorted(list_snapshots(spark, table), reverse=True):
+        if str(
+            read_snapshot_meta(spark, table, v).get("stage_id")
+        ) == str(stage_id):
+            # already published (crash between commit and entry sweep)
+            fs.delete(Path(_staged_path(table, stage_id)), False)
+            return v
+    e = _staged_entry(spark, table, stage_id)
+    extra: dict = {"stage_id": stage_id, "schema": e["schema"]}
+    if e["op"] == "append":
+        versions = list_snapshots(spark, table)
+        if versions:
+            pmeta = read_snapshot_meta(spark, table, versions[-1])
+            pfields = {
+                f["name"]
+                for f in (pmeta.get("schema") or {}).get("fields", [])
+            }
+            fields = {
+                f["name"] for f in e["schema"].get("fields", [])
+            }
+            if pmeta.get("mixed_schemas") or (
+                pfields and pfields != fields
+            ):
+                extra["mixed_schemas"] = True
+        v = commit_snapshot(
+            spark, table, op="publish", append_files=e["files"],
+            extra=extra,
+        )
+    else:
+        v = commit_snapshot(
+            spark, table, e["files"], op="publish-overwrite",
+            extra=extra,
+        )
+    fs.delete(Path(_staged_path(table, stage_id)), False)
+    return v
+
+
+def discard_staged(
+    spark: SparkSession, table: str, stage_id: str
+) -> dict:
+    """Drop a stage without publishing. The entry disappears
+    immediately (auditors see it gone); the landed data files become
+    never-referenced residue that :func:`vacuum_snapshot_table`
+    reclaims after its age gate. Returns the discarded entry."""
+    e = _staged_entry(spark, table, stage_id)
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(_staged_path(table, stage_id)), False)
+    return e
+
+
 def _live_name_seqs(
     spark: SparkSession, table: str, meta: dict
 ) -> dict:
@@ -1271,6 +1439,12 @@ def vacuum_snapshot_table(
         m = read_snapshot_meta(spark, table, v)
         referenced.update(snapshot_files(spark, table, meta=m))
         referenced.update(m.get("delete_files", []))
+    # a PENDING stage (write-audit-publish) references its files even
+    # though no version does yet — vacuum must never eat a stage that
+    # is awaiting audit; DISCARDED stages lose the entry and their
+    # files age into ordinary reclaimable residue
+    for e in list_staged(spark, table):
+        referenced.update(e.get("files", []))
     fs, _ = _fs_for(spark, table)
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path

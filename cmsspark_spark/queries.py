@@ -13390,6 +13390,108 @@ def snapshot_cdc_replication(
 
 
 @query(
+    "snapshot_wap_publish",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 7 AS cents
+      FROM orders
+      WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 5 AS cents
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on a snapshot table (snapshots.
+    snapshot_write_staged / read_staged / publish_staged /
+    discard_staged — the public Iceberg WAP pattern): a staged write
+    lands data files plus a stage ENTRY outside the version chain, so
+    no reader, maintenance job, or streaming sink can see it until an
+    audit passes; the audit reads the exact would-be-published view;
+    publish turns the entry into a real commit that COMPOSES with
+    commits made in between (the increment replays onto the current
+    parent); discard drops the entry and leaves the files to vacuum.
+
+    Exercised: base load (%3 keys) → a BAD batch staged and DISCARDED
+    (+1000-cent rows that must never surface) → a GOOD correction
+    staged (%9 keys, +5 cents) → a normal append lands WHILE the stage
+    is pending (%7∧¬%3 keys, +7 cents; asserted invisible to none,
+    stage invisible to it) → audit read validated → publish. The
+    final read must hash-match the oracle's base ∪ append ∪ published
+    union, with the discarded rows absent. Scale shape: staging cost
+    ∝ batch, audit is a plain read, publish is one metadata commit."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + F.lit(bump)
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_wap_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(slice_(k % 3 == 0, 0), table)
+        n_base = SN.read_snapshot(spark, table).count()
+
+        # a bad batch is staged, audited, and REJECTED
+        bad = SN.snapshot_write_staged(slice_(k % 11 == 0, 1000), table)
+        SN.discard_staged(spark, table, bad)
+
+        # the good correction is staged; a normal append lands while
+        # the audit is pending — neither sees the other
+        sid = SN.snapshot_write_staged(slice_(k % 9 == 0, 5), table)
+        SN.snapshot_write(
+            slice_((k % 7 == 0) & (k % 3 != 0), 7), table, mode="append"
+        )
+        n_inc = slice_(k % 9 == 0, 5).count()
+        n_app = slice_((k % 7 == 0) & (k % 3 != 0), 7).count()
+        if SN.read_snapshot(spark, table).count() != n_base + n_app:
+            raise AssertionError("staged rows leaked into a normal read")
+        # audit: the preview must be current-live + exactly the staged
+        # increment, and carry none of the discarded batch's +1000 rows
+        audit = SN.read_staged(spark, table, sid)
+        if audit.count() != n_base + n_app + n_inc:
+            raise AssertionError("audit preview has the wrong row set")
+        SN.publish_staged(spark, table, sid)
+        out = (
+            SN.read_snapshot(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

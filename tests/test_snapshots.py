@@ -1811,3 +1811,90 @@ def test_cdc_replication_tracks_source_table(spark, tmp_path):
     assert {
         (r.id, r.v) for r in S.read_snapshot(spark, b, nb).collect()
     } == {(1, 10), (3, 30), (4, 40)}
+
+
+def test_write_audit_publish_lifecycle(spark, tmp_path):
+    """WAP: staged writes are invisible to every reader until
+    published; the audit read previews the exact publish result;
+    append stages compose with commits made between stage and
+    publish; publish is crash-idempotent; discard + vacuum reclaims;
+    a pending stage is vacuum-safe."""
+    t = str(tmp_path / "t")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(int(i), int(v)) for i, v in pairs], "id long, v long"
+        )
+
+    S.snapshot_write(rows([(1, 10), (2, 20)]), t)                 # v1
+    sid = S.snapshot_write_staged(rows([(3, 30)]), t)
+    # invisible to normal readers and to the version chain
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2]
+    assert S.list_snapshots(spark, t) == [1]
+    assert [e["stage_id"] for e in S.list_staged(spark, t)] == [sid]
+    # audit read previews the publish result
+    assert _ids(S.read_staged(spark, t, sid)) == [1, 2, 3]
+
+    # a commit lands BETWEEN stage and publish: the stage composes
+    S.snapshot_write(rows([(4, 40)]), t, mode="append")           # v2
+    assert _ids(S.read_staged(spark, t, sid)) == [1, 2, 3, 4]
+    v = S.publish_staged(spark, t, sid)                           # v3
+    assert v == 3
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3, 4]
+    assert not S.list_staged(spark, t)
+    # crash-idempotent: re-publish returns the committed version
+    assert S.publish_staged(spark, t, sid) == 3
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3, 4]
+
+    # unknown stage fails loudly
+    with pytest.raises(FileNotFoundError):
+        S.read_staged(spark, t, "nope")
+
+    # discard: entry gone, files become vacuum residue after the age
+    # gate; a PENDING stage's files are never vacuum candidates
+    sid2 = S.snapshot_write_staged(rows([(9, 90)]), t)
+    sid3 = S.snapshot_write_staged(rows([(8, 80)]), t)
+    S.discard_staged(spark, t, sid2)
+    plan = S.vacuum_snapshot_table(spark, t, min_age_s=0, dry_run=True)
+    doomed = set(plan["unreferenced"])
+    assert doomed, "discarded stage files must be reclaimable"
+    staged_files = set(S._staged_entry(spark, t, sid3)["files"])
+    assert not (doomed & staged_files), "pending stage must be safe"
+    S.vacuum_snapshot_table(spark, t, min_age_s=0, dry_run=False)
+    # pending stage still publishable after the vacuum
+    S.publish_staged(spark, t, sid3)                              # v4
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3, 4, 8]
+
+
+def test_staged_publish_respects_deletes_and_overwrite(spark, tmp_path):
+    """An append stage published onto a delete-carrying lineage gets
+    the commit's add-sequence (immune to older deletes, killable by
+    later ones); an overwrite stage replaces the live set at publish
+    time."""
+    t = str(tmp_path / "t")
+
+    def rows(*ids):
+        return spark.createDataFrame(
+            [(int(i), int(i) * 10) for i in ids], "id long, v long"
+        )
+
+    S.snapshot_write(rows(1, 2, 3), t)                            # v1
+    S.snapshot_delete(spark, t, rows(2).select("id"), ["id"])     # v2
+    # stage a reinsert of the deleted key, audit, publish
+    sid = S.snapshot_write_staged(rows(2), t)
+    assert _ids(S.read_staged(spark, t, sid)) == [1, 2, 3]
+    S.publish_staged(spark, t, sid)                               # v3
+    assert _ids(S.read_snapshot(spark, t)) == [1, 2, 3]
+    # a later delete still reaches the published rows
+    S.snapshot_delete(spark, t, rows(2).select("id"), ["id"])     # v4
+    assert _ids(S.read_snapshot(spark, t)) == [1, 3]
+
+    # overwrite stage: audit sees ONLY the staged content; publish
+    # replaces the live set
+    sid2 = S.snapshot_write_staged(rows(7, 8), t, mode="overwrite")
+    assert _ids(S.read_staged(spark, t, sid2)) == [7, 8]
+    assert _ids(S.read_snapshot(spark, t)) == [1, 3]
+    S.publish_staged(spark, t, sid2)                              # v5
+    assert _ids(S.read_snapshot(spark, t)) == [7, 8]
+    # pre-publish history is intact
+    assert _ids(S.read_snapshot(spark, t, 4)) == [1, 3]
