@@ -2412,6 +2412,121 @@ def snapshot_write_partitions(
     )
 
 
+def snapshot_upsert_partitions(
+    df: DataFrame,
+    table: str,
+    part_cols: Sequence[str],
+    key_cols: Sequence[str],
+    expected_parent: int | None = None,
+    allow_duplicate_keys: bool = False,
+) -> int:
+    """Keyed MERGE on a PARTITION-ATTRIBUTED snapshot table — the
+    copy-on-write complement of :func:`snapshot_upsert` (equality
+    deletes and partition grain stay mutually exclusive by design;
+    this is the merge mechanism AT that grain): the touched
+    partitions' current content is anti-joined on ``key_cols``,
+    unioned with ``df``, and committed as ONE partition-overwrite —
+    existing keys replaced, new keys inserted, untouched partitions'
+    manifests reused by pointer (commit cost ∝ touched partitions).
+
+    Copy-on-write is the right economics here: day-grain corrections
+    rewrite one day, not the table, and reads stay join-free (no
+    delete files to anti-join — the trade the two grains make).
+
+    CONTRACT: a row's key must determine its partition (the standard
+    partitioned-upsert contract). A key that MOVED partition between
+    the old row and ``df``'s row is only replaced when BOTH partitions
+    are touched by this batch; an old row in an untouched partition
+    survives — enforced as far as cheaply possible (the anti-join
+    covers all touched partitions, not just the row's own).
+    ``expected_parent`` pins the version the merge was planned
+    against: the read and the commit use it, so a concurrent commit
+    to an overlapping partition fails the conflict audit loudly
+    instead of losing the update (disjoint writers compose).
+    Duplicate keys in ``df`` refuse as in :func:`snapshot_upsert`."""
+    part_cols = list(part_cols)
+    key_cols = list(key_cols)
+    spark = df.sparkSession
+    missing = [c for c in part_cols + key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"upsert df lacks columns {missing}")
+    versions = list_snapshots(spark, table)
+    if not versions:
+        # first write: a pure insert at partition grain
+        return snapshot_write_partitions(
+            df, table, part_cols, mode="overwrite",
+        )
+    if expected_parent is None:
+        expected_parent = versions[-1]
+    pmeta = read_snapshot_meta(spark, table, expected_parent)
+    pinned = pmeta.get("part_cols")
+    if pinned is None:
+        raise ValueError(
+            f"{table} is not partition-attributed — use snapshot_upsert"
+        )
+    if list(pinned) != part_cols:
+        raise ValueError(
+            f"{table} pins partition columns {pinned}, got {part_cols}"
+        )
+    if not allow_duplicate_keys:
+        dup = (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "upsert batch carries multiple rows for key "
+                f"{tuple(dup[0][c] for c in key_cols)} — dedupe the "
+                "batch or pass allow_duplicate_keys=True"
+            )
+    # touched partition values: k-row collect (#partitions, never rows)
+    touched = df.select(*part_cols).distinct().collect()
+    existing = set((pmeta.get("manifest_parts") or {}).values())
+    touched_known = [
+        r for r in touched
+        if _pk_key([r[c] for c in part_cols]) in existing
+    ]
+    merged = df
+    if touched_known:
+        if len(part_cols) == 1:
+            sel = {part_cols[0]: [r[part_cols[0]] for r in touched_known]}
+            current = read_snapshot(
+                spark, table, expected_parent, partitions=sel
+            )
+        else:
+            # multi-column grain: metadata pruning takes per-column
+            # value lists (a cartesian superset); cut it to the exact
+            # touched combos with a broadcast semi-join so identical
+            # content is never rewritten
+            sel = {
+                c: sorted({r[c] for r in touched_known})
+                for c in part_cols
+            }
+            current = read_snapshot(
+                spark, table, expected_parent, partitions=sel
+            )
+            combos = spark.createDataFrame(
+                [tuple(r[c] for c in part_cols) for r in touched_known],
+                current.select(*part_cols).schema,
+            )
+            current = current.join(
+                F.broadcast(combos), part_cols, "left_semi"
+            )
+        # plain anti-join: AQE broadcasts a small batch's key set by
+        # itself, and a huge batch must not be forced through one
+        survivors = current.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(df)
+    return snapshot_write_partitions(
+        merged, table, part_cols, mode="overwrite",
+        expected_parent=expected_parent,
+    )
+
+
 def snapshot_partitions(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:

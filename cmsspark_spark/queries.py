@@ -13492,6 +13492,120 @@ def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_partition_upsert",
+    """
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+        AND NOT (o_orderkey % 9 = 0
+                 AND strftime(o_orderdate, '%Y-%m') < '1998')
+      UNION ALL
+      SELECT strftime(o_orderdate, '%Y-%m'),
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 50
+      FROM orders
+      WHERE o_orderkey % 9 = 0
+        AND strftime(o_orderdate, '%Y-%m') < '1998'
+      UNION ALL
+      SELECT strftime(o_orderdate, '%Y-%m'),
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 5
+      FROM orders
+      WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 <> 0
+        AND strftime(o_orderdate, '%Y-%m') < '1998'
+    )
+    GROUP BY month
+    """,
+)
+def snapshot_partition_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyed MERGE at PARTITION grain (snapshots.
+    snapshot_upsert_partitions — the copy-on-write complement of the
+    delete-file upsert, and the merge mechanism for partition-
+    attributed tables where equality deletes are refused by design):
+    the batch's touched month-partitions are read (metadata-pruned),
+    anti-joined on the key, unioned with the batch, and committed as
+    one partition-overwrite — existing keys replaced, new keys
+    inserted, and every untouched month's manifest REUSED BY POINTER
+    (asserted below: commit cost ∝ touched partitions, the property
+    that matters when the table holds years and the correction holds
+    a quarter).
+
+    Exercised: base load of %3 keys over ~80 month partitions, then
+    one merge touching only pre-1998 months — updating the %9 keys
+    (+50 cents) and inserting %7≡1 keys (+5 cents). The final read
+    must hash-match the oracle; months ≥ 1998-01 are asserted to keep
+    their exact manifest pointers across the merge."""
+    import json
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + F.lit(bump)
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    early = F.date_format("o_orderdate", "yyyy-MM") < "1998"
+    tmp = tempfile.mkdtemp(prefix="snap_pup_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write_partitions(
+            slice_(k % 3 == 0, 0), table, ["month"]
+        )
+        batch = slice_((k % 9 == 0) & early, 50).unionByName(
+            slice_((k % 7 == 1) & (k % 3 != 0) & early, 5)
+        )
+        SN.snapshot_upsert_partitions(batch, table, ["month"], ["o_orderkey"])
+        m1 = SN.read_snapshot_meta(spark, table, 1)
+        m2 = SN.read_snapshot_meta(spark, table, 2)
+
+        def pointers(meta, pred):
+            return {
+                m for m, pk in meta["manifest_parts"].items()
+                if pred(json.loads(pk)[0])
+            }
+
+        if pointers(m1, lambda mo: mo >= "1998") != pointers(
+            m2, lambda mo: mo >= "1998"
+        ):
+            raise AssertionError(
+                "untouched months were rewritten — merge must reuse "
+                "their manifests by pointer"
+            )
+        if pointers(m1, lambda mo: mo < "1998") == pointers(
+            m2, lambda mo: mo < "1998"
+        ):
+            raise AssertionError("touched months kept stale pointers")
+        return (
+            SN.read_snapshot(spark, table)
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

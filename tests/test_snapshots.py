@@ -1898,3 +1898,87 @@ def test_staged_publish_respects_deletes_and_overwrite(spark, tmp_path):
     assert _ids(S.read_snapshot(spark, t)) == [7, 8]
     # pre-publish history is intact
     assert _ids(S.read_snapshot(spark, t, 4)) == [1, 3]
+
+
+def test_partition_grain_upsert_merge(spark, tmp_path):
+    """Keyed MERGE at partition grain (snapshot_upsert_partitions —
+    copy-on-write): touched days are rewritten with keys replaced /
+    inserted, untouched days' manifests are reused by pointer, new
+    partitions insert, stale-parent merges to overlapping partitions
+    fail the conflict audit loudly."""
+    t = str(tmp_path / "t")
+
+    def rows(triples):
+        return spark.createDataFrame(
+            [(int(i), str(d), int(v)) for i, d, v in triples],
+            "id long, day string, v long",
+        )
+
+    def content():
+        return {
+            (r.id, r.day, r.v)
+            for r in S.read_snapshot(spark, t).collect()
+        }
+
+    base = rows([
+        (1, "d1", 10), (2, "d1", 20), (3, "d2", 30), (4, "d2", 40),
+        (5, "d3", 50),
+    ])
+    S.snapshot_write_partitions(base, t, ["day"])                 # v1
+
+    # update key 2 (d1), insert key 6 (d1), insert new partition d4
+    v2 = S.snapshot_upsert_partitions(
+        rows([(2, "d1", 21), (6, "d1", 60), (7, "d4", 70)]),
+        t, ["day"], ["id"],
+    )
+    assert v2 == 2
+    assert content() == {
+        (1, "d1", 10), (2, "d1", 21), (6, "d1", 60),
+        (3, "d2", 30), (4, "d2", 40), (5, "d3", 50), (7, "d4", 70),
+    }
+    # untouched partitions reuse manifests by pointer: d2/d3 manifests
+    # identical across versions
+    m1 = S.read_snapshot_meta(spark, t, 1)
+    m2 = S.read_snapshot_meta(spark, t, 2)
+
+    def parts_of(meta, pk):
+        return {
+            m for m, p in meta["manifest_parts"].items()
+            if json.loads(p)[0] == pk
+        }
+
+    import json
+
+    for day in ("d2", "d3"):
+        assert parts_of(m1, day) == parts_of(m2, day)
+    assert parts_of(m1, "d1") != parts_of(m2, "d1")
+
+    # time travel: pre-merge day intact
+    assert {
+        (r.id, r.v)
+        for r in S.read_snapshot(spark, t, 1, partitions={"day": "d1"})
+        .select("id", "v").collect()
+    } == {(1, 10), (2, 20)}
+
+    # stale-parent merge to an OVERLAPPING partition fails loudly
+    with pytest.raises(Exception, match="[Cc]onflict|overlap|stale"):
+        S.snapshot_upsert_partitions(
+            rows([(1, "d1", 11)]), t, ["day"], ["id"], expected_parent=1
+        )
+    # stale-parent merge to a DISJOINT partition composes
+    S.snapshot_upsert_partitions(
+        rows([(5, "d3", 51)]), t, ["day"], ["id"], expected_parent=2
+    )
+    assert (5, "d3", 51) in content() and (2, "d1", 21) in content()
+
+    # guards: dup keys, wrong grain, non-partitioned table
+    with pytest.raises(ValueError, match="multiple rows"):
+        S.snapshot_upsert_partitions(
+            rows([(9, "d1", 1), (9, "d1", 2)]), t, ["day"], ["id"]
+        )
+    t2 = str(tmp_path / "t2")
+    S.snapshot_write(rows([(1, "d1", 10)]), t2)
+    with pytest.raises(ValueError, match="not partition-attributed"):
+        S.snapshot_upsert_partitions(
+            rows([(1, "d1", 11)]), t2, ["day"], ["id"]
+        )
