@@ -254,6 +254,7 @@ EXTRA = [
     "snapshot_cdc_replication",      # CDF stream -> exactly-once replica
     "snapshot_wap_publish",          # write-audit-publish staged commits
     "snapshot_partition_upsert",     # copy-on-write MERGE at day grain
+    "snapshot_tagged_baseline",      # named refs pin retention
 ]
 
 

@@ -1199,7 +1199,7 @@ def optimize_snapshot(
 def read_snapshot(
     spark: SparkSession,
     table: str,
-    version: int | None = None,
+    version: int | str | None = None,
     partitions: dict | None = None,
 ) -> DataFrame:
     """DataFrame over exactly one snapshot's files (latest when
@@ -1214,10 +1214,19 @@ def read_snapshot(
     ``partitions`` (partition-attributed tables only) prunes the plan
     to the requested partition values via the commit's manifest-part
     pointers — METADATA-only pruning, so a one-day read of a
-    years-long table never lists or stats the other days' files."""
+    years-long table never lists or stats the other days' files.
+
+    ``version`` also takes a NAMED REF (:func:`snapshot_tag`): a
+    string resolves through the tag — the stable handle consumers
+    hold instead of a raw number."""
     versions = list_snapshots(spark, table)
     if not versions:
         raise FileNotFoundError(f"{table} has no snapshots")
+    if isinstance(version, str):
+        tags = snapshot_tags(spark, table)
+        if version not in tags:
+            raise FileNotFoundError(f"no tag {version!r} on {table}")
+        version = tags[version]
     v = versions[-1] if version is None else version
     meta = read_snapshot_meta(spark, table, v)
     if partitions is not None:
@@ -1290,6 +1299,90 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def _ref_path(table: str, name: str) -> str:
+    return _snap_dir(table) + f"/refs/{name}.json"
+
+
+def _check_ref_name(name: str) -> None:
+    if not name or not all(
+        c.isalnum() or c in "._-" for c in name
+    ):
+        raise ValueError(
+            f"ref name {name!r} must be non-empty [A-Za-z0-9._-]"
+        )
+
+
+def snapshot_tag(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Create a NAMED REF (the Iceberg tag shape) pointing at a
+    version (latest when None). Tags do two jobs: a stable handle —
+    ``read_snapshot(spark, table, "baseline-2026-08")`` — and a
+    RETENTION PIN: :func:`expire_snapshots` never expires a tagged
+    version, so "keep the monthly baselines, expire everything else"
+    is one policy instead of a hand-maintained keep-list. Tag moves
+    are refused unless ``replace=True`` (a silently moved tag breaks
+    every consumer that resolved it). Returns the tagged version."""
+    _check_ref_name(name)
+    versions = list_snapshots(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"{table} has no snapshots")
+    if version is None:
+        version = versions[-1]
+    if version not in set(versions):
+        raise FileNotFoundError(
+            f"cannot tag v{version} of {table}: not in the version log"
+        )
+    if not replace and read_json_meta(
+        spark, _ref_path(table, name)
+    ) is not None:
+        raise FileExistsError(
+            f"tag {name!r} already exists on {table} — pass "
+            "replace=True to move it"
+        )
+    write_json_meta(
+        spark, _ref_path(table, name),
+        {"name": name, "version": int(version)},
+    )
+    return int(version)
+
+
+def snapshot_tags(spark: SparkSession, table: str) -> dict:
+    """All named refs: ``{name: version}`` (metadata listing only)."""
+    fs, _ = _fs_for(spark, table)
+    jvm = spark.sparkContext._jvm
+    d = jvm.org.apache.hadoop.fs.Path(_snap_dir(table) + "/refs")
+    if not fs.exists(d):
+        return {}
+    out: dict = {}
+    for st in fs.listStatus(d):
+        fname = st.getPath().getName()
+        if fname.endswith(".json"):
+            e = read_json_meta(
+                spark, _snap_dir(table) + "/refs/" + fname
+            )
+            if e is not None:
+                out[e["name"]] = int(e["version"])
+    return out
+
+
+def snapshot_untag(spark: SparkSession, table: str, name: str) -> int:
+    """Delete a named ref; the version it pinned becomes expirable
+    again. Returns that version. Unknown tags fail loudly."""
+    _check_ref_name(name)
+    e = read_json_meta(spark, _ref_path(table, name))
+    if e is None:
+        raise FileNotFoundError(f"no tag {name!r} on {table}")
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(_ref_path(table, name)), False)
+    return int(e["version"])
+
+
 def expire_snapshots(
     spark: SparkSession,
     table: str,
@@ -1326,7 +1419,17 @@ def expire_snapshots(
     if keep_last <= 0:
         raise ValueError("keep_last must be positive")
     versions = list_snapshots(spark, table)
-    kept, expired = versions[-keep_last:], versions[:-keep_last]
+    # TAGGED versions are pinned: a named ref (snapshot_tag) holds its
+    # version — and therefore its files — through any retention policy
+    # until untagged, the Iceberg tag contract that makes "keep the
+    # monthly baselines, expire the rest" safe to automate.
+    pinned = {
+        v for v in snapshot_tags(spark, table).values()
+        if v in set(versions)
+    }
+    kept_set = set(versions[-keep_last:]) | pinned
+    kept = [v for v in versions if v in kept_set]
+    expired = [v for v in versions if v not in kept_set]
     retained_files: set[str] = set()
     retained_manifests: set[str] = set()
     for v in kept:
@@ -1389,6 +1492,15 @@ def expire_snapshots(
                 f"concurrent commit detected on {table} while planning "
                 "expire — a new version may reference files scheduled "
                 "for deletion; re-run expire in a quiet window"
+            )
+        pinned_now = {
+            v for v in snapshot_tags(spark, table).values()
+            if v in set(versions)
+        }
+        if not pinned_now <= kept_set:
+            raise RuntimeError(
+                f"a tag was created on {table} while planning expire "
+                "and pins a version scheduled for deletion; re-run"
             )
         root = table.rstrip("/")
         for n in sorted(doomed_files):

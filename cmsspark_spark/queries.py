@@ -13606,6 +13606,83 @@ def snapshot_partition_upsert(
 
 
 @query(
+    "snapshot_tagged_baseline",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_tagged_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NAMED REFS with retention pinning (snapshots.snapshot_tag /
+    snapshot_untag — the Iceberg tag shape): a tag is a stable read
+    handle (``read_snapshot(spark, t, "baseline")``) and a RETENTION
+    PIN — expire_snapshots never expires a tagged version, so "keep
+    the monthly baselines, expire the rest" is one policy, not a
+    hand-maintained keep-list (the property a training-data lineage
+    needs: the corpus snapshot a model shipped from must survive
+    routine retention).
+
+    Exercised end-to-end: base load (%2 keys) tagged ``baseline``,
+    two overwrites that replace the live content, then a destructive
+    ``expire keep_last=1`` — which is asserted to expire the middle
+    version, KEEP the tagged base (files intact), and the returned
+    frame reads THROUGH THE TAG and must hash-match the oracle's
+    statement of the original slice."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + F.lit(bump)
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_tag_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(slice_(k % 2 == 0, 0), table)
+        SN.snapshot_tag(spark, table, "baseline")
+        SN.snapshot_write(slice_(k % 5 == 0, 3), table, mode="overwrite")
+        SN.snapshot_write(slice_(k % 7 == 0, 9), table, mode="overwrite")
+        res = SN.expire_snapshots(
+            spark, table, keep_last=1, dry_run=False
+        )
+        if res["expired_versions"] != [2] or res["kept_versions"] != [1, 3]:
+            raise AssertionError(
+                f"tag must pin v1 through retention, got {res}"
+            )
+        return (
+            SN.read_snapshot(spark, table, "baseline")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

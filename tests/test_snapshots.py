@@ -1982,3 +1982,54 @@ def test_partition_grain_upsert_merge(spark, tmp_path):
         S.snapshot_upsert_partitions(
             rows([(1, "d1", 11)]), t2, ["day"], ["id"]
         )
+
+
+def test_snapshot_tags_pin_retention_and_resolve_reads(spark, tmp_path):
+    """Named refs (Iceberg tag shape): a tag is a stable read handle
+    AND a retention pin — expire_snapshots keeps tagged versions (and
+    their files) through any keep_last policy; untagging releases
+    them; tag moves need replace=True; reads resolve tags by name."""
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 5), t)                        # v1
+    S.snapshot_write(spark.range(5, 8), t, mode="overwrite")      # v2
+    S.snapshot_write(spark.range(8, 12), t, mode="overwrite")     # v3
+    S.snapshot_write(spark.range(12, 13), t, mode="overwrite")    # v4
+
+    assert S.snapshot_tag(spark, t, "baseline", 1) == 1
+    assert S.snapshot_tag(spark, t, "latest-good") == 4  # default latest
+    assert S.snapshot_tags(spark, t) == {"baseline": 1, "latest-good": 4}
+
+    # read by name
+    assert _ids(S.read_snapshot(spark, t, "baseline")) == [0, 1, 2, 3, 4]
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        S.read_snapshot(spark, t, "nope")
+
+    # tag moves refuse silently-breaking overwrites
+    with pytest.raises(FileExistsError):
+        S.snapshot_tag(spark, t, "baseline", 2)
+    assert S.snapshot_tag(spark, t, "baseline", 2, replace=True) == 2
+
+    # retention: keep_last=1 would expire v1-v3, but v2 is tagged
+    res = S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+    assert res["expired_versions"] == [1, 3]
+    assert res["kept_versions"] == [2, 4]
+    # the pinned version still reads, by number and by name
+    assert _ids(S.read_snapshot(spark, t, 2)) == [5, 6, 7]
+    assert _ids(S.read_snapshot(spark, t, "baseline")) == [5, 6, 7]
+
+    # untag releases the pin; the next expire reclaims v2 and its files
+    assert S.snapshot_untag(spark, t, "baseline") == 2
+    S.snapshot_untag(spark, t, "latest-good")
+    res = S.expire_snapshots(spark, t, keep_last=1, dry_run=False)
+    assert res["expired_versions"] == [2]
+    assert res["deleted_files"], "v2's overwrite files must be reclaimed"
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, t, 2)
+
+    # guards
+    with pytest.raises(ValueError, match="ref name"):
+        S.snapshot_tag(spark, t, "bad/name")
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_tag(spark, t, "ghost", 99)
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_untag(spark, t, "ghost")
