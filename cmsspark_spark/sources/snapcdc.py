@@ -365,28 +365,94 @@ class SnapshotCDCReader(DataSourceReader):
         return _read_cdc_partition(partition)
 
 
+def _plan_live_snapshot(root: str, v: int, fields: list) -> list:
+    """Input partitions for one version's ENTIRE live content as +1
+    rows (the ``initial_snapshot`` first batch): every live file,
+    filtered by the version's own deletes — exactly what
+    read_snapshot plans, re-expressed as CDC partitions."""
+    meta = _load_meta(root, v)
+    seqs = _name_seqs(root, meta)
+    kc = list(meta.get("delete_key_cols") or [])
+    parts = []
+    for n in sorted(_resolve_files(root, meta)):
+        parts.append(_CDCPartition(
+            v, 1, os.path.join(root, n),
+            [
+                os.path.join(root, d)
+                for d in _applicable_deletes(meta, seqs.get(n, 0))
+            ],
+            [], kc, fields,
+        ))
+    return parts
+
+
 class SnapshotCDCStreamReader(DataSourceStreamReader):
     """Streaming mode: offsets are ``{"version": n}`` — versions
     (start, end] make up a micro-batch. Version files are immutable
     and the log is append-only (rollback COMMITS a new version), so a
     committed range replans identically on replay; exactly-once falls
-    out of the checkpoint, like every file-manifest source."""
+    out of the checkpoint, like every file-manifest source.
+
+    ``initial_snapshot=true`` (the Delta CDF "start from now" shape):
+    the first batch is the CURRENT version's live content as +1 rows
+    and the stream follows from there — the right start for a consumer
+    that needs state parity without replaying (possibly expired)
+    history. The offset marks the snapshot batch with ``init``, so a
+    checkpointed replay replans the same content deterministically.
+
+    ``max_versions_per_batch=N`` bounds how many source commits one
+    micro-batch may span — BEST-EFFORT admission control (a huge
+    backfill drains in bounded bites instead of one giant batch): the
+    cap anchors on the last end this reader instance planned or
+    committed, so the first batch after a restart is uncapped (the
+    simple python source API exposes no start to latestOffset)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._root = _local_root(options["path"])
         self._fields = _data_fields(schema)
         self._start = int(options.get("start_version", 0))
+        self._initial = str(
+            options.get("initial_snapshot", "")
+        ).lower() in ("true", "1", "yes")
+        mv = options.get("max_versions_per_batch")
+        self._max_versions = None if mv is None else max(1, int(mv))
+        self._anchor: int | None = None
 
     def initialOffset(self) -> dict:
+        self._advance(self._start)
+        if self._initial:
+            return {"version": self._start, "init": True}
         return {"version": self._start}
+
+    def _advance(self, v: int) -> int:
+        """Offsets must be MONOTONE (Spark interleaves latestOffset
+        with planning and may call it before initialOffset): the
+        anchor only ever moves forward, and every offset this reader
+        emits is >= everything it emitted or committed before."""
+        if self._anchor is None or v > self._anchor:
+            self._anchor = v
+        return self._anchor
 
     def latestOffset(self) -> dict:
         versions = _list_versions(self._root)
-        return {"version": versions[-1] if versions else self._start}
+        latest = versions[-1] if versions else self._start
+        if self._max_versions is not None:
+            base = self._anchor if self._anchor is not None else self._start
+            latest = min(latest, base + self._max_versions)
+        return {"version": self._advance(latest)}
 
     def partitions(self, start: dict, end: dict):
+        # checkpoint-restart path: anchor the cap at real progress
+        self._advance(end["version"])
         parts = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        lo = start["version"]
+        if start.get("init") and end["version"] > lo:
+            # first batch: the end version's live content, then follow
+            parts.extend(_plan_live_snapshot(
+                self._root, end["version"], self._fields
+            ))
+            lo = end["version"]
+        for v in range(lo + 1, end["version"] + 1):
             parts.extend(_plan_version_step(self._root, v, self._fields))
         return parts or [_EmptyPartition()]
 
@@ -396,7 +462,8 @@ class SnapshotCDCStreamReader(DataSourceStreamReader):
         return _read_cdc_partition(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # the checkpoint is the ledger; version files are immutable
+        self._advance(end["version"])  # cap anchor; the checkpoint
+        # itself is the ledger — version files are immutable
 
 
 class SnapshotCDCDataSource(DataSource):

@@ -2033,3 +2033,94 @@ def test_snapshot_tags_pin_retention_and_resolve_reads(spark, tmp_path):
         S.snapshot_tag(spark, t, "ghost", 99)
     with pytest.raises(FileNotFoundError):
         S.snapshot_untag(spark, t, "ghost")
+
+
+def test_cdc_stream_initial_snapshot_and_admission(spark, tmp_path):
+    """initial_snapshot=true starts the feed from the CURRENT live
+    content (+1 rows, no history replay) and follows; a later commit
+    streams as a delta. max_versions_per_batch bounds how many source
+    commits one micro-batch spans (best-effort admission control)."""
+    from cmsspark_spark.sources import snapcdc
+
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(int(i), int(v)) for i, v in pairs], "id long, v long"
+        )
+
+    S.snapshot_write(rows([(1, 10), (2, 20)]), t)                 # v1
+    S.snapshot_upsert(rows([(2, 21)]), t, ["id"])                 # v2
+    S.snapshot_delete(spark, t, rows([(1, 0)]).select("id"), ["id"])  # v3
+
+    snapcdc.register(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("snapshot_cdc")
+            .option("path", t)
+            .option("initial_snapshot", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    got = {
+        (r.id, r.v, r._cdc_sign, r._cdc_version)
+        for r in spark.read.parquet(out).collect()
+    }
+    # current live content only — no v1/v2 history, no dead rows
+    assert got == {(2, 21, 1, 3)}
+    # follow-up commit streams as a delta
+    S.snapshot_write(rows([(5, 50)]), t, mode="append")           # v4
+    run()
+    got = {
+        (r.id, r.v, r._cdc_sign, r._cdc_version)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(2, 21, 1, 3), (5, 50, 1, 4)}
+
+    # admission control: several pending commits drain in bounded
+    # bites under availableNow (one micro-batch per version here)
+    t2 = str(tmp_path / "t2")
+    out2 = str(tmp_path / "out2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    for i in range(4):
+        S.snapshot_write(rows([(i, i * 10)]), t2, mode="append")
+    batches = []
+
+    def sink(df, bid):
+        vs = [r._cdc_version for r in df.select("_cdc_version").collect()]
+        df.write.mode("append").parquet(out2)
+        if vs:
+            batches.append((min(vs), max(vs)))  # AFTER the write: the
+            # poll loop below must not stop the query mid-write
+
+    import time
+
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("path", t2)
+        .option("max_versions_per_batch", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt2)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while len(batches) < 4 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert spark.read.parquet(out2).count() == 4  # all rows landed
+    # every batch spanned exactly one source version
+    assert [b for b in batches] == [(i, i) for i in range(1, 5)], batches
