@@ -255,6 +255,7 @@ EXTRA = [
     "snapshot_wap_publish",          # write-audit-publish staged commits
     "snapshot_partition_upsert",     # copy-on-write MERGE at day grain
     "snapshot_tagged_baseline",      # named refs pin retention
+    "snapshot_rewrite_manifests",    # metadata-only manifest folding
 ]
 
 

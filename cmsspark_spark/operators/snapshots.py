@@ -1299,6 +1299,108 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def rewrite_manifests(
+    spark: SparkSession,
+    table: str,
+    chunk: int | None = None,
+) -> int | None:
+    """METADATA compaction (Iceberg's rewrite_manifests): after N
+    appends a manifest-mode version carries ~N pointer chunks and
+    every read resolves all of them — this folds the live list into
+    ~``ceil(live/chunk)`` fresh chunks and commits a version with
+    IDENTICAL content (no data file moves, no data reads; cost ∝
+    metadata). Add-sequences survive (chunks group by seq, exactly
+    like the inline→manifest conversion) so equality-delete scoping
+    is untouched; delete state, schema, and the mixed flag carry
+    over. Partition-attributed tables fold per partition (pointer
+    attribution preserved; partitions already at one chunk are
+    reused, not rewritten). Returns the new version, or None when the
+    table is inline-mode or already fully folded (no commit made —
+    rewriting nothing would only grow history). Single-writer
+    maintenance op, like OPTIMIZE."""
+    versions = list_snapshots(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"{table} has no snapshots")
+    meta = read_snapshot_meta(spark, table, versions[-1])
+    if "manifests" not in meta:
+        return None
+    threshold = (
+        MANIFEST_INLINE_MAX if chunk is None else max(1, int(chunk))
+    )
+    extra: dict = {}
+    for k in (
+        "delete_files", "delete_key_cols", "delete_seqs",
+        "schema", "mixed_schemas", "part_cols",
+    ):
+        if k in meta:
+            extra[k] = meta[k]
+    pcols = meta.get("part_cols")
+    if pcols:
+        # fold within each partition; single-chunk partitions reuse
+        # their pointer untouched
+        by_part: dict = {}
+        for m in meta["manifests"]:
+            pk = (meta.get("manifest_parts") or {}).get(m)
+            by_part.setdefault(pk, []).append(m)
+        if all(len(ms) <= 1 for ms in by_part.values()):
+            return None
+        ptrs: list = []
+        mparts: dict = {}
+        msizes: dict = {}
+        for pk in sorted(by_part, key=str):
+            ms = by_part[pk]
+            if len(ms) == 1:
+                m = ms[0]
+                ptrs.append(m)
+                mparts[m] = pk
+                msizes[m] = (meta.get("manifest_sizes") or {}).get(
+                    m, len(_read_manifest_file(spark, table, m))
+                )
+                continue
+            names: set = set()
+            for m in ms:
+                names.update(_read_manifest_file(spark, table, m))
+            names = sorted(names)
+            for i in range(0, len(names), threshold):
+                grp = names[i:i + threshold]
+                m = _write_manifest_file(spark, table, grp)
+                ptrs.append(m)
+                mparts[m] = pk
+                msizes[m] = len(grp)
+        extra["manifest_parts"] = mparts
+        extra["manifest_sizes"] = msizes
+        extra["touched_parts"] = sorted(
+            pk for pk, ms in by_part.items() if len(ms) > 1
+        )
+        return commit_snapshot(
+            spark, table, op="rewrite-manifests", manifests=ptrs,
+            extra=extra,
+        )
+    seqs = _live_name_seqs(spark, table, meta)
+    by_seq: dict = {}
+    for n, s in seqs.items():
+        by_seq.setdefault(int(s), []).append(n)
+    n_new = sum(
+        -(-len(grp) // threshold) for grp in by_seq.values()
+    )
+    if n_new >= len(meta["manifests"]):
+        return None  # already as folded as the seq grouping allows
+    ptrs = []
+    mseqs: dict = {}
+    for s in sorted(by_seq):
+        grp = sorted(by_seq[s])
+        for i in range(0, len(grp), threshold):
+            m = _write_manifest_file(spark, table, grp[i:i + threshold])
+            ptrs.append(m)
+            if s:
+                mseqs[m] = s
+    if mseqs:
+        extra["manifest_seqs"] = mseqs
+    return commit_snapshot(
+        spark, table, op="rewrite-manifests", manifests=ptrs, extra=extra,
+    )
+
+
 def _ref_path(table: str, name: str) -> str:
     return _snap_dir(table) + f"/refs/{name}.json"
 

@@ -13683,6 +13683,126 @@ def snapshot_tagged_baseline(
 
 
 @query(
+    "snapshot_rewrite_manifests",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+               + (o_orderkey % 6) AS cents
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 99 AS cents
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_rewrite_manifests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """METADATA compaction for manifest-mode snapshot tables
+    (snapshots.rewrite_manifests — Iceberg's rewrite_manifests): every
+    append adds one manifest chunk, so after N commits a read resolves
+    N pointer files; the rewrite folds the live list into few fresh
+    chunks and commits a content-identical version — NO data file is
+    moved or read, cost ∝ metadata, which is the whole point on a
+    million-file table where OPTIMIZE (data rewrite) would be a
+    100-TB job but manifest folding is seconds.
+
+    Exercised on a lineage that makes the fold non-trivial: six
+    residue-sliced appends (forced into manifest mode with a small
+    inline threshold), an equality delete (%5 keys), and a reinsert
+    (%10 keys, +99 cents) — so chunks carry ADD-SEQUENCES the fold
+    must preserve by grouping (a fold that lost them would let the
+    old delete kill the reinserted rows). Asserted: manifest count
+    strictly drops, the post-fold read hash-matches the oracle, and
+    the pre-fold aggregate equals the post-fold one."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + bump
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_rwm_")
+    old_max = SN.MANIFEST_INLINE_MAX
+    try:
+        table = f"{tmp}/t"
+        SN.MANIFEST_INLINE_MAX = 4
+        for r in range(6):
+            SN.snapshot_write(
+                slice_(k % 6 == r, F.lit(r)), table, mode="append"
+            )
+        SN.snapshot_delete(
+            spark, table,
+            slice_(k % 5 == 0, F.lit(0)).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        SN.snapshot_write(
+            slice_(k % 10 == 0, F.lit(99)), table, mode="append"
+        )
+
+        def agg():
+            return (
+                SN.read_snapshot(spark, table)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+            )
+
+        before = {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in agg().collect()
+        }
+        vs = SN.list_snapshots(spark, table)
+        n_before = len(
+            SN.read_snapshot_meta(spark, table, vs[-1])["manifests"]
+        )
+        v = SN.rewrite_manifests(spark, table)
+        if v is None:
+            raise AssertionError("expected a manifest fold, got no-op")
+        n_after = len(
+            SN.read_snapshot_meta(spark, table, v)["manifests"]
+        )
+        if n_after >= n_before:
+            raise AssertionError(
+                f"fold did not shrink metadata: {n_before} -> {n_after}"
+            )
+        out = agg().localCheckpoint(eager=True)
+        after = {
+            r.o_orderstatus: (r.n_rows, r.sum_cents)
+            for r in out.collect()
+        }
+        if after != before:
+            raise AssertionError(
+                "rewrite_manifests changed table content"
+            )
+        return out
+    finally:
+        SN.MANIFEST_INLINE_MAX = old_max
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

@@ -2124,3 +2124,69 @@ def test_cdc_stream_initial_snapshot_and_admission(spark, tmp_path):
     assert spark.read.parquet(out2).count() == 4  # all rows landed
     # every batch spanned exactly one source version
     assert [b for b in batches] == [(i, i) for i in range(1, 5)], batches
+
+
+def test_rewrite_manifests_folds_metadata(spark, tmp_path):
+    """Metadata compaction: many appends -> many manifest chunks;
+    rewrite_manifests folds them into few, content identical, delete
+    scoping preserved (seq grouping), partition attribution preserved
+    at partition grain; no-op cases return None without committing."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    t = str(tmp_path / "t")
+
+    def rows(*ids):
+        return spark.createDataFrame(
+            [(int(i), int(i) * 10) for i in ids], "id long, v long"
+        )
+
+    old_max = SN.MANIFEST_INLINE_MAX
+    SN.MANIFEST_INLINE_MAX = 2
+    try:
+        for i in range(6):
+            S.snapshot_write(rows(i), t, mode="append")
+        # delete + reinsert so seq scoping must survive the fold
+        S.snapshot_delete(spark, t, rows(3).select("id"), ["id"])
+        S.snapshot_write(rows(3), t, mode="append")
+        before = S.read_snapshot_meta(
+            spark, t, S.list_snapshots(spark, t)[-1]
+        )
+        n_before = len(before["manifests"])
+        assert n_before > 3
+        v = S.rewrite_manifests(spark, t)
+        assert v is not None
+        after = S.read_snapshot_meta(spark, t, v)
+        assert len(after["manifests"]) < n_before
+        assert _ids(S.read_snapshot(spark, t)) == [0, 1, 2, 3, 4, 5]
+        # the reinserted key must stay immune to the old delete
+        assert after.get("delete_files") == before.get("delete_files")
+        # second rewrite: nothing to fold
+        assert S.rewrite_manifests(spark, t) is None
+    finally:
+        SN.MANIFEST_INLINE_MAX = old_max
+
+    # partition grain: fold within partitions, attribution preserved
+    t2 = str(tmp_path / "t2")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 2}", i * 10) for i in range(4)],
+        "id long, day string, v long",
+    )
+    for i in range(3):
+        S.snapshot_write_partitions(
+            base.withColumn("v", base.v + i), t2, ["day"], mode="append"
+        )
+    m_before = S.read_snapshot_meta(
+        spark, t2, S.list_snapshots(spark, t2)[-1]
+    )
+    assert len(m_before["manifests"]) == 6
+    v2 = S.rewrite_manifests(spark, t2)
+    m_after = S.read_snapshot_meta(spark, t2, v2)
+    assert len(m_after["manifests"]) == 2
+    full = S.read_snapshot(spark, t2)
+    assert full.count() == 12
+    pruned = S.read_snapshot(spark, t2, partitions={"day": "d1"})
+    assert pruned.count() == 6
+    # inline table: no-op
+    t3 = str(tmp_path / "t3")
+    S.snapshot_write(rows(1), t3)
+    assert S.rewrite_manifests(spark, t3) is None
