@@ -9,11 +9,21 @@ Run:
     python -m cmsspark_spark.jobs.snapshot_table expire   --table /data/t --keep-last 7 [--delete]
     python -m cmsspark_spark.jobs.snapshot_table changes  --table /data/t --from-version 3 [--to-version 5] [--out /tmp/delta]
     python -m cmsspark_spark.jobs.snapshot_table vacuum   --table /data/t [--min-age-s 3600] [--delete]
+    python -m cmsspark_spark.jobs.snapshot_table tag      --table /data/t --name baseline [--version 3] [--replace]
+    python -m cmsspark_spark.jobs.snapshot_table untag    --table /data/t --name baseline
+    python -m cmsspark_spark.jobs.snapshot_table tags     --table /data/t
+    python -m cmsspark_spark.jobs.snapshot_table stages   --table /data/t
+    python -m cmsspark_spark.jobs.snapshot_table publish  --table /data/t --stage <id>
+    python -m cmsspark_spark.jobs.snapshot_table discard  --table /data/t --stage <id>
+    python -m cmsspark_spark.jobs.snapshot_table rewrite-manifests --table /data/t [--chunk N]
 
 ``expire`` and ``vacuum`` are dry-run unless ``--delete`` is passed.
 ``vacuum`` reclaims data files NO version references (crashed or
 conflict-aborted writes) — the residue expire cannot see. ``changes`` writes (or counts) the rows added
-between two versions: the incremental-training read.
+between two versions: the incremental-training read. ``tag``/``untag``
+manage named refs that pin retention; ``stages``/``publish``/
+``discard`` drive the write-audit-publish flow; ``rewrite-manifests``
+folds pointer metadata without touching data.
 """
 
 from __future__ import annotations
@@ -45,6 +55,34 @@ def main(argv: list[str] | None = None) -> None:
     vv.add_argument("--min-age-s", type=int, default=3600)
     vv.add_argument("--delete", action="store_true")
 
+    tg = sub.add_parser("tag")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None)
+    tg.add_argument("--replace", action="store_true")
+
+    ut = sub.add_parser("untag")
+    ut.add_argument("--table", required=True)
+    ut.add_argument("--name", required=True)
+
+    ts = sub.add_parser("tags")
+    ts.add_argument("--table", required=True)
+
+    st = sub.add_parser("stages")
+    st.add_argument("--table", required=True)
+
+    pb = sub.add_parser("publish")
+    pb.add_argument("--table", required=True)
+    pb.add_argument("--stage", required=True)
+
+    dc = sub.add_parser("discard")
+    dc.add_argument("--table", required=True)
+    dc.add_argument("--stage", required=True)
+
+    rm = sub.add_parser("rewrite-manifests")
+    rm.add_argument("--table", required=True)
+    rm.add_argument("--chunk", type=int, default=None)
+
     c = sub.add_parser("changes")
     c.add_argument("--table", required=True)
     c.add_argument("--from-version", type=int, required=True)
@@ -73,6 +111,28 @@ def main(argv: list[str] | None = None) -> None:
             dry_run=not args.delete,
         )
         print(res)
+    elif args.cmd == "tag":
+        v = S.snapshot_tag(
+            spark, args.table, args.name, args.version,
+            replace=args.replace,
+        )
+        print({"tag": args.name, "version": v})
+    elif args.cmd == "untag":
+        v = S.snapshot_untag(spark, args.table, args.name)
+        print({"untagged": args.name, "was_version": v})
+    elif args.cmd == "tags":
+        print(S.snapshot_tags(spark, args.table))
+    elif args.cmd == "stages":
+        print(S.list_staged(spark, args.table))
+    elif args.cmd == "publish":
+        v = S.publish_staged(spark, args.table, args.stage)
+        print({"published": args.stage, "version": v})
+    elif args.cmd == "discard":
+        e = S.discard_staged(spark, args.table, args.stage)
+        print({"discarded": args.stage, "files": len(e.get("files", []))})
+    elif args.cmd == "rewrite-manifests":
+        v = S.rewrite_manifests(spark, args.table, chunk=args.chunk)
+        print({"rewrote": v is not None, "version": v})
     elif args.cmd == "changes":
         df = S.snapshot_changes(
             spark, args.table, args.from_version, args.to_version

@@ -2190,3 +2190,90 @@ def test_rewrite_manifests_folds_metadata(spark, tmp_path):
     t3 = str(tmp_path / "t3")
     S.snapshot_write(rows(1), t3)
     assert S.rewrite_manifests(spark, t3) is None
+
+
+def test_snapshot_table_cli_tags_wap_rewrite(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The admin CLI drives the round-13 maintenance surface: tags
+    (pin/list/unpin), the write-audit-publish flow, and manifest
+    rewriting — all against the real operators."""
+    from cmsspark_spark.jobs import snapshot_table
+    from cmsspark_spark.operators import snapshots as SN
+
+    monkeypatch.setattr(
+        snapshot_table, "get_spark", lambda *a, **k: spark
+    )
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 4), t)
+    S.snapshot_write(spark.range(4, 6), t, mode="overwrite")
+
+    snapshot_table.main(
+        ["tag", "--table", t, "--name", "baseline", "--version", "1"]
+    )
+    snapshot_table.main(["tags", "--table", t])
+    assert S.snapshot_tags(spark, t) == {"baseline": 1}
+    snapshot_table.main(["untag", "--table", t, "--name", "baseline"])
+    assert S.snapshot_tags(spark, t) == {}
+
+    sid = S.snapshot_write_staged(spark.range(6, 8), t)
+    snapshot_table.main(["stages", "--table", t])
+    snapshot_table.main(["publish", "--table", t, "--stage", sid])
+    assert _ids(S.read_snapshot(spark, t)) == [4, 5, 6, 7]
+    sid2 = S.snapshot_write_staged(spark.range(9, 10), t)
+    snapshot_table.main(["discard", "--table", t, "--stage", sid2])
+    assert not S.list_staged(spark, t)
+
+    old_max = SN.MANIFEST_INLINE_MAX
+    SN.MANIFEST_INLINE_MAX = 1
+    try:
+        S.snapshot_write(spark.range(10, 11), t, mode="append")
+        S.snapshot_write(spark.range(11, 12), t, mode="append")
+        snapshot_table.main(["rewrite-manifests", "--table", t])
+    finally:
+        SN.MANIFEST_INLINE_MAX = old_max
+    assert _ids(S.read_snapshot(spark, t)) == [4, 5, 6, 7, 10, 11]
+    out = capsys.readouterr().out
+    assert "published" in out and "rewrote" in out and "baseline" in out
+
+
+def test_cdc_source_over_partition_grain_table(spark, tmp_path):
+    """The snapshot_cdc source generalizes to partition-attributed
+    tables for free (their metas resolve through the same manifest
+    pointers): a partition overwrite streams as -1 old rows / +1 new
+    rows for exactly the touched partition, and a partition-merge
+    (snapshot_upsert_partitions) streams its touched partitions'
+    rewrite."""
+    from cmsspark_spark.sources import snapcdc
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)],
+        "id long, day string, v long",
+    )
+    S.snapshot_write_partitions(base, t, ["day"])                 # v1
+    corrected = spark.createDataFrame(
+        [(1, "d1", 11)], "id long, day string, v long"
+    )
+    S.snapshot_write_partitions(corrected, t, ["day"])            # v2 (ow d1)
+    S.snapshot_upsert_partitions(
+        spark.createDataFrame(
+            [(3, "d2", 31), (4, "d2", 40)], "id long, day string, v long"
+        ),
+        t, ["day"], ["id"],
+    )                                                             # v3
+
+    snapcdc.register(spark)
+    feed = spark.read.format("snapshot_cdc").option("path", t).load()
+    got = {
+        (r.id, r.day, r.v, r._cdc_sign, r._cdc_version)
+        for r in feed.collect()
+    }
+    expect = {
+        (1, "d1", 10, 1, 1), (2, "d1", 20, 1, 1), (3, "d2", 30, 1, 1),
+        # v2: d1 overwritten — both old rows out, corrected row in
+        (1, "d1", 10, -1, 2), (2, "d1", 20, -1, 2), (1, "d1", 11, 1, 2),
+        # v3: d2 merged — old content out, merged content in
+        (3, "d2", 30, -1, 3), (3, "d2", 31, 1, 3), (4, "d2", 40, 1, 3),
+    }
+    assert got == expect
