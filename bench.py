@@ -256,6 +256,7 @@ EXTRA = [
     "snapshot_partition_upsert",     # copy-on-write MERGE at day grain
     "snapshot_tagged_baseline",      # named refs pin retention
     "snapshot_rewrite_manifests",    # metadata-only manifest folding
+    "snapshot_time_travel_as_of",    # TIMESTAMP AS OF resolution
 ]
 
 

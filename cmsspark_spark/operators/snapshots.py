@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import bisect
 import json
+import time as _time
 import uuid
 from typing import Callable, Sequence
 
@@ -455,6 +456,9 @@ def commit_snapshot(
             "version": v,
             "op": op,
             "parent": parent if parent is not None else (versions[-1] if versions else None),
+            # wall-clock commit stamp (re-stamped per retry attempt):
+            # powers TIMESTAMP AS OF resolution (version_as_of)
+            "committed_ms": int(_time.time() * 1000),
         }
         if append_files is not None and pmeta:
             # an APPEND inherits the parent's equality-delete state:
@@ -1201,6 +1205,7 @@ def read_snapshot(
     table: str,
     version: int | str | None = None,
     partitions: dict | None = None,
+    as_of=None,
 ) -> DataFrame:
     """DataFrame over exactly one snapshot's files (latest when
     ``version`` is None) — an explicit-path parquet scan, so Spark
@@ -1218,7 +1223,12 @@ def read_snapshot(
 
     ``version`` also takes a NAMED REF (:func:`snapshot_tag`): a
     string resolves through the tag — the stable handle consumers
-    hold instead of a raw number."""
+    hold instead of a raw number. ``as_of`` (exclusive with
+    ``version``) resolves TIMESTAMP AS OF via :func:`version_as_of`."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of, not both")
+        version = version_as_of(spark, table, as_of)
     versions = list_snapshots(spark, table)
     if not versions:
         raise FileNotFoundError(f"{table} has no snapshots")
@@ -1244,6 +1254,54 @@ def read_snapshot(
             )
         return spark.createDataFrame([], spark.read.parquet(table).schema)
     return _scan_with_deletes(spark, table, meta, live)
+
+
+def version_as_of(
+    spark: SparkSession, table: str, ts
+) -> int:
+    """TIMESTAMP AS OF resolution: the last version committed at or
+    before ``ts`` — epoch seconds/millis (numeric) or an ISO-8601
+    string (naive = UTC). Commits stamp ``committed_ms`` inside the
+    claim loop; a pre-stamp version (older table) falls back to its
+    version file's modification time, which is the claim rename's
+    time — same ordering, coarser clock. Raises when the table has no
+    version that old (expired history must fail loudly, never
+    silently resolve to the oldest survivor — that would silently
+    read data the caller's timestamp predates)."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        d = _dt.datetime.fromisoformat(ts)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        ts_ms = d.timestamp() * 1000.0
+    else:
+        ts_ms = float(ts)
+        if ts_ms < 10_000_000_000:  # epoch seconds, not millis
+            ts_ms *= 1000.0
+    versions = list_snapshots(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"{table} has no snapshots")
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    best = None
+    for v in versions:
+        m = read_snapshot_meta(spark, table, v)
+        ms = m.get("committed_ms")
+        if ms is None:
+            ms = fs.getFileStatus(
+                Path(_snap_dir(table) + "/" + _version_name(v))
+            ).getModificationTime()
+        if float(ms) <= ts_ms:
+            best = v
+        else:
+            break  # committed_ms is monotone along the version chain
+    if best is None:
+        raise FileNotFoundError(
+            f"{table} has no version as of {ts!r} — the earliest "
+            "retained commit is newer (history expired?)"
+        )
+    return best
 
 
 def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
@@ -1280,14 +1338,16 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
 
 
 def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
-    """(version, op, parent, n_files) per committed snapshot — the
-    audit view."""
+    """(version, op, parent, n_files, committed_ms) per committed
+    snapshot — the audit view (committed_ms null for pre-stamp
+    commits)."""
     rows = [
         (
             m["version"],
             m["op"],
             m.get("parent"),
             m["n_files"],
+            m.get("committed_ms"),
         )
         for m in (
             read_snapshot_meta(spark, table, v)
@@ -1295,7 +1355,9 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
         )
     ]
     return spark.createDataFrame(
-        rows, "version int, op string, parent int, n_files int"
+        rows,
+        "version int, op string, parent int, n_files int, "
+        "committed_ms long",
     )
 
 
@@ -2574,6 +2636,7 @@ def commit_partition_snapshot(
             "n_files": sum(msizes.values()),
             "part_cols": part_cols,
             "touched_parts": sorted(mine),
+            "committed_ms": int(_time.time() * 1000),
         }
         meta.update(extra or {})
         tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")

@@ -13803,6 +13803,79 @@ def snapshot_rewrite_manifests(
 
 
 @query(
+    "snapshot_time_travel_as_of",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_time_travel_as_of(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP AS OF time travel (snapshots.version_as_of /
+    read_snapshot(as_of=...)): every commit stamps ``committed_ms``
+    inside the claim loop, and a wall-clock timestamp resolves to the
+    last version at or before it — the Delta/Iceberg "what did the
+    table hold when the job started" read, without the caller ever
+    tracking version numbers. Resolution walks commit metadata only
+    and fails loudly past the retained history (never silently
+    resolving to the oldest survivor).
+
+    Exercised: base load (%4 keys), a captured between-timestamp, an
+    overwrite that replaces the content (%7 keys, +13 cents) — the
+    returned frame reads AS OF the captured instant and must
+    hash-match the oracle's statement of the ORIGINAL content, with
+    an in-query assert that "now" resolves to the overwrite."""
+    import shutil
+    import tempfile
+    import time
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + F.lit(bump)
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_asof_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(slice_(k % 4 == 0, 0), table)
+        time.sleep(0.05)
+        between = time.time() * 1000
+        time.sleep(0.05)
+        SN.snapshot_write(slice_(k % 7 == 0, 13), table, mode="overwrite")
+        if SN.version_as_of(spark, table, time.time() * 1000) != 2:
+            raise AssertionError("'now' must resolve to the overwrite")
+        return (
+            SN.read_snapshot(spark, table, as_of=between)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

@@ -2277,3 +2277,57 @@ def test_cdc_source_over_partition_grain_table(spark, tmp_path):
         (3, "d2", 30, -1, 3), (3, "d2", 31, 1, 3), (4, "d2", 40, 1, 3),
     }
     assert got == expect
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: commits stamp committed_ms; version_as_of
+    resolves the last version at-or-before a timestamp (epoch s/ms or
+    ISO string); read_snapshot(as_of=...) reads it; a timestamp that
+    predates all retained history fails loudly; pre-stamp commits
+    fall back to the version file's mtime."""
+    import time
+
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 3), t)                        # v1
+    m1 = S.read_snapshot_meta(spark, t, 1)
+    time.sleep(0.05)
+    between = time.time() * 1000
+    time.sleep(0.05)
+    S.snapshot_write(spark.range(3, 5), t, mode="overwrite")      # v2
+
+    assert S.version_as_of(spark, t, between) == 1
+    assert S.version_as_of(spark, t, time.time() * 1000) == 2
+    assert S.version_as_of(spark, t, time.time()) == 2  # epoch seconds
+    assert _ids(S.read_snapshot(spark, t, as_of=between)) == [0, 1, 2]
+    # ISO string (UTC)
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(
+        between / 1000, dt.timezone.utc
+    ).isoformat()
+    assert S.version_as_of(spark, t, iso) == 1
+    with pytest.raises(FileNotFoundError, match="no version as of"):
+        S.version_as_of(spark, t, m1["committed_ms"] - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        S.read_snapshot(spark, t, 1, as_of=between)
+    # history exposes the stamps, monotone along the chain
+    hist = S.snapshot_history(spark, t).orderBy("version").collect()
+    assert hist[0].committed_ms <= hist[1].committed_ms
+
+    # legacy (pre-stamp) commit: mtime fallback
+    import json as _json
+
+    import os
+
+    p = f"{t}/_snapshots/v00000001.json"
+    meta = _json.load(open(p))
+    meta.pop("committed_ms")
+    open(p, "w").write(_json.dumps(meta))
+    crc = f"{t}/_snapshots/.v00000001.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)  # hand-edited file invalidates Hadoop's crc
+    # restore the original commit time: the fallback reads mtime, and
+    # this hand-edit just reset it to "now"
+    orig_s = m1["committed_ms"] / 1000.0
+    os.utime(p, (orig_s, orig_s))
+    assert S.version_as_of(spark, t, between) == 1
