@@ -257,6 +257,7 @@ EXTRA = [
     "snapshot_tagged_baseline",      # named refs pin retention
     "snapshot_rewrite_manifests",    # metadata-only manifest folding
     "snapshot_time_travel_as_of",    # TIMESTAMP AS OF resolution
+    "bm25_rm3_expansion",            # RM3 pseudo-relevance feedback
 ]
 
 

@@ -307,6 +307,150 @@ def _bm25_exact_build(
     )
 
 
+def bm25_rm3_more_like_this(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_max_id: int = 5,
+    k: int = 10,
+    fb_k: int = 5,
+    fb_terms: int = 5,
+    w_orig: int = 7,
+    w_exp: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k1_plus_1: float = 2.2,
+    one_minus_b: float = 0.25,
+) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 shape,
+    Lavrenko & Croft relevance models as popularized in Anserini/
+    Indri): round 1 retrieves each query's top-``fb_k`` docs by exact
+    BM25; the feedback docs' term frequencies elect ``fb_terms``
+    EXPANSION terms (highest Σtf over the feedback set, query's own
+    terms excluded, ties by term); round 2 rescores the corpus with a
+    WEIGHTED query — original terms at integer weight ``w_orig``,
+    expansion terms at ``w_exp`` — and returns the re-ranked
+    top-``k``. This is the deterministic integer-grid variant of
+    RM3's interpolation (λ·P_orig + (1−λ)·P_fb): the weights enter
+    the score as exact integers, so the oracle can state the whole
+    two-round computation in SQL and the parity is bit-for-bit under
+    the same %.6f rounding as the exact rung.
+
+    Plan shape: ONE (doc, term) postings build (persisted) feeds both
+    rounds — round 1's candidate join, the feedback tf aggregation
+    (cost ∝ fb docs' postings), and round 2's candidate join; query
+    terms, feedback doc ids, expansion terms, and both df tables are
+    k-row frames and broadcast. At 100 TB the persisted-index family
+    serves round 1 and the expansion only touches fb_k·|queries| doc
+    postings — expansion cost never scales with the corpus."""
+    from pyspark import StorageLevel
+
+    base = docs.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk")
+    )
+    post = (
+        base.select(
+            "_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t")
+        )
+        .groupBy("_doc", "_t")
+        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sum_dl = (
+        post.groupBy("_doc")
+        .agg(F.first("_dl").alias("_dl"))
+        .select(F.sum("_dl"))
+        .first()[0]
+    ) or 0
+    n_docs = docs.count()
+    avgdl = sum_dl / n_docs
+    qterms = (
+        post.filter(F.col("_doc") < query_max_id)
+        .select(F.col("_doc").alias("_qid"), "_t")
+    )
+
+    def _df_tab(terms: DataFrame) -> DataFrame:
+        return (
+            post.join(F.broadcast(terms.distinct()), "_t", "left_semi")
+            .groupBy("_t")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    tf_part = (F.col("_tf") * F.lit(k1_plus_1)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(one_minus_b) + F.lit(b) * F.col("_dl") / F.lit(avgdl))
+    )
+
+    # ROUND 1: exact BM25, top-fb_k per query
+    r1 = (
+        post.join(F.broadcast(qterms), "_t")
+        .filter(F.col("_doc") != F.col("_qid"))
+        .join(F.broadcast(_df_tab(qterms.select("_t"))), "_t")
+        .groupBy("_qid", "_doc")
+        .agg(F.sum(idf * tf_part).alias("_score"))
+    )
+    w1 = Window.partitionBy("_qid").orderBy(
+        F.round("_score", 6).desc(), F.col("_doc")
+    )
+    fb = (
+        r1.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= int(fb_k))
+        .select("_qid", "_doc")
+    )
+
+    # EXPANSION: feedback docs' term mass, query terms excluded,
+    # top fb_terms per query (ties by term) — all-integer election
+    wexp = Window.partitionBy("_qid").orderBy(
+        F.col("_w").desc(), F.col("_t")
+    )
+    exp_terms = (
+        post.join(F.broadcast(fb), "_doc")
+        .groupBy("_qid", "_t")
+        .agg(F.sum("_tf").alias("_w"))
+        .join(qterms, ["_qid", "_t"], "left_anti")
+        .withColumn("_r", F.row_number().over(wexp))
+        .filter(F.col("_r") <= int(fb_terms))
+        .select("_qid", "_t")
+    )
+
+    # WEIGHTED QUERY: original terms at w_orig, expansion at w_exp
+    wq = qterms.withColumn("_qw", F.lit(int(w_orig))).unionByName(
+        exp_terms.withColumn("_qw", F.lit(int(w_exp)))
+    )
+
+    # ROUND 2: weighted rescore, same scoring algebra
+    r2 = (
+        post.join(F.broadcast(wq), "_t")
+        .filter(F.col("_doc") != F.col("_qid"))
+        .join(F.broadcast(_df_tab(wq.select("_t"))), "_t")
+        .groupBy("_qid", "_doc")
+        .agg(
+            F.sum(
+                F.col("_qw").cast("double") * (idf * tf_part)
+            ).alias("_score")
+        )
+    )
+    w2 = Window.partitionBy("_qid").orderBy(
+        F.round("_score", 6).desc(), F.col("_doc")
+    )
+    return (
+        r2.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_doc").alias(id_col),
+            F.round("_score", 6).alias("rm3"),
+            "rank",
+        )
+    )
+
+
 def cluster_split_assign(
     docs: DataFrame,
     components: DataFrame,

@@ -10746,6 +10746,96 @@ ORACLES["bm25_blockmax_more_like_this"] = ORACLES["bm25_more_like_this"]
 
 
 @query(
+    "bm25_rm3_expansion",
+    f"""
+    WITH tok AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+    post AS (
+      SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS dl, t,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS t FROM tok) GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE AS sdl
+              FROM tok),
+    q AS (SELECT DISTINCT doc AS qid, t FROM post WHERE doc < 5),
+    dfb1 AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM post
+      WHERE t IN (SELECT t FROM q) GROUP BY 1
+    ),
+    cand1 AS (
+      SELECT q.qid, p.doc,
+             ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5)))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n)))))
+               AS sc
+      FROM q JOIN post p USING (t) JOIN dfb1 d USING (t), stats s
+      WHERE p.doc <> q.qid
+    ),
+    scored1 AS (SELECT qid, doc, sum(sc) AS score FROM cand1 GROUP BY 1, 2),
+    fb AS (
+      SELECT qid, doc
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY round(score, 6) DESC, doc) AS r FROM scored1)
+      WHERE r <= 5
+    ),
+    expw AS (
+      SELECT f.qid, p.t, CAST(sum(p.tf) AS BIGINT) AS w
+      FROM fb f JOIN post p ON p.doc = f.doc
+      LEFT JOIN q ON q.qid = f.qid AND q.t = p.t
+      WHERE q.t IS NULL
+      GROUP BY 1, 2
+    ),
+    exp AS (
+      SELECT qid, t
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY w DESC, t) AS r FROM expw)
+      WHERE r <= 5
+    ),
+    wq AS (
+      SELECT qid, t, 7 AS qw FROM q
+      UNION ALL
+      SELECT qid, t, 3 AS qw FROM exp
+    ),
+    dfb2 AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM post
+      WHERE t IN (SELECT DISTINCT t FROM wq) GROUP BY 1
+    ),
+    cand2 AS (
+      SELECT w.qid, p.doc,
+             CAST(w.qw AS DOUBLE)
+               * (ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5)))
+                  * ((p.tf * 2.2)
+                     / (p.tf + 1.2 * (0.25 + ((0.75 * p.dl) / (s.sdl / s.n))))))
+               AS sc
+      FROM wq w JOIN post p USING (t) JOIN dfb2 d USING (t), stats s
+      WHERE p.doc <> w.qid
+    ),
+    scored2 AS (SELECT qid, doc, sum(sc) AS score FROM cand2 GROUP BY 1, 2)
+    SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS rm3,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY round(score, 6) DESC, doc) AS rank FROM scored2)
+    WHERE rank <= 10
+    """.replace("{{toks}}", _TOKS_SQL).replace("{toks}", _TOKS_SQL),
+)
+def bm25_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK retrieval (pipeline.
+    bm25_rm3_more_like_this — the RM3 shape on the integer grid):
+    round-1 exact BM25 elects each query's top-5 feedback docs, their
+    term mass elects 5 expansion terms (query terms excluded, integer
+    Σtf election), and round 2 rescores the corpus with the weighted
+    query (original terms ×7, expansion ×3). The oracle states BOTH
+    rounds in SQL — feedback selection, expansion election, weighted
+    rescore — with identical literals and parenthesization, so the
+    re-ranked top-10 must hash-match under the family's %.6f grid.
+    One postings build feeds everything; expansion cost ∝ feedback
+    docs' postings, never the corpus."""
+    from cmsspark_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    return PL.bm25_rm3_more_like_this(d, query_max_id=5, k=10)
+
+
+@query(
     "bm25_blockmax_pruning_report",
     f"""
     WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
