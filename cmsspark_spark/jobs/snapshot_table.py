@@ -16,6 +16,7 @@ Run:
     python -m cmsspark_spark.jobs.snapshot_table publish  --table /data/t --stage <id>
     python -m cmsspark_spark.jobs.snapshot_table discard  --table /data/t --stage <id>
     python -m cmsspark_spark.jobs.snapshot_table rewrite-manifests --table /data/t [--chunk N]
+    python -m cmsspark_spark.jobs.snapshot_table maintain --table /data/t [--keep-last 7] [--vacuum-min-age-s 3600] [--run]
 
 ``expire`` and ``vacuum`` are dry-run unless ``--delete`` is passed.
 ``vacuum`` reclaims data files NO version references (crashed or
@@ -83,6 +84,16 @@ def main(argv: list[str] | None = None) -> None:
     rm.add_argument("--table", required=True)
     rm.add_argument("--chunk", type=int, default=None)
 
+    mt = sub.add_parser("maintain")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--target-files", type=int, default=64)
+    mt.add_argument("--max-small-files", type=int, default=256)
+    mt.add_argument("--max-delete-files", type=int, default=8)
+    mt.add_argument("--max-manifests", type=int, default=64)
+    mt.add_argument("--keep-last", type=int, default=None)
+    mt.add_argument("--vacuum-min-age-s", type=int, default=None)
+    mt.add_argument("--run", action="store_true")
+
     c = sub.add_parser("changes")
     c.add_argument("--table", required=True)
     c.add_argument("--from-version", type=int, required=True)
@@ -133,6 +144,17 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "rewrite-manifests":
         v = S.rewrite_manifests(spark, args.table, chunk=args.chunk)
         print({"rewrote": v is not None, "version": v})
+    elif args.cmd == "maintain":
+        print(S.maintain_table(
+            spark, args.table,
+            target_files=args.target_files,
+            max_small_files=args.max_small_files,
+            max_delete_files=args.max_delete_files,
+            max_manifests=args.max_manifests,
+            keep_last=args.keep_last,
+            vacuum_min_age_s=args.vacuum_min_age_s,
+            dry_run=not args.run,
+        ))
     elif args.cmd == "changes":
         df = S.snapshot_changes(
             spark, args.table, args.from_version, args.to_version

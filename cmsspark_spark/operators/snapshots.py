@@ -1463,6 +1463,95 @@ def rewrite_manifests(
     )
 
 
+def maintain_table(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 64,
+    max_small_files: int = 256,
+    max_delete_files: int = 8,
+    max_manifests: int = 64,
+    keep_last: int | None = None,
+    vacuum_min_age_s: int | None = None,
+    dry_run: bool = True,
+) -> dict:
+    """ONE maintenance entry point for a snapshot table — the policy
+    runner a scheduler calls nightly instead of hand-sequencing four
+    ops. In order, each gated by a threshold and skipped when below
+    it:
+
+    1. OPTIMIZE (:func:`optimize_snapshot` → ``target_files``) when
+       live files exceed ``max_small_files`` OR accumulated
+       equality-delete files exceed ``max_delete_files`` (read cost
+       grows with both: small files in listing/open overhead, delete
+       files in per-epoch anti-joins). Partition-attributed tables
+       use the partition-aware path automatically.
+    2. rewrite_manifests when pointer chunks exceed ``max_manifests``
+       (and OPTIMIZE didn't already rewrite the metadata).
+    3. expire_snapshots with ``keep_last`` (None = skip) — tagged
+       versions stay pinned, as always.
+    4. vacuum_snapshot_table with ``vacuum_min_age_s`` (None = skip)
+       for never-referenced residue.
+
+    ``dry_run=True`` (default) only REPORTS what each step would do —
+    the same contract as expire/vacuum, extended to the whole policy.
+    Ordering rationale: folding data first makes the later steps see
+    the compacted state (expire can then retire the pre-fold
+    versions; vacuum sweeps what the fold superseded once expired).
+    Returns a report dict with one entry per step (``skipped`` with
+    the reason, or the step's own result)."""
+    report: dict = {}
+    versions = list_snapshots(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"{table} has no snapshots")
+    meta = read_snapshot_meta(spark, table, versions[-1])
+    n_files = int(meta.get("n_files", 0))
+    n_dels = len(meta.get("delete_files", []))
+    if n_files > max_small_files or n_dels > max_delete_files:
+        why = (
+            f"{n_files} live files > {max_small_files}"
+            if n_files > max_small_files
+            else f"{n_dels} delete files > {max_delete_files}"
+        )
+        if dry_run:
+            report["optimize"] = {"would_run": True, "reason": why}
+        else:
+            v = optimize_snapshot(spark, table, int(target_files))
+            report["optimize"] = {"version": v, "reason": why}
+            meta = read_snapshot_meta(spark, table, v)
+    else:
+        report["optimize"] = {
+            "skipped": f"{n_files} files / {n_dels} delete files "
+            "within thresholds"
+        }
+    n_manifests = len(meta.get("manifests", []) or [])
+    if n_manifests > max_manifests:
+        if dry_run:
+            report["rewrite_manifests"] = {
+                "would_run": True,
+                "reason": f"{n_manifests} manifests > {max_manifests}",
+            }
+        else:
+            v = rewrite_manifests(spark, table)
+            report["rewrite_manifests"] = {"version": v}
+    else:
+        report["rewrite_manifests"] = {
+            "skipped": f"{n_manifests} manifests within threshold"
+        }
+    if keep_last is not None:
+        report["expire"] = expire_snapshots(
+            spark, table, keep_last=keep_last, dry_run=dry_run
+        )
+    else:
+        report["expire"] = {"skipped": "no keep_last policy"}
+    if vacuum_min_age_s is not None:
+        report["vacuum"] = vacuum_snapshot_table(
+            spark, table, min_age_s=vacuum_min_age_s, dry_run=dry_run
+        )
+    else:
+        report["vacuum"] = {"skipped": "no vacuum policy"}
+    return report
+
+
 def _ref_path(table: str, name: str) -> str:
     return _snap_dir(table) + f"/refs/{name}.json"
 

@@ -2331,3 +2331,52 @@ def test_timestamp_as_of_resolution(spark, tmp_path):
     orig_s = m1["committed_ms"] / 1000.0
     os.utime(p, (orig_s, orig_s))
     assert S.version_as_of(spark, t, between) == 1
+
+
+def test_maintain_table_policy_runner(spark, tmp_path):
+    """maintain_table sequences OPTIMIZE / rewrite_manifests / expire
+    / vacuum under thresholds: below-threshold steps skip with a
+    reason, dry_run reports without mutating, a destructive run folds
+    the delete-heavy table and retires history (tags still pin)."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    t = str(tmp_path / "t")
+
+    def rows(*ids):
+        return spark.createDataFrame(
+            [(int(i), int(i) * 10) for i in ids], "id long, v long"
+        )
+
+    S.snapshot_write(rows(1, 2, 3, 4), t)
+    for i in (1, 2, 3):
+        S.snapshot_delete(spark, t, rows(i).select("id"), ["id"])
+
+    # dry run: optimize would run (delete files over threshold),
+    # nothing mutates
+    n_versions = len(S.list_snapshots(spark, t))
+    rep = S.maintain_table(
+        spark, t, max_delete_files=2, keep_last=1, vacuum_min_age_s=0,
+        dry_run=True,
+    )
+    assert rep["optimize"].get("would_run") is True
+    assert "delete files" in rep["optimize"]["reason"]
+    assert rep["rewrite_manifests"].get("skipped")
+    assert len(S.list_snapshots(spark, t)) == n_versions
+
+    # destructive: optimize folds deletes, expire retires pre-fold
+    # versions, content survives
+    rep = S.maintain_table(
+        spark, t, target_files=1, max_delete_files=2, keep_last=1,
+        vacuum_min_age_s=0, dry_run=False,
+    )
+    assert "version" in rep["optimize"]
+    assert rep["expire"]["expired_versions"]
+    assert _ids(S.read_snapshot(spark, t)) == [4]
+    meta = S.read_snapshot_meta(spark, t, S.list_snapshots(spark, t)[-1])
+    assert not meta.get("delete_files")
+
+    # everything-below-threshold: all steps skip
+    rep = S.maintain_table(spark, t, dry_run=False)
+    assert all(
+        v.get("skipped") for v in rep.values()
+    ), rep
