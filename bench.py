@@ -258,6 +258,7 @@ EXTRA = [
     "snapshot_rewrite_manifests",    # metadata-only manifest folding
     "snapshot_time_travel_as_of",    # TIMESTAMP AS OF resolution
     "bm25_rm3_expansion",            # RM3 pseudo-relevance feedback
+    "snapshot_stats_skipping",       # min/max file-skipping range read
 ]
 
 

@@ -474,6 +474,30 @@ def commit_snapshot(
             # chunking already folded the caller's per-file seqs into
             # manifest_seqs; the inline map must not leak into meta
             extra_eff.pop("file_seqs", None)
+        # FILE SKIPPING STATS: inline commits carry a per-file
+        # {col: [min, max]} map — appends inherit the parent's entries
+        # for still-live files and add the caller's new ones. Manifest
+        # mode drops stats (meta must stay O(increment)); a file with
+        # no entry is never skipped, so the degradation is less
+        # pruning, never a wrong answer.
+        new_fstats = extra_eff.pop("file_stats", None)
+        if "files" in listing:
+            live_set = set(listing["files"])
+            merged_stats = {
+                k: s
+                for k, s in (
+                    ((pmeta or {}).get("file_stats") or {}).items()
+                    if append_files is not None
+                    else ()
+                )
+                if k in live_set
+            }
+            if new_fstats:
+                merged_stats.update(
+                    {k: s for k, s in new_fstats.items() if k in live_set}
+                )
+            if merged_stats:
+                meta["file_stats"] = merged_stats
         meta.update(extra_eff)
         if new_delete_files is not None:
             # the new delete files' SEQUENCE is this commit's version —
@@ -511,10 +535,55 @@ def commit_snapshot(
     )
 
 
+def _compute_file_stats(
+    spark: SparkSession,
+    table: str,
+    names: Sequence[str],
+    cols: Sequence[str],
+) -> dict:
+    """Per-file min/max of ``cols`` over the given data files — ONE
+    grouped job (input_file_name grain), used to record skipping
+    stats at commit time. Values must be JSON-stable scalars
+    (numbers, strings, bools); temporal or complex columns fail
+    loudly — project them to epoch numbers before snapshotting."""
+    root = table.rstrip("/")
+    df = spark.read.parquet(*[f"{root}/{n}" for n in names])
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_lo_{c}"))
+        aggs.append(F.max(c).alias(f"_hi_{c}"))
+    rows = (
+        df.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        base = r._f.rsplit("/", 1)[-1]
+        ent = {}
+        for c in cols:
+            lo, hi = r[f"_lo_{c}"], r[f"_hi_{c}"]
+            for v in (lo, hi):
+                if v is not None and not isinstance(
+                    v, (int, float, str, bool)
+                ):
+                    raise TypeError(
+                        f"file stats for column {c!r} would record a "
+                        f"{type(v).__name__} — stats columns must be "
+                        "numeric/string (cast temporals to epoch "
+                        "numbers before snapshotting)"
+                    )
+            ent[c] = [lo, hi]
+        out[base] = ent
+    return out
+
+
 def snapshot_write(
     df: DataFrame,
     table: str,
     mode: str = "append",
+    stats_cols: Sequence[str] = (),
 ) -> int:
     """Write ``df`` to ``table`` and commit the resulting snapshot.
 
@@ -537,12 +606,25 @@ def snapshot_write(
     flag propagates along append chains and clears on overwrite or
     :func:`optimize_snapshot` (both rewrite to one homogeneous
     schema). Evolving appends assume a single writer (the flag is
-    derived from the parent read before the commit claim)."""
+    derived from the parent read before the commit claim).
+
+    ``stats_cols``: record per-file MIN/MAX of these columns in the
+    commit (one extra grouped job over the new files) — the skipping
+    metadata :func:`read_snapshot`'s ``where_between`` prunes with.
+    Inline-mode tables inherit stats along append chains; manifest-
+    mode commits drop them (keeping commit cost O(increment) — the
+    scale path records stats at OPTIMIZE where the file count is
+    small; a stats-less file is simply never skipped)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
     new_files = _write_attributed(df, table)
-    extra = {"schema": df.schema.jsonValue()}
+    extra: dict = {"schema": df.schema.jsonValue()}
+    if stats_cols:
+        extra["file_stats"] = _compute_file_stats(
+            spark, table,
+            [p.rsplit("/", 1)[-1] for p in new_files], list(stats_cols),
+        )
     if mode == "append":
         versions = list_snapshots(spark, table)
         if versions:
@@ -1107,6 +1189,7 @@ def optimize_snapshot(
     table: str,
     n_files: int,
     zorder_by: Sequence[str] = (),
+    stats_cols: Sequence[str] = (),
 ) -> int:
     """Rewrite the LATEST version's content into ``n_files`` (optionally
     z-order-clustered) files and commit the rewrite as a NEW version
@@ -1195,6 +1278,14 @@ def optimize_snapshot(
         "schema": df.schema.jsonValue(),
         "optimized_from": src_v,
     }
+    if stats_cols:
+        # post-optimize is where skipping stats pay: few files, and a
+        # z-ordered rewrite gives them tight disjoint ranges
+        extra["file_stats"] = _compute_file_stats(
+            spark, table,
+            [p.rsplit("/", 1)[-1] for p in new_files],
+            list(stats_cols),
+        )
     return commit_snapshot(
         spark, table, new_files, op=f"optimize:{src_v}", extra=extra
     )
@@ -1206,6 +1297,7 @@ def read_snapshot(
     version: int | str | None = None,
     partitions: dict | None = None,
     as_of=None,
+    where_between: tuple | None = None,
 ) -> DataFrame:
     """DataFrame over exactly one snapshot's files (latest when
     ``version`` is None) — an explicit-path parquet scan, so Spark
@@ -1224,7 +1316,16 @@ def read_snapshot(
     ``version`` also takes a NAMED REF (:func:`snapshot_tag`): a
     string resolves through the tag — the stable handle consumers
     hold instead of a raw number. ``as_of`` (exclusive with
-    ``version``) resolves TIMESTAMP AS OF via :func:`version_as_of`."""
+    ``version``) resolves TIMESTAMP AS OF via :func:`version_as_of`.
+
+    ``where_between=(col, lo, hi)`` is a STATS-PRUNED range read:
+    files whose recorded min/max (``stats_cols`` at write/OPTIMIZE
+    time) cannot intersect [lo, hi] are dropped from the plan before
+    any data I/O, and the row-level filter is applied on top so the
+    result is exactly the range regardless of which files carried
+    stats — a file without stats is scanned, never skipped (less
+    pruning, never a wrong answer). Bounds are inclusive; pass
+    ``None`` for an open end."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version or as_of, not both")
@@ -1243,17 +1344,47 @@ def read_snapshot(
         live = _prune_partition_files(spark, table, meta, partitions)
     else:
         live = snapshot_files(spark, table, meta=meta)
+    if where_between is not None:
+        col, lo, hi = where_between
+        fstats = meta.get("file_stats") or {}
+
+        def _may_hit(name: str) -> bool:
+            ent = fstats.get(name)
+            if not ent or col not in ent:
+                return True  # no stats: must scan
+            fmin, fmax = ent[col]
+            if fmin is None or fmax is None:
+                return True  # all-null or unknown: must scan
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+            return True
+
+        live = [n for n in live if _may_hit(n)]
+    out = None
     if not live:
         # the schema recorded AT COMMIT TIME, not the directory's
         # current footers — an old empty version must not inherit a
         # newer version's drifted schema (and a first-write-empty
         # table has no footers to infer from at all)
         if "schema" in meta:
-            return spark.createDataFrame(
+            out = spark.createDataFrame(
                 [], StructType.fromJson(meta["schema"])
             )
-        return spark.createDataFrame([], spark.read.parquet(table).schema)
-    return _scan_with_deletes(spark, table, meta, live)
+        else:
+            out = spark.createDataFrame(
+                [], spark.read.parquet(table).schema
+            )
+    else:
+        out = _scan_with_deletes(spark, table, meta, live)
+    if where_between is not None:
+        col, lo, hi = where_between
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+    return out
 
 
 def version_as_of(

@@ -13966,6 +13966,94 @@ def snapshot_time_travel_as_of(
 
 
 @query(
+    "snapshot_stats_skipping",
+    """
+    WITH b AS (
+      SELECT CAST(floor(max(o_orderkey) / 3) AS BIGINT) AS lo,
+             CAST(floor(2 * max(o_orderkey) / 3) AS BIGINT) AS hi
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders, b
+    WHERE o_orderkey % 2 = 0
+      AND o_orderkey BETWEEN b.lo AND b.hi
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_stats_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX FILE SKIPPING on snapshot reads (snapshots.
+    _compute_file_stats / read_snapshot(where_between=...)): commits
+    record per-file column ranges (``stats_cols``) and a range read
+    drops every file whose range cannot intersect the predicate
+    BEFORE any data I/O — the Iceberg/Delta data-skipping shape on
+    the explicit-path scan, where it matters most at 100 TB: a
+    key-range read of a range-clustered table touches the files that
+    hold the range, not the table. The row filter is applied on top,
+    so files without stats (older appends) scan instead of skip —
+    less pruning, never a wrong answer.
+
+    Exercised: the %2 keyspace lands as three range-disjoint appends
+    (thirds of the key domain) with stats on ``o_orderkey``; the
+    middle-third range read is asserted (via ``inputFiles``) to scan
+    STRICTLY FEWER files than the full read; the returned aggregate
+    must hash-match the oracle's plain BETWEEN over the same corpus.
+    The bounds are derived identically on both sides
+    (floor(max/3), floor(2·max/3)) so the predicate is data-exact."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("o_orderkey") % 2 == 0)
+    mk = _t(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey")
+    ).first()[0]
+    lo, hi = mk // 3, (2 * mk) // 3
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_skip_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(
+            orders.filter(k < lo), table, stats_cols=["o_orderkey"]
+        )
+        SN.snapshot_write(
+            orders.filter((k >= lo) & (k <= hi)), table,
+            stats_cols=["o_orderkey"],
+        )
+        SN.snapshot_write(
+            orders.filter(k > hi), table, stats_cols=["o_orderkey"]
+        )
+        full = SN.read_snapshot(spark, table)
+        pruned = SN.read_snapshot(
+            spark, table, where_between=("o_orderkey", int(lo), int(hi))
+        )
+        n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+        if not n_pruned < n_full:
+            raise AssertionError(
+                f"range read must skip files: {n_pruned} vs {n_full}"
+            )
+        return (
+            pruned.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

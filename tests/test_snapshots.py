@@ -2380,3 +2380,67 @@ def test_maintain_table_policy_runner(spark, tmp_path):
     assert all(
         v.get("skipped") for v in rep.values()
     ), rep
+
+
+def test_file_skipping_stats_range_read(spark, tmp_path):
+    """Min/max file-skipping on snapshot reads: stats recorded at
+    write/OPTIMIZE time prune files whose range cannot intersect a
+    where_between read BEFORE any data I/O (asserted via inputFiles);
+    files without stats are scanned, never skipped; the row filter on
+    top makes the result exact either way; temporal stats columns
+    refuse loudly."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    t = str(tmp_path / "t")
+
+    def rows(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("v", F.col("id") * 10)
+            .coalesce(1)
+        )
+
+    S.snapshot_write(rows(0, 100), t, stats_cols=["id"])
+    S.snapshot_write(rows(100, 200), t, stats_cols=["id"])
+    S.snapshot_write(rows(200, 300), t, stats_cols=["id"])
+    meta = S.read_snapshot_meta(spark, t, 3)
+    assert len(meta["file_stats"]) == 3
+    full_files = len(S.read_snapshot(spark, t).inputFiles())
+
+    pruned = S.read_snapshot(spark, t, where_between=("id", 120, 180))
+    assert len(pruned.inputFiles()) == 1
+    assert _ids(pruned) == list(range(120, 181))  # inclusive bounds
+    # open-ended bounds
+    assert _ids(
+        S.read_snapshot(spark, t, where_between=("id", 250, None))
+    ) == list(range(250, 300))
+
+    # an append WITHOUT stats is always scanned, results stay exact
+    S.snapshot_write(rows(50, 60).withColumn("id", F.col("id") + 1000), t)
+    pruned = S.read_snapshot(spark, t, where_between=("id", 120, 180))
+    assert len(pruned.inputFiles()) == 2  # stats file + stats-less file
+    assert _ids(pruned) == list(range(120, 181))
+
+    # OPTIMIZE with z-order + stats: tight ranges, pruning recovers
+    S.optimize_snapshot(spark, t, 4, zorder_by=["id"], stats_cols=["id"])
+    m = S.read_snapshot_meta(spark, t, S.list_snapshots(spark, t)[-1])
+    assert m.get("file_stats")
+    pruned = S.read_snapshot(spark, t, where_between=("id", 120, 180))
+    assert len(pruned.inputFiles()) < 4
+    assert _ids(pruned) == list(range(120, 181))
+
+    # stats survive equality deletes; the pruned read composes with
+    # the delete anti-join
+    S.snapshot_delete(
+        spark, t, spark.range(150, 160).select("id"), ["id"]
+    )
+    got = _ids(S.read_snapshot(spark, t, where_between=("id", 120, 180)))
+    assert got == [i for i in range(120, 181) if not 150 <= i < 160]
+
+    # temporal stats columns refuse loudly
+    t2 = str(tmp_path / "t2")
+    dated = spark.range(0, 5).withColumn(
+        "d", F.to_date(F.lit("2026-01-01"))
+    )
+    with pytest.raises(TypeError, match="stats columns"):
+        S.snapshot_write(dated, t2, stats_cols=["d"])
