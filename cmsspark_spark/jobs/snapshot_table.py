@@ -48,7 +48,8 @@ def main(argv: list[str] | None = None) -> None:
 
     e = sub.add_parser("expire")
     e.add_argument("--table", required=True)
-    e.add_argument("--keep-last", type=int, required=True)
+    e.add_argument("--keep-last", type=int, default=None)
+    e.add_argument("--keep-newer-than-s", type=float, default=None)
     e.add_argument("--delete", action="store_true")
 
     vv = sub.add_parser("vacuum")
@@ -113,6 +114,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "expire":
         res = S.expire_snapshots(
             spark, args.table, keep_last=args.keep_last,
+            keep_newer_than_s=args.keep_newer_than_s,
             dry_run=not args.delete,
         )
         print(res)

@@ -1387,6 +1387,27 @@ def read_snapshot(
     return out
 
 
+def _commit_ms(
+    spark: SparkSession, table: str, version: int, meta: dict | None = None
+) -> float:
+    """Wall-clock commit time of one version: the recorded
+    ``committed_ms``, falling back to the version FILE's modification
+    time for pre-stamp commits (the claim rename's time — same
+    ordering, coarser clock)."""
+    if meta is None:
+        meta = read_snapshot_meta(spark, table, version)
+    ms = meta.get("committed_ms")
+    if ms is not None:
+        return float(ms)
+    fs, _ = _fs_for(spark, table)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    return float(
+        fs.getFileStatus(
+            Path(_snap_dir(table) + "/" + _version_name(version))
+        ).getModificationTime()
+    )
+
+
 def version_as_of(
     spark: SparkSession, table: str, ts
 ) -> int:
@@ -1413,17 +1434,9 @@ def version_as_of(
     versions = list_snapshots(spark, table)
     if not versions:
         raise FileNotFoundError(f"{table} has no snapshots")
-    fs, _ = _fs_for(spark, table)
-    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     best = None
     for v in versions:
-        m = read_snapshot_meta(spark, table, v)
-        ms = m.get("committed_ms")
-        if ms is None:
-            ms = fs.getFileStatus(
-                Path(_snap_dir(table) + "/" + _version_name(v))
-            ).getModificationTime()
-        if float(ms) <= ts_ms:
+        if _commit_ms(spark, table, v) <= ts_ms:
             best = v
         else:
             break  # committed_ms is monotone along the version chain
@@ -1770,13 +1783,18 @@ def snapshot_untag(spark: SparkSession, table: str, name: str) -> int:
 def expire_snapshots(
     spark: SparkSession,
     table: str,
-    keep_last: int,
+    keep_last: int | None = None,
     dry_run: bool = True,
     orphan_min_age_s: int = 86400,
+    keep_newer_than_s: float | None = None,
 ) -> dict:
-    """Retire all but the newest ``keep_last`` versions and delete the
-    data files that NO retained version references — the time-travel-
-    safe VACUUM. A file shared by an expired and a retained version
+    """Retire old versions and delete the data files that NO retained
+    version references — the time-travel-safe VACUUM. Retention is
+    the UNION of the given policies: ``keep_last`` keeps the newest K
+    versions, ``keep_newer_than_s`` keeps every version committed
+    within the age window (via the commit's ``committed_ms`` stamp,
+    mtime fallback), tags always pin, and the latest version always
+    survives. A file shared by an expired and a retained version
     survives (live sets are unions, exactly Iceberg's
     expire_snapshots contract). Dry-run by default. Returns
     ``{"expired_versions": [...], "deleted_files": [...],
@@ -1800,7 +1818,12 @@ def expire_snapshots(
     that narrows the window to the deletion itself but does not close
     it — schedule expire in a maintenance slot without concurrent
     rollbacks, as Iceberg's expire_snapshots requires."""
-    if keep_last <= 0:
+    if keep_last is None and keep_newer_than_s is None:
+        raise ValueError(
+            "pass a retention policy: keep_last (count) and/or "
+            "keep_newer_than_s (age)"
+        )
+    if keep_last is not None and keep_last <= 0:
         raise ValueError("keep_last must be positive")
     versions = list_snapshots(spark, table)
     # TAGGED versions are pinned: a named ref (snapshot_tag) holds its
@@ -1811,7 +1834,19 @@ def expire_snapshots(
         v for v in snapshot_tags(spark, table).values()
         if v in set(versions)
     }
-    kept_set = set(versions[-keep_last:]) | pinned
+    # policies COMPOSE as unions of keeps (Iceberg's retain-last +
+    # expire-older-than shape): count keeps the newest K, age keeps
+    # everything committed within the window, tags pin, and the
+    # LATEST version always survives (a table must stay readable).
+    kept_set = set(versions[-keep_last:]) if keep_last else set()
+    kept_set |= pinned | ({versions[-1]} if versions else set())
+    if keep_newer_than_s is not None:
+        import time
+
+        cutoff = time.time() * 1000.0 - float(keep_newer_than_s) * 1000.0
+        for v in versions:
+            if _commit_ms(spark, table, v) >= cutoff:
+                kept_set.add(v)
     kept = [v for v in versions if v in kept_set]
     expired = [v for v in versions if v not in kept_set]
     retained_files: set[str] = set()

@@ -2444,3 +2444,75 @@ def test_file_skipping_stats_range_read(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="stats columns"):
         S.snapshot_write(dated, t2, stats_cols=["d"])
+
+
+def test_expire_by_age_and_policy_union(spark, tmp_path):
+    """Age-based retention (keep_newer_than_s) composes with count
+    (keep_last) and tags as a UNION of keeps; the latest version
+    always survives; at least one policy is required."""
+    import time
+
+    t = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 3), t)                        # v1
+    S.snapshot_write(spark.range(3, 5), t, mode="overwrite")      # v2
+    time.sleep(0.2)
+    cut = time.time()
+    S.snapshot_write(spark.range(5, 6), t, mode="overwrite")      # v3
+
+    with pytest.raises(ValueError, match="retention policy"):
+        S.expire_snapshots(spark, t)
+
+    # age window covering only v3: v1/v2 expire (latest always kept)
+    age = time.time() - cut
+    res = S.expire_snapshots(
+        spark, t, keep_newer_than_s=age, dry_run=True
+    )
+    assert res["expired_versions"] == [1, 2]
+
+    # union with count: keep_last=2 additionally keeps v2
+    res = S.expire_snapshots(
+        spark, t, keep_last=2, keep_newer_than_s=age, dry_run=True
+    )
+    assert res["expired_versions"] == [1]
+
+    # union with tags: tagging v1 pins it too
+    S.snapshot_tag(spark, t, "base", 1)
+    res = S.expire_snapshots(
+        spark, t, keep_newer_than_s=age, dry_run=False
+    )
+    assert res["expired_versions"] == [2]
+    assert _ids(S.read_snapshot(spark, t, "base")) == [0, 1, 2]
+
+    # a huge window keeps everything
+    res = S.expire_snapshots(
+        spark, t, keep_newer_than_s=10_000, dry_run=True
+    )
+    assert res["expired_versions"] == []
+
+
+def test_cdc_source_mixed_schema_lineage(spark, tmp_path):
+    """The CDC source pads schema-evolution gaps: rows from files
+    written before an added column surface it as a typed null, and
+    the declared schema comes from the latest commit."""
+    from cmsspark_spark.sources import snapcdc
+
+    t = str(tmp_path / "t")
+    S.snapshot_write(
+        spark.createDataFrame([(1, 10)], "id long, v long"), t
+    )                                                             # v1
+    S.snapshot_write(
+        spark.createDataFrame(
+            [(2, 20, "x")], "id long, v long, tag string"
+        ),
+        t, mode="append",
+    )                                                             # v2 (evolved)
+    snapcdc.register(spark)
+    feed = spark.read.format("snapshot_cdc").option("path", t).load()
+    got = {
+        (r.id, r.v, r.tag, r._cdc_sign, r._cdc_version)
+        for r in feed.collect()
+    }
+    assert got == {(1, 10, None, 1, 1), (2, 20, "x", 1, 2)}
+    assert [f.name for f in feed.schema.fields] == [
+        "id", "v", "tag", "_cdc_sign", "_cdc_version"
+    ]
