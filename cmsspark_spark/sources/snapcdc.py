@@ -286,8 +286,25 @@ def _read_cdc_partition(part: _CDCPartition):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(part.path)
     want = _arrow_schema(pa, part.fields)
+    # COLUMN-PROJECTION PUSHDOWN: read only the declared columns (a
+    # user .schema(...) narrows the feed), intersected with the
+    # file's own footer schema so mixed-schema lineages don't error —
+    # missing columns pad as typed nulls below. The key columns ride
+    # in the declared schema (delete keys are table columns), so the
+    # joins never need anything the projection dropped.
+    pf = pq.ParquetFile(part.path)
+    have = set(pf.schema_arrow.names)
+    cols = [f.name for f in want if f.name in have]
+    if cols:
+        tbl = pf.read(columns=cols)
+    else:
+        # nothing the projection wants exists in this file: an
+        # all-padded frame with the file's row count
+        tbl = pa.table(
+            [pa.nulls(pf.metadata.num_rows, type=f.type) for f in want],
+            schema=want,
+        )
     # pad mixed-schema gaps with typed nulls, drop extras, fix order
     arrays = []
     for f in want:

@@ -2516,3 +2516,49 @@ def test_cdc_source_mixed_schema_lineage(spark, tmp_path):
     assert [f.name for f in feed.schema.fields] == [
         "id", "v", "tag", "_cdc_sign", "_cdc_version"
     ]
+
+
+def test_cdc_source_column_projection(spark, tmp_path):
+    """A user schema narrows the feed: the reader pushes the
+    projection into the parquet read (footer-intersected, so
+    mixed-schema files pad instead of erroring) and the declared
+    columns come back exactly."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from cmsspark_spark.sources import snapcdc
+
+    t = str(tmp_path / "t")
+    S.snapshot_write(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "id long, v long, s string"
+        ),
+        t,
+    )
+    S.snapshot_upsert(
+        spark.createDataFrame(
+            [(2, 21, "b2")], "id long, v long, s string"
+        ),
+        t, ["id"],
+    )
+    snapcdc.register(spark)
+    narrow = StructType([
+        StructField("id", LongType()),
+        StructField("v", LongType()),
+        StructField("_cdc_sign", IntegerType()),
+        StructField("_cdc_version", LongType()),
+    ])
+    feed = (
+        spark.read.format("snapshot_cdc")
+        .schema(narrow)
+        .option("path", t)
+        .load()
+    )
+    assert feed.columns == ["id", "v", "_cdc_sign", "_cdc_version"]
+    got = {
+        (r.id, r.v, r._cdc_sign, r._cdc_version) for r in feed.collect()
+    }
+    assert got == {
+        (1, 10, 1, 1), (2, 20, 1, 1), (2, 20, -1, 2), (2, 21, 1, 2),
+    }
