@@ -2562,3 +2562,97 @@ def test_cdc_source_column_projection(spark, tmp_path):
     assert got == {
         (1, 10, 1, 1), (2, 20, 1, 1), (2, 20, -1, 2), (2, 21, 1, 2),
     }
+
+
+def test_concurrent_upserts_compose_through_retry(spark, tmp_path):
+    """Two upserts planned against the SAME stale parent commit one
+    after the other: the commit retry loop re-reads the parent, so
+    the second composes on top of the first — files, delete sets, and
+    sequence stamps all accumulate correctly (the later delete
+    outranks the earlier batch's files, so cross-batch key overlap
+    resolves last-writer-wins)."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    t = str(tmp_path / "t")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(int(i), int(v)) for i, v in pairs], "id long, v long"
+        )
+
+    S.snapshot_write(rows([(1, 10), (2, 20), (3, 30)]), t)        # v1
+
+    # simulate two writers racing from the same parent: both compute
+    # their batch before either commits (no coordination), then
+    # commit sequentially — exactly what the claim/retry machinery
+    # must absorb
+    a = rows([(2, 21), (4, 40)])   # writer A: update 2, insert 4
+    b = rows([(2, 22), (5, 50)])   # writer B: update 2, insert 5
+    va = SN.snapshot_upsert(a, t, ["id"])
+    vb = SN.snapshot_upsert(b, t, ["id"])
+    assert (va, vb) == (2, 3)
+    got = {(r.id, r.v) for r in S.read_snapshot(spark, t).collect()}
+    # B committed after A: B's update of key 2 wins; both inserts live
+    assert got == {(1, 10), (2, 22), (3, 30), (4, 40), (5, 50)}
+    # time travel shows A's intermediate state
+    assert {
+        (r.id, r.v) for r in S.read_snapshot(spark, t, 2).collect()
+    } == {(1, 10), (2, 21), (3, 30), (4, 40)}
+    # CDC across the pair nets out exactly
+    cdc = {}
+    for r in S.snapshot_cdc(spark, t, 1, 3).collect():
+        cdc[(r.id, r.v)] = cdc.get((r.id, r.v), 0) + r._cdc_sign
+    net = {k for k, s in cdc.items() if s > 0}
+    assert net == {(2, 22), (4, 40), (5, 50)}
+
+
+def test_cdc_source_equals_engine_cdc_over_lifecycle(spark, tmp_path):
+    """PROPERTY: over a mixed 8-commit lifecycle (append, upsert,
+    delete, overwrite, rollback, reinsert), the snapshot_cdc SOURCE's
+    whole feed equals the union of the engine's per-step batch
+    snapshot_cdc frames — the source and the DataFrame operator are
+    the same algebra through two independent implementations
+    (JVM joins vs executor-side Arrow joins)."""
+    from cmsspark_spark.sources import snapcdc
+
+    t = str(tmp_path / "t")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(int(i), int(v)) for i, v in pairs], "id long, v long"
+        )
+
+    S.snapshot_write(rows([(1, 10), (2, 20), (3, 30)]), t)        # v1
+    S.snapshot_upsert(rows([(2, 21), (4, 40)]), t, ["id"])        # v2
+    S.snapshot_delete(spark, t, rows([(3, 0)]).select("id"), ["id"])  # v3
+    S.snapshot_write(rows([(3, 31)]), t, mode="append")           # v4 reinsert
+    S.snapshot_upsert(rows([(1, 11), (5, 50)]), t, ["id"])        # v5
+    S.rollback_snapshot(spark, t, 3)                              # v6
+    S.snapshot_write(rows([(9, 90)]), t, mode="overwrite")        # v7
+    S.snapshot_write(rows([(8, 80)]), t, mode="append")           # v8
+
+    expect = set()
+    for v in range(2, 9):
+        expect |= {
+            (r.id, r.v, r._cdc_sign, v)
+            for r in S.snapshot_cdc(spark, t, v - 1, v).collect()
+        }
+    expect |= {
+        (r.id, r.v, 1, 1)
+        for r in S.read_snapshot(spark, t, 1).collect()
+    }
+
+    snapcdc.register(spark)
+    got = {
+        (r.id, r.v, r._cdc_sign, r._cdc_version)
+        for r in spark.read.format("snapshot_cdc")
+        .option("path", t).load().collect()
+    }
+    assert got == expect
+    # and the signed fold of the feed reproduces the live view
+    acc = {}
+    for (i, v, s, _ver) in got:
+        acc[(i, v)] = acc.get((i, v), 0) + s
+    assert {k for k, s in acc.items() if s > 0} == {
+        (r.id, r.v) for r in S.read_snapshot(spark, t).collect()
+    }
