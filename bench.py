@@ -259,6 +259,7 @@ EXTRA = [
     "snapshot_time_travel_as_of",    # TIMESTAMP AS OF resolution
     "bm25_rm3_expansion",            # RM3 pseudo-relevance feedback
     "snapshot_stats_skipping",       # min/max file-skipping range read
+    "snapshot_wap_upsert",           # write-audit-publish keyed merge
 ]
 
 

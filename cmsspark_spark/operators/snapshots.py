@@ -900,7 +900,10 @@ def _staged_path(table: str, stage_id: str) -> str:
 
 
 def snapshot_write_staged(
-    df: DataFrame, table: str, mode: str = "append"
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    key_cols: Sequence[str] | None = None,
 ) -> str:
     """WRITE-AUDIT-PUBLISH, step 1 (the public Iceberg WAP pattern):
     land ``df``'s data files beside the table and record them in a
@@ -918,10 +921,50 @@ def snapshot_write_staged(
     replays its increment onto whatever parent is current at publish
     time, exactly like a late writer in the commit retry loop.
     ``overwrite`` stages replace the live set at publish, same as a
-    direct overwrite would."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    direct overwrite would.
+
+    ``mode="upsert"`` (requires ``key_cols``) stages a KEYED MERGE:
+    the audit previews the merged view, and the publish lands the
+    batch's rows plus the equality-delete of its keys in ONE commit
+    (:func:`snapshot_upsert` semantics at the publish version's
+    sequence) — the audited-correction workflow: stage the fix,
+    validate it against the live table, publish atomically. Duplicate
+    keys refuse AT STAGE TIME (the data is frozen from here);
+    partition-attributed tables refuse for upsert stages."""
+    if mode not in ("append", "overwrite", "upsert"):
+        raise ValueError(
+            f"mode must be append|overwrite|upsert, got {mode!r}"
+        )
     spark = df.sparkSession
+    if mode == "upsert":
+        if not key_cols:
+            raise ValueError("upsert stages require key_cols")
+        key_cols = list(key_cols)
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"upsert df lacks key columns {missing}")
+        versions = list_snapshots(spark, table)
+        if versions:
+            pmeta = read_snapshot_meta(spark, table, versions[-1])
+            if pmeta.get("part_cols"):
+                raise ValueError(
+                    f"{table} is partition-attributed — stage a "
+                    "partition overwrite, not a keyed upsert"
+                )
+        dup = (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "staged upsert batch carries multiple rows for key "
+                f"{tuple(dup[0][c] for c in key_cols)} — dedupe it"
+            )
+    elif key_cols:
+        raise ValueError("key_cols only applies to mode='upsert'")
     new_files = _write_attributed(df, table)
     sid = uuid.uuid4().hex[:16]
     entry = {
@@ -930,6 +973,8 @@ def snapshot_write_staged(
         "files": sorted({p.rsplit("/", 1)[-1] for p in new_files}),
         "schema": df.schema.jsonValue(),
     }
+    if mode == "upsert":
+        entry["key_cols"] = key_cols
     versions = list_snapshots(spark, table)
     if versions:
         entry["staged_at_version"] = versions[-1]
@@ -981,9 +1026,13 @@ def read_staged(
     inc = spark.read.parquet(*[f"{root}/{n}" for n in e["files"]])
     if e["op"] == "overwrite" or not list_snapshots(spark, table):
         return inc
-    return read_snapshot(spark, table).unionByName(
-        inc, allowMissingColumns=True
-    )
+    base = read_snapshot(spark, table)
+    if e["op"] == "upsert":
+        kc = list(e["key_cols"])
+        base = base.join(
+            inc.select(*kc).distinct(), kc, "left_anti"
+        )
+    return base.unionByName(inc, allowMissingColumns=True)
 
 
 def published_stage_ids(spark: SparkSession, table: str) -> set[str]:
@@ -1021,6 +1070,50 @@ def publish_staged(
             return v
     e = _staged_entry(spark, table, stage_id)
     extra: dict = {"stage_id": stage_id, "schema": e["schema"]}
+    if e["op"] == "upsert":
+        kc = list(e["key_cols"])
+        versions = list_snapshots(spark, table)
+        if versions:
+            pmeta = read_snapshot_meta(spark, table, versions[-1])
+            if pmeta.get("part_cols"):
+                raise ValueError(
+                    f"{table} became partition-attributed since "
+                    "staging — upsert stages cannot publish here"
+                )
+            pinned = pmeta.get("delete_key_cols")
+            if pinned is not None and list(pinned) != kc:
+                raise ValueError(
+                    f"{table} pins delete keys {pinned}, the stage "
+                    f"carries {kc} — discard and restage"
+                )
+            pfields = {
+                f["name"]
+                for f in (pmeta.get("schema") or {}).get("fields", [])
+            }
+            fields = {
+                f["name"] for f in e["schema"].get("fields", [])
+            }
+            if pmeta.get("mixed_schemas") or (
+                pfields and pfields != fields
+            ):
+                extra["mixed_schemas"] = True
+        extra["delete_key_cols"] = kc
+        root = table.rstrip("/")
+        keys = spark.read.parquet(
+            *[f"{root}/{n}" for n in e["files"]]
+        ).select(*kc)
+        # a crash between here and the commit leaves an unreferenced
+        # snapdel file — ordinary vacuum residue; the re-publish
+        # stages a fresh one (the ledger check above makes the commit
+        # itself idempotent)
+        del_names = _stage_delete_files(spark, table, keys, kc)
+        v = commit_snapshot(
+            spark, table, op="publish-upsert",
+            append_files=e["files"], extra=extra,
+            new_delete_files=del_names,
+        )
+        fs.delete(Path(_staged_path(table, stage_id)), False)
+        return v
     if e["op"] == "append":
         versions = list_snapshots(spark, table)
         if versions:

@@ -14054,6 +14054,100 @@ def snapshot_stats_skipping(
 
 
 @query(
+    "snapshot_wap_upsert",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 10 AS cents
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 7 AS cents
+      FROM orders
+      WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+        AND o_orderkey % 5 <> 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_wap_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH over the MERGE path (snapshot_write_staged
+    mode='upsert' → read_staged → publish_staged): the audited-
+    correction workflow — stage a keyed fix, validate the MERGED
+    preview against the live table, publish rows + key-delete in one
+    atomic commit at the publish version's sequence, so matched keys'
+    older rows die (including rows committed WHILE the stage was
+    pending) and the staged rows survive their own delete.
+
+    Exercised: base load (%3 keys) → upsert stage (%5 keys, +10
+    cents; updates the %15 overlap, inserts the rest) → a normal
+    append lands while pending (%7∧¬%3 keys, +7 cents — its %5-keyed
+    rows must ALSO lose to the published correction) → audit preview
+    row-count validated → publish. The final read must hash-match the
+    oracle's last-writer-wins union."""
+    import shutil
+    import tempfile
+
+    from cmsspark_spark.operators import snapshots as SN
+
+    def slice_(pred, bump):
+        return (
+            _t(spark, sf_dir, "orders")
+            .filter(pred)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                (
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    + F.lit(bump)
+                ).alias("cents"),
+            )
+        )
+
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="snap_wapu_")
+    try:
+        table = f"{tmp}/t"
+        SN.snapshot_write(slice_(k % 3 == 0, 0), table)
+        sid = SN.snapshot_write_staged(
+            slice_(k % 5 == 0, 10), table, mode="upsert",
+            key_cols=["o_orderkey"],
+        )
+        SN.snapshot_write(
+            slice_((k % 7 == 0) & (k % 3 != 0), 7), table, mode="append"
+        )
+        n_base = slice_(k % 3 == 0, 0).count()
+        n_app = slice_((k % 7 == 0) & (k % 3 != 0), 7).count()
+        n_up = slice_(k % 5 == 0, 10).count()
+        n_matched = slice_(
+            (k % 5 == 0) & ((k % 3 == 0) | (k % 7 == 0)), 0
+        ).count()
+        audit = SN.read_staged(spark, table, sid)
+        if audit.count() != n_base + n_app + n_up - n_matched:
+            raise AssertionError("merged audit preview has wrong rows")
+        SN.publish_staged(spark, table, sid)
+        return (
+            SN.read_snapshot(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "snapshot_partition_overwrite",
     """
     SELECT o_orderstatus,

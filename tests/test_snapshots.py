@@ -2656,3 +2656,60 @@ def test_cdc_source_equals_engine_cdc_over_lifecycle(spark, tmp_path):
     assert {k for k, s in acc.items() if s > 0} == {
         (r.id, r.v) for r in S.read_snapshot(spark, t).collect()
     }
+
+
+def test_staged_upsert_write_audit_publish(spark, tmp_path):
+    """WAP over the merge path: an upsert stage previews the merged
+    view, composes with commits made while pending, and publishes
+    rows + key-delete in ONE commit at the publish version's sequence
+    (older rows of matched keys die, the batch's own survive).
+    Guards: key_cols required, duplicate keys refuse at stage time,
+    key-pin mismatches refuse at publish, publish is idempotent."""
+    from cmsspark_spark.operators import snapshots as SN
+
+    t = str(tmp_path / "t")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(int(i), int(v)) for i, v in pairs], "id long, v long"
+        )
+
+    S.snapshot_write(rows([(1, 10), (2, 20), (3, 30)]), t)        # v1
+    sid = S.snapshot_write_staged(
+        rows([(2, 21), (4, 40)]), t, mode="upsert", key_cols=["id"]
+    )
+    # audit: merged preview; live table untouched
+    assert {
+        (r.id, r.v) for r in S.read_staged(spark, t, sid).collect()
+    } == {(1, 10), (2, 21), (3, 30), (4, 40)}
+    assert {
+        (r.id, r.v) for r in S.read_snapshot(spark, t).collect()
+    } == {(1, 10), (2, 20), (3, 30)}
+
+    # a commit lands while the stage is pending — even one touching a
+    # staged key; publish-time sequence makes the staged rows win
+    S.snapshot_write(rows([(2, 29), (6, 60)]), t, mode="append")  # v2
+    v = S.publish_staged(spark, t, sid)                           # v3
+    assert v == 3
+    got = {(r.id, r.v) for r in S.read_snapshot(spark, t).collect()}
+    assert got == {(1, 10), (2, 21), (3, 30), (4, 40), (6, 60)}
+    # idempotent re-publish
+    assert S.publish_staged(spark, t, sid) == 3
+
+    # guards
+    with pytest.raises(ValueError, match="require key_cols"):
+        S.snapshot_write_staged(rows([(9, 90)]), t, mode="upsert")
+    with pytest.raises(ValueError, match="multiple rows"):
+        S.snapshot_write_staged(
+            rows([(9, 90), (9, 91)]), t, mode="upsert", key_cols=["id"]
+        )
+    with pytest.raises(ValueError, match="only applies"):
+        S.snapshot_write_staged(rows([(9, 90)]), t, key_cols=["id"])
+    # pin mismatch detected at publish (table pinned ["id"] by the
+    # published upsert)
+    bad = S.snapshot_write_staged(
+        rows([(9, 90)]), t, mode="upsert", key_cols=["v"]
+    )
+    with pytest.raises(ValueError, match="pins delete keys"):
+        S.publish_staged(spark, t, bad)
+    S.discard_staged(spark, t, bad)
