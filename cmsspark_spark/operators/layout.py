@@ -887,6 +887,33 @@ def append_with_manifest(
     return new_files
 
 
+def _local_fs_path(spark, path: str) -> str | None:
+    """OS path when ``path`` resolves to the LOCAL filesystem under the
+    session's Hadoop conf, else None. Driver-side metadata operations
+    (listings, manifest/sidecar IO) go through py4j at ~5-10 ms per
+    round-trip; at snapshot-commit rates that is seconds of pure
+    gateway latency per lifecycle (measured: 80 manifest writes =
+    0.88 s, an 80-file staged listing = 0.6 s), so local deployments
+    take the os-level path and remote schemes keep the generic Hadoop
+    path. A bare path only counts as local when ``fs.defaultFS`` says
+    so (cached per SparkContext — one py4j call per session)."""
+    if "://" in path:
+        if path.startswith("file://"):
+            return path[len("file://"):] or "/"
+        return None
+    if path.startswith("file:"):
+        return path[len("file:"):] or "/"
+    sc = spark.sparkContext
+    scheme = getattr(sc, "_cmsspark_default_fs_scheme", None)
+    if scheme is None:
+        default = (
+            sc._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        )
+        scheme = default.split(":", 1)[0] if ":" in default else "file"
+        sc._cmsspark_default_fs_scheme = scheme
+    return path if scheme == "file" else None
+
+
 def _list_parquet_files(spark, path: str) -> list[str]:
     """Recursive parquet-file listing through the Hadoop FileSystem
     API (driver-side, metadata-only) — works on any scheme the
@@ -896,7 +923,31 @@ def _list_parquet_files(spark, path: str) -> list[str]:
     directory and visiting its entries, which surfaces as a
     FileNotFoundException mid-listing — transient by construction, so
     a fresh listing pass resolves it (seen in the snapshot
-    concurrent-append test)."""
+    concurrent-append test).
+
+    Local filesystems short-circuit to os.walk with the same skip
+    rules and the same qualified ``file:`` rendering — the Hadoop
+    RemoteIterator costs 3-4 py4j round-trips PER FILE, which at
+    commit rates is most of a snapshot write's wall time."""
+    local = _local_fs_path(spark, path)
+    if local is not None:
+        import os as _os
+
+        if not _os.path.isdir(local):
+            raise FileNotFoundError(path)
+        out = []
+        root = local.rstrip("/")
+        for dirpath, dirnames, filenames in _os.walk(root):
+            # prune underscore/dot-prefixed subdirectories in place
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for name in filenames:
+                if name.endswith(".parquet") and not name.startswith(
+                    ("_", ".")
+                ):
+                    out.append(f"file:{dirpath}/{name}")
+        return sorted(out)
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())

@@ -66,7 +66,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from cmsspark_spark.operators.layout import _fs_for, _list_parquet_files
+from cmsspark_spark.operators.layout import (
+    _fs_for,
+    _list_parquet_files,
+    _local_fs_path,
+)
 
 SNAPDIR = "_snapshots"
 
@@ -98,15 +102,14 @@ def _write_attributed(df: DataFrame, table: str) -> list[str]:
     staging = f"{root}/_staging/{token}"
     df.write.mode("error").parquet(staging)
     staged = _list_parquet_files(spark, staging)
-    fs, _ = _fs_for(spark, table)
-    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     names = []
+    moves = []
     for p in staged:
         base = f"snap-{token}-" + p.rsplit("/", 1)[-1]
-        if not fs.rename(Path(p), Path(f"{root}/{base}")):
-            raise IOError(f"could not move staged file {p} into {root}")
+        moves.append((p, f"{root}/{base}"))
         names.append(base)
-    fs.delete(Path(staging), True)
+    _move_staged_files(spark, moves)
+    _delete_dir(spark, staging)
     return names
 
 
@@ -118,8 +121,107 @@ def _version_name(v: int) -> str:
     return f"v{v:08d}.json"
 
 
+def _put_bytes_no_overwrite(
+    spark: SparkSession, fs, path: str, payload: bytes
+) -> None:
+    """Create ``path`` with ``payload`` (fail if it exists). Local
+    filesystems write with plain open('xb') — same no-overwrite
+    contract, none of the py4j create/stream round-trips."""
+    local = _local_fs_path(spark, path)
+    if local is not None:
+        import os as _os
+
+        # fs.create makes parent dirs implicitly; match it
+        _os.makedirs(_os.path.dirname(local), exist_ok=True)
+        with open(local, "xb") as fh:
+            fh.write(payload)
+        return
+    p = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
+def _delete_file(spark: SparkSession, fs, path: str) -> None:
+    local = _local_fs_path(spark, path)
+    if local is not None:
+        import os as _os
+
+        try:
+            _os.unlink(local)
+        except FileNotFoundError:
+            pass
+        return
+    fs.delete(
+        spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path), False
+    )
+
+
+def _move_staged_files(
+    spark: SparkSession, moves: Sequence[tuple[str, str]]
+) -> None:
+    """Rename each (src, dest) pair, failing loudly on the first miss.
+    Local filesystems use os.rename (no py4j Path/rename round-trips —
+    a staged commit moves one file per task output, so this loop runs
+    at file-count rate); other schemes keep the Hadoop rename."""
+    if not moves:
+        return
+    local0 = _local_fs_path(spark, moves[0][0])
+    if local0 is not None:
+        import os as _os
+
+        for src, dest in moves:
+            s = _local_fs_path(spark, src)
+            d = _local_fs_path(spark, dest)
+            try:
+                _os.rename(s, d)
+            except OSError as exc:
+                raise IOError(
+                    f"could not move staged file {src} to {dest}: {exc}"
+                ) from exc
+        return
+    fs, _ = _fs_for(spark, moves[0][0])
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    for src, dest in moves:
+        if not fs.rename(Path(src), Path(dest)):
+            raise IOError(f"could not move staged file {src} to {dest}")
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    local = _local_fs_path(spark, path)
+    if local is not None:
+        import shutil as _shutil
+
+        _shutil.rmtree(local, ignore_errors=True)
+        return
+    fs, _ = _fs_for(spark, path)
+    fs.delete(
+        spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path), True
+    )
+
+
 def list_snapshots(spark: SparkSession, table: str) -> list[int]:
-    """Committed version numbers, ascending. Metadata listing only."""
+    """Committed version numbers, ascending. Metadata listing only.
+    Local filesystems use os.listdir — the py4j listStatus round-trips
+    cost more than the listing itself at commit rates."""
+    local = _local_fs_path(spark, _snap_dir(table))
+    if local is not None:
+        import os as _os
+
+        try:
+            names = _os.listdir(local)
+        except FileNotFoundError:
+            return []
+        out = []
+        for name in names:
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
     fs, _ = _fs_for(spark, table)
     jvm = spark.sparkContext._jvm
     d = jvm.org.apache.hadoop.fs.Path(_snap_dir(table))
@@ -140,11 +242,20 @@ def read_snapshot_meta(spark: SparkSession, table: str, version: int) -> dict:
     """Parse one version file. Raises FileNotFoundError for an unknown
     or EXPIRED version — time travel past the retention window must
     fail loudly, never silently read the current state."""
+    rel = _snap_dir(table) + "/" + _version_name(version)
+    local = _local_fs_path(spark, rel)
+    if local is not None:
+        try:
+            with open(local, "rb") as fh:
+                return json.loads(fh.read().decode("utf-8"))
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"snapshot v{version} of {table} does not exist or "
+                "was expired"
+            ) from None
     fs, _ = _fs_for(spark, table)
     jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(
-        _snap_dir(table) + "/" + _version_name(version)
-    )
+    p = jvm.org.apache.hadoop.fs.Path(rel)
     if not fs.exists(p):
         raise FileNotFoundError(
             f"snapshot v{version} of {table} does not exist or was expired"
@@ -169,13 +280,24 @@ def _write_manifest_file(
     Manifests are immutable and content-addressed-ish (uuid names):
     a commit attempt that loses its version race leaves an orphan
     manifest, which expire_snapshots reclaims as unreferenced."""
+    name = f"m-{uuid.uuid4().hex}.json"
+    payload = json.dumps(sorted(names)).encode("utf-8")
+    local = _local_fs_path(spark, _snap_dir(table) + "/" + name)
+    if local is not None:
+        import os as _os
+
+        # "xb" preserves the create(p, False) no-overwrite contract;
+        # fs.create makes parent dirs implicitly — match it
+        _os.makedirs(_os.path.dirname(local), exist_ok=True)
+        with open(local, "xb") as fh:
+            fh.write(payload)
+        return name
     fs, _ = _fs_for(spark, table)
     jvm = spark.sparkContext._jvm
-    name = f"m-{uuid.uuid4().hex}.json"
     p = jvm.org.apache.hadoop.fs.Path(_snap_dir(table) + "/" + name)
     out = fs.create(p, False)
     try:
-        out.write(bytearray(json.dumps(sorted(names)).encode("utf-8")))
+        out.write(bytearray(payload))
     finally:
         out.close()
     return name
@@ -184,15 +306,60 @@ def _write_manifest_file(
 def _read_manifest_file(
     spark: SparkSession, table: str, name: str
 ) -> list:
+    rel = _snap_dir(table) + "/" + name
+    local = _local_fs_path(spark, rel)
+    if local is not None:
+        with open(local, "rb") as fh:
+            return json.loads(fh.read().decode("utf-8"))
     fs, _ = _fs_for(spark, table)
     jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(_snap_dir(table) + "/" + name)
+    p = jvm.org.apache.hadoop.fs.Path(rel)
     stream = fs.open(p)
     try:
         data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
     return json.loads(data.decode("utf-8"))
+
+
+def _read_manifest_files(
+    spark: SparkSession, table: str, names: Sequence[str]
+) -> dict:
+    """``{manifest name: [file basenames]}`` for many manifests at
+    once. Local reads are microseconds each and run inline; remote
+    schemes fan the py4j/FS round-trips over a small thread pool
+    (Hadoop FileSystem objects and the py4j gateway are thread-safe),
+    so resolving a manifest-list of N chunks costs ~N/8 round-trips
+    of latency instead of N."""
+    names = list(names)
+    if len(names) <= 2 or _local_fs_path(spark, table) is not None:
+        return {m: _read_manifest_file(spark, table, m) for m in names}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
+        listed = pool.map(
+            lambda m: _read_manifest_file(spark, table, m), names
+        )
+        return dict(zip(names, listed))
+
+
+def _write_manifest_chunks(
+    spark: SparkSession, table: str, chunks: Sequence[Sequence[str]]
+) -> list:
+    """Write one manifest per chunk, returning basenames in chunk
+    order. Local writes run inline (microseconds each); remote
+    schemes fan the py4j round-trips over a thread pool, so a
+    partition commit's #partitions manifests cost ~N/8 round-trips
+    of latency instead of N."""
+    chunks = list(chunks)
+    if len(chunks) <= 2 or _local_fs_path(spark, table) is not None:
+        return [_write_manifest_file(spark, table, c) for c in chunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as pool:
+        return list(
+            pool.map(lambda c: _write_manifest_file(spark, table, c), chunks)
+        )
 
 
 def snapshot_files(
@@ -215,8 +382,10 @@ def snapshot_files(
     if "files" in meta:
         return list(meta["files"])
     names: set = set()
-    for m in meta.get("manifests", []):
-        names.update(_read_manifest_file(spark, table, m))
+    for listed in _read_manifest_files(
+        spark, table, meta.get("manifests", [])
+    ).values():
+        names.update(listed)
     return sorted(names)
 
 
@@ -230,6 +399,25 @@ def default_claim(spark: SparkSession, table: str) -> Callable[[str, str], bool]
     atomic rename need a caller-provided claim instead (see
     :func:`commit_snapshot`). Returns a ``claim(tmp, dest) -> bool``
     callable: True = this writer owns ``dest``; False = lost the race."""
+    if _local_fs_path(spark, table) is not None:
+        import os as _os
+
+        def _local_claim(tmp: str, dest: str) -> bool:
+            # os.link fails with EEXIST when dest exists — a genuinely
+            # atomic no-overwrite claim on POSIX, strictly stronger
+            # than the local AbstractFileSystem's exists-then-rename
+            t = tmp[5:] if tmp.startswith("file:") else tmp
+            d = dest[5:] if dest.startswith("file:") else dest
+            try:
+                _os.link(t, d)
+            except FileExistsError:
+                return False
+            except OSError:
+                return False
+            _os.unlink(t)
+            return True
+
+        return _local_claim
     jvm = spark.sparkContext._jvm
     d = jvm.org.apache.hadoop.fs.Path(_snap_dir(table))
     fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
@@ -334,9 +522,12 @@ def commit_snapshot(
         v = (versions[-1] + 1) if versions else 1
         listing: dict
         if manifests is not None:
-            n_total = 0
-            for m in manifests:
-                n_total += len(_read_manifest_file(spark, table, m))
+            n_total = sum(
+                len(listed)
+                for listed in _read_manifest_files(
+                    spark, table, manifests
+                ).values()
+            )
             listing = {"manifests": list(manifests), "n_files": n_total}
         elif append_files is not None:
             inc_names = sorted(
@@ -513,21 +704,19 @@ def commit_snapshot(
             for n in nd:
                 dseqs[n] = v
             meta["delete_seqs"] = dseqs
-        tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")
-        out = fs.create(tmp, False)
-        try:
-            out.write(bytearray(json.dumps(meta).encode("utf-8")))
-        finally:
-            out.close()
+        tmp = _snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}"
+        _put_bytes_no_overwrite(
+            spark, fs, tmp, json.dumps(meta).encode("utf-8")
+        )
         dest = _snap_dir(table) + "/" + _version_name(v)
         try:
-            if claim(tmp.toString(), dest):
+            if claim(tmp, dest):
                 return v
             last_err = RuntimeError(f"version claim lost for {dest}")
         except Exception as exc:
             last_err = exc
         # lost the race: renumber and retry
-        fs.delete(tmp, False)
+        _delete_file(spark, fs, tmp)
     raise RuntimeError(
         f"could not commit a snapshot of {table} after {max_retries} "
         f"attempts (heavy concurrent-writer contention); last error: "
@@ -664,15 +853,14 @@ def _stage_delete_files(
     keys.select(*key_cols).distinct().write.mode(
         "error"
     ).parquet(staging)
-    fs, _ = _fs_for(spark, table)
-    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     del_names = []
+    moves = []
     for p in _list_parquet_files(spark, staging):
         base = f"snapdel-{token}-" + p.rsplit("/", 1)[-1]
-        if not fs.rename(Path(p), Path(f"{root}/{base}")):
-            raise IOError(f"could not move delete file {p} into {root}")
+        moves.append((p, f"{root}/{base}"))
         del_names.append(base)
-    fs.delete(Path(staging), True)
+    _move_staged_files(spark, moves)
+    _delete_dir(spark, staging)
     return del_names
 
 
@@ -1169,9 +1357,12 @@ def _live_name_seqs(
         return {n: int(fseqs.get(n, 0)) for n in meta["files"]}
     mseqs = meta.get("manifest_seqs") or {}
     out: dict = {}
+    listed_by_m = _read_manifest_files(
+        spark, table, meta.get("manifests", [])
+    )
     for m in meta.get("manifests", []):
         s = int(mseqs.get(m, 0))
-        for n in _read_manifest_file(spark, table, m):
+        for n in listed_by_m[m]:
             # duplicate names across chunks violate the fresh-names
             # contract; keep the SMALLEST seq (more deletes apply —
             # degrades to over-deleting a contract-violating dup,
@@ -1211,14 +1402,24 @@ def _delete_keys_df(
     del_df = spark.read.parquet(
         *[f"{root}/{n}" for n in names]
     ).distinct()
-    fs, _ = _fs_for(spark, table)
-    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    local = _local_fs_path(spark, root)
     total = 0
-    for n in names:
+    if local is not None:
+        import os as _os
+
         try:
-            total += fs.getFileStatus(Path(f"{root}/{n}")).getLen()
-        except Exception:
+            for n in names:
+                total += _os.path.getsize(f"{local}/{n}")
+        except OSError:
             return del_df  # unknown size: let AQE decide
+    else:
+        fs, _ = _fs_for(spark, table)
+        Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        for n in names:
+            try:
+                total += fs.getFileStatus(Path(f"{root}/{n}")).getLen()
+            except Exception:
+                return del_df  # unknown size: let AQE decide
     if total <= BROADCAST_DELETES_MAX_BYTES:
         return F.broadcast(del_df)
     return del_df
@@ -1329,7 +1530,11 @@ def optimize_snapshot(
             out = zorder_key(out, *zorder_by).sortWithinPartitions(
                 "_zkey"
             ).drop("_zkey")
-        by_part = _write_partition_attributed(out, table, pcols)
+        # distribute=False: the rewrite just hash/z-order-shaped `out`
+        # itself; a second repartition would undo the clustering
+        by_part = _write_partition_attributed(
+            out, table, pcols, distribute=False
+        )
         if list_snapshots(spark, table) != versions:
             raise RuntimeError(
                 f"concurrent commit detected on {table} while "
@@ -2476,6 +2681,13 @@ def read_json_meta(spark: SparkSession, path: str) -> dict | None:
     scheme the session can reach); None when absent. The generic
     metadata primitive the maintained states share (aggregate state
     versions, snapshot pins)."""
+    local = _local_fs_path(spark, path)
+    if local is not None:
+        try:
+            with open(local, "rb") as fh:
+                return json.loads(fh.read().decode("utf-8"))
+        except FileNotFoundError:
+            return None
     fs, _ = _fs_for(spark, path)
     jvm = spark.sparkContext._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -2499,6 +2711,18 @@ def write_json_meta(spark: SparkSession, path: str, meta: dict) -> None:
     never a truncated file — the block-size pins and the
     consume/compact crash fences that live in these sidecars survive
     the writer dying at any instruction."""
+    local = _local_fs_path(spark, path)
+    if local is not None:
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(local), exist_ok=True)
+        tmp_local = local + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp_local, "xb") as fh:
+            fh.write(json.dumps(meta).encode("utf-8"))
+        # os.replace is the POSIX atomic overwrite-rename — same
+        # crash contract as the FileContext OVERWRITE rename below
+        _os.replace(tmp_local, local)
+        return
     sc = spark.sparkContext
     fs, _ = _fs_for(spark, path)
     jvm = sc._jvm
@@ -2797,7 +3021,10 @@ def _pk_key(values: Sequence[str]) -> str:
 
 
 def _write_partition_attributed(
-    df: DataFrame, table: str, part_cols: Sequence[str]
+    df: DataFrame,
+    table: str,
+    part_cols: Sequence[str],
+    distribute: bool = True,
 ) -> dict:
     """Stage ``df`` PARTITION-PURE (no file ever spans two partition
     values — ``partitionBy`` on throwaway ``_p_*`` duplicates of the
@@ -2805,14 +3032,32 @@ def _write_partition_attributed(
     ``{pk_key: [basenames]}``. The real partition columns STAY in the
     data files, so explicit-path snapshot reads see the full schema
     with no directory-discovery dependence, and the directory layout
-    itself is flat like every other snapshot write."""
+    itself is flat like every other snapshot write.
+
+    The write HASH-DISTRIBUTES by the partition columns first
+    (Iceberg's ``write.distribution-mode=hash``): without it every
+    input task opens a writer for every partition value it holds —
+    files = tasks × partitions (the many-small-files shape) and, in
+    the single-task case, one task writing every partition's file
+    sequentially (measured 3× slower at bench scale). With it each
+    partition's rows land in exactly one task, so the file count is
+    ∝ partitions and the per-partition writers run in parallel.
+    ``defaultParallelism`` keeps the task count cluster-sized; a
+    single oversized partition is split by the writer's
+    ``maxRecordsPerFile`` if the caller configures one."""
     from urllib.parse import unquote
 
     spark = df.sparkSession
     root = table.rstrip("/")
     token = uuid.uuid4().hex[:12]
     staging = f"{root}/_staging/{token}"
-    staged_df = df
+    staged_df = (
+        df.repartition(
+            spark.sparkContext.defaultParallelism, *part_cols
+        )
+        if distribute
+        else df
+    )
     pcols = []
     for c in part_cols:
         # the throwaway layout column must NOT start with "_" or "."
@@ -2824,10 +3069,9 @@ def _write_partition_attributed(
         pcols.append(pc)
     staged_df.write.partitionBy(*pcols).mode("error").parquet(staging)
     staged = _list_parquet_files(spark, staging)
-    fs, _ = _fs_for(spark, table)
-    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     marker = f"/_staging/{token}/"
     out: dict = {}
+    moves = []
     for i, p in enumerate(sorted(staged)):
         rel = p.split(marker, 1)[1]
         segs = rel.split("/")[:-1]
@@ -2849,10 +3093,10 @@ def _write_partition_attributed(
                 else unquote(raw)
             )
         base = f"snap-{token}-{i:05d}-" + p.rsplit("/", 1)[-1]
-        if not fs.rename(Path(p), Path(f"{root}/{base}")):
-            raise IOError(f"could not move staged file {p} into {root}")
+        moves.append((p, f"{root}/{base}"))
         out.setdefault(_pk_key(vals), []).append(base)
-    fs.delete(Path(staging), True)
+    _move_staged_files(spark, moves)
+    _delete_dir(spark, staging)
     return out
 
 
@@ -2962,13 +3206,13 @@ def commit_partition_snapshot(
             else:
                 keep.append(m)
         if new_manifests is None:
+            pks = sorted(files_by_part)
+            written = _write_manifest_chunks(
+                spark, table, [files_by_part[pk] for pk in pks]
+            )
             new_manifests = [
-                (
-                    _write_manifest_file(spark, table, files_by_part[pk]),
-                    pk,
-                    len(files_by_part[pk]),
-                )
-                for pk in sorted(files_by_part)
+                (m, pk, len(files_by_part[pk]))
+                for m, pk in zip(written, pks)
             ]
         ptrs = keep + [m for m, _, _ in new_manifests]
         for m, pk, n in new_manifests:
@@ -2987,20 +3231,18 @@ def commit_partition_snapshot(
             "committed_ms": int(_time.time() * 1000),
         }
         meta.update(extra or {})
-        tmp = Path(_snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}")
-        out = fs.create(tmp, False)
-        try:
-            out.write(bytearray(json.dumps(meta).encode("utf-8")))
-        finally:
-            out.close()
+        tmp = _snap_dir(table) + f"/_tmp.{uuid.uuid4().hex}"
+        _put_bytes_no_overwrite(
+            spark, fs, tmp, json.dumps(meta).encode("utf-8")
+        )
         dest = _snap_dir(table) + "/" + _version_name(v)
         try:
-            if claim(tmp.toString(), dest):
+            if claim(tmp, dest):
                 return v
             last_err = RuntimeError(f"version claim lost for {dest}")
         except Exception as exc:
             last_err = exc
-        fs.delete(tmp, False)
+        _delete_file(spark, fs, tmp)
     raise RuntimeError(
         f"could not commit a partition snapshot of {table} after "
         f"{max_retries} attempts; last error: {last_err}"

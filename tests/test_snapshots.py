@@ -679,18 +679,16 @@ def test_write_json_meta_crash_mid_replace_keeps_old_version(
     S.write_json_meta(spark, p, {"block_size": 64, "v": 1})
     assert S.read_json_meta(spark, p) == {"block_size": 64, "v": 1}
 
-    # crash AFTER the temp file lands, BEFORE the rename: the rename
-    # path is the only caller of gateway.new_array here
-    gw = spark.sparkContext._gateway
-    real = gw.new_array
-
+    # crash AFTER the temp file lands, BEFORE the rename: the local
+    # fast path replaces via os.replace (the Hadoop path's equivalent
+    # is the FileContext OVERWRITE rename)
     def _boom(*a, **k):
         raise RuntimeError("simulated crash before rename")
 
-    monkeypatch.setattr(gw, "new_array", _boom)
+    monkeypatch.setattr(os, "replace", _boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         S.write_json_meta(spark, p, {"block_size": 64, "v": 2})
-    monkeypatch.setattr(gw, "new_array", real)
+    monkeypatch.undo()
 
     # old version intact, temp orphan present but ignored by readers
     assert S.read_json_meta(spark, p) == {"block_size": 64, "v": 1}
