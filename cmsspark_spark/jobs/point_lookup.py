@@ -34,6 +34,7 @@ Run:
 from __future__ import annotations
 
 import argparse
+import threading
 import weakref
 from collections import OrderedDict
 
@@ -72,6 +73,13 @@ def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
 #: collides. Per-session bounded LRU; an evicted entry just re-reads.
 _META_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _META_CACHE_CAP = 16
+#: Lookups are read-only and safe to issue from concurrent driver
+#: threads (the standard overlapped-jobs pattern); the cache itself is
+#: the one shared mutable structure, so population/LRU moves serialize
+#: through this lock. First-build Spark jobs run under it — two
+#: threads racing the same cold table would otherwise checkpoint the
+#: same manifests twice.
+_META_LOCK = threading.RLock()
 
 
 def _meta_stamp(spark: SparkSession, table: str, all_files) -> tuple:
@@ -104,6 +112,11 @@ def _table_meta(spark: SparkSession, table: str) -> dict:
     changes: data listing, manifest/Bloom/row-group-Bloom frames
     (eagerly checkpointed), the manifest's known-file set and the
     row-group sidecar's covered-file set."""
+    with _META_LOCK:
+        return _table_meta_locked(spark, table)
+
+
+def _table_meta_locked(spark: SparkSession, table: str) -> dict:
     all_files = _list_parquet_files(spark, table)
     stamp = _meta_stamp(spark, table, all_files)
     per = _META_CACHE.get(spark)

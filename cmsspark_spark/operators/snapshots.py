@@ -85,7 +85,11 @@ SNAPDIR = "_snapshots"
 MANIFEST_INLINE_MAX = 10_000
 
 
-def _write_attributed(df: DataFrame, table: str) -> list[str]:
+def _write_attributed(
+    df: DataFrame,
+    table: str,
+    precommit: Callable[[], None] | None = None,
+) -> list[str]:
     """Write ``df``'s parquet files into ``table`` and return EXACTLY
     the basenames this write produced — by construction, not by
     listing-diff. The files land in a per-commit staging subdir
@@ -95,12 +99,25 @@ def _write_attributed(df: DataFrame, table: str) -> list[str]:
     files can never be claimed by this commit: the attributed set is
     the staged listing, which only this writer populates. (ADVICE r10:
     the old before/after directory diff attributed a concurrent
-    writer's partially-landed batch to this snapshot.)"""
+    writer's partially-landed batch to this snapshot.)
+
+    ``precommit`` (if given) runs after the staged write completes and
+    BEFORE any file is renamed into the table root — the barrier that
+    lets a caller overlap validation jobs with the write (guide-style
+    concurrent jobs) and still abort with zero table-root residue: on
+    a precommit exception the staging dir is deleted and the error
+    propagates."""
     spark = df.sparkSession
     root = table.rstrip("/")
     token = uuid.uuid4().hex[:12]
     staging = f"{root}/_staging/{token}"
     df.write.mode("error").parquet(staging)
+    if precommit is not None:
+        try:
+            precommit()
+        except BaseException:
+            _delete_dir(spark, staging)
+            raise
     staged = _list_parquet_files(spark, staging)
     names = []
     moves = []
@@ -838,6 +855,7 @@ def _stage_delete_files(
     table: str,
     keys: DataFrame,
     key_cols: Sequence[str],
+    precommit: Callable[[], None] | None = None,
 ) -> list[str]:
     """Land ``keys``' distinct key rows as immutable ``snapdel-*``
     delete files beside the table's data (staged write + rename), and
@@ -853,6 +871,12 @@ def _stage_delete_files(
     keys.select(*key_cols).distinct().write.mode(
         "error"
     ).parquet(staging)
+    if precommit is not None:
+        try:
+            precommit()
+        except BaseException:
+            _delete_dir(spark, staging)
+            raise
     del_names = []
     moves = []
     for p in _list_parquet_files(spark, staging):
@@ -1050,7 +1074,7 @@ def snapshot_apply_changes(
         # a pure-delete application must not clear the lineage's
         # merged-read flag
         extra_eff["mixed_schemas"] = True
-    if upserts is not None and not allow_duplicate_keys:
+    def _dup_check() -> None:
         dup = (
             upserts.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -1065,16 +1089,42 @@ def snapshot_apply_changes(
                 "survive (a batch's rows are immune to its own delete); "
                 "dedupe the batch or pass allow_duplicate_keys=True"
             )
-    new_files = (
-        _write_attributed(upserts, table) if upserts is not None else []
-    )
+
     keys = None
     if upserts is not None:
         keys = upserts.select(*key_cols)
     if delete_keys is not None:
         dk = delete_keys.select(*key_cols)
         keys = dk if keys is None else keys.unionByName(dk)
-    del_names = _stage_delete_files(spark, table, keys, key_cols)
+    # the three batch-sized jobs (duplicate-key check, data-file
+    # write, delete-file write) are independent until anything lands
+    # in the table root — run them as concurrent jobs and put the
+    # dup-check barrier before both rename steps, so a refused batch
+    # still leaves zero table-root residue
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_dup = (
+            pool.submit(_dup_check)
+            if upserts is not None and not allow_duplicate_keys
+            else None
+        )
+
+        def _barrier() -> None:
+            if fut_dup is not None:
+                fut_dup.result()
+
+        fut_data = (
+            pool.submit(_write_attributed, upserts, table, _barrier)
+            if upserts is not None
+            else None
+        )
+        del_names = _stage_delete_files(
+            spark, table, keys, key_cols, precommit=_barrier
+        )
+        new_files = fut_data.result() if fut_data is not None else []
+        if fut_dup is not None:
+            fut_dup.result()
     # ONE commit carries both: data files stamped seq=v, delete file
     # stamped seq=v → the delete reaches every older file, never these
     return commit_snapshot(
@@ -3335,7 +3385,7 @@ def snapshot_upsert_partitions(
         raise ValueError(
             f"{table} pins partition columns {pinned}, got {part_cols}"
         )
-    if not allow_duplicate_keys:
+    def _dup_check() -> None:
         dup = (
             df.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -3349,8 +3399,19 @@ def snapshot_upsert_partitions(
                 f"{tuple(dup[0][c] for c in key_cols)} — dedupe the "
                 "batch or pass allow_duplicate_keys=True"
             )
-    # touched partition values: k-row collect (#partitions, never rows)
-    touched = df.select(*part_cols).distinct().collect()
+
+    # touched partition values: k-row collect (#partitions, never
+    # rows) — overlapped with the dup-check as concurrent jobs (both
+    # are batch-sized; nothing is written until both return)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_dup = (
+            pool.submit(_dup_check) if not allow_duplicate_keys else None
+        )
+        touched = df.select(*part_cols).distinct().collect()
+        if fut_dup is not None:
+            fut_dup.result()
     existing = set((pmeta.get("manifest_parts") or {}).values())
     touched_known = [
         r for r in touched

@@ -12685,8 +12685,8 @@ def snapshot_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         L.write_bloom_manifest(spark, table, "doc_id")
         point_lookup._META_CACHE.clear()
         pinned1 = set(SN.snapshot_files(spark, table, 1))
-        rows = []
-        for key in range(6):
+
+        def _lookup(key: int) -> tuple:
             p1 = point_lookup.run(
                 spark, table, "doc_id", key, snapshot_version=1
             )
@@ -12698,7 +12698,18 @@ def snapshot_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             p2 = point_lookup.run(
                 spark, table, "doc_id", key, snapshot_version=2
             )
-            rows.append((key, int(p1["n_hits"]), int(p2["n_hits"])))
+            return (key, int(p1["n_hits"]), int(p2["n_hits"]))
+
+        # the 12 version-pinned lookups are independent read-only
+        # jobs: issue them from concurrent driver threads (guide
+        # §2.6 — the serial loop was pure per-job latency; the
+        # lookup path itself is unchanged and thread-safe via the
+        # planning-cache lock). pool.map preserves key order, so the
+        # returned frame is byte-identical to the serial loop's.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            rows = list(pool.map(_lookup, range(6)))
         return spark.createDataFrame(
             rows, "doc_id long, hits_v1 long, hits_v2 long"
         )
@@ -13230,35 +13241,51 @@ def snapshot_upsert_merge(
                 )
             )
 
-        base_v = SN.snapshot_write(slice_(k % 3 == 0, 0), table)
-        base_direct = {
-            r.o_orderstatus: (r.n_rows, r.sum_cents)
-            for r in direct().collect()
-        }
-        if refresh() != base_direct:
-            raise AssertionError("maintained agg diverged at base load")
-        SN.snapshot_upsert(slice_(k % 5 == 0, 10), table, ["o_orderkey"])
-        if refresh() != {
-            r.o_orderstatus: (r.n_rows, r.sum_cents)
-            for r in direct().collect()
-        }:
-            raise AssertionError("maintained agg diverged across upsert 1")
-        SN.snapshot_upsert(
-            slice_(k % 10 == 0, 200), table, ["o_orderkey"]
-        )
-        out = direct().localCheckpoint(eager=True)
-        if refresh() != {
-            r.o_orderstatus: (r.n_rows, r.sum_cents)
-            for r in out.collect()
-        }:
-            raise AssertionError("maintained agg diverged across upsert 2")
-        # the pre-merge base is still exactly readable (merge never
-        # rewrites history)
-        if {
-            r.o_orderstatus: (r.n_rows, r.sum_cents)
-            for r in direct(base_v).collect()
-        } != base_direct:
-            raise AssertionError("time travel to pre-merge base broke")
+        def snap(version=None):
+            return {
+                r.o_orderstatus: (r.n_rows, r.sum_cents)
+                for r in direct(version).collect()
+            }
+
+        # each checkpoint's maintained-agg refresh and direct read are
+        # independent jobs — run them concurrently (guide §2.6); the
+        # comparisons are unchanged, so the assertions and the
+        # returned frame are byte-identical to the serial form
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            base_v = SN.snapshot_write(slice_(k % 3 == 0, 0), table)
+            fr = pool.submit(refresh)
+            base_direct = snap()
+            if fr.result() != base_direct:
+                raise AssertionError(
+                    "maintained agg diverged at base load"
+                )
+            SN.snapshot_upsert(
+                slice_(k % 5 == 0, 10), table, ["o_orderkey"]
+            )
+            fr = pool.submit(refresh)
+            if fr.result() != snap():
+                raise AssertionError(
+                    "maintained agg diverged across upsert 1"
+                )
+            SN.snapshot_upsert(
+                slice_(k % 10 == 0, 200), table, ["o_orderkey"]
+            )
+            fr = pool.submit(refresh)
+            # the pre-merge base is still exactly readable (merge
+            # never rewrites history)
+            fb = pool.submit(snap, base_v)
+            out = direct().localCheckpoint(eager=True)
+            if fr.result() != {
+                r.o_orderstatus: (r.n_rows, r.sum_cents)
+                for r in out.collect()
+            }:
+                raise AssertionError(
+                    "maintained agg diverged across upsert 2"
+                )
+            if fb.result() != base_direct:
+                raise AssertionError("time travel to pre-merge base broke")
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
