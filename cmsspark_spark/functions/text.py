@@ -38,6 +38,63 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: 1-based start offsets of each distinct-token run in the sorted
+#: token array ``_st`` (empty-array guard: sequence(1, 0) would
+#: generate a DESCENDING ramp, not an empty one).
+_RUN_STARTS = (
+    "if(size(_st) = 0, array(), "
+    "filter(sequence(1, size(_st)), "
+    "i -> i = 1 OR element_at(_st, i) != element_at(_st, i - 1)))"
+)
+
+#: (token, tf) per run: the token at the run's start; tf = next run's
+#: start (or array end + 1) minus this start.
+_RUN_COUNTS = (
+    "transform(_starts, (s, j) -> struct("
+    "element_at(_st, s) AS _t, "
+    "coalesce(try_element_at(_starts, j + 2), size(_st) + 1) - s AS _tf))"
+)
+
+
+def doc_term_postings(
+    df,
+    id_col: str,
+    text_col: str,
+    cols: tuple[str, str, str, str] = ("_doc", "_t", "_dl", "_tf"),
+):
+    """(doc, term, doc_len, term_frequency) postings — computed
+    ROW-LOCALLY (sort the token array, run-length encode it, explode
+    the runs) instead of the explode-then-``groupBy(doc, term)``
+    shape, which shuffles every token occurrence across the cluster
+    just to count duplicates that all live in the same row. At corpus
+    scale that token-level Exchange is the dominant byte-mover of any
+    postings build; here it disappears outright (guide §2.4) and the
+    per-row work is a few O(tokens) array kernels inside codegen.
+    Counts are exactly the grouped form's (equality property-tested);
+    the output is simply not hash-partitioned by (doc, term) — every
+    downstream consumer aggregates by term or by (query, doc) and
+    shuffles to its own key anyway."""
+    d, t, dl, tf = cols
+    return (
+        df.select(
+            F.col(id_col).alias(d),
+            F.array_sort(tokens(text_col)).alias("_st"),
+        )
+        .withColumn("_starts", F.expr(_RUN_STARTS))
+        .select(
+            d,
+            F.size("_st").alias(dl),
+            F.explode(F.expr(_RUN_COUNTS)).alias("_p"),
+        )
+        .select(
+            d,
+            F.col("_p._t").alias(t),
+            F.col(dl),
+            F.col("_p._tf").cast("long").alias(tf),
+        )
+    )
+
+
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Fraction of tokens that are stopwords (quality-scoring feature)."""
     toks = tokens(text)

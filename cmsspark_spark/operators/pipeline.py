@@ -27,8 +27,30 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
-from cmsspark_spark.functions.text import raw_ngrams, tokens
+from cmsspark_spark.functions.text import (
+    doc_term_postings,
+    raw_ngrams,
+    tokens,
+)
 from cmsspark_spark.operators.memo import SessionMemo as _SessionMemo
+
+
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round out scan parallelism for CPU-heavy narrow maps
+    (tokenize → explode): a corpus that arrives in fewer scan splits
+    than the cluster has slots runs its per-row work serially on
+    those few tasks (the classic one-small-file shape — guide §2.5
+    'input skew'). When the plan has fewer partitions than
+    ``defaultParallelism``, repartition up to it BEFORE the heavy map
+    so the explode/aggregate runs on every core; at scale the scan
+    already has more splits than slots and this is a no-op (no
+    shuffle is added), so the fix is scale-adaptive, not a local
+    tuning constant."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
 
 
 def ngram_overlap(
@@ -248,13 +270,10 @@ def _bm25_exact_build(
     """The un-memoized exact-BM25 build (see bm25_more_like_this)."""
     from pyspark import StorageLevel
 
-    base = docs.select(F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk"))
-    post = (
-        base.select("_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t"))
-        .groupBy("_doc", "_t")
-        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    post = doc_term_postings(
+        _spread_small_scan(docs.select(id_col, text_col)),
+        id_col, text_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # this action materializes the persisted postings; every later
     # consumer (df table, candidate join) reads the cache, so the
     # tokenize+explode pass runs exactly once
@@ -345,17 +364,10 @@ def bm25_rm3_more_like_this(
     postings — expansion cost never scales with the corpus."""
     from pyspark import StorageLevel
 
-    base = docs.select(
-        F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk")
-    )
-    post = (
-        base.select(
-            "_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t")
-        )
-        .groupBy("_doc", "_t")
-        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    post = doc_term_postings(
+        _spread_small_scan(docs.select(id_col, text_col)),
+        id_col, text_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sum_dl = (
         post.groupBy("_doc")
         .agg(F.first("_dl").alias("_dl"))
@@ -579,17 +591,10 @@ def _bm25_champion_build(
     """The un-memoized champion-list build (see bm25_champion_topk)."""
     from pyspark import StorageLevel
 
-    base = docs.select(
-        F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk")
-    )
-    post = (
-        base.select(
-            "_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t")
-        )
-        .groupBy("_doc", "_t")
-        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    post = doc_term_postings(
+        _spread_small_scan(docs.select(id_col, text_col)),
+        id_col, text_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sum_dl = (
         post.groupBy("_doc")
         .agg(F.first("_dl").alias("_dl"))
@@ -720,17 +725,10 @@ def _bm25_prune_state(
     IDENTICAL to the single-window form."""
     from pyspark import StorageLevel
 
-    base = docs.select(
-        F.col(id_col).alias("_doc"), tokens(text_col).alias("_tk")
-    )
-    post = (
-        base.select(
-            "_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t")
-        )
-        .groupBy("_doc", "_t")
-        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    post = doc_term_postings(
+        _spread_small_scan(docs.select(id_col, text_col)),
+        id_col, text_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sum_dl = (
         post.groupBy("_doc")
         .agg(F.first("_dl").alias("_dl"))
@@ -804,12 +802,20 @@ def _bm25_prune_state(
         .filter(F.col("_rk") <= c)
         .select("_t", "_doc")
     )
-    seed = (
+    # seed/theta/flagged are per-query-sized (champions × queries,
+    # ≤1 θ row per query, terms per query) but sit under EVERY
+    # downstream output of every pruned rung — without a checkpoint
+    # each action re-runs the champion windows and the seed-scoring
+    # join from scratch (measured: ~2s per re-derivation at sf0.1,
+    # paid 3-4× per rung build). Lazy localCheckpoints materialize
+    # each chain once and replay ids-only frames after.
+    seed_raw = (
         qterms.join(champ, "_t")
         .filter(F.col("_doc") != F.col("_qid"))
         .select("_qid", "_doc")
         .distinct()
     )
+    seed = seed_raw.localCheckpoint(eager=False)
     s_micro = F.floor(
         F.col("_score") * F.lit(1000000.0) + F.lit(0.5)
     ).cast("long")
@@ -822,6 +828,7 @@ def _bm25_prune_state(
         .withColumn("_rk", F.row_number().over(w_seed))
         .filter(F.col("_rk") == int(k))
         .select("_qid", F.col("_smicro").alias("_theta"))
+        .localCheckpoint(eager=False)
     )
     # ascending-ub running sum per query: the weakest-terms prefix
     # that cannot jointly reach θ is non-essential. A query with
@@ -838,6 +845,7 @@ def _bm25_prune_state(
             "_essential",
             F.col("_theta").isNull() | (F.col("_cum") >= F.col("_theta")),
         )
+        .localCheckpoint(eager=False)
     )
     return {
         "post": post,
@@ -849,6 +857,10 @@ def _bm25_prune_state(
         "df_tab": df_tab,
         "exact_scores": exact_scores,
         "seed": seed,
+        # un-checkpointed twin: the checkpoint above truncates the
+        # champion-window lineage out of downstream plans, so the
+        # two-phase-seeding plan contract is asserted on this one
+        "seed_plan": seed_raw,
         "theta": theta,
         "flagged": flagged,
     }
@@ -990,6 +1002,8 @@ def _bm25_maxscore_build(
         int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
         broadcast_candidates,
     )
+    from pyspark import StorageLevel
+
     flagged = st["flagged"]
     cand_all = (
         st["term_posts"].join(
@@ -1002,6 +1016,10 @@ def _bm25_maxscore_build(
         .select("_qid", "_doc")
         .unionByName(st["seed"])
         .distinct()
+        # consumed by both the exact-scoring rank and the report's
+        # candidate count — persist (spill-graceful at corpus-scale
+        # candidate sets) instead of recomputing the posting join
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranked = _bm25_rank_candidates(st, cand_all, id_col, k)
     n_cand = cand_all.groupBy("_qid").agg(
@@ -1169,7 +1187,12 @@ def _bm25_blockmax_build(
     ess = flagged.filter(F.col("_essential")).select(
         "_qid", "_t", "_ub", "_theta"
     ).join(F.broadcast(totals), "_qid")
+    from pyspark import StorageLevel
+
     # survival: total_ub − ub(t) + bub(t, blk) ≥ θ (no θ ⇒ survive)
+    # — (essential-term × block)-sized, consumed by the candidate
+    # join AND the block report: checkpoint so the bstats aggregate
+    # runs once
     blocks = ess.join(bstats, "_t").withColumn(
         "_survives",
         F.col("_theta").isNull()
@@ -1177,7 +1200,7 @@ def _bm25_blockmax_build(
             F.col("_total_ub") - F.col("_ub") + F.col("_bub")
             >= F.col("_theta")
         ),
-    )
+    ).localCheckpoint(eager=False)
     cand_all = (
         term_posts.withColumn("_blk", F.expr(f"_doc div {bs}"))
         .join(
@@ -1192,6 +1215,9 @@ def _bm25_blockmax_build(
         .select("_qid", "_doc")
         .unionByName(st["seed"])
         .distinct()
+        # consumed by the exact-scoring rank and the report's
+        # candidate count — persist instead of re-joining postings
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranked = _bm25_rank_candidates(st, cand_all, id_col, k)
     n_cand = cand_all.groupBy("_qid").agg(

@@ -283,16 +283,12 @@ def _inc_postings(
     increment: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(doc, t, tf, dl) for the increment only — the one tokenize
-    pass an append pays."""
-    base = increment.select(
-        F.col(id_col).alias("doc"), tokens(text_col).alias("_tk")
-    )
-    return (
-        base.select(
-            "doc", F.size("_tk").alias("dl"), F.explode("_tk").alias("t")
-        )
-        .groupBy("doc", "t")
-        .agg(F.first("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    pass an append pays. Row-local run-length counting
+    (``doc_term_postings``): no token-level shuffle."""
+    from cmsspark_spark.functions.text import doc_term_postings
+
+    return doc_term_postings(
+        increment, id_col, text_col, cols=("doc", "t", "dl", "tf")
     )
 
 

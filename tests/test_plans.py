@@ -842,12 +842,13 @@ def test_bm25_champion_seeding_is_two_phase(spark):
         [(i, f"common tok{i % 5} word{i % 3}") for i in range(30)],
         "doc_id long, text string",
     )
-    # the UN-memoized builder: the public rung returns an eagerly
-    # checkpointed frame whose plan is just the checkpoint scan
-    ranked, _ = PL._bm25_maxscore_build(
-        df, "doc_id", "text", 2, 3, 3, 1.2, 0.75, 2.2, 0.25
+    # the UN-memoized state: seed is lazily checkpointed for reuse
+    # (which truncates its lineage out of ranked's plan), so the
+    # plan contract is asserted on the exposed un-checkpointed twin
+    st = PL._bm25_prune_state(
+        df, "doc_id", "text", 2, 3, 3, 1.2, 0.75, 2.2, 0.25, True
     )
-    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+    plan = st["seed_plan"]._jdf.queryExecution().optimizedPlan().toString()
     # phase-1 window partitions by [_t, _salt]; phase-2 by [_t] alone
     assert "_salt" in plan, "partial (term, salt) top-c window missing"
     specs = [

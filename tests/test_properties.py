@@ -863,3 +863,46 @@ def test_screened_verify_subsets_exact_and_floor_zero_is_identity(spark):
     # the exact dups survive any floor (identical signatures agree 8/8)
     kept = {(r.id_a, r.id_b) for r in screened}
     assert (0, 1) in kept and (4, 5) in kept
+
+
+def test_doc_term_postings_equals_grouped_form(spark):
+    """The row-local run-length postings kernel must reproduce the
+    explode-then-groupBy(doc, term) counts EXACTLY — same (doc, term,
+    dl, tf) multiset — including empty docs (no row), repeated tokens,
+    and single-token docs."""
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.functions.text import doc_term_postings, tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "b a b c a b"),
+            (2, ""),
+            (3, "   "),
+            (4, "z"),
+            (5, "x x x X x"),
+            (6, "q w e r t y q q w"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = df.select(
+        F.col("doc_id").alias("_doc"), tokens("text").alias("_tk")
+    )
+    grouped = (
+        base.select(
+            "_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_t")
+        )
+        .groupBy("_doc", "_t")
+        .agg(F.first("_dl").alias("_dl"), F.count(F.lit(1)).alias("_tf"))
+    )
+    rle = doc_term_postings(df, "doc_id", "text")
+    got = {
+        (r._doc, r._t): (r._dl, r._tf) for r in rle.collect()
+    }
+    want = {
+        (r._doc, r._t): (r._dl, r._tf) for r in grouped.collect()
+    }
+    assert got == want
+    # doc 5 lowercases: 5 tokens of "x"
+    assert got[(5, "x")] == (5, 5)
+    assert (2, "") not in got and all(d != 2 and d != 3 for d, _ in got)
