@@ -29,6 +29,85 @@ from cmsspark_spark.functions.vectors import (
 )
 
 
+#: (gateway id, element type, value bytes) → Column. Array-literal
+#: Columns are immutable unresolved expressions, safely reused across
+#: DataFrames and sessions of one JVM; the key's gateway id drops
+#: entries if the JVM is ever relaunched in-process.
+_LIT_CACHE: dict = {}
+
+
+def _jarr_lit(vals, jtype: str) -> "F.Column":
+    """True array ``Literal`` column from a numeric vector, in O(1)
+    py4j round-trips — ONE plan node.
+
+    Why not the obvious forms (all measured at sf0.1, pq_adc build):
+    - per-element ``F.array(*[F.lit(x) ...])``: >5 s — one driver
+      round-trip per element, plus a CreateArray tree of |v| children
+      that every analyzer rule re-walks on EVERY eager ``select``;
+    - ``F.lit(ndarray)``: py4j's NumpyArrayConverter assigns the java
+      array one element-round-trip at a time — same cost;
+    - inline SQL ``array(1.0D, ...)``: one call, but ~0.3 s of
+      analysis per select over the unfolded CreateArray;
+    - string-encoded ``transform(split('...'), cast)``: tiny to build
+      and analyze, but higher-order functions are NOT foldable, so the
+      decode ran per row (measured 60 s on the ivfpq corpus scan).
+    Here the values ship as ONE binary ByteBuffer payload, a bulk
+    ``DoubleBuffer.get`` fills a ``double[]``/``long[]``, and JVM
+    ``functions.lit`` wraps it as a single array Literal — bit-exact
+    values, O(1) nodes, nothing to fold. Cached per (JVM, bytes):
+    repeated builds of the same constant (bench reruns, ladder arms
+    sharing one codebook) cost zero round-trips."""
+    from pyspark import SparkContext
+    from pyspark.sql.classic.column import Column
+
+    sc = SparkContext._active_spark_context
+    gw = sc._gateway
+    jvm = sc._jvm
+    arr = np.ascontiguousarray(
+        vals, dtype=">f8" if jtype == "double" else ">i8"
+    )
+    key = (id(gw), jtype, arr.tobytes())
+    hit = _LIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    bb = jvm.java.nio.ByteBuffer.wrap(bytearray(arr.tobytes()))
+    if jtype == "double":
+        jarr = gw.new_array(jvm.double, len(arr))
+        bb.asDoubleBuffer().get(jarr)
+    else:
+        jarr = gw.new_array(jvm.long, len(arr))
+        bb.asLongBuffer().get(jarr)
+    col = Column(jvm.org.apache.spark.sql.functions.lit(jarr))
+    _LIT_CACHE[key] = col
+    return col
+
+
+def _dbl_arr_lit(v) -> "F.Column":
+    """``array<double>`` literal, one plan node (see ``_jarr_lit``)."""
+    return _jarr_lit([float(x) for x in v], "double")
+
+
+def _dbl_mat_lit(mat) -> "F.Column":
+    """``array<array<double>>`` literal: CreateArray of one Literal
+    row each — |rows|+1 plan nodes, folded to one by the optimizer."""
+    return F.array(*[_dbl_arr_lit(row) for row in mat])
+
+
+def _int_arr_lit(v) -> "F.Column":
+    """``array<bigint>`` literal, one plan node (see ``_jarr_lit``)."""
+    return _jarr_lit([int(x) for x in v], "long")
+
+
+def _int_mat_lit(mat) -> "F.Column":
+    """``array<array<bigint>>`` literal (see ``_dbl_mat_lit``)."""
+    return F.array(*[_int_arr_lit(row) for row in mat])
+
+
+def _dbl_cube_lit(cube) -> "F.Column":
+    """``array<array<array<double>>>`` literal (see _dbl_mat_lit)."""
+    return F.array(*[_dbl_mat_lit(mat) for mat in cube])
+
+
 def _rescore_topk(
     cand, k: int, id_col: str, vec_col: str, query_id_col: str
 ) -> DataFrame:
@@ -211,25 +290,36 @@ def train_ivf_centroids(
 
 
 def _centroid_assign(vec_col: str, centroids: np.ndarray, nprobe: int) -> "F.Column":
-    """Top-``nprobe`` centroid ids by cosine, as one SQL expression
-    (array of struct sorted by score; same single-py4j-call rationale
-    as ``_sign_bucket``)."""
+    """Top-``nprobe`` centroid ids by cosine, as one bounded plan
+    subtree: the normalized centroids enter as ONE matrix literal and
+    a ``transform(sequence(...))`` computes the per-centroid (score,
+    id) structs — the tree is O(1) in |centroids|·dim instead of the
+    old per-centroid unrolled expression chain (same fold order, so
+    scores and tie-breaks are bit-identical: dot = left-to-right
+    aggregate over zip_with, sort ascending by (s, c), reversed)."""
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
-    scored = []
-    for ci, c in enumerate(cn):
-        arr = ", ".join(f"{float(v):.17e}D" for v in c)
-        d = (
-            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
-            f"(x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (a, x) -> a + x)"
-        )
-        scored.append(f"named_struct('s', {d}, 'c', {ci})")
-    expr = (
-        f"transform(slice(reverse(array_sort(array({', '.join(scored)}))), "
-        f"1, {nprobe}), e -> e.c)"
+    m = _dbl_mat_lit(cn)
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cn) - 1)),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.element_at(m, i + F.lit(1)),
+                    lambda x, p: x.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s"),
+            i.alias("c"),
+        ),
     )
-    return F.expr(expr)
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), lambda e: e["c"]
+    )
 
 
 def _probe_lists(
@@ -344,22 +434,36 @@ def _dblvec(vec_col: str) -> "F.Column":
 def _sign_bucket(vec_col: str, planes: np.ndarray) -> "F.Column":
     """Bucket id = bit pattern of sign(plane · vec) over all planes.
 
-    Built as ONE SQL expression string: planes enter the plan as inline
-    double-array literals and the dot products are zip_with/aggregate
-    chains — all JVM-side. A string keeps DataFrame *construction* to a
-    single py4j call; building the same tree with per-element ``F.lit``
-    costs thousands of driver round-trips (measured: seconds of
-    pure-Python plan-building for 16 planes × 64 dims).
+    The planes enter the plan as ONE matrix literal (one numpy-array
+    py4j call per plane) and the per-plane dot/sign/bit terms are a
+    ``transform(sequence(...))`` folded left-to-right — the plan
+    subtree is O(1) in planes·dims where the old per-element literal
+    chain was O(planes·dims) nodes Catalyst re-walked every pass
+    (measured: seconds of plan-building for 16 planes × 64 dims).
+    Bit values and the long sum are bit-identical to the unrolled
+    ``IF(...) + IF(...)`` chain.
     """
-    terms = []
-    for i, plane in enumerate(planes):
-        arr = ", ".join(f"{float(x):.17e}D" for x in plane)
-        d = (
-            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
-            f"(x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (a, x) -> a + x)"
-        )
-        terms.append(f"IF({d} >= 0.0D, {2 ** i}L, 0L)")
-    return F.expr(" + ".join(terms))
+    m = _dbl_mat_lit(planes)
+    pow2 = _int_arr_lit([2 ** i for i in range(len(planes))])
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.element_at(m, i + F.lit(1)),
+                    lambda x, p: x.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0.0,
+            F.element_at(pow2, i + F.lit(1)),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # left-to-right long sum == the old explicit `+` chain bit-for-bit
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def _all_buckets(vec_col: str, all_planes: list, impl: str) -> "F.Column":
@@ -447,48 +551,70 @@ def pq_codebook(
     return rng.standard_normal((m, k, d_sub))
 
 
-def _pq_subspace_scores(vec_col, codebook: np.ndarray) -> list:
-    """Per-subspace arrays of ``k`` scores ``sub_j · C_jc − ½|C_jc|²``
-    (maximizing this over c minimizes the L2 distance ‖sub_j − C_jc‖²,
-    since the ‖sub_j‖² term is constant per row). Pure Catalyst folds —
-    the identical left-to-right double fold as the DuckDB twin's
-    ``list_dot_product``, and the ½|C|² constants are Python-computed
-    literals shared by BOTH engines, so assignment is hash-exact."""
+def _pq_subspace_scores_all(vec_col, codebook: np.ndarray) -> "F.Column":
+    """ONE ``array<array<double>>`` column of every subspace's k scores
+    ``sub_j · C_jc − ½|C_jc|²`` (maximizing this over c minimizes the
+    L2 distance ‖sub_j − C_jc‖², since the ‖sub_j‖² term is constant
+    per row). Pure Catalyst folds — the identical left-to-right double
+    fold as the DuckDB twin's ``list_dot_product``, and the ½|C|²
+    constants are Python-computed literals shared by BOTH engines, so
+    assignment is hash-exact.
+
+    Callers that need the scores more than once MUST materialize this
+    column once (``.select(..., sall.alias(...))``) and reference the
+    attribute: HOF expressions are interpreted (never codegen'd), so
+    per-subspace ``element_at`` copies of the full tree each recompute
+    all m subspaces."""
     m, k, d_sub = codebook.shape
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     dvec = F.transform(vec, lambda x: x.cast("double"))
-    out = []
-    for j in range(m):
-        sub = F.slice(dvec, j * d_sub + 1, d_sub)
-        # ONE zip_with over (centroid, ½-norm) literal arrays per
-        # subspace, with the dot fold inside the lambda — same float
-        # order as k separate folds, but the fold subtree appears once
-        # instead of k times (an early k-unrolled form spent ~8 s per
-        # query in Catalyst analysis alone at m·k=128).
-        cents_lit = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in codebook[j, c]])
+    # ALL m subspaces in ONE expression: the codebook enters as a
+    # single 3-D literal (one py4j call, folded to one Literal node),
+    # the ½-norms as one matrix literal, and the per-(subspace, code)
+    # scores come from a nested transform/zip_with — the whole build
+    # is O(10) driver round-trips where the per-subspace loop cost
+    # ~3 000 (measured ~2.4 s of socket wait per query build). Fold
+    # order per (j, c) — left-to-right dot, then −½|C|² — is
+    # unchanged, so scores stay bit-identical.
+    cb3 = _dbl_cube_lit(codebook)
+    hn2 = _dbl_mat_lit(
+        [
+            [
+                float(np.dot(codebook[j, c], codebook[j, c])) / 2.0
                 for c in range(k)
             ]
-        )
-        half_norms_lit = F.array(
-            *[
-                F.lit(float(np.dot(codebook[j, c], codebook[j, c])) / 2.0)
-                for c in range(k)
-            ]
-        )
-        scores = F.zip_with(
-            cents_lit,
-            half_norms_lit,
+            for j in range(m)
+        ]
+    )
+    scores_all = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.zip_with(
+            F.element_at(cb3, j + F.lit(1)),
+            F.element_at(hn2, j + F.lit(1)),
             lambda cent, hn: F.aggregate(
-                F.zip_with(sub, cent, lambda x, y: x * y),
+                F.zip_with(
+                    F.slice(
+                        dvec, j * F.lit(d_sub) + F.lit(1), F.lit(d_sub)
+                    ),
+                    cent,
+                    lambda x, y: x * y,
+                ),
                 F.lit(0.0),
                 lambda a, x: a + x,
             )
             - hn,
-        )
-        out.append(scores)
-    return out
+        ),
+    )
+    return scores_all
+
+
+def _pq_subspace_scores(vec_col, codebook: np.ndarray) -> list:
+    """Per-subspace score arrays as a list of Columns — ``element_at``
+    views over :func:`_pq_subspace_scores_all`. ONLY for frames where
+    each row is consumed O(1) times (the broadcast query side);
+    corpus-sized consumers materialize the _all column instead."""
+    sall = _pq_subspace_scores_all(vec_col, codebook)
+    return [F.element_at(sall, j + 1) for j in range(codebook.shape[0])]
 
 
 def pq_codes(
@@ -500,14 +626,22 @@ def pq_codes(
     array_max(scores))``). Output (id, code_0..code_{m-1}) — this IS
     the index: 100 TB of float vectors compress to m bytes/vector, so
     the downstream scan is memory-bandwidth-bound on codes, never on
-    raw embeddings. A narrow zero-shuffle map."""
-    scores = _pq_subspace_scores(vec_col, codebook)
+    raw embeddings. A narrow zero-shuffle map (two stacked projections:
+    the scores array materializes ONCE per row, the code columns read
+    the attribute — CollapseProject keeps the split because the HOF
+    scores expression is not collapse-cheap)."""
+    m = codebook.shape[0]
+    staged = df.select(
+        F.col(id_col),
+        _pq_subspace_scores_all(vec_col, codebook).alias("_sall"),
+    )
     cols = [F.col(id_col)]
-    for j, s in enumerate(scores):
+    for j in range(m):
+        s = F.element_at(F.col("_sall"), j + 1)
         cols.append(
             F.array_position(s, F.array_max(s)).cast("int").alias(f"code_{j}")
         )
-    return df.select(*cols)
+    return staged.select(*cols)
 
 
 def pq_adc_topk(
@@ -729,9 +863,7 @@ def ivfpq_static_topk(
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cn]
-    )
+    cents_lit = _dbl_mat_lit(cn)
 
     def with_residual(df, cid_expr):
         dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -739,16 +871,34 @@ def ivfpq_static_topk(
         return F.zip_with(dvec, cent, lambda x, y: x - y)
 
     m = codebook.shape[0]
-    # corpus: top-1 centroid, residual codes
+    # corpus: top-1 centroid, residual codes. Staged projections so the
+    # centroid pick, the residual vector and the subspace-score arrays
+    # each materialize ONCE per row and downstream columns read the
+    # attribute (HOF expressions are interpreted — per-code copies of
+    # the tree would recompute all m subspaces per column).
     cstar = F.element_at(_centroid_assign(vec_col, centroids, 1), 1)
-    resid = with_residual(corpus, F.col("_c"))
-    rscores = _pq_subspace_scores(resid, codebook)
-    codes = corpus.withColumn("_c", cstar).select(
+    staged = (
+        corpus.withColumn("_c", cstar)
+        .select(
+            F.col(id_col), "_c",
+            with_residual(corpus, F.col("_c")).alias("_resid"),
+        )
+        .select(
+            F.col(id_col), "_c",
+            _pq_subspace_scores_all(
+                F.col("_resid"), codebook
+            ).alias("_sall"),
+        )
+    )
+    codes = staged.select(
         F.col(id_col),
         "_c",
         *[
-            F.array_position(sj, F.array_max(sj)).cast("int").alias(f"code_{j}")
-            for j, sj in enumerate(rscores)
+            F.array_position(
+                F.element_at(F.col("_sall"), j + 1),
+                F.array_max(F.element_at(F.col("_sall"), j + 1)),
+            ).cast("int").alias(f"code_{j}")
+            for j in range(m)
         ],
     )
     # queries: nprobe probes, per-probe residual score tables + ‖q−c‖²
@@ -859,20 +1009,31 @@ def _kmeans_quantize(vec_col: str, scale: int) -> F.Column:
 
 
 def _kmeans_best(q_col: str, cents: list[list[int]]) -> F.Column:
-    """argmin_j ||q - c_j||^2 as ONE SQL expression: per-centroid exact
-    integer squared distance (zip_with fold), array_min over (d2,
+    """argmin_j ||q - c_j||^2 as one bounded plan subtree: per-centroid
+    exact integer squared distance (zip_with fold), array_min over (d2,
     cluster) structs — ties break to the lowest cluster index via
-    struct ordering. Narrow: no shuffle, no UDF, centroids are plan
-    literals (same single-py4j-call rationale as ``_centroid_assign``)."""
-    scored = []
-    for ci, c in enumerate(cents):
-        arr = ", ".join(f"{int(v)}L" for v in c)
-        d = (
-            f"aggregate(zip_with(`{q_col}`, array({arr}), "
-            f"(x, p) -> (x - p) * (x - p)), 0L, (a, x) -> a + x)"
-        )
-        scored.append(f"named_struct('d', {d}, 'c', {ci})")
-    return F.expr(f"array_min(array({', '.join(scored)}))")
+    struct ordering. Narrow: no shuffle, no UDF; centroids enter as ONE
+    matrix literal and the per-centroid terms are a
+    ``transform(sequence(...))`` — O(1) tree vs the old per-element
+    unrolled chain (see _dbl_arr_lit), distances bit-identical."""
+    m = _int_mat_lit(cents)
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    q,
+                    F.element_at(m, i + F.lit(1)),
+                    lambda x, p: (x - p) * (x - p),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("d"),
+            i.alias("c"),
+        ),
+    )
+    return F.array_min(scored)
 
 
 def kmeans_lloyd(
@@ -1167,19 +1328,27 @@ def semantic_dedup_assigned(
 def _kmeans_probes(q_col: str, cents: list, nprobe: int) -> "F.Column":
     """Top-``nprobe`` k-means clusters for one quantized vector by
     EXACT integer squared L2 (ascending, ties → lower cluster index):
-    sort the (d2, cluster) struct array, slice, project the ids — one
-    SQL expression, same single-call rationale as ``_kmeans_best``."""
-    scored = []
-    for ci, c in enumerate(cents):
-        arr = ", ".join(f"{int(v)}L" for v in c)
-        d = (
-            f"aggregate(zip_with(`{q_col}`, array({arr}), "
-            f"(x, p) -> (x - p) * (x - p)), 0L, (a, x) -> a + x)"
-        )
-        scored.append(f"named_struct('d', {d}, 'c', {ci})")
-    return F.expr(
-        f"transform(slice(array_sort(array({', '.join(scored)})), "
-        f"1, {nprobe}), e -> e.c)"
+    sort the (d2, cluster) struct array, slice, project the ids — same
+    bounded-tree matrix-literal form as ``_kmeans_best``."""
+    m = _int_mat_lit(cents)
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    q,
+                    F.element_at(m, i + F.lit(1)),
+                    lambda x, p: (x - p) * (x - p),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("d"),
+            i.alias("c"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda e: e["c"]
     )
 
 
