@@ -634,15 +634,28 @@ def simhash(
 def _simhash_run(
     df: DataFrame, id_col: str, text_col: str, bits: int
 ) -> DataFrame:
-    """The un-memoized vote pipeline (see simhash)."""
-    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
+    """The un-memoized vote pipeline (see simhash).
+
+    Token occurrences never cross an exchange: per-(doc, token) counts
+    come from the row-local sort+RLE kernel (``doc_term_postings``), so
+    the only shuffle is the per-doc vote aggregation over doc-term
+    rows. A token with tf occurrences votes ±tf in one row — the same
+    integer sum as tf separate ±1 votes."""
+    from cmsspark_spark.functions.text import doc_term_postings
+
+    tok = doc_term_postings(
+        df, id_col, text_col, cols=("_id", "tok", "_dl", "_tf")
+    ).select("_id", "tok", "_tf")
     # First 16 hex chars of md5 → low `bits` bits of a long.
     tok = tok.withColumn(
         "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("_tf"),
+            ).otherwise(-F.col("_tf"))
         ).alias(f"b{i}")
         for i in range(bits)
     ]
@@ -692,12 +705,20 @@ def simhash_weighted(
 def _simhash_weighted_run(
     df: DataFrame, id_col: str, text_col: str, bits: int
 ) -> DataFrame:
-    """The un-memoized weighted vote pipeline (see simhash_weighted)."""
+    """The un-memoized weighted vote pipeline (see simhash_weighted).
+
+    Shuffle grain is (doc, term), never token occurrences: per-doc tf
+    comes from the row-local RLE kernel (``doc_term_postings``), df is
+    a plain count over the already-(doc,term)-distinct postings (no
+    countDistinct Expand), and a term's tf occurrences vote as one
+    ±tf·w row — the identical integer sum."""
+    from cmsspark_spark.functions.text import doc_term_postings
+
     n_docs = df.count()
-    tok = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok")
-    )
-    dft = tok.groupBy("tok").agg(F.countDistinct("_id").alias("_df"))
+    tok = doc_term_postings(
+        df, id_col, text_col, cols=("_id", "tok", "_dl", "_tf")
+    ).select("_id", "tok", "_tf")
+    dft = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     w = (
         F.floor(
             F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("_df"))
@@ -707,7 +728,7 @@ def _simhash_weighted_run(
     ).cast("long")
     tw = (
         tok.join(dft, "tok")
-        .withColumn("_w", w)
+        .withColumn("_wv", F.col("_tf") * w)
         .withColumn(
             "th",
             F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
@@ -717,8 +738,8 @@ def _simhash_weighted_run(
         F.sum(
             F.when(
                 F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
-                F.col("_w"),
-            ).otherwise(-F.col("_w"))
+                F.col("_wv"),
+            ).otherwise(-F.col("_wv"))
         ).alias(f"b{i}")
         for i in range(bits)
     ]
