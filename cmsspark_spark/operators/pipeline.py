@@ -264,26 +264,58 @@ def bm25_more_like_this(
     )[0]
 
 
+#: Session memo for the (postings, sum_dl, n_docs) triple every BM25
+#: rung starts from: six registry rungs (exact, champion, max-score,
+#: block-max, RM3, hard negatives) tokenize the SAME corpus — without
+#: sharing, each pays the full sort+RLE postings pass plus the two
+#: scalar driver jobs. The memoized postings frame is eagerly
+#: localCheckpointed ((doc, term, dl, tf) ids-and-tokens rows, no raw
+#: text), so clearCache() between queries does not drop it; fresh-data
+#: keys per operators/memo.py, unsafe keys fall back to the per-rung
+#: persist.
+_POSTINGS_MEMO = _SessionMemo("bm25_postings")
+
+
+def _postings_stats(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, int, int]:
+    """(postings, sum_dl, n_docs) for the corpus — built once per
+    session per (plan, files) and shared by every BM25 rung."""
+
+    def build(materialize):
+        post = materialize(
+            doc_term_postings(
+                _spread_small_scan(docs.select(id_col, text_col)),
+                id_col, text_col,
+            )
+        )
+        # this action materializes the postings; every later consumer
+        # (df table, candidate join) replays the materialized frame,
+        # so the tokenize+explode pass runs exactly once
+        sum_dl = (
+            post.groupBy("_doc")
+            .agg(F.first("_dl").alias("_dl"))
+            .select(F.sum("_dl"))
+            .first()[0]
+        ) or 0
+        return post, sum_dl, docs.count()
+
+    key = _POSTINGS_MEMO.key_for(docs, "postings", id_col, text_col)
+    if key is None:
+        from pyspark import StorageLevel
+
+        return build(lambda f: f.persist(StorageLevel.MEMORY_AND_DISK))
+    per = _POSTINGS_MEMO.per_session(docs.sparkSession)
+    if key not in per:
+        per[key] = build(lambda f: f.localCheckpoint(eager=True))
+    return per[key]
+
+
 def _bm25_exact_build(
     docs, id_col, text_col, query_max_id, k, k1, b, k1_plus_1, one_minus_b
 ) -> DataFrame:
     """The un-memoized exact-BM25 build (see bm25_more_like_this)."""
-    from pyspark import StorageLevel
-
-    post = doc_term_postings(
-        _spread_small_scan(docs.select(id_col, text_col)),
-        id_col, text_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # this action materializes the persisted postings; every later
-    # consumer (df table, candidate join) reads the cache, so the
-    # tokenize+explode pass runs exactly once
-    sum_dl = (
-        post.groupBy("_doc")
-        .agg(F.first("_dl").alias("_dl"))
-        .select(F.sum("_dl"))
-        .first()[0]
-    ) or 0
-    n_docs = docs.count()
+    post, sum_dl, n_docs = _postings_stats(docs, id_col, text_col)
     avgdl = sum_dl / n_docs
     qterms = (
         post.filter(F.col("_doc") < query_max_id)
@@ -361,20 +393,31 @@ def bm25_rm3_more_like_this(
     terms, feedback doc ids, expansion terms, and both df tables are
     k-row frames and broadcast. At 100 TB the persisted-index family
     serves round 1 and the expansion only touches fb_k·|queries| doc
-    postings — expansion cost never scales with the corpus."""
-    from pyspark import StorageLevel
+    postings — expansion cost never scales with the corpus.
 
-    post = doc_term_postings(
-        _spread_small_scan(docs.select(id_col, text_col)),
-        id_col, text_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sum_dl = (
-        post.groupBy("_doc")
-        .agg(F.first("_dl").alias("_dl"))
-        .select(F.sum("_dl"))
-        .first()[0]
-    ) or 0
-    n_docs = docs.count()
+    The ranked output is memoized per session (``_BM25_PRUNED_MEMO``)
+    like every sibling rung; a memo miss runs ``_bm25_rm3_build``."""
+    params = (
+        id_col, text_col, query_max_id, k, fb_k, fb_terms, w_orig,
+        w_exp, k1, b, k1_plus_1, one_minus_b,
+    )
+    return _bm25_pruned_shared(
+        "rm3", docs, params,
+        lambda: (
+            _bm25_rm3_build(
+                docs, id_col, text_col, query_max_id, k, fb_k, fb_terms,
+                w_orig, w_exp, k1, b, k1_plus_1, one_minus_b,
+            ),
+        ),
+    )[0]
+
+
+def _bm25_rm3_build(
+    docs, id_col, text_col, query_max_id, k, fb_k, fb_terms,
+    w_orig, w_exp, k1, b, k1_plus_1, one_minus_b,
+) -> DataFrame:
+    """The un-memoized RM3 build (see bm25_rm3_more_like_this)."""
+    post, sum_dl, n_docs = _postings_stats(docs, id_col, text_col)
     avgdl = sum_dl / n_docs
     qterms = (
         post.filter(F.col("_doc") < query_max_id)
@@ -425,7 +468,7 @@ def bm25_rm3_more_like_this(
         post.join(F.broadcast(fb), "_doc")
         .groupBy("_qid", "_t")
         .agg(F.sum("_tf").alias("_w"))
-        .join(qterms, ["_qid", "_t"], "left_anti")
+        .join(F.broadcast(qterms), ["_qid", "_t"], "left_anti")
         .withColumn("_r", F.row_number().over(wexp))
         .filter(F.col("_r") <= int(fb_terms))
         .select("_qid", "_t")
@@ -589,19 +632,7 @@ def _bm25_champion_build(
     k1, b, k1_plus_1, one_minus_b,
 ) -> DataFrame:
     """The un-memoized champion-list build (see bm25_champion_topk)."""
-    from pyspark import StorageLevel
-
-    post = doc_term_postings(
-        _spread_small_scan(docs.select(id_col, text_col)),
-        id_col, text_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sum_dl = (
-        post.groupBy("_doc")
-        .agg(F.first("_dl").alias("_dl"))
-        .select(F.sum("_dl"))
-        .first()[0]
-    ) or 0
-    n_docs = docs.count()
+    post, sum_dl, n_docs = _postings_stats(docs, id_col, text_col)
     avgdl = sum_dl / n_docs
     qterms = post.filter(F.col("_doc") < query_max_id).select(
         F.col("_doc").alias("_qid"), "_t"
@@ -723,19 +754,7 @@ def _bm25_prune_state(
     survivors per term — the same (rounded tf-part desc, doc asc)
     comparator in both phases, so the selected champions are
     IDENTICAL to the single-window form."""
-    from pyspark import StorageLevel
-
-    post = doc_term_postings(
-        _spread_small_scan(docs.select(id_col, text_col)),
-        id_col, text_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sum_dl = (
-        post.groupBy("_doc")
-        .agg(F.first("_dl").alias("_dl"))
-        .select(F.sum("_dl"))
-        .first()[0]
-    ) or 0
-    n_docs = docs.count()
+    post, sum_dl, n_docs = _postings_stats(docs, id_col, text_col)
     avgdl = sum_dl / n_docs
     qterms = post.filter(F.col("_doc") < query_max_id).select(
         F.col("_doc").alias("_qid"), "_t"
@@ -769,6 +788,8 @@ def _bm25_prune_state(
     df_tab = tstats.select("_t", "_df")
 
     def exact_scores(cand: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
         bcast = broadcast_candidates
         if bcast is None:
             cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
