@@ -36,6 +36,48 @@ from cmsspark_spark.functions.vectors import (
 _LIT_CACHE: dict = {}
 
 
+from cmsspark_spark.operators.memo import SessionMemo as _TopkSessionMemo
+
+#: Session memo for the ANN rungs' ranked outputs: the ladder recall
+#: report re-runs every static rung it audits, and the individual rung
+#: queries are pure functions of (corpus files, query files, constant
+#: centroids/codebooks/planes, params) — deterministic by design (ties
+#: break on ids). Each memoized value is a top-k frame (queries × k
+#: rows), eagerly localCheckpointed; fresh-data keys cover BOTH input
+#: plans, constants enter the key as content digests, and any
+#: un-fingerprintable input runs unmemoized.
+_ANN_TOPK_MEMO = _TopkSessionMemo("ann_topk")
+
+
+def _np_digest(*arrays) -> str:
+    """Content digest of constant numpy arrays for memo keys."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def _ann_topk_shared(
+    tag: str, corpus: DataFrame, queries: DataFrame, params: tuple, builder
+) -> DataFrame:
+    """Memoized ``builder()`` for a rung's ranked output — a hit
+    replays the checkpointed top-k frame; unsafe keys build fresh."""
+    ckey = _ANN_TOPK_MEMO.key_for(corpus, "corpus")
+    qkey = _ANN_TOPK_MEMO.key_for(queries, "queries")
+    if ckey is None or qkey is None:
+        return builder()
+    per = _ANN_TOPK_MEMO.per_session(corpus.sparkSession)
+    key = (tag, ckey, qkey) + params
+    if key not in per:
+        per[key] = builder().localCheckpoint(eager=True)
+    return per[key]
+
+
 def _jarr_lit(vals, jtype: str) -> "F.Column":
     """True array ``Literal`` column from a numeric vector, in O(1)
     py4j round-trips — ONE plan node.
@@ -143,16 +185,24 @@ def brute_force_topk(
 
     ``queries`` must be small (it is broadcast). Self-matches (same id)
     are excluded. Ties break on candidate id ascending, making the
-    result fully deterministic.
+    result fully deterministic — which also makes the ranked output
+    memoizable per session (``_ANN_TOPK_MEMO``): the recall reports
+    re-run the same truth/rung builds the standalone queries run.
     Returns (query_id, vec_id, cosine, rank).
     """
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+
+    def _build() -> DataFrame:
+        q = queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+        cand = corpus.crossJoin(F.broadcast(q)).filter(
+            F.col(id_col) != F.col(query_id_col)
+        )
+        return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
+
+    return _ann_topk_shared(
+        "brute", corpus, queries, (k, id_col, vec_col, query_id_col), _build
     )
-    cand = corpus.crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
-    return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
 
 
 def cosine_near_pairs(
@@ -351,25 +401,35 @@ def ivf_topk(
     At 100 TB the corpus is written bucketed/partitioned by
     ``_centroid`` so a probe is a partition-pruned scan; here the list
     membership is a join key. Recall grows with nprobe (nprobe =
-    n_centroids ⇒ exact).
+    n_centroids ⇒ exact). Ranked output memoized per session
+    (``_ANN_TOPK_MEMO``, centroids enter the key as a content digest).
     """
-    c_assign = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        # corpus side: nprobe=1 — each vector lives in ONE list
-        _probe_lists(vec_col, centroids, 1, impl).getItem(0).alias("_centroid"),
+
+    def _build() -> DataFrame:
+        c_assign = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            # corpus side: nprobe=1 — each vector lives in ONE list
+            _probe_lists(vec_col, centroids, 1, impl).getItem(0).alias("_centroid"),
+        )
+        q_assign = queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(_probe_lists(vec_col, centroids, nprobe, impl)).alias("_centroid"),
+        )
+        cand = (
+            c_assign.join(F.broadcast(q_assign), on="_centroid")
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .dropDuplicates([query_id_col, id_col])
+        )
+        return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
+
+    return _ann_topk_shared(
+        "ivf", corpus, queries,
+        (k, nprobe, id_col, vec_col, query_id_col, impl,
+         _np_digest(centroids)),
+        _build,
     )
-    q_assign = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(_probe_lists(vec_col, centroids, nprobe, impl)).alias("_centroid"),
-    )
-    cand = (
-        c_assign.join(F.broadcast(q_assign), on="_centroid")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .dropDuplicates([query_id_col, id_col])
-    )
-    return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
 
 
 def write_ivf_index(
@@ -504,33 +564,45 @@ def lsh_topk(
     of ``tables`` independent hash tables; only candidates get the exact
     cosine. Recall grows with ``tables`` and shrinks with ``num_planes``.
     Returns (query_id, vec_id, cosine, rank) like ``brute_force_topk``.
-    ``impl``: see ``cosine_near_pairs_lsh``.
+    ``impl``: see ``cosine_near_pairs_lsh``. Ranked output memoized
+    per session (``_ANN_TOPK_MEMO``).
     """
-    rng = np.random.default_rng(seed)
-    all_planes = [rng.standard_normal((num_planes, dim)) for _ in range(tables)]
 
-    def bucketize(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        # ONE scan: every table's bucket in one array column (one UDF
-        # call or one expression tree), exploded narrowly — no
-        # union-of-branches re-reading the source.
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            F.posexplode(_all_buckets(vec_col, all_planes, impl)).alias(
-                "_table", "_bucket"
-            ),
+    def _build() -> DataFrame:
+        rng = np.random.default_rng(seed)
+        all_planes = [
+            rng.standard_normal((num_planes, dim)) for _ in range(tables)
+        ]
+
+        def bucketize(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+            # ONE scan: every table's bucket in one array column (one UDF
+            # call or one expression tree), exploded narrowly — no
+            # union-of-branches re-reading the source.
+            return df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                F.posexplode(_all_buckets(vec_col, all_planes, impl)).alias(
+                    "_table", "_bucket"
+                ),
+            )
+
+        corpus_all = bucketize(corpus, id_col, vec_col)
+        query_all = bucketize(queries, query_id_col, "_qvec")
+
+        cand = (
+            corpus_all.join(F.broadcast(query_all), on=["_table", "_bucket"])
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .select(query_id_col, id_col, vec_col, "_qvec")
+            .dropDuplicates([query_id_col, id_col])
         )
+        return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
 
-    corpus_all = bucketize(corpus, id_col, vec_col)
-    query_all = bucketize(queries, query_id_col, "_qvec")
-
-    cand = (
-        corpus_all.join(F.broadcast(query_all), on=["_table", "_bucket"])
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, vec_col, "_qvec")
-        .dropDuplicates([query_id_col, id_col])
+    return _ann_topk_shared(
+        "lsh", corpus, queries,
+        (dim, k, num_planes, tables, seed, id_col, vec_col, query_id_col,
+         impl),
+        _build,
     )
-    return _rescore_topk(cand, k, id_col, vec_col, query_id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -664,7 +736,20 @@ def pq_adc_topk(
     LEFT-ASSOCIATIVE chain over subspace order, mirrored exactly by the
     oracle's ``list_reduce(list(s ORDER BY j), ...)`` so ranking is
     cross-engine deterministic. ``adc_score`` is the (constant-shifted)
-    negated half-distance: rank by it DESC ≡ L2 ADC distance ASC."""
+    negated half-distance: rank by it DESC ≡ L2 ADC distance ASC.
+    Ranked output memoized per session (``_ANN_TOPK_MEMO``); plan
+    contracts assert on the un-memoized ``_pq_adc_build``."""
+    return _ann_topk_shared(
+        "pq_adc", corpus, queries,
+        (k, id_col, vec_col, _np_digest(codebook)),
+        lambda: _pq_adc_build(corpus, queries, codebook, k, id_col, vec_col),
+    )
+
+
+def _pq_adc_build(
+    corpus, queries, codebook, k, id_col, vec_col
+) -> DataFrame:
+    """The un-memoized ADC build (see pq_adc_topk)."""
     m = codebook.shape[0]
     codes = pq_codes(corpus, id_col, vec_col, codebook)
     qscores = _pq_subspace_scores(vec_col, codebook)
@@ -672,7 +757,9 @@ def pq_adc_topk(
         F.col(id_col).alias("query_id"),
         *[s.alias(f"qs_{j}") for j, s in enumerate(qscores)],
     )
-    joined = codes.join(F.broadcast(q), on=F.col(id_col) != F.col("query_id"))
+    joined = codes.join(
+        F.broadcast(q), on=F.col(id_col) != F.col("query_id")
+    )
     adc = None
     for j in range(m):
         term = F.element_at(F.col(f"qs_{j}"), F.col(f"code_{j}"))
@@ -859,7 +946,21 @@ def ivfpq_static_topk(
     literal, residuals are exact elementwise subtraction, and the ADC
     ranking key folds in the same left-associative order as the DuckDB
     twin, so the static-seed form is hash-exact cross-engine. Ranking
-    maximizes ``Σⱼ s_j(code_j) − ½‖q−c‖²`` ≡ L2 ADC distance ASC."""
+    maximizes ``Σⱼ s_j(code_j) − ½‖q−c‖²`` ≡ L2 ADC distance ASC.
+    Ranked output memoized per session (``_ANN_TOPK_MEMO``)."""
+    return _ann_topk_shared(
+        "ivfpq", corpus, queries,
+        (k, nprobe, id_col, vec_col, _np_digest(centroids, codebook)),
+        lambda: _ivfpq_static_build(
+            corpus, queries, centroids, codebook, k, nprobe, id_col, vec_col
+        ),
+    )
+
+
+def _ivfpq_static_build(
+    corpus, queries, centroids, codebook, k, nprobe, id_col, vec_col
+) -> DataFrame:
+    """The un-memoized IVF-PQ build (see ivfpq_static_topk)."""
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )

@@ -303,7 +303,15 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark):
     """The ADC join must broadcast the 5-row query side; the corpus
     side contributes codes only (the embedding column is consumed by
     the encoder, never joined through)."""
-    df = QUERIES["ann_pq_static_topk"](spark, SF)
+    # assert on the UN-memoized builder — the plan a memo miss runs
+    # (the registry query returns a checkpointed top-k frame)
+    from cmsspark_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = S._pq_adc_build(
+        emb, emb.filter(emb.vec_id < 5), S.pq_codebook(), 5,
+        "vec_id", "embedding",
+    )
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan  # non-equi self-exclusion
     assert plans.count_nodes(df, "CartesianProduct") == 0
