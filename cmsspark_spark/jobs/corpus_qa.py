@@ -57,105 +57,147 @@ def run(
     )
 
     docs = catalog.load_table(spark, sf_dir, "documents")
-    # Scored once, consumed by quality + drift + novelty: persist so
-    # the corpus text is tokenized a bounded number of times.
+    # Scored once, consumed by quality + drift: persist WITHOUT the
+    # text payload (novelty/boilerplate re-scan the parquet text — a
+    # column-pruned scan is cheaper than caching corpus text), and
+    # materialize before the concurrent page fan-out below so the two
+    # scored consumers don't race the cache fill.
     scored = docs.select(
         "doc_id",
         "source",
-        "text",
         token_count("text").cast("long").alias("n_tokens"),
         stopword_ratio("text").alias("stop_ratio"),
     ).persist()
+    scored.count()
 
-    # 1. quality profile
-    quality = (
-        scored.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
-            F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+    # The four report pages are independent read-only audits over the
+    # same inputs: each page's frame is per-source-row sized, so each
+    # builder ends in an eager localCheckpoint and the four builders
+    # run CONCURRENTLY (guide §2.6 — independent driver jobs back-fill
+    # each other's stragglers). The summary then joins the
+    # materialized checkpoints instead of re-executing every page's
+    # lineage, and the report writes replay them for free.
+    def _quality() -> DataFrame:
+        return (
+            scored.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+                F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
         )
-        .orderBy("source")
-    )
-    report.write_report(
-        quality, f"{out}/report", name="qa_quality",
-        title="Per-source quality profile", subtitle=sf_dir,
-    )
 
     # 2. drift: against --ref-dir when given, else even/odd split
     if ref_dir:
-        ref_docs = catalog.load_table(spark, ref_dir, "documents")
-        ref_scored = ref_docs.select(
-            "source", token_count("text").cast("long").alias("n_tokens")
-        )
-        cur_scored = scored.select("source", "n_tokens")
         subtitle = f"reference: {ref_dir}"
     else:
-        # hash split, NOT doc_id parity: sequential ids often encode
-        # the source (round-robin assignment), so a parity split would
-        # put whole sources on one side and score them as brand-new.
-        half = int_base_hash(F.col("doc_id").cast("string")) % 2
-        ref_scored = scored.filter(half == 0).select("source", "n_tokens")
-        cur_scored = scored.filter(half == 1).select("source", "n_tokens")
         subtitle = "reference: doc_id-hash half of this snapshot"
-    ref_tbl = psi_reference(ref_scored, "source", "n_tokens")
-    drift = (
-        psi_against_reference(cur_scored, ref_tbl, "source", "n_tokens")
-        .withColumn(
-            # a source the reference never saw is the strongest drift
-            # signal there is — flag it rather than dropping the row
-            "drifted",
-            F.when(F.col("new_group"), F.lit(True)).otherwise(
-                F.col("psi") > psi_threshold
-            ),
+
+    def _drift() -> DataFrame:
+        if ref_dir:
+            ref_docs = catalog.load_table(spark, ref_dir, "documents")
+            ref_scored = ref_docs.select(
+                "source", token_count("text").cast("long").alias("n_tokens")
+            )
+            cur_scored = scored.select("source", "n_tokens")
+        else:
+            # hash split, NOT doc_id parity: sequential ids often encode
+            # the source (round-robin assignment), so a parity split would
+            # put whole sources on one side and score them as brand-new.
+            half = int_base_hash(F.col("doc_id").cast("string")) % 2
+            ref_scored = scored.filter(half == 0).select(
+                "source", "n_tokens"
+            )
+            cur_scored = scored.filter(half == 1).select(
+                "source", "n_tokens"
+            )
+        # the scorer references the reference table three times
+        # (nbins, bounds broadcast, cell join) — checkpoint it so the
+        # exact-percentile aggregation runs once, not per reference
+        ref_tbl = psi_reference(
+            ref_scored, "source", "n_tokens"
+        ).localCheckpoint(eager=True)
+        return (
+            psi_against_reference(cur_scored, ref_tbl, "source", "n_tokens")
+            .withColumn(
+                # a source the reference never saw is the strongest drift
+                # signal there is — flag it rather than dropping the row
+                "drifted",
+                F.when(F.col("new_group"), F.lit(True)).otherwise(
+                    F.col("psi") > psi_threshold
+                ),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
         )
-        .orderBy("source")
-    )
-    report.write_report(
-        drift, f"{out}/report", name="qa_drift",
-        title="Token-length drift (PSI)", subtitle=subtitle,
-    )
 
     # 3. boilerplate (blank-line paragraphs — the web-corpus convention;
     # corpora without paragraph breaks collapse to one paragraph/doc
     # and legitimately report ~0 boilerplate)
     from cmsspark_spark.operators.dedup import explode_paragraphs
 
-    paras = explode_paragraphs(docs, "source", "doc_id", "text")
-    boiler = (
-        domain_boilerplate_report(paras, min_docs=boiler_min_docs)
-        .withColumnRenamed("domain", "source")
-        .orderBy("source")
+    def _boiler() -> DataFrame:
+        paras = explode_paragraphs(docs, "source", "doc_id", "text")
+        return (
+            domain_boilerplate_report(paras, min_docs=boiler_min_docs)
+            .withColumnRenamed("domain", "source")
+            .orderBy("source")
+            .localCheckpoint(eager=True)
+        )
+
+    # 4. novelty profile: first-seen trigram share per source
+    def _novelty() -> DataFrame:
+        gh = docs.select(
+            "doc_id", "source", F.explode(shingles("text", 3)).alias("_g")
+        ).select("doc_id", "source", int_base_hash(F.col("_g")).alias("_h"))
+        w = Window.partitionBy("_h")
+        firsts = gh.select(
+            "doc_id", "source", F.min("doc_id").over(w).alias("_fd")
+        )
+        return (
+            firsts.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(
+                    (F.col("_fd") == F.col("doc_id")).cast("long")
+                ).alias("n_novel"),
+                F.round(
+                    F.sum((F.col("_fd") == F.col("doc_id")).cast("long"))
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("novelty_frac"),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_quality = pool.submit(_quality)
+        f_drift = pool.submit(_drift)
+        f_boiler = pool.submit(_boiler)
+        f_novelty = pool.submit(_novelty)
+        quality = f_quality.result()
+        drift = f_drift.result()
+        boiler = f_boiler.result()
+        novelty = f_novelty.result()
+
+    report.write_report(
+        quality, f"{out}/report", name="qa_quality",
+        title="Per-source quality profile", subtitle=sf_dir,
+    )
+    report.write_report(
+        drift, f"{out}/report", name="qa_drift",
+        title="Token-length drift (PSI)", subtitle=subtitle,
     )
     report.write_report(
         boiler, f"{out}/report", name="qa_boilerplate",
         title="Domain boilerplate fraction",
         subtitle=f"paragraph recurring in >= {boiler_min_docs} docs",
-    )
-
-    # 4. novelty profile: first-seen trigram share per source
-    gh = scored.select(
-        "doc_id", "source", F.explode(shingles("text", 3)).alias("_g")
-    ).select("doc_id", "source", int_base_hash(F.col("_g")).alias("_h"))
-    w = Window.partitionBy("_h")
-    firsts = gh.select(
-        "doc_id", "source", F.min("doc_id").over(w).alias("_fd")
-    )
-    novelty = (
-        firsts.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_fd") == F.col("doc_id")).cast("long")).alias(
-                "n_novel"
-            ),
-            F.round(
-                F.sum((F.col("_fd") == F.col("doc_id")).cast("long"))
-                / F.count(F.lit(1)),
-                4,
-            ).alias("novelty_frac"),
-        )
-        .orderBy("source")
     )
     report.write_report(
         novelty, f"{out}/report", name="qa_novelty",
