@@ -133,18 +133,40 @@ def run(
         .drop("_rate", "_keep")
     )
 
-    # 5. shard write (content-derived membership + manifest) + report
-    manifest = sinks.write_training_shards(
-        kept, f"{out}/shards", key_col="doc_id", num_shards=shards
-    )
-    summary = (
-        kept.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count("text")).cast("long").alias("n_tokens"),
+    # 5. shard write (content-derived membership + manifest) + report.
+    #    `kept` feeds two terminal consumers (the shard write and the
+    #    summary aggregation) — persist it so the pipeline tail runs
+    #    once, and run the two consumers CONCURRENTLY (guide §2.6:
+    #    independent driver jobs back-fill each other's stragglers).
+    kept = kept.persist()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _shards():
+        return sinks.write_training_shards(
+            kept, f"{out}/shards", key_col="doc_id", num_shards=shards
         )
-        .orderBy("source")
-    )
+
+    def _summary() -> DataFrame:
+        return (
+            kept.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(token_count("text")).cast("long").alias("n_tokens"),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_manifest = pool.submit(_shards)
+        f_summary = pool.submit(_summary)
+        manifest = f_manifest.result()
+        summary = f_summary.result()
+
+    # one driver collect feeds both the plot and the HTML/CSV pages
+    # (the checkpointed summary makes write_report's own collect a
+    # replay, not a recompute)
     report.write_report(
         summary,
         f"{out}/report",
@@ -167,6 +189,7 @@ def run(
         from cmsspark_spark.operators.snapshots import snapshot_write
 
         snapshot_write(kept, f"{out}/corpus", mode="overwrite")
+    kept.unpersist()
     gated.unpersist()
     if span_window:
         _pinned_strip.unpersist()
