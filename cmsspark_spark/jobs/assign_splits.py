@@ -123,16 +123,28 @@ def run_batch(
     cand = D.minhash_lsh_pairs(
         docs, "doc_id", "text", hot_bucket_cap=hot_bucket_cap
     )
-    D.minhash_lsh_bucket_report(
-        docs, "doc_id", "text", hot_bucket_cap=hot_bucket_cap
-    ).write.mode("overwrite").parquet(f"{state}/bucket_report")
-    pairs = D.jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.5, candidates=cand
-    )
-    comp = D.connected_components(pairs, "id_a", "id_b")
-    assign = cluster_split_assign(
-        docs, comp, boundaries=boundaries
-    ).localCheckpoint(eager=True)  # pin before the state writes below
+
+    # the bucket-report write only needs the (memoized) signatures —
+    # it is independent of the verify→components→assign chain, so it
+    # runs as a concurrent driver job and back-fills the chain's
+    # stragglers (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bucket_report() -> None:
+        D.minhash_lsh_bucket_report(
+            docs, "doc_id", "text", hot_bucket_cap=hot_bucket_cap
+        ).write.mode("overwrite").parquet(f"{state}/bucket_report")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_report = pool.submit(_bucket_report)
+        pairs = D.jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, candidates=cand
+        )
+        comp = D.connected_components(pairs, "id_a", "id_b")
+        assign = cluster_split_assign(
+            docs, comp, boundaries=boundaries
+        ).localCheckpoint(eager=True)  # pin before the state writes below
+        f_report.result()
     # state commit ORDER matters for crash-safety: splits first (the
     # increment path's election only considers census matches that
     # also hold a splits row, so a census row without a splits row is
