@@ -46,7 +46,6 @@ from cmsspark_spark.operators.layout import (
     _list_parquet_files,
     manifest_location,
     pruned_files,
-    pruned_files_bloom,
 )
 from cmsspark_spark.session import get_spark
 
@@ -80,6 +79,31 @@ _META_CACHE_CAP = 16
 #: threads racing the same cold table would otherwise checkpoint the
 #: same manifests twice.
 _META_LOCK = threading.RLock()
+
+#: Ceiling on the TOTAL set-bit positions a table's Bloom sidecar may
+#: hold for the cache to ALSO pin the planning rows driver-side (the
+#: pure-Python fast path below): 4M longs ≈ 32 MB — comfortably a
+#: driver-scale footprint (the cache already pins the same sidecar as
+#: a checkpointed frame), far above any bench/test table, and a
+#: million-file production sidecar simply plans through the Spark path
+#: as before.
+_PY_PLAN_MAX_POSITIONS = 4_000_000
+
+
+def _py_positions(value, m: int, k: int) -> list[int]:
+    """Driver-side twin of ``layout.bloom_positions`` for int/str
+    values: first 15 md5 hex chars % 2^31 % m, salted per probe —
+    byte-identical to the engine formula (Spark's int→string cast is
+    ``str(int)``)."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:15], 16)
+        % 2147483648
+        % m
+        for i in range(k)
+    ]
 
 
 def _meta_stamp(spark: SparkSession, table: str, all_files) -> tuple:
@@ -130,35 +154,83 @@ def _table_meta_locked(spark: SparkSession, table: str) -> dict:
         return ent
     man = _try_read(spark, manifest_location(table))
     known: set[str] = set()
+    py_man: list[dict] | None = None
     if man is not None:
         man = man.localCheckpoint(eager=True)
-        known = {r.file for r in man.select("file").distinct().collect()}
+        # ONE collect feeds both the known-file set and the driver-
+        # side planning rows (manifest rows are file-count-sized, the
+        # same bound the known set already accepts)
+        py_man = [r.asDict() for r in man.collect()]
+        known = {r["file"] for r in py_man}
     blooms = _try_read(spark, manifest_location(table) + "_bloom")
+    bloom_mk: tuple[int, int] | None = None
+    py_blooms: dict | None = None
     if blooms is not None:
         blooms = blooms.localCheckpoint(eager=True)
+        # sidecar parameters are a property of the sidecar, not the
+        # lookup — resolve them once per cache entry instead of one
+        # distinct+collect job per lookup
+        bloom_mk = _sidecar_mk(blooms)
+        py_blooms = _py_bloom_rows(blooms)
     rg_blooms = _try_read(
         spark, manifest_location(table) + "_rowgroups_bloom"
     )
     rg_covered: set[str] | None = None
+    rg_mk: tuple[int, int] | None = None
+    py_rg: list[dict] | None = None
     if rg_blooms is not None:
         rg_blooms = rg_blooms.localCheckpoint(eager=True)
         rg_covered = {
             r.file for r in rg_blooms.select("file").distinct().collect()
         }
+        rg_mk = _sidecar_mk(rg_blooms)
+        rg_rows = _py_bloom_rows(rg_blooms, as_rows=True)
+        py_rg = rg_rows
     ent = {
         "stamp": stamp,
         "all_files": all_files,
         "man": man,
         "known": known,
+        "py_man": py_man,
         "blooms": blooms,
+        "bloom_mk": bloom_mk,
+        "py_blooms": py_blooms,
         "rg_blooms": rg_blooms,
         "rg_covered": rg_covered,
+        "rg_mk": rg_mk,
+        "py_rg": py_rg,
     }
     per[key] = ent
     per.move_to_end(key)
     while len(per) > _META_CACHE_CAP:
         per.popitem(last=False)
     return ent
+
+
+def _py_bloom_rows(blooms: DataFrame, as_rows: bool = False):
+    """Driver-side copy of a Bloom sidecar for the pure-Python
+    planning fast path, or None when the sidecar exceeds
+    ``_PY_PLAN_MAX_POSITIONS`` total set bits (big tables keep the
+    Spark planning path). ``as_rows=False`` returns
+    {file: {col: frozenset(positions)}}; ``as_rows=True`` keeps one
+    dict per sidecar row (row-group sidecars have several rows per
+    file). One bounded size-check aggregate per cache build."""
+    pos_cols = [c for c in blooms.columns if c.startswith("bloom_")
+                and c not in ("bloom_m", "bloom_k")]
+    if not pos_cols:
+        return None
+    total = blooms.select(
+        sum(F.coalesce(F.size(c), F.lit(0)) for c in pos_cols).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    if total is None or total > _PY_PLAN_MAX_POSITIONS:
+        return None
+    rows = [r.asDict() for r in blooms.collect()]
+    for r in rows:
+        for c in pos_cols:
+            r[c] = frozenset(r[c]) if r[c] is not None else None
+    if as_rows:
+        return rows
+    return {r["file"]: r for r in rows}
 
 
 def _sidecar_mk(blooms: DataFrame) -> tuple[int, int]:
@@ -244,47 +316,138 @@ def plan_lookup(
     if man is None:
         return out
     unmanifested = sorted(set(names) - meta["known"])
-    mm = [
-        r.file
-        for r in pruned_files(man, dim, value, value).collect()
-        if r.file in names
-    ]
-    out.update(
-        files_minmax=len(mm) + len(unmanifested),
-        files_kept=sorted(set(mm) | set(unmanifested)),
-        files_unmanifested=len(unmanifested),
-        tier="minmax",
-    )
     blooms = meta["blooms"]
-    if blooms is None:
-        return out
-    m, k = _sidecar_mk(blooms)
-    joined = man.join(
-        blooms.select("file", f"bloom_{dim}"), "file", "left"
-    )
-    kept = [
-        r.file
-        for r in pruned_files_bloom(joined, dim, value, m=m, k=k).collect()
-        if r.file in names
-    ]
-    out.update(
-        files_kept=sorted(set(kept) | set(unmanifested)), tier="bloom"
-    )
-    rg_blooms = meta["rg_blooms"]
-    if rg_blooms is not None:
+    # Pure-Python planning fast path: the cache already pins the
+    # manifest rows (file-count-sized) and — under the position bound
+    # — the Bloom sidecar rows driver-side, and the probe formula is
+    # engine-exact for int/str values, so the per-lookup plan costs
+    # ZERO Spark jobs (the per-lookup cost used to be one or two tiny
+    # jobs each paying full Catalyst analysis + codegen). Any shape
+    # the fast path cannot prove identical (float values, mixed stat
+    # types, missing columns, oversized sidecar) falls back to the
+    # Spark path below.
+    py = _py_plan(meta, dim, value, names)
+    if py is not None:
+        mm, kept, tier = py
+    elif blooms is None:
+        mm = [
+            r.file
+            for r in pruned_files(man, dim, value, value).collect()
+            if r.file in names
+        ]
+        kept, tier = mm, "minmax"
+    else:
+        # ONE collect resolves both tiers: per min/max-kept file, a
+        # flag for whether the Bloom admits it too — identical keep
+        # sets to sequential pruned_files + pruned_files_bloom.
         from cmsspark_spark.operators.layout import bloom_positions
 
-        rm, rk = _sidecar_mk(rg_blooms)
-        probe = bloom_positions(F.lit(value).cast("string"), m=rm, k=rk)
-        hit = F.forall(
-            probe,
-            lambda p: F.array_contains(F.col(f"bloom_{dim}"), p),
+        m, k = meta["bloom_mk"]
+        probe = bloom_positions(F.lit(value).cast("string"), m, k)
+        bl_hit = F.forall(
+            probe, lambda p: F.array_contains(F.col(f"bloom_{dim}"), p)
         )
-        stats = rg_blooms.filter(F.col("file").isin(kept))
-        out["rowgroups_planned"] = stats.filter(hit).count()
-        out["rowgroups_in_kept_files"] = stats.count()
+        flags = (
+            man.join(blooms.select("file", f"bloom_{dim}"), "file", "left")
+            .filter(
+                (F.col(f"max_{dim}") >= F.lit(value))
+                & (F.col(f"min_{dim}") <= F.lit(value))
+            )
+            .select(
+                "file",
+                (F.col(f"bloom_{dim}").isNull() | bl_hit).alias("_bl"),
+            )
+            .collect()
+        )
+        mm = [r.file for r in flags if r.file in names]
+        kept = [r.file for r in flags if r._bl and r.file in names]
+        tier = "bloom"
+    out.update(
+        files_minmax=len(mm) + len(unmanifested),
+        files_kept=sorted(set(kept) | set(unmanifested)),
+        files_unmanifested=len(unmanifested),
+        tier=tier,
+    )
+    rg_blooms = meta["rg_blooms"]
+    if rg_blooms is not None and tier == "bloom":
+        rm, rk = meta["rg_mk"]
+        col = f"bloom_{dim}"
+        py_rg = meta.get("py_rg")
+        if py is not None and py_rg is not None and all(
+            col in r for r in py_rg
+        ):
+            pos = _py_positions(value, rm, rk)
+            kept_set = set(kept)
+            stats = [r for r in py_rg if r["file"] in kept_set]
+            out["rowgroups_planned"] = sum(
+                1
+                for r in stats
+                if r[col] is not None and all(p in r[col] for p in pos)
+            )
+            out["rowgroups_in_kept_files"] = len(stats)
+        else:
+            from cmsspark_spark.operators.layout import bloom_positions
+
+            probe = bloom_positions(F.lit(value).cast("string"), m=rm, k=rk)
+            hit = F.forall(
+                probe,
+                lambda p: F.array_contains(F.col(col), p),
+            )
+            stats = rg_blooms.filter(F.col("file").isin(kept))
+            # both counts in one aggregate job
+            planned, total = stats.select(
+                F.count(F.when(hit, 1)), F.count(F.lit(1))
+            ).first()
+            out["rowgroups_planned"] = planned
+            out["rowgroups_in_kept_files"] = total
         out["_rg_mk"] = (rm, rk)
     return out
+
+
+def _py_plan(
+    meta: dict, dim: str, value, names: dict
+) -> tuple[list, list, str] | None:
+    """Driver-side (min/max, Bloom) pruning over the cached manifest
+    rows — (mm, kept, tier), or None when equivalence with the Spark
+    path cannot be guaranteed (see plan_lookup)."""
+    py_man = meta.get("py_man")
+    if py_man is None:
+        return None
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None  # Spark's cast/compare semantics differ for these
+    lo_c, hi_c = f"min_{dim}", f"max_{dim}"
+    if py_man and (lo_c not in py_man[0] or hi_c not in py_man[0]):
+        return None
+    mm = []
+    try:
+        for r in py_man:
+            lo, hi = r[lo_c], r[hi_c]
+            if lo is None or hi is None:
+                continue  # null stats: the Spark filter drops them too
+            if hi >= value and lo <= value and r["file"] in names:
+                mm.append(r["file"])
+    except TypeError:
+        return None  # mixed types: let Spark's cast rules decide
+    if meta["blooms"] is None:
+        return mm, mm, "minmax"
+    py_blooms = meta.get("py_blooms")
+    if py_blooms is None:
+        return None  # sidecar over the position bound: Spark path
+    col = f"bloom_{dim}"
+    m, k = meta["bloom_mk"]
+    pos = _py_positions(value, m, k)
+    kept = []
+    for f in mm:
+        row = py_blooms.get(f)
+        if row is None:
+            kept.append(f)  # no sidecar row: conservatively kept
+            continue
+        if col not in row:
+            return None  # sidecar lacks the dim: Spark path (raises)
+        bl = row[col]
+        if bl is None or all(p in bl for p in pos):
+            kept.append(f)
+    return mm, kept, "bloom"
 
 
 def run(

@@ -1030,6 +1030,75 @@ def test_point_lookup_job_reads_only_planned_files(spark, tmp_path):
     assert len(plan_none["files_kept"]) == 16
 
 
+def test_point_lookup_python_plan_matches_spark_plan(spark, tmp_path):
+    """The driver-side planning fast path must produce the IDENTICAL
+    plan (kept files, tier counts, row-group counts) to the Spark
+    pruning path it replaces, for both int and string keys, present
+    and absent — and the md5 probe formula must match the engine's
+    bit for bit."""
+    import pyspark.sql.functions as F
+
+    from cmsspark_spark.jobs import point_lookup
+    from cmsspark_spark.jobs.point_lookup import _py_positions
+    from cmsspark_spark.operators import layout as L
+
+    # formula parity: python probe == engine probe for int/str values
+    probes = spark.range(1).select(
+        L.bloom_positions(F.lit("4217").cast("string")).alias("s"),
+        L.bloom_positions(F.lit(4217).cast("string")).alias("i"),
+        L.bloom_positions(F.lit("αβ utf8").cast("string"), 512, 3).alias(
+            "u"
+        ),
+    ).first()
+    assert list(probes.s) == _py_positions("4217", 4096, 2)
+    assert list(probes.i) == _py_positions(4217, 4096, 2)
+    assert list(probes.u) == _py_positions("αβ utf8", 512, 3)
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    ).repartition(8, "key")
+    df.write.parquet(table)
+    L.file_stats_manifest(
+        spark.read.parquet(table), ["key"]
+    ).write.parquet(L.manifest_location(table))
+    L.write_bloom_manifest(spark, table, "key")
+    L.write_rowgroup_bloom_manifest(spark, table, "key")
+
+    table_i = str(tmp_path / "ti")
+    spark.range(0, 3000).select(F.col("id").alias("doc_id")).repartition(
+        8, "doc_id"
+    ).write.parquet(table_i)
+    L.file_stats_manifest(
+        spark.read.parquet(table_i), ["doc_id"]
+    ).write.parquet(L.manifest_location(table_i))
+    L.write_bloom_manifest(spark, table_i, "doc_id")
+
+    import hashlib
+
+    cases = [
+        (table_i, "doc_id", 1234),
+        (table_i, "doc_id", 999_999),
+        (table, "key", hashlib.md5(b"77").hexdigest()),
+        (table, "key", "not-a-real-key"),
+    ]
+    for tbl, dim, value in cases:
+        point_lookup._META_CACHE.clear()
+        py = point_lookup.plan_lookup(spark, tbl, dim, value)
+        assert py["tier"] == "bloom", (dim, value)
+        # force the Spark path by dropping the driver-side rows
+        meta = point_lookup._table_meta(spark, tbl)
+        meta["py_man"] = None
+        sp = point_lookup.plan_lookup(spark, tbl, dim, value)
+        for field in (
+            "files_total", "files_minmax", "files_kept",
+            "files_unmanifested", "tier", "rowgroups_planned",
+            "rowgroups_in_kept_files",
+        ):
+            assert py.get(field) == sp.get(field), (dim, value, field)
+
+
 def test_point_lookup_rowgroup_read_tier(spark, tmp_path):
     """--rowgroup-read: hits identical to the file-grain scan while
     reading only the Bloom-admitted row groups; files without sidecar
