@@ -7927,16 +7927,19 @@ def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     because every arm is deterministic)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    # the brute-force truth is consumed by all 6 arm joins + the
-    # total; eager localCheckpoint materializes it ONCE and makes the
-    # concurrent arm reads race-free (the multi-consumer rule from
-    # the clean_corpus r6 fix)
-    truth = (
-        QUERIES["ann_cosine_topk"](spark, sf_dir)
+    # the brute-force truth and every arm are top-k lists — bounded at
+    # |queries|·k rows by construction — so the recall join is a
+    # driver-side set intersection over collected id pairs (exact
+    # integer counting, byte-identical to the old per-arm join+count
+    # jobs, minus five Spark jobs of pure scheduling/analysis
+    # overhead on memo-served arms)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
-    n_truth = truth.count()
+        .collect()
+    }
+    n_truth = len(truth)
 
     # the trained arm's k-means runs INSIDE its thread: with a single
     # trained arm there is nothing to race, and training then overlaps
@@ -7945,8 +7948,10 @@ def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arms ever both miss the memo they'd train the same deterministic
     # centroids redundantly — wasted work, never wrong answers
     def _n_hit(qname: str) -> int:
-        got = QUERIES[qname](spark, sf_dir).select("query_id", "vec_id")
-        return got.join(truth, on=["query_id", "vec_id"]).count()
+        got = QUERIES[qname](spark, sf_dir).select(
+            "query_id", "vec_id"
+        ).collect()
+        return sum(1 for r in got if (r.query_id, r.vec_id) in truth)
 
     methods = list(_ANN_LADDER_METHODS)
     with ThreadPoolExecutor(max_workers=len(methods)) as pool:
