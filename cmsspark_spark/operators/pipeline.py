@@ -1686,21 +1686,35 @@ def logreg_hashed_features(
     reused — no corpus-grain exchange after the one repartition."""
     from pyspark import StorageLevel
 
-    from cmsspark_spark.functions.text import int_base_hash
+    from cmsspark_spark.functions.text import (
+        _RUN_COUNTS,
+        _RUN_STARTS,
+        int_base_hash,
+    )
 
     toks = tokens(text_col)
     grams = F.concat(raw_ngrams(toks, 1), raw_ngrams(toks, 2))
+    # per-(doc, bucket) counts ROW-LOCALLY (sort the bucket ids, RLE
+    # the runs — the doc_term_postings kernel on ints): identical
+    # counts to the explode+groupBy(_id,_b) form with zero gram-grain
+    # exchange, so the one repartition below is the frame's ONLY
+    # shuffle (guide §2.4)
     counts = (
         df.select(
             F.col(id_col).alias("_id"),
             label_flag.cast("double").alias("_y"),
-            F.explode(grams).alias("_g"),
+            F.array_sort(
+                F.transform(grams, lambda g: int_base_hash(g) % n_buckets)
+            ).alias("_st"),
         )
+        .withColumn("_starts", F.expr(_RUN_STARTS))
+        .select("_id", "_y", F.explode(F.expr(_RUN_COUNTS)).alias("_p"))
         .select(
-            "_id", "_y", (int_base_hash(F.col("_g")) % n_buckets).alias("_b")
+            "_id",
+            F.col("_p._t").cast("long").alias("_b"),
+            "_y",
+            F.col("_p._tf").cast("long").alias("_c"),
         )
-        .groupBy("_id", "_b")
-        .agg(F.first("_y").alias("_y"), F.count(F.lit(1)).alias("_c"))
     )
     intercept = df.select(
         F.col(id_col).alias("_id"),
@@ -1753,15 +1767,22 @@ def logreg_hashed_train(
 
     Returns the final weight list (index = bucket, last = intercept).
     """
-    n_docs = feat.select("_id").distinct().count()
+    # one intercept row per doc, no distinct exchange needed
+    n_docs = feat.filter(F.col("_b") == n_buckets).count()
     w = [0.0] * (n_buckets + 1)
-    spark = feat.sparkSession
     for _ in range(iters):
-        w_df = spark.createDataFrame(
-            [(b, float(wv)) for b, wv in enumerate(w)], "_b long, _w double"
-        )
+        # the weight table is (n_buckets+1) doubles — ship it as ONE
+        # array literal (element_at by bucket) instead of a
+        # createDataFrame + broadcast-exchange job per iteration; the
+        # looked-up values are the identical floats
+        from cmsspark_spark.operators.similarity import _dbl_arr_lit
+
+        wlit = _dbl_arr_lit([float(wv) for wv in w])
         z = (
-            feat.join(F.broadcast(w_df), "_b")
+            feat.withColumn(
+                "_w",
+                F.element_at(wlit, (F.col("_b") + 1).cast("int")),
+            )
             .groupBy("_id")
             .agg(
                 F.sum(F.col("_c") * F.col("_w")).alias("_z"),
