@@ -1953,11 +1953,21 @@ def train_bpe_merges(
     """
     from pyspark.sql.functions import pandas_udf
 
+    from cmsspark_spark.functions.text import _RUN_COUNTS, _RUN_STARTS
+
     syms = _bpe_symbols if alphabet == "char" else _bpe_byte_symbols
+    # per-doc (word, count) row-locally (sort+RLE) before the global
+    # word aggregation: the corpus-sized exchange carries doc-distinct
+    # words instead of every occurrence (guide §2.3); summed counts
+    # are identical to the exploded form
     words = (
-        df.select(F.explode(_bpe_pretokens(text_col, alphabet)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
+        df.select(
+            F.array_sort(_bpe_pretokens(text_col, alphabet)).alias("_st")
+        )
+        .withColumn("_starts", F.expr(_RUN_STARTS))
+        .select(F.explode(F.expr(_RUN_COUNTS)).alias("_p"))
+        .groupBy(F.col("_p._t").alias("w"))
+        .agg(F.sum(F.col("_p._tf").cast("long")).alias("n"))
         .select(F.col("n"), syms(F.col("w")).alias("syms"))
     )
     words = words.localCheckpoint()  # cut the scan lineage once
@@ -2009,7 +2019,12 @@ def train_bpe_merges(
                 yield pdf
 
         words = words.mapInPandas(_merge, schema="n long, syms array<string>")
-        words = words.localCheckpoint()  # merge rounds stay O(1) deep
+        # LAZY checkpoint: still truncates lineage at O(1) depth, but
+        # the merge pass materializes inside the NEXT round's
+        # pair-count job instead of as its own job — one job per round
+        # instead of two, and the final round's merge (whose result no
+        # one reads) never executes at all
+        words = words.localCheckpoint(eager=False)
     return merges
 
 
