@@ -2074,48 +2074,63 @@ def apply_bpe(
     shuffles. ``alphabet`` must match the trainer's (``char``:
     whitespace words, char symbols + '</w>'; ``byte``: GPT-2-style
     regex pre-tokens, UTF-8 hex-pair symbols)."""
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     mlist = [tuple(m) for m in merges]
     byte_mode = alphabet == "byte"
     pretoken_re = BPE_BYTE_PRETOKEN_RE
 
-    def _enc(s):
+    def _enc(it):
         import re
 
-        import pandas as pd
-
         pat = re.compile(pretoken_re) if byte_mode else None
+        # word -> encoded tokens, shared across all Arrow batches of a
+        # task (SCALAR_ITER): natural text is Zipf-distributed, so the
+        # k-merge scan runs once per distinct word, not per occurrence.
+        # Encoding is a pure function of (word, mlist); bounded so a
+        # pathological vocabulary can't hold task memory hostage.
+        cache = {}
 
         def one(text):
             if text is None:
                 return None
             out = []
-            pretoks = (
-                pat.findall(text.lower()) if byte_mode else text.lower().split()
-            )
+            # input column is already lowercased (enc(F.lower(...)))
+            pretoks = pat.findall(text) if byte_mode else text.split()
             for w in pretoks:
-                if byte_mode:
-                    h = w.encode("utf-8").hex().upper()
-                    syms = [h[i : i + 2] for i in range(0, len(h), 2)]
-                else:
-                    syms = list(w) + ["</w>"]
-                for l, r in mlist:
-                    i, res = 0, []
-                    while i < len(syms):
-                        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                            res.append(l + r)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    syms = res
+                syms = cache.get(w)
+                if syms is None:
+                    if byte_mode:
+                        h = w.encode("utf-8").hex().upper()
+                        syms = [h[i : i + 2] for i in range(0, len(h), 2)]
+                    else:
+                        syms = list(w) + ["</w>"]
+                    for l, r in mlist:
+                        if len(syms) < 2:
+                            break
+                        i, res = 0, []
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == l
+                                and syms[i + 1] == r
+                            ):
+                                res.append(l + r)
+                                i += 2
+                            else:
+                                res.append(syms[i])
+                                i += 1
+                        syms = res
+                    if len(cache) >= 1_000_000:
+                        cache.clear()
+                    cache[w] = syms
                 out.extend(syms)
             return out
 
-        return s.map(one)
+        for s in it:
+            yield s.map(one)
 
-    enc = pandas_udf(_enc, "array<string>")
+    enc = pandas_udf(_enc, "array<string>", PandasUDFType.SCALAR_ITER)
     return df.withColumn(out_col, enc(F.lower(F.col(text_col))))
 
 
