@@ -36,21 +36,9 @@ from cmsspark_spark.functions.vectors import (
 _LIT_CACHE: dict = {}
 
 
-from cmsspark_spark.operators.memo import SessionMemo as _TopkSessionMemo
-
-#: Session memo for the ANN rungs' ranked outputs: the ladder recall
-#: report re-runs every static rung it audits, and the individual rung
-#: queries are pure functions of (corpus files, query files, constant
-#: centroids/codebooks/planes, params) — deterministic by design (ties
-#: break on ids). Each memoized value is a top-k frame (queries × k
-#: rows), eagerly localCheckpointed; fresh-data keys cover BOTH input
-#: plans, constants enter the key as content digests, and any
-#: un-fingerprintable input runs unmemoized.
-_ANN_TOPK_MEMO = _TopkSessionMemo("ann_topk")
-
-
 def _np_digest(*arrays) -> str:
-    """Content digest of constant numpy arrays for memo keys."""
+    """Content digest of constant numpy arrays (rung identity in
+    logs/labels)."""
     import hashlib
 
     h = hashlib.sha1()
@@ -65,17 +53,13 @@ def _np_digest(*arrays) -> str:
 def _ann_topk_shared(
     tag: str, corpus: DataFrame, queries: DataFrame, params: tuple, builder
 ) -> DataFrame:
-    """Memoized ``builder()`` for a rung's ranked output — a hit
-    replays the checkpointed top-k frame; unsafe keys build fresh."""
-    ckey = _ANN_TOPK_MEMO.key_for(corpus, "corpus")
-    qkey = _ANN_TOPK_MEMO.key_for(queries, "queries")
-    if ckey is None or qkey is None:
-        return builder()
-    per = _ANN_TOPK_MEMO.per_session(corpus.sparkSession)
-    key = (tag, ckey, qkey) + params
-    if key not in per:
-        per[key] = builder().localCheckpoint(eager=True)
-    return per[key]
+    """Build a rung's ranked output. Deliberately NOT memoized: a
+    rung's top-k is a final query result, and replaying it from a
+    session cache would make any repeat timing measure a dict hit
+    instead of the computation — every serve recomputes from the
+    inputs. (Shared *state* — trained centroids, postings — lives in
+    its own train-once memos; outputs do not.)"""
+    return builder()
 
 
 def _jarr_lit(vals, jtype: str) -> "F.Column":
@@ -185,9 +169,7 @@ def brute_force_topk(
 
     ``queries`` must be small (it is broadcast). Self-matches (same id)
     are excluded. Ties break on candidate id ascending, making the
-    result fully deterministic — which also makes the ranked output
-    memoizable per session (``_ANN_TOPK_MEMO``): the recall reports
-    re-run the same truth/rung builds the standalone queries run.
+    result fully deterministic.
     Returns (query_id, vec_id, cosine, rank).
     """
 
@@ -401,8 +383,7 @@ def ivf_topk(
     At 100 TB the corpus is written bucketed/partitioned by
     ``_centroid`` so a probe is a partition-pruned scan; here the list
     membership is a join key. Recall grows with nprobe (nprobe =
-    n_centroids ⇒ exact). Ranked output memoized per session
-    (``_ANN_TOPK_MEMO``, centroids enter the key as a content digest).
+    n_centroids ⇒ exact).
     """
 
     def _build() -> DataFrame:
@@ -564,8 +545,7 @@ def lsh_topk(
     of ``tables`` independent hash tables; only candidates get the exact
     cosine. Recall grows with ``tables`` and shrinks with ``num_planes``.
     Returns (query_id, vec_id, cosine, rank) like ``brute_force_topk``.
-    ``impl``: see ``cosine_near_pairs_lsh``. Ranked output memoized
-    per session (``_ANN_TOPK_MEMO``).
+    ``impl``: see ``cosine_near_pairs_lsh``.
     """
 
     def _build() -> DataFrame:
@@ -737,8 +717,7 @@ def pq_adc_topk(
     oracle's ``list_reduce(list(s ORDER BY j), ...)`` so ranking is
     cross-engine deterministic. ``adc_score`` is the (constant-shifted)
     negated half-distance: rank by it DESC ≡ L2 ADC distance ASC.
-    Ranked output memoized per session (``_ANN_TOPK_MEMO``); plan
-    contracts assert on the un-memoized ``_pq_adc_build``."""
+    Plan contracts assert on ``_pq_adc_build``."""
     return _ann_topk_shared(
         "pq_adc", corpus, queries,
         (k, id_col, vec_col, _np_digest(codebook)),
@@ -946,8 +925,7 @@ def ivfpq_static_topk(
     literal, residuals are exact elementwise subtraction, and the ADC
     ranking key folds in the same left-associative order as the DuckDB
     twin, so the static-seed form is hash-exact cross-engine. Ranking
-    maximizes ``Σⱼ s_j(code_j) − ½‖q−c‖²`` ≡ L2 ADC distance ASC.
-    Ranked output memoized per session (``_ANN_TOPK_MEMO``)."""
+    maximizes ``Σⱼ s_j(code_j) − ½‖q−c‖²`` ≡ L2 ADC distance ASC."""
     return _ann_topk_shared(
         "ivfpq", corpus, queries,
         (k, nprobe, id_col, vec_col, _np_digest(centroids, codebook)),
