@@ -197,6 +197,7 @@ def run_increment(
     increment at a state dir that was rebuilt from a different corpus
     version than the scheduler believes."""
     from cmsspark_spark.operators.incremental import (
+        _increment_minhash_bands,
         commit_census_minhash,
         split_assign_increment,
     )
@@ -219,20 +220,31 @@ def run_increment(
 
     census = spark.read.parquet(f"{state}/census")
     splits = spark.read.parquet(f"{state}/splits")
+    # ONE signature pass per increment: the band rows feed both the
+    # assignment probe and the census commit (the commit used to
+    # re-tokenize the increment — ~2s of duplicated HOF analysis +
+    # compute per ingest tick at sf0.1). Band rows are per-doc
+    # independent, so filtering the shared frame by the committed ids
+    # is row-identical to banding the anti-joined increment.
+    bands = _increment_minhash_bands(
+        increment, 3, 8, 2, "doc_id", "text"
+    ).localCheckpoint(eager=True)
     out = split_assign_increment(
         increment, census, splits,
         boundaries=boundaries,
         broadcast_increment=broadcast_increment,
+        bands=bands,
     ).localCheckpoint(eager=True)  # pin the verdict before state writes
     out.select("doc_id", "split").join(
         splits.select("doc_id"), "doc_id", "left_anti"
     ).write.mode("append").parquet(f"{state}/splits")
     commit_census_minhash(
         spark,
-        increment.join(
+        increment,
+        f"{state}/census",
+        bands=bands.join(
             census.select("doc_id").distinct(), "doc_id", "left_anti"
         ),
-        f"{state}/census",
     )
     return out
 

@@ -924,6 +924,11 @@ def _connected_components_run(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # no edges → no nodes: skip the propagation round entirely (an
+    # ingest increment with no near-dup pairs otherwise pays a full
+    # join+agg+checkpoint iteration just to discover convergence)
+    if not edges.take(1):
+        return edges.select(F.col("src").alias("node"), F.col("src").alias("component"))
     labels = edges.select("src").distinct().withColumn("component", F.col("src"))
     for _ in range(max_iters):
         nbr = (

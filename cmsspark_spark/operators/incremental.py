@@ -745,6 +745,7 @@ def split_assign_increment(
     min_est_jaccard: float = 0.5,
     boundaries: dict[str, int] | None = None,
     broadcast_increment: bool = True,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL cluster-consistent split assignment — the
     ingest-gate treatment for :func:`pipeline.cluster_split_assign`:
@@ -796,9 +797,17 @@ def split_assign_increment(
 
     bounds = boundaries or {"train": 80, "val": 90, "test": 100}
     min_agree = int(math.ceil(min_est_jaccard * num_hashes))
-    inc = _increment_minhash_bands(
-        increment, n, num_hashes, rows_per_band, id_col, text_col
-    ).localCheckpoint(eager=True)  # consumed by probe + self-join
+    if bands is not None:
+        # caller-supplied band rows (same _increment_minhash_bands
+        # contract and params, already materialized) — the ingest job
+        # computes them ONCE per increment and shares them between
+        # this assignment and the census commit instead of paying the
+        # signature tokenize + its plan analysis twice
+        inc = bands
+    else:
+        inc = _increment_minhash_bands(
+            increment, n, num_hashes, rows_per_band, id_col, text_col
+        ).localCheckpoint(eager=True)  # consumed by probe + self-join
     agree = F.aggregate(
         F.zip_with(
             F.col("_nsig"),
@@ -925,6 +934,7 @@ def commit_census_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "append",
+    bands: DataFrame | None = None,
 ) -> None:
     """COMMIT step of the MinHash gate: fold the ADMITTED docs' band
     rows (+signatures) into the census. Same ordering contract as
@@ -937,7 +947,17 @@ def commit_census_minhash(
     — the right call for a full-corpus batch (re)run over an existing
     state dir, where appending would accumulate stale band rows for
     docs deleted or re-texted since the prior build (jobs/
-    assign_splits.run_batch passes this)."""
-    _increment_minhash_bands(
-        admitted, n, num_hashes, rows_per_band, id_col, text_col
-    ).write.mode(mode).parquet(census_path)
+    assign_splits.run_batch passes this).
+
+    ``bands``: precomputed band rows (the ``_increment_minhash_bands``
+    contract, same params, restricted to the admitted docs) — the
+    ingest job reuses the frame the assignment already materialized
+    instead of re-tokenizing the increment here."""
+    rows = (
+        bands
+        if bands is not None
+        else _increment_minhash_bands(
+            admitted, n, num_hashes, rows_per_band, id_col, text_col
+        )
+    )
+    rows.write.mode(mode).parquet(census_path)

@@ -843,6 +843,65 @@ def test_split_assign_increment_inherits_cluster_split(spark, tmp_path):
     assert all(r.inherited for r in out2.values())
 
 
+def test_split_assign_increment_band_reuse_parity(spark, tmp_path):
+    """r13 optimization: the ingest job computes the increment's
+    MinHash band rows ONCE and shares the frame between the
+    assignment probe and the census commit — passing the precomputed
+    ``bands`` must yield byte-identical assignments and census rows
+    to the compute-inside path, and connected_components on an empty
+    pair set returns an empty labels frame (short-circuit, same
+    contract)."""
+    from cmsspark_spark.operators import dedup as D
+    from cmsspark_spark.operators.incremental import (
+        _increment_minhash_bands,
+        commit_census_minhash,
+        split_assign_increment,
+    )
+
+    base = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(40))),
+         (2, " ".join(f"zed{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "val")], ["doc_id", "split"]
+    )
+    census_path = str(tmp_path / "census")
+    commit_census_minhash(spark, base, census_path)
+    census = spark.read.parquet(census_path)
+    inc = spark.createDataFrame(
+        [(10, " ".join(f"tok{i}" for i in range(39)) + " tokQ"),
+         (11, " ".join(f"fresh{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    )
+    bands = _increment_minhash_bands(
+        inc, 3, 8, 2, "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    got_inline = sorted(
+        map(tuple, split_assign_increment(inc, census, splits).collect())
+    )
+    got_shared = sorted(
+        map(tuple,
+            split_assign_increment(
+                inc, census, splits, bands=bands
+            ).collect())
+    )
+    assert got_shared == got_inline
+
+    # census commit from the shared frame == recomputed commit
+    p1, p2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    commit_census_minhash(spark, inc, p1)
+    commit_census_minhash(spark, inc, p2, bands=bands)
+    r1 = sorted(map(tuple, spark.read.parquet(p1).collect()))
+    r2 = sorted(map(tuple, spark.read.parquet(p2).collect()))
+    assert r1 == r2
+
+    # empty pair set: short-circuit returns an empty (node, component)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    cc = D.connected_components(empty, "id_a", "id_b")
+    assert cc.columns == ["node", "component"] and cc.count() == 0
+
+
 def test_assign_splits_job_batch_then_increment(spark, tmp_path):
     """r9: the split-maintenance CLI e2e — batch mode assigns
     cluster-consistent splits and commits splits+census state; a later
