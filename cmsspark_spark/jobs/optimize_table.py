@@ -101,28 +101,45 @@ def run(
             return {"table": table, "dest": dest, "curve": curve,
                     "skipped": "healthy layout per manifest"}
     df = spark.read.parquet(table)
-    before_man = file_stats_manifest(df, [x, y]).toPandas()
-    before = _span_summary(before_man, x, y)
 
-    if n_files is None:
-        n_files = max(1, math.ceil(table_bytes(spark, table) / target_bytes))
+    # The before-stats manifest (a scan+agg of the source layout) and
+    # the clustered rewrite are independent Spark jobs — the rewrite
+    # never reads the stats. Submit the stats scan from a driver
+    # thread so it backfills the rewrite's map/shuffle stragglers
+    # instead of serializing ahead of them (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
 
-    summary = {"table": table, "dest": dest, "curve": curve,
-               "before": before}
-    if not dry_run:
-        keyed, key = curve_key(df, x, y, curve=curve)
-        (
-            keyed.repartitionByRange(n_files, key)
-            .sortWithinPartitions(key)
-            .drop(key)
-            .write.mode("overwrite")
-            .parquet(dest)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_before = pool.submit(
+            lambda: file_stats_manifest(df, [x, y]).toPandas()
         )
-        # write-time manifest maintenance: the sidecar is built from
-        # the rewritten files' FOOTERS (ranged reads, no data re-scan)
-        # and doubles as the report's after-stats
-        man_path = write_file_manifest(spark, dest, (x, y))
-        after_man = spark.read.parquet(man_path).toPandas()
+
+        if n_files is None:
+            n_files = max(
+                1, math.ceil(table_bytes(spark, table) / target_bytes)
+            )
+
+        summary = {"table": table, "dest": dest, "curve": curve}
+        after_man = None
+        if not dry_run:
+            keyed, key = curve_key(df, x, y, curve=curve)
+            (
+                keyed.repartitionByRange(n_files, key)
+                .sortWithinPartitions(key)
+                .drop(key)
+                .write.mode("overwrite")
+                .parquet(dest)
+            )
+            # write-time manifest maintenance: the sidecar is built from
+            # the rewritten files' FOOTERS (ranged reads, no data re-scan)
+            # and doubles as the report's after-stats
+            man_path = write_file_manifest(spark, dest, (x, y))
+            after_man = spark.read.parquet(man_path).toPandas()
+        before_man = f_before.result()
+
+    before = _span_summary(before_man, x, y)
+    summary["before"] = before
+    if after_man is not None:
         after = _span_summary(after_man, x, y)
         summary["after"] = after
         report.write_report(
