@@ -1908,22 +1908,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py::test_ivf_recall_vs_brute_force gates).
     Execution: truth and arm reduce to TWO bounded scalars (counts);
     the 1-row report is assembled engine-side."""
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    # train on the UN-widened scan: the bounded limit(sample).collect()
-    # must not pay the widening repartition (a full vector shuffle
-    # ahead of a 2048-row take — measured ~10x the sample cost).
-    cents = S.train_ivf_centroids(
-        _t(spark, sf_dir, "embeddings", widen=False), n_centroids=8
-    )
-    ivf = S.ivf_topk(emb, queries, cents, k=5, nprobe=3).select(
-        "query_id", "vec_id"
-    )
-    truth = QUERIES["ann_cosine_topk"](spark, sf_dir).select(
-        "query_id", "vec_id"
-    )
-    n_truth = truth.count()
-    n_hit = truth.join(ivf, ["query_id", "vec_id"], "left_semi").count()
+
+    # both sides are top-k lists — bounded at |queries|·k rows — so
+    # the recall join is a driver-side set intersection over collected
+    # id pairs (same discipline as ann_ladder_recall_report: exact
+    # integer counting, byte-identical to the left-semi count jobs it
+    # replaces, minus two Spark jobs of scheduling/analysis overhead);
+    # the brute-force truth arm is independent of the trained arm, so
+    # it runs as a concurrent driver job and overlaps the centroid
+    # training + probe serve (guide §2.6)
+    def _truth_rows() -> list:
+        return (
+            QUERIES["ann_cosine_topk"](spark, sf_dir)
+            .select("query_id", "vec_id")
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_truth = pool.submit(_truth_rows)
+        # train on the UN-widened scan: the bounded
+        # limit(sample).collect() must not pay the widening
+        # repartition (a full vector shuffle ahead of a 2048-row take
+        # — measured ~10x the sample cost).
+        cents = S.train_ivf_centroids(
+            _t(spark, sf_dir, "embeddings", widen=False), n_centroids=8
+        )
+        got = {
+            (r.query_id, r.vec_id)
+            for r in S.ivf_topk(emb, queries, cents, k=5, nprobe=3)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        truth = f_truth.result()
+    n_truth = len(truth)
+    n_hit = sum(1 for r in truth if (r.query_id, r.vec_id) in got)
     return spark.createDataFrame(
         [(n_truth, n_hit * 10 >= n_truth * 4)],
         "n_truth: bigint, recall_ok: boolean",
