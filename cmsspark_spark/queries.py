@@ -13515,15 +13515,24 @@ def snapshot_cdc_replication(
                 )
             )
 
-        out = agg(b).localCheckpoint(eager=True)
-        got_b = {
-            r.o_orderstatus: (r.n_rows, r.sum_cents)
-            for r in out.collect()
-        }
-        got_a = {
-            r.o_orderstatus: (r.n_rows, r.sum_cents)
-            for r in agg(a).collect()
-        }
+        # the two audit aggregates read DIFFERENT tables (source A,
+        # replica B) — independent driver jobs, so A's runs from a
+        # thread and overlaps B's checkpoint+collect (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_a = pool.submit(
+                lambda: {
+                    r.o_orderstatus: (r.n_rows, r.sum_cents)
+                    for r in agg(a).collect()
+                }
+            )
+            out = agg(b).localCheckpoint(eager=True)
+            got_b = {
+                r.o_orderstatus: (r.n_rows, r.sum_cents)
+                for r in out.collect()
+            }
+            got_a = f_a.result()
         if got_a != got_b:
             raise AssertionError(
                 f"replica diverged from source: {got_b} != {got_a}"
