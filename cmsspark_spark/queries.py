@@ -7954,14 +7954,15 @@ def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side set intersection over collected id pairs (exact
     # integer counting, byte-identical to the old per-arm join+count
     # jobs, minus five Spark jobs of pure scheduling/analysis
-    # overhead on memo-served arms)
-    truth = {
-        (r.query_id, r.vec_id)
-        for r in QUERIES["ann_cosine_topk"](spark, sf_dir)
-        .select("query_id", "vec_id")
-        .collect()
-    }
-    n_truth = len(truth)
+    # overhead on memo-served arms). The truth arm is itself just one
+    # more independent top-k build, so it joins the SAME concurrent
+    # fan-out instead of serializing ahead of it — each thread
+    # collects its arm's id pairs, and the recall intersection runs
+    # after the truth future resolves (guide §2.6).
+    def _pairs(qname: str) -> list:
+        return QUERIES[qname](spark, sf_dir).select(
+            "query_id", "vec_id"
+        ).collect()
 
     # the trained arm's k-means runs INSIDE its thread: with a single
     # trained arm there is nothing to race, and training then overlaps
@@ -7969,15 +7970,16 @@ def ann_ladder_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out (a memoized session skips it entirely); if two trained
     # arms ever both miss the memo they'd train the same deterministic
     # centroids redundantly — wasted work, never wrong answers
-    def _n_hit(qname: str) -> int:
-        got = QUERIES[qname](spark, sf_dir).select(
-            "query_id", "vec_id"
-        ).collect()
-        return sum(1 for r in got if (r.query_id, r.vec_id) in truth)
-
     methods = list(_ANN_LADDER_METHODS)
-    with ThreadPoolExecutor(max_workers=len(methods)) as pool:
-        hits = list(pool.map(_n_hit, [q for _, q in methods]))
+    with ThreadPoolExecutor(max_workers=len(methods) + 1) as pool:
+        f_truth = pool.submit(_pairs, "ann_cosine_topk")
+        f_arms = [pool.submit(_pairs, q) for _, q in methods]
+        truth = {(r.query_id, r.vec_id) for r in f_truth.result()}
+        hits = [
+            sum(1 for r in f.result() if (r.query_id, r.vec_id) in truth)
+            for f in f_arms
+        ]
+    n_truth = len(truth)
     rows = [
         (label, n_truth, h) for (label, _), h in zip(methods, hits)
     ]
