@@ -357,14 +357,17 @@ def minhash_lsh_bucket_report(
     )
 
 
-#: Session memo for VERIFIED pair lists: LSH → exact-Jaccard verify is
-#: the single most recomputed sub-pipeline in the registry — the seven
-#: components consumers share one propagation run via ``_CC_MEMO``,
-#: but pair-grain consumers (the split-leakage audit) re-paid the full
-#: LSH+verify cost (~9 s at sf0.1). The memoized value is the verified
-#: pair frame, eagerly localCheckpointed — ids + one double, tiny —
-#: keyed on BOTH input plans' fresh-data keys (corpus and candidates).
-_JACCARD_MEMO = _SessionMemo("jaccard_pairs")
+#: Session memo for the candidate MEMBERS' hashed SHINGLE frame —
+#: derived index STATE, same grain as the MinHash signature memos:
+#: per-doc-distinct (id, n_sh, xxhash64(shingle)) rows of only the
+#: docs appearing in a candidate pair. The r12-era ``_JACCARD_MEMO``
+#: memoized the verified-pair OUTPUT frame, so benched consumers
+#: (leakage audit, components family) replayed a checkpointed dict
+#: entry instead of verifying — result caching by the r13 policy line
+#: (VERDICT r13 item 1), retired: the pair join + aggregation now
+#: recompute on every call from the shared shingle state. Keyed on
+#: BOTH input plans' fresh-data keys (corpus and candidates).
+_SHINGLE_MEMO = _SessionMemo("jaccard_shingles")
 
 
 def jaccard_pairs(
@@ -392,29 +395,107 @@ def jaccard_pairs(
     groupBy. ``shingles()`` is per-document distinct already, so no
     distinct shuffle either.
 
-    The verified pair list is memoized per session on fresh-data keys
-    of BOTH inputs (``_JACCARD_MEMO``): every consumer of the same
-    (corpus, candidates, params) shares one eagerly-materialized run —
-    a memo hit replays a tiny checkpointed ids frame. Unsafe keys
-    (non-fingerprintable sources) run unmemoized and lazy as before.
+    In candidate mode the members' shingle frame is memoized per
+    session on fresh-data keys of BOTH inputs (``_SHINGLE_MEMO`` —
+    state-grain: the tokenize+shingle pass over candidate members runs
+    once, the verify join + aggregation recompute every call; the
+    threshold is applied per call, so different thresholds share one
+    shingle build). All-pairs mode and unsafe keys run unmemoized and
+    lazy as before.
     """
-    k_df = _JACCARD_MEMO.key_for(df, id_col, text_col, n, threshold)
-    k_cand = (
-        _JACCARD_MEMO.key_for(candidates)
-        if candidates is not None
-        else ("nocand",)
-    )
+    if candidates is None:
+        return _jaccard_pairs_run(
+            df, id_col, text_col, n, threshold, None, cache
+        )
+    k_df = _SHINGLE_MEMO.key_for(df, id_col, text_col, n)
+    k_cand = _SHINGLE_MEMO.key_for(candidates)
     if k_df is None or k_cand is None:
         return _jaccard_pairs_run(
             df, id_col, text_col, n, threshold, candidates, cache
         )
-    per = _JACCARD_MEMO.per_session(df.sparkSession)
+    per = _SHINGLE_MEMO.per_session(df.sparkSession)
     key = (k_df, k_cand)
     if key not in per:
-        per[key] = _jaccard_pairs_run(
-            df, id_col, text_col, n, threshold, candidates, cache
+        from pyspark import StorageLevel
+
+        cand = candidates.select("id_a", "id_b").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        per[key] = _shingle_rows(
+            _candidate_members(df, id_col, cand), id_col, text_col, n
         ).localCheckpoint(eager=True)
-    return per[key]
+    return _pairs_from_shingles(
+        per[key], candidates.select("id_a", "id_b"), threshold
+    )
+
+
+def _candidate_members(
+    df: DataFrame, id_col: str, candidates: DataFrame
+) -> DataFrame:
+    """The corpus pruned to candidate-pair MEMBERS (broadcast
+    semi-join — ids only cross the exchange, never text)."""
+    members = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # Broadcast the member-id set: without the hint the semi-join
+    # sort-merges and the CORPUS side shuffles (doc_id, text) —
+    # megabytes of text per row through an exchange just to test
+    # id membership (caught by test_split_leakage_shuffles_ids_
+    # not_text). The member set is ids-only and candidate-sized;
+    # if a corpus ever has too many candidates to broadcast, the
+    # right fix is tighter LSH bands, not a text shuffle.
+    return df.join(F.broadcast(members), on=id_col, how="left_semi")
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-doc-distinct (id, n_sh, xxhash64(shingle)) rows.
+
+    Two-step projection ON PURPOSE: naming the shingle array before
+    size()+explode() reference it keeps the (large) shingle expression
+    tree single-instance — CollapseProject won't inline a non-cheap
+    expression referenced twice. Inlining it doubles the
+    optimizer/codegen work on an already-big tree (measured: ~30s of
+    first-execution planning at sf0.1)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"), shingles(text_col, n).alias("_arr")
+        )
+        .select(
+            "_id", F.size("_arr").alias("n_sh"),
+            F.explode("_arr").alias("shingle"),
+        )
+        .select("_id", "n_sh", F.xxhash64("shingle").alias("shingle"))
+    )
+
+
+def _pairs_from_shingles(
+    sh: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate pairs verified against a shingle frame: pick up id_a's
+    shingles, match id_b's rows on (id_b, shingle), aggregate to the
+    exact Jaccard — work is linear in Σ|shingles(candidate docs)|,
+    never the all-co-occurring-pairs blowup of the exact mode."""
+    a = sh.select(
+        F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = candidates.join(a, on="id_a").join(b, on=["id_b", "shingle"])
+    common = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    out = common.withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    ).filter(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "jaccard")
 
 
 def _jaccard_pairs_run(
@@ -442,31 +523,9 @@ def _jaccard_pairs_run(
         candidates = candidates.select("id_a", "id_b").persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        members = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        # Broadcast the member-id set: without the hint the semi-join
-        # sort-merges and the CORPUS side shuffles (doc_id, text) —
-        # megabytes of text per row through an exchange just to test
-        # id membership (caught by test_split_leakage_shuffles_ids_
-        # not_text). The member set is ids-only and candidate-sized;
-        # if a corpus ever has too many candidates to broadcast, the
-        # right fix is tighter LSH bands, not a text shuffle.
-        df = df.join(F.broadcast(members), on=id_col, how="left_semi")
+        df = _candidate_members(df, id_col, candidates)
 
-    # Two-step projection ON PURPOSE: naming the shingle array before
-    # size()+explode() reference it keeps the (large) shingle expression
-    # tree single-instance — CollapseProject won't inline a non-cheap
-    # expression referenced twice. Inlining it doubles the optimizer/codegen
-    # work on an already-big tree (measured: ~30s of first-execution
-    # planning at sf0.1).
-    sh = (
-        df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_arr"))
-        .select("_id", F.size("_arr").alias("n_sh"), F.explode("_arr").alias("shingle"))
-        .select("_id", "n_sh", F.xxhash64("shingle").alias("shingle"))
-    )
+    sh = _shingle_rows(df, id_col, text_col, n)
     if cache:
         # The shingle frame feeds BOTH self-join branches. Persisting it
         # (reference O6 pattern: cache frames consumed ≥2×) halves the
@@ -478,20 +537,15 @@ def _jaccard_pairs_run(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
 
-    a = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
-    if candidates is None:
-        pairs = a.join(b, on="shingle").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        # Candidate mode PRUNES BEFORE the join: candidate pairs pick up
-        # id_a's shingles, then match id_b's rows on (id_b, shingle) —
-        # work is linear in Σ|shingles(candidate docs)|, never the
-        # all-co-occurring-pairs blowup of the exact mode.
-        pairs = (
-            candidates.select("id_a", "id_b")
-            .join(a, on="id_a")
-            .join(b, on=["id_b", "shingle"])
-        )
+    if candidates is not None:
+        return _pairs_from_shingles(sh, candidates, threshold)
+    a = sh.select(
+        F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = a.join(b, on="shingle").filter(F.col("id_a") < F.col("id_b"))
     common = pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_common"),
         F.first("n_a").alias("n_a"),

@@ -243,25 +243,16 @@ def bm25_more_like_this(
     top-k) — here every matching posting is scored, which IS the
     exact semantics the oracle checks.
 
-    The ranked output (top-k rows) is memoized per session
-    (``_BM25_PRUNED_MEMO``): downstream compositions — the champion
-    recall report, hard-negative mining — share one postings build
-    instead of re-running it. Plan-shape contracts are asserted on
-    the un-memoized builder (``_bm25_exact_build``), which is what a
-    memo miss executes.
+    Downstream compositions — the champion recall report,
+    hard-negative mining — share the postings STATE via
+    ``_postings_stats``; the ranking itself recomputes on every call
+    (the r12-era ranked-OUTPUT memo was result caching and is retired
+    — VERDICT r13 item 1).
     """
-    params = (
-        id_col, text_col, query_max_id, k, k1, b, k1_plus_1, one_minus_b,
+    return _bm25_exact_build(
+        docs, id_col, text_col, query_max_id, k,
+        k1, b, k1_plus_1, one_minus_b,
     )
-    return _bm25_pruned_shared(
-        "exact", docs, params,
-        lambda: (
-            _bm25_exact_build(
-                docs, id_col, text_col, query_max_id, k,
-                k1, b, k1_plus_1, one_minus_b,
-            ),
-        ),
-    )[0]
 
 
 #: Session memo for the (postings, sum_dl, n_docs) triple every BM25
@@ -395,21 +386,13 @@ def bm25_rm3_more_like_this(
     serves round 1 and the expansion only touches fb_k·|queries| doc
     postings — expansion cost never scales with the corpus.
 
-    The ranked output is memoized per session (``_BM25_PRUNED_MEMO``)
-    like every sibling rung; a memo miss runs ``_bm25_rm3_build``."""
-    params = (
-        id_col, text_col, query_max_id, k, fb_k, fb_terms, w_orig,
-        w_exp, k1, b, k1_plus_1, one_minus_b,
+    Both rounds recompute on every call from the shared postings
+    STATE (``_postings_stats``); the ranked output is not memoized
+    (VERDICT r13 item 1)."""
+    return _bm25_rm3_build(
+        docs, id_col, text_col, query_max_id, k, fb_k, fb_terms,
+        w_orig, w_exp, k1, b, k1_plus_1, one_minus_b,
     )
-    return _bm25_pruned_shared(
-        "rm3", docs, params,
-        lambda: (
-            _bm25_rm3_build(
-                docs, id_col, text_col, query_max_id, k, fb_k, fb_terms,
-                w_orig, w_exp, k1, b, k1_plus_1, one_minus_b,
-            ),
-        ),
-    )[0]
 
 
 def _bm25_rm3_build(
@@ -608,23 +591,15 @@ def bm25_champion_topk(
     candidate scoring joins candidates (ids only) back to postings —
     text never shuffles.
 
-    The ranked output is memoized per session (``_BM25_PRUNED_MEMO``)
-    so the recall report shares this rung's build; plan contracts are
-    asserted on the un-memoized ``_bm25_champion_build``.
+    The recall report shares this rung's postings STATE
+    (``_postings_stats``); the champion cut and ranking recompute on
+    every call (ranked-output memoization retired — VERDICT r13
+    item 1).
     """
-    params = (
-        id_col, text_col, query_max_id, k, champions,
+    return _bm25_champion_build(
+        docs, id_col, text_col, query_max_id, k, champions,
         k1, b, k1_plus_1, one_minus_b,
     )
-    return _bm25_pruned_shared(
-        "champion", docs, params,
-        lambda: (
-            _bm25_champion_build(
-                docs, id_col, text_col, query_max_id, k, champions,
-                k1, b, k1_plus_1, one_minus_b,
-            ),
-        ),
-    )[0]
 
 
 def _bm25_champion_build(
@@ -909,28 +884,39 @@ def _bm25_rank_candidates(
     )
 
 
-#: Session memo for the pruned rungs' (ranked, report) output pairs —
-#: each rung exposes BOTH a ranked query and a report query, and
-#: without sharing each registry entry rebuilds the whole postings +
-#: seed + bound state (~3.5 s each at sf0.1). Outputs are tiny
-#: (top-k rows + one report row per query), eagerly checkpointed, so
-#: a hit replays ids-only frames; fresh-data keys as everywhere.
-_BM25_PRUNED_MEMO = _SessionMemo("bm25_pruned")
+#: Session memo for the pruned rungs' SHARED STATE dict
+#: (:func:`_bm25_prune_state`: champion seeds, θ, per-term bounds,
+#: essential split — lazily-checkpointed query-grain frames). This is
+#: deliberately STATE-grain (VERDICT r13 item 1): the r12-era
+#: ``_BM25_PRUNED_MEMO`` memoized each rung's (ranked, report) OUTPUT
+#: pair, so a benched report twin replayed a checkpointed dict entry
+#: instead of computing anything — result caching, retired this
+#: round. Every rung's serve now recomputes its candidate set, exact
+#: scoring and rank from the shared state on each call.
+_PRUNE_STATE_MEMO = _SessionMemo("bm25_prune_state")
 
 
-def _bm25_pruned_shared(
-    tag: str, docs: DataFrame, params: tuple, builder
-) -> tuple[DataFrame, ...]:
-    """Memoize a rung's output-frame tuple (eagerly checkpointed —
-    every element is top-k/report sized, never corpus sized)."""
-    key = _BM25_PRUNED_MEMO.key_for(docs, tag, *params)
+def _bm25_prune_state_shared(
+    docs, id_col, text_col, query_max_id, k, c,
+    k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
+) -> dict:
+    """Memoized :func:`_bm25_prune_state`: max-score and block-max
+    (ranked + report twins — four registry queries with identical
+    bound params) share ONE seeds/θ/bounds build per session; each
+    consumer recomputes its own candidates + ranking from it."""
+    args = (
+        docs, id_col, text_col, query_max_id, k, c,
+        k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
+    )
+    key = _PRUNE_STATE_MEMO.key_for(
+        docs, "prune_state", id_col, text_col, query_max_id, k, c,
+        k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
+    )
     if key is None:
-        return builder()
-    per = _BM25_PRUNED_MEMO.per_session(docs.sparkSession)
+        return _bm25_prune_state(*args)
+    per = _PRUNE_STATE_MEMO.per_session(docs.sparkSession)
     if key not in per:
-        per[key] = tuple(
-            f.localCheckpoint(eager=True) for f in builder()
-        )
+        per[key] = _bm25_prune_state(*args)
     return per[key]
 
 
@@ -996,20 +982,14 @@ def bm25_maxscore_parts(
     ids broadcast like the champion rung; a deployment with huge
     essential posting mass should raise ``seed_champions`` (a better
     θ prunes more). Returns ``(ranked, report)`` — ranked has the
-    exact rung's schema (query_id, id_col, bm25, rank). Both outputs
-    are memoized per session (``_BM25_PRUNED_MEMO``): the ranked
-    registry query and its report sibling share one state build.
+    exact rung's schema (query_id, id_col, bm25, rank). The ranked
+    registry query and its report sibling share ONE bounds build via
+    ``_PRUNE_STATE_MEMO`` (state-grain); each recomputes its own
+    candidates + scoring from it (VERDICT r13 item 1).
     """
-    params = (
-        id_col, text_col, query_max_id, k, seed_champions,
+    return _bm25_maxscore_build(
+        docs, id_col, text_col, query_max_id, k, seed_champions,
         k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
-    )
-    return _bm25_pruned_shared(
-        "maxscore", docs, params,
-        lambda: _bm25_maxscore_build(
-            docs, id_col, text_col, query_max_id, k, seed_champions,
-            k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
-        ),
     )
 
 
@@ -1017,8 +997,9 @@ def _bm25_maxscore_build(
     docs, id_col, text_col, query_max_id, k, seed_champions,
     k1, b, k1_plus_1, one_minus_b, broadcast_candidates=True,
 ) -> tuple[DataFrame, DataFrame]:
-    """The un-memoized max-score build (see bm25_maxscore_parts)."""
-    st = _bm25_prune_state(
+    """The max-score serve (see bm25_maxscore_parts) — recomputed per
+    call over the memoized prune STATE."""
+    st = _bm25_prune_state_shared(
         docs, id_col, text_col, query_max_id, k,
         int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
         broadcast_candidates,
@@ -1139,9 +1120,10 @@ def bm25_blockmax_parts(
     block-grain economics on top of the term-grain ones: blocks_total
     / blocks_pruned over essential terms and postings_scanned at
     BLOCK grain (Σ block posting counts over surviving blocks —
-    strictly ≤ max-score's Σ df(essential)). Both outputs are
-    memoized per session (``_BM25_PRUNED_MEMO``), sharing one state
-    build between the ranked and report registry queries."""
+    strictly ≤ max-score's Σ df(essential)). The ranked and report
+    registry queries share one bounds build via ``_PRUNE_STATE_MEMO``
+    (state-grain) and each recomputes its own candidates + scoring
+    from it (VERDICT r13 item 1)."""
     if min_prune_docs is not None and docs.count() < int(min_prune_docs):
         ranked = bm25_more_like_this(
             docs, id_col, text_col, query_max_id, k,
@@ -1155,17 +1137,10 @@ def bm25_blockmax_parts(
             "n_candidates long",
         )
         return ranked, empty_report
-    params = (
-        id_col, text_col, query_max_id, k, seed_champions, block_size,
-        k1, b, k1_plus_1, one_minus_b, broadcast_candidates,
-    )
-    return _bm25_pruned_shared(
-        "blockmax", docs, params,
-        lambda: _bm25_blockmax_build(
-            docs, id_col, text_col, query_max_id, k, seed_champions,
-            block_size, k1, b, k1_plus_1, one_minus_b,
-            broadcast_candidates,
-        ),
+    return _bm25_blockmax_build(
+        docs, id_col, text_col, query_max_id, k, seed_champions,
+        block_size, k1, b, k1_plus_1, one_minus_b,
+        broadcast_candidates,
     )
 
 
@@ -1173,8 +1148,10 @@ def _bm25_blockmax_build(
     docs, id_col, text_col, query_max_id, k, seed_champions,
     block_size, k1, b, k1_plus_1, one_minus_b, broadcast_candidates=True,
 ) -> tuple[DataFrame, DataFrame]:
-    """The un-memoized block-max build (see bm25_blockmax_parts)."""
-    st = _bm25_prune_state(
+    """The block-max serve (see bm25_blockmax_parts) — recomputed per
+    call over the memoized prune STATE (shared with max-score when the
+    bound params coincide)."""
+    st = _bm25_prune_state_shared(
         docs, id_col, text_col, query_max_id, k,
         int(seed_champions or k), k1, b, k1_plus_1, one_minus_b,
         broadcast_candidates,

@@ -131,19 +131,30 @@ def test_invalidate_session_memos_clears_everything(spark, tmp_path):
     assert _labels(D.connected_components(pairs)) == _labels(out1)
 
 
-def test_jaccard_pairs_memo_hit_and_invalidation(spark, tmp_path, monkeypatch):
-    """r9: the verified-pair list memoizes on BOTH input plans'
-    fresh-data keys — sibling consumers (components family, leakage
-    audit) share one LSH+verify run; a rewritten corpus re-verifies."""
-    monkeypatch.setattr(D, "_JACCARD_MEMO", SessionMemo("jac-test"))
-    calls = {"n": 0}
-    real = D._jaccard_pairs_run
+def test_jaccard_pairs_shares_shingle_state_not_outputs(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 item 1): jaccard_pairs memoizes the candidate
+    MEMBERS' shingle frame — derived index STATE, keyed on BOTH input
+    plans' fresh-data keys — while the verify join + aggregation
+    recompute on EVERY call (the r12-era verified-pair OUTPUT memo was
+    result caching and is retired). A rewritten corpus re-shingles."""
+    monkeypatch.setattr(D, "_SHINGLE_MEMO", SessionMemo("shingle-test"))
+    sh_calls = {"n": 0}
+    verify_calls = {"n": 0}
+    real_sh = D._shingle_rows
+    real_verify = D._pairs_from_shingles
 
-    def counting(*a, **k):
-        calls["n"] += 1
-        return real(*a, **k)
+    def counting_sh(*a, **k):
+        sh_calls["n"] += 1
+        return real_sh(*a, **k)
 
-    monkeypatch.setattr(D, "_jaccard_pairs_run", counting)
+    def counting_verify(*a, **k):
+        verify_calls["n"] += 1
+        return real_verify(*a, **k)
+
+    monkeypatch.setattr(D, "_shingle_rows", counting_sh)
+    monkeypatch.setattr(D, "_pairs_from_shingles", counting_verify)
     p = str(tmp_path / "docs")
     base = " ".join(f"tok{i}" for i in range(30))
     spark.createDataFrame(
@@ -163,13 +174,15 @@ def test_jaccard_pairs_memo_hit_and_invalidation(spark, tmp_path, monkeypatch):
 
     r1, r2 = pairs(), pairs()  # separately-built identical plans
     assert r1 == r2 == {(1, 2)}
-    assert calls["n"] == 1
-    # changed corpus at the same path → fingerprint miss → re-verify
+    assert sh_calls["n"] == 1      # shingle STATE built once per key
+    assert verify_calls["n"] == 2  # the verify recomputes per call
+    # changed corpus at the same path → fingerprint miss → re-shingle
     spark.createDataFrame(
         [(1, base), (7, base + " tail")], "doc_id long, text string"
     ).write.mode("overwrite").parquet(p)
     assert pairs() == {(1, 7)}
-    assert calls["n"] == 2
+    assert sh_calls["n"] == 2
+    assert verify_calls["n"] == 3
 
 
 def test_logreg_memo_shares_fit_and_keys_on_label(spark, tmp_path, monkeypatch):
