@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 
 from pyspark.sql import SparkSession
 
@@ -83,6 +84,16 @@ def run(
     max_files: int = 64,
 ) -> dict:
     dest = dest or table.rstrip("/") + "_optimized"
+    # enforce the docstring's "never in place" contract BEFORE any
+    # concurrent work starts (ADVICE r13): with the before-stats scan
+    # overlapping the rewrite, an in-place overwrite would delete
+    # source files mid-read and surface as confusing executor task
+    # failures instead of a clean error
+    if os.path.normpath(dest) == os.path.normpath(table):
+        raise ValueError(
+            f"dest must differ from table (got {table!r}): the rewrite "
+            "never runs in place"
+        )
     if if_needed:
         # consult the write-time manifest sidecar BEFORE touching any
         # data: a table whose clustering is still healthy (file count

@@ -131,9 +131,31 @@ def run(
     # The three sinks are independent reads of the checkpointed
     # summary: submit them as concurrent driver jobs so each backfills
     # the others' stragglers (guide §2.6 overlap independent jobs).
+    # CONTRACT CHANGE vs the serial form (documented per ADVICE r13):
+    # sink completion is UNORDERED — a failed day can leave report/CSV
+    # output alongside a missing curated parquet partition, so
+    # downstream consumers must key on job success, not on any sink's
+    # presence. Every future is drained and EVERY failure is surfaced
+    # (not just the first): a second sink's failure is chained as
+    # context instead of being silently swallowed.
     with ThreadPoolExecutor(max_workers=3) as pool:
-        for f in [pool.submit(fn) for fn in (_parquet, _csv, _report)]:
-            f.result()
+        futures = {
+            name: pool.submit(fn)
+            for name, fn in (
+                ("parquet", _parquet), ("csv", _csv), ("report", _report)
+            )
+        }
+        errors = [
+            (name, f.exception())
+            for name, f in futures.items()
+            if f.exception() is not None
+        ]
+    if errors:
+        names = ", ".join(name for name, _ in errors)
+        exc = RuntimeError(f"rucio summary sink(s) failed: {names}")
+        for _, e in errors[1:]:
+            exc.add_note(f"also failed: {e!r}")
+        raise exc from errors[0][1]
     # K6: OpenSearch bulk push (driver-side batched like the
     # reference's send loop; the transport is injected).
     if osearch_sink is not None:

@@ -53,6 +53,7 @@ callers that rewrite files in place within one mtime tick must call
 
 from __future__ import annotations
 
+import threading
 import weakref
 from collections import OrderedDict
 from typing import Any, Callable
@@ -147,6 +148,10 @@ class SessionMemo:
     def __init__(self, name: str):
         self.name = name
         self._store: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+        self._lock_store: "weakref.WeakKeyDictionary" = (
+            weakref.WeakKeyDictionary()
+        )
+        self._meta_lock = threading.Lock()
         _REGISTRY.append(self)
 
     @staticmethod
@@ -174,17 +179,39 @@ class SessionMemo:
             self._store[spark] = store
         return store
 
+    def lock_for(self, spark, key) -> "threading.Lock":
+        """Per-(session, key) build lock: concurrent consumers of the
+        same (plan, params) — e.g. the ANN ladder's thread-pool arms —
+        serialize on the MISS path so exactly one of them builds and
+        the rest share the entry (the module's train-once contract;
+        ADVICE r13). Hits never touch the lock."""
+        with self._meta_lock:
+            locks = self._lock_store.get(spark)
+            if locks is None:
+                locks = {}
+                self._lock_store[spark] = locks
+            lk = locks.get(key)
+            if lk is None:
+                lk = threading.Lock()
+                locks[key] = lk
+            return lk
+
     def get_or(
         self, df: DataFrame, params: tuple, builder: Callable[[], Any]
     ) -> Any:
         """Memoized ``builder()`` — a hit skips it entirely; an unsafe
-        key runs it unmemoized."""
+        key runs it unmemoized. Concurrent misses on the same key
+        share ONE build (per-key lock — see :meth:`lock_for`)."""
         key = self.key_for(df, *params)
         if key is None:
             return builder()
-        per = self.per_session(df.sparkSession)
-        if key not in per:
-            per[key] = builder()
+        spark = df.sparkSession
+        per = self.per_session(spark)
+        if key in per:
+            return per[key]
+        with self.lock_for(spark, key):
+            if key not in per:
+                per[key] = builder()
         return per[key]
 
     def invalidate(self, spark=None) -> None:

@@ -1200,16 +1200,23 @@ def _kmeans_shared(
     if base_key is None:
         q = _kmeans_quantized_frame(corpus, id_col, vec_col, scale)
         return q, _kmeans_train(q, k, iters)
-    per_sess = _KMEANS_MEMO.per_session(corpus.sparkSession)
+    spark = corpus.sparkSession
+    per_sess = _KMEANS_MEMO.per_session(spark)
     fkey = ("frame",) + base_key
     if fkey not in per_sess:
-        per_sess[fkey] = _kmeans_quantized_frame(
-            corpus, id_col, vec_col, scale
-        )
+        # per-key build lock (ADVICE r13): concurrent ladder arms that
+        # both miss share ONE quantize/train instead of building twice
+        with _KMEANS_MEMO.lock_for(spark, fkey):
+            if fkey not in per_sess:
+                per_sess[fkey] = _kmeans_quantized_frame(
+                    corpus, id_col, vec_col, scale
+                )
     q = per_sess[fkey]
     tkey = ("cents",) + base_key + (k, iters)
     if tkey not in per_sess:
-        per_sess[tkey] = _kmeans_train(q, k, iters)
+        with _KMEANS_MEMO.lock_for(spark, tkey):
+            if tkey not in per_sess:
+                per_sess[tkey] = _kmeans_train(q, k, iters)
     return q, per_sess[tkey]
 
 

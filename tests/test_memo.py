@@ -257,3 +257,30 @@ def test_session_memo_store_is_bounded_lru():
     assert ("k", 0) in store          # recently read → retained
     assert ("k", 1) not in store      # the actual LRU → evicted
     assert ("k", MEMO_MAX_ENTRIES) in store
+
+
+def test_get_or_concurrent_misses_share_one_build(spark, tmp_path):
+    """r14 (ADVICE r13): two threads missing the same key serialize on
+    a per-key lock and share ONE build — the train-once contract holds
+    under the concurrent fan-outs (ladder arms, rung twins)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    memo = SessionMemo("lock-test")
+    p = str(tmp_path / "d")
+    spark.createDataFrame([(1,)], "x long").write.parquet(p)
+    df = spark.read.parquet(p)
+    calls = {"n": 0}
+
+    def builder():
+        calls["n"] += 1
+        time.sleep(0.3)  # widen the race window
+        return object()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(memo.get_or, df, ("k",), builder) for _ in range(4)
+        ]
+        results = [f.result() for f in futures]
+    assert calls["n"] == 1
+    assert all(r is results[0] for r in results)

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Round-13 optimization profiler.
+"""Round-14 optimization profiler.
 
-Times registry queries with the bench methodology (2-run min,
-clearCache between queries) and writes ``.explain("formatted")``
-output to plans/r13/<query>_<tag>.txt so plan-shape claims are
-checkable without running Spark.
+Times registry queries with the bench methodology (memo-cold entry:
+invalidate_session_memos + clearCache BEFORE each entry, then 2-run
+min) and writes ``.explain("formatted")`` output to
+plans/r14/<query>_<tag>.txt so plan-shape claims are checkable
+without running Spark.
 
 Usage:
   python tools/opt_profile.py [--tag before|after] [--runs N] q1 q2 ...
@@ -49,12 +50,17 @@ def main() -> None:
     QUERIES["global_lineitem_stats"](spark, args.sf_dir).collect()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(here, "plans", "r13")
+    plan_dir = os.path.join(here, "plans", "r14")
     os.makedirs(plan_dir, exist_ok=True)
+
+    from cmsspark_spark.operators.memo import invalidate_session_memos
 
     out: dict[str, float] = {}
     for name in args.names:
         spark.sparkContext.setJobDescription(f"opt-profile: {name}")
+        # memo-cold entry, same discipline as bench.py timed()
+        invalidate_session_memos()
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(args.runs):
             t0 = time.perf_counter()
