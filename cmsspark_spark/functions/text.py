@@ -61,6 +61,7 @@ def doc_term_postings(
     id_col: str,
     text_col: str,
     cols: tuple[str, str, str, str] = ("_doc", "_t", "_dl", "_tf"),
+    impl: str | None = None,
 ):
     """(doc, term, doc_len, term_frequency) postings — computed
     ROW-LOCALLY (sort the token array, run-length encode it, explode
@@ -68,12 +69,28 @@ def doc_term_postings(
     shape, which shuffles every token occurrence across the cluster
     just to count duplicates that all live in the same row. At corpus
     scale that token-level Exchange is the dominant byte-mover of any
-    postings build; here it disappears outright (guide §2.4) and the
-    per-row work is a few O(tokens) array kernels inside codegen.
-    Counts are exactly the grouped form's (equality property-tested);
-    the output is simply not hash-partitioned by (doc, term) — every
+    postings build; here it disappears outright (guide §2.4).
+
+    ``impl`` picks the per-row kernel (default: the ``arrow`` fast
+    path, or ``$CMSSPARK_TEXT_IMPL``): the ``sql`` form's sort+RLE
+    array chain is interpreted HOFs (never codegen — measured ~4.6 s
+    of the sf0.1 postings build), the ``arrow`` form is one
+    ``mapInArrow`` batch kernel with BIT-IDENTICAL counts (token/hash
+    parity pinned by tests/test_arrow_text_parity.py; guide §4.2).
+    Non-integral id columns fall back to ``sql``. Counts are exactly
+    the grouped form's either way (equality property-tested); the
+    output is simply not hash-partitioned by (doc, term) — every
     downstream consumer aggregates by term or by (query, doc) and
     shuffles to its own key anyway."""
+    from cmsspark_spark.functions.arrow_text import (
+        doc_term_postings_arrow,
+        text_impl_default,
+    )
+
+    if (impl or text_impl_default()) == "arrow" and df.schema[
+        id_col
+    ].dataType.simpleString() == "bigint":
+        return doc_term_postings_arrow(df, id_col, text_col, cols)
     d, t, dl, tf = cols
     return (
         df.select(

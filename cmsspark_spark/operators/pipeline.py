@@ -914,9 +914,14 @@ def _bm25_prune_state_shared(
     )
     if key is None:
         return _bm25_prune_state(*args)
-    per = _PRUNE_STATE_MEMO.per_session(docs.sparkSession)
+    spark = docs.sparkSession
+    per = _PRUNE_STATE_MEMO.per_session(spark)
     if key not in per:
-        per[key] = _bm25_prune_state(*args)
+        # per-key build lock (ADVICE r13): concurrent rung consumers
+        # that both miss share ONE bounds build
+        with _PRUNE_STATE_MEMO.lock_for(spark, key):
+            if key not in per:
+                per[key] = _bm25_prune_state(*args)
     return per[key]
 
 
@@ -1650,6 +1655,7 @@ def logreg_hashed_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    impl: str | None = None,
 ) -> DataFrame:
     """Per-(doc, bucket) hashed unigram+bigram count features for the
     trained quality classifier, with the binary label CARRIED ON EVERY
@@ -1660,39 +1666,63 @@ def logreg_hashed_features(
     iteration and the final scoring pass re-read this cache, and
     because both the per-doc margin aggregation and the
     feature×residual join key on ``_id``, the co-partitioning is
-    reused — no corpus-grain exchange after the one repartition."""
+    reused — no corpus-grain exchange after the one repartition.
+
+    ``impl`` picks the featurize kernel (default ``arrow``, or
+    ``$CMSSPARK_TEXT_IMPL``): the ``sql`` form's gram/hash/RLE chain
+    is interpreted HOFs (~6.7 s of the sf0.1 cold fit), the ``arrow``
+    form is one ``mapInArrow`` batch kernel with BIT-IDENTICAL
+    (_id, _b, _y, _c) rows (tokenize/md5 parity pinned by
+    tests/test_arrow_text_parity.py; guide §4.2). Non-bigint ids fall
+    back to ``sql``."""
     from pyspark import StorageLevel
 
+    from cmsspark_spark.functions.arrow_text import (
+        hashed_gram_counts_arrow,
+        text_impl_default,
+    )
     from cmsspark_spark.functions.text import (
         _RUN_COUNTS,
         _RUN_STARTS,
         int_base_hash,
     )
 
-    toks = tokens(text_col)
-    grams = F.concat(raw_ngrams(toks, 1), raw_ngrams(toks, 2))
-    # per-(doc, bucket) counts ROW-LOCALLY (sort the bucket ids, RLE
-    # the runs — the doc_term_postings kernel on ints): identical
-    # counts to the explode+groupBy(_id,_b) form with zero gram-grain
-    # exchange, so the one repartition below is the frame's ONLY
-    # shuffle (guide §2.4)
-    counts = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            label_flag.cast("double").alias("_y"),
-            F.array_sort(
-                F.transform(grams, lambda g: int_base_hash(g) % n_buckets)
-            ).alias("_st"),
+    if (impl or text_impl_default()) == "arrow" and df.schema[
+        id_col
+    ].dataType.simpleString() == "bigint":
+        counts = hashed_gram_counts_arrow(
+            df.select(
+                F.col(id_col).alias("_id"),
+                label_flag.cast("double").alias("_y"),
+                F.col(text_col).alias("_text"),
+            ),
+            "_id", "_y", "_text", n_buckets,
         )
-        .withColumn("_starts", F.expr(_RUN_STARTS))
-        .select("_id", "_y", F.explode(F.expr(_RUN_COUNTS)).alias("_p"))
-        .select(
-            "_id",
-            F.col("_p._t").cast("long").alias("_b"),
-            "_y",
-            F.col("_p._tf").cast("long").alias("_c"),
+    else:
+        toks = tokens(text_col)
+        grams = F.concat(raw_ngrams(toks, 1), raw_ngrams(toks, 2))
+        # per-(doc, bucket) counts ROW-LOCALLY (sort the bucket ids,
+        # RLE the runs — the doc_term_postings kernel on ints):
+        # identical counts to the explode+groupBy(_id,_b) form with
+        # zero gram-grain exchange, so the one repartition below is
+        # the frame's ONLY shuffle (guide §2.4)
+        counts = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                label_flag.cast("double").alias("_y"),
+                F.array_sort(
+                    F.transform(grams, lambda g: int_base_hash(g) % n_buckets)
+                ).alias("_st"),
+            )
+            .withColumn("_starts", F.expr(_RUN_STARTS))
+            .select("_id", "_y", F.explode(F.expr(_RUN_COUNTS)).alias("_p"))
+            .select(
+                "_id",
+                F.col("_p._t").cast("long").alias("_b"),
+                "_y",
+                F.col("_p._tf").cast("long").alias("_c"),
+            )
         )
-    )
     intercept = df.select(
         F.col(id_col).alias("_id"),
         F.lit(n_buckets).alias("_b"),
