@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cmsspark_spark import sinks
 from cmsspark_spark.functions.text import fingerprint, token_count
 from cmsspark_spark.operators.pipeline import mixture_resample, ngram_overlap
+from cmsspark_spark.operators.memo import pin_frame
 from cmsspark_spark.session import get_spark
 from cmsspark_spark.sinks import report
 from cmsspark_spark.sinks.plots import bar_svg
@@ -62,12 +63,12 @@ def run(
     # 2. exact dedup: min-id survivor per fingerprint — the election
     #    shuffles (fingerprint, id) only; text re-attaches by semi-join
     fps = gated.select("doc_id", fingerprint("text").alias("_fp"))
-    # tiny ids-only lists: eager localCheckpoint truncates their
+    # tiny ids-only lists: an eager checkpoint (pin_frame) truncates their
     # lineage so downstream joins don't re-run the election
     survivors = (
         fps.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint()
+        .transform(pin_frame)
     )
     deduped = gated.join(survivors, on="doc_id", how="left_semi")
 
@@ -110,7 +111,7 @@ def run(
         # edges, components (and so survivors/losers) are unchanged
         losers = near_dup_losers(
             deduped, policy=near_dup_policy, hot_bucket_cap=1024
-        ).localCheckpoint()
+        ).transform(pin_frame)
         deduped = deduped.join(losers, on="doc_id", how="left_anti")
 
     # 3. benchmark decontamination: every-20th doc stands in for the
@@ -120,7 +121,7 @@ def run(
     overlap = ngram_overlap(candidates, bench, n=3)
     clean_ids = overlap.filter(
         F.col("hit_ratio") <= max_contamination
-    ).select("doc_id").localCheckpoint()
+    ).select("doc_id").transform(pin_frame)
     clean = candidates.join(clean_ids, on="doc_id", how="left_semi")
 
     # 4. mixture realization: temperature-weighted deterministic
@@ -155,7 +156,7 @@ def run(
                 F.sum(token_count("text")).cast("long").alias("n_tokens"),
             )
             .orderBy("source")
-            .localCheckpoint(eager=True)
+            .transform(pin_frame)
         )
 
     with ThreadPoolExecutor(max_workers=2) as pool:

@@ -35,6 +35,7 @@ from cmsspark_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
+from cmsspark_spark.operators.memo import pin_frame
 from cmsspark_spark.session import get_spark
 from cmsspark_spark.sinks import report
 from cmsspark_spark.sinks.plots import bar_svg
@@ -72,7 +73,8 @@ def run(
 
     # The four report pages are independent read-only audits over the
     # same inputs: each page's frame is per-source-row sized, so each
-    # builder ends in an eager localCheckpoint and the four builders
+    # builder ends in an eager checkpoint (pin_frame: local by default,
+    # reliable opt-in — see operators/memo) and the four builders
     # run CONCURRENTLY (guide §2.6 — independent driver jobs back-fill
     # each other's stragglers). The summary then joins the
     # materialized checkpoints instead of re-executing every page's
@@ -87,7 +89,7 @@ def run(
                 F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
             )
             .orderBy("source")
-            .localCheckpoint(eager=True)
+            .transform(pin_frame)
         )
 
     # 2. drift: against --ref-dir when given, else even/odd split
@@ -119,7 +121,7 @@ def run(
         # exact-percentile aggregation runs once, not per reference
         ref_tbl = psi_reference(
             ref_scored, "source", "n_tokens"
-        ).localCheckpoint(eager=True)
+        ).transform(pin_frame)
         return (
             psi_against_reference(cur_scored, ref_tbl, "source", "n_tokens")
             .withColumn(
@@ -131,7 +133,7 @@ def run(
                 ),
             )
             .orderBy("source")
-            .localCheckpoint(eager=True)
+            .transform(pin_frame)
         )
 
     # 3. boilerplate (blank-line paragraphs — the web-corpus convention;
@@ -145,7 +147,7 @@ def run(
             domain_boilerplate_report(paras, min_docs=boiler_min_docs)
             .withColumnRenamed("domain", "source")
             .orderBy("source")
-            .localCheckpoint(eager=True)
+            .transform(pin_frame)
         )
 
     # 4. novelty profile: first-seen trigram share per source
@@ -171,7 +173,7 @@ def run(
                 ).alias("novelty_frac"),
             )
             .orderBy("source")
-            .localCheckpoint(eager=True)
+            .transform(pin_frame)
         )
 
     from concurrent.futures import ThreadPoolExecutor

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cmsspark_spark import sinks
 from cmsspark_spark.jobs.cms_replicas import rucio_ds_summary
+from cmsspark_spark.operators.memo import pin_frame
 from cmsspark_spark.session import get_spark
 from cmsspark_spark.sinks import report
 from cmsspark_spark.sinks.osearch import OpenSearchSink
@@ -102,9 +103,9 @@ def run(
     # consumers (curated parquet, CSV, report, optional index/AMQ
     # pushes) that would each re-execute the multi-join replica
     # lineage. The summary is day-grain documents — far smaller than
-    # its sources — so an eager localCheckpoint pins it at aggregate
+    # its sources — so an eager checkpoint (pin_frame) pins it at aggregate
     # size and every sink replays the checkpoint (guide §5 reuse).
-    df = compute(sources, date).localCheckpoint(eager=True)
+    df = compute(sources, date).transform(pin_frame)
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -421,9 +421,13 @@ def jaccard_pairs(
         cand = candidates.select("id_a", "id_b").persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        per[key] = _shingle_rows(
-            _candidate_members(df, id_col, cand), id_col, text_col, n
-        ).localCheckpoint(eager=True)
+        from cmsspark_spark.operators.memo import pin_frame
+
+        per[key] = pin_frame(
+            _shingle_rows(
+                _candidate_members(df, id_col, cand), id_col, text_col, n
+            )
+        )
     return _pairs_from_shingles(
         per[key], candidates.select("id_a", "id_b"), threshold
     )
@@ -679,9 +683,9 @@ def simhash(
         return _simhash_run(df, id_col, text_col, bits)
     per = _SIMHASH_MEMO.per_session(df.sparkSession)
     if key not in per:
-        per[key] = _simhash_run(df, id_col, text_col, bits).localCheckpoint(
-            eager=True
-        )
+        from cmsspark_spark.operators.memo import pin_frame
+
+        per[key] = pin_frame(_simhash_run(df, id_col, text_col, bits))
     return per[key]
 
 
@@ -750,9 +754,11 @@ def simhash_weighted(
         return _simhash_weighted_run(df, id_col, text_col, bits)
     per = _SIMHASH_MEMO.per_session(df.sparkSession)
     if key not in per:
-        per[key] = _simhash_weighted_run(
-            df, id_col, text_col, bits
-        ).localCheckpoint(eager=True)
+        from cmsspark_spark.operators.memo import pin_frame
+
+        per[key] = pin_frame(
+            _simhash_weighted_run(df, id_col, text_col, bits)
+        )
     return per[key]
 
 

@@ -298,7 +298,9 @@ def _postings_stats(
         return build(lambda f: f.persist(StorageLevel.MEMORY_AND_DISK))
     per = _POSTINGS_MEMO.per_session(docs.sparkSession)
     if key not in per:
-        per[key] = build(lambda f: f.localCheckpoint(eager=True))
+        from cmsspark_spark.operators.memo import pin_frame
+
+        per[key] = build(pin_frame)
     return per[key]
 
 

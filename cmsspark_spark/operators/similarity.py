@@ -62,6 +62,36 @@ def _ann_topk_shared(
     return builder()
 
 
+def _corpus_index_shared(
+    corpus: DataFrame, params: tuple, builder
+) -> DataFrame:
+    """Shared derived-index frame over the corpus — PQ code tables,
+    IVF inverted-list assignments, LSH bucket tables. STATE at the
+    same grain as the BM25 postings memo (r14, VERDICT item 4): the
+    ladder's arms and a rung's repeat serves re-quantize/re-bucket the
+    SAME corpus with the SAME constants, so the frame is built once
+    per (plan, files, params) per session, eagerly localCheckpointed
+    (also truncating the codebook/centroid literal lineage that every
+    eager consumer otherwise re-analyzes), and every serve RECOMPUTES
+    its candidate generation + ranking from it — outputs are never
+    memoized (see ``_ann_topk_shared``). Concurrent arms share one
+    build via the per-key lock. Unsafe keys (non-file sources) build
+    unmemoized, exactly as before."""
+    key = _CORPUS_INDEX_MEMO.key_for(corpus, *params)
+    if key is None:
+        return builder()
+    spark = corpus.sparkSession
+    per = _CORPUS_INDEX_MEMO.per_session(spark)
+    if key in per:
+        return per[key]
+    with _CORPUS_INDEX_MEMO.lock_for(spark, key):
+        if key not in per:
+            from cmsspark_spark.operators.memo import pin_frame
+
+            per[key] = pin_frame(builder())
+    return per[key]
+
+
 def _jarr_lit(vals, jtype: str) -> "F.Column":
     """True array ``Literal`` column from a numeric vector, in O(1)
     py4j round-trips — ONE plan node.
@@ -387,11 +417,20 @@ def ivf_topk(
     """
 
     def _build() -> DataFrame:
-        c_assign = corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            # corpus side: nprobe=1 — each vector lives in ONE list
-            _probe_lists(vec_col, centroids, 1, impl).getItem(0).alias("_centroid"),
+        # the corpus-side inverted-list assignment is shared index
+        # STATE (the in-memory form of write_ivf_index's layout): one
+        # build per (corpus, centroids, impl) per session (r14)
+        c_assign = _corpus_index_shared(
+            corpus,
+            ("ivf_assign", id_col, vec_col, impl, _np_digest(centroids)),
+            lambda: corpus.select(
+                F.col(id_col),
+                F.col(vec_col),
+                # corpus side: nprobe=1 — each vector lives in ONE list
+                _probe_lists(vec_col, centroids, 1, impl)
+                .getItem(0)
+                .alias("_centroid"),
+            ),
         )
         q_assign = queries.select(
             F.col(id_col).alias(query_id_col),
@@ -566,7 +605,14 @@ def lsh_topk(
                 ),
             )
 
-        corpus_all = bucketize(corpus, id_col, vec_col)
+        # the corpus-side hash tables are shared index STATE: one
+        # bucketize per (corpus, planes, impl) per session (r14)
+        corpus_all = _corpus_index_shared(
+            corpus,
+            ("lsh_buckets", id_col, vec_col, dim, num_planes, tables,
+             seed, impl),
+            lambda: bucketize(corpus, id_col, vec_col),
+        )
         query_all = bucketize(queries, query_id_col, "_qvec")
 
         cand = (
@@ -730,7 +776,14 @@ def _pq_adc_build(
 ) -> DataFrame:
     """The un-memoized ADC build (see pq_adc_topk)."""
     m = codebook.shape[0]
-    codes = pq_codes(corpus, id_col, vec_col, codebook)
+    # the corpus code table is shared index STATE: the static-PQ and
+    # PQ-refine ladder arms encode the same corpus with the same
+    # codebook — one build per session (r14, _corpus_index_shared)
+    codes = _corpus_index_shared(
+        corpus,
+        ("pq_codes", id_col, vec_col, _np_digest(codebook)),
+        lambda: pq_codes(corpus, id_col, vec_col, codebook),
+    )
     qscores = _pq_subspace_scores(vec_col, codebook)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -969,16 +1022,22 @@ def _ivfpq_static_build(
             ).alias("_sall"),
         )
     )
-    codes = staged.select(
-        F.col(id_col),
-        "_c",
-        *[
-            F.array_position(
-                F.element_at(F.col("_sall"), j + 1),
-                F.array_max(F.element_at(F.col("_sall"), j + 1)),
-            ).cast("int").alias(f"code_{j}")
-            for j in range(m)
-        ],
+    # (list id + m residual codes) per vector IS the IVF-PQ index —
+    # shared STATE per (corpus, centroids, codebook) (r14)
+    codes = _corpus_index_shared(
+        corpus,
+        ("ivfpq_codes", id_col, vec_col, _np_digest(centroids, codebook)),
+        lambda: staged.select(
+            F.col(id_col),
+            "_c",
+            *[
+                F.array_position(
+                    F.element_at(F.col("_sall"), j + 1),
+                    F.array_max(F.element_at(F.col("_sall"), j + 1)),
+                ).cast("int").alias(f"code_{j}")
+                for j in range(m)
+            ],
+        ),
     )
     # queries: nprobe probes, per-probe residual score tables + ‖q−c‖²
     probes = queries.select(
@@ -1185,6 +1244,10 @@ def _kmeans_quantized_frame(
 from cmsspark_spark.operators.memo import SessionMemo as _SessionMemo
 
 _KMEANS_MEMO = _SessionMemo("kmeans")
+
+#: Derived-index frames over a corpus (PQ codes, IVF assignments, LSH
+#: buckets) — consumed by :func:`_corpus_index_shared` above.
+_CORPUS_INDEX_MEMO = _SessionMemo("ann_corpus_index")
 
 
 def _kmeans_shared(
