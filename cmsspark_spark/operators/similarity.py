@@ -86,9 +86,17 @@ def _corpus_index_shared(
         return per[key]
     with _CORPUS_INDEX_MEMO.lock_for(spark, key):
         if key not in per:
-            from cmsspark_spark.operators.memo import pin_frame
+            from pyspark import StorageLevel
 
-            per[key] = pin_frame(builder())
+            # LAZY persist, not an eager checkpoint: an eager
+            # materialization job per shared frame adds jobs to the
+            # ladder's concurrent fan-out for no measured gain
+            # (5-cold-entry min per variant: eager 4.71 s, lazy
+            # 5.22 s, unshared 5.06 s — within host noise). The lazy
+            # persist shares blocks from first use with no extra job;
+            # cross-entry block survival is a non-goal since the
+            # memo-cold bench invalidates between entries.
+            per[key] = builder().persist(StorageLevel.MEMORY_AND_DISK)
     return per[key]
 
 
