@@ -77,6 +77,14 @@ EXPECTED_USER_GATES = {
     "weighted_sample_docs": 1,
     "chunk_dedup_rate": 1,
     "packing_efficiency_report": 1,
+    # r14: the phrase-match predicate size(array_intersect fold) > 0
+    # (operators/retrieval.py:1297) became audit-VISIBLE when the
+    # persisted-index serve queries stopped returning memoized
+    # checkpointed outputs (f26ec14) and started building their real
+    # serve plan per call; the gate is hand-written and runs on the
+    # grouped (qid, doc) candidate frame (bounded by the broadcast
+    # top-N hits join), never on a corpus scan.
+    "bm25_phrase_serve": 1,
 }
 
 # Standing adjudications for the recurring expensive-filter flags
@@ -112,6 +120,7 @@ KNOWN_ADJUDICATED = {
         "cluster-bucketed verify (never all-pairs)",
     "semantic_dedup_static": "same shape, static centroids",
     "split_assign_increment": "gate over the bounded census frame",
+    "bm25_phrase_serve": "user-written phrase gate (size of the\n        positional array_intersect fold) on the grouped candidate\n        frame — audit-visible since f26ec14 un-memoized the serve plans (recorded in EXPECTED_USER_GATES)",
     "weighted_sample_docs": "user-written size() gate (recorded)",
 }
 
