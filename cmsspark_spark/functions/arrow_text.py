@@ -114,6 +114,66 @@ def doc_term_postings_arrow(
     )
 
 
+def distinct_shingles_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    cols: tuple[str, str] = ("_id", "_arr"),
+) -> DataFrame:
+    """(id, per-doc-distinct word n-gram array) via one ``mapInArrow``
+    kernel — the Arrow twin of
+    ``df.select(id, text.shingles(text_col, n))`` (row-local, values
+    bit-identical, first-occurrence order preserved like
+    ``array_distinct``). The frame every MinHash/Jaccard/containment/
+    decontamination consumer starts from.
+
+    Degenerate rules replicate ``text.raw_ngrams``: a k-token document
+    yields max(k−n, 0)+1 grams where gram_i joins tokens [i, i+n)
+    (``F.slice`` truncates at the end exactly like a Python slice), so
+    k ≤ n collapses to ONE gram — the full token join — and an
+    empty/null token stream yields one empty-string gram."""
+    x, y = cols
+
+    def _kernel(batches):
+        import re
+
+        import pyarrow as pa
+
+        split = re.compile("[ \t\n\x0b\f\r]+")
+        out_schema = pa.schema(
+            [
+                pa.field(x, pa.int64()),
+                pa.field(y, pa.list_(pa.string())),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            arrs: list = []
+            for tx in texts:
+                toks = (
+                    [w for w in split.split(tx.lower()) if w]
+                    if tx is not None
+                    else []
+                )
+                k = len(toks)
+                if k <= n:
+                    grams = [" ".join(toks)]
+                else:
+                    grams = [
+                        " ".join(toks[j : j + n]) for j in range(k - n + 1)
+                    ]
+                arrs.append(list(dict.fromkeys(grams)))
+            yield pa.RecordBatch.from_pydict(
+                {x: ids, y: arrs}, schema=out_schema
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        _kernel, f"{x} bigint, {y} array<string>"
+    )
+
+
 def hashed_gram_counts_arrow(
     df: DataFrame,
     id_col: str,

@@ -236,6 +236,40 @@ def raw_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def shingle_frame(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    cols: tuple[str, str] = ("_id", "_arr"),
+    impl: str | None = None,
+):
+    """(id, distinct-shingle array) frame — the starting point of every
+    MinHash/Jaccard/containment/decontamination consumer.
+
+    ``impl`` picks the kernel (default ``arrow``, or
+    ``$CMSSPARK_TEXT_IMPL``): the Catalyst ``shingles()`` chain is
+    interpreted HOFs (measured ~3.1 s of a 9.4 s components query at
+    local[8], plus the big expression tree every consumer's optimizer
+    pass re-walks), the ``arrow`` form is one ``mapInArrow`` batch
+    kernel with BIT-IDENTICAL arrays (token/gram parity pinned by
+    tests/test_arrow_text_parity.py; guide §4.2). Non-bigint ids fall
+    back to ``sql``."""
+    from cmsspark_spark.functions.arrow_text import (
+        distinct_shingles_arrow,
+        text_impl_default,
+    )
+
+    x, y = cols
+    if (impl or text_impl_default()) == "arrow" and df.schema[
+        id_col
+    ].dataType.simpleString() == "bigint":
+        return distinct_shingles_arrow(df, id_col, text_col, n, cols)
+    return df.select(
+        F.col(id_col).alias(x), shingles(text_col, n).alias(y)
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), the MinHash/Jaccard unit.
 

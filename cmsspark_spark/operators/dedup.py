@@ -156,13 +156,18 @@ def _minhash_signatures_wide_run(
     num_hashes: int,
 ) -> DataFrame:
     """The un-memoized signature pipeline (see minhash_signatures_wide)."""
+    from cmsspark_spark.functions.text import shingle_frame
+
     params = minhash_params(num_hashes)
     # Two-step select ON PURPOSE: naming _bases keeps the (large)
-    # shingle expression tree single-instance; CollapseProject will not
-    # inline a non-cheap expression referenced num_hashes times.
-    based = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(shingles(text_col, n), int_base_hash).alias("_bases"),
+    # hash expression tree single-instance; CollapseProject will not
+    # inline a non-cheap expression referenced num_hashes times. The
+    # shingle arrays come from the Arrow kernel (r14, guide §4.2 — the
+    # Catalyst twin stays behind impl="sql"); only the md5 base hash
+    # stays Catalyst, on the already-distinct grams.
+    based = shingle_frame(df, id_col, text_col, n, ("_id", "_sh")).select(
+        "_id",
+        F.transform(F.col("_sh"), int_base_hash).alias("_bases"),
     )
     def _perm(a: int, b: int):
         return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
@@ -459,15 +464,17 @@ def _shingle_rows(
     """Per-doc-distinct (id, n_sh, xxhash64(shingle)) rows.
 
     Two-step projection ON PURPOSE: naming the shingle array before
-    size()+explode() reference it keeps the (large) shingle expression
-    tree single-instance — CollapseProject won't inline a non-cheap
-    expression referenced twice. Inlining it doubles the
-    optimizer/codegen work on an already-big tree (measured: ~30s of
-    first-execution planning at sf0.1)."""
+    size()+explode() reference it keeps the array single-instance —
+    CollapseProject won't inline a non-cheap expression referenced
+    twice. (Historically this guarded a large Catalyst shingle tree —
+    measured ~30s of first-execution planning at sf0.1; the array now
+    comes from the Arrow kernel via ``shingle_frame``, which removes
+    that tree outright, but the two-step shape stays for the sql
+    fallback.)"""
+    from cmsspark_spark.functions.text import shingle_frame
+
     return (
-        df.select(
-            F.col(id_col).alias("_id"), shingles(text_col, n).alias("_arr")
-        )
+        shingle_frame(df, id_col, text_col, n, ("_id", "_arr"))
         .select(
             "_id", F.size("_arr").alias("n_sh"),
             F.explode("_arr").alias("shingle"),
@@ -1627,8 +1634,10 @@ def containment_pairs(
     """
     from pyspark import StorageLevel
 
+    from cmsspark_spark.functions.text import shingle_frame
+
     sh = (
-        df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_arr"))
+        shingle_frame(df, id_col, text_col, n, ("_id", "_arr"))
         .select("_id", F.size("_arr").alias("n_sh"), F.explode("_arr").alias("shingle"))
         .select("_id", "n_sh", F.xxhash64("shingle").alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -72,19 +72,20 @@ def ngram_overlap(
     total and hit counts come out of a single aggregation — the corpus
     is scanned once and never shuffled beyond the per-doc re-agg.
     """
+    from cmsspark_spark.functions.text import shingle_frame
+
+    # distinct n-gram arrays come from the Arrow kernel (r14, §4.2 —
+    # Catalyst twin behind impl="sql"); the explode/join shape is
+    # unchanged
     bench_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(raw_ngrams(tokens(bench_text_col), n))).alias(
-                "_gram"
-            )
-        )
+        shingle_frame(benchmark, id_col, bench_text_col, n, ("_bid", "_arr"))
+        .select(F.explode("_arr").alias("_gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(raw_ngrams(tokens(text_col), n))).alias("_gram"),
-    )
+    doc_grams = shingle_frame(
+        docs, id_col, text_col, n, (id_col, "_arr")
+    ).select(F.col(id_col), F.explode("_arr").alias("_gram"))
     return (
         doc_grams.join(F.broadcast(bench_grams), on="_gram", how="left")
         .groupBy(id_col)
@@ -126,19 +127,19 @@ def ngram_overlap_attribution(
     two combiner-friendly aggregations — (doc, bench) counts, then the
     per-doc argmax — finish it. Text never shuffles.
     """
+    from cmsspark_spark.functions.text import shingle_frame
+
     bench_id = bench_id_col or id_col
-    bench_grams = benchmark.select(
-        F.col(bench_id).alias("_bench_id"),
-        F.explode(
-            F.array_distinct(raw_ngrams(tokens(bench_text_col), n))
-        ).alias("_gram"),
-    ).distinct()
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(raw_ngrams(tokens(text_col), n))
-        ).alias("_gram"),
+    bench_grams = (
+        shingle_frame(
+            benchmark, bench_id, bench_text_col, n, ("_bench_id", "_arr")
+        )
+        .select("_bench_id", F.explode("_arr").alias("_gram"))
+        .distinct()
     )
+    doc_grams = shingle_frame(
+        docs, id_col, text_col, n, (id_col, "_arr")
+    ).select(F.col(id_col), F.explode("_arr").alias("_gram"))
     pair_counts = (
         doc_grams.join(F.broadcast(bench_grams), on="_gram")
         .groupBy(id_col, "_bench_id")

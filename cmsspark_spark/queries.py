@@ -8728,11 +8728,11 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-merge is reproduced bit-for-bit): one gram-hash shuffle for
     the first-occurrence window, one doc-grain re-agg — ids and hashes
     shuffle, text never."""
-    from cmsspark_spark.functions.text import int_base_hash, shingles
+    from cmsspark_spark.functions.text import int_base_hash, shingle_frame
 
     d = _t(spark, sf_dir, "documents")
-    gh = d.select(
-        "doc_id", F.explode(shingles("text", 3)).alias("_g")
+    gh = shingle_frame(d, "doc_id", "text", 3, ("doc_id", "_arr")).select(
+        "doc_id", F.explode("_arr").alias("_g")
     ).select("doc_id", int_base_hash(F.col("_g")).alias("_h"))
     w = Window.partitionBy("_h")
     firsts = gh.select("doc_id", F.min("doc_id").over(w).alias("_fd"))

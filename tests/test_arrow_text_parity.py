@@ -159,3 +159,38 @@ def test_env_override_forces_sql(spark, adversarial_df, monkeypatch):
     monkeypatch.setenv("CMSSPARK_TEXT_IMPL", "sql")
     out = doc_term_postings(adversarial_df, "doc_id", "text")
     assert "MapInArrow" not in out._jdf.queryExecution().toString()
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+@pytest.mark.parametrize("source", ["adversarial", "corpus"])
+def test_shingle_frame_arrow_matches_sql(
+    spark, adversarial_df, corpus_df, source, n
+):
+    """distinct_shingles_arrow == select(id, shingles(text, n))
+    value-for-value INCLUDING array element order (array_distinct's
+    first-occurrence order) and the degenerate short-doc / empty-doc
+    collapse rules."""
+    from cmsspark_spark.functions.text import shingle_frame
+
+    df = adversarial_df if source == "adversarial" else corpus_df
+    sql = shingle_frame(df, "doc_id", "text", n, impl="sql")
+    arrow = shingle_frame(df, "doc_id", "text", n, impl="arrow")
+    assert "MapInArrow" in arrow._jdf.queryExecution().toString()
+    assert "MapInArrow" not in sql._jdf.queryExecution().toString()
+    assert [
+        (f.name, f.dataType.simpleString()) for f in arrow.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in sql.schema.fields]
+    got = {r["_id"]: r["_arr"] for r in arrow.collect()}
+    exp = {r["_id"]: r["_arr"] for r in sql.collect()}
+    assert got == exp
+
+
+def test_shingle_frame_non_bigint_falls_back(spark, adversarial_df):
+    from cmsspark_spark.functions.text import shingle_frame
+
+    df = adversarial_df.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = shingle_frame(df, "doc_id", "text", 3)
+    assert "MapInArrow" not in out._jdf.queryExecution().toString()
+    assert out.schema["_id"].dataType.simpleString() == "string"
